@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.Catalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The actual query definitions live in [[graft.queries.Catalog]]; this
+  * object is the stable façade the driver invokes.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the five-table region-revenue rollup (scan → 2 shuffle joins → 3
+    * broadcast joins → grouped agg).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Catalog.all("q31_region_revenue").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Catalog.all.map { case (name, q) => name -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-seeded ops (LSH internals)
+    * → driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Catalog.all.collect { case (name, q) if q.oracle.isDefined =>
+      name -> q.oracle.get.stripMargin.trim.replaceAll("\\s+", " ")
+    }
+
+  /** Headline benchmark subset (see Bench). */
+  def benchQueries: Seq[String] = Catalog.benchNames
 }

@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication at training-data scale. Five strategies, all
+  * shuffle-frugal:
+  *
+  *  - exact: hash-groupBy on a content fingerprint (one shuffle on a
+  *    16-byte key, never on the text itself);
+  *  - MinHash + LSH: shingle → 64-hash signature (per-row, no shuffle) →
+  *    band buckets → join on (band, bucket) so only candidate pairs meet
+  *    (the classic Broder scheme — the only shuffle is by band key);
+  *  - SimHash: 64-bit weighted-bit signature per row, near-dups = small
+  *    Hamming distance within bucket;
+  *  - n-gram Jaccard: exact verification on candidate pairs only;
+  *  - embedding cosine: random-hyperplane LSH buckets, exact cosine inside
+  *    the bucket.
+  *
+  * Nothing here collects to the driver; every stage is a Dataset transform
+  * that scales with executors.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups by normalized-content md5. Returns
+    * (fingerprint, canonical_id = min id, dup_count). Deterministic
+    * survivor (min id), unlike a bare `dropDuplicates`.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TF.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Keep one row per exact-duplicate group (the min-id survivor). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TF.fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** Universal-hash parameters for the MinHash permutations, seeded and
+    * generated driver-side (tiny), inlined as literals.
+    *
+    * Sized to stay ANSI-safe (Spark 4 defaults to ANSI mode, where long
+    * overflow throws): the shingle hash is masked to 32 bits and
+    * a < 2^29, so a*h + b < 2^62 — no overflow, no `try_*` needed.
+    */
+  private val HashPrime = 4294967311L // smallest prime > 2^32
+
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      (rnd.nextLong(1L << 29) + 1, rnd.nextLong(1L << 29)))
+  }
+
+  /** Per-row MinHash signature: array<long> of length `numHashes`. Shingle
+    * hashing and all permutations are higher-order array ops — zero
+    * shuffles, embarrassingly parallel.
+    */
+  def minhashSignature(
+      text: Column,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      seed: Long = 42L): Column = {
+    val hashes32 = transform(TF.shingleHashes(text, shingleSize),
+      h => h.bitwiseAND(lit(0xFFFFFFFFL)))
+    val perms = hashParams(numHashes, seed).map { case (a, b) =>
+      array_min(transform(hashes32, h => pmod(h * lit(a) + lit(b), lit(HashPrime))))
+    }
+    array(perms: _*)
+  }
+
+  /** Candidate duplicate pairs via LSH banding: split the signature into
+    * `bands` bands of `numHashes / bands` rows, hash each band, and join
+    * documents that share any (band, bandHash) bucket. Probability two docs
+    * with Jaccard similarity s become candidates: 1 - (1 - s^r)^b.
+    *
+    * The band-bucket join is the only shuffle; its key space is
+    * (bands × hash) — uniformly distributed, no hot keys, safe at 100 TB.
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard is the
+    * fraction of agreeing signature positions.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val signed = df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleSize, seed).as("sig"))
+
+    // band hashes built with Scala-level band indices so `slice` gets
+    // constant offsets (codegen-friendly, no Column-typed shift plumbing)
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(array_join(
+        transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
+    }: _*)
+    val banded = signed.select(
+      col("id"), col("sig"), posexplode(bandHashes))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .drop("sig_a", "sig_b")
+  }
+
+  /** Full MinHash dedup: candidates above `threshold`, then connected docs
+    * collapse to the min-id canonical (single-link over one hop — the
+    * standard one-pass approximation; full transitive closure would be an
+    * iterative connected-components job, overkill for near-dup removal).
+    * Returns (id, canonical_id) for every duplicated id.
+    */
+  def minhashDedupMapping(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame =
+    minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("canonical_id"))
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per row: for every bit position, sum +1/-1 over token
+    * hashes, take the sign. Entirely per-row via array `aggregate` with an
+    * array accumulator — no explode, no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val tokenHashes = transform(TF.tokens(text), t => xxhash64(t))
+    val zeros = array_repeat(lit(0L), 64)
+    // bit tests use Scala-level shift amounts (shiftright needs an Int);
+    // the per-token ±1 vector is zip_with-merged into the accumulator
+    val counts = aggregate(tokenHashes, zeros, (acc, h) =>
+      zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
+        (a, c) => a + c))
+    // sign → bit: sum of distinct powers of two == bitwise OR of set bits
+    val bitValues = array((0 until 64).map(b => lit(1L << b)): _*)
+    aggregate(
+      zip_with(counts, bitValues, (cnt, v) => when(cnt > 0, v).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Hamming distance between two simhashes (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: block on the four 16-bit quarters of the
+    * signature (any pair within Hamming distance 3 shares at least one
+    * intact quarter — pigeonhole), verify Hamming ≤ `maxDistance` inside
+    * the block. Shuffle key = (quarter index, 16-bit value): bounded, dense.
+    */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val signed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val quarters = array((0 until 4).map(q =>
+      shiftright(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val quartered = signed.select(col("id"), col("sh"), posexplode(quarters))
+      .withColumnRenamed("pos", "quarter")
+      .withColumnRenamed("col", "qval")
+    val a = quartered.select(col("quarter"), col("qval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = quartered.select(col("quarter"), col("qval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("quarter", "qval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxDistance)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard for candidate pairs (verification stage after any
+    * LSH). `pairs` must have (id_a, id_b); `docs` provides (id, text).
+    * The two joins are against the deduplicated doc side keyed by id —
+    * co-partitioned with the pair stream by AQE.
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      TF.shingleHashes(col(textCol), shingleSize).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      // 9 dp: shingle-set sizes are ≤ ~10^3, so exact ratios terminate at
+      // ≤ 9 decimals (2^a·5^b denominators) — rounding at 9 can never sit
+      // on a half-way boundary, keeping engines bit-consistent
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
+  }
+
+  // --------------------------------------------------- embedding near-dup
+
+  /** Embedding near-duplicates: random-hyperplane LSH bucket join, exact
+    * cosine verification inside buckets. Only pairs sharing a `numPlanes`-bit
+    * sign signature meet — at 16 planes that's a 65k-way partition of the
+    * space, so the join is sparse and shuffle keys are uniform.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, numPlanes: Int = 16, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = VF.makePlanes(numPlanes, dim, seed)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VF.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VF.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

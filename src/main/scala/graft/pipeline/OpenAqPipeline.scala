@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end mart pipeline — the reference's Glue job
+  * (`glue_jobs/process_openaq_raw.py`) collapsed into one declarative Spark
+  * program (SURVEY §3.1).
+  *
+  * Deviations from the reference, all deliberate:
+  *  - one `persist()` after dedup instead of five uncached actions that each
+  *    re-run the scan (reference re-computes lineage at `:101,137,161,200`);
+  *  - declared input schema by default (kills the VoidType bug class);
+  *  - deterministic dedup tie-break by default (W1 hazard, SURVEY §7.4);
+  *  - counts are computed once off the persisted frame and reported as
+  *    metrics, matching the reference's log surface.
+  */
+object OpenAqPipeline {
+
+  final case class Metrics(
+      rawCount: Long,
+      dedupCount: Long,
+      pivotCount: Long,
+      enrichedCount: Long,
+      nullAudit: Map[String, Long])
+
+  /** S1 — scan the raw zone: NDJSON with the declared schema (recursive,
+    * matching Glue's recursive S3 listing).
+    */
+  def readRaw(spark: SparkSession, cfg: Schemas.JobConfig): DataFrame = {
+    val reader = spark.read.option("recursiveFileLookup", "true")
+    val withSchema =
+      if (cfg.inferSchema) reader else reader.schema(Schemas.rawMeasurement)
+    withSchema.json(cfg.inputPath)
+  }
+
+  /** The transform chain, input-to-mart, as one logical plan. Exposed
+    * separately from [[run]] so tests and queries can apply it to any
+    * long-format frame.
+    */
+  def transform(raw: DataFrame, cfg: Schemas.JobConfig): (DataFrame, DataFrame, DataFrame) = {
+    val parsed = raw
+      .transform(Transforms.parseDatetime)
+      .transform(Transforms.dropInvalidDatetime)
+      .transform(Transforms.derivePartitions)
+
+    val dedupKeys = Seq("location_id", "datetime")
+    val deduped =
+      if (cfg.deterministicDedup)
+        parsed.transform(Transforms.dedupByRank(dedupKeys, Seq(col("parameter"), col("value"))))
+      else
+        parsed.transform(Transforms.dedupByRank(dedupKeys, Nil))
+
+    val pivoted = deduped.transform(Transforms.pivotParameters(values = cfg.pivotValues))
+
+    val meta = Transforms.buildMetadata(parsed)
+    val mart = pivoted
+      .withColumn("location_id", col("location_id").cast("string"))
+      .transform(Transforms.enrich(meta))
+      .transform(Transforms.fillDefaults)
+    (deduped, pivoted, mart)
+  }
+
+  /** Full job: scan → transform → validate → partitioned Parquet sink →
+    * register view. Returns the mart frame and the metrics the reference
+    * logs.
+    */
+  def run(spark: SparkSession, cfg: Schemas.JobConfig, viewName: String = "vietnam"): (DataFrame, Metrics) = {
+    val raw = readRaw(spark, cfg)
+    val rawCount = raw.count()
+
+    val (deduped, _, mart) = transform(raw, cfg)
+    val dedupCount = deduped.count()
+
+    mart.persist(StorageLevel.MEMORY_AND_DISK)
+    val enrichedCount = mart.count()
+
+    Transforms.requireColumns(mart)
+    val auditRow = Transforms.nullAudit(mart).collect()(0)
+    val audit = Schemas.criticalColumns.zipWithIndex
+      .map { case (c, i) => c -> auditRow.getLong(i) }.toMap
+    require(audit.values.forall(_ == 0L), s"null critical columns: $audit")
+
+    Sink.writePartitioned(mart, cfg.outputPath, cfg.partitionCols, cfg.writeMode)
+
+    val written = spark.read.parquet(cfg.outputPath)
+    written.createOrReplaceTempView(viewName)
+
+    (mart, Metrics(rawCount, dedupCount, enrichedCount, enrichedCount, audit))
+  }
+}
+
+/** S3/S4 — sinks. */
+object Sink {
+
+  /** Partitioned Parquet mart sink (reference
+    * `glue_jobs/process_openaq_raw.py:249-256`): repartition by the
+    * partition columns so each output directory gets few, large files
+    * (the reference repartitions by `location_id`, which does NOT control
+    * layout — `partitionBy` does; repartitioning by the partition columns
+    * is the shape that avoids the many-small-files problem its docs
+    * complain about, `doc/GLUE_JOBS_GUIDE.md:308-311`). Snappy is Spark's
+    * parquet default. `maxRecordsPerFile` caps file size at scale.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String] = Seq("year", "month", "day"),
+      mode: String = "append"): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write
+      .mode(mode)
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** S4/S5 — NDJSON sink (Spark's JSON sink is newline-delimited natively;
+    * the reference hand-rolls this with `put_object`,
+    * `s3_uploader.py:57-84`).
+    */
+  def writeNdjson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

@@ -1,0 +1,680 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Aqi, TextFunctions => TF, VectorFunctions => VF}
+import graft.ops.{Dedup, Similarity}
+import graft.pipeline.Transforms
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** The engine's query surface over the driver's synthetic tables
+  * (TESTDATA.md), one named entry per operator family from SURVEY §2 plus
+  * the training-data-pipeline extensions (dedup, similarity search, text
+  * analysis).
+  *
+  * Every SQL-expressible query is paired with DuckDB SQL computing the
+  * identical result (same column names, same rounding, same deterministic
+  * ORDER BY) — that pairing IS the correctness gate. Where a formula must
+  * match across engines (AQI interpolation, quality score, language ID),
+  * the SQL is generated from the same Scala constants as the Column
+  * expressions, so the two sides cannot drift. Queries whose internals are
+  * hash-seeded (MinHash/SimHash/LSH) get either a construction whose output
+  * is provable in SQL (injected exact duplicates) or a rows-only check.
+  *
+  * Determinism rules applied throughout:
+  *  - every result has a total ORDER BY;
+  *  - double aggregates are rounded (2-6 dp) to absorb FP association
+  *    differences between engines;
+  *  - integer outputs are long on the Spark side / BIGINT in SQL;
+  *  - ties in any top-k are broken by a key column.
+  */
+object Catalog {
+
+  final case class QueryDef(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      bench: Boolean = false)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // ---------------------------------------------------------------------
+  // SQL generators shared between the Column expressions and oracle text
+
+  /** Piecewise-linear AQI CASE expression over the same breakpoints as
+    * [[Aqi.subIndexRaw]] — slopes folded to Scala doubles, rendered with
+    * shortest-round-trip toString so DuckDB parses the identical double.
+    */
+  private def aqiSqlExpr(c: String, bps: Aqi.Breakpoints): String = {
+    val (lastLo, lastHi, lastALo, lastAHi) = bps.last
+    val beyond = s"($lastALo + ($c - $lastLo) * ${(lastAHi - lastALo) / (lastHi - lastLo)})"
+    val whens = bps.map { case (cLo, cHi, aLo, aHi) =>
+      s"WHEN $c <= $cHi THEN ($aLo + ($c - $cLo) * ${(aHi - aLo) / (cHi - cLo)})"
+    }.mkString(" ")
+    s"CASE WHEN $c IS NULL OR $c < 0 THEN NULL $whens ELSE $beyond END"
+  }
+
+  // Exact-decimal aggregation: every money/value column in the test data
+  // is a 2-decimal quantity stored as double. Summing doubles directly is
+  // order-dependent, and rounding an average hits half-way boundaries where
+  // Spark (decimal-string HALF_UP) and DuckDB (scaled std::round) disagree
+  // on the SAME input. Casting to DECIMAL(18,2) first makes every sum exact
+  // and engine-identical; casting the exact sum back to double (and
+  // dividing by the exact count for averages) is then bit-reproducible with
+  // no final rounding at all.
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def exactSum(c: Column): Column = sum(dec(c)).cast("double")
+  private def exactAvg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+  private def exactRevenue(price: Column, disc: Column): Column =
+    sum(dec(price) * (lit(1).cast("decimal(3,2)") - disc.cast("decimal(3,2)")))
+      .cast("double")
+
+  private def sumSql(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  private def avgSql(c: String): String =
+    s"(${sumSql(c)} / count($c))"
+  private def revenueSql(p: String, d: String): String =
+    s"CAST(sum(CAST($p AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST($d AS DECIMAL(3,2)))) AS DOUBLE)"
+
+  private def sqlInList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private def hitCountSql(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> lower(t) IN (${sqlInList(words)})))"
+
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+
+  /** DuckDB expression for cosine over two float-list columns, with the
+    * same shape as [[VF.cosine]]: double-cast elementwise products,
+    * sequential sum, dot / (sqrt(nsqA) * sqrt(nsqB)).
+    */
+  private def cosineSql(a: String, b: String): String = {
+    def nsq(v: String) =
+      s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val dot =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"($dot / (sqrt(${nsq(a)}) * sqrt(${nsq(b)})))"
+  }
+
+  private val langIdSql: String = {
+    val langs = TF.langMarkers.toSeq.sortBy(_._1)
+    val scores = langs.map { case (l, ws) => s"${hitCountSql(ws)} AS s_$l" }.mkString(", ")
+    val best = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = langs.map { case (l, _) => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_guess
+        FROM (SELECT doc_id, lang, $scores, $best AS best
+              FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
+        ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------------
+
+  val all: ListMap[String, QueryDef] = ListMap(
+
+    // ===== aggregation / scan surface (SURVEY §2.4) =====
+
+    // A3/A5/A6 analog — full-scan grouped aggregate, TPC-H Q1 shape.
+    // Headline scan+agg benchmark; reads 6 of 11 lineitem columns.
+    "q01_pricing_summary" -> QueryDef(
+      fn = (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          exactRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          exactAvg(col("l_quantity")).as("avg_qty"),
+          exactAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${sumSql("l_quantity")} AS sum_qty,
+               ${sumSql("l_extendedprice")} AS sum_base_price,
+               ${revenueSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+               ${avgSql("l_quantity")} AS avg_qty,
+               ${avgSql("l_discount")} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // A5 + O2 — group-count ranking, deterministic tie-break.
+    "q02_group_count_topk" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("user_id"), col("event_type"))
+        .limit(20),
+      oracle = Some("""
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+        ORDER BY cnt DESC, user_id, event_type LIMIT 20""")),
+
+    // A6 — min/max/count/distinct summary.
+    "q03_minmax_summary" -> QueryDef(
+      fn = (s, d) => t(s, d, "events").agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("ts").as("min_ts"),
+        max("ts").as("max_ts"),
+        exactSum(col("value")).as("sum_value"),
+        exactAvg(col("value")).as("avg_value")),
+      oracle = Some(s"""
+        SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
+               min(ts) AS min_ts, max(ts) AS max_ts,
+               ${sumSql("value")} AS sum_value, ${avgSql("value")} AS avg_value
+        FROM events""")),
+
+    // A7 — conditional counts (SUM(CASE WHEN ...) per category).
+    "q04_conditional_counts" -> QueryDef(
+      fn = (s, d) => {
+        val aggs = eventTypes.map(x =>
+          sum(when(col("event_type") === x, 1).otherwise(0)).cast("long").as(s"n_$x"))
+        t(s, d, "events").agg(aggs.head, aggs.tail: _*)
+      },
+      oracle = Some {
+        val cols = eventTypes.map(x =>
+          s"CAST(sum(CASE WHEN event_type = '$x' THEN 1 ELSE 0 END) AS BIGINT) AS n_$x")
+        s"SELECT ${cols.mkString(", ")} FROM events"
+      }),
+
+    // A1 — the core long→wide pivot (events stand in for measurements:
+    // event_type is the "parameter", value the reading), via the pipeline's
+    // pivot operator with an explicit value list (no distinct-collect job).
+    "q05_pivot_event_values" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .transform(Transforms.pivotParameters(
+          keys = Seq("user_id"), pivotCol = "event_type",
+          valueCol = "value", values = Some(eventTypes),
+          agg = c => sum(dec(c)).cast("double") / count(c)))
+        .select(col("user_id") +: eventTypes.map(x => col(x)): _*)
+        .orderBy("user_id"),
+      oracle = Some {
+        val cols = eventTypes.map(x =>
+          s"""(CAST(sum(CASE WHEN event_type = '$x' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+              / count(CASE WHEN event_type = '$x' THEN value END)) AS "$x"""")
+        s"""SELECT user_id, ${cols.mkString(", ")}
+            FROM events GROUP BY user_id ORDER BY user_id"""
+      },
+      bench = true),
+
+    // ===== window / dedup (W1, P4, A2) =====
+
+    // W1 — rank-based dedup, deterministic tie-break mode: first event per
+    // (user, type) by (ts, event_id), via the pipeline's dedup operator.
+    "q06_window_dedup" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .transform(Transforms.dedupByRank(
+          Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .orderBy("user_id", "event_type"),
+      oracle = Some("""
+        SELECT event_id, user_id, event_type, ts, value FROM (
+          SELECT event_id, user_id, event_type, ts, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1
+        ORDER BY user_id, event_type""")),
+
+    // A10 — DISTINCT projection.
+    "q07_distinct" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select("lang", "source").distinct().orderBy("lang", "source"),
+      oracle = Some(
+        "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source")),
+
+    // ===== joins (J1-J3 + the shapes the reference lacks) =====
+
+    // J1 + P5 — broadcast left-join enrichment with fill-defaults, then
+    // grouped rollup (the mart enrichment shape on TPC-H keys).
+    "q08_enrich_join" -> QueryDef(
+      fn = (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .withColumn("mktsegment", coalesce(col("c_mktsegment"), lit("Unknown")))
+        .groupBy("mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             exactSum(col("o_totalprice")).as("total_price"))
+        .orderBy("mktsegment"),
+      oracle = Some(s"""
+        SELECT coalesce(c_mktsegment, 'Unknown') AS mktsegment,
+               count(*) AS n_orders, ${sumSql("o_totalprice")} AS total_price
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY mktsegment"""),
+      bench = true),
+
+    // Dimension join chain (customer → nation → region), both broadcast.
+    "q09_join_chain" -> QueryDef(
+      fn = (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"),
+             exactSum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy("r_name", "n_name"),
+      oracle = Some(s"""
+        SELECT r_name, n_name, count(*) AS n_customers,
+               ${sumSql("c_acctbal")} AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ===== projections / scalar functions (P1, P2, F2, F3) =====
+
+    // P1 + P2 — timestamp parse and partition-column derivation via the
+    // pipeline operator (year int, month/day zero-padded strings — the
+    // reference's contract asymmetry, cast long here for oracle parity).
+    "q10_derive_partitions" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .withColumnRenamed("ts", "datetime")
+        .transform(Transforms.derivePartitions)
+        .select(col("event_id"), col("year").cast("long").as("year"),
+                col("month"), col("day"))
+        .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id, year(ts) AS year,
+               lpad(CAST(month(ts) AS VARCHAR), 2, '0') AS month,
+               lpad(CAST(day(ts) AS VARCHAR), 2, '0') AS day
+        FROM events ORDER BY event_id""")),
+
+    // P9 — per-column null audit as one distributed aggregate.
+    "q11_null_audit" -> QueryDef(
+      fn = (s, d) => Transforms.nullAudit(
+        t(s, d, "events"),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
+      oracle = Some {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+          .map(c => s"count(CASE WHEN $c IS NULL THEN 1 END) AS $c")
+        s"SELECT ${cols.mkString(", ")} FROM events"
+      }),
+
+    // P5 + F7/F14 — null-injection + fill-defaults (na.fill on a real null).
+    "q12_fill_defaults" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .withColumn("etype",
+          when(col("event_type") === "error", lit(null)).otherwise(col("event_type")))
+        .na.fill(Map("etype" -> "Unknown"))
+        .select("event_id", "etype")
+        .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id, coalesce(nullif(event_type, 'error'), 'Unknown') AS etype
+        FROM events ORDER BY event_id""")),
+
+    // P10 — range predicates (pushed to the parquet scan) + rollup.
+    "q13_range_filter" -> QueryDef(
+      fn = (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity").between(10.0, 40.0) &&
+                col("l_discount").between(0.02, 0.08))
+        .agg(count(lit(1)).as("cnt"),
+             exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue")),
+      oracle = Some(s"""
+        SELECT count(*) AS cnt,
+               ${revenueSql("l_extendedprice", "l_discount")} AS revenue
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10.0 AND 40.0
+          AND l_discount BETWEEN 0.02 AND 0.08""")),
+
+    // A11 — metadata-consistency audit (distinct tuples per group).
+    "q14_metadata_consistency" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("lang")).as("n_langs"))
+        .withColumn("inconsistent", col("n_langs") > 1)
+        .orderBy("source"),
+      oracle = Some("""
+        SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+               count(DISTINCT lang) > 1 AS inconsistent
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // F12 — event-time bucketing (the streaming windowed-agg shape, batch).
+    "q15_hour_bucket" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), exactAvg(col("value")).as("avg_value"))
+        .orderBy("hour"),
+      oracle = Some(s"""
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
+               ${avgSql("value")} AS avg_value
+        FROM events GROUP BY 1 ORDER BY hour""")),
+
+    // §2.10 — the AQI suite as pure Column expressions (no UDF): piecewise
+    // linear interpolation + category, SQL generated from the same
+    // breakpoint table.
+    "q16_aqi" -> QueryDef(
+      fn = (s, d) => {
+        val raw = Aqi.subIndexRaw(col("value"), Aqi.pm25Breakpoints)
+        t(s, d, "events")
+          .select(col("event_id"), round(raw, 4).as("aqi"),
+                  Aqi.aqiLevel(raw).as("aqi_level"))
+          .orderBy("event_id")
+      },
+      oracle = Some {
+        val raw = aqiSqlExpr("value", Aqi.pm25Breakpoints)
+        s"""SELECT event_id, round(raw, 4) AS aqi,
+                   CASE WHEN raw IS NULL THEN NULL
+                        WHEN raw <= 50 THEN 'Good'
+                        WHEN raw <= 100 THEN 'Moderate'
+                        WHEN raw <= 150 THEN 'Unhealthy for Sensitive Groups'
+                        WHEN raw <= 200 THEN 'Unhealthy'
+                        WHEN raw <= 300 THEN 'Very Unhealthy'
+                        ELSE 'Hazardous' END AS aqi_level
+            FROM (SELECT event_id, $raw AS raw FROM events)
+            ORDER BY event_id"""
+      }),
+
+    // A8 + O2 — date-range filtered grouped avg/max, top-k by avg.
+    "q17_top_avg" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(exactAvg(col("value")).as("avg_value"), max("value").as("max_value"))
+        .orderBy(desc("avg_value"), col("user_id"))
+        .limit(10),
+      oracle = Some(s"""
+        SELECT user_id, ${avgSql("value")} AS avg_value, max(value) AS max_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY user_id ORDER BY avg_value DESC, user_id LIMIT 10""")),
+
+    // ===== text analysis (training-data ops) =====
+
+    // Token counting (whitespace tokenizer) + char stats.
+    "q18_token_stats" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+                TF.tokenCount(col("text")).as("n_tokens"),
+                length(col("text")).cast("long").as("n_chars"),
+                round(TF.meanTokenLength(col("text")), 4).as("mean_token_len"))
+        .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id, len(toks) AS n_tokens,
+               length(text) AS n_chars,
+               round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE), 4) AS mean_token_len
+        FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+        ORDER BY doc_id""")),
+
+    // Document fingerprinting (md5 of normalized text — engine-portable).
+    "q19_fingerprint" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // Exact dedup groups: hash-groupBy on the fingerprint, deterministic
+    // min-id survivor.
+    "q20_exact_dedup" -> QueryDef(
+      fn = (s, d) => Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("fingerprint"),
+      oracle = Some(s"""
+        SELECT md5(array_to_string($toksSql, ' ')) AS fingerprint,
+               min(doc_id) AS canonical_id, count(*) AS dup_count
+        FROM documents GROUP BY 1 ORDER BY fingerprint"""),
+      bench = true),
+
+    // Quality scoring (length/punct/stopword terms), SQL generated from the
+    // same constants.
+    "q21_quality_score" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+                  TF.tokenCount(col("text")).as("n_tokens"),
+                  round(TF.stopwordRatio(col("text"), stops), 4).as("stop_ratio"),
+                  round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+                  TF.qualityScore(col("text"), stops).as("quality"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val hits = hitCountSql(TF.langMarkers("en"))
+        s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(stop_ratio, 4) AS stop_ratio,
+                   round(punct_ratio, 4) AS punct_ratio,
+                   round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+                        + (1.0 - least(punct_ratio * 4.0, 1.0))
+                        + least(stop_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
+            FROM (SELECT doc_id, toks,
+                    CAST($hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+                    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) AS punct_ratio
+                  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
+            ORDER BY doc_id"""
+      }),
+
+    // Language ID (marker-word argmax), SQL generated from the same marker
+    // table with the same tie-break order.
+    "q22_lang_id" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TF.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id"),
+      oracle = Some(langIdSql)),
+
+    // ===== embeddings: similarity + near-dup (training-data ops) =====
+
+    // Vector norm via higher-order aggregate (double accumulation).
+    "q23_embedding_norm" -> QueryDef(
+      fn = (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+                round(VF.norm(col("embedding")), 4).as("norm"))
+        .orderBy("vec_id"),
+      oracle = Some("""
+        SELECT vec_id, label,
+               round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+        FROM embeddings ORDER BY vec_id""")),
+
+    // Pairwise cosine on a key slice (exact, both engines sequential-sum).
+    "q24_cosine_pairs" -> QueryDef(
+      fn = (s, d) => {
+        val e = t(s, d, "embeddings").filter(col("vec_id") < 10)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+                  round(VF.cosine(col("va"), col("vb")), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 10 AND b.vec_id < 10 AND a.vec_id < b.vec_id
+        ORDER BY id_a, id_b""")),
+
+    // Brute-force cosine top-k (exact ANN baseline): 20 queries, k=5.
+    "q25_knn_bruteforce" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 20), emb, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(s"""
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+               CAST(rn AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cosineSql("q.embedding", "c.embedding")} AS cosine
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id))
+        WHERE rn <= 5 ORDER BY query_id, rank"""),
+      bench = true),
+
+    // ===== LSH dedup suites =====
+    // Construction: union the corpus with an id-shifted exact copy, so the
+    // expected duplicate pairs are provable in SQL while the full
+    // signature → banding → bucket-join → verify path executes for real.
+
+    // MinHash + LSH candidate generation, then exact n-gram-Jaccard
+    // verification (the production two-stage shape: cheap LSH recall, exact
+    // precision pass on candidates only). On a 200-doc slice doubled with
+    // exact copies so the oracle can afford the exhaustive pair scan; LSH
+    // recall at j ≥ 0.9 is 1 - (1-0.9^4)^16 ≈ 1 - 4e-8, so candidate-set ∩
+    // verification equals the exhaustive answer.
+    "q26_minhash_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        val doubled = docs.select(col("doc_id"), col("text"))
+          .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val cands = Dedup.minhashCandidates(doubled, "doc_id", "text")
+          .select("id_a", "id_b")
+        Dedup.ngramJaccard(cands, doubled, "doc_id", "text")
+          .filter(col("jaccard") >= 0.9)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        WITH docs2 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 200),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          FROM (SELECT doc_id, $toksSql AS toks FROM docs2))
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                       / CAST(len(a.shingles) + len(b.shingles)
+                              - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE),
+                       9) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.9 ORDER BY id_a, id_b"""),
+      bench = true),
+
+    // SimHash near-dup: signature + 16-bit blocking + Hamming verify; the
+    // copy-pair projection (id_b = id_a + 100000) is the SQL-provable
+    // slice of the candidate set.
+    "q27_simhash_dup" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val doubled = docs.select(col("doc_id"), col("text"))
+          .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.simhashCandidates(doubled, "doc_id", "text", maxDistance = 3)
+          .filter(col("id_b") === col("id_a") + 100000)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+               CAST(0 AS INTEGER) AS hamming
+        FROM documents ORDER BY id_a, id_b""")),
+
+    // n-gram (3-shingle) Jaccard verification on candidate pairs —
+    // consecutive-id pairs so the oracle can rebuild the exact value.
+    "q28_ngram_jaccard" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = docs.select(col("doc_id").as("id_a"),
+                                (col("doc_id") + 1).as("id_b"))
+        Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a")
+      },
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / CAST(len(a.shingles) + len(b.shingles)
+                            - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE),
+                     9) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ORDER BY id_a""")),
+
+    // Embedding near-dup via hyperplane-LSH buckets + exact cosine.
+    "q29_embedding_neardup" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val doubled = emb.select(col("vec_id"), col("embedding"))
+          .unionAll(emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        Dedup.embeddingNearDup(doubled, "vec_id", "embedding", minCosine = 0.98)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+        FROM embeddings ORDER BY id_a, id_b""")),
+
+    // LSH-bucketed ANN (multiprobe) — seeded-hash internals, rows-only.
+    "q30_lsh_knn" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 5,
+            numPlanes = 10)
+          .orderBy("query_id", "rank")
+      },
+      oracle = None),
+
+    // ===== multi-join analytics (flagship) =====
+
+    "q31_region_revenue" -> QueryDef(
+      fn = (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("r_name"),
+      oracle = Some("""
+        SELECT r_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name"""),
+      bench = true),
+
+    // Semi join (EXISTS) — a join shape the reference lacks.
+    "q32_semi_join" -> QueryDef(
+      fn = (s, d) => t(s, d, "orders")
+        .join(t(s, d, "lineitem").filter(col("l_quantity") > 49)
+                .select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Anti join (NOT EXISTS).
+    "q33_anti_join" -> QueryDef(
+      fn = (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment"),
+      oracle = Some("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+  )
+
+  /** Names of the headline benchmark queries, in catalog order. */
+  def benchNames: Seq[String] = all.collect { case (n, q) if q.bench => n }.toSeq
+}
