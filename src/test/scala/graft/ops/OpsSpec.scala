@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.GraftSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green woods tonight"
+  private val nearDup = base.replace("green", "dark") // one token changed
+  private val distinct =
+    "completely different content about spark query engines and columnar storage formats at scale"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, distinct))
+    .toDF("doc_id", "text")
+
+  test("exactGroups: identical texts collapse to min-id canonical") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 3)
+    val dup = g.filter($"dup_count" === 2).head()
+    assert(dup.getAs[Long]("canonical_id") == 1L)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("minhash: identical docs agree fully; near-dups high; distinct low") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val est = cands.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(est((1L, 2L)) == 1.0)
+    assert(est.getOrElse((1L, 3L), est.getOrElse((1L, 4L), 0.0)) < 1.0)
+    // distinct doc must not pair with base at high similarity
+    assert(!est.get((1L, 4L)).exists(_ > 0.5))
+  }
+
+  test("minhashDedupMapping maps duplicates to canonical id") {
+    val m = Dedup.minhashDedupMapping(docs, "doc_id", "text", threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(m(2L) == 1L)
+  }
+
+  test("simhash: identical hamming 0; near-dup small; candidates found via blocking") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sh")).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 12)
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxDistance = 3)
+    val pairs = cands.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccard computes the exact shingle-set ratio") {
+    // base: 16 distinct 3-shingles of 18 tokens; one word change flips 3
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
+      .head().getAs[Double]("jaccard")
+    assert(j > 0.5 && j < 1.0)
+    val self = Dedup.ngramJaccard(Seq((1L, 2L)).toDF("id_a", "id_b"), docs, "doc_id", "text")
+      .head().getAs[Double]("jaccard")
+    assert(self == 1.0)
+  }
+
+  test("embeddingNearDup finds copies via hyperplane buckets") {
+    val vecs = Seq(
+      (1L, Array.tabulate(8)(i => i.toFloat / 10)),
+      (2L, Array.tabulate(8)(i => i.toFloat / 10)),         // exact copy
+      (3L, Array.tabulate(8)(i => -1.0f - i))              // far away
+    ).toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      minCosine = 0.99, numPlanes = 6, dim = 8)
+    val pairs = dups.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val res = Similarity.bruteForceTopK(
+      corpus.filter($"vec_id" === 0L), corpus, k = 2)
+    val rows = res.orderBy("rank").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("neighbor_id") == 1L) // closest direction
+    assert(rows(0).getAs[Long]("rank") == 1L)
+    assert(rows(1).getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("lshTopK returns correctly-ranked candidates from probed buckets") {
+    val res = Similarity.lshTopK(
+      corpus.filter($"vec_id" === 0L), corpus, k = 2, numPlanes = 4, dim = 2)
+    val rows = res.orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    // whatever was recalled must be ranked by cosine desc
+    val cosines = rows.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sorted.reverse))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("extractFeatures is deterministic and preserves ids through mapPartitions") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "abc".getBytes),
+      Multimodal.MediaRow(2L, "video", "defg".getBytes)).toDS()
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.sameElements(f2))
+    assert(f1(0).byte_len == 3L)
+    assert(f1(1).kind == "video" && f1(1).n_frames >= 1)
+  }
+
+  test("sampleFrameIndices strides and caps video frames") {
+    val media = Seq(Multimodal.MediaRow(1L, "video", "frames".getBytes)).toDS()
+    val feats = Multimodal.extractFeatures(media).toDF()
+    val sampled = Multimodal.sampleFrameIndices(feats, stride = 10, maxFrames = 5)
+    val idx = sampled.select("frame_indices").head().getSeq[Int](0)
+    assert(idx.length <= 5)
+    assert(idx.zip(idx.drop(1)).forall { case (a, b) => b - a == 10 })
+  }
+}

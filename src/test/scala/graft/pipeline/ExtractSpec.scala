@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.GraftSpark
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extraction-side specs (SURVEY §3.2): locations flatten, active-sensor
+  * filter with parameter normalization (the PM2.5/pm25 HCMC bug fix),
+  * sensor-dimension build with the city fallback chain, enrichment join.
+  */
+class ExtractSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  // wrapped-envelope locations fixture (FIXTURES F3/F4 shape)
+  private val locationsJson =
+    """{"meta":{"name":"openaq-api","website":"x","found":3,"extracted_at":"2024-01-20T00:00:00Z"},
+       "results":[
+        {"id":18,"name":"Hanoi Station","locality":"Hanoi","timezone":"Asia/Bangkok",
+         "country":{"id":56,"code":"VN","name":"Vietnam"},
+         "coordinates":{"latitude":21.05,"longitude":105.8},
+         "sensors":[{"id":37,"name":"pm25 µg/m³","parameter":{"id":2,"name":"PM2.5","units":"µg/m³","displayName":"PM2.5"}},
+                    {"id":38,"name":"temp","parameter":{"id":9,"name":"temperature","units":"c","displayName":"Temp"}}],
+         "datetimeFirst":null,
+         "datetimeLast":{"utc":"2024-01-19T16:00:00Z","local":"x"}},
+        {"id":3276359,"name":"HCMC Station","locality":null,"timezone":"Asia/Bangkok",
+         "country":{"id":56,"code":"VN","name":"Vietnam"},
+         "coordinates":{"latitude":10.78,"longitude":106.7},
+         "sensors":[{"id":99,"name":"pm25","parameter":{"id":2,"name":"pm25","units":"µg/m³","displayName":"PM2.5"}}],
+         "datetimeFirst":null,
+         "datetimeLast":{"utc":"2024-01-19T12:00:00Z","local":"x"}},
+        {"id":500,"name":"Stale Station","locality":null,"timezone":"Asia/Bangkok",
+         "country":{"id":56,"code":"VN","name":"Vietnam"},
+         "coordinates":{"latitude":1.0,"longitude":2.0},
+         "sensors":[{"id":7,"name":"pm25","parameter":{"id":2,"name":"pm25","units":"µg/m³","displayName":"PM2.5"}}],
+         "datetimeFirst":null,
+         "datetimeLast":{"utc":"2023-06-01T00:00:00Z","local":"x"}}]}"""
+      .replaceAll("\n\\s*", "")
+
+  private lazy val locPath = {
+    val dir = Files.createTempDirectory("graft-loc").toFile
+    Files.write(new java.io.File(dir, "locations.json").toPath,
+      locationsJson.getBytes("UTF-8"))
+    dir.getAbsolutePath
+  }
+
+  private lazy val locations = Extract.readLocations(spark, locPath)
+
+  test("readLocations explodes the wrapped envelope into one row per location") {
+    assert(locations.count() == 3)
+    assert(locations.select("country.code").distinct().head().getString(0) == "VN")
+  }
+
+  test("activeSensors keeps recent locations + required params, normalized (PM2.5 == pm25)") {
+    val asOf = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val active = Extract.activeSensors(locations, Seq("pm25"), asOf)
+    // sensor 37 qualifies via 'PM2.5' normalization; temp excluded;
+    // stale location (datetimeLast 2023) excluded
+    assert(active.select("sensor_id").as[Long].collect().toSet == Set(37L, 99L))
+    assert(active.filter($"sensor_id" === 37L).head().getAs[String]("parameter") == "pm25")
+  }
+
+  test("sensorDimension applies the locality -> city-map -> Unknown fallback chain") {
+    val dim = Extract.sensorDimension(locations)
+    val bySensor = dim.collect().map(r => r.getAs[Long]("sensor_id") -> r).toMap
+    assert(bySensor(37L).getAs[String]("city") == "Hanoi")           // locality
+    assert(bySensor(99L).getAs[String]("city") == "Ho Chi Minh City") // static map (J3)
+    assert(bySensor(7L).getAs[String]("city") == "Unknown")           // fallback
+  }
+
+  test("enrichMeasurements broadcast-joins metadata with per-field defaults") {
+    val dim = Extract.sensorDimension(locations)
+    val measurements = Seq(
+      (37L, "2024-01-19T10:00:00Z", "pm25", 42.0),
+      (12345L, "2024-01-19T10:00:00Z", "pm25", 1.0)) // unknown sensor
+      .toDF("sensor_id", "datetime", "parameter", "value")
+    val enriched = Extract.enrichMeasurements(measurements, dim)
+    val known = enriched.filter($"sensor_id" === 37L).head()
+    assert(known.getAs[String]("city") == "Hanoi")
+    assert(known.getAs[Long]("location_id") == 18L)
+    val unknown = enriched.filter($"sensor_id" === 12345L).head()
+    assert(unknown.getAs[String]("city") == "Unknown")
+    assert(unknown.getAs[String]("country") == "VN")
+    assert(unknown.getAs[Double]("latitude") == 0.0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.GraftSpark
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def writeBatch(dir: java.io.File, name: String, rows: Seq[String]): Unit =
+    Files.write(new java.io.File(dir, name).toPath, rows.mkString("\n").getBytes("UTF-8"))
+
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    val inDir = Files.createTempDirectory("graft-stream").toFile
+    writeBatch(inDir, "b1.json", Seq(
+      """{"location_id":18,"datetime":"2024-01-15T10:00:00Z","parameter":"pm25","value":45.5}""",
+      """{"location_id":18,"datetime":"2024-01-15T10:00:00Z","parameter":"pm25","value":45.5}""",
+      """{"location_id":18,"datetime":"2024-01-15T10:05:00Z","parameter":"pm25","value":47.0}"""))
+
+    val deduped = StreamingIngest.dedupedStream(
+      StreamingIngest.readRawStream(spark, inDir.getAbsolutePath))
+    val q = StreamingIngest.runToMemory(deduped, "dedup_out")
+    try {
+      // within-batch dup collapsed
+      assert(spark.table("dedup_out").count() == 2)
+      // second batch replays one key and adds a new one: only the new survives
+      writeBatch(inDir, "b2.json", Seq(
+        """{"location_id":18,"datetime":"2024-01-15T10:00:00Z","parameter":"pm25","value":45.5}""",
+        """{"location_id":18,"datetime":"2024-01-15T10:10:00Z","parameter":"pm25","value":50.0}"""))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 3)
+    } finally q.stop()
+  }
+
+  test("hourly windowed aggregation emits per-hour means after watermark close") {
+    val inDir = Files.createTempDirectory("graft-stream2").toFile
+    writeBatch(inDir, "b1.json", Seq(
+      """{"location_id":18,"datetime":"2024-01-15T10:00:00Z","parameter":"pm25","value":40.0}""",
+      """{"location_id":18,"datetime":"2024-01-15T10:30:00Z","parameter":"pm25","value":50.0}""",
+      """{"location_id":18,"datetime":"2024-01-15T14:00:00Z","parameter":"pm25","value":10.0}"""))
+
+    val agg = StreamingIngest.hourlyAggregates(
+      StreamingIngest.readRawStream(spark, inDir.getAbsolutePath)
+        .transform(graft.pipeline.Transforms.parseDatetime)
+        .transform(graft.pipeline.Transforms.dropInvalidDatetime),
+      watermark = "1 hour")
+    // complete mode not allowed with append watermark semantics in memory
+    // smoke; advance the watermark with a late-hour batch then read what
+    // closed. The 10:00 window closes once 14:00 data arrives (wm 1h).
+    val q = StreamingIngest.runToMemory(agg, "hourly_out")
+    try {
+      val rows = spark.table("hourly_out").collect()
+      assert(rows.exists(r =>
+        r.getAs[java.sql.Timestamp]("datetime").toString.startsWith("2024-01-15 10:00") &&
+        r.getAs[Double]("value") == 45.0 && r.getAs[Long]("n") == 2L))
+    } finally q.stop()
+  }
+}
