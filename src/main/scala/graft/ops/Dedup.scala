@@ -57,22 +57,38 @@ object Dedup {
       (rnd.nextLong(1L << 29) + 1, rnd.nextLong(1L << 29)))
   }
 
+  /** Signature from an already-materialized masked-hash array column.
+    * IMPORTANT for performance: the 64 permutations each traverse the hash
+    * array, so the hashes must be a bound attribute (one computation per
+    * row), never an inlined subtree — higher-order functions evaluate
+    * interpreted (no whole-stage codegen), and an inlined shingle pipeline
+    * would re-tokenize the document 64 times per row.
+    */
+  def minhashSignatureFromHashes(
+      hashes32: Column,
+      numHashes: Int = 64,
+      seed: Long = 42L): Column =
+    array(hashParams(numHashes, seed).map { case (a, b) =>
+      array_min(transform(hashes32, h => pmod(h * lit(a) + lit(b), lit(HashPrime))))
+    }: _*)
+
+  /** Masked 32-bit shingle hashes (the minhash input domain). */
+  def maskedShingleHashes(text: Column, shingleSize: Int): Column =
+    transform(TF.shingleHashes(text, shingleSize),
+      h => h.bitwiseAND(lit(0xFFFFFFFFL)))
+
   /** Per-row MinHash signature: array<long> of length `numHashes`. Shingle
     * hashing and all permutations are higher-order array ops — zero
-    * shuffles, embarrassingly parallel.
+    * shuffles, embarrassingly parallel. Single-expression convenience form;
+    * prefer the staged form (see [[minhashCandidates]]) in hot paths.
     */
   def minhashSignature(
       text: Column,
       numHashes: Int = 64,
       shingleSize: Int = 3,
-      seed: Long = 42L): Column = {
-    val hashes32 = transform(TF.shingleHashes(text, shingleSize),
-      h => h.bitwiseAND(lit(0xFFFFFFFFL)))
-    val perms = hashParams(numHashes, seed).map { case (a, b) =>
-      array_min(transform(hashes32, h => pmod(h * lit(a) + lit(b), lit(HashPrime))))
-    }
-    array(perms: _*)
-  }
+      seed: Long = 42L): Column =
+    minhashSignatureFromHashes(
+      maskedShingleHashes(text, shingleSize), numHashes, seed)
 
   /** Candidate duplicate pairs via LSH banding: split the signature into
     * `bands` bands of `numHashes / bands` rows, hash each band, and join
@@ -94,9 +110,15 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val signed = df.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleSize, seed).as("sig"))
+    // staged projections: tokenize+hash once per row, then permute over the
+    // bound attribute (Catalyst keeps the project boundary because the
+    // alias is referenced 64 times — CollapseProject only inlines
+    // single-use or cheap expressions)
+    val signed = df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__hashes", maskedShingleHashes(col("__text"), shingleSize))
+      .withColumn("sig", minhashSignatureFromHashes(col("__hashes"), numHashes, seed))
+      .select("id", "sig")
 
     // band hashes built with Scala-level band indices so `slice` gets
     // constant offsets (codegen-friendly, no Column-typed shift plumbing)
