@@ -94,15 +94,25 @@ object Transforms {
     * `glue_jobs/process_openaq_raw.py:179-185`). The string cast on
     * `location_id` is part of the mart contract. The explicit casts also
     * kill the VoidType hazard when schema inference is in play.
+    *
+    * `location_name` is carried when the raw zone has it: the reference's
+    * published Athena queries group by it (`README.md:393-396`) even though
+    * its own 15-column contract omits it — we keep the analytics surface
+    * runnable.
     */
-  def buildMetadata(df: DataFrame): DataFrame =
+  def buildMetadata(df: DataFrame): DataFrame = {
+    val nameCol =
+      if (df.columns.contains("location_name")) col("location_name").cast("string")
+      else lit(null).cast("string")
     df.select(
         col("location_id").cast("string").as("location_id"),
+        nameCol.as("location_name"),
         col("city").cast("string").as("city_name"),
         col("country").cast("string").as("country_code"),
         col("latitude").cast("double").as("latitude"),
         col("longitude").cast("double").as("longitude"))
       .dropDuplicates("location_id")
+  }
 
   /** J1 — enrichment join: pivoted facts LEFT JOIN the (tiny) location
     * dimension (reference `glue_jobs/process_openaq_raw.py:188-192`). The

@@ -672,7 +672,109 @@ object Catalog {
         SELECT c_mktsegment, count(*) AS n
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ===== SQL-text surface (S11 — the Athena entry point on spark.sql) =====
+
+    "q34_sql_text_surface" -> QueryDef(
+      fn = (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events_v")
+        s.sql("""SELECT user_id, COUNT(*) AS count FROM events_v
+                 GROUP BY user_id ORDER BY count DESC, user_id""")
+      },
+      oracle = Some("""
+        SELECT user_id, COUNT(*) AS count FROM events
+        GROUP BY user_id ORDER BY count DESC, user_id""")),
+
+    // A9 — AQI aggregate validation query (count/avg/min/max over the
+    // computed sub-index; 2-dp snap + exact decimal sum for the average).
+    "q35_aqi_summary" -> QueryDef(
+      fn = (s, d) => {
+        val aqi2 = round(Aqi.subIndexRaw(col("value"), Aqi.pm25Breakpoints), 2)
+        t(s, d, "events").agg(
+          count(lit(1)).as("total"),
+          count(aqi2).as("aqi_count"),
+          (sum(aqi2.cast("decimal(18,2)")).cast("double") / count(aqi2)).as("aqi_avg"),
+          min(aqi2).as("aqi_min"),
+          max(aqi2).as("aqi_max"))
+      },
+      oracle = Some {
+        val raw = aqiSqlExpr("value", Aqi.pm25Breakpoints)
+        s"""SELECT count(*) AS total, count(aqi2) AS aqi_count,
+                   (CAST(sum(CAST(aqi2 AS DECIMAL(18,2))) AS DOUBLE) / count(aqi2)) AS aqi_avg,
+                   min(aqi2) AS aqi_min, max(aqi2) AS aqi_max
+            FROM (SELECT round($raw, 2) AS aqi2 FROM events)"""
+      }),
+
+    // Rollup (engine extension — the reference has no grouping sets).
+    "q36_rollup" -> QueryDef(
+      fn = (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+                coalesce(col("n_name"), lit("ALL")).as("nation"),
+                col("n_customers"))
+        .orderBy("region", "nation"),
+      oracle = Some("""
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""")),
+
+    // §2.11 — the catalog-validation stage (list tables, count each) as a
+    // single distributed result.
+    "q37_catalog_validation" -> QueryDef(
+      fn = (s, d) => graft.Tables.names
+        .map(n => t(s, d, n).agg(count(lit(1)).as("n"))
+          .select(lit(n).as("table_name"), col("n")))
+        .reduce(_.unionAll(_))
+        .orderBy("table_name"),
+      oracle = Some(graft.Tables.names
+        .map(n => s"SELECT '$n' AS table_name, count(*) AS n FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY table_name"))),
+
+    // F10 — date arithmetic with a scalar subquery ("last 24 h of data").
+    "q38_recent_window" -> QueryDef(
+      fn = (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events_recent_v")
+        s.sql(s"""SELECT COUNT(*) AS n,
+                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                  FROM events_recent_v
+                  WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOURS FROM events_recent_v)""")
+      },
+      oracle = Some("""
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOUR FROM events)""")),
+
+    // §2.7 — set operations (EXCEPT / INTERSECT with a provenance tag).
+    "q39_set_ops" -> QueryDef(
+      fn = (s, d) => {
+        val a = t(s, d, "events").filter(col("value") > 190)
+          .select("user_id").distinct()
+        val b = t(s, d, "events").filter(col("event_type") === "purchase")
+          .select("user_id").distinct()
+        a.except(b).withColumn("op", lit("except"))
+          .unionAll(a.intersect(b).withColumn("op", lit("intersect")))
+          .orderBy("op", "user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, 'except' AS op FROM (
+          SELECT DISTINCT user_id FROM events WHERE value > 190
+          EXCEPT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT user_id, 'intersect' AS op FROM (
+          SELECT DISTINCT user_id FROM events WHERE value > 190
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        ORDER BY op, user_id"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

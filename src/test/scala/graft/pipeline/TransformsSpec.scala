@@ -100,7 +100,8 @@ class TransformsSpec extends AnyFunSuite {
     assert(meta.count() == 1)
     assert(meta.schema("location_id").dataType == StringType)
     assert(meta.columns.toSeq ==
-      Seq("location_id", "city_name", "country_code", "latitude", "longitude"))
+      Seq("location_id", "location_name", "city_name", "country_code",
+          "latitude", "longitude"))
   }
 
   test("fillDefaults fills contract defaults (city Unknown, country VN, coords 0.0)") {
