@@ -13,16 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double. */
+  /** Σ aᵢ·bᵢ in double — a native codegen'd expression (see
+    * [[graft.functions.expressions.VecDot]]); bit-identical to the
+    * higher-order `zip_with`+`aggregate` formulation it replaced, but
+    * stays inside whole-stage codegen.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.vecDot(a, b)
+
+  /** Reference higher-order formulation (interpreted; kept for
+    * cross-checking the native expression in tests).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
   /** Σ aᵢ² in double. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  def normSq(a: Column): Column = dot(a, a)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(normSq(a))

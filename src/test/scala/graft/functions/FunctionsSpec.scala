@@ -64,6 +64,29 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(math.abs(r(1).getAs[Double]("cos") - 1.0) < 1e-12)
   }
 
+  test("native VecDot is bit-identical to the higher-order formulation") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val diff = emb.select(
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("native"),
+      VectorFunctions.dotHof(col("embedding"), col("embedding")).as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+    assert(diff.count() == 0)
+  }
+
+  test("VecDot null semantics: length mismatch and null element yield null") {
+    val d = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    assert(d.select(VectorFunctions.dot(col("a"), col("b"))).head().isNullAt(0))
+    val withNull = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+    assert(withNull.select(VectorFunctions.dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("vec_dot is callable from SQL text after registration") {
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val r = spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+    assert(r.head().getDouble(0) == 11.0)
+  }
+
   test("hyperplane signature: identical vectors share buckets, stable across rows") {
     val planes = VectorFunctions.makePlanes(8, 2, seed = 7)
     val sig = df.select(
