@@ -774,7 +774,43 @@ object Catalog {
           SELECT DISTINCT user_id FROM events WHERE value > 190
           INTERSECT
           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-        ORDER BY op, user_id"""))
+        ORDER BY op, user_id""")),
+
+    // Stateful sessionization (gap-based) — the lag + cumulative-sum window
+    // idiom; streaming twin lives in ops.Sessionize.streamingSessions.
+    "q40_sessionize" -> QueryDef(
+      fn = (s, d) => graft.ops.Sessionize
+        .sessionSummaries(t(s, d, "events"), gapMinutes = 30)
+        .orderBy("user_id", "session_id"),
+      oracle = Some("""
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (
+          SELECT user_id, ts, value,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM (
+            SELECT user_id, ts, value,
+                   CASE WHEN prev_ts IS NULL
+                          OR ts > prev_ts + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM (SELECT user_id, ts, value,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events)))
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
+    // Two-phase salted aggregation (hot-key mitigation) — must be
+    // result-identical to the plain group-count the oracle computes.
+    "q41_salted_agg" -> QueryDef(
+      fn = (s, d) => graft.ops.Skew
+        .saltedCount(t(s, d, "events"), Seq("event_type"), saltBuckets = 8)
+        .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

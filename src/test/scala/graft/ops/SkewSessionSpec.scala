@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.GraftSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private lazy val skewed = (Seq.fill(1000)("hot") ++ Seq("a", "b", "c"))
+    .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("key", "v")
+
+  test("saltedCount equals plain groupBy count") {
+    val salted = Skew.saltedCount(skewed, Seq("key"), saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = skewed.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted("hot") == 1000L)
+  }
+
+  test("saltedAgg two-phase sum equals plain sum") {
+    val salted = Skew.saltedAgg(skewed, Seq("key"), 8)(
+      Seq(sum("v").as("__s")), Seq(sum("__s").as("total")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = skewed.groupBy("key").agg(sum("v").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join despite hot key") {
+    val dim = Seq(("hot", "H"), ("a", "A"), ("b", "B")).toDF("key", "label")
+    val salted = Skew.saltedJoin(skewed, dim, "key").groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = skewed.join(dim, Seq("key")).groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted("H") == 1000L)
+  }
+
+  test("hotKeys surfaces the dominant key") {
+    val hot = Skew.hotKeys(skewed, "key", minFraction = 0.5).collect()
+    assert(hot.length == 1 && hot.head.getString(0) == "hot")
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1.0),
+    (1L, ts("2024-01-01 10:10:00"), 2.0),
+    (1L, ts("2024-01-01 11:30:00"), 3.0),  // > 30 min gap → new session
+    (2L, ts("2024-01-01 09:00:00"), 4.0))
+    .toDF("user_id", "ts", "value")
+
+  test("batch sessionization splits on gap and aggregates per session") {
+    val s = Sessionize.sessionSummaries(events).orderBy("user_id", "session_id").collect()
+    assert(s.length == 3)
+    assert(s(0).getAs[Long]("n_events") == 2 && s(0).getAs[Double]("sum_value") == 3.0)
+    assert(s(1).getAs[Long]("n_events") == 1)
+    assert(s(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("streaming sessionization emits closed sessions via state timeout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toFile
+    def land(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        rows.mkString("\n").getBytes("UTF-8"))
+    land("b1.json", Seq(
+      """{"user_id":1,"ts":"2024-01-01T10:00:00Z","value":1.0}""",
+      """{"user_id":1,"ts":"2024-01-01T10:10:00Z","value":2.0}"""))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).json(dir.getAbsolutePath)
+    val sessions = Sessionize.streamingSessions(spark, stream,
+      gapMinutes = 30, watermark = "10 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // watermark hasn't passed the gap yet — nothing closed
+      assert(spark.table("sess_out").count() == 0)
+      // an event far in the future advances the watermark past 10:10+30m
+      land("b2.json", Seq(
+        """{"user_id":2,"ts":"2024-01-01 14:00:00","value":9.0}"""))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").collect()
+      assert(closed.exists(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[Long]("n_events") == 2L && r.getAs[Double]("sum_value") == 3.0))
+    } finally q.stop()
+  }
+}
