@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the most recent right
+  * row with `rightTs <= leftTs` on the same key — the time-series
+  * enrichment operator Spark lacks natively.
+  *
+  * Implementation is the union-tag-window composition (preference (a) from
+  * the custom-operator ladder — no custom physical operator needed):
+  * tag both sides, union, and run `last_value(..., ignoreNulls)` over a
+  * window partitioned by key and ordered by (ts, side) with right rows
+  * sorting before left rows at equal timestamps (so `<=` semantics hold).
+  *
+  * Scale properties: exactly ONE shuffle (hash by key for the window) and
+  * a per-partition sort — same cost as a sort-merge join, with none of the
+  * range-join blowup a theta-join `rightTs <= leftTs` would cause (which
+  * Spark plans as a broadcast-nested-loop or cartesian). Each key's
+  * timeline is processed sequentially within its partition; skewed keys
+  * can be range-split by time before the union if needed.
+  */
+object AsOfJoin {
+
+  /** @param left       the "needle" side (one output row per left row)
+    * @param right      the "quote" side providing the as-of values
+    * @param on         equality key columns (both sides)
+    * @param leftTs     left timestamp column name
+    * @param rightTs    right timestamp column name
+    * @param rightCols  right columns to carry (must not collide with left)
+    * @param tolerance  optional max age of the matched right row; older
+    *                   matches become null (like `ASOF ... TOLERANCE`)
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!rightCols.exists(leftCols.contains),
+      "rightCols must not collide with left columns")
+
+    val taggedLeft = rightCols.foldLeft(
+        left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null))
+    }
+    val taggedRight = leftCols.filterNot(on.contains).foldLeft(
+        right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null))
+    }
+    val unioned = taggedLeft.select((leftCols ++ rightCols ++ Seq("__ts", "__side")).map(col): _*)
+      .unionByName(
+        taggedRight.select((leftCols ++ rightCols ++ Seq("__ts", "__side")).map(col): _*))
+
+    // right rows sort before left rows at the same instant → <= semantics
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = (rightCols :+ "__match_ts").foldLeft(
+        unioned.withColumn("__right_ts_src",
+          when(col("__side") === 0, col("__ts")))) { (df, c) =>
+      c match {
+        case "__match_ts" =>
+          df.withColumn(c, last(col("__right_ts_src"), ignoreNulls = true).over(w))
+        case rc =>
+          df.withColumn(s"__f_$rc",
+            last(when(col("__side") === 0, col(rc)), ignoreNulls = true).over(w))
+      }
+    }
+
+    val withinTolerance = tolerance match {
+      case Some(tol) => col("__match_ts").isNotNull && col("__ts") - col("__match_ts") <= tol
+      case None      => col("__match_ts").isNotNull
+    }
+
+    val result = filled
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightCols.map(rc => when(withinTolerance, col(s"__f_$rc")).otherwise(lit(null)).as(rc)) :+
+        when(withinTolerance, col("__match_ts")).otherwise(lit(null)).as("asof_ts")): _*)
+    result
+  }
+}

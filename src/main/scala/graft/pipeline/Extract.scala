@@ -25,6 +25,28 @@ object Extract {
     env.select(explode(col("results")).as("loc")).select("loc.*")
   }
 
+  /** S10/F3 — read a wrapped per-sensor measurements capture (the
+    * `{meta, results}` envelope the legacy pipeline lands; sample
+    * reference `data/sensor_7772024.json`) and flatten the nested
+    * measurement to the long format: `period.datetimeFrom.utc` →
+    * `datetime`, `parameter.{name,units}` → `parameter`/`unit`
+    * (reference `extract_api.py:240-255`).
+    */
+  def readWrappedMeasurements(spark: SparkSession, path: String, sensorId: Long): DataFrame =
+    spark.read
+      .schema(Schemas.envelope(Schemas.apiMeasurement))
+      .option("multiLine", value = true)
+      .json(path)
+      .select(explode(col("results")).as("m"))
+      .select(
+        lit(sensorId).as("sensor_id"),
+        col("m.period.datetimeFrom.utc").as("datetime"),
+        col("m.parameter.name").as("parameter"),
+        col("m.value").as("value"),
+        col("m.parameter.units").as("unit"),
+        col("m.coordinates.latitude").as("latitude"),
+        col("m.coordinates.longitude").as("longitude"))
+
   /** Normalize a parameter name the way the reference does before matching:
     * lowercase and strip dots, so `PM2.5` == `pm25` (reference
     * `extract_api.py:168-175` — the fix for the HCMC naming bug).

@@ -67,6 +67,33 @@ object Schemas {
       StructField("local", StringType))))
   ))
 
+  /** Raw OpenAQ API measurement as it appears inside the wrapped envelope
+    * (FIXTURES F3; flattened by the reference at
+    * `lambda_functions/openaq_fetcher/extract_api.py:240-255`).
+    */
+  val apiMeasurement: StructType = StructType(Seq(
+    StructField("value", DoubleType),
+    StructField("parameter", StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("units", StringType),
+      StructField("displayName", StringType)))),
+    StructField("period", StructType(Seq(
+      StructField("label", StringType),
+      StructField("interval", StringType),
+      StructField("datetimeFrom", StructType(Seq(
+        StructField("utc", StringType),
+        StructField("local", StringType)))),
+      StructField("datetimeTo", StructType(Seq(
+        StructField("utc", StringType),
+        StructField("local", StringType))))))),
+    StructField("coordinates", StructType(Seq(
+      StructField("latitude", DoubleType),
+      StructField("longitude", DoubleType)))),
+    StructField("flagInfo", StructType(Seq(
+      StructField("hasFlags", BooleanType))))
+  ))
+
   /** Wrapped API envelope `{meta, results}` (FIXTURES F3; reference
     * `pipelines/openaq_pipeline.py:148-156`).
     */

@@ -810,7 +810,40 @@ object Catalog {
         .orderBy("event_type"),
       oracle = Some("""
         SELECT event_type, count(*) AS n
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // F13 — JSON field extraction from the event props payload.
+    "q42_json_extract" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events ORDER BY event_id""")),
+
+    // As-of join: each click enriched with the user's most recent purchase
+    // at or before it. Spark lacks the operator; ops.AsOfJoin composes it
+    // as one hash shuffle + window (no range-join blowup). DuckDB's native
+    // ASOF LEFT JOIN is the oracle.
+    "q43_asof_join" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+        graft.ops.AsOfJoin.asof(clicks, purchases,
+            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+            rightCols = Seq("p_value"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT l.event_id, l.user_id, l.ts, r.value AS p_value, r.ts AS asof_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

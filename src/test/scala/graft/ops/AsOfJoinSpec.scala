@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.GraftSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (1L, 100L, ts("2024-01-01 10:00:05")),
+    (2L, 100L, ts("2024-01-01 10:01:00")),
+    (3L, 200L, ts("2024-01-01 10:00:00")),
+    (4L, 300L, ts("2024-01-01 10:00:00")))
+    .toDF("trade_id", "inst", "ts")
+
+  private lazy val quotes = Seq(
+    (100L, ts("2024-01-01 10:00:00"), 10.0),
+    (100L, ts("2024-01-01 10:00:30"), 11.0),
+    (200L, ts("2024-01-01 10:00:00"), 20.0),  // equal instant → matches
+    (300L, ts("2024-01-01 12:00:00"), 30.0))  // only AFTER the trade
+    .toDF("inst", "q_ts", "price")
+
+  test("asof picks the latest right row at or before each left row") {
+    val r = AsOfJoin.asof(trades, quotes, Seq("inst"), "ts", "q_ts", Seq("price"))
+      .orderBy("trade_id").collect()
+    assert(r(0).getAs[Double]("price") == 10.0)   // 10:00:05 → 10:00:00 quote
+    assert(r(1).getAs[Double]("price") == 11.0)   // 10:01:00 → 10:00:30 quote
+    assert(r(2).getAs[Double]("price") == 20.0)   // equal instant included
+    assert(r(3).isNullAt(r(3).fieldIndex("price"))) // no quote before → null
+    assert(r(0).getAs[java.sql.Timestamp]("asof_ts") == ts("2024-01-01 10:00:00"))
+  }
+
+  test("tolerance nulls out matches older than the horizon") {
+    val r = AsOfJoin.asof(trades, quotes, Seq("inst"), "ts", "q_ts", Seq("price"),
+        tolerance = Some(expr("INTERVAL 10 SECONDS")))
+      .orderBy("trade_id").collect()
+    assert(r(0).getAs[Double]("price") == 10.0)   // 5s old — within
+    assert(r(1).isNullAt(r(1).fieldIndex("price"))) // 30s old — beyond
+  }
+}

@@ -68,6 +68,32 @@ class ExtractSpec extends AnyFunSuite {
     assert(bySensor(7L).getAs[String]("city") == "Unknown")           // fallback
   }
 
+  test("readWrappedMeasurements flattens the nested API capture (F3)") {
+    val capture =
+      """{"meta":{"name":"openaq-api","website":"x","found":2,"extracted_at":"2024-01-20T00:00:00Z"},
+         "results":[
+          {"value":12.5,"parameter":{"id":2,"name":"pm25","units":"µg/m³","displayName":"PM2.5"},
+           "period":{"label":"1h","interval":"01:00:00",
+                     "datetimeFrom":{"utc":"2024-01-19T10:00:00Z","local":"x"},
+                     "datetimeTo":{"utc":"2024-01-19T11:00:00Z","local":"x"}},
+           "coordinates":{"latitude":10.78,"longitude":106.7},"flagInfo":{"hasFlags":false}},
+          {"value":14.0,"parameter":{"id":2,"name":"pm25","units":"µg/m³","displayName":"PM2.5"},
+           "period":{"label":"1h","interval":"01:00:00",
+                     "datetimeFrom":{"utc":"2024-01-19T11:00:00Z","local":"x"},
+                     "datetimeTo":{"utc":"2024-01-19T12:00:00Z","local":"x"}},
+           "coordinates":null,"flagInfo":{"hasFlags":false}}]}"""
+        .replaceAll("\n\\s*", "")
+    val dir = Files.createTempDirectory("graft-cap").toFile
+    Files.write(new java.io.File(dir, "sensor_1.json").toPath, capture.getBytes("UTF-8"))
+    val df = Extract.readWrappedMeasurements(spark, dir.getAbsolutePath, sensorId = 7772024L)
+    assert(df.count() == 2)
+    val r = df.orderBy("datetime").head()
+    assert(r.getAs[Long]("sensor_id") == 7772024L)
+    assert(r.getAs[String]("datetime") == "2024-01-19T10:00:00Z")
+    assert(r.getAs[String]("parameter") == "pm25")
+    assert(r.getAs[Double]("value") == 12.5)
+  }
+
   test("enrichMeasurements broadcast-joins metadata with per-field defaults") {
     val dim = Extract.sensorDimension(locations)
     val measurements = Seq(
