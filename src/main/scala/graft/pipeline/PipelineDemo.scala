@@ -43,6 +43,22 @@ object PipelineDemo {
       println(s"[demo] athena-surface $name -> $n rows")
     }
     println(s"[demo] validate: ${AnalyticsQueries.validateTables(spark, Seq("vietnam"))}")
+
+    // hour-keyed raw-zone sink + bucketed mart table
+    val rawOut = java.nio.file.Files.createTempDirectory("graft-demo-hourly")
+      .toFile.getAbsolutePath + "/raw"
+    Sink.writeHourlyNdjson(
+      spark.table("vietnam").select("location_id", "datetime", "pm25", "pm10"),
+      "datetime", rawOut)
+    println(s"[demo] hourly ndjson partitions = " +
+      spark.read.json(rawOut).select("y", "m", "d", "h").distinct().count())
+
+    Sink.writeBucketed(spark.table("vietnam"), "vietnam_bucketed", "location_id", 8)
+    val bucketedAgg = spark.table("vietnam_bucketed")
+      .groupBy("location_id").count()
+    val shuffles = bucketedAgg.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    println(s"[demo] bucketed agg rows=${bucketedAgg.count()} exchanges=$shuffles (expect 0)")
     spark.stop()
   }
 }

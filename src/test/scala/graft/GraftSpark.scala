@@ -12,6 +12,8 @@ object GraftSpark {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()

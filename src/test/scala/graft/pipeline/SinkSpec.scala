@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import graft.GraftSpark
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinkSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("writeHourlyNdjson lays out the raw-zone hour-keyed directories") {
+    val out = Files.createTempDirectory("graft-hourly").toFile.getAbsolutePath + "/raw"
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 03:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 14:30:00"), 2.0))
+      .toDF("id", "ts", "v")
+    Sink.writeHourlyNdjson(df, "ts", out)
+    assert(new java.io.File(s"$out/y=2024/m=01/d=15/h=03").exists())
+    assert(new java.io.File(s"$out/y=2024/m=01/d=15/h=14").exists())
+    val back = spark.read.json(out)
+    assert(back.count() == 2)
+    // partition cols live in the path, not file content — but are recovered
+    assert(back.columns.contains("h"))
+  }
+
+  test("bucketed table joins without an exchange on the bucket key") {
+    val facts = (1L to 1000L).map(i => (i % 50, i.toDouble)).toDF("k", "v")
+    Sink.writeBucketed(facts, "bucketed_facts", "k", numBuckets = 8)
+    val t = spark.table("bucketed_facts")
+    val agg = t.groupBy("k").agg(sum("v"))
+    // bucketed layout satisfies the aggregation's distribution — no shuffle
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(agg.count() == 50)
+    spark.sql("DROP TABLE bucketed_facts")
+  }
+}
