@@ -843,7 +843,22 @@ object Catalog {
         FROM (SELECT * FROM events WHERE event_type = 'click') l
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
-        ORDER BY l.event_id"""))
+        ORDER BY l.event_id""")),
+
+    // IVF-Flat ANN (k-means coarse quantizer + nprobe lists) — the
+    // similarity-search scale path. Iterative float training has no SQL
+    // twin → rows-only check; recall vs brute force is spec-asserted.
+    "q44_ivf_knn" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val model = graft.ops.IvfIndex.train(emb, "vec_id", "embedding",
+          k = 8, iterations = 3)
+        val indexed = graft.ops.IvfIndex.index(emb, "embedding", model)
+        graft.ops.IvfIndex.search(
+            emb.filter(col("vec_id") < 20), indexed, model, k = 5, nprobe = 4)
+          .orderBy("query_id", "rank")
+      },
+      oracle = None)
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

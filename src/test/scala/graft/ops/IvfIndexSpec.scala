@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.{GraftSpark, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("training converges to k distinct centroids; assignment is total") {
+    val emb = Tables.embeddings(spark, sf)
+    val m = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iterations = 3)
+    assert(m.k == 8)
+    val indexed = IvfIndex.index(emb, "embedding", m)
+    val clusters = indexed.groupBy("cluster").count().collect()
+    assert(clusters.map(_.getInt(0)).toSet.subsetOf((0 until 8).toSet))
+    assert(clusters.map(_.getLong(1)).sum == emb.count())
+  }
+
+  test("IVF search recall vs brute force is high at nprobe=4/8") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val m = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iterations = 3)
+    val indexed = IvfIndex.index(emb, "embedding", m)
+
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = IvfIndex.search(queries, indexed, m, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // ranked candidates must be correctly ordered by cosine
+    val ranks = IvfIndex.search(queries, indexed, m, k = 5, nprobe = 4)
+      .filter($"query_id" === 0L).orderBy("rank")
+      .select("cosine").as[Double].collect()
+    assert(ranks.sameElements(ranks.sorted.reverse))
+  }
+
+  test("deterministic: two trainings from the same data agree") {
+    val emb = Tables.embeddings(spark, sf)
+    val m1 = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iterations = 2)
+    val m2 = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iterations = 2)
+    assert(m1.centroids.map(_.toSeq) == m2.centroids.map(_.toSeq))
+  }
+}
