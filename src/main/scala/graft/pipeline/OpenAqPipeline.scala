@@ -103,17 +103,28 @@ object Sink {
     * complain about, `doc/GLUE_JOBS_GUIDE.md:308-311`). Snappy is Spark's
     * parquet default. `maxRecordsPerFile` caps file size at scale.
     */
+  /** `mode="overwrite-dynamic"` is the opt-in exactly-once upgrade
+    * (SURVEY §7.4#4): only partitions present in this batch are replaced,
+    * making re-runs idempotent, while default `append` keeps the
+    * reference's duplicate-on-rerun behavior bit-for-bit.
+    */
   def writePartitioned(
       df: DataFrame,
       path: String,
       partitionCols: Seq[String] = Seq("year", "month", "day"),
-      mode: String = "append"): Unit =
-    df.repartition(partitionCols.map(col): _*)
+      mode: String = "append"): Unit = {
+    val (sparkMode, dynamic) = mode match {
+      case "overwrite-dynamic" => ("overwrite", true)
+      case m                   => (m, false)
+    }
+    val writer = df.repartition(partitionCols.map(col): _*)
       .write
-      .mode(mode)
+      .mode(sparkMode)
       .option("maxRecordsPerFile", 5000000)
       .partitionBy(partitionCols: _*)
+    (if (dynamic) writer.option("partitionOverwriteMode", "dynamic") else writer)
       .parquet(path)
+  }
 
   /** S4/S5 — NDJSON sink (Spark's JSON sink is newline-delimited natively;
     * the reference hand-rolls this with `put_object`,
@@ -135,6 +146,25 @@ object Sink {
       .write.mode("overwrite")
       .partitionBy("y", "m", "d", "h")
       .json(path)
+
+  /** S8 — wrapped-envelope sink: one `{meta, results}` JSON object per
+    * partition file (reference `pipelines/openaq_pipeline.py:145-166`
+    * builds this envelope on the driver; here it's a grouped to_json so
+    * it scales).
+    */
+  def writeWrapped(df: DataFrame, path: String, sourceName: String,
+      extractedAt: java.sql.Timestamp): Unit = {
+    import org.apache.spark.sql.functions._
+    df.agg(collect_list(struct(df.columns.map(col): _*)).as("results"))
+      .select(to_json(struct(
+        struct(
+          lit(sourceName).as("name"),
+          lit("https://api.openaq.org").as("website"),
+          size(col("results")).as("found"),
+          lit(extractedAt.toString).as("extracted_at")).as("meta"),
+        col("results"))).as("value"))
+      .write.mode("overwrite").text(path)
+  }
 
   /** Bucketed mart table for co-located joins: pre-hash the join key into
     * `numBuckets` files per partition so repeated joins/aggregations on

@@ -24,6 +24,30 @@ class SinkSpec extends AnyFunSuite {
     assert(back.columns.contains("h"))
   }
 
+  test("overwrite-dynamic replaces only touched partitions (idempotent reruns)") {
+    val out = Files.createTempDirectory("graft-dyn").toFile.getAbsolutePath + "/mart"
+    def batch(day: String, v: Double) = Seq((1L, day, v))
+      .toDF("id", "day", "v")
+    Sink.writePartitioned(batch("d1", 1.0), out, Seq("day"), "append")
+    Sink.writePartitioned(batch("d2", 2.0), out, Seq("day"), "append")
+    // re-run day d1 with corrected data in dynamic-overwrite mode
+    Sink.writePartitioned(batch("d1", 9.0), out, Seq("day"), "overwrite-dynamic")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2) // no duplicate d1 rows
+    assert(back.filter($"day" === "d1").head().getAs[Double]("v") == 9.0)
+    assert(back.filter($"day" === "d2").count() == 1) // untouched partition survives
+  }
+
+  test("writeWrapped emits the {meta,results} envelope round-trippable by readLocations-style readers") {
+    val out = Files.createTempDirectory("graft-wrap").toFile.getAbsolutePath + "/wrapped"
+    val df = Seq((1L, "pm25", 4.5), (2L, "pm10", 8.0)).toDF("sensor_id", "parameter", "value")
+    Sink.writeWrapped(df, out, "openaq-api", java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    val env = spark.read.option("multiLine", true).json(out)
+    val row = env.head()
+    assert(row.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("found") == 2L)
+    assert(env.select(explode($"results")).count() == 2)
+  }
+
   test("bucketed table joins without an exchange on the bucket key") {
     val facts = (1L to 1000L).map(i => (i % 50, i.toDouble)).toDF("k", "v")
     Sink.writeBucketed(facts, "bucketed_facts", "k", numBuckets = 8)
