@@ -782,6 +782,7 @@ object Catalog {
       fn = (s, d) => graft.ops.Sessionize
         .sessionSummaries(t(s, d, "events"), gapMinutes = 30)
         .orderBy("user_id", "session_id"),
+      bench = true,
       oracle = Some("""
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                min(ts) AS session_start, max(ts) AS session_end,
@@ -838,6 +839,7 @@ object Catalog {
             rightCols = Seq("p_value"))
           .orderBy("event_id")
       },
+      bench = true,
       oracle = Some("""
         SELECT l.event_id, l.user_id, l.ts, r.value AS p_value, r.ts AS asof_ts
         FROM (SELECT * FROM events WHERE event_type = 'click') l
