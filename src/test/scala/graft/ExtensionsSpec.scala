@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("GraftExtensions registers vec_dot at session build time") {
+    spark.sparkContext // ensure base session/context exist
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = extended.sql(
+        """SELECT vec_dot(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+                          array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS d""")
+      assert(r.head().getDouble(0) == 23.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}

@@ -123,6 +123,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1(1).kind == "video" && f1(1).n_frames >= 1)
   }
 
+  test("readBinaryFiles ingests files as opaque payloads with metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.img").toPath, "IMGDATA".getBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "b.wav").toPath, "WAVDATA!".getBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "skip.txt").toPath, "no".getBytes)
+    val media = Multimodal.readBinaryFiles(spark, dir.getAbsolutePath, glob = "*.{img,wav}")
+    val rows = media.collect().sortBy(_.kind)
+    assert(rows.map(_.kind).toSeq == Seq("img", "wav"))
+    assert(rows.head.payload.length == 7)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 2 && feats.forall(_.byte_len > 0))
+  }
+
   test("sampleFrameIndices strides and caps video frames") {
     val media = Seq(Multimodal.MediaRow(1L, "video", "frames".getBytes)).toDS()
     val feats = Multimodal.extractFeatures(media).toDF()

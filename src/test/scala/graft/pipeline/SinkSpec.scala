@@ -48,6 +48,35 @@ class SinkSpec extends AnyFunSuite {
     assert(env.select(explode($"results")).count() == 2)
   }
 
+  test("partitioned mart prunes partitions for string month/day filters") {
+    val out = Files.createTempDirectory("graft-prune").toFile.getAbsolutePath + "/mart"
+    val df = Seq(
+      (1L, 2024, "01", "15", 10.0),
+      (2L, 2024, "01", "16", 11.0),
+      (3L, 2024, "02", "01", 12.0))
+      .toDF("id", "year", "month", "day", "pm25")
+    Sink.writePartitioned(df, out, Seq("year", "month", "day"), "overwrite")
+    val q = spark.read.parquet(out)
+      .filter($"year" === 2024 && $"month" === "01" && $"day" === "15")
+    val scan = q.queryExecution.executedPlan.toString
+    // partition filters reach the scan — only the one directory is read
+    assert(scan.contains("PartitionFilters"))
+    assert(q.count() == 1)
+    // the SURVEY §7.4#5 hazard, Spark flavor: partition discovery re-infers
+    // the zero-padded "01" directory value as INTEGER 1 (the Glue crawler
+    // keeps it a string). With inference disabled the mart contract's
+    // string type is preserved and the '1' vs '01' mismatch appears.
+    assert(q.schema("month").dataType == org.apache.spark.sql.types.IntegerType)
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      val strTyped = spark.read.parquet(out)
+      assert(strTyped.schema("month").dataType == org.apache.spark.sql.types.StringType)
+      assert(strTyped.filter($"month" === "1").count() == 0)
+      assert(strTyped.filter($"month" === "01").count() == 2)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+  }
+
   test("bucketed table joins without an exchange on the bucket key") {
     val facts = (1L to 1000L).map(i => (i % 50, i.toDouble)).toDF("k", "v")
     Sink.writeBucketed(facts, "bucketed_facts", "k", numBuckets = 8)
