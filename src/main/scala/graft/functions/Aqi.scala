@@ -65,6 +65,26 @@ object Aqi {
     }
   }
 
+  /** Scala-UDF formulation of the pm25 sub-index — the reference plan's
+    * original design (`AQI plan:36-49`), kept as a tested alternative for
+    * the data-driven-breakpoints case. The Column-expression form above is
+    * preferred: it stays inside Catalyst/codegen while a UDF is an opaque
+    * boxed call.
+    */
+  def pm25AqiUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (c: java.lang.Double) =>
+      if (c == null || c < 0) null
+      else {
+        val bps = pm25Breakpoints
+        val (lastLo, lastHi, lastALo, lastAHi) = bps.last
+        val raw = bps.collectFirst {
+          case (cLo, cHi, aLo, aHi) if c <= cHi =>
+            aLo + (c - cLo) * ((aHi - aLo) / (cHi - cLo))
+        }.getOrElse(lastALo + (c - lastLo) * ((lastAHi - lastALo) / (lastHi - lastLo)))
+        java.lang.Double.valueOf(math.round(raw).toDouble)
+      }
+    }
+
   /** AQI → category label (reference plan `:64,159`). */
   def aqiLevel(aqi: Column): Column =
     when(aqi.isNull, null)

@@ -57,14 +57,11 @@ object IvfIndex {
     for (_ <- 1 to iterations) {
       val assigned = corpus.select(
         col(vecCol).as("v"), assignCluster(col(vecCol), model).as("c"))
-      // per-dimension means: explode → (cluster, pos) avg → regroup
+      // one-pass element-wise mean via the typed VectorMean aggregator
+      // (an explode-based formulation would shuffle dim× the rows)
       val dims = assigned
-        .select(col("c"), posexplode(col("v")))
-        .groupBy("c", "pos")
-        .agg(avg(col("col")).as("m"))
         .groupBy("c")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("c"), transform(col("dims"), d => d.getField("m")).as("centroid"))
+        .agg(graft.functions.VectorAggregates.vectorMean(col("v")).as("centroid"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .toMap

@@ -141,6 +141,12 @@ object Schemas {
       inferSchema: Boolean = false,
       writeMode: String = "append")
 
+  /** Country code → mart table-folder name (reference
+    * `pipelines/glue_pipeline.py:167-168`).
+    */
+  val countryTableMap: Map[String, String] = Map(
+    "VN" -> "vietnam", "TH" -> "thailand")
+
   /** Static city-override map (reference J3,
     * `lambda_functions/openaq_fetcher/extract_api.py:355-372`): hardcoded
     * location_id → city for locations whose `locality` is null upstream.

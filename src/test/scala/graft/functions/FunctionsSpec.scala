@@ -21,6 +21,12 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one(TextFunctions.shingles(col("t"), 3), "a b") == Seq("a b"))
   }
 
+  test("subwordCount fragments punctuation-heavy text like a BPE tokenizer") {
+    assert(one(TextFunctions.subwordCount(col("t")), "hello world") == 2L)
+    // "don't stop-me now!" → don / ' / t / stop / - / me / now / !
+    assert(one(TextFunctions.subwordCount(col("t")), "don't stop-me now!") == 8L)
+  }
+
   test("fingerprint is whitespace-normalized (same md5 for respaced text)") {
     val a = one(TextFunctions.fingerprint(col("t")), "hello   world")
     val b = one(TextFunctions.fingerprint(col("t")), "hello world")
@@ -97,6 +103,23 @@ class VectorFunctionsSpec extends AnyFunSuite {
   }
 }
 
+class VectorAggregatesSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("VectorMean computes element-wise means per group in one pass") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)),
+      ("b", Array(10.0f, 20.0f)))
+      .toDF("k", "v")
+    val m = df.groupBy("k")
+      .agg(graft.functions.VectorAggregates.vectorMean(col("v")).as("mean"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(m("a") == Seq(2.0, 3.0))
+    assert(m("b") == Seq(10.0, 20.0))
+  }
+}
+
 class AqiSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
   import spark.implicits._
@@ -117,6 +140,15 @@ class AqiSpec extends AnyFunSuite {
     assert(aqiOf(null) == null)
     assert(aqiOf(-1.0) == null)
     assert(aqiOf(600.0).asInstanceOf[Double] > 500.0)
+  }
+
+  test("UDF formulation agrees with the Column-expression AQI") {
+    val vals = Seq(0.0, 5.3, 12.0, 23.75, 35.5, 100.0, 250.6, 600.0).toDF("c")
+    val diff = vals.select(
+      Aqi.pm25Aqi(col("c")).as("expr"),
+      Aqi.pm25AqiUdf(col("c")).as("udf"))
+      .filter(!(col("expr") <=> col("udf")))
+    assert(diff.count() == 0)
   }
 
   test("aqiLevel buckets and dominantPollutant argmax") {

@@ -100,7 +100,10 @@ class ExtractSpec extends AnyFunSuite {
       (37L, "2024-01-19T10:00:00Z", "pm25", 42.0),
       (12345L, "2024-01-19T10:00:00Z", "pm25", 1.0)) // unknown sensor
       .toDF("sensor_id", "datetime", "parameter", "value")
-    val enriched = Extract.enrichMeasurements(measurements, dim)
+    val stamped = measurements.transform(
+      Extract.stampExtractedAt(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+    assert(stamped.select("extracted_at").distinct().count() == 1)
+    val enriched = Extract.enrichMeasurements(stamped, dim)
     val known = enriched.filter($"sensor_id" === 37L).head()
     assert(known.getAs[String]("city") == "Hanoi")
     assert(known.getAs[Long]("location_id") == 18L)
