@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the transitive-closure step
+  * that turns near-duplicate PAIRS (from MinHash/SimHash/embedding LSH)
+  * into duplicate GROUPS with one canonical id each. Single-hop
+  * canonicalization (min id among direct partners) misses chains
+  * a-b, b-c ⇒ {a,b,c}; this closes them.
+  *
+  * Algorithm: iterated min-label propagation (the DataFrame form of
+  * large-star/small-star). Each round every node adopts the minimum label
+  * in its neighborhood (including its own); labels converge to the
+  * component minimum in O(diameter) rounds — near-dup graphs have tiny
+  * diameters, so the default cap is generous. Each round is one
+  * groupBy-min plus one join, all key-partitioned; nothing touches the
+  * driver except the convergence counter.
+  */
+object ConnectedComponents {
+
+  /** @param pairs two-column frame of undirected edges (id_a, id_b)
+    * @return (id, component) — component = min id reachable; singleton
+    *         nodes absent from `pairs` are their own components and are
+    *         not emitted
+    */
+  def components(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .select(col("id"), least(col("label"), col("id")).as("label"))
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // propagate: each node takes min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Dedup mapping from LSH pairs with full transitivity: every non-
+    * canonical member maps to its component's min id.
+    */
+  def dedupMapping(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    components(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id"), col("component").as("canonical_id"))
+}

@@ -847,6 +847,45 @@ object Catalog {
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id""")),
 
+    // Range (interval-containment) join via time binning: error events
+    // matched to the session interval containing them. A theta-join would
+    // plan nested-loop; the binned form is an equi-join (spec-asserted).
+    "q45_range_join" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val sessions = graft.ops.Sessionize.sessionSummaries(ev, gapMinutes = 30)
+          .select(col("user_id"), col("session_id"),
+                  col("session_start"), col("session_end"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ts")
+        graft.ops.RangeJoin.pointInInterval(errors, sessions,
+            Seq("user_id"), "ts", "session_start", "session_end", "1 hour")
+          .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH sess AS (
+          SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+          FROM (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+              SELECT user_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                            OR ts > prev_ts + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS is_new
+              FROM (SELECT user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                    FROM events)))
+          GROUP BY user_id, session_id)
+        SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id
+        FROM events e JOIN sess s
+          ON e.user_id = s.user_id
+         AND e.ts >= s.session_start AND e.ts <= s.session_end
+        WHERE e.event_type = 'error'
+        ORDER BY e.event_id""")),
+
     // IVF-Flat ANN (k-means coarse quantizer + nprobe lists) — the
     // similarity-search scale path. Iterative float training has no SQL
     // twin → rows-only check; recall vs brute force is spec-asserted.
