@@ -5,7 +5,9 @@ import graft.functions.{Aqi, TextFunctions => TF, VectorFunctions => VF}
 import graft.ops.{Dedup, Similarity}
 import graft.pipeline.Transforms
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import scala.collection.immutable.ListMap
 
@@ -110,6 +112,14 @@ object Catalog {
               FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
         ORDER BY doc_id"""
   }
+
+  /** J3's static lookup table (the reference hardcodes location→city; we
+    * hardcode event-type→category) — shared by the q50 Column expression
+    * and its generated oracle CASE so the two sides cannot drift.
+    */
+  private val eventCategoryMap: Map[String, String] = Map(
+    "click" -> "engagement", "view" -> "engagement",
+    "purchase" -> "conversion", "signup" -> "conversion")
 
   // ---------------------------------------------------------------------
 
@@ -899,6 +909,240 @@ object Catalog {
             emb.filter(col("vec_id") < 20), indexed, model, k = 5, nprobe = 4)
           .orderBy("query_id", "rank")
       },
+      oracle = None),
+
+    // Connected components over near-dup PAIRS → duplicate GROUPS with a
+    // canonical id (the transitive-closure step after any LSH pass).
+    // Construction: corpus tripled with id-shifted exact copies; edges are
+    // the CHAIN per fingerprint group (a-b, b-c), so single-hop
+    // canonicalization would get c wrong — the oracle result requires real
+    // transitivity. Labels converge by distributed min-propagation; nothing
+    // touches the driver but the convergence counter.
+    "q46_dup_clusters" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val tripled = docs
+          .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .unionAll(docs.select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        val fp = tripled.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        val edges = fp.withColumn("prev", lag(col("doc_id"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+        graft.ops.ConnectedComponents.components(edges).orderBy("id")
+      },
+      oracle = Some("""
+        SELECT doc_id AS id, doc_id AS component FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS id, doc_id AS component FROM documents
+        UNION ALL
+        SELECT doc_id + 200000 AS id, doc_id AS component FROM documents
+        ORDER BY id""")),
+
+    // Multimodal plumbing: opaque binary payloads + typed metadata through
+    // the per-partition decode/feature-extract pass (ops.Multimodal — the
+    // codec itself is a deterministic stub; the schema, partitioning and
+    // batch-iteration shape are real). The oracle proves the pass is
+    // row-and-byte exact; width/height/frame stats are spec-asserted.
+    "q47_media_features" -> QueryDef(
+      fn = (s, d) => {
+        val media = graft.ops.Multimodal.syntheticMedia(s, t(s, d, "documents"))
+        graft.ops.Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("kind"), col("byte_len"))
+          .orderBy("media_id")
+      },
+      oracle = Some("""
+        SELECT doc_id AS media_id,
+               (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+               octet_length(encode(text)) AS byte_len
+        FROM documents ORDER BY media_id""")),
+
+    // Structured Streaming entry: the same hourly windowed aggregate as
+    // q15, executed as a real streaming query (parquet file source →
+    // windowed agg → memory sink, complete mode) and checked against the
+    // BATCH oracle — stream/batch result parity is the correctness claim.
+    "q48_stream_hour_agg" -> QueryDef(
+      fn = (s, d) => {
+        // nanos-parquet ts arrives as long under nanosAsLong (see Tables)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        // the file-stream source monitors a DIRECTORY (its real deployment
+        // shape); stage the single-file test table into one
+        val dir = java.nio.file.Files.createTempDirectory("q48-stream-src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          dir.resolve("events.parquet"))
+        val stream = s.readStream.schema(schema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = stream
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value"))
+        s.streams.active.filter(q => Option(q.name).contains("q48_mem"))
+          .foreach(_.stop())
+        val q = agg.writeStream.format("memory").queryName("q48_mem")
+          .outputMode("complete").start()
+        q.processAllAvailable()
+        q.stop()
+        s.table("q48_mem")
+          .select(col("window.start").as("hour"), col("cnt"), col("sum_value"))
+          .orderBy("hour")
+      },
+      oracle = Some(s"""
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
+               ${sumSql("value")} AS sum_value
+        FROM events GROUP BY 1 ORDER BY hour""")),
+
+    // Window frames — lag/lead and a bounded moving average
+    // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), deterministic order by
+    // (ts, event_id). The frame shapes the reference never uses but any
+    // time-series consumer of this engine will.
+    "q49_window_frames" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val frame = w.rowsBetween(-2, Window.currentRow)
+        t(s, d, "events").select(
+            col("event_id"), col("user_id"), col("ts"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            (sum(dec(col("value"))).over(frame).cast("double") /
+              count(col("value")).over(frame)).as("moving_avg"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, ts,
+               lag(value, 1) OVER w AS prev_value,
+               lead(value, 1) OVER w AS next_value,
+               (CAST(sum(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+                / count(value) OVER f) AS moving_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               f AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // J3 — static-map lookup join (the reference's hardcoded
+    // location→city fix): a `typedLit(Map)` literal evaluated per-row with
+    // a coalesce fallback — no join, no shuffle, pure codegen'd expression.
+    // The SQL CASE is generated from the same Scala Map.
+    "q50_static_map_join" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          coalesce(element_at(typedLit(eventCategoryMap), col("event_type")),
+            lit("other")).as("category"))
+        .groupBy("category").agg(count(lit(1)).as("n"))
+        .orderBy("category"),
+      oracle = Some {
+        val whens = eventCategoryMap
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (cat, kvs) =>
+            s"WHEN event_type IN (${sqlInList(kvs.keys.toSeq.sorted)}) THEN '$cat'"
+          }.mkString(" ")
+        s"""SELECT CASE $whens ELSE 'other' END AS category, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY category"""
+      }),
+
+    // CUBE grouping sets (completes the rollup/cube pair from q36).
+    "q51_cube" -> QueryDef(
+      fn = (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+             exactSum(col("c_acctbal")).as("total_acctbal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+                coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+                col("n_customers"), col("total_acctbal"))
+        .orderBy("region", "mktsegment"),
+      oracle = Some(s"""
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(c_mktsegment, 'ALL') AS mktsegment,
+               count(*) AS n_customers, ${sumSql("c_acctbal")} AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE(r_name, c_mktsegment) ORDER BY region, mktsegment""")),
+
+    // TPC-H Q14 shape — conditional revenue share over a broadcast
+    // fact-dimension join (part is ~2k rows at sf0.01; at 100 TB it stays
+    // broadcast-able while lineitem scales out).
+    "q52_promo_share" -> QueryDef(
+      fn = (s, d) => {
+        val promoRev = sum(when(col("p_type") === "ECONOMY",
+            dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .otherwise(lit(0).cast("decimal(22,4)"))).cast("double")
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+          .agg(promoRev.as("promo_revenue"),
+               exactRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
+               count(lit(1)).as("n_items"))
+          .withColumn("promo_share",
+            round(col("promo_revenue") / col("total_revenue"), 6))
+          .orderBy("ship_month")
+      },
+      oracle = Some(s"""
+        SELECT ship_month, promo_revenue, total_revenue, n_items,
+               round(promo_revenue / total_revenue, 6) AS promo_share
+        FROM (
+          SELECT date_trunc('month', l_shipdate) AS ship_month,
+                 CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                   ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) AS promo_revenue,
+                 ${revenueSql("l_extendedprice", "l_discount")} AS total_revenue,
+                 count(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1)
+        ORDER BY ship_month""")),
+
+    // TPC-H Q9 shape — supplier-nation revenue by ship year; two broadcast
+    // dimension hops off the fact table, one shuffle (the final group-by).
+    "q53_supplier_volume" -> QueryDef(
+      fn = (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("n_name", "ship_year"),
+      oracle = Some(s"""
+        SELECT n_name, year(l_shipdate) AS ship_year,
+               ${revenueSql("l_extendedprice", "l_discount")} AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, year(l_shipdate) ORDER BY n_name, ship_year""")),
+
+    // Exact interpolated percentiles per group (both engines implement the
+    // same (n-1)*q linear interpolation; 4-dp round absorbs the last bit).
+    "q54_percentiles" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.25)"), 4).as("p25"),
+             round(expr("percentile(value, 0.5)"), 4).as("p50"),
+             round(expr("percentile(value, 0.75)"), 4).as("p75"))
+        .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.75), 4) AS p75
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // HLL approximate distinct (the 100 TB cardinality path: fixed-size
+    // sketch, no exact-distinct shuffle). Sketch internals are
+    // implementation-specific → rows-only check here; the ≤2% error bound
+    // vs the exact count is spec-asserted (ExtensionsSpec).
+    "q55_approx_distinct" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+             approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"),
       oracle = None)
   )
 

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.{GraftSpark, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Claims of the newer catalog entries that the DuckDB oracle cannot
+  * check (sketch error bounds, stream/batch parity, stub invariants).
+  */
+class CatalogExtraSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q55: HLL approx distinct within 3x the configured 2% rsd of exact") {
+    val rows = SparkEntry.queries("q55_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.06,
+        s"${r.getAs[String]("event_type")}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("q48: streaming windowed aggregate equals the batch computation") {
+    val streamed = SparkEntry.queries("q48_stream_hour_agg")(spark, sf)
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("hour")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
+  test("q50: static-map categories partition all event types with fallback") {
+    val rows = SparkEntry.queries("q50_static_map_join")(spark, sf).collect()
+    val cats = rows.map(_.getAs[String]("category")).toSet
+    assert(cats == Set("engagement", "conversion", "other"))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.load(spark, sf, "events").count())
+  }
+
+  test("q46: tripled corpus collapses to one component per base doc") {
+    val comp = SparkEntry.queries("q46_dup_clusters")(spark, sf)
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(comp.count() == 3 * nDocs)
+    // every component label is a base doc id and covers exactly 3 members
+    val sizes = comp.groupBy("component").count().collect()
+    assert(sizes.forall(_.getAs[Long]("count") == 3))
+    assert(sizes.forall(_.getAs[Long]("component") < 100000))
+  }
+}
