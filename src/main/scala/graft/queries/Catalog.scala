@@ -60,27 +60,34 @@ object Catalog {
     s"CASE WHEN $c IS NULL OR $c < 0 THEN NULL $whens ELSE $beyond END"
   }
 
-  // Exact-decimal aggregation: every money/value column in the test data
-  // is a 2-decimal quantity stored as double. Summing doubles directly is
-  // order-dependent, and rounding an average hits half-way boundaries where
-  // Spark (decimal-string HALF_UP) and DuckDB (scaled std::round) disagree
-  // on the SAME input. Casting to DECIMAL(18,2) first makes every sum exact
-  // and engine-identical; casting the exact sum back to double (and
-  // dividing by the exact count for averages) is then bit-reproducible with
-  // no final rounding at all.
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
-  private def exactSum(c: Column): Column = sum(dec(c)).cast("double")
-  private def exactAvg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+  // Exact aggregation via integer CENTS: every money/value column in the
+  // test data is a 2-decimal quantity stored as double. Summing doubles
+  // directly is order-dependent; summing DECIMAL(18,2) is exact but its
+  // hash-agg update was the single biggest CPU cost in the bench (~3x the
+  // plain-double path). round(x*100) recovers the exact integer cents (the
+  // double is within 1e-9 of it, so no half-way cases exist), long sums
+  // are exact and order-independent, and the final /100.0 is one double
+  // rounding both engines perform identically. Overflow headroom: 9.2e18
+  // cents per group; under ANSI mode (Spark 4 default) an overflow raises
+  // rather than corrupts, and a 100 TB deployment whose per-group sums
+  // could exceed it would swap `long` for `decimal(38,0)` here.
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def exactSum(c: Column): Column = sum(cents(c)).cast("double") / 100.0
+  private def exactAvg(c: Column): Column =
+    sum(cents(c)).cast("double") / 100.0 / count(c)
+  // revenue = sum(price * (1 - disc)): price_cents * (100 - disc_cents)
+  // is the exact product scaled by 1e4
   private def exactRevenue(price: Column, disc: Column): Column =
-    sum(dec(price) * (lit(1).cast("decimal(3,2)") - disc.cast("decimal(3,2)")))
-      .cast("double")
+    sum(cents(price) * (lit(100L) - cents(disc))).cast("double") / 10000.0
 
+  private def centsSql(c: String): String =
+    s"CAST(round($c * 100) AS BIGINT)"
   private def sumSql(c: String): String =
-    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+    s"(CAST(sum(${centsSql(c)}) AS DOUBLE) / 100.0)"
   private def avgSql(c: String): String =
     s"(${sumSql(c)} / count($c))"
   private def revenueSql(p: String, d: String): String =
-    s"CAST(sum(CAST($p AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST($d AS DECIMAL(3,2)))) AS DOUBLE)"
+    s"(CAST(sum(${centsSql(p)} * (100 - ${centsSql(d)})) AS DOUBLE) / 10000.0)"
 
   private def sqlInList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -200,13 +207,13 @@ object Catalog {
         .transform(Transforms.pivotParameters(
           keys = Seq("user_id"), pivotCol = "event_type",
           valueCol = "value", values = Some(eventTypes),
-          agg = c => sum(dec(c)).cast("double") / count(c)))
+          agg = c => sum(cents(c)).cast("double") / 100.0 / count(c)))
         .select(col("user_id") +: eventTypes.map(x => col(x)): _*)
         .orderBy("user_id"),
       oracle = Some {
         val cols = eventTypes.map(x =>
-          s"""(CAST(sum(CASE WHEN event_type = '$x' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-              / count(CASE WHEN event_type = '$x' THEN value END)) AS "$x"""")
+          s"""(CAST(sum(CASE WHEN event_type = '$x' THEN ${centsSql("value")} END) AS DOUBLE)
+              / 100.0 / count(CASE WHEN event_type = '$x' THEN value END)) AS "$x"""")
         s"""SELECT user_id, ${cols.mkString(", ")}
             FROM events GROUP BY user_id ORDER BY user_id"""
       },
@@ -704,14 +711,14 @@ object Catalog {
         t(s, d, "events").agg(
           count(lit(1)).as("total"),
           count(aqi2).as("aqi_count"),
-          (sum(aqi2.cast("decimal(18,2)")).cast("double") / count(aqi2)).as("aqi_avg"),
+          (sum(cents(aqi2)).cast("double") / 100.0 / count(aqi2)).as("aqi_avg"),
           min(aqi2).as("aqi_min"),
           max(aqi2).as("aqi_max"))
       },
       oracle = Some {
         val raw = aqiSqlExpr("value", Aqi.pm25Breakpoints)
         s"""SELECT count(*) AS total, count(aqi2) AS aqi_count,
-                   (CAST(sum(CAST(aqi2 AS DECIMAL(18,2))) AS DOUBLE) / count(aqi2)) AS aqi_avg,
+                   (CAST(sum(${centsSql("aqi2")}) AS DOUBLE) / 100.0 / count(aqi2)) AS aqi_avg,
                    min(aqi2) AS aqi_min, max(aqi2) AS aqi_max
             FROM (SELECT round($raw, 2) AS aqi2 FROM events)"""
       }),
@@ -753,13 +760,13 @@ object Catalog {
       fn = (s, d) => {
         t(s, d, "events").createOrReplaceTempView("events_recent_v")
         s.sql(s"""SELECT COUNT(*) AS n,
-                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
                   FROM events_recent_v
                   WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOURS FROM events_recent_v)""")
       },
       oracle = Some("""
         SELECT COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         FROM events
         WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOUR FROM events)""")),
 
@@ -797,7 +804,7 @@ object Catalog {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         FROM (
           SELECT user_id, ts, value,
                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -1006,7 +1013,7 @@ object Catalog {
             col("event_id"), col("user_id"), col("ts"),
             lag(col("value"), 1).over(w).as("prev_value"),
             lead(col("value"), 1).over(w).as("next_value"),
-            (sum(dec(col("value"))).over(frame).cast("double") /
+            (sum(cents(col("value"))).over(frame).cast("double") / 100.0 /
               count(col("value")).over(frame)).as("moving_avg"))
           .orderBy("event_id")
       },
@@ -1014,8 +1021,8 @@ object Catalog {
         SELECT event_id, user_id, ts,
                lag(value, 1) OVER w AS prev_value,
                lead(value, 1) OVER w AS next_value,
-               (CAST(sum(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
-                / count(value) OVER f) AS moving_avg
+               (CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER f AS DOUBLE)
+                / 100.0 / count(value) OVER f) AS moving_avg
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                f AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1069,10 +1076,9 @@ object Catalog {
     // broadcast-able while lineitem scales out).
     "q52_promo_share" -> QueryDef(
       fn = (s, d) => {
-        val promoRev = sum(when(col("p_type") === "ECONOMY",
-            dec(col("l_extendedprice")) *
-              (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
-          .otherwise(lit(0).cast("decimal(22,4)"))).cast("double")
+        val promoRev = (sum(when(col("p_type") === "ECONOMY",
+            cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .otherwise(lit(0L))).cast("double") / 10000.0)
         t(s, d, "lineitem")
           .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
           .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
@@ -1089,9 +1095,8 @@ object Catalog {
         FROM (
           SELECT date_trunc('month', l_shipdate) AS ship_month,
                  CAST(sum(CASE WHEN p_type = 'ECONOMY'
-                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                   ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) AS promo_revenue,
+                   THEN ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+                   ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
                  ${revenueSql("l_extendedprice", "l_discount")} AS total_revenue,
                  count(*) AS n_items
           FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -27,7 +27,8 @@ class CatalogExtraSpec extends AnyFunSuite {
     val batch = Tables.load(spark, sf, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("cnt"),
-           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+           (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+             .as("sum_value"))
       .orderBy("hour")
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
