@@ -1141,14 +1141,34 @@ object Catalog {
     // HLL approximate distinct (the 100 TB cardinality path: fixed-size
     // sketch, no exact-distinct shuffle). Sketch internals are
     // implementation-specific → rows-only check here; the ≤2% error bound
-    // vs the exact count is spec-asserted (ExtensionsSpec).
+    // vs the exact count is spec-asserted (CatalogExtraSpec).
     "q55_approx_distinct" -> QueryDef(
       fn = (s, d) => t(s, d, "events")
         .groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_users"),
              approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type"),
-      oracle = None)
+      oracle = None),
+
+    // Per-label embedding centroids through the typed VectorMean Aggregator
+    // (partial merges on fixed-width buffers — the UDAF surface), exploded
+    // to (label, dim, value) rows. 4-dp round absorbs partial-merge-order
+    // float reassociation on both engines.
+    "q56_embedding_centroids" -> QueryDef(
+      fn = (s, d) => t(s, d, "embeddings")
+        .groupBy("label")
+        .agg(graft.functions.VectorAggregates.vectorMean(col("embedding"))
+          .as("centroid"))
+        .select(col("label"), posexplode(col("centroid")))
+        .select(col("label").cast("long").as("label"),
+                col("pos").cast("long").as("dim"),
+                round(col("col"), 4).as("v"))
+        .orderBy("label", "dim"),
+      oracle = Some("""
+        SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS v
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        GROUP BY label, i ORDER BY label, dim"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -69,6 +69,27 @@ object StreamingIngest {
         graft.pipeline.Sink.writePartitioned(withParts, outputPath)
       }
 
+  /** Stream-stream equi + interval join with watermarks on both sides —
+    * the remaining Structured Streaming join shape (e.g. raw measurements
+    * matched to a concurrent sensor-status stream). Both inputs must carry
+    * the join key and an event-time column; the right side's columns are
+    * prefixed `r_` to avoid collisions. State is bounded: each side buffers
+    * only rows inside watermark + `within`, keyed by the join key —
+    * O(recent traffic), independent of total stream length.
+    */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+    left.withWatermark(leftTs, watermark)
+      .join(r.withWatermark(s"r_$rightTs", watermark),
+        col(key) === col(s"r_$key") &&
+          col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $within") &&
+          col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $within"))
+  }
+
   /** Synchronous local smoke runner: memory sink + processAllAvailable,
     * letting a directory of NDJSON drive the streaming query to
     * completion in tests.

@@ -55,4 +55,36 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Double]("value") == 45.0 && r.getAs[Long]("n") == 2L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches only rows within the time bound") {
+    val measDir = Files.createTempDirectory("graft-ssj-l").toFile
+    val statusDir = Files.createTempDirectory("graft-ssj-r").toFile
+    writeBatch(measDir, "b1.json", Seq(
+      """{"location_id":18,"datetime":"2024-01-15T10:00:00Z","parameter":"pm25","value":45.5}""",
+      """{"location_id":18,"datetime":"2024-01-15T16:00:00Z","parameter":"pm25","value":50.0}""",
+      """{"location_id":19,"datetime":"2024-01-15T10:00:00Z","parameter":"pm25","value":12.0}"""))
+    // status stream reuses the raw schema; "parameter" carries the status
+    writeBatch(statusDir, "b1.json", Seq(
+      """{"location_id":18,"datetime":"2024-01-15T10:30:00Z","parameter":"calibrated","value":1.0}""",
+      """{"location_id":19,"datetime":"2024-01-15T13:00:00Z","parameter":"calibrated","value":1.0}"""))
+
+    def parsed(dir: java.io.File) =
+      StreamingIngest.readRawStream(spark, dir.getAbsolutePath)
+        .transform(graft.pipeline.Transforms.parseDatetime)
+        .transform(graft.pipeline.Transforms.dropInvalidDatetime)
+
+    val joined = StreamingIngest.streamStreamJoin(
+      parsed(measDir), parsed(statusDir),
+      key = "location_id", leftTs = "datetime", rightTs = "datetime",
+      within = "1 hour")
+    val q = StreamingIngest.runToMemory(joined, "ssj_out")
+    try {
+      val rows = spark.table("ssj_out")
+        .select("location_id", "value", "r_parameter").collect()
+      // loc 18 @10:00 is within 1h of its 10:30 status; the 16:00 row and
+      // loc 19 (status 3h away) are not
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((18L, 45.5)))
+      assert(rows.forall(_.getString(2) == "calibrated"))
+    } finally q.stop()
+  }
 }
