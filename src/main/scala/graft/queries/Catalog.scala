@@ -1168,7 +1168,29 @@ object Catalog {
         SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
                round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS v
         FROM embeddings, generate_series(1, 64) AS t(i)
-        GROUP BY label, i ORDER BY label, dim"""))
+        GROUP BY label, i ORDER BY label, dim""")),
+
+    // Top-k per group (rank window + filter — the grouped analogue of
+    // TakeOrderedAndProject; at scale the rank is computed inside each
+    // group's partition, no global sort).
+    "q57_topk_per_group" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").desc_nulls_last, col("event_id"))
+        t(s, d, "events")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("event_type"), col("rank").cast("long").as("rank"),
+                  col("event_id"), col("value"))
+          .orderBy("event_type", "rank")
+      },
+      oracle = Some("""
+        SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, value
+        FROM (SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC NULLS LAST, event_id) AS rn
+              FROM events)
+        WHERE rn <= 3 ORDER BY event_type, rank"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
