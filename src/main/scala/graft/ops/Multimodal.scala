@@ -60,6 +60,24 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic fake re-encode to a `targetW x targetH`
+    * thumbnail — payload is truncated/cycled to the target byte budget
+    * (3 bytes/px), so downstream sizes are what a real codec would hand
+    * back. Same `mapPartitions` shape as [[extractFeatures]]: a real
+    * deployment replaces the body with a codec call, nothing else moves.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    val budget = targetW * targetH * 3
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = Array.tabulate(budget)(i =>
+          if (r.payload.isEmpty) 0.toByte else r.payload(i % r.payload.length))
+        MediaRow(r.media_id, r.kind, out)
+      }
+    }
+  }
+
   /** Frame sampling plan for video: every `stride`-th frame index, capped.
     * Pure column math over the decoded metadata — the expensive per-frame
     * decode happens downstream only for the selected indices.

@@ -48,8 +48,8 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
-          .as("sum_value"))
+        (sum((col("value") * 100 + signum(col("value")) * 0.5).cast("long"))
+          .cast("double") / 100.0).as("sum_value"))
 
   // ------------------------------------------------------------ streaming
 

@@ -71,7 +71,12 @@ object Catalog {
   // cents per group; under ANSI mode (Spark 4 default) an overflow raises
   // rather than corrupts, and a 100 TB deployment whose per-group sums
   // could exceed it would swap `long` for `decimal(38,0)` here.
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  // half-away-from-zero rounding without round(): Spark's Round on doubles
+  // allocates a BigDecimal per row; since x*100 sits within 1e-9 of the
+  // true integer, adding ±0.5 and truncating (double→long cast) yields the
+  // identical integer purely in registers.
+  private def cents(c: Column): Column =
+    (c * 100 + signum(c) * 0.5).cast("long")
   private def exactSum(c: Column): Column = sum(cents(c)).cast("double") / 100.0
   private def exactAvg(c: Column): Column =
     sum(cents(c)).cast("double") / 100.0 / count(c)

@@ -136,6 +136,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length == 2 && feats.forall(_.byte_len > 0))
   }
 
+  test("resize produces the target byte budget deterministically") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "somepayload".getBytes),
+      Multimodal.MediaRow(2L, "image", Array.empty[Byte])).toDS()
+    val small = Multimodal.resize(media, targetW = 4, targetH = 2).collect().sortBy(_.media_id)
+    assert(small.forall(_.payload.length == 4 * 2 * 3))
+    // deterministic on payload: same input, same thumbnail bytes
+    val again = Multimodal.resize(media, 4, 2).collect().sortBy(_.media_id)
+    assert(small.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
+  }
+
   test("sampleFrameIndices strides and caps video frames") {
     val media = Seq(Multimodal.MediaRow(1L, "video", "frames".getBytes)).toDS()
     val feats = Multimodal.extractFeatures(media).toDF()
