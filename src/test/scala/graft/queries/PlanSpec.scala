@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.{GraftSpark, SparkEntry}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: the properties that decide whether a query
+  * survives a 100x scale-up, asserted on the optimized physical plans so a
+  * refactor that silently loses a pushdown or a broadcast fails CI, not
+  * the cluster bill.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q13: range predicates are pushed to the parquet scan") {
+    val plan = planOf("q13_range_filter")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,10.0)"), plan)
+    assert(plan.contains("LessThanOrEqual(l_discount,0.08)"), plan)
+  }
+
+  test("q01: scan reads only the 5 needed lineitem columns") {
+    val plan = planOf("q01_pricing_summary")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_shipdate"),
+      readSchema)
+  }
+
+  test("q31: dimension joins are broadcast, not shuffled") {
+    val plan = planOf("q31_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // no SortMergeJoin at this scale; dims must never shuffle
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q01/q08: aggregates are partial (map-side combine before exchange)") {
+    Seq("q01_pricing_summary", "q08_enrich_join").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("partial_sum") || plan.contains("partial_count"), s"$q:\n$plan")
+    }
+  }
+
+  test("q43: as-of join plans a single hash shuffle, no nested-loop join") {
+    val plan = planOf("q43_asof_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
+  test("q45: range join resolves to an equi-join, not a nested loop") {
+    val plan = planOf("q45_range_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+}
