@@ -943,12 +943,18 @@ object Catalog {
           .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
         graft.ops.ConnectedComponents.components(edges).orderBy("id")
       },
-      oracle = Some("""
-        SELECT doc_id AS id, doc_id AS component FROM documents
-        UNION ALL
-        SELECT doc_id + 100000 AS id, doc_id AS component FROM documents
-        UNION ALL
-        SELECT doc_id + 200000 AS id, doc_id AS component FROM documents
+      // scale-independent oracle: component = min id within each
+      // fingerprint group of the tripled corpus (the base corpus may itself
+      // contain exact duplicates — at sf0.1 it does — and the chain edges
+      // connect the WHOLE group, so the min spans text-equal base docs too)
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents)
+        SELECT doc_id AS id,
+               min(doc_id) OVER (PARTITION BY f) AS component
+        FROM (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS f FROM t)
         ORDER BY id""")),
 
     // Multimodal plumbing: opaque binary payloads + typed metadata through

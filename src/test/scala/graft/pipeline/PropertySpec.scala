@@ -70,4 +70,25 @@ class PropertySpec extends AnyFunSuite {
       assert(mismatches.count() == 0)
     }
   }
+
+  test("cents truncation equals half-up rounding for every 2-dp double") {
+    // guards the Catalog `cents` fast path: (x*100 + signum(x)*0.5) cast to
+    // long must recover exactly n for x = n/100, including negatives and
+    // values whose double rendering sits just below the integer
+    val centsGen = Gen.choose(-1000000000L, 1000000000L)
+    val ns = Gen.listOfN(4000, centsGen)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val df = ns.toDF("n")
+      .withColumn("x", col("n").cast("double") / 100.0)
+      .withColumn("back", (col("x") * 100 + signum(col("x")) * 0.5).cast("long"))
+    assert(df.filter(col("back") =!= col("n")).count() == 0)
+    // and the scaled-integer revenue identity: price*(1-d)*1e4 cents-exact
+    val rev = ns.take(1000).toDF("n")
+      .withColumn("price", abs(col("n").cast("double") / 100.0))
+      .withColumn("disc", (abs(col("n")) % 100).cast("double") / 100.0)
+      .withColumn("pc", (col("price") * 100 + signum(col("price")) * 0.5).cast("long"))
+      .withColumn("dc", (col("disc") * 100 + signum(col("disc")) * 0.5).cast("long"))
+      .filter(col("pc") =!= abs(col("n")) || col("dc") =!= abs(col("n")) % 100)
+    assert(rev.count() == 0)
+  }
 }

@@ -45,9 +45,10 @@ class CatalogExtraSpec extends AnyFunSuite {
     val comp = SparkEntry.queries("q46_dup_clusters")(spark, sf)
     val nDocs = Tables.load(spark, sf, "documents").count()
     assert(comp.count() == 3 * nDocs)
-    // every component label is a base doc id and covers exactly 3 members
+    // every component label is a base doc id; sizes are multiples of 3
+    // (3 per text-equal base doc — base corpora at larger sf contain dups)
     val sizes = comp.groupBy("component").count().collect()
-    assert(sizes.forall(_.getAs[Long]("count") == 3))
+    assert(sizes.forall(_.getAs[Long]("count") % 3 == 0))
     assert(sizes.forall(_.getAs[Long]("component") < 100000))
   }
 }
