@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * canonicalization (min id among direct partners) misses chains
   * a-b, b-c ⇒ {a,b,c}; this closes them.
   *
-  * Algorithm: iterated min-label propagation (the DataFrame form of
-  * large-star/small-star). Each round every node adopts the minimum label
-  * in its neighborhood (including its own); labels converge to the
-  * component minimum in O(diameter) rounds — near-dup graphs have tiny
-  * diameters, so the default cap is generous. Each round is one
-  * groupBy-min plus one join, all key-partitioned; nothing touches the
-  * driver except the convergence counter.
+  * Algorithm: iterated min-label propagation with pointer jumping (the
+  * DataFrame form of large-star/small-star). Each round every node adopts
+  * the minimum label in its neighborhood, then shortcuts its label to its
+  * label's label (path halving) — so convergence is O(log diameter)
+  * rounds, not O(diameter): a 1000-long duplicate chain closes in ~10
+  * rounds instead of ~1000. Each round is one groupBy-min plus two
+  * key-partitioned joins; nothing touches the driver except the
+  * convergence counter.
   */
 object ConnectedComponents {
 
@@ -25,7 +26,7 @@ object ConnectedComponents {
     *         not emitted
     */
   def components(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIterations: Int = 10): DataFrame = {
+      maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -43,10 +44,21 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+      // pointer jumping: label ← label(label). Labels only decrease, so the
+      // shortcut is safe, and chains halve every round (O(log diameter)).
+      // localCheckpoint truncates the lineage: the self-join references
+      // `propagated` twice, so without truncation the logical plan doubles
+      // every round (exponential planning cost). On a cluster with
+      // unreliable executors, swap for checkpoint() on reliable storage.
+      val next = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).count()
       labels = next

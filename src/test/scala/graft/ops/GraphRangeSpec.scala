@@ -19,6 +19,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(comp(20L) == 20L && comp(21L) == 20L && comp(22L) == 20L)
   }
 
+  test("an 80-node chain converges within the iteration cap (pointer jumping)") {
+    // plain min-propagation would need 79 rounds; path halving needs ~7
+    val pairs = (0L until 79L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = ConnectedComponents.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 80 && comp.values.forall(_ == 0L))
+  }
+
   test("dedupMapping emits only non-canonical members") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val m = ConnectedComponents.dedupMapping(pairs)
