@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus splitting / sampling for training-data pipelines.
+  *
+  * The split must be a pure function of the row KEY — never `rand()` — so
+  * that (a) re-runs, retries and backfills land every row in the same
+  * split, (b) the split survives repartitioning, and (c) two engines agree
+  * (the DuckDB oracle reproduces it exactly). Hash-prefix comparison gives
+  * that: md5 renders as lowercase hex in both engines, and the first 8 hex
+  * digits are uniform on [0, 16^8), so `md5(key) < threshold(frac)` selects
+  * a deterministic fraction ~frac of keys.
+  */
+object Sampling {
+
+  /** Lowercase-hex threshold string for a fraction: first 8 hex digits of
+    * frac * 16^8, as a string prefix all md5 hashes compare against.
+    */
+  def thresholdHex(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction out of range: $frac")
+    val scaled = math.round(frac * (1L << 32)).min((1L << 32) - 1).max(0L)
+    f"$scaled%08x"
+  }
+
+  /** True iff the key falls in the `frac`-sized bucket. */
+  def inSplit(key: Column, frac: Double): Column =
+    substring(md5(key.cast("string")), 1, 8) < lit(thresholdHex(frac))
+
+  /** 'train' / 'eval' label column for a train fraction. */
+  def splitLabel(key: Column, trainFrac: Double): Column =
+    when(inSplit(key, trainFrac), "train").otherwise("eval")
+}

@@ -1201,7 +1201,25 @@ object Catalog {
                      row_number() OVER (PARTITION BY event_type
                                         ORDER BY value DESC NULLS LAST, event_id) AS rn
               FROM events)
-        WHERE rn <= 3 ORDER BY event_type, rank"""))
+        WHERE rn <= 3 ORDER BY event_type, rank""")),
+
+    // Deterministic hash train/eval split (ops.Sampling): a pure function
+    // of the row key — stable across re-runs, retries and repartitioning,
+    // unlike rand(). md5 hex is identical in both engines, so the oracle
+    // reproduces the exact membership, not just the fractions.
+    "q58_hash_split" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .withColumn("split",
+          graft.ops.Sampling.splitLabel(col("doc_id"), trainFrac = 0.8))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("split"),
+      oracle = Some(s"""
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '${graft.ops.Sampling.thresholdHex(0.8)}'
+                    THEN 'train' ELSE 'eval' END AS split,
+               count(*) AS n, min(doc_id) AS min_id
+        FROM documents GROUP BY 1 ORDER BY split"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -41,6 +41,18 @@ class CatalogExtraSpec extends AnyFunSuite {
     assert(total == Tables.load(spark, sf, "events").count())
   }
 
+  test("q58: hash split is deterministic, complete, and near the target fraction") {
+    val docs = Tables.load(spark, sf, "documents")
+    val once = SparkEntry.queries("q58_hash_split")(spark, sf).collect()
+    val again = SparkEntry.queries("q58_hash_split")(spark, sf).collect()
+    assert(once.toSeq == again.toSeq)
+    val bySplit = once.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySplit.values.sum
+    assert(total == docs.count())
+    val trainFrac = bySplit("train").toDouble / total
+    assert(math.abs(trainFrac - 0.8) < 0.1, s"train fraction $trainFrac")
+  }
+
   test("q46: tripled corpus collapses to one component per base doc") {
     val comp = SparkEntry.queries("q46_dup_clusters")(spark, sf)
     val nDocs = Tables.load(spark, sf, "documents").count()
