@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded-state grouped top-k.
+  *
+  * The window idiom (`row_number() OVER (PARTITION BY g ORDER BY v DESC)`
+  * then `rn <= k`) shuffles and sorts EVERY row of every group. This
+  * aggregator keeps only the current best k in its buffer, so partial
+  * aggregation (map-side combine) reduces each group to ≤ k items per
+  * input partition before the shuffle — at 100 TB, the exchange carries
+  * O(groups x k) instead of O(rows).
+  *
+  * Ordering: score descending, id ascending on ties (the same
+  * deterministic tie-break the window form uses). Output is the sorted
+  * (score, id) list; rank = 1 + position.
+  */
+object TopKAggregate {
+
+  final case class Scored(score: Double, id: Long)
+
+  /** Buffer = up to k best items, kept sorted best-first (k is small; an
+    * insertion into a ≤k array beats heap constant factors and keeps the
+    * buffer deterministic for encoder round-trips).
+    */
+  final case class TopKBuf(items: Seq[Scored])
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  final class TopK(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+    require(k > 0)
+
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+
+    override def reduce(b: TopKBuf, a: Scored): TopKBuf =
+      if (a == null) b
+      else if (b.items.size >= k && better(b.items.last, a)) b
+      else {
+        val i = b.items.indexWhere(x => better(a, x)) match {
+          case -1 => b.items.size
+          case j  => j
+        }
+        TopKBuf((b.items.take(i) :+ a) ++ b.items.drop(i).take(k - i - 1))
+      }
+
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      b.items.foldLeft(a)(reduce)
+
+    override def finish(b: TopKBuf): Seq[Scored] = b.items
+
+    override def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder[TopKBuf]()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Column form: `topK(5, score, id)` → `array<struct<score,id>>` sorted
+    * best-first (the udaf flattens the `Scored` input encoder into two
+    * value parameters).
+    */
+  def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopK(k))
+
+  def topK(k: Int, score: Column, id: Column): Column = topK(k).apply(score, id)
+}

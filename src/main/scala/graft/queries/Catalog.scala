@@ -1219,7 +1219,30 @@ object Catalog {
                          < '${graft.ops.Sampling.thresholdHex(0.8)}'
                     THEN 'train' ELSE 'eval' END AS split,
                count(*) AS n, min(doc_id) AS min_id
-        FROM documents GROUP BY 1 ORDER BY split"""))
+        FROM documents GROUP BY 1 ORDER BY split""")),
+
+    // Grouped top-k via the bounded-state TopK Aggregator — result-
+    // identical to the q57 window form, but partial aggregation trims each
+    // group to <=k items per input partition BEFORE the shuffle (the
+    // exchange carries O(groups x k), not O(rows); the window form shuffles
+    // everything). Same oracle shape as q57, null scores excluded.
+    "q59_topk_aggregate" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(graft.functions.TopKAggregate.topK(3, col("value"), col("event_id"))
+          .as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+                col("col.id").as("event_id"), col("col.score").as("value"))
+        .orderBy("event_type", "rank"),
+      oracle = Some("""
+        SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, value
+        FROM (SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events WHERE value IS NOT NULL)
+        WHERE rn <= 3 ORDER BY event_type, rank"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -44,6 +44,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q59: top-k aggregator runs with map-side partial aggregation") {
+    val plan = planOf("q59_topk_aggregate")
+    // the typed-aggregate plan must show a partial phase before the
+    // exchange — that's the whole point vs the window form
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(plan.contains("partial_topk"), plan)
+  }
+
   test("q43: as-of join plans a single hash shuffle, no nested-loop join") {
     val plan = planOf("q43_asof_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
