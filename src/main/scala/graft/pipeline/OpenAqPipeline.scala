@@ -84,7 +84,10 @@ object OpenAqPipeline {
 
     Sink.writePartitioned(mart, cfg.outputPath, cfg.partitionCols, cfg.writeMode)
 
-    val written = spark.read.parquet(cfg.outputPath)
+    // re-read with the mart's declared schema: bare partition discovery
+    // would type-infer month='01' back to int 1, silently breaking the
+    // string-partition contract (and month=1 vs month='01' pruning)
+    val written = spark.read.schema(mart.schema).parquet(cfg.outputPath)
     written.createOrReplaceTempView(viewName)
 
     (mart, Metrics(rawCount, dedupCount, enrichedCount, enrichedCount, audit))

@@ -44,4 +44,21 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     val counts = AnalyticsQueries.validateTables(spark, Seq(view))
     assert(counts(view) == 3L)
   }
+
+  test("SHOW PARTITIONS exposes the hive layout (Athena parity)") {
+    // register the mart as a partitioned catalog table — the engine's
+    // equivalent of crawler registration — and inspect partitions the way
+    // the reference's runbooks do (`SHOW PARTITIONS`)
+    spark.table(view).write.mode("overwrite")
+      .partitionBy("year", "month", "day")
+      .saveAsTable("vietnam_aq_tbl")
+    try {
+      val parts = spark.sql("SHOW PARTITIONS vietnam_aq_tbl")
+        .collect().map(_.getString(0)).sorted
+      assert(parts.contains("year=2024/month=01/day=15"), parts.mkString(", "))
+      // string partition values: month='01' prunes, month=1 does not (the
+      // documented contract asymmetry)
+      assert(spark.table("vietnam_aq_tbl").filter("month = '01'").count() == 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS vietnam_aq_tbl")
+  }
 }
