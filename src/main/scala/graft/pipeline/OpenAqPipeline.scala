@@ -192,6 +192,17 @@ object Sink {
       bucketCol: String,
       numBuckets: Int = 64,
       sortCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    // an in-memory catalog from a previous session may have died leaving
+    // the managed location on disk; overwrite mode refuses to reuse it, so
+    // clear the orphan (only when no live catalog entry claims it)
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
