@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenizer (split on runs of whitespace, trimmed). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenizer (split on runs of whitespace, trimmed). The
+    * empty-fragment filter matters: bare split returns [""] for empty or
+    * all-whitespace text, which would give blank documents a token count
+    * of 1 and let them slip past min-length/quality filters.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
   /** Token count; long to keep integer types uniform across engines. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

@@ -37,14 +37,19 @@ object TopKAggregate {
     override def zero: TopKBuf = TopKBuf(Vector.empty)
 
     override def reduce(b: TopKBuf, a: Scored): TopKBuf =
-      if (a == null) b
-      else if (b.items.size >= k && better(b.items.last, a)) b
+      // NaN scores are unrankable (every comparison is false) and would
+      // otherwise grow the buffer unboundedly — drop them like SQL ORDER BY
+      // drops nothing but ranks them nowhere useful
+      if (a == null || a.score.isNaN) b
+      else if (b.items.size >= k && !better(a, b.items.last)) b
       else {
         val i = b.items.indexWhere(x => better(a, x)) match {
           case -1 => b.items.size
           case j  => j
         }
-        TopKBuf((b.items.take(i) :+ a) ++ b.items.drop(i).take(k - i - 1))
+        // single take(k) AFTER insertion: inserting at i=size when the new
+        // item exactly ties the last element must still cap the buffer at k
+        TopKBuf(((b.items.take(i) :+ a) ++ b.items.drop(i)).take(k))
       }
 
     override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =

@@ -25,8 +25,13 @@ object VectorAggregates {
       if (v == null) b
       else if (b.n == 0L) MeanBuf(v.map(_.toDouble).toArray, 1L)
       else {
+        // fail on ragged input: silently truncating to the shorter length
+        // would produce a wrong mean whose dimensionality depends on which
+        // row a partition happened to see first
+        require(v.length == b.sums.length,
+          s"ragged vectors in group: ${v.length} vs ${b.sums.length}")
         var i = 0
-        while (i < b.sums.length && i < v.length) {
+        while (i < b.sums.length) {
           b.sums(i) += v(i); i += 1
         }
         MeanBuf(b.sums, b.n + 1)
@@ -37,8 +42,10 @@ object VectorAggregates {
       if (a.n == 0L) b
       else if (b.n == 0L) a
       else {
+        require(a.sums.length == b.sums.length,
+          s"ragged vectors in group: ${a.sums.length} vs ${b.sums.length}")
         var i = 0
-        while (i < a.sums.length && i < b.sums.length) {
+        while (i < a.sums.length) {
           a.sums(i) += b.sums(i); i += 1
         }
         MeanBuf(a.sums, a.n + b.n)

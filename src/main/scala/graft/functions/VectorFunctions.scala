@@ -82,4 +82,14 @@ object VectorFunctions {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Fail fast on dimension mismatch. Without this, a wrong `dim` against
+    * literal planes/centroids makes VecDot return null, sign tests fall to
+    * their otherwise-branch, and every row lands in ONE LSH bucket — the
+    * "approximate" search silently degenerates to a full cross join. An
+    * error at the first row beats a job sized 4096x too big.
+    */
+  def checkedDim(v: Column, dim: Int): Column =
+    when(size(v) === dim, v).otherwise(raise_error(
+      concat(lit(s"expected $dim-dim vector, got "), size(v).cast("string"))))
 }

@@ -92,16 +92,20 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
 object VectorExpressions {
 
-  @volatile private var registeredIn: Set[org.apache.spark.sql.SparkSession] = Set.empty
+  // weak set: a strong set would pin every session ever registered for the
+  // JVM lifetime — a steady leak in services that build short-lived sessions
+  private val registeredIn: java.util.Set[org.apache.spark.sql.SparkSession] =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
 
   /** Register `vec_dot` in the session's function registry (idempotent);
     * makes the expression available to both SQL text and `call_function`.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    if (!registeredIn.contains(spark)) synchronized {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!registeredIn.contains(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
-      registeredIn += spark
+      registeredIn.add(spark)
     }
   }
 

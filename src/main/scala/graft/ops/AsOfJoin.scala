@@ -61,28 +61,26 @@ object AsOfJoin {
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = (rightCols :+ "__match_ts").foldLeft(
-        unioned.withColumn("__right_ts_src",
-          when(col("__side") === 0, col("__ts")))) { (df, c) =>
-      c match {
-        case "__match_ts" =>
-          df.withColumn(c, last(col("__right_ts_src"), ignoreNulls = true).over(w))
-        case rc =>
-          df.withColumn(s"__f_$rc",
-            last(when(col("__side") === 0, col(rc)), ignoreNulls = true).over(w))
-      }
-    }
+    // carry ALL right columns in ONE struct: per-column last(..ignoreNulls)
+    // windows would stitch values from DIFFERENT right rows whenever the
+    // matched row holds a null in one carried column (and age-check against
+    // yet another row's ts). The struct is non-null exactly for right rows,
+    // so ignoreNulls skips left rows and every field comes from the single
+    // matched row — nulls included.
+    val rightStruct = when(col("__side") === 0,
+      struct(col("__ts").as("__match_ts") +: rightCols.map(col): _*))
+    val filled = unioned.withColumn("__r", last(rightStruct, ignoreNulls = true).over(w))
 
+    val matchTs = col("__r.__match_ts")
     val withinTolerance = tolerance match {
-      case Some(tol) => col("__match_ts").isNotNull && col("__ts") - col("__match_ts") <= tol
-      case None      => col("__match_ts").isNotNull
+      case Some(tol) => matchTs.isNotNull && col("__ts") - matchTs <= tol
+      case None      => matchTs.isNotNull
     }
 
-    val result = filled
+    filled
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightCols.map(rc => when(withinTolerance, col(s"__f_$rc")).otherwise(lit(null)).as(rc)) :+
-        when(withinTolerance, col("__match_ts")).otherwise(lit(null)).as("asof_ts")): _*)
-    result
+        rightCols.map(rc => when(withinTolerance, col(s"__r.$rc")).otherwise(lit(null)).as(rc)) :+
+        when(withinTolerance, matchTs).otherwise(lit(null)).as("asof_ts")): _*)
   }
 }

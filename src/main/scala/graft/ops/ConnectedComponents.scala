@@ -66,6 +66,14 @@ object ConnectedComponents {
       i += 1
     }
     edges.unpersist()
+    // old per-round checkpoint blocks are reclaimed by Spark's
+    // ContextCleaner once unreferenced; what must not be silent is running
+    // out of rounds with labels still moving — the result would be a
+    // component split in two
+    if (!converged)
+      graft.pipeline.Log.warning(
+        s"connected components hit maxIterations=$maxIterations before convergence; " +
+          "labels may be incomplete — raise maxIterations")
     labels.select(col("id"), col("label").as("component"))
   }
 

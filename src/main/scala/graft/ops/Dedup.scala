@@ -196,6 +196,9 @@ object Dedup {
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 3,
+      s"4x16-bit blocking only guarantees recall for Hamming distance <= 3 " +
+        s"(a distance-4 pair can differ in all four quarters); got $maxDistance")
     val signed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val quarters = array((0 until 4).map(q =>
       shiftright(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)
@@ -247,8 +250,10 @@ object Dedup {
       minCosine: Double = 0.95, numPlanes: Int = 16, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val planes = VF.makePlanes(numPlanes, dim, seed)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VF.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    // checkedDim: a dim mismatch would bucket every row to 0 (see lshTopK)
+    val bucketed = df.select(col(idCol).as("id"),
+        VF.checkedDim(col(vecCol), dim).as("v"))
+      .withColumn("bucket", VF.hyperplaneSignature(col("v"), planes))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

@@ -53,6 +53,9 @@ object IvfIndex {
       corpus.orderBy(col(idCol)).limit(k)
         .select(col(vecCol)).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq)
+    require(model.centroids.forall(_.length == dim),
+      s"ragged seed vectors: expected dim $dim, got " +
+        model.centroids.map(_.length).distinct.mkString("/"))
 
     for (_ <- 1 to iterations) {
       val assigned = corpus.select(
@@ -75,17 +78,22 @@ object IvfIndex {
 
   /** Materialize the inverted lists: corpus + cluster id (partition or
     * bucket by `cluster` when persisting, so a probe reads only its
-    * lists).
+    * lists). checkedDim fails fast on a corpus/model dimensionality
+    * mismatch (VecDot would otherwise null out and send every row to
+    * cluster 0 silently).
     */
   def index(corpus: DataFrame, vecCol: String, m: Model): DataFrame =
-    corpus.withColumn("cluster", assignCluster(col(vecCol), m))
+    corpus.withColumn("cluster",
+      assignCluster(VF.checkedDim(col(vecCol), m.centroids.head.length), m))
 
-  /** Top-k cosine search probing the `nprobe` nearest clusters per query. */
+  /** Top-k cosine search probing the `nprobe` nearest clusters per query.
+    * `excludeSelf` as in [[Similarity.bruteForceTopK]].
+    */
   def search(queries: DataFrame, indexed: DataFrame, m: Model,
       k: Int, nprobe: Int = 2,
       queryId: String = "vec_id", corpusId: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val s = scores(col(vecCol), m)
+      vecCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
+    val s = scores(VF.checkedDim(col(vecCol), m.centroids.head.length), m)
     // nprobe nearest clusters: sort (score, idx) pairs descending by score
     val ranked = array_sort(
       zip_with(s, sequence(lit(0), lit(m.k - 1)),
@@ -99,7 +107,7 @@ object IvfIndex {
     val c = indexed.select(col(corpusId).as("neighbor_id"), col(vecCol).as("c_vec"),
       col("cluster"))
     val scored = c.join(broadcast(q), Seq("cluster"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("cosine", VF.cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -28,13 +28,18 @@ object Similarity {
     * the window over partial results — expressed here as a window over the
     * joined stream, which Catalyst executes as partial top-k under AQE.
     */
+  /** @param excludeSelf drop candidates whose id equals the query id —
+    *  correct when queries are drawn from the corpus (the default here);
+    *  set false when the two id spaces are independent, or a coincidental
+    *  id collision silently drops a legitimate neighbor.
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryId: String = "vec_id", corpusId: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("cosine", VF.cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -54,18 +59,22 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = 12, dim: Int = 64, seed: Long = 42L,
       queryId: String = "vec_id", corpusId: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
     val planes = VF.makePlanes(numPlanes, dim, seed)
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("c_vec"),
-      VF.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    // checkedDim: a dim mismatch against the literal planes would bucket
+    // everything to 0 and degenerate to a cross join — fail on row one
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+        VF.checkedDim(col(vecCol), dim).as("c_vec"))
+      .withColumn("bucket", VF.hyperplaneSignature(col("c_vec"), planes))
     // query probes: own bucket + each single-bit flip
     val flips = (0 until numPlanes).map(b => lit(1L << b))
-    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("q_vec"),
-        VF.hyperplaneSignature(col(vecCol), planes).as("sig"))
+    val q = queries.select(col(queryId).as("query_id"),
+        VF.checkedDim(col(vecCol), dim).as("q_vec"))
+      .withColumn("sig", VF.hyperplaneSignature(col("q_vec"), planes))
       .withColumn("bucket", explode(array((lit(0L) +: flips).map(f => col("sig").bitwiseXOR(f)): _*)))
       .drop("sig")
     val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("cosine", VF.cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

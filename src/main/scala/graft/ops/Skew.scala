@@ -60,6 +60,13 @@ object Skew {
       key: String,
       saltBuckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit every unmatched right row once PER SALT
+    // REPLICA — the salting scheme is only sound for join types that never
+    // emit unmatched right rows
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType " +
+        s"(unmatched right rows would be duplicated x$saltBuckets)")
     val saltedLeft = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     val replicatedRight = right.withColumn("__salt",

@@ -100,7 +100,10 @@ object Catalog {
   private def hitCountSql(words: Seq[String]): String =
     s"len(list_filter(toks, t -> lower(t) IN (${sqlInList(words)})))"
 
-  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  // mirrors TF.tokens: split on whitespace runs, drop empty fragments
+  // (bare split returns [''] for blank text)
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
   /** DuckDB expression for cosine over two float-list columns, with the
     * same shape as [[VF.cosine]]: double-cast elementwise products,

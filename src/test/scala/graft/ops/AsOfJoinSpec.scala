@@ -34,6 +34,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r(0).getAs[java.sql.Timestamp]("asof_ts") == ts("2024-01-01 10:00:00"))
   }
 
+  test("a null in the matched row's carried column stays null (no stitching)") {
+    // most recent quote for inst 100 at 10:01 has price=null, size=7; a
+    // per-column fill would resurrect price=11.0 from the OLDER 10:00:30
+    // row — a row that never existed
+    val quotesWithNull = Seq(
+      (100L, ts("2024-01-01 10:00:30"), Option(11.0), Option(5L)),
+      (100L, ts("2024-01-01 10:00:50"), None, Option(7L)))
+      .toDF("inst", "q_ts", "price", "qsize")
+    val left = Seq((1L, 100L, ts("2024-01-01 10:01:00")))
+      .toDF("trade_id", "inst", "ts")
+    val r = AsOfJoin.asof(left, quotesWithNull, Seq("inst"), "ts", "q_ts",
+        Seq("price", "qsize")).head()
+    assert(r.isNullAt(r.fieldIndex("price")))
+    assert(r.getAs[Long]("qsize") == 7L)
+    assert(r.getAs[java.sql.Timestamp]("asof_ts") == ts("2024-01-01 10:00:50"))
+  }
+
   test("tolerance nulls out matches older than the horizon") {
     val r = AsOfJoin.asof(trades, quotes, Seq("inst"), "ts", "q_ts", Seq("price"),
         tolerance = Some(expr("INTERVAL 10 SECONDS")))
