@@ -25,7 +25,11 @@ object Bench {
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -35,8 +39,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must not subtract from (i.e. improve) the headline
+    // total: sum successes only and report failures explicitly
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedField =
+      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

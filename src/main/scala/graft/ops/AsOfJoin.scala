@@ -31,6 +31,11 @@ object AsOfJoin {
     * @param rightCols  right columns to carry (must not collide with left)
     * @param tolerance  optional max age of the matched right row; older
     *                   matches become null (like `ASOF ... TOLERANCE`)
+    * @param rightTieBreak extra ordering among right rows sharing the same
+    *                   (key, ts) — the LAST row under this order wins.
+    *                   Without it the winner among exact-ts ties is
+    *                   whatever the shuffle delivered (same as DuckDB's
+    *                   ASOF JOIN, but nondeterministic run-to-run).
     */
   def asof(
       left: DataFrame,
@@ -39,7 +44,8 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightCols: Seq[String],
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      rightTieBreak: Seq[Column] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!rightCols.exists(leftCols.contains),
       "rightCols must not collide with left columns")
@@ -56,9 +62,11 @@ object AsOfJoin {
       .unionByName(
         taggedRight.select((leftCols ++ rightCols ++ Seq("__ts", "__side")).map(col): _*))
 
-    // right rows sort before left rows at the same instant → <= semantics
+    // right rows sort before left rows at the same instant → <= semantics;
+    // tie-break columns are null on left rows, so they only order right
+    // rows among themselves
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts") +: col("__side") +: rightTieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // carry ALL right columns in ONE struct: per-column last(..ignoreNulls)

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The extraction-side dataflow (SURVEY §3.2) re-expressed as declarative
@@ -119,14 +119,35 @@ object Extract {
   /** Enrich long-format measurements with location metadata via a broadcast
     * left join on sensor_id, with the reference's per-field defaults
     * (`city or 'Unknown'`, `country or 'VN'` — `extract_api.py:416-418`).
+    *
+    * Columns present on BOTH sides (e.g. latitude/longitude when the
+    * measurements come from a wrapped API capture, S10) resolve as
+    * measurement-value-first, dimension second, default last — instead of
+    * an AMBIGUOUS_REFERENCE analysis error.
     */
-  def enrichMeasurements(measurements: DataFrame, sensorDim: DataFrame): DataFrame =
-    measurements
-      .join(broadcast(sensorDim), Seq("sensor_id"), "left")
-      .withColumn("city", coalesce(col("city"), lit("Unknown")))
-      .withColumn("country", coalesce(col("country"), lit("VN")))
-      .withColumn("latitude", coalesce(col("latitude"), lit(0.0)))
-      .withColumn("longitude", coalesce(col("longitude"), lit(0.0)))
+  def enrichMeasurements(measurements: DataFrame, sensorDim: DataFrame): DataFrame = {
+    val overlapping = sensorDim.columns.toSet
+      .intersect(measurements.columns.toSet) - "sensor_id"
+    // pre-rename the dimension's overlapping columns so every reference
+    // below is unambiguous
+    val dim = overlapping.foldLeft(sensorDim) {
+      (df, c) => df.withColumnRenamed(c, s"__dim_$c")
+    }
+    def merged(c: String, default: Column): Column = {
+      val sources =
+        (if (measurements.columns.contains(c)) Seq(col(c)) else Nil) ++
+        (if (dim.columns.contains(s"__dim_$c")) Seq(col(s"__dim_$c"))
+         else if (sensorDim.columns.contains(c)) Seq(col(c)) else Nil)
+      coalesce(sources :+ default: _*)
+    }
+    val joined = measurements.join(broadcast(dim), Seq("sensor_id"), "left")
+    joined
+      .withColumn("city", merged("city", lit("Unknown")))
+      .withColumn("country", merged("country", lit("VN")))
+      .withColumn("latitude", merged("latitude", lit(0.0)))
+      .withColumn("longitude", merged("longitude", lit(0.0)))
+      .drop(overlapping.toSeq.map(c => s"__dim_$c"): _*)
+  }
 
   /** F11 — stamp rows with the extraction time (injected, reproducible). */
   def stampExtractedAt(ts: java.sql.Timestamp): DataFrame => DataFrame =

@@ -70,8 +70,13 @@ object OpenAqPipeline {
     val raw = readRaw(spark, cfg)
     val rawCount = raw.count()
 
-    val (deduped, _, mart) = transform(raw, cfg)
+    val (deduped, pivoted, mart) = transform(raw, cfg)
+    // persist the post-dedup frame: every downstream count (dedup, pivot,
+    // enrich) and the write reuse it instead of re-running the scan + the
+    // dedup shuffle (the reference re-executes the whole lineage per count)
+    deduped.persist(StorageLevel.MEMORY_AND_DISK)
     val dedupCount = deduped.count()
+    val pivotCount = pivoted.count()
 
     mart.persist(StorageLevel.MEMORY_AND_DISK)
     val enrichedCount = mart.count()
@@ -90,7 +95,8 @@ object OpenAqPipeline {
     val written = spark.read.schema(mart.schema).parquet(cfg.outputPath)
     written.createOrReplaceTempView(viewName)
 
-    (mart, Metrics(rawCount, dedupCount, enrichedCount, enrichedCount, audit))
+    deduped.unpersist()
+    (mart, Metrics(rawCount, dedupCount, pivotCount, enrichedCount, audit))
   }
 }
 
@@ -158,10 +164,12 @@ object Sink {
       .partitionBy("y", "m", "d", "h")
       .json(path)
 
-  /** S8 — wrapped-envelope sink: one `{meta, results}` JSON object per
-    * partition file (reference `pipelines/openaq_pipeline.py:145-166`
-    * builds this envelope on the driver; here it's a grouped to_json so
-    * it scales).
+  /** S8 — wrapped-envelope sink: ONE `{meta, results}` JSON object for the
+    * whole frame, matching the reference's single-envelope capture format
+    * (`pipelines/openaq_pipeline.py:145-166`). The global collect_list
+    * funnels every row through one task — correct for the API-capture-sized
+    * payloads this format exists for (hundreds of rows), NOT a large-data
+    * sink; use [[writePartitioned]]/[[writeNdjson]] for bulk output.
     */
   def writeWrapped(df: DataFrame, path: String, sourceName: String,
       extractedAt: java.sql.Timestamp): Unit = {
@@ -195,8 +203,11 @@ object Sink {
     val spark = df.sparkSession
     // an in-memory catalog from a previous session may have died leaving
     // the managed location on disk; overwrite mode refuses to reuse it, so
-    // clear the orphan (only when no live catalog entry claims it)
-    if (!spark.catalog.tableExists(table)) {
+    // clear the orphan (only when no live catalog entry claims it).
+    // Unqualified names only: warehouse/<name> is the managed location for
+    // the default database; a db-qualified name lives under <db>.db/ and
+    // deleting warehouse/<raw-name> would hit a path we do not own.
+    if (!table.contains('.') && !spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"),
         table.toLowerCase(java.util.Locale.ROOT))

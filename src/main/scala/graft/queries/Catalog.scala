@@ -654,12 +654,12 @@ object Catalog {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy("r_name"),
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT r_name,
-               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               ${revenueSql("l_extendedprice", "l_discount")} AS revenue,
                count(DISTINCT o_orderkey) AS n_orders
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -990,11 +990,17 @@ object Catalog {
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
         // the file-stream source monitors a DIRECTORY (its real deployment
-        // shape); stage the single-file test table into one
+        // shape); stage the test table into one — tolerating both the
+        // single-file layout and a directory of part-files
+        val src = java.nio.file.Paths.get(s"$d/events.parquet")
         val dir = java.nio.file.Files.createTempDirectory("q48-stream-src")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          dir.resolve("events.parquet"))
+        if (java.nio.file.Files.isDirectory(src)) {
+          val files = java.nio.file.Files.list(src)
+          try files.forEach { f =>
+            if (java.nio.file.Files.isRegularFile(f))
+              java.nio.file.Files.copy(f, dir.resolve(f.getFileName.toString))
+          } finally files.close()
+        } else java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
         val stream = s.readStream.schema(schema).parquet(dir.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         val agg = stream
@@ -1006,6 +1012,11 @@ object Catalog {
           .outputMode("complete").start()
         q.processAllAvailable()
         q.stop()
+        // the memory-sink table is materialized; the staging dir can go
+        val staged = java.nio.file.Files.list(dir)
+        try staged.forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally staged.close()
+        java.nio.file.Files.deleteIfExists(dir)
         s.table("q48_mem")
           .select(col("window.start").as("hour"), col("cnt"), col("sum_value"))
           .orderBy("hour")

@@ -57,16 +57,31 @@ object StreamingIngest {
   /** Continuous partitioned-parquet sink via foreachBatch, reusing the
     * batch pipeline's transform + writer so stream output is
     * indistinguishable from batch output.
+    *
+    * Delivery: default append is AT-LEAST-ONCE — a batch replayed after a
+    * failure between the write and the checkpoint commit appends its rows
+    * again (the same duplicate-on-rerun contract as the reference's batch
+    * job). `exactlyOnce = true` adds a `batch_id` partition column written
+    * with dynamic partition overwrite, so a replay of batch N replaces
+    * batch N's own directories instead of duplicating them — idempotent at
+    * the cost of one extra partition level in the layout.
     */
   def writeMart(deduped: DataFrame, outputPath: String,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String, exactlyOnce: Boolean = false): DataStreamWriter[Row] =
     deduped.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 minute"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val withParts = batch.transform(Transforms.derivePartitions)
-        graft.pipeline.Sink.writePartitioned(withParts, outputPath)
+        if (exactlyOnce)
+          graft.pipeline.Sink.writePartitioned(
+            withParts.withColumn("batch_id", lit(batchId)),
+            outputPath,
+            partitionCols = Seq("year", "month", "day", "batch_id"),
+            mode = "overwrite-dynamic")
+        else
+          graft.pipeline.Sink.writePartitioned(withParts, outputPath)
       }
 
   /** Stream-stream equi + interval join with watermarks on both sides —
