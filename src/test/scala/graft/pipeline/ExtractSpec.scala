@@ -112,4 +112,21 @@ class ExtractSpec extends AnyFunSuite {
     assert(unknown.getAs[String]("country") == "VN")
     assert(unknown.getAs[Double]("latitude") == 0.0)
   }
+
+  test("enrichMeasurements composes with wrapped captures (shared lat/lon columns)") {
+    // measurements carrying their own coordinates (the S10 capture shape)
+    // must not clash with the dimension's lat/lon; the measurement value
+    // wins when present, the dimension fills the gap otherwise
+    val dim = Extract.sensorDimension(locations)
+    val measurements = Seq(
+      (37L, "2024-01-19T10:00:00Z", "pm25", 42.0, Some(10.78), Some(106.7)),
+      (37L, "2024-01-19T11:00:00Z", "pm25", 43.0, None, None))
+      .toDF("sensor_id", "datetime", "parameter", "value", "latitude", "longitude")
+    val enriched = Extract.enrichMeasurements(measurements, dim)
+    val own = enriched.filter($"datetime" === "2024-01-19T10:00:00Z").head()
+    assert(own.getAs[Double]("latitude") == 10.78)
+    val filled = enriched.filter($"datetime" === "2024-01-19T11:00:00Z").head()
+    assert(filled.getAs[Double]("latitude") == 21.05) // from the dimension
+    assert(filled.getAs[String]("city") == "Hanoi")
+  }
 }
