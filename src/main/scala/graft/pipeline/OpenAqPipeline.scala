@@ -35,6 +35,30 @@ object OpenAqPipeline {
     withSchema.json(cfg.inputPath)
   }
 
+  /** S1 with a quarantine channel: malformed NDJSON lines are captured in
+    * `_corrupt_record` (PERMISSIVE mode) and split into a side frame
+    * instead of surfacing as silent all-null rows — the visibility Glue's
+    * tolerant DynamicFrame reader gives the reference. The read is cached
+    * because Spark computes the corrupt-record column during parsing; the
+    * two filters must not re-parse divergently.
+    *
+    * @return (valid rows with the declared schema, quarantined raw lines)
+    */
+  def readRawQuarantined(spark: SparkSession, cfg: Schemas.JobConfig): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val withCorrupt = StructType(
+      Schemas.rawMeasurement.fields :+ StructField("_corrupt_record", StringType))
+    val df = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .json(cfg.inputPath)
+      .cache()
+    (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+     df.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record").as("raw_line")))
+  }
+
   /** The transform chain, input-to-mart, as one logical plan. Exposed
     * separately from [[run]] so tests and queries can apply it to any
     * long-format frame.

@@ -62,6 +62,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.count() == 2)
   }
 
+  test("quarantined read splits malformed lines from valid rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "raw.json").toPath,
+      Seq(
+        """{"location_id":18,"datetime":"2024-01-15T10:00:00Z","parameter":"pm25","value":45.5}""",
+        """{this is not json at all""",
+        """{"location_id":19,"datetime":"2024-01-15T11:00:00Z","parameter":"pm10","value":12.0}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val (good, quarantined) = OpenAqPipeline.readRawQuarantined(
+      spark, Schemas.JobConfig(inputPath = dir.getAbsolutePath, outputPath = "/unused"))
+    assert(good.count() == 2)
+    assert(good.columns.toSet == Schemas.rawMeasurement.fieldNames.toSet)
+    val bad = quarantined.collect().map(_.getString(0))
+    assert(bad.length == 1 && bad.head.startsWith("{this is not json"))
+  }
+
   test("rerun in append mode duplicates data by design (reference parity)") {
     val inDir = Files.createTempDirectory("graft-in2").toFile
     val outDir = Files.createTempDirectory("graft-out2").toFile.getAbsolutePath + "/mart"
