@@ -128,6 +128,52 @@ object Catalog {
         ORDER BY doc_id"""
   }
 
+  /** Stage the events table into a temp directory for the file-stream
+    * source (which monitors directories), tolerating both the single-file
+    * and the directory-of-part-files layouts. Caller deletes via
+    * [[dropStaged]] once the streaming query has materialized.
+    */
+  private def stageEventsDir(d: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val files = java.nio.file.Files.list(src)
+      try files.forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f))
+          java.nio.file.Files.copy(f, dir.resolve(f.getFileName.toString))
+      } finally files.close()
+    } else java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
+    dir
+  }
+
+  private def dropStaged(dir: java.nio.file.Path): Unit = {
+    val staged = java.nio.file.Files.list(dir)
+    try staged.forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally staged.close()
+    java.nio.file.Files.deleteIfExists(dir)
+  }
+
+  /** The raw events schema as the nanosAsLong reader surfaces it (ts is a
+    * nanosecond long; see [[graft.Tables.requiredConfs]]).
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Run a streaming frame to a complete-mode memory sink and return the
+    * materialized table (stopping any prior query of the same name so the
+    * entry is re-runnable).
+    */
+  private def runToMemoryTable(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
   /** J3's static lookup table (the reference hardcodes location→city; we
     * hardcode event-type→category) — shared by the q50 Column expression
     * and its generated oracle CASE so the two sides cannot drift.
@@ -984,40 +1030,15 @@ object Catalog {
     // BATCH oracle — stream/batch result parity is the correctness claim.
     "q48_stream_hour_agg" -> QueryDef(
       fn = (s, d) => {
-        // nanos-parquet ts arrives as long under nanosAsLong (see Tables)
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        // the file-stream source monitors a DIRECTORY (its real deployment
-        // shape); stage the test table into one — tolerating both the
-        // single-file layout and a directory of part-files
-        val src = java.nio.file.Paths.get(s"$d/events.parquet")
-        val dir = java.nio.file.Files.createTempDirectory("q48-stream-src")
-        if (java.nio.file.Files.isDirectory(src)) {
-          val files = java.nio.file.Files.list(src)
-          try files.forEach { f =>
-            if (java.nio.file.Files.isRegularFile(f))
-              java.nio.file.Files.copy(f, dir.resolve(f.getFileName.toString))
-          } finally files.close()
-        } else java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
-        val stream = s.readStream.schema(schema).parquet(dir.toString)
+        val dir = stageEventsDir(d)
+        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         val agg = stream
           .groupBy(window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value"))
-        s.streams.active.filter(q => Option(q.name).contains("q48_mem"))
-          .foreach(_.stop())
-        val q = agg.writeStream.format("memory").queryName("q48_mem")
-          .outputMode("complete").start()
-        q.processAllAvailable()
-        q.stop()
-        // the memory-sink table is materialized; the staging dir can go
-        val staged = java.nio.file.Files.list(dir)
-        try staged.forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally staged.close()
-        java.nio.file.Files.deleteIfExists(dir)
-        s.table("q48_mem")
+        val table = runToMemoryTable(s, agg, "q48_mem")
+        dropStaged(dir)
+        table
           .select(col("window.start").as("hour"), col("cnt"), col("sum_value"))
           .orderBy("hour")
       },
@@ -1256,7 +1277,27 @@ object Catalog {
                      row_number() OVER (PARTITION BY event_type
                                         ORDER BY value DESC, event_id) AS rn
               FROM events WHERE value IS NOT NULL)
-        WHERE rn <= 3 ORDER BY event_type, rank"""))
+        WHERE rn <= 3 ORDER BY event_type, rank""")),
+
+    // Chained stateful streaming operators: dropDuplicates state feeding a
+    // grouped count in one continuous query — the streaming twin of
+    // count(DISTINCT), checked against the batch oracle.
+    "q60_stream_dedup_count" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
+        val agg = stream
+          .select("user_id", "event_type")
+          .dropDuplicates("user_id", "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"))
+        val table = runToMemoryTable(s, agg, "q60_mem")
+        dropStaged(dir)
+        table.orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
