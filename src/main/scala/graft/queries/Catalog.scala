@@ -1297,7 +1297,24 @@ object Catalog {
       },
       oracle = Some("""
         SELECT event_type, count(DISTINCT user_id) AS n_users
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Z-order (Morton) clustering key — the multi-column layout
+    // optimization behind Delta/Iceberg Z-ORDER (ops.ZOrder). The bit
+    // interleave is generated for both engines from the same bit
+    // positions; clustering behavior (range partition + sort) is
+    // spec-asserted.
+    "q61_zorder_key" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.ZOrder.zValue(
+            pmod(col("doc_id"), lit(65536)), pmod(col("n_chars"), lit(65536)))
+            .as("z"))
+        .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id,
+               ${graft.ops.ZOrder.zValueSql("(doc_id % 65536)", "(n_chars % 65536)")} AS z
+        FROM documents ORDER BY doc_id"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
