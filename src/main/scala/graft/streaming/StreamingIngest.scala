@@ -66,23 +66,30 @@ object StreamingIngest {
     * batch N's own directories instead of duplicating them — idempotent at
     * the cost of one extra partition level in the layout.
     */
+  /** The per-batch write function behind [[writeMart]], exposed so the
+    * delivery semantics are testable without driving a real failure/replay
+    * through the checkpoint machinery.
+    */
+  def martBatchWriter(outputPath: String,
+      exactlyOnce: Boolean): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val withParts = batch.transform(Transforms.derivePartitions)
+    if (exactlyOnce)
+      graft.pipeline.Sink.writePartitioned(
+        withParts.withColumn("batch_id", lit(batchId)),
+        outputPath,
+        partitionCols = Seq("year", "month", "day", "batch_id"),
+        mode = "overwrite-dynamic")
+    else
+      graft.pipeline.Sink.writePartitioned(withParts, outputPath)
+  }
+
   def writeMart(deduped: DataFrame, outputPath: String,
       checkpoint: String, exactlyOnce: Boolean = false): DataStreamWriter[Row] =
     deduped.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 minute"))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val withParts = batch.transform(Transforms.derivePartitions)
-        if (exactlyOnce)
-          graft.pipeline.Sink.writePartitioned(
-            withParts.withColumn("batch_id", lit(batchId)),
-            outputPath,
-            partitionCols = Seq("year", "month", "day", "batch_id"),
-            mode = "overwrite-dynamic")
-        else
-          graft.pipeline.Sink.writePartitioned(withParts, outputPath)
-      }
+      .foreachBatch(martBatchWriter(outputPath, exactlyOnce))
 
   /** Stream-stream equi + interval join with watermarks on both sides —
     * the remaining Structured Streaming join shape (e.g. raw measurements

@@ -56,6 +56,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exactly-once batch writer makes replays idempotent; append duplicates") {
+    import org.apache.spark.sql.functions._
+    val batch = spark.range(4)
+      .withColumn("datetime", lit("2024-01-15T10:00:00Z").cast("timestamp"))
+      .withColumn("value", col("id").cast("double"))
+
+    val exactDir = Files.createTempDirectory("graft-eo").toFile.getAbsolutePath + "/mart"
+    val eo = StreamingIngest.martBatchWriter(exactDir, exactlyOnce = true)
+    eo(batch, 7L); eo(batch, 7L) // replay of the same batch id
+    assert(spark.read.parquet(exactDir).count() == 4)
+
+    val appendDir = Files.createTempDirectory("graft-alo").toFile.getAbsolutePath + "/mart"
+    val alo = StreamingIngest.martBatchWriter(appendDir, exactlyOnce = false)
+    alo(batch, 7L); alo(batch, 7L)
+    assert(spark.read.parquet(appendDir).count() == 8) // at-least-once by design
+  }
+
   test("stream-stream interval join matches only rows within the time bound") {
     val measDir = Files.createTempDirectory("graft-ssj-l").toFile
     val statusDir = Files.createTempDirectory("graft-ssj-r").toFile
