@@ -43,28 +43,35 @@ object Dedup {
   // ------------------------------------------------------------- MinHash
 
   /** Universal-hash parameters for the MinHash permutations, seeded and
-    * generated driver-side (tiny), inlined as literals.
+    * generated driver-side (tiny). Shared with the native expression so
+    * the two formulations cannot drift.
     *
     * Sized to stay ANSI-safe (Spark 4 defaults to ANSI mode, where long
     * overflow throws): the shingle hash is masked to 32 bits and
     * a < 2^29, so a*h + b < 2^62 — no overflow, no `try_*` needed.
     */
-  private val HashPrime = 4294967311L // smallest prime > 2^32
+  private val HashPrime = graft.functions.expressions.MinHashExpressions.HashPrime
 
-  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numHashes)(
-      (rnd.nextLong(1L << 29) + 1, rnd.nextLong(1L << 29)))
-  }
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] =
+    graft.functions.expressions.MinHashExpressions.hashParams(numHashes, seed)
 
-  /** Signature from an already-materialized masked-hash array column.
-    * IMPORTANT for performance: the 64 permutations each traverse the hash
-    * array, so the hashes must be a bound attribute (one computation per
-    * row), never an inlined subtree — higher-order functions evaluate
-    * interpreted (no whole-stage codegen), and an inlined shingle pipeline
-    * would re-tokenize the document 64 times per row.
+  /** Signature from an already-materialized masked-hash array column, via
+    * the native one-pass codegen'd expression
+    * ([[graft.functions.expressions.MinHashSig]]) — each hash is read once
+    * and all `numHashes` running minima update in a primitive loop.
     */
   def minhashSignatureFromHashes(
+      hashes32: Column,
+      numHashes: Int = 64,
+      seed: Long = 42L): Column =
+    graft.functions.expressions.MinHashExpressions
+      .signature(hashes32, numHashes, seed)
+
+  /** Reference higher-order formulation (interpreted: 64 lambda passes and
+    * 64 intermediate arrays per row) — kept for cross-checking the native
+    * expression in tests, like [[graft.functions.VectorFunctions.dotHof]].
+    */
+  def minhashSignatureHof(
       hashes32: Column,
       numHashes: Int = 64,
       seed: Long = 42L): Column =

@@ -37,6 +37,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!est.get((1L, 4L)).exists(_ > 0.5))
   }
 
+  test("native MinHashSig equals the higher-order reference formulation") {
+    val hashed = docs.select($"doc_id",
+      Dedup.maskedShingleHashes($"text", 3).as("h"))
+    val both = hashed.select($"doc_id",
+      Dedup.minhashSignatureFromHashes($"h").as("native"),
+      Dedup.minhashSignatureHof($"h").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+    assert(both.head().getSeq[Long](1).length == 64)
+  }
+
   test("minhashDedupMapping maps duplicates to canonical id") {
     val m = Dedup.minhashDedupMapping(docs, "doc_id", "text", threshold = 0.95)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("canonical_id")).toMap
