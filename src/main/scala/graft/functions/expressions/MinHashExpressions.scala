@@ -107,6 +107,79 @@ case class MinHashSig(
     copy(child = newChild)
 }
 
+/** Native 64-bit SimHash from an array of token hashes: one pass keeping
+  * 64 counters (+1 when the token hash has bit j set, −1 otherwise), then
+  * sign → bit. The higher-order form ran a 64-element `zip_with` merge PER
+  * TOKEN through the interpreter; this is a generated two-level primitive
+  * loop. Null elements are skipped; an empty array yields 0L (the
+  * higher-order aggregate's zero), a null array yields null.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          counts(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) continue;
+         |  long $h = $arr.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $counts[$j] += ((($h >> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($counts[$j] > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object MinHashExpressions {
 
   /** Universal-hash coefficients (a in [1, 2^29], b in [0, 2^29)), seeded
@@ -143,5 +216,14 @@ object MinHashExpressions {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(register(_, numHashes, seed))
     org.apache.spark.sql.functions.call_function(fnName(numHashes, seed), hashes)
+  }
+
+  /** Column form of [[SimHash64]] over a token-hash array column. */
+  def simhash64(tokenHashes: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    }
+    org.apache.spark.sql.functions.call_function("simhash64", tokenHashes)
   }
 }

@@ -172,11 +172,19 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per row: for every bit position, sum +1/-1 over token
-    * hashes, take the sign. Entirely per-row via array `aggregate` with an
-    * array accumulator — no explode, no shuffle.
+  /** 64-bit SimHash per row via the native one-pass expression
+    * ([[graft.functions.expressions.SimHash64]]) — no explode, no shuffle,
+    * codegen'd counter loop.
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.expressions.MinHashExpressions
+      .simhash64(transform(TF.tokens(text), t => xxhash64(t)))
+
+  /** Reference higher-order formulation (interpreted: a 64-element
+    * zip_with merge per token) — kept for cross-checking the native
+    * expression in tests.
+    */
+  def simhashHof(text: Column): Column = {
     val tokenHashes = transform(TF.tokens(text), t => xxhash64(t))
     val zeros = array_repeat(lit(0L), 64)
     // bit tests use Scala-level shift amounts (shiftright needs an Int);

@@ -47,6 +47,13 @@ class DedupSpec extends AnyFunSuite {
     assert(both.head().getSeq[Long](1).length == 64)
   }
 
+  test("native SimHash64 equals the higher-order reference formulation") {
+    val both = docs.select($"doc_id",
+      Dedup.simhash($"text").as("native"),
+      Dedup.simhashHof($"text").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("minhashDedupMapping maps duplicates to canonical id") {
     val m = Dedup.minhashDedupMapping(docs, "doc_id", "text", threshold = 0.95)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("canonical_id")).toMap
