@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.VecDot
+import graft.functions.expressions.{MinHashExpressions, MinHashSig, SimHash64, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,5 +22,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    // SQL surface for the default MinHash configuration (64 perms, seed 42)
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        val params = MinHashExpressions.hashParams(64, 42L)
+        MinHashSig(exprs.head, params.map(_._1), params.map(_._2),
+          MinHashExpressions.HashPrime)
+      }))
   }
 }

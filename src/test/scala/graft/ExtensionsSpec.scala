@@ -20,6 +20,13 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT vec_dot(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
                           array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS d""")
       assert(r.head().getDouble(0) == 23.0)
+      // the dedup expressions are SQL-reachable through the same hook
+      val sh = extended.sql(
+        "SELECT simhash64(array(CAST(5 AS BIGINT))) AS s").head().getLong(0)
+      assert(sh == 5L) // single hash: its set bits win every counter
+      val mh = extended.sql(
+        "SELECT minhash_sig(array(CAST(7 AS BIGINT))) AS m").head().getSeq[Long](0)
+      assert(mh.length == 64)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
