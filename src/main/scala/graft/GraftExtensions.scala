@@ -17,21 +17,32 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      // a raw exprs(i) would throw IndexOutOfBounds on too few args and
+      // silently IGNORE extra args — both worse than a clear error
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+      arity("vec_dot", 2)(exprs => VecDot(exprs(0), exprs(1)))))
     e.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-    // SQL surface for the default MinHash configuration (64 perms, seed 42)
+      arity("simhash64", 1)(exprs => SimHash64(exprs.head))))
+    // SQL surface for the engine-default MinHash configuration — the same
+    // constants the Column path defaults to, so the surfaces cannot drift
     e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => {
-        val params = MinHashExpressions.hashParams(64, 42L)
+      arity("minhash_sig", 1) { exprs =>
+        val params = MinHashExpressions.defaultParams
         MinHashSig(exprs.head, params.map(_._1), params.map(_._2),
           MinHashExpressions.HashPrime)
       }))

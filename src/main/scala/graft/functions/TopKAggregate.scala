@@ -14,13 +14,20 @@ import org.apache.spark.sql.functions.udaf
   * input partition before the shuffle — at 100 TB, the exchange carries
   * O(groups x k) instead of O(rows).
   *
-  * Ordering: score descending, id ascending on ties (the same
-  * deterministic tie-break the window form uses). Output is the sorted
-  * (score, id) list; rank = 1 + position.
+  * Ordering matches the window form exactly: score descending with
+  * Spark's sort semantics (NaN sorts GREATER than every value, so NaN
+  * rows rank first, as `desc` does), id ascending on ties; null scores
+  * or ids are skipped (as `desc_nulls_last` keeps them out of the top-k).
+  * Output is the sorted (score, id) list; rank = 1 + position.
   */
 object TopKAggregate {
 
   final case class Scored(score: Double, id: Long)
+
+  /** Boxed input row: lets the aggregator SEE null scores/ids (a primitive
+    * Double input would silently decode SQL null as 0.0 and rank it).
+    */
+  final case class ScoredIn(score: java.lang.Double, id: java.lang.Long)
 
   /** Buffer = up to k best items, kept sorted best-first (k is small; an
     * insertion into a ≤k array beats heap constant factors and keeps the
@@ -28,20 +35,21 @@ object TopKAggregate {
     */
   final case class TopKBuf(items: Seq[Scored])
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // total order via Double.compare: NaN > every value (Spark's sort
+  // semantics), -0.0 < 0.0 — so the aggregator ranks exactly as the
+  // window's ORDER BY score DESC, id ASC does
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
-  final class TopK(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+  final class TopK(k: Int) extends Aggregator[ScoredIn, TopKBuf, Seq[Scored]] {
     require(k > 0)
 
     override def zero: TopKBuf = TopKBuf(Vector.empty)
 
-    override def reduce(b: TopKBuf, a: Scored): TopKBuf =
-      // NaN scores are unrankable (every comparison is false) and would
-      // otherwise grow the buffer unboundedly — drop them like SQL ORDER BY
-      // drops nothing but ranks them nowhere useful
-      if (a == null || a.score.isNaN) b
-      else if (b.items.size >= k && !better(a, b.items.last)) b
+    private def insert(b: TopKBuf, a: Scored): TopKBuf =
+      if (b.items.size >= k && !better(a, b.items.last)) b
       else {
         val i = b.items.indexWhere(x => better(a, x)) match {
           case -1 => b.items.size
@@ -52,8 +60,12 @@ object TopKAggregate {
         TopKBuf(((b.items.take(i) :+ a) ++ b.items.drop(i)).take(k))
       }
 
+    override def reduce(b: TopKBuf, a: ScoredIn): TopKBuf =
+      if (a == null || a.score == null || a.id == null) b
+      else insert(b, Scored(a.score, a.id))
+
     override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
-      b.items.foldLeft(a)(reduce)
+      b.items.foldLeft(a)(insert)
 
     override def finish(b: TopKBuf): Seq[Scored] = b.items
 

@@ -20,9 +20,10 @@ import org.apache.spark.sql.types._
   * Semantics mirror the higher-order form: null elements are skipped; a
   * null input array yields null. (An array with no non-null elements
   * yields null — unreachable through `Dedup`, whose shingle pipeline
-  * always emits at least one hash.) Coefficients satisfy a < 2^29 and the
-  * input hashes are masked to 32 bits, so a*h + b < 2^62 — no overflow
-  * under ANSI mode.
+  * always emits at least one hash.) Inputs are masked to 32 bits HERE
+  * (harmless on pre-masked hashes, total on raw 64-bit hashes — unmasked
+  * input would otherwise overflow a*h in plain Java arithmetic and emit
+  * negative out-of-domain values); with a < 2^29, a*h + b < 2^62.
   */
 case class MinHashSig(
     child: Expression,
@@ -53,7 +54,7 @@ case class MinHashSig(
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = arr.getLong(i)
+        val h = arr.getLong(i) & 0xFFFFFFFFL
         seen = true
         var j = 0
         while (j < k) {
@@ -86,7 +87,7 @@ case class MinHashSig(
          |boolean $seen = false;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($arr.isNullAt($i)) continue;
-         |  long $h = $arr.getLong($i);
+         |  long $h = $arr.getLong($i) & 0xFFFFFFFFL;
          |  $seen = true;
          |  for (int $j = 0; $j < $k; $j++) {
          |    long $v = ($aRef[$j] * $h + $bRef[$j]) % ${prime}L;
@@ -182,6 +183,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object MinHashExpressions {
 
+  /** The engine-wide default MinHash configuration — referenced by the
+    * Column path (`Dedup`), the SQL surface (`GraftExtensions`), and the
+    * tests, so the surfaces cannot drift apart.
+    */
+  val DefaultNumHashes = 64
+  val DefaultSeed = 42L
+
   /** Universal-hash coefficients (a in [1, 2^29], b in [0, 2^29)), seeded
     * driver-side — the single source for both the expression and the
     * higher-order reference formulation.
@@ -192,6 +200,9 @@ object MinHashExpressions {
       (rnd.nextLong(1L << 29) + 1, rnd.nextLong(1L << 29)))
   }
 
+  lazy val defaultParams: Seq[(Long, Long)] =
+    hashParams(DefaultNumHashes, DefaultSeed)
+
   /** Smallest prime > 2^32 (the permutation modulus). */
   val HashPrime = 4294967311L
 
@@ -200,7 +211,10 @@ object MinHashExpressions {
   // constructor is sql-private in Spark 4 (same route as vec_dot).
   // createOrReplace is idempotent and runs at query-build time only, so no
   // registration cache is needed.
-  private def fnName(numHashes: Int, seed: Long) = s"minhash_sig_${numHashes}_$seed"
+  // hex-encode the seed: a negative seed rendered with '-' would make the
+  // function name unparseable by call_function's identifier parser
+  private def fnName(numHashes: Int, seed: Long) =
+    s"minhash_sig_${numHashes}_${java.lang.Long.toHexString(seed)}"
 
   private def register(spark: org.apache.spark.sql.SparkSession,
       numHashes: Int, seed: Long): Unit = {

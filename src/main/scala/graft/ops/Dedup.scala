@@ -62,8 +62,8 @@ object Dedup {
     */
   def minhashSignatureFromHashes(
       hashes32: Column,
-      numHashes: Int = 64,
-      seed: Long = 42L): Column =
+      numHashes: Int = graft.functions.expressions.MinHashExpressions.DefaultNumHashes,
+      seed: Long = graft.functions.expressions.MinHashExpressions.DefaultSeed): Column =
     graft.functions.expressions.MinHashExpressions
       .signature(hashes32, numHashes, seed)
 
@@ -73,8 +73,8 @@ object Dedup {
     */
   def minhashSignatureHof(
       hashes32: Column,
-      numHashes: Int = 64,
-      seed: Long = 42L): Column =
+      numHashes: Int = graft.functions.expressions.MinHashExpressions.DefaultNumHashes,
+      seed: Long = graft.functions.expressions.MinHashExpressions.DefaultSeed): Column =
     array(hashParams(numHashes, seed).map { case (a, b) =>
       array_min(transform(hashes32, h => pmod(h * lit(a) + lit(b), lit(HashPrime))))
     }: _*)
@@ -91,9 +91,9 @@ object Dedup {
     */
   def minhashSignature(
       text: Column,
-      numHashes: Int = 64,
+      numHashes: Int = graft.functions.expressions.MinHashExpressions.DefaultNumHashes,
       shingleSize: Int = 3,
-      seed: Long = 42L): Column =
+      seed: Long = graft.functions.expressions.MinHashExpressions.DefaultSeed): Column =
     minhashSignatureFromHashes(
       maskedShingleHashes(text, shingleSize), numHashes, seed)
 
@@ -111,10 +111,10 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 64,
+      numHashes: Int = graft.functions.expressions.MinHashExpressions.DefaultNumHashes,
       bands: Int = 16,
       shingleSize: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = graft.functions.expressions.MinHashExpressions.DefaultSeed): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // staged projections: tokenize+hash once per row, then permute over the
@@ -162,7 +162,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.8,
-      numHashes: Int = 64,
+      numHashes: Int = graft.functions.expressions.MinHashExpressions.DefaultNumHashes,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame =
     minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize)
@@ -263,7 +263,7 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, numPlanes: Int = 16, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = graft.functions.expressions.MinHashExpressions.DefaultSeed): DataFrame = {
     val planes = VF.makePlanes(numPlanes, dim, seed)
     // checkedDim: a dim mismatch would bucket every row to 0 (see lshTopK)
     val bucketed = df.select(col(idCol).as("id"),

@@ -24,9 +24,15 @@ object Sampling {
     f"$scaled%08x"
   }
 
-  /** True iff the key falls in the `frac`-sized bucket. */
+  /** True iff the key falls in the `frac`-sized bucket. The boundary
+    * fractions short-circuit: the hex threshold caps at 0xffffffff, so a
+    * comparison-based frac=1.0 would still exclude the ~1-in-4e9 keys
+    * whose md5 prefix is exactly ffffffff (guaranteed hits at 100 TB).
+    */
   def inSplit(key: Column, frac: Double): Column =
-    substring(md5(key.cast("string")), 1, 8) < lit(thresholdHex(frac))
+    if (frac >= 1.0) lit(true)
+    else if (frac <= 0.0) lit(false)
+    else substring(md5(key.cast("string")), 1, 8) < lit(thresholdHex(frac))
 
   /** 'train' / 'eval' label column for a train fraction. */
   def splitLabel(key: Column, trainFrac: Double): Column =

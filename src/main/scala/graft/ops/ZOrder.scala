@@ -20,15 +20,25 @@ object ZOrder {
   /** Morton code: interleave the low `bits` bits of two non-negative
     * integer columns (x gets the even bit positions, y the odd ones).
     * 2*bits <= 62 keeps the result in a positive long.
+    *
+    * Values MUST fit in `bits` bits — silently truncating would make
+    * distant rows collide on the curve and quietly destroy the pruning
+    * this layout exists for, so out-of-domain values (including negatives)
+    * raise instead. Pre-bucket wider domains: `pmod(col, 1 << bits)` or a
+    * quantile bucketizer.
     */
   def zValue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
     val xi = x.cast("long")
     val yi = y.cast("long")
-    (0 until bits).map { i =>
+    val interleaved = (0 until bits).map { i =>
       shiftright(xi, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(yi, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
+    when(shiftright(xi, bits) === 0 && shiftright(yi, bits) === 0, interleaved)
+      .otherwise(raise_error(concat(
+        lit(s"zValue: input exceeds $bits bits (or is negative): x="),
+        xi.cast("string"), lit(" y="), yi.cast("string"))))
   }
 
   /** The identical Morton code as engine-neutral SQL text, generated from
@@ -47,10 +57,14 @@ object ZOrder {
     */
   def cluster(df: DataFrame, xCol: String, yCol: String,
       numPartitions: Int, bits: Int = 16): DataFrame = {
+    // collision-free scratch column (a fixed name would silently replace
+    // and then drop a user column of the same name)
+    val zCol = Iterator.from(0).map(i => s"__graft_z$i")
+      .find(c => !df.columns.contains(c)).get
     val z = zValue(col(xCol), col(yCol), bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(numPartitions, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    df.withColumn(zCol, z)
+      .repartitionByRange(numPartitions, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol)
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.GraftSpark
-import graft.functions.TopKAggregate.{Scored, TopKBuf}
+import graft.functions.TopKAggregate.{Scored, ScoredIn}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -10,26 +10,33 @@ class TopKAggregateSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def agg(k: Int) = new TopKAggregate.TopK(k)
+  private def in(score: Double, id: Long) = ScoredIn(score, id)
 
   test("buffer never exceeds k, including exact ties with the last element") {
     val a = agg(2)
-    val b = Seq(Scored(2.0, 3L), Scored(1.0, 5L), Scored(1.0, 6L), Scored(1.0, 4L))
+    val b = Seq(in(2.0, 3L), in(1.0, 5L), in(1.0, 6L), in(1.0, 4L))
       .foldLeft(a.zero)(a.reduce)
     assert(b.items.size == 2)
     assert(b.items == Seq(Scored(2.0, 3L), Scored(1.0, 4L)))
   }
 
-  test("NaN scores are dropped, not accumulated") {
+  test("null scores/ids are skipped; NaN ranks first (window sort parity)") {
     val a = agg(2)
-    val b = (1 to 10).map(i => Scored(Double.NaN, i.toLong))
-      .foldLeft(a.reduce(a.zero, Scored(1.0, 1L)))(a.reduce)
-    assert(b.items == Seq(Scored(1.0, 1L)))
+    val withNull = Seq(ScoredIn(null, 9L), ScoredIn(5.0, null), in(1.0, 1L))
+      .foldLeft(a.zero)(a.reduce)
+    assert(withNull.items == Seq(Scored(1.0, 1L)))
+    // Spark sorts NaN greater than every double, so desc ranks it first —
+    // the aggregator must agree with the window formulation
+    val withNaN = Seq(in(Double.NaN, 7L), in(5.0, 2L))
+      .foldLeft(a.zero)(a.reduce)
+    assert(withNaN.items.head.id == 7L && withNaN.items.head.score.isNaN)
+    assert(withNaN.items(1) == Scored(5.0, 2L))
   }
 
   test("merge respects the bound and ordering") {
     val a = agg(3)
-    val left = Seq(Scored(5.0, 1L), Scored(3.0, 2L)).foldLeft(a.zero)(a.reduce)
-    val right = Seq(Scored(4.0, 3L), Scored(6.0, 4L)).foldLeft(a.zero)(a.reduce)
+    val left = Seq(in(5.0, 1L), in(3.0, 2L)).foldLeft(a.zero)(a.reduce)
+    val right = Seq(in(4.0, 3L), in(6.0, 4L)).foldLeft(a.zero)(a.reduce)
     val m = a.merge(left, right)
     assert(m.items == Seq(Scored(6.0, 4L), Scored(5.0, 1L), Scored(4.0, 3L)))
   }
