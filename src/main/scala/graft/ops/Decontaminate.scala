@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: find evaluation documents that share word
+  * n-grams with the training split — the standard benchmark-leakage check
+  * run before training on any scraped corpus.
+  *
+  * Shape at scale: explode both splits to (gram, doc) pairs, distinct the
+  * train side (set semantics), and join on the gram. The shuffle key is
+  * the gram itself — high-cardinality and uniform, no hot keys — and the
+  * train side carries one row per DISTINCT gram, not per occurrence. For
+  * 100 TB corpora, swap the raw gram string for a 64-bit hash
+  * (`xxhash64`) to shrink shuffle width; the string form here keeps the
+  * DuckDB oracle engine-portable.
+  */
+object Decontaminate {
+
+  /** Eval docs sharing at least one `shingleSize`-gram with train.
+    * @return (doc_id, n_shared_grams) — distinct shared grams per eval doc
+    */
+  def contaminated(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TF.shingles(col(textCol), shingleSize))).as("gram"))
+    val trainGrams = grams(train).select("gram").distinct()
+    grams(eval)
+      .join(trainGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+}

@@ -1314,7 +1314,35 @@ object Catalog {
       oracle = Some(s"""
         SELECT doc_id,
                ${graft.ops.ZOrder.zValueSql("(doc_id % 65536)", "(n_chars % 65536)")} AS z
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Train/eval decontamination: eval docs sharing any word 3-gram with
+    // the train split (ops.Decontaminate over the ops.Sampling hash split)
+    // — the benchmark-leakage sweep every scraped corpus needs before
+    // training. The oracle rebuilds split + shingles + overlap in SQL.
+    "q62_decontamination" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val isTrain = graft.ops.Sampling.inSplit(col("doc_id"), 0.8)
+        graft.ops.Decontaminate.contaminated(
+            docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH split AS (
+          SELECT doc_id, text,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '${graft.ops.Sampling.thresholdHex(0.8)}' AS is_train
+          FROM documents),
+        sh AS (
+          SELECT doc_id, is_train, unnest(
+            list_distinct(list_transform(generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+          FROM (SELECT doc_id, is_train, $toksSql AS toks FROM split))
+        SELECT e.doc_id, count(DISTINCT e.gram) AS n_shared_grams
+        FROM (SELECT doc_id, gram FROM sh WHERE NOT is_train) e
+        JOIN (SELECT DISTINCT gram FROM sh WHERE is_train) t USING (gram)
+        GROUP BY e.doc_id ORDER BY e.doc_id"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
