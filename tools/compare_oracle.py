@@ -33,9 +33,14 @@ def norm(df):
     return df.reset_index(drop=True)
 
 fails, passes = [], []
+import os
+
 for name, sql in sorted(oracle.items()):
+    path = f"{out_dir}/{name}.parquet"
+    if not os.path.exists(path):
+        path = f"{out_dir}/{name}"  # pre-contract layout
     try:
-        got = norm(pd.read_parquet(f"{out_dir}/{name}"))
+        got = norm(pd.read_parquet(path))
         want = norm(con.execute(sql).fetchdf())
     except Exception as e:
         fails.append((name, f"load/exec error: {e}"))
