@@ -1342,7 +1342,58 @@ object Catalog {
         SELECT e.doc_id, count(DISTINCT e.gram) AS n_shared_grams
         FROM (SELECT doc_id, gram FROM sh WHERE NOT is_train) e
         JOIN (SELECT DISTINCT gram FROM sh WHERE is_train) t USING (gram)
-        GROUP BY e.doc_id ORDER BY e.doc_id"""))
+        GROUP BY e.doc_id ORDER BY e.doc_id""")),
+
+    // End-to-end corpus curation — the composed training-data pass:
+    // language-ID filter (en) → quality filter (>= 0.5) → exact dedup
+    // (min-id survivor). One declarative plan: two per-row projections and
+    // a single fingerprint-keyed window, so Catalyst fuses the filters into
+    // the scan. Oracle rebuilt from the same marker/quality constants.
+    "q63_corpus_curation" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        val w = Window.partitionBy(TF.fingerprint(col("text"))).orderBy(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            TF.langId(col("text")).as("lang_guess"),
+            TF.qualityScore(col("text"), stops).as("quality"))
+          .filter(col("lang_guess") === "en" && col("quality") >= 0.5)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "quality")
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val langs = TF.langMarkers.toSeq.sortBy(_._1)
+        val scores = langs.map { case (l, ws) => s"${hitCountSql(ws)} AS s_$l" }.mkString(", ")
+        val best = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val cases = langs.map { case (l, _) => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'" }.mkString(" ")
+        val hits = hitCountSql(TF.langMarkers("en"))
+        s"""
+        WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        lang AS (
+          SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess
+          FROM (SELECT doc_id, $scores, $best AS best FROM base)),
+        quality AS (
+          SELECT doc_id,
+                 round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+                      + (1.0 - least(punct_ratio * 4.0, 1.0))
+                      + least(stop_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
+          FROM (SELECT doc_id, toks,
+                  CAST($hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+                  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) AS punct_ratio
+                FROM base)),
+        kept AS (
+          SELECT b.doc_id, md5(array_to_string(b.toks, ' ')) AS fp, q.quality
+          FROM base b JOIN lang l USING (doc_id) JOIN quality q USING (doc_id)
+          WHERE l.lang_guess = 'en' AND q.quality >= 0.5)
+        SELECT doc_id, quality FROM (
+          SELECT doc_id, quality,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM kept)
+        WHERE rn = 1 ORDER BY doc_id"""
+      })
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
