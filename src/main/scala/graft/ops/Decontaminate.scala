@@ -19,12 +19,25 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Eval docs sharing at least one `shingleSize`-gram with train.
+    * @param hashGrams join on the 64-bit xxhash of each gram instead of
+    *        the gram string — ~8 bytes of shuffle per gram instead of the
+    *        full text, the right trade at corpus scale (a false positive
+    *        needs an xxhash64 collision AND both grams in the corpus; at
+    *        contamination-check tolerances that is noise). Keep false for
+    *        engine-portable exact semantics (the DuckDB oracle path).
     * @return (doc_id, n_shared_grams) — distinct shared grams per eval doc
     */
   def contaminated(train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, shingleSize: Int = 3): DataFrame = {
-    def grams(df: DataFrame) = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TF.shingles(col(textCol), shingleSize))).as("gram"))
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      hashGrams: Boolean = false): DataFrame = {
+    def grams(df: DataFrame) = {
+      // explode must be a top-level select expression; hash in a second
+      // projection
+      val base = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TF.shingles(col(textCol), shingleSize))).as("g"))
+      base.select(col("doc_id"),
+        (if (hashGrams) xxhash64(col("g")) else col("g")).as("gram"))
+    }
     val trainGrams = grams(train).select("gram").distinct()
     grams(eval)
       .join(trainGrams, Seq("gram"))
