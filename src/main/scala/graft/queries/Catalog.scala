@@ -1393,7 +1393,30 @@ object Catalog {
                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
           FROM kept)
         WHERE rn = 1 ORDER BY doc_id"""
-      })
+      }),
+
+    // Unpivot (wide→long) — the inverse of the reference's core pivot
+    // (A1): melt measure columns back to (measure, value) rows. Spark's
+    // native unpivot; the oracle is the equivalent UNION ALL.
+    "q64_unpivot" -> QueryDef(
+      fn = (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, measure, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                 l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey < 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+          FROM lineitem WHERE l_orderkey < 100)
+        ORDER BY l_orderkey, l_linenumber, measure"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
