@@ -85,9 +85,10 @@ object Dedup {
       h => h.bitwiseAND(lit(0xFFFFFFFFL)))
 
   /** Per-row MinHash signature: array<long> of length `numHashes`. Shingle
-    * hashing and all permutations are higher-order array ops — zero
-    * shuffles, embarrassingly parallel. Single-expression convenience form;
-    * prefer the staged form (see [[minhashCandidates]]) in hot paths.
+    * hashing is higher-order array ops, the permutations run in the native
+    * one-pass expression — zero shuffles, embarrassingly parallel.
+    * Single-expression convenience form; prefer the staged form (see
+    * [[minhashCandidates]]) in hot paths.
     */
   def minhashSignature(
       text: Column,

@@ -23,7 +23,9 @@ class QueriesSpec extends AnyFunSuite {
 
   test("representative queries produce rows at sf0.001") {
     Seq("q01_pricing_summary", "q06_window_dedup", "q16_aqi",
-        "q22_lang_id", "q25_knn_bruteforce", "q31_region_revenue")
+        "q22_lang_id", "q25_knn_bruteforce", "q31_region_revenue",
+        "q59_topk_aggregate", "q61_zorder_key", "q63_corpus_curation",
+        "q64_unpivot")
       .foreach { name =>
         assert(SparkEntry.queries(name)(spark, sf).count() > 0, s"$name empty")
       }
