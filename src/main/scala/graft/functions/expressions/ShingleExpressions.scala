@@ -1,0 +1,95 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass masked shingle hashes from a token array: for every k-token
+  * window, hash the space-joined window with xxhash64 (seed 42 — Spark's
+  * default), mask to 32 bits, and emit the DISTINCT hashes in first-seen
+  * order.
+  *
+  * Replaces the interpreted chain `array_distinct(transform(shingles(k),
+  * xxhash64)) → mask`, whose per-shingle lambda dispatch (slice +
+  * array_join + hash as separate interpreted expressions) dominated the
+  * text pipeline. This is a `CodegenFallback` (string building doesn't
+  * lower to a simple codegen template), but the whole row is one tight
+  * JVM loop instead of 4 interpreted passes.
+  *
+  * Semantics mirror the higher-order form exactly: fewer than k tokens
+  * degrade to ONE whole-text shingle; null tokens are skipped inside a
+  * window the way `array_join` skips them; a null input array is null.
+  */
+case class ShingleHashes32(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"shingle size must be positive: $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  private def windowHash(tokens: ArrayData, start: Int, len: Int): Long = {
+    // array_join semantics: null elements are skipped, including their
+    // delimiter
+    val parts = new java.util.ArrayList[UTF8String](len)
+    var i = start
+    while (i < start + len) {
+      if (!tokens.isNullAt(i)) parts.add(tokens.getUTF8String(i))
+      i += 1
+    }
+    val joined = UTF8String.concatWs(space, parts.toArray(new Array[UTF8String](parts.size())): _*)
+    XxHash64Function.hash(joined, StringType, 42L)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    val n = tokens.numElements()
+    // the higher-order form dedupes on the UNMASKED 64-bit hash and masks
+    // afterwards — a mask-collision of two distinct hashes must survive as
+    // a duplicate masked value to stay bit-compatible
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n < k) seen.add(windowHash(tokens, 0, n))
+    else {
+      var i = 0
+      while (i <= n - k) {
+        seen.add(windowHash(tokens, i, k))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next() & 0xFFFFFFFFL; j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes32 =
+    copy(child = newChild)
+}
+
+object ShingleExpressions {
+
+  /** Column form: distinct masked 32-bit shingle hashes of a token array
+    * (registry route — Column's Expression constructor is sql-private).
+    */
+  def shingleHashes32(tokens: Column, k: Int): Column = {
+    val name = s"shingle_hashes32_$k"
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => ShingleHashes32(exprs.head, k), "built-in")
+    }
+    org.apache.spark.sql.functions.call_function(name, tokens)
+  }
+}

@@ -79,8 +79,18 @@ object Dedup {
       array_min(transform(hashes32, h => pmod(h * lit(a) + lit(b), lit(HashPrime))))
     }: _*)
 
-  /** Masked 32-bit shingle hashes (the minhash input domain). */
+  /** Masked 32-bit shingle hashes (the minhash input domain), via the
+    * native one-pass expression
+    * ([[graft.functions.expressions.ShingleHashes32]]).
+    */
   def maskedShingleHashes(text: Column, shingleSize: Int): Column =
+    graft.functions.expressions.ShingleExpressions
+      .shingleHashes32(TF.tokens(text), shingleSize)
+
+  /** Reference higher-order formulation — kept for cross-checking the
+    * native expression in tests.
+    */
+  def maskedShingleHashesHof(text: Column, shingleSize: Int): Column =
     transform(TF.shingleHashes(text, shingleSize),
       h => h.bitwiseAND(lit(0xFFFFFFFFL)))
 

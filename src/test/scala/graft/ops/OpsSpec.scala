@@ -47,6 +47,20 @@ class DedupSpec extends AnyFunSuite {
     assert(both.head().getSeq[Long](1).length == 64)
   }
 
+  test("native ShingleHashes32 equals the higher-order reference formulation") {
+    val both = docs.select($"doc_id",
+      Dedup.maskedShingleHashes($"text", 3).as("native"),
+      Dedup.maskedShingleHashesHof($"text", 3).as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+    // short text degrades to the single whole-text shingle in both forms
+    val short = Seq((1L, "just two")).toDF("doc_id", "text")
+    val s = short.select(
+      Dedup.maskedShingleHashes($"text", 3).as("native"),
+      Dedup.maskedShingleHashesHof($"text", 3).as("hof")).head()
+    assert(s.getSeq[Long](0) == s.getSeq[Long](1))
+    assert(s.getSeq[Long](0).length == 1)
+  }
+
   test("native SimHash64 equals the higher-order reference formulation") {
     val both = docs.select($"doc_id",
       Dedup.simhash($"text").as("native"),
