@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without these, sbt re-logs the forked program's stdout as `[info] ...`
+// and appends `[success] Total time...`, which breaks any consumer that
+// parses a bare JSON line from `sbt "runMain ..."` output (BENCH_r01).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,7 +45,13 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
-    spark.stop()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
+    // belt: persist to a file for consumers that can't parse sbt stdout
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
+    spark.stop() // stop BEFORE printing so the JSON is the final stdout line
+    println(line)
   }
 }

@@ -35,7 +35,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys its lookup by result-DIRECTORY name (`<name>.parquet`,
+    // see CORRECTNESS_r01.json) while humans/tools use the bare query name —
+    // emit every oracle under BOTH keys so either lookup finds it.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -731,10 +731,14 @@ object Catalog {
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
-    // Anti join (NOT EXISTS).
+    // Anti join (NOT EXISTS). The orders side is restricted to big-ticket
+    // orders (>400k; ~13% of orders) so the anti set is non-empty at every
+    // sf — 20/202/1997 customers at sf0.001/0.01/0.1. The unrestricted
+    // version returned 0 rows at sf0.01: a vacuously-passing test.
     "q33_anti_join" -> QueryDef(
       fn = (s, d) => t(s, d, "customer")
-        .join(t(s, d, "orders").select("o_custkey"),
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000)
+                .select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"))
@@ -742,7 +746,9 @@ object Catalog {
       oracle = Some("""
         SELECT c_mktsegment, count(*) AS n
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ===== SQL-text surface (S11 — the Athena entry point on spark.sql) =====
