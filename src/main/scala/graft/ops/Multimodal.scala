@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * partition, so per-partition library init — a codec, a model session —
   * is amortized across the batch).
   *
-  * The actual codec is STUBBED (`FakeCodec`): media libraries are not in
-  * this container. The stub is deterministic on the payload bytes so tests
-  * are stable; the Spark-side plumbing — schema, partitioning, batch
-  * iteration shape — is real and is what matters at scale.
+  * Decoding is two-tier: [[Multimodal.HeaderCodec]] parses real container
+  * headers (BMP, PPM/PGM, WAV) with strict magic validation — zero
+  * dependencies, bounded work per row. Payloads that are not a recognized
+  * container fall back to [[Multimodal.FakeCodec]], a deterministic
+  * pseudo-decode that keeps the synthetic fixture path (and its oracles)
+  * stable. Full pixel decode of compressed formats (JPEG/H.264/...) would
+  * need codec libraries this container doesn't ship; the Spark-side
+  * plumbing — schema, partitioning, batch iteration shape — is identical
+  * either way.
   */
 object Multimodal {
 
@@ -27,8 +32,95 @@ object Multimodal {
       media_id: Long, kind: String, byte_len: Long,
       width: Int, height: Int, n_frames: Int, checksum: Long)
 
-  /** STUB decode: deterministic pseudo-metadata from payload bytes. A real
-    * deployment swaps this object for a codec-backed one with the same
+  /** Real header decode for self-describing containers — no libraries, no
+    * allocation beyond a few ints, O(header) per row. Each parser validates
+    * magic bytes AND structural invariants before claiming a payload (a
+    * text payload can start with "BM" but cannot also carry a legal DIB
+    * header size, so the synthetic fixtures never false-positive here).
+    *
+    * Decoded triple is (width, height, n_frames); for WAV the convention
+    * is (channels, sample_rate, n_samples).
+    */
+  object HeaderCodec {
+    def sniff(payload: Array[Byte]): Option[(Int, Int, Int)] =
+      parseBmp(payload).orElse(parsePpm(payload)).orElse(parseWav(payload))
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def i16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def i32le(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+    private def sane(v: Int): Boolean = v >= 1 && v <= 65535
+
+    /** Windows BMP: "BM" + a known DIB header size at offset 14. Handles
+      * the legacy BITMAPCOREHEADER (16-bit dims) and the negative-height
+      * top-down convention of the INFO-header family.
+      */
+    private[ops] def parseBmp(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
+      val dib = i32le(b, 14)
+      val dims = dib match {
+        case 12 => Some((i16le(b, 18), i16le(b, 20))) // BITMAPCOREHEADER
+        case 40 | 52 | 56 | 64 | 108 | 124 if b.length >= 30 =>
+          Some((i32le(b, 18), math.abs(i32le(b, 22)))) // top-down = negative
+        case _ => None
+      }
+      dims.collect { case (w, h) if sane(w) && sane(h) => (w, h, 1) }
+    }
+
+    /** Netpbm P1-P6: ASCII "P<digit>", then whitespace-separated width and
+      * height with '#'-comment lines allowed anywhere in the header.
+      */
+    private[ops] def parsePpm(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 7 || b(0) != 'P' || b(1) < '1' || b(1) > '6') return None
+      if (!Character.isWhitespace(b(2))) return None
+      var i = 2
+      def nextInt(): Option[Int] = {
+        while (i < b.length && (Character.isWhitespace(b(i)) || b(i) == '#')) {
+          if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else i += 1
+        }
+        val start = i
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i == start || (i < b.length && !Character.isWhitespace(b(i)))) None
+        else Some(new String(b, start, i - start, "US-ASCII").toInt)
+      }
+      for {
+        w <- nextInt(); h <- nextInt() if sane(w) && sane(h)
+      } yield (w, h, 1)
+    }
+
+    /** RIFF/WAVE: scans the chunk list for fmt + data; returns
+      * (channels, sample_rate, data_bytes / block_align).
+      */
+    private[ops] def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 44) return None
+      if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
+      if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+      var i = 12
+      var channels, rate, blockAlign, dataLen = -1
+      while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = i32le(b, i + 4)
+        if (size < 0) return None
+        if (id == "fmt " && i + 24 <= b.length) {
+          channels = i16le(b, i + 10); rate = i32le(b, i + 12)
+          blockAlign = i16le(b, i + 20)
+        } else if (id == "data") {
+          dataLen = math.min(size, b.length - i - 8) // tolerate truncation
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (channels >= 1 && channels <= 64 && rate >= 1 && rate <= 384000 &&
+          blockAlign >= 1 && dataLen >= 0)
+        Some((channels, rate, dataLen / blockAlign))
+      else None
+    }
+  }
+
+  /** Fallback decode for payloads that are not a recognized container:
+    * deterministic pseudo-metadata from payload bytes, keeping the
+    * synthetic fixture path (and its generated oracles) stable. A real
+    * deployment swaps this for a codec-backed object with the same
     * signature; nothing else changes.
     */
   object FakeCodec {
@@ -45,6 +137,12 @@ object Multimodal {
     }
   }
 
+  /** Dispatch: real container header if the payload is one, else the
+    * deterministic fallback. Bounded per-row work either way.
+    */
+  def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
+    HeaderCodec.sniff(payload).getOrElse(FakeCodec.decode(kind, payload))
+
   /** Decode + feature-extract: one pass, per-partition codec reuse, output
     * is a fixed-schema Dataset ready for columnar write. No shuffle.
     */
@@ -53,7 +151,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init happens here (codec handles, model sessions)
       rows.map { r =>
-        val (w, h, frames) = FakeCodec.decode(r.kind, r.payload)
+        val (w, h, frames) = decode(r.kind, r.payload)
         val checksum = r.payload.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h, frames, checksum)
       }

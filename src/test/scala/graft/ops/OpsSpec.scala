@@ -186,4 +186,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idx.length <= 5)
     assert(idx.zip(idx.drop(1)).forall { case (a, b) => b - a == 10 })
   }
+
+  // --- real container headers (HeaderCodec) ---
+
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32(v: Int) =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  /** Minimal but structurally-complete 24-bit BMP. */
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val pixels = Array.fill[Byte](stride * math.abs(h))(0x7f)
+    "BM".getBytes ++ le32(54 + pixels.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(pixels.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ pixels
+  }
+
+  /** Canonical 44-byte PCM WAV header + sample data. */
+  private def wavBytes(channels: Int, rate: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val data = Array.fill[Byte](nSamples * blockAlign)(1)
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  test("HeaderCodec parses real BMP headers, including top-down negative height") {
+    assert(Multimodal.HeaderCodec.parseBmp(bmpBytes(3, 2)) == Some((3, 2, 1)))
+    assert(Multimodal.HeaderCodec.parseBmp(bmpBytes(640, -480)) == Some((640, 480, 1)))
+    // "BM"-prefixed text must NOT parse: DIB header size can't be a legal value
+    assert(Multimodal.HeaderCodec.parseBmp("BMW makes cars, not bitmaps at all".getBytes).isEmpty)
+  }
+
+  test("HeaderCodec parses PPM headers with comments") {
+    val ppm = "P6\n# a comment line\n640 480\n255\n".getBytes ++ Array[Byte](0, 1, 2)
+    assert(Multimodal.HeaderCodec.parsePpm(ppm) == Some((640, 480, 1)))
+    assert(Multimodal.HeaderCodec.parsePpm("P6x not whitespace".getBytes).isEmpty)
+    assert(Multimodal.HeaderCodec.parsePpm("Plain text file".getBytes).isEmpty)
+  }
+
+  test("HeaderCodec parses WAV fmt/data chunks into (channels, rate, samples)") {
+    assert(Multimodal.HeaderCodec.parseWav(wavBytes(2, 44100, 16, 100)) ==
+      Some((2, 44100, 100)))
+    assert(Multimodal.HeaderCodec.parseWav("RIFFxxxxJUNK then whatever else here".getBytes).isEmpty)
+  }
+
+  test("extractFeatures uses real headers when present, fallback otherwise") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "bmp", bmpBytes(320, 200)),
+      Multimodal.MediaRow(2L, "wav", wavBytes(1, 16000, 16, 480)),
+      Multimodal.MediaRow(3L, "image", "not a container".getBytes)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f(0).width == 320 && f(0).height == 200 && f(0).n_frames == 1)
+    assert(f(1).width == 1 && f(1).height == 16000 && f(1).n_frames == 480)
+    // fallback path: matches FakeCodec exactly (oracle stability)
+    val (fw, fh, ff) = Multimodal.FakeCodec.decode("image", "not a container".getBytes)
+    assert(f(2).width == fw && f(2).height == fh && f(2).n_frames == ff)
+  }
 }

@@ -129,4 +129,77 @@ class ExtractSpec extends AnyFunSuite {
     assert(filled.getAs[Double]("latitude") == 21.05) // from the dimension
     assert(filled.getAs[String]("city") == "Hanoi")
   }
+
+  // --- paginated live-source semantics (ApiSource), reference
+  // extract_api.py:38-104 (locations) and :195-270 (measurements) ---
+
+  private def locJson(id: Long, sensorId: Long) =
+    s"""{"id":$id,"name":"L$id","locality":"Hanoi","timezone":"Asia/Bangkok",
+        "country":{"id":56,"code":"VN","name":"Vietnam"},
+        "coordinates":{"latitude":21.0,"longitude":105.8},
+        "sensors":[{"id":$sensorId,"name":"s","parameter":
+          {"id":2,"name":"pm25","units":"µg/m³","displayName":"PM2.5"}}],
+        "datetimeLast":{"utc":"2024-01-19T00:00:00Z","local":"x"}}"""
+       .replaceAll("\n\\s*", "")
+
+  test("fetchAllLocations pages until the empty page and accumulates everything") {
+    val fetcher = ApiSource.FixtureFetcher(
+      locationPages = Map(
+        1 -> ApiSource.Page(Seq(locJson(1, 11), locJson(2, 12))),
+        2 -> ApiSource.Page(Seq(locJson(3, 13)))),
+      measurements = Map.empty)
+    val fetched = ApiSource.fetchAllLocations(fetcher, pageSize = 2)
+    assert(fetched.complete && fetched.pagesFetched == 2)
+    assert(fetched.rawJson.length == 3)
+    val df = ApiSource.locationsDf(spark, fetched)
+    assert(df.count() == 3)
+    // shares the downstream with the capture-file path
+    val dim = Extract.sensorDimension(df)
+    assert(dim.select("sensor_id").as[Long].collect().sorted.toSeq == Seq(11L, 12L, 13L))
+  }
+
+  test("fetchAllLocations keeps earlier pages when an HTTP error cuts pagination") {
+    val fetcher = ApiSource.FixtureFetcher(
+      locationPages = Map(
+        1 -> ApiSource.Page(Seq(locJson(1, 11))),
+        2 -> ApiSource.HttpError(500, "boom"),
+        3 -> ApiSource.Page(Seq(locJson(9, 99)))), // never reached
+      measurements = Map.empty)
+    val fetched = ApiSource.fetchAllLocations(fetcher)
+    assert(!fetched.complete && fetched.rawJson.length == 1)
+  }
+
+  test("fetchAllLocations maxPages guards against a never-empty server") {
+    val everFull = new ApiSource.PageFetcher {
+      def fetchLocationsPage(c: Int, l: Int, p: Int) = ApiSource.Page(Seq(locJson(p, p)))
+      def fetchMeasurements(s: Long, f: String, t: String, l: Int) = ApiSource.Page(Nil)
+    }
+    val fetched = ApiSource.fetchAllLocations(everFull, maxPages = 5)
+    assert(!fetched.complete && fetched.rawJson.length == 5)
+  }
+
+  test("distributed measurement fetch flattens pages and skips failed sensors") {
+    val meas =
+      """{"value":42.5,"parameter":{"id":2,"name":"pm25","units":"µg/m³","displayName":"PM2.5"},
+          "period":{"label":"1h","interval":"01:00:00",
+            "datetimeFrom":{"utc":"2024-01-19T10:00:00Z","local":"x"},
+            "datetimeTo":{"utc":"2024-01-19T11:00:00Z","local":"x"}},
+          "coordinates":{"latitude":21.0,"longitude":105.8}}""".replaceAll("\n\\s*", "")
+    val fetcher = ApiSource.FixtureFetcher(
+      locationPages = Map.empty,
+      measurements = Map(
+        11L -> ApiSource.Page(Seq(meas, meas)),
+        12L -> ApiSource.HttpError(429, "rate limited"))) // skipped, not fatal
+    val df = ApiSource.fetchMeasurementsDistributed(
+      spark, Seq(11L, 12L), fetcher, "2024-01-19T00:00:00Z", "2024-01-20T00:00:00Z")
+    val rows = df.collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[Long]("sensor_id") == 11L))
+    val r = rows.head
+    assert(r.getAs[String]("datetime") == "2024-01-19T10:00:00Z")
+    assert(r.getAs[String]("parameter") == "pm25" && r.getAs[Double]("value") == 42.5)
+    // and the shared enrichment plane accepts this frame unchanged
+    val dim = Extract.sensorDimension(ApiSource.locationsDf(spark,
+      ApiSource.LocationsFetch(Seq(locJson(1, 11)), 1, complete = true)))
+    assert(Extract.enrichMeasurements(df, dim).filter($"city" === "Hanoi").count() == 2)
+  }
 }

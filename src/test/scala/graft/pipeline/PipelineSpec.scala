@@ -103,5 +103,14 @@ class PipelineSpec extends AnyFunSuite {
     val (mart, metrics) = OpenAqPipeline.run(spark, cfg, viewName = "v3")
     assert(metrics.enrichedCount == 1)
     assert(mart.head().getAs[String]("city_name") == "Unknown")
+    // the declared-schema default path is immune by construction: same
+    // all-null input, same mart — and the all-null columns carry their
+    // declared types, not whatever inference produced
+    val declared = Schemas.JobConfig(inputPath = inDir.getAbsolutePath,
+      outputPath = Files.createTempDirectory("graft-out3b").toFile.getAbsolutePath + "/mart")
+    val (mart2, metrics2) = OpenAqPipeline.run(spark, cfg = declared, viewName = "v3b")
+    assert(metrics2.enrichedCount == 1)
+    assert(mart2.head().getAs[String]("city_name") == "Unknown")
+    assert(mart2.schema("latitude").dataType == DoubleType)
   }
 }
