@@ -43,7 +43,10 @@ object Inference {
       texts.map { t =>
         val nTokens = t.trim.split("\\s+").count(_.nonEmpty)
         val raw = nTokens.toDouble / (t.length + 1)
-        math.rint(raw * 1e6) / 1e6
+        // floor(x*1e6 + 0.5)/1e6 instead of a rounding library call: both
+        // engines run the identical double ops, so no tie-break semantics
+        // can diverge (DuckDB twin: floor(raw*1000000 + 0.5)/1000000.0)
+        math.floor(raw * 1e6 + 0.5) / 1e6
       }
   }
 

@@ -37,4 +37,39 @@ object Sampling {
   /** 'train' / 'eval' label column for a train fraction. */
   def splitLabel(key: Column, trainFrac: Double): Column =
     when(inSplit(key, trainFrac), "train").otherwise("eval")
+
+  /** Stratified keep-filter: a different deterministic sampling fraction
+    * per stratum (e.g. downsample over-represented languages, keep the
+    * rest whole — the standard corpus rebalancing move). Same hash-prefix
+    * mechanism as [[inSplit]], so it shares all its properties: re-run
+    * stable, repartition-proof, engine-portable. Unlisted strata get
+    * `defaultFrac`.
+    */
+  def stratifiedKeep(
+      key: Column,
+      stratum: Column,
+      fractions: Map[String, Double],
+      defaultFrac: Double = 1.0): Column =
+    fractions.toSeq.sortBy(_._1).foldLeft(inSplit(key, defaultFrac)) {
+      case (acc, (value, frac)) =>
+        when(stratum === value, inSplit(key, frac)).otherwise(acc)
+    }
+
+  /** DuckDB twin of [[stratifiedKeep]] as a WHERE-clause expression,
+    * generated from the same fractions map.
+    */
+  def stratifiedKeepSql(
+      keyExpr: String,
+      stratumExpr: String,
+      fractions: Map[String, Double],
+      defaultFrac: Double = 1.0): String = {
+    def cmp(frac: Double): String =
+      if (frac >= 1.0) "TRUE"
+      else if (frac <= 0.0) "FALSE"
+      else s"substring(md5(CAST($keyExpr AS VARCHAR)), 1, 8) < '${thresholdHex(frac)}'"
+    val whens = fractions.toSeq.sortBy(_._1).reverse.map { case (value, frac) =>
+      s"WHEN $stratumExpr = '$value' THEN ${cmp(frac)}"
+    }.mkString(" ")
+    s"(CASE $whens ELSE ${cmp(defaultFrac)} END)"
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Aqi, TextFunctions => TF, VectorFunctions => VF}
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Inference, Pack, Redact, Sampling, Similarity}
 import graft.pipeline.Transforms
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -43,6 +43,12 @@ object Catalog {
     Tables.load(s, dir, name)
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q69's rebalance policy — one constant feeding both engines. Defined
+    * before `all`: its oracle SQL is generated at map-construction time.
+    */
+  private[queries] val strataFractions: Map[String, Double] =
+    Map("en" -> 0.5, "zh" -> 0.8)
 
   // ---------------------------------------------------------------------
   // SQL generators shared between the Column expressions and oracle text
@@ -1422,7 +1428,108 @@ object Catalog {
           UNION ALL
           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
           FROM lineitem WHERE l_orderkey < 100)
-        ORDER BY l_orderkey, l_linenumber, measure"""))
+        ORDER BY l_orderkey, l_linenumber, measure""")),
+
+    // ===== training-pipeline extensions round 2 =====
+
+    // PII redaction (ops/Redact): structured identifiers scrubbed by a
+    // pattern table that also generates the oracle SQL. The corpus has no
+    // real PII, so both sides inject it deterministically from doc_id
+    // first — the scrub then has something non-vacuous to remove in every
+    // row, and the cleaned text is hash-compared cell-exactly.
+    "q65_pii_scrub" -> QueryDef(
+      fn = (s, d) => {
+        val pii = concat(
+          substring(col("text"), 1, 40),
+          lit(" mail u"), col("doc_id"), lit("@ex.io ip 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 tel 555-01"),
+          pmod(col("doc_id"), lit(10)))
+        t(s, d, "documents")
+          .select(col("doc_id") +:
+            (Redact.counts(pii) :+ Redact.scrub(pii).as("clean_text")): _*)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH pii AS (SELECT doc_id,
+          concat(substring(text, 1, 40), ' mail u', CAST(doc_id AS VARCHAR),
+                 '@ex.io ip 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                 '.7 tel 555-01', CAST(doc_id % 10 AS VARCHAR)) AS ptext
+          FROM documents)
+        SELECT doc_id, ${Redact.countsSql("ptext").mkString(", ")},
+               ${Redact.scrubSql("ptext")} AS clean_text
+        FROM pii ORDER BY doc_id""")),
+
+    // Repetition-ratio quality signal: distinct-token share, the cheap
+    // proxy for boilerplate/spam docs every corpus filter uses. Pure map
+    // over codegen'd array functions — no shuffle.
+    "q66_repetition" -> QueryDef(
+      fn = (s, d) => {
+        val toks = TF.tokens(col("text"))
+        val ratio = size(array_distinct(toks)).cast("double") / size(toks)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"),
+            size(toks).cast("long").as("n_tokens"),
+            round(ratio, 4).as("distinct_ratio"),
+            (ratio < 0.35).as("repetitive"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+                 AS distinct_ratio,
+               (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.35)
+                 AS repetitive
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        ORDER BY doc_id""")),
+
+    // Sequence packing (ops/Pack): concat-and-chunk into 512-token
+    // training sequences via the distributed two-phase prefix sum; the
+    // oracle is the single-window formulation, which the parallel form
+    // must reproduce exactly — this check IS the scan-algorithm proof.
+    "q67_sequence_pack" -> QueryDef(
+      fn = (s, d) => Pack.packSequences(
+          t(s, d, "documents")
+            .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512)
+        .orderBy("doc_id"),
+      oracle = Some(Pack.packSql(s"len($toksSql)", 512))),
+
+    // Batched inference plumbing (ops/Inference): fixed-size batches
+    // through mapPartitions with a deterministic SQL-expressible scorer —
+    // the oracle verifies the row↔score mapping survives batching.
+    "q68_batched_inference" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Inference.scoreBatched(
+          t(s, d, "documents").select(col("doc_id"), col("text"))
+            .as[(Long, String)],
+          new Inference.TokenDensityScorer, batchSize = 64)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               floor((CAST(len($toksSql) AS DOUBLE) / (length(text) + 1))
+                     * 1000000 + 0.5) / 1000000.0 AS score
+        FROM documents ORDER BY doc_id""")),
+
+    // Stratified sampling (ops/Sampling.stratifiedKeep): per-language
+    // deterministic downsampling — rebalance an over-represented stratum
+    // without touching the rest; hash-prefix mechanism shared with q58.
+    "q69_stratified_sample" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+          Catalog.strataFractions))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("lang"),
+      oracle = Some(s"""
+        SELECT lang, count(*) AS n, min(doc_id) AS min_id FROM documents
+        WHERE ${Sampling.stratifiedKeepSql("doc_id", "lang", strataFractions)}
+        GROUP BY lang ORDER BY lang"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

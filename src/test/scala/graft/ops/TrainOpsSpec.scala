@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.GraftSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RedactSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("scrub replaces every pattern occurrence; counts are pre-scrub") {
+    val df = Seq(
+      (1L, "write a@b.io or c.d-e@f.co.uk now"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 tel 555-0199"),
+      (3L, "clean text with no identifiers at all")).toDF("id", "text")
+    val out = df.select(col("id") +:
+      (Redact.counts(col("text")) :+ Redact.scrub(col("text")).as("clean")): _*)
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[String]("clean") == "write <EMAIL> or <EMAIL> now")
+    assert(out(0).getAs[Long]("n_email") == 2)
+    assert(out(1).getAs[String]("clean") == "host <IP> and <IP> tel <PHONE>")
+    assert(out(1).getAs[Long]("n_ipv4") == 2 && out(1).getAs[Long]("n_phone") == 1)
+    assert(out(2).getAs[String]("clean") == "clean text with no identifiers at all")
+    assert(out(2).getAs[Long]("n_email") == 0)
+  }
+
+  test("scrub order protects dotted quads from the phone pattern") {
+    // "1.2.3.4" contains no 3-digit-dash run, but "255.123-4567.9" style
+    // overlaps are resolved by scrubbing IPs before phones
+    val df = Seq((1L, "ip 10.20.30.40 then 555-123")).toDF("id", "text")
+    val clean = df.select(Redact.scrub(col("text"))).head().getString(0)
+    assert(clean == "ip <IP> then <PHONE>")
+  }
+}
+
+class PackSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("packSequences matches the serial cumsum on a known corpus") {
+    // tokens: 3,5,4,6,2 -> starts: 0,3,8,12,18; budget 8 ->
+    // seq: 0,0,1,1,2 ; offsets: 0,3,0,4,2
+    val df = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 6L), (5L, 2L))
+      .toDF("doc_id", "n_tokens")
+    val out = Pack.packSequences(df, "doc_id", "n_tokens", budget = 8,
+        numPartitions = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "seq_id", "offset_in_seq")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 0L),
+      (4L, 1L, 4L), (5L, 2L, 2L)))
+  }
+
+  test("a document longer than the budget spans sequences by start offset") {
+    val df = Seq((1L, 3L), (2L, 20L), (3L, 1L)).toDF("doc_id", "n_tokens")
+    val out = Pack.packSequences(df, "doc_id", "n_tokens", budget = 8,
+        numPartitions = 2)
+      .orderBy("doc_id").select("seq_id", "offset_in_seq")
+      .as[(Long, Long)].collect().toSeq
+    // starts 0,3,23 -> seq 0,0,2
+    assert(out == Seq((0L, 0L), (0L, 3L), (2L, 7L)))
+  }
+
+  test("result is invariant to the partition count (two-phase scan is exact)") {
+    val rows = (1L to 97L).map(i => (i, (i % 7) + 1))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val expected = Pack.packSequences(df, "doc_id", "n_tokens", 16, numPartitions = 1)
+      .orderBy("doc_id").select("doc_id", "seq_id", "offset_in_seq")
+      .as[(Long, Long, Long)].collect().toSeq
+    for (n <- Seq(2, 5, 16)) {
+      val got = Pack.packSequences(df, "doc_id", "n_tokens", 16, numPartitions = n)
+        .orderBy("doc_id").select("doc_id", "seq_id", "offset_in_seq")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"divergence at numPartitions=$n")
+    }
+  }
+}
+
+/** Top-level (not an inner class): inner classes capture the suite, which
+  * is not serializable.
+  */
+class MisalignedScorer extends Inference.Scorer {
+  def name = "bad"
+  def scoreBatch(texts: IndexedSeq[String]): IndexedSeq[Double] =
+    texts.map(_ => 0.0).dropRight(1)
+}
+
+class InferenceSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("batching preserves the row-to-score mapping across batch boundaries") {
+    val docs = (1L to 10L).map(i => (i, ("tok " * i.toInt).trim))
+    val ds = docs.toDF("doc_id", "text").as[(Long, String)]
+    val out = Inference.scoreBatched(ds, new Inference.TokenDensityScorer,
+        batchSize = 3) // 10 rows -> batches of 3,3,3,1
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    val scorer = new Inference.TokenDensityScorer
+    docs.zip(out).foreach { case ((id, text), (gotId, gotScore)) =>
+      assert(gotId == id)
+      assert(gotScore == scorer.scoreBatch(IndexedSeq(text)).head)
+    }
+  }
+
+  test("a scorer returning a misaligned batch fails loudly, not silently") {
+    val bad = new MisalignedScorer
+    val ds = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .coalesce(1).as[(Long, String)]
+    val e = intercept[Exception] {
+      Inference.scoreBatched(ds, bad, batchSize = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("scorer bad returned 1 scores for 2 inputs")))
+  }
+}
+
+class StratifiedSamplingSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("stratifiedKeep: fraction 1.0 keeps all, 0.0 drops all, mid thins") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = df.filter(Sampling.stratifiedKeep(col("id"), col("lang"),
+      Map("en" -> 0.5, "de" -> 1.0)))
+    val byLang = kept.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLang("de") == 200) // untouched stratum stays whole
+    assert(byLang("en") > 50 && byLang("en") < 150) // ~0.5 of 200
+    val none = df.filter(Sampling.stratifiedKeep(col("id"), col("lang"),
+      Map("en" -> 0.0, "de" -> 0.0)))
+    assert(none.count() == 0)
+  }
+
+  test("stratifiedKeep is a pure function of the key (repartition-stable)") {
+    val df = (1L to 300L).map(i => (i, "en")).toDF("id", "lang")
+    val f = Map("en" -> 0.4)
+    val a = df.filter(Sampling.stratifiedKeep(col("id"), col("lang"), f))
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = df.repartition(13).filter(
+        Sampling.stratifiedKeep(col("id"), col("lang"), f))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
