@@ -167,6 +167,36 @@ object Sink {
       .parquet(path)
   }
 
+  /** Small-files compaction for the partitioned mart. The reference's
+    * append-per-run layout (its own duplication quirk, reproduced by the
+    * default sink mode) accretes one file set per run per partition — the
+    * small-files problem its docs complain about
+    * (`doc/GLUE_JOBS_GUIDE.md:308-311`). Compaction rewrites the touched
+    * partitions to size-targeted files using dynamic partition overwrite,
+    * so untouched partitions are never rewritten.
+    *
+    * `partitionPredicate` scopes the rewrite (e.g. `"year = '2024' AND
+    * month = '01'"`): at 100 TB you compact recent partitions after each
+    * ingest window, never the whole table. The predicate prunes at the
+    * file listing, so only the touched partitions are even read.
+    *
+    * The `localCheckpoint` cuts the file-source lineage: (a) Spark
+    * refuses to overwrite a path it is also reading from, and (b) every
+    * row is materialized before any partition is replaced. A
+    * transactional table format would make the swap atomic; parquet-level
+    * compaction trades that for zero dependencies.
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String] = Seq("year", "month", "day"),
+      partitionPredicate: Option[String] = None): Unit = {
+    val base = spark.read.parquet(path)
+    val scoped = partitionPredicate.fold(base)(base.filter)
+    writePartitioned(scoped.localCheckpoint(), path, partitionCols,
+      mode = "overwrite-dynamic")
+  }
+
   /** S4/S5 — NDJSON sink (Spark's JSON sink is newline-delimited natively;
     * the reference hand-rolls this with `put_object`,
     * `s3_uploader.py:57-84`).

@@ -138,6 +138,12 @@ object Catalog {
     * source (which monitors directories), tolerating both the single-file
     * and the directory-of-part-files layouts. Caller deletes via
     * [[dropStaged]] once the streaming query has materialized.
+    *
+    * HARNESS PLUMBING ONLY — this driver-side file copy exists because the
+    * oracle harness hands us one static parquet file, while
+    * `readStream` needs a monitored directory. A production stream never
+    * does this: `StreamingIngest` points `readStream` straight at the
+    * landing directory and data arrives there by itself.
     */
   private def stageEventsDir(d: String): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(s"$d/events.parquet")

@@ -38,6 +38,33 @@ class SinkSpec extends AnyFunSuite {
     assert(back.filter($"day" === "d2").count() == 1) // untouched partition survives
   }
 
+  test("compactPartitions merges append-accreted small files, scoped by predicate") {
+    val out = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath + "/mart"
+    def batch(day: String, v: Double) = Seq((1L, day, v), (2L, day, v + 1))
+      .toDF("id", "day", "v")
+    // three appends -> three file sets per partition (the reference's
+    // accretion pattern)
+    for (i <- 1 to 3) {
+      Sink.writePartitioned(batch("d1", i * 1.0), out, Seq("day"), "append")
+      Sink.writePartitioned(batch("d2", i * 10.0), out, Seq("day"), "append")
+    }
+    def parquetFiles(day: String) =
+      new java.io.File(s"$out/day=$day").listFiles
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles("d1") >= 3)
+    val d2FilesBefore = parquetFiles("d2")
+    val before = spark.read.parquet(out).orderBy("day", "id", "v")
+      .collect().toSeq
+    // compact ONLY d1 — d2's files must remain untouched
+    Sink.compactPartitions(spark, out, Seq("day"),
+      partitionPredicate = Some("day = 'd1'"))
+    assert(parquetFiles("d1") == 1) // merged
+    assert(parquetFiles("d2") == d2FilesBefore) // out of scope, untouched
+    val after = spark.read.parquet(out).orderBy("day", "id", "v")
+      .collect().toSeq
+    assert(after == before) // compaction moves bytes, never rows
+  }
+
   test("writeWrapped emits the {meta,results} envelope round-trippable by readLocations-style readers") {
     val out = Files.createTempDirectory("graft-wrap").toFile.getAbsolutePath + "/wrapped"
     val df = Seq((1L, "pm25", 4.5), (2L, "pm10", 8.0)).toDF("sensor_id", "parameter", "value")

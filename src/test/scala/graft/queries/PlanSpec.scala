@@ -63,4 +63,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan)
   }
+
+  test("q65: PII scrub is map-only — no exchange before the final sort") {
+    val plan = planOf("q65_pii_scrub")
+    // exactly one Exchange (the ORDER BY's range partition); the scrub
+    // itself must not shuffle
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q67: sequence packing never funnels rows through one reducer") {
+    val plan = planOf("q67_sequence_pack")
+    // the classic failure shape is a global window:
+    // Exchange SinglePartition -> Window(ORDER BY id). The two-phase scan
+    // must keep every per-row stage parallel.
+    val single = plan.linesIterator.filter(_.contains("SinglePartition"))
+      .filterNot(_.contains("Broadcast")) // broadcast of bucket offsets is fine
+      .toList
+    assert(single.isEmpty, s"single-partition exchange in q67 plan:\n$plan")
+    assert(plan.contains("Window"), plan) // per-bucket cumsum is a window
+  }
 }
