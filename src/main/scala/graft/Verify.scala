@@ -23,9 +23,21 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracleJson(SparkEntry.oracleSql))
+    spark.stop()
+  }
+
+  /** The oracle manifest the driver reads. Two contract points, both of
+    * which cost round 1 its correctness signal when violated:
+    *  - every oracle appears under BOTH the bare query name and the
+    *    `<name>.parquet` result-directory name (the driver keys its lookup
+    *    by directory, humans/tools by query name);
+    *  - strings are escaped for strict JSON including ALL control chars —
+    *    a tab or CR in builder-authored SQL would otherwise make the
+    *    driver's json.load fail and silently zero the round.
+    */
+  def oracleJson(oracles: Map[String, String]): String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -35,13 +47,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // The driver keys its lookup by result-DIRECTORY name (`<name>.parquet`,
-    // see CORRECTNESS_r01.json) while humans/tools use the bare query name —
-    // emit every oracle under BOTH keys so either lookup finds it.
-    val json = SparkEntry.oracleSql
+    oracles
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

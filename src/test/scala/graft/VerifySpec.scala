@@ -1,0 +1,40 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver-handshake contract that cost round 1 its correctness
+  * signal: the oracle manifest must parse as strict JSON and carry every
+  * oracle under BOTH the bare name and the `<name>.parquet` directory key.
+  */
+class VerifySpec extends AnyFunSuite {
+
+  test("oracleJson emits every oracle under bare and .parquet keys") {
+    val json = Verify.oracleJson(Map(
+      "q01_agg" -> "SELECT 1",
+      "q02_join" -> "SELECT\t2 --\nmultiline \"quoted\""))
+    val node = new ObjectMapper().readTree(json) // strict-JSON parse
+    for (k <- Seq("q01_agg", "q01_agg.parquet", "q02_join", "q02_join.parquet"))
+      assert(node.has(k), s"missing key $k in $json")
+    assert(node.get("q01_agg").asText == node.get("q01_agg.parquet").asText)
+    assert(node.get("q02_join").asText == "SELECT\t2 --\nmultiline \"quoted\"")
+  }
+
+  test("the real catalog manifest parses and covers every oracle-paired query") {
+    val oracles = SparkEntry.oracleSql
+    val node = new ObjectMapper().readTree(Verify.oracleJson(oracles))
+    assert(node.size == oracles.size * 2)
+    oracles.keys.foreach { k =>
+      assert(node.has(k) && node.has(s"$k.parquet"), k)
+    }
+    // stripMargin trap (NOTES.md): a line starting with `||` loses one
+    // pipe and leaves a LONE `|` in the flattened SQL — `||` concat is
+    // fine, a single pipe is the mangling signature (no oracle uses
+    // bitwise-or or regex alternation)
+    val lonePipe = "(?<!\\|)\\|(?!\\|)".r
+    oracles.foreach { case (k, sql) =>
+      assert(lonePipe.findFirstIn(sql).isEmpty,
+        s"$k looks stripMargin-mangled (lone |): $sql")
+    }
+  }
+}
