@@ -3,7 +3,8 @@ package graft
 import graft.functions.expressions.{MinHashExpressions, MinHashSig, SimHash64, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, Literal, RegExpCount, RegExpReplace}
+import org.apache.spark.sql.types.LongType
 
 /** Session-extension hook registering the engine's native expressions at
   * session build time — the deployment-grade alternative to per-session
@@ -46,5 +47,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(exprs.head, params.map(_._1), params.map(_._2),
           MinHashExpressions.HashPrime)
       }))
+    // PII surface: the same Redact pattern table that drives the Column
+    // path and the oracle SQL, composed into stock codegen'd regexp
+    // expressions — three surfaces, one source of truth
+    e.injectFunction((
+      FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo(classOf[RegExpReplace].getName, "pii_scrub"),
+      arity("pii_scrub", 1)(exprs =>
+        graft.ops.Redact.patterns.foldLeft(exprs.head) {
+          case (acc, (_, re, tok)) => RegExpReplace(acc, Literal(re), Literal(tok))
+        })))
+    e.injectFunction((
+      FunctionIdentifier("pii_count"),
+      new ExpressionInfo(classOf[RegExpCount].getName, "pii_count"),
+      arity("pii_count", 1)(exprs =>
+        graft.ops.Redact.patterns
+          .map { case (_, re, _) =>
+            Cast(RegExpCount(exprs.head, Literal(re)), LongType): Expression
+          }
+          .reduce(Add(_, _)))))
   }
 }

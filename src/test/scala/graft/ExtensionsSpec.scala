@@ -27,6 +27,15 @@ class ExtensionsSpec extends AnyFunSuite {
       val mh = extended.sql(
         "SELECT minhash_sig(array(CAST(7 AS BIGINT))) AS m").head().getSeq[Long](0)
       assert(mh.length == 64)
+      // PII functions share ops/Redact's pattern table
+      val scrubbed = extended.sql(
+        "SELECT pii_scrub('mail a@b.io ip 10.0.0.1 tel 555-0142') AS s")
+        .head().getString(0)
+      assert(scrubbed == "mail <EMAIL> ip <IP> tel <PHONE>")
+      val n = extended.sql(
+        "SELECT pii_count('a@b.io and c@d.org at 1.2.3.4') AS n")
+        .head().getLong(0)
+      assert(n == 3L)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
