@@ -1522,6 +1522,30 @@ object Catalog {
                      * 1000000 + 0.5) / 1000000.0 AS score
         FROM documents ORDER BY doc_id""")),
 
+    // Repeated-span detection (ops/Spans): token spans shared by >= 2
+    // documents, merged into maximal spans per doc (gaps-and-islands).
+    // The substring-level dedup signal document-level dedup misses.
+    "q70_repeated_spans" -> QueryDef(
+      fn = (s, d) => graft.ops.Spans.repeatedSpans(
+          t(s, d, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start"),
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        grams AS (SELECT doc_id, i AS pos,
+                         array_to_string(toks[i:i+7], ' ') AS gram
+                  FROM toks,
+                  LATERAL (SELECT unnest(generate_series(1, len(toks)-7)) AS i) g),
+        rep AS (SELECT gram FROM grams
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        r AS (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS island
+              FROM grams WHERE gram IN (SELECT gram FROM rep))
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               count(*) AS n_grams
+        FROM r GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
+
     // Stratified sampling (ops/Sampling.stratifiedKeep): per-language
     // deterministic downsampling — rebalance an over-represented stratum
     // without touching the rest; hash-prefix mechanism shared with q58.

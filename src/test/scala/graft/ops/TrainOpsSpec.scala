@@ -115,6 +115,49 @@ class InferenceSpec extends AnyFunSuite {
   }
 }
 
+class SpansSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val shared = "alpha beta gamma delta" // 4-token block shared below
+  private lazy val docs = Seq(
+    (1L, s"one two $shared three four"),
+    (2L, s"x $shared y z w"),
+    (3L, "totally unrelated text with nothing repeated here at all"),
+    (4L, "tiny")).toDF("doc_id", "text")
+
+  test("repeatedSpans finds cross-document spans and merges adjacent grams") {
+    val out = Spans.repeatedSpans(docs, "doc_id", "text", n = 4, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: "alpha beta gamma delta" occupies tokens 3-6; the only gram
+    // shared with doc 2 is that exact block -> one span of one gram
+    assert(out == Seq((1L, 3L, 6L, 1L), (2L, 2L, 5L, 1L)))
+  }
+
+  test("adjacent repeated grams merge into one maximal span") {
+    val five = "alpha beta gamma delta epsilon" // two overlapping 4-grams
+    val d = Seq((1L, s"a $five b"), (2L, s"c d $five"))
+      .toDF("doc_id", "text")
+    val out = Spans.repeatedSpans(d, "doc_id", "text", n = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: grams at pos 2 and 3 merge -> span tokens 2..6, 2 grams
+    assert(out == Seq((1L, 2L, 6L, 2L), (2L, 3L, 7L, 2L)))
+  }
+
+  test("hashGrams=true (the at-scale shuffle key) yields identical spans") {
+    val a = Spans.repeatedSpans(docs, "doc_id", "text", n = 4, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val b = Spans.repeatedSpans(docs, "doc_id", "text", n = 4, minDocs = 2,
+        hashGrams = true)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
+
 class StratifiedSamplingSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
   import spark.implicits._
