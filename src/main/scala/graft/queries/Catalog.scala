@@ -1546,6 +1546,46 @@ object Catalog {
                count(*) AS n_grams
         FROM r GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
 
+    // TF-IDF keyword extraction, top-3 per document. Rational idf
+    // (tf * N / df, no logarithm) on purpose: both engines divide the
+    // SAME exact integers, so scores are bit-identical — a libm ln()
+    // could differ by an ulp between engines and flip a rank tie.
+    // The df dimension is |vocab| rows -> broadcast; the token explode
+    // is the op's inherent cost.
+    "q71_tfidf_keywords" -> QueryDef(
+      fn = (s, d) => {
+        val docsDf = t(s, d, "documents")
+        val n = docsDf.count() // bounded scalar (one long on the driver)
+        val tok = docsDf.select(col("doc_id"),
+          explode(TF.tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfDim = tok.groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val scored = tf.join(broadcast(dfDim), Seq("token"))
+          .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("score"), col("token"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("token"), round(col("score"), 6).as("score"))
+          .orderBy("doc_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfd AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM documents),
+        r AS (SELECT tf.doc_id, tf.token,
+                     CAST(tf.tf * nn.n AS DOUBLE) / dfd.df AS score,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf * nn.n AS DOUBLE) / dfd.df DESC,
+                                tf.token) AS rank
+              FROM tf JOIN dfd ON tf.token = dfd.token CROSS JOIN nn)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+               round(score, 6) AS score
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     // Stratified sampling (ops/Sampling.stratifiedKeep): per-language
     // deterministic downsampling — rebalance an over-represented stratum
     // without touching the rest; hash-prefix mechanism shared with q58.
