@@ -40,9 +40,13 @@ object Inference {
   final class TokenDensityScorer extends Scorer {
     def name = "token-density"
     def scoreBatch(texts: IndexedSeq[String]): IndexedSeq[Double] =
-      texts.map { t =>
+      texts.map { t0 =>
+        val t = if (t0 == null) "" else t0 // null text scores as empty
         val nTokens = t.trim.split("\\s+").count(_.nonEmpty)
-        val raw = nTokens.toDouble / (t.length + 1)
+        // code POINTS, not UTF-16 units: DuckDB's length() counts code
+        // points, so an astral char would silently diverge the oracle
+        val nChars = t.codePointCount(0, t.length)
+        val raw = nTokens.toDouble / (nChars + 1)
         // floor(x*1e6 + 0.5)/1e6 instead of a rounding library call: both
         // engines run the identical double ops, so no tie-break semantics
         // can diverge (DuckDB twin: floor(raw*1000000 + 0.5)/1000000.0)

@@ -81,7 +81,11 @@ object Multimodal {
         }
         val start = i
         while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
-        if (i == start || (i < b.length && !Character.isWhitespace(b(i)))) None
+        // >9 digits can't be a sane dimension and would overflow toInt —
+        // reject instead of throwing (this codec must never fail a task;
+        // non-containers fall back to FakeCodec)
+        if (i == start || i - start > 9 ||
+            (i < b.length && !Character.isWhitespace(b(i)))) None
         else Some(new String(b, start, i - start, "US-ASCII").toInt)
       }
       for {
@@ -96,19 +100,23 @@ object Multimodal {
       if (b.length < 44) return None
       if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
       if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-      var i = 12
+      // long cursor: a garbage chunk size near Int.MaxValue would overflow
+      // an int cursor to negative and crash the bounds checks — this codec
+      // must reject, never throw (non-containers fall back to FakeCodec)
+      var i = 12L
       var channels, rate, blockAlign, dataLen = -1
       while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
-        val id = new String(b, i, 4, "US-ASCII")
-        val size = i32le(b, i + 4)
+        val p = i.toInt
+        val id = new String(b, p, 4, "US-ASCII")
+        val size = i32le(b, p + 4)
         if (size < 0) return None
         if (id == "fmt " && i + 24 <= b.length) {
-          channels = i16le(b, i + 10); rate = i32le(b, i + 12)
-          blockAlign = i16le(b, i + 20)
+          channels = i16le(b, p + 10); rate = i32le(b, p + 12)
+          blockAlign = i16le(b, p + 20)
         } else if (id == "data") {
-          dataLen = math.min(size, b.length - i - 8) // tolerate truncation
+          dataLen = math.min(size.toLong, b.length - i - 8).toInt // tolerate truncation
         }
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        i += 8L + size.toLong + (size & 1) // chunks are word-aligned
       }
       if (channels >= 1 && channels <= 64 && rate >= 1 && rate <= 384000 &&
           blockAlign >= 1 && dataLen >= 0)

@@ -72,9 +72,13 @@ object Pack {
     val start = col("__base") + sum(col(tokensCol)).over(w) - col(tokensCol)
     parted
       .join(broadcast(offsetsDf), Seq("__bucket"))
-      .withColumn("seq_id", (start / budget).cast("long"))
-      .withColumn("offset_in_seq", (start % budget).cast("long"))
-      .drop("__bucket", "__base")
+      .withColumn("__start", start)
+      // `div` = exact integer division on longs; a double `/` would lose
+      // precision past 2^53 cumulative tokens — precisely the at-scale
+      // regime the two-phase scan exists for
+      .withColumn("seq_id", expr(s"__start div $budget"))
+      .withColumn("offset_in_seq", (col("__start") % budget).cast("long"))
+      .drop("__bucket", "__base", "__start")
   }
 
   /** DuckDB oracle twin: the single-window formulation (fine at oracle

@@ -68,7 +68,9 @@ object Sampling {
       else if (frac <= 0.0) "FALSE"
       else s"substring(md5(CAST($keyExpr AS VARCHAR)), 1, 8) < '${thresholdHex(frac)}'"
     val whens = fractions.toSeq.sortBy(_._1).reverse.map { case (value, frac) =>
-      s"WHEN $stratumExpr = '$value' THEN ${cmp(frac)}"
+      // escape embedded quotes: the Column twin handles any value, so the
+      // generated SQL must too
+      s"WHEN $stratumExpr = '${value.replace("'", "''")}' THEN ${cmp(frac)}"
     }.mkString(" ")
     s"(CASE $whens ELSE ${cmp(defaultFrac)} END)"
   }

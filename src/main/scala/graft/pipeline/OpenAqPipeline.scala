@@ -191,10 +191,22 @@ object Sink {
       path: String,
       partitionCols: Seq[String] = Seq("year", "month", "day"),
       partitionPredicate: Option[String] = None): Unit = {
-    val base = spark.read.parquet(path)
-    val scoped = partitionPredicate.fold(base)(base.filter)
-    writePartitioned(scoped.localCheckpoint(), path, partitionCols,
-      mode = "overwrite-dynamic")
+    // Partition values must round-trip as STRINGS: bare discovery would
+    // type-infer month='01' to int 1 and the rewrite would land in a NEW
+    // month=1 directory while dynamic overwrite leaves month=01 behind —
+    // every compacted row duplicated (same trap the mart re-read in `run`
+    // documents). Disabling inference keeps the directory layout
+    // byte-identical for string and int partition values alike.
+    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(confKey)
+    spark.conf.set(confKey, "false")
+    val pinned =
+      try {
+        val base = spark.read.parquet(path)
+        val scoped = partitionPredicate.fold(base)(base.filter)
+        scoped.localCheckpoint() // eager: resolves inside the conf window
+      } finally spark.conf.set(confKey, prev)
+    writePartitioned(pinned, path, partitionCols, mode = "overwrite-dynamic")
   }
 
   /** S4/S5 — NDJSON sink (Spark's JSON sink is newline-delimited natively;

@@ -1477,7 +1477,9 @@ object Catalog {
             col("doc_id"),
             size(array_distinct(toks)).cast("long").as("n_distinct"),
             size(toks).cast("long").as("n_tokens"),
-            round(ratio, 4).as("distinct_ratio"),
+            // floor-based 4-dp snap (NOTES.md): identical double ops on
+            // both engines, no round() tie-break semantics to diverge
+            (floor(ratio * 10000 + 0.5) / 10000.0).as("distinct_ratio"),
             (ratio < 0.35).as("repetitive"))
           .orderBy("doc_id")
       },
@@ -1485,8 +1487,8 @@ object Catalog {
         SELECT doc_id,
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
                CAST(len(toks) AS BIGINT) AS n_tokens,
-               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
-                 AS distinct_ratio,
+               floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                     * 10000 + 0.5) / 10000.0 AS distinct_ratio,
                (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.35)
                  AS repetitive
         FROM (SELECT doc_id, $toksSql AS toks FROM documents)
@@ -1568,7 +1570,9 @@ object Catalog {
         scored.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("doc_id"), col("rank").cast("long").as("rank"),
-            col("token"), round(col("score"), 6).as("score"))
+            col("token"),
+            // floor-based 6-dp snap: identical double ops both engines
+            (floor(col("score") * 1000000 + 0.5) / 1000000.0).as("score"))
           .orderBy("doc_id", "rank")
       },
       oracle = Some(s"""
@@ -1583,7 +1587,7 @@ object Catalog {
                                 tf.token) AS rank
               FROM tf JOIN dfd ON tf.token = dfd.token CROSS JOIN nn)
         SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
-               round(score, 6) AS score
+               floor(score * 1000000 + 0.5) / 1000000.0 AS score
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
     // Stratified sampling (ops/Sampling.stratifiedKeep): per-language

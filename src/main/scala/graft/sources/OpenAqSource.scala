@@ -189,10 +189,14 @@ private[sources] class OpenAqScan(opts: OpenAqOptions) extends Scan with Batch {
       case "locations" => Array(LocationsPartition(opts))
       case _ =>
         val n = math.max(1, math.min(opts.numPartitions, opts.sensorIds.length))
+        // each partition carries ONLY its slice: embedding the full
+        // sensorIds array in every partition would ship N copies of the
+        // whole list through task serialization
+        val slim = opts.copy(sensorIds = Array.empty)
         // round-robin slices: sensor ids are often assigned in ranges with
         // correlated data volume; striding balances better than chunking
         (0 until n).map(i =>
-          MeasurementsPartition(opts, opts.sensorIds.zipWithIndex
+          MeasurementsPartition(slim, opts.sensorIds.zipWithIndex
             .collect { case (id, j) if j % n == i => id }): InputPartition).toArray
     }
 

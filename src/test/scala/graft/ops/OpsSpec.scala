@@ -233,6 +233,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.HeaderCodec.parseWav("RIFFxxxxJUNK then whatever else here".getBytes).isEmpty)
   }
 
+  test("HeaderCodec rejects hostile headers instead of throwing (task safety)") {
+    // WAV with a chunk size near Int.MaxValue: an int cursor would
+    // overflow negative and crash the bounds checks
+    val hugeChunk = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0x7ffffff0) ++ Array.fill[Byte](24)(0)
+    assert(Multimodal.HeaderCodec.parseWav(hugeChunk).isEmpty)
+    // PPM whose dimension overflows Int: toInt would throw
+    val hugePpm = "P3\n99999999999 5\n255\n".getBytes ++ Array[Byte](0)
+    assert(Multimodal.HeaderCodec.parsePpm(hugePpm).isEmpty)
+    // and the full decode path falls back rather than failing
+    assert(Multimodal.decode("image", hugeChunk) ==
+      Multimodal.FakeCodec.decode("image", hugeChunk))
+    assert(Multimodal.decode("image", hugePpm) ==
+      Multimodal.FakeCodec.decode("image", hugePpm))
+  }
+
   test("extractFeatures uses real headers when present, fallback otherwise") {
     val media = Seq(
       Multimodal.MediaRow(1L, "bmp", bmpBytes(320, 200)),

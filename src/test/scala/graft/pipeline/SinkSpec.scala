@@ -40,28 +40,31 @@ class SinkSpec extends AnyFunSuite {
 
   test("compactPartitions merges append-accreted small files, scoped by predicate") {
     val out = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath + "/mart"
+    // ZERO-PADDED NUMERIC strings on purpose: bare partition discovery
+    // would infer day='01' back to int 1 and compaction would rewrite into
+    // a new day=1 directory, duplicating rows — the mart's real layout
+    // (lpad'ed month/day) is exactly this shape
     def batch(day: String, v: Double) = Seq((1L, day, v), (2L, day, v + 1))
       .toDF("id", "day", "v")
-    // three appends -> three file sets per partition (the reference's
-    // accretion pattern)
     for (i <- 1 to 3) {
-      Sink.writePartitioned(batch("d1", i * 1.0), out, Seq("day"), "append")
-      Sink.writePartitioned(batch("d2", i * 10.0), out, Seq("day"), "append")
+      Sink.writePartitioned(batch("01", i * 1.0), out, Seq("day"), "append")
+      Sink.writePartitioned(batch("02", i * 10.0), out, Seq("day"), "append")
     }
     def parquetFiles(day: String) =
       new java.io.File(s"$out/day=$day").listFiles
         .count(_.getName.endsWith(".parquet"))
-    assert(parquetFiles("d1") >= 3)
-    val d2FilesBefore = parquetFiles("d2")
-    val before = spark.read.parquet(out).orderBy("day", "id", "v")
-      .collect().toSeq
-    // compact ONLY d1 — d2's files must remain untouched
+    assert(parquetFiles("01") >= 3)
+    val d2FilesBefore = parquetFiles("02")
+    val before = spark.read.schema("id LONG, v DOUBLE, day STRING")
+      .parquet(out).orderBy("day", "id", "v").collect().toSeq
+    // compact ONLY day 01 — day 02's files must remain untouched
     Sink.compactPartitions(spark, out, Seq("day"),
-      partitionPredicate = Some("day = 'd1'"))
-    assert(parquetFiles("d1") == 1) // merged
-    assert(parquetFiles("d2") == d2FilesBefore) // out of scope, untouched
-    val after = spark.read.parquet(out).orderBy("day", "id", "v")
-      .collect().toSeq
+      partitionPredicate = Some("day = '01'"))
+    assert(parquetFiles("01") == 1) // merged, SAME day=01 directory
+    assert(!new java.io.File(s"$out/day=1").exists()) // no re-typed dir
+    assert(parquetFiles("02") == d2FilesBefore) // out of scope, untouched
+    val after = spark.read.schema("id LONG, v DOUBLE, day STRING")
+      .parquet(out).orderBy("day", "id", "v").collect().toSeq
     assert(after == before) // compaction moves bytes, never rows
   }
 
