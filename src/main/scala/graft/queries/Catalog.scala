@@ -1548,6 +1548,42 @@ object Catalog {
                count(*) AS n_grams
         FROM r GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
 
+    // Packed training shards: materialize q67's assignment — the docs
+    // STARTING in each 512-token window, concatenated in offset order
+    // with an <eos> separator. The groupBy key is the sequence id
+    // (uniform), and each group is a handful of docs: the canonical
+    // "write training shards" shuffle shape.
+    "q72_packed_shards" -> QueryDef(
+      fn = (s, d) => {
+        val packed = Pack.packSequences(
+          t(s, d, "documents").select(col("doc_id"), col("text"),
+            TF.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512)
+        packed.groupBy("seq_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("offset_in_seq"),
+                  col("doc_id"), col("text")))),
+                x => x.getField("text")),
+              " <eos> ").as("shard_text"))
+          .orderBy("seq_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, text, len($toksSql) AS n_tokens
+                      FROM documents),
+        cum AS (SELECT doc_id, text, n_tokens,
+                CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  - n_tokens AS start FROM toks)
+        SELECT CAST(start // 512 AS BIGINT) AS seq_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               string_agg(text, ' <eos> ' ORDER BY start % 512) AS shard_text
+        FROM cum GROUP BY 1 ORDER BY seq_id""")),
+
     // TF-IDF keyword extraction, top-3 per document. Rational idf
     // (tf * N / df, no logarithm) on purpose: both engines divide the
     // SAME exact integers, so scores are bit-identical — a libm ln()

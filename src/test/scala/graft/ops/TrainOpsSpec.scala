@@ -61,6 +61,29 @@ class PackSpec extends AnyFunSuite {
     assert(out == Seq((0L, 0L), (0L, 3L), (2L, 7L)))
   }
 
+  test("packSequences equals the serial scan on random corpora (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 40L))
+    } yield toks
+    for (seed <- 1 to 8) {
+      val tokens = gen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val rows = tokens.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      var acc = 0L
+      val serial = rows.map { case (id, t) =>
+        val start = acc; acc += t; (id, t, start / 17, start % 17)
+      }
+      val got = Pack.packSequences(rows.toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", budget = 17, numPartitions = 5)
+        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "seq_id", "offset_in_seq")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == serial, s"seed $seed diverged")
+    }
+  }
+
   test("result is invariant to the partition count (two-phase scan is exact)") {
     val rows = (1L to 97L).map(i => (i, (i % 7) + 1))
     val df = rows.toDF("doc_id", "n_tokens")
