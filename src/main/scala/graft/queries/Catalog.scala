@@ -1581,7 +1581,8 @@ object Catalog {
         SELECT CAST(start // 512 AS BIGINT) AS seq_id,
                count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-               string_agg(text, ' <eos> ' ORDER BY start % 512) AS shard_text
+               string_agg(text, ' <eos> '
+                 ORDER BY start % 512, doc_id) AS shard_text
         FROM cum GROUP BY 1 ORDER BY seq_id""")),
 
     // TF-IDF keyword extraction, top-3 per document. Rational idf
