@@ -32,6 +32,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batched inference runs unchanged under Structured Streaming (stream/batch parity)") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-stream-inf").toFile
+    val docs = Seq(
+      """{"doc_id":1,"text":"alpha beta gamma"}""",
+      """{"doc_id":2,"text":"one two three four five"}""",
+      """{"doc_id":3,"text":"  "}""")
+    writeBatch(inDir, "d1.json", docs)
+    val schema = "doc_id LONG, text STRING"
+    val stream = spark.readStream.schema(schema).json(inDir.getAbsolutePath)
+      .as[(Long, String)]
+    val scorer = new graft.ops.Inference.TokenDensityScorer
+    val q = StreamingIngest.runToMemory(
+      graft.ops.Inference.scoreBatched(stream, scorer, batchSize = 2),
+      "inf_out")
+    try {
+      val streamed = spark.table("inf_out").orderBy("doc_id")
+        .as[(Long, Double)].collect().toSeq
+      val batch = graft.ops.Inference.scoreBatched(
+          spark.read.schema(schema).json(inDir.getAbsolutePath).as[(Long, String)],
+          scorer, batchSize = 2)
+        .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+      assert(streamed == batch && streamed.length == 3)
+    } finally q.stop()
+  }
+
   test("hourly windowed aggregation emits per-hour means after watermark close") {
     val inDir = Files.createTempDirectory("graft-stream2").toFile
     writeBatch(inDir, "b1.json", Seq(
