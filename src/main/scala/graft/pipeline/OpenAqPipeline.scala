@@ -209,6 +209,33 @@ object Sink {
     writePartitioned(pinned, path, partitionCols, mode = "overwrite-dynamic")
   }
 
+  /** Per-partition layout statistics: (partition, n_files, bytes) — the
+    * input a compaction policy needs ("compact partitions with more than
+    * N files"). Driver-side filesystem listing: metadata-scale work; a
+    * deployment fronted by a metastore or a transactional table format
+    * would read the file list from there instead.
+    */
+  def layoutStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val it = fs.listFiles(root, true)
+    val rootUri = fs.makeQualified(root).toUri
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rel = rootUri.relativize(f.getPath.getParent.toUri)
+          .getPath.stripSuffix("/")
+        val (n, b) = acc.getOrElse(rel, (0L, 0L))
+        acc(rel) = (n + 1, b + f.getLen)
+      }
+    }
+    acc.toSeq
+      .map { case (p, (n, b)) => (if (p.isEmpty) "." else p, n, b) }
+      .toDF("partition", "n_files", "bytes")
+  }
+
   /** S4/S5 — NDJSON sink (Spark's JSON sink is newline-delimited natively;
     * the reference hand-rolls this with `put_object`,
     * `s3_uploader.py:57-84`).

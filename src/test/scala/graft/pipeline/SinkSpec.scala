@@ -66,6 +66,12 @@ class SinkSpec extends AnyFunSuite {
     val after = spark.read.schema("id LONG, v DOUBLE, day STRING")
       .parquet(out).orderBy("day", "id", "v").collect().toSeq
     assert(after == before) // compaction moves bytes, never rows
+    // layoutStats reads the same truth a compaction policy would act on
+    val stats = Sink.layoutStats(spark, out)
+      .orderBy("partition").as[(String, Long, Long)].collect().toSeq
+    assert(stats.map(s => s._1 -> s._2) ==
+      Seq("day=01" -> 1L, "day=02" -> d2FilesBefore.toLong))
+    assert(stats.forall(_._3 > 0))
   }
 
   test("writeWrapped emits the {meta,results} envelope round-trippable by readLocations-style readers") {
