@@ -74,6 +74,20 @@ class SinkSpec extends AnyFunSuite {
     assert(stats.forall(_._3 > 0))
   }
 
+  test("schema evolution: mergeSchema unifies batches with added columns") {
+    // the reference's schema pains (VoidType, drifting raw payloads) also
+    // show up at the parquet layer when a new field starts arriving —
+    // mergeSchema is the read-side contract for that
+    val out = Files.createTempDirectory("graft-evolve").toFile.getAbsolutePath + "/t"
+    Seq((1L, "a")).toDF("id", "x").write.mode("append").parquet(out)
+    Seq((2L, "b", 9.5)).toDF("id", "x", "score").write.mode("append").parquet(out)
+    val merged = spark.read.option("mergeSchema", true).parquet(out)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "x"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old rows: null
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
   test("writeWrapped emits the {meta,results} envelope round-trippable by readLocations-style readers") {
     val out = Files.createTempDirectory("graft-wrap").toFile.getAbsolutePath + "/wrapped"
     val df = Seq((1L, "pm25", 4.5), (2L, "pm10", 8.0)).toDF("sensor_id", "parameter", "value")
