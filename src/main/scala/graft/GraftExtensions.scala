@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(exprs.head, params.map(_._1), params.map(_._2),
           MinHashExpressions.HashPrime)
       }))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.NfcNormalize].getName,
+        "nfc_normalize"),
+      arity("nfc_normalize", 1)(exprs =>
+        graft.functions.expressions.NfcNormalize(exprs.head))))
     // PII surface: the same Redact pattern table that drives the Column
     // path and the oracle SQL, composed into stock codegen'd regexp
     // expressions — three surfaces, one source of truth

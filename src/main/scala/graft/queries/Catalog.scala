@@ -1627,6 +1627,52 @@ object Catalog {
                floor(score * 1000000 + 0.5) / 1000000.0 AS score
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // Per-source contribution cap: no single domain may contribute more
+    // than K documents — the standard anti-domination curation step. The
+    // kept subset is deterministic (md5 order, doc_id tie-break), so
+    // re-runs and both engines agree.
+    "q73_per_source_cap" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        SELECT source, count(*) AS n, min(doc_id) AS min_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10 GROUP BY source ORDER BY source""")),
+
+    // Unicode NFC normalization (native codegen'd Expression): both
+    // engines append the DECOMPOSED "cafe" + U+0301 and normalize — the
+    // composed form must come back one code point shorter, and the
+    // normalized strings hash-compare cell-exactly. chr(769) is DuckDB's
+    // spelling of the combining acute.
+    "q74_nfc_normalize" -> QueryDef(
+      fn = (s, d) => {
+        val raw = concat(col("text"), lit(" cafe\u0301")) // e + combining acute, escaped
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.expressions.NfcNormalize.nfcNormalize(raw)
+              .as("norm_text"),
+            length(raw).cast("long").as("n_chars_raw"))
+          .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               nfc_normalize(text || ' cafe' || chr(769)) AS norm_text,
+               length(text || ' cafe' || chr(769)) AS n_chars_raw,
+               length(nfc_normalize(text || ' cafe' || chr(769))) AS n_chars_norm
+        FROM documents ORDER BY doc_id""")),
+
     // Stratified sampling (ops/Sampling.stratifiedKeep): per-language
     // deterministic downsampling — rebalance an over-represented stratum
     // without touching the rest; hash-prefix mechanism shared with q58.

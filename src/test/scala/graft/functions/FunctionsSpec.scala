@@ -164,4 +164,22 @@ class AqiSpec extends AnyFunSuite {
     assert(r.getAs[String]("dom") == "pm25")
     assert(r.getAs[String]("level") == "Unhealthy for Sensitive Groups")
   }
+
+  test("nfc_normalize composes decomposed sequences; identity on normalized text") {
+    import graft.functions.expressions.NfcNormalize
+    val decomposed = "cafe\u0301" // e + combining acute
+    val composed = "caf\u00e9"   // precomposed e-acute
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "s")
+    val out = df.select(col("id"), NfcNormalize.nfcNormalize(col("s")).as("n"),
+        length(col("s")).as("raw_len"), length(NfcNormalize.nfcNormalize(col("s"))).as("norm_len"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[String]("n") == composed) // composed form wins
+    assert(out(0).getAs[Int]("raw_len") == 5 && out(0).getAs[Int]("norm_len") == 4)
+    assert(out(1).getAs[String]("n") == composed) // already normal: identity
+    assert(out(2).getAs[String]("n") == "plain ascii")
+    // dedup consequence: the two spellings fingerprint identically AFTER
+    // normalization and differently before
+    assert(decomposed != composed)
+  }
 }
