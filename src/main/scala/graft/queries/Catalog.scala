@@ -1673,6 +1673,42 @@ object Catalog {
                length(nfc_normalize(text || ' cafe' || chr(769))) AS n_chars_norm
         FROM documents ORDER BY doc_id""")),
 
+    // Overlapping document chunking (size 32, overlap 8): the window
+    // split embedding pipelines run before encoding long docs. Window
+    // starts are 1, 1+stride, ... up to n-overlap, so every token is
+    // covered and no window is pure overlap; the tail window may be
+    // short. Pure map + explode — no shuffle before the final sort.
+    "q75_doc_chunks" -> QueryDef(
+      fn = (s, d) => {
+        val sizeC = 32; val overlap = 8; val stride = sizeC - overlap
+        t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+          .withColumn("__n", size(col("__toks")))
+          .filter(col("__n") > 0)
+          .select(col("doc_id"), col("__toks"), col("__n"),
+            explode(sequence(lit(1),
+              greatest(lit(1), col("__n") - overlap), lit(stride))).as("start"))
+          .select(
+            col("doc_id"),
+            expr(s"CAST((start - 1) div $stride AS BIGINT)").as("chunk_id"),
+            array_join(slice(col("__toks"), col("start"), lit(sizeC)), " ")
+              .as("chunk_text"),
+            least(lit(sizeC), col("__n") - col("start") + 1).cast("long")
+              .as("n_chunk_tokens"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM toks
+               WHERE len(toks) > 0)
+        SELECT doc_id,
+               CAST((i - 1) // 24 AS BIGINT) AS chunk_id,
+               array_to_string(toks[i:i+31], ' ') AS chunk_text,
+               CAST(least(32, n - i + 1) AS BIGINT) AS n_chunk_tokens
+        FROM t2,
+        LATERAL (SELECT unnest(generate_series(1, greatest(1, n - 8), 24)) AS i) g
+        ORDER BY doc_id, chunk_id""")),
+
     // Stratified sampling (ops/Sampling.stratifiedKeep): per-language
     // deterministic downsampling — rebalance an over-represented stratum
     // without touching the rest; hash-prefix mechanism shared with q58.

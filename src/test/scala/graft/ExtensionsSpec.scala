@@ -36,6 +36,13 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT pii_count('a@b.io and c@d.org at 1.2.3.4') AS n")
         .head().getLong(0)
       assert(n == 3L)
+      // NFC normalization is injected too: decomposed e+U+0301 composes
+      // (\\u escapes: raw unicode in this file is encoding-fragile)
+      val norm = extended.sql(
+        "SELECT nfc_normalize('cafe\\u0301') AS s, " +
+        "length(nfc_normalize('cafe\\u0301')) AS l")
+        .head()
+      assert(norm.getString(0) == "caf\u00e9" && norm.getInt(1) == 4)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
