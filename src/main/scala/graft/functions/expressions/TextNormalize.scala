@@ -33,13 +33,8 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
       s"nfc_normalize requires a string input, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(s: Any): Any = {
-    val str = s.asInstanceOf[UTF8String].toString
-    // fast path: already-normalized text (the overwhelmingly common case)
-    // skips the rebuild allocation
-    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
-    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
-  }
+  override def nullSafeEval(s: Any): Any =
+    NfcNormalize.normalizeUtf8(s.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
@@ -50,32 +45,27 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalize {
-  /** Called from generated code; mirrors nullSafeEval's fast path. */
+  /** Shared by nullSafeEval and generated code — one body, no drift.
+    * ASCII fast path first: ASCII is trivially NFC and `numBytes ==
+    * numChars` proves pure-ASCII without decoding, so the dominant case
+    * allocates nothing; the isNormalized path still avoids the rebuild.
+    */
   def normalizeUtf8(s: UTF8String): UTF8String = {
+    if (s.numBytes() == s.numChars()) return s // pure ASCII
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 
-  // weak set: a strong set would pin every session ever registered (see
-  // VectorExpressions for the same idiom)
-  private val registeredIn: java.util.Set[org.apache.spark.sql.SparkSession] =
-    java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    if (!registeredIn.contains(spark)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
-      registeredIn.add(spark)
-    }
-  }
-
-  /** Column-level entry point (registry + `call_function`, since Column's
-    * expression constructor is sql-private in Spark 4).
+  /** Column-level entry point. Pass the session when you have one —
+    * relying on the active-session thread-local fails on worker threads.
     */
-  def nfcNormalize(c: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach(register)
-    org.apache.spark.sql.functions.call_function("nfc_normalize", c)
-  }
+  def nfcNormalize(c: Column,
+      session: Option[org.apache.spark.sql.SparkSession] = None): Column =
+    SessionFunctions.callRegistered("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), session, c)
 }

@@ -92,30 +92,18 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
 object VectorExpressions {
 
-  // weak set: a strong set would pin every session ever registered for the
-  // JVM lifetime — a steady leak in services that build short-lived sessions
-  private val registeredIn: java.util.Set[org.apache.spark.sql.SparkSession] =
-    java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
-
-  /** Register `vec_dot` in the session's function registry (idempotent);
-    * makes the expression available to both SQL text and `call_function`.
+  /** Register `vec_dot` in the session's function registry (idempotent —
+    * createOrReplace at query-build time, no cache needed); makes the
+    * expression available to both SQL text and `call_function`.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    if (!registeredIn.contains(spark)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
-      registeredIn.add(spark)
-    }
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
 
-  /** Column-level entry point for the codegen'd dot product. Column's
-    * expression constructor is sql-private in Spark 4, so the public
-    * route is registry + `call_function`; registration piggybacks on the
-    * active session.
+  /** Column-level entry point for the codegen'd dot product (shared
+    * registry route — see [[SessionFunctions]]).
     */
-  def vecDot(a: Column, b: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach(register)
-    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
-  }
+  def vecDot(a: Column, b: Column): Column =
+    SessionFunctions.callRegistered("vec_dot",
+      exprs => VecDot(exprs(0), exprs(1)), None, a, b)
 }

@@ -50,6 +50,14 @@ object Catalog {
   private[queries] val strataFractions: Map[String, Double] =
     Map("en" -> 0.5, "zh" -> 0.8)
 
+  /** q75's chunking geometry — one set of constants feeding both the
+    * Column expressions and the interpolated oracle SQL (also defined
+    * before `all` for the same init-order reason).
+    */
+  private[queries] val ChunkSize = 32
+  private[queries] val ChunkOverlap = 8
+  private[queries] val ChunkStride = ChunkSize - ChunkOverlap
+
   // ---------------------------------------------------------------------
   // SQL generators shared between the Column expressions and oracle text
 
@@ -1660,7 +1668,8 @@ object Catalog {
         val raw = concat(col("text"), lit(" cafe\u0301")) // e + combining acute, escaped
         t(s, d, "documents")
           .select(col("doc_id"),
-            graft.functions.expressions.NfcNormalize.nfcNormalize(raw)
+            graft.functions.expressions.NfcNormalize
+              .nfcNormalize(raw, session = Some(s)) // pin: no thread-local reliance
               .as("norm_text"),
             length(raw).cast("long").as("n_chars_raw"))
           .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
@@ -1680,20 +1689,20 @@ object Catalog {
     // short. Pure map + explode — no shuffle before the final sort.
     "q75_doc_chunks" -> QueryDef(
       fn = (s, d) => {
-        val sizeC = 32; val overlap = 8; val stride = sizeC - overlap
         t(s, d, "documents")
           .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
           .withColumn("__n", size(col("__toks")))
           .filter(col("__n") > 0)
           .select(col("doc_id"), col("__toks"), col("__n"),
             explode(sequence(lit(1),
-              greatest(lit(1), col("__n") - overlap), lit(stride))).as("start"))
+              greatest(lit(1), col("__n") - ChunkOverlap),
+              lit(ChunkStride))).as("start"))
           .select(
             col("doc_id"),
-            expr(s"CAST((start - 1) div $stride AS BIGINT)").as("chunk_id"),
-            array_join(slice(col("__toks"), col("start"), lit(sizeC)), " ")
+            expr(s"CAST((start - 1) div $ChunkStride AS BIGINT)").as("chunk_id"),
+            array_join(slice(col("__toks"), col("start"), lit(ChunkSize)), " ")
               .as("chunk_text"),
-            least(lit(sizeC), col("__n") - col("start") + 1).cast("long")
+            least(lit(ChunkSize), col("__n") - col("start") + 1).cast("long")
               .as("n_chunk_tokens"))
           .orderBy("doc_id", "chunk_id")
       },
@@ -1702,11 +1711,12 @@ object Catalog {
         t2 AS (SELECT doc_id, toks, len(toks) AS n FROM toks
                WHERE len(toks) > 0)
         SELECT doc_id,
-               CAST((i - 1) // 24 AS BIGINT) AS chunk_id,
-               array_to_string(toks[i:i+31], ' ') AS chunk_text,
-               CAST(least(32, n - i + 1) AS BIGINT) AS n_chunk_tokens
+               CAST((i - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+               array_to_string(toks[i:i+${ChunkSize - 1}], ' ') AS chunk_text,
+               CAST(least($ChunkSize, n - i + 1) AS BIGINT) AS n_chunk_tokens
         FROM t2,
-        LATERAL (SELECT unnest(generate_series(1, greatest(1, n - 8), 24)) AS i) g
+        LATERAL (SELECT unnest(generate_series(1,
+                   greatest(1, n - $ChunkOverlap), $ChunkStride)) AS i) g
         ORDER BY doc_id, chunk_id""")),
 
     // Stratified sampling (ops/Sampling.stratifiedKeep): per-language

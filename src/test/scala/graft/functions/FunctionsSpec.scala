@@ -165,6 +165,12 @@ class AqiSpec extends AnyFunSuite {
     assert(r.getAs[String]("level") == "Unhealthy for Sensitive Groups")
   }
 
+}
+
+class NfcNormalizeSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
   test("nfc_normalize composes decomposed sequences; identity on normalized text") {
     import graft.functions.expressions.NfcNormalize
     val decomposed = "cafe\u0301" // e + combining acute
