@@ -1194,6 +1194,66 @@ object Catalog {
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name, year(l_shipdate) ORDER BY n_name, ship_year""")),
 
+    // Grouped mean/variance/stddev via EXACT integer moments: S1=sum(c),
+    // S2=sum(c^2) over integer cents are exact long sums (order-free),
+    // and every downstream double op — including sqrt, which IEEE-754
+    // requires to be correctly rounded, unlike ln — runs identically on
+    // both engines. This is how you get distributed second moments
+    // without Welford-merge FP nondeterminism. S1*S1 is computed in
+    // doubles (it can exceed long range; identical doubles → identical
+    // product on both sides).
+    "q76_group_stats" -> QueryDef(
+      fn = (s, d) => {
+        val c = cents(col("value"))
+        val agged = t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy("event_type")
+          .agg(count(col("value")).as("n"),
+            sum(c).as("__s1"), sum(c * c).as("__s2"))
+        val s1 = col("__s1").cast("double")
+        val s2 = col("__s2").cast("double")
+        val nD = col("n").cast("double")
+        val varC = (s2 - s1 * s1 / nD) / (nD - 1) // sample variance, cents^2
+        def snap6(x: org.apache.spark.sql.Column) =
+          floor(x * 1000000 + 0.5) / 1000000.0
+        agged.select(col("event_type"), col("n"),
+            snap6(s1 / 100.0 / nD).as("mean_value"),
+            snap6(varC / 10000.0).as("var_value"),
+            snap6(sqrt(varC) / 100.0).as("std_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH m AS (SELECT event_type, count(value) AS n,
+                     CAST(sum(${centsSql("value")}) AS DOUBLE) AS s1,
+                     CAST(sum(${centsSql("value")} * ${centsSql("value")})
+                          AS DOUBLE) AS s2
+                   FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        SELECT event_type, n,
+               floor((s1 / 100.0 / n) * 1000000 + 0.5) / 1000000.0
+                 AS mean_value,
+               floor(((s2 - s1 * s1 / n) / (n - 1) / 10000.0)
+                     * 1000000 + 0.5) / 1000000.0 AS var_value,
+               floor((sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100.0)
+                     * 1000000 + 0.5) / 1000000.0 AS std_value
+        FROM m ORDER BY event_type""")),
+
+    // Fixed-width histogram of event values (25-unit buckets, capped
+    // tail): corpus/metric profiling — exact integer bucket math, one
+    // partial-agg shuffle.
+    "q77_value_histogram" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("bucket",
+          least(floor(col("value") / 25.0), lit(12.0)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      oracle = Some("""
+        SELECT CAST(least(floor(value / 25.0), 12) AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1 ORDER BY bucket""")),
+
     // Exact interpolated percentiles per group (both engines implement the
     // same (n-1)*q linear interpolation; 4-dp round absorbs the last bit).
     "q54_percentiles" -> QueryDef(
