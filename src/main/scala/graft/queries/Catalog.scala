@@ -1237,6 +1237,52 @@ object Catalog {
                      * 1000000 + 0.5) / 1000000.0 AS std_value
         FROM m ORDER BY event_type""")),
 
+    // Per-group Pearson correlation via exact CROSS moments — the q76
+    // technique extended: Sx, Sy, Sxx, Syy, Sxy are exact long sums over
+    // cents, the correlation formula then runs on identical doubles
+    // (sqrt only — no ln). Distributed corr without merge-order drift.
+    "q78_group_corr" -> QueryDef(
+      fn = (s, d) => {
+        val x = cents(col("l_quantity"))
+        val y = cents(col("l_extendedprice"))
+        // second moments sum in DECIMAL(38,0): sum(price_cents^2) already
+        // sits at 7.4e18 of long's 9.2e18 at sf0.1 — one 10x scale-up
+        // from an ANSI overflow. Per-row products still fit long exactly.
+        val agged = t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("__sx"), sum(y).as("__sy"),
+            sum((x * x).cast("decimal(38,0)")).as("__sxx"),
+            sum((y * y).cast("decimal(38,0)")).as("__syy"),
+            sum((x * y).cast("decimal(38,0)")).as("__sxy"))
+        val nD = col("n").cast("double")
+        def d6(c: org.apache.spark.sql.Column) =
+          floor(c * 1000000 + 0.5) / 1000000.0
+        val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+        val cov = col("__sxy").cast("double") - sx * sy / nD
+        val vx = col("__sxx").cast("double") - sx * sx / nD
+        val vy = col("__syy").cast("double") - sy * sy / nD
+        agged.select(col("l_returnflag"), col("n"),
+            d6(cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some(s"""
+        WITH m AS (SELECT l_returnflag, count(*) AS n,
+            CAST(sum(${centsSql("l_quantity")}) AS DOUBLE) AS sx,
+            CAST(sum(${centsSql("l_extendedprice")}) AS DOUBLE) AS sy,
+            CAST(sum(${centsSql("l_quantity")} * ${centsSql("l_quantity")})
+                 AS DOUBLE) AS sxx,
+            CAST(sum(${centsSql("l_extendedprice")} * ${centsSql("l_extendedprice")})
+                 AS DOUBLE) AS syy,
+            CAST(sum(${centsSql("l_quantity")} * ${centsSql("l_extendedprice")})
+                 AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               floor(((sxy - sx * sy / n)
+                      / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)))
+                     * 1000000 + 0.5) / 1000000.0 AS corr_qty_price
+        FROM m ORDER BY l_returnflag""")),
+
     // Fixed-width histogram of event values (25-unit buckets, capped
     // tail): corpus/metric profiling — exact integer bucket math, one
     // partial-agg shuffle.

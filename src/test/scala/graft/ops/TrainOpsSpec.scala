@@ -171,6 +171,43 @@ class SpansSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 6L, 2L), (2L, 3L, 7L, 2L)))
   }
 
+  test("repeatedSpans equals a serial reference on random corpora (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("a", "b", "c", "d") // tiny vocab forces collisions
+    val docGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val corpusGen = Gen.choose(2, 8).flatMap(k => Gen.listOfN(k, docGen))
+    val n = 3
+    for (seed <- 1 to 6) {
+      val corpus = corpusGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case (toks, i) => ((i + 1).toLong, toks) }
+      // serial reference: sliding grams, keep grams in >=2 docs, merge
+      // adjacent positions per doc into (start, end, count) islands
+      val grams = corpus.flatMap { case (id, toks) =>
+        toks.sliding(n).zipWithIndex.collect {
+          case (g, i) if g.size == n => (id, i + 1, g.mkString(" "))
+        }
+      }
+      val repeated = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expected = grams.filter(g => repeated(g._3))
+        .groupBy(_._1).toSeq.flatMap { case (id, gs) =>
+          val pos = gs.map(_._2).sorted
+          pos.foldLeft(List.empty[(Long, Long, Long, Long)]) {
+            case ((d, s, e, c) :: tail, p) if p == e - (n - 1) + 1 =>
+              (d, s, p + (n - 1).toLong, c + 1) :: tail
+            case (acc, p) => (id, p.toLong, p + (n - 1).toLong, 1L) :: acc
+          }.reverse
+        }.sortBy(t => (t._1, t._2))
+      val df = corpus.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Spans.repeatedSpans(df, "doc_id", "text", n = n, minDocs = 2)
+        .orderBy("doc_id", "span_start")
+        .select("doc_id", "span_start", "span_end", "n_grams")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"seed $seed: got $got, expected $expected")
+    }
+  }
+
   test("hashGrams=true (the at-scale shuffle key) yields identical spans") {
     val a = Spans.repeatedSpans(docs, "doc_id", "text", n = 4, minDocs = 2)
       .orderBy("doc_id", "span_start").collect().toSeq
