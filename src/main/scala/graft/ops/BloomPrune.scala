@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.functions.expressions.SessionFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter join pruning: shrink the big (fact) side of a shuffle join
+  * BEFORE the exchange using a compact sketch of the small side's keys —
+  * the manual, composable twin of Catalyst's injected runtime filter, for
+  * the shapes the optimizer's heuristics skip (pre-computed dimension key
+  * sets, anti-join acceleration, reusing one sketch across stages).
+  *
+  * Why it matters at 100 TB: a fact⋈dim shuffle join exchanges the ENTIRE
+  * fact side even when the dim side matches 1% of its keys. Probing a
+  * sketch of the dim keys map-side drops ~99% of fact rows before they are
+  * serialized into the exchange. False positives pass the probe but are
+  * removed by the exact join that follows, so results are exact for any
+  * fpp; false negatives are impossible by bloom-filter construction.
+  *
+  * Mechanics: the sketch is built by Spark's own mergeable
+  * [[BloomFilterAggregate]] (partial-aggregated per partition — no
+  * single-point build), and the probe is the codegen'd O(1)
+  * [[BloomFilterMightContain]], embedded as a binary literal so it stays
+  * inside whole-stage codegen. The sketch is the only driver-resident
+  * state (`numBits/8` bytes; the default 1 MiB covers ~1M keys at ~1%
+  * fpp) — the same bounded-collect shape as IVF's centroid matrix, and
+  * exactly what Catalyst's InjectRuntimeFilter materializes through its
+  * scalar subquery.
+  *
+  * Keys are probed as longs (`xxhash64` any non-long key first — both
+  * sides identically).
+  */
+object BloomPrune {
+
+  /** Default expected distinct keys for sketch sizing — deliberately
+    * generous: an oversized bloom just wastes a few hundred KiB; an
+    * undersized one silently degrades to pass-through (fpp→1).
+    */
+  val DefaultExpectedItems = 1000000L
+
+  /** SQL-surface + Column-path aggregate building a bloom sketch of a long
+    * key column (binary result). Registered per expectedItems value as
+    * `bloom_agg_<n>`.
+    */
+  def bloomAgg(key: Column, expectedItems: Long = DefaultExpectedItems,
+      session: Option[SparkSession] = None): Column = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    SessionFunctions.callRegistered(s"bloom_agg_$expectedItems",
+      exprs => {
+        require(exprs.length == 1, s"bloom_agg expects 1 argument, got ${exprs.length}")
+        // raw AggregateFunction — the analyzer wraps it in an
+        // AggregateExpression, same as built-in registry entries
+        new BloomFilterAggregate(exprs.head, expectedItems)
+      },
+      session, key)
+  }
+
+  /** Codegen'd sketch-membership probe: false ⇒ key definitely absent,
+    * true ⇒ key present or a false positive. `bloom` must be foldable
+    * (e.g. `lit(sketchBytes)`) or a scalar subquery.
+    */
+  def bloomContains(bloom: Column, key: Column,
+      session: Option[SparkSession] = None): Column =
+    SessionFunctions.callRegistered("bloom_contains",
+      exprs => {
+        require(exprs.length == 2, s"bloom_contains expects 2 arguments, got ${exprs.length}")
+        BloomFilterMightContain(exprs.head, exprs(1))
+      },
+      session, bloom, key)
+
+  /** Build the serialized sketch of a frame's long key column — a
+    * distributed mergeable aggregate whose single binary result is
+    * returned to the caller.
+    */
+  def sketch(dim: DataFrame, dimKey: Column,
+      expectedItems: Long = DefaultExpectedItems): Array[Byte] =
+    dim.select(bloomAgg(dimKey.cast("long"), expectedItems,
+        Some(dim.sparkSession)).as("bloom"))
+      .head.getAs[Array[Byte]]("bloom")
+
+  /** Exact semi join with map-side bloom pruning: `fact` rows whose
+    * `factKey` appears in `dim.dimKey`. The bloom probe prunes the fact
+    * side before its exchange; the exact semi join removes the sketch's
+    * false positives.
+    */
+  def prunedSemiJoin(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedItems: Long = DefaultExpectedItems): DataFrame = {
+    val bytes = sketch(dim, col(dimKey), expectedItems)
+    val session = Some(fact.sparkSession)
+    val dimKeys = dim.select(col(dimKey).as("__bloom_key")).distinct()
+    fact
+      .filter(bloomContains(lit(bytes), col(factKey).cast("long"), session))
+      .join(dimKeys, col(factKey) === col("__bloom_key"), "left_semi")
+  }
+}

@@ -40,6 +40,49 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  // -------------------------------------------------- incremental (batch)
+
+  /** Incremental dedup: rows of `incoming` whose content fingerprint does
+    * NOT already appear in `corpus` — the production shape where each new
+    * crawl batch is checked against the standing corpus instead of
+    * re-deduplicating everything. Returns (fingerprint, idCol) for the
+    * genuinely-new rows. One anti-join keyed by the 16-byte fingerprint;
+    * the corpus side would be a pre-computed fingerprint index in a real
+    * deployment, so only fingerprints ever shuffle.
+    */
+  def newDocs(incoming: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    incoming
+      .select(col(idCol), TF.fingerprint(col(textCol)).as("fingerprint"))
+      .join(corpus.select(TF.fingerprint(col(textCol)).as("fingerprint")).distinct(),
+        Seq("fingerprint"), "left_anti")
+
+  /** [[newDocs]] accelerated with a bloom sketch of the corpus
+    * fingerprints — same exact result, different shuffle shape: rows whose
+    * fingerprint the sketch rejects are DEFINITELY new (bloom filters have
+    * no false negatives) and bypass the anti-join entirely; only the
+    * "maybe duplicate" sliver is joined. At 100 TB, where most of each
+    * incoming batch is novel, this turns a full-batch shuffle into a
+    * small-fraction shuffle at the cost of one ~1 MiB sketch broadcast.
+    */
+  def newDocsBloom(incoming: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String,
+      expectedItems: Long = BloomPrune.DefaultExpectedItems): DataFrame = {
+    val session = Some(incoming.sparkSession)
+    val corpusFp = corpus.select(TF.fingerprint(col(textCol)).as("fingerprint"))
+    val bytes = BloomPrune.sketch(corpusFp, xxhash64(col("fingerprint")), expectedItems)
+    val inFp = incoming
+      .select(col(idCol), TF.fingerprint(col(textCol)).as("fingerprint"))
+    val probe =
+      BloomPrune.bloomContains(lit(bytes), xxhash64(col("fingerprint")), session)
+    val definitelyNew = inFp.filter(!probe)
+    val maybeDup = inFp.filter(probe)
+      .join(corpusFp.distinct(), Seq("fingerprint"), "left_anti")
+    definitelyNew.unionByName(maybeDup)
+      // same column order as newDocs (whose using-join fronts the key)
+      .select(col("fingerprint"), col(idCol))
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Universal-hash parameters for the MinHash permutations, seeded and
@@ -263,6 +306,25 @@ object Dedup {
       // ≤ 9 decimals (2^a·5^b denominators) — rounding at 9 can never sit
       // on a half-way boundary, keeping engines bit-consistent
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
+  }
+
+  /** n-gram CONTAINMENT on candidate pairs: |A∩B| / min(|A|,|B|). Catches
+    * the subset-duplication Jaccard misses — a short document wholly
+    * embedded in a long one scores ~1.0 here but low Jaccard (the union
+    * denominator drowns it). Same join shape and 9-dp provably-safe
+    * rounding as [[ngramJaccard]].
+    */
+  def ngramContainment(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      TF.shingleHashes(col(textCol), shingleSize).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment", col("inter").cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"), round(col("containment"), 9).as("containment"))
   }
 
   // --------------------------------------------------- embedding near-dup

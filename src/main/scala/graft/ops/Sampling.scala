@@ -55,6 +55,91 @@ object Sampling {
         when(stratum === value, inSplit(key, frac)).otherwise(acc)
     }
 
+  // ------------------------------------------------------- corpus mixing
+
+  /** Candidate epoch count for a weight: the number of replica slots a row
+    * gets before the keep-filter (weight 2.5 → epochs 0,1,2; the last is
+    * fractionally sampled). Weight 0 still gets one slot so the filter —
+    * not an empty `sequence` — decides, keeping the plan a pure
+    * explode+filter.
+    */
+  private[ops] def epochSlots(w: Double): Int = math.max(math.ceil(w).toInt, 1)
+
+  /** Deterministic per-epoch membership: like [[inSplit]] but salted with
+    * the epoch index, so a row's replicas are sampled independently
+    * (md5("id#0") and md5("id#1") are unrelated).
+    */
+  private def inEpochSplit(key: Column, epoch: Column, frac: Double): Column =
+    if (frac >= 1.0) lit(true)
+    else if (frac <= 0.0) lit(false)
+    else substring(md5(concat(key.cast("string"), lit("#"), epoch.cast("string"))),
+      1, 8) < lit(thresholdHex(frac))
+
+  /** Weighted corpus mixing — the training-mix op: each stratum (source,
+    * language, domain) is up- or down-weighted by a real-valued factor.
+    * Weight w replicates every row floor(w) times and adds one more copy
+    * for a deterministic (w - floor(w)) fraction of keys; w < 1
+    * downsamples. Output = input columns + `epoch` (long, 0-based replica
+    * index).
+    *
+    * Same guarantees as [[inSplit]]: re-run/retry stable, survives
+    * repartitioning, engine-portable. Each input row expands to at most
+    * ceil(max weight) rows with no shuffle — explode + filter, fully
+    * map-side.
+    */
+  def corpusMix(
+      df: org.apache.spark.sql.DataFrame,
+      stratum: Column,
+      key: Column,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      s"negative weight in $weights / $defaultWeight")
+    def keepCond(epoch: Column, w: Double): Column = {
+      val whole = math.floor(w).toLong
+      (epoch < lit(whole)) || inEpochSplit(key, epoch, w - whole)
+    }
+    val slots: Column = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(epochSlots(defaultWeight))) { case (acc, (v, w)) =>
+        when(stratum === v, lit(epochSlots(w))).otherwise(acc)
+      }
+    val keep: Column = weights.toSeq.sortBy(_._1)
+      .foldLeft(keepCond(col("epoch"), defaultWeight)) { case (acc, (v, w)) =>
+        when(stratum === v, keepCond(col("epoch"), w)).otherwise(acc)
+      }
+    df.withColumn("epoch",
+        explode(sequence(lit(0L), slots.cast("long") - 1L)))
+      .filter(keep)
+  }
+
+  /** DuckDB twin of [[corpusMix]], generated from the same weights map:
+    * (epochSlotsCase, keepCase) SQL fragments. Assemble as
+    * `SELECT ..., unnest(generate_series(0, <slots> - 1)) AS epoch`
+    * then `WHERE <keep>`.
+    */
+  def corpusMixSql(
+      keyExpr: String,
+      stratumExpr: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): (String, String) = {
+    def keepSql(w: Double): String = {
+      val whole = math.floor(w).toLong
+      val frac = w - whole
+      val fracSql =
+        if (frac >= 1.0) "TRUE"
+        else if (frac <= 0.0) "FALSE"
+        else s"substring(md5(CAST($keyExpr AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)), 1, 8) < '${thresholdHex(frac)}'"
+      s"(epoch < $whole OR $fracSql)"
+    }
+    def cases(f: Double => String): String = {
+      val whens = weights.toSeq.sortBy(_._1).map { case (v, w) =>
+        s"WHEN $stratumExpr = '${v.replace("'", "''")}' THEN ${f(w)}"
+      }.mkString(" ")
+      s"(CASE $whens ELSE ${f(defaultWeight)} END)"
+    }
+    (cases(w => epochSlots(w).toString), cases(keepSql))
+  }
+
   /** DuckDB twin of [[stratifiedKeep]] as a WHERE-clause expression,
     * generated from the same fractions map.
     */

@@ -58,6 +58,14 @@ object Catalog {
   private[queries] val ChunkOverlap = 8
   private[queries] val ChunkStride = ChunkSize - ChunkOverlap
 
+  /** q81's mixing policy — one constant feeding both engines (defined
+    * before `all` for the same init-order reason as [[strataFractions]]).
+    * Exercises every weight shape: integer upsample, fractional upsample,
+    * downsample, drop, and the implicit default 1.0.
+    */
+  private[queries] val mixWeights: Map[String, Double] =
+    Map("src0" -> 2.0, "src1" -> 2.5, "src2" -> 0.25, "src3" -> 0.0)
+
   // ---------------------------------------------------------------------
   // SQL generators shared between the Column expressions and oracle text
 
@@ -140,6 +148,22 @@ object Catalog {
         FROM (SELECT doc_id, lang, $scores, $best AS best
               FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
         ORDER BY doc_id"""
+  }
+
+  /** DuckDB SELECT computing each document's quality score — the same
+    * formula (and 4-dp rounding) as [[TF.qualityScore]] and q21's oracle,
+    * shared so q83's curriculum bucketing cannot drift from the scorer.
+    */
+  private def qualitySelectSql: String = {
+    val hits = hitCountSql(TF.langMarkers("en"))
+    s"""SELECT doc_id, round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+              + (1.0 - least(punct_ratio * 4.0, 1.0))
+              + least(stop_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
+        FROM (SELECT doc_id, toks,
+                CAST($hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+                CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) AS punct_ratio
+              FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))"""
   }
 
   /** Stage the events table into a temp directory for the file-stream
@@ -1838,7 +1862,172 @@ object Catalog {
       oracle = Some(s"""
         SELECT lang, count(*) AS n, min(doc_id) AS min_id FROM documents
         WHERE ${Sampling.stratifiedKeepSql("doc_id", "lang", strataFractions)}
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ===== round-3 scale operators =====
+
+    // Bloom-filter join pruning (the manual runtime filter): orders are
+    // probed map-side against a mergeable sketch of the BUILDING
+    // customers' keys BEFORE any exchange — at scale that drops ~4/5 of
+    // the fact side before it is serialized into the shuffle — then the
+    // exact semi join removes the sketch's false positives, so the result
+    // is exact at any fpp. Oracle: the plain semi join.
+    "q79_bloom_prune_join" -> QueryDef(
+      fn = (s, d) => {
+        val dim = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        graft.ops.BloomPrune.prunedSemiJoin(
+            t(s, d, "orders"), "o_custkey", dim, "c_custkey",
+            expectedItems = 100000L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, count(*) AS n,
+               ${sumSql("o_totalprice")} AS sum_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Incremental dedup — the production shape: each new crawl batch
+    // (doc_id % 5 = 0 here) is checked against the standing corpus instead
+    // of re-deduplicating everything. The bloom-accelerated path short-
+    // circuits definitely-new rows past the anti-join (no false negatives);
+    // the result is provably identical to the plain anti-join the oracle
+    // expresses.
+    "q80_incremental_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val incoming = docs.filter(col("doc_id") % 5 === 0)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        Dedup.newDocsBloom(incoming, corpus, "doc_id", "text")
+          .select(col("doc_id"), col("fingerprint"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH fp AS (SELECT doc_id,
+                           md5(array_to_string($toksSql, ' ')) AS fingerprint
+                    FROM documents)
+        SELECT i.doc_id, i.fingerprint
+        FROM fp i
+        WHERE i.doc_id % 5 = 0
+          AND NOT EXISTS (SELECT 1 FROM fp c
+                          WHERE c.doc_id % 5 <> 0
+                            AND c.fingerprint = i.fingerprint)
+        ORDER BY doc_id""")),
+
+    // Weighted corpus mixing: per-source up/down-weighting by replication
+    // + deterministic fractional sampling (explode + filter — fully
+    // map-side, no shuffle before the final agg). Weights cover integer
+    // upsample (x2), fractional upsample (x2.5), downsample (x0.25), drop
+    // (x0), and the implicit default x1.
+    "q81_corpus_mix" -> QueryDef(
+      fn = (s, d) => Sampling
+        .corpusMix(t(s, d, "documents"), col("source"), col("doc_id"), mixWeights)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct("doc_id").as("n_docs"),
+             max("epoch").as("max_epoch"))
+        .orderBy("source"),
+      oracle = Some {
+        val (slotsSql, keepSql) = Sampling.corpusMixSql("doc_id", "source", mixWeights)
+        s"""SELECT source, count(*) AS n_rows,
+                   count(DISTINCT doc_id) AS n_docs, max(epoch) AS max_epoch
+            FROM (SELECT source, doc_id,
+                         unnest(generate_series(0, CAST($slotsSql AS BIGINT) - 1)) AS epoch
+                  FROM documents)
+            WHERE $keepSql
+            GROUP BY source ORDER BY source"""
+      }),
+
+    // Global token vocabulary with corpus + document frequencies, top-50 —
+    // the tokenizer-training precursor. explode → one shuffle on the token
+    // key with partial aggregation; top-k is TakeOrderedAndProject.
+    "q82_vocab_topk" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("n_docs"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(50),
+      oracle = Some(s"""
+        SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
+    // Curriculum bucketing: exact ntile(8) over (quality DESC, doc_id)
+    // via the two-phase distributed rank (range partition + local
+    // row_number + base offsets) — NOT the single-reducer global window.
+    // Oracle: DuckDB's native ntile window, which the distributed form
+    // must reproduce bucket-for-bucket.
+    "q83_curriculum_ntile" -> QueryDef(
+      fn = (s, d) => {
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"),
+            TF.qualityScore(col("text"), TF.langMarkers("en")).as("quality"))
+        graft.ops.Ranking
+          .ntileExact(scored, 8, Seq(col("quality").desc, col("doc_id").asc))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min("quality").as("min_quality"),
+               max("quality").as("max_quality"), min("doc_id").as("min_id"))
+          .orderBy("bucket")
+      },
+      oracle = Some(s"""
+        WITH q AS ($qualitySelectSql),
+        b AS (SELECT doc_id, quality,
+                     CAST(ntile(8) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS bucket
+              FROM q)
+        SELECT bucket, count(*) AS n, min(quality) AS min_quality,
+               max(quality) AS max_quality, min(doc_id) AS min_id
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // n-gram CONTAINMENT (|A∩B| / min(|A|,|B|)) on candidate pairs — the
+    // subset-duplication detector Jaccard misses. Same adjacent-id pair
+    // construction and provably-safe 9-dp rounding as q28.
+    "q84_ngram_containment" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = docs.select(col("doc_id").as("id_a"),
+                                (col("doc_id") + 1).as("id_b"))
+        Dedup.ngramContainment(pairs, docs, "doc_id", "text")
+          .select("id_a", "id_b", "containment")
+          .orderBy("id_a")
+      },
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE),
+                     9) AS containment
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ORDER BY id_a""")),
+
+    // Salted fact⋈dim join (lineitem⋈orders on a salted key): the
+    // hot-key mitigation for broadcast-ineligible joins, result-invariant
+    // by construction — the oracle is the plain join. Salting trades
+    // 8x replication of the (much smaller) right side for an 8-way split
+    // of every hot left key.
+    "q85_salted_join" -> QueryDef(
+      fn = (s, d) => {
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.ops.Skew.saltedJoin(t(s, d, "lineitem"), orders,
+            "l_orderkey", saltBuckets = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, count(*) AS n,
+               ${revenueSql("l_extendedprice", "l_discount")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -247,3 +247,82 @@ class StratifiedSamplingSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 }
+
+class CorpusMixSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1L to n.toLong).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+
+  test("integer weights replicate exactly; zero drops; default passes through") {
+    val out = Sampling.corpusMix(docs(400), col("src"), col("id"),
+      Map("src0" -> 3.0, "src1" -> 0.0), defaultWeight = 1.0)
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == 300)        // 100 ids x 3 epochs
+    assert(!bySrc.contains("src1"))     // dropped stratum vanishes
+    assert(bySrc("src2") == 100 && bySrc("src3") == 100)
+  }
+
+  test("fractional weight lands near the expected rate, deterministically") {
+    val out = Sampling.corpusMix(docs(2000), col("src"), col("id"),
+      Map("src0" -> 1.5), defaultWeight = 1.0)
+    val n = out.filter(col("src") === "src0").count()
+    assert(n > 600 && n < 900) // 500 ids x 1.5 = 750 expected
+    // same inputs -> bit-identical output (pure function of key+epoch)
+    val again = Sampling.corpusMix(docs(2000).repartition(17), col("src"), col("id"),
+      Map("src0" -> 1.5), defaultWeight = 1.0)
+    assert(again.filter(col("src") === "src0").count() == n)
+  }
+
+  test("epoch replicas are sampled independently (epoch salt in the hash)") {
+    val out = Sampling.corpusMix(docs(2000), col("src"), col("id"),
+      Map("src0" -> 0.5), defaultWeight = 0.5)
+    // if the epoch were NOT in the hash, weight 0.5 at epoch 0 would keep
+    // the identical id set as a second run with different epoch counts;
+    // here we just sanity-check the rate per epoch
+    val perEpoch = out.groupBy("epoch").count().as[(Long, Long)].collect().toMap
+    assert(perEpoch.keySet == Set(0L))
+    assert(perEpoch(0L) > 700 && perEpoch(0L) < 1300) // ~0.5 of 2000
+  }
+}
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val corpusDocs = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "epsilon zeta eta theta"),
+    (3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+  // 10 duplicates corpus doc 1 (modulo whitespace), 11/12 are novel
+  private val incoming = Seq(
+    (10L, "alpha  beta gamma   delta"),
+    (11L, "nu xi omicron pi"),
+    (12L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+
+  test("newDocs keeps only fingerprints absent from the corpus") {
+    val out = Dedup.newDocs(incoming, corpusDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 12L))
+  }
+
+  test("newDocsBloom returns exactly the plain anti-join result") {
+    val plain = Dedup.newDocs(incoming, corpusDocs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val bloom = Dedup.newDocsBloom(incoming, corpusDocs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(bloom == plain)
+  }
+
+  test("ngramContainment flags a short doc embedded in a long one") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "zero one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val row = Dedup.ngramContainment(pairs, docs, "doc_id", "text")
+      .select("containment").as[Double].head()
+    assert(row == 1.0) // every 3-gram of doc 1 appears in doc 2
+  }
+}
