@@ -84,4 +84,35 @@ class PlanSpec extends AnyFunSuite {
     assert(single.isEmpty, s"single-partition exchange in q67 plan:\n$plan")
     assert(plan.contains("Window"), plan) // per-bucket cumsum is a window
   }
+
+  test("q79: bloom probe filters the fact side before its exchange") {
+    val plan = planOf("q79_bloom_prune_join")
+    // the codegen'd sketch probe must appear as a plain Filter on the
+    // orders scan — map-side, ahead of any join exchange
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q82: vocabulary top-k plans as TakeOrderedAndProject") {
+    val plan = planOf("q82_vocab_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // token counting partial-aggregates before the shuffle
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q83: distributed ntile never funnels rows through one reducer") {
+    val plan = planOf("q83_curriculum_ntile")
+    val single = plan.linesIterator.filter(_.contains("SinglePartition"))
+      .filterNot(_.contains("Broadcast")) // broadcast of base offsets is fine
+      .toList
+    assert(single.isEmpty, s"single-partition exchange in q83 plan:\n$plan")
+  }
+
+  test("q81: corpus mix is map-only before the final aggregate") {
+    val plan = planOf("q81_corpus_mix")
+    // explode + keep-filter must not shuffle; the only exchanges belong to
+    // the grouped aggregate (hash) and final ORDER BY (range)
+    assert(plan.linesIterator.exists(_.trim.startsWith("+- Generate")), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }
