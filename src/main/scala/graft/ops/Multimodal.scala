@@ -43,12 +43,15 @@ object Multimodal {
     */
   object HeaderCodec {
     def sniff(payload: Array[Byte]): Option[(Int, Int, Int)] =
-      parseBmp(payload).orElse(parsePpm(payload)).orElse(parseWav(payload))
+      parseBmp(payload).orElse(parsePng(payload)).orElse(parsePpm(payload))
+        .orElse(parseWav(payload))
 
     private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
     private def i16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
     private def i32le(b: Array[Byte], i: Int): Int =
       u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+    private def i32be(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
     private def sane(v: Int): Boolean = v >= 1 && v <= 65535
 
     /** Windows BMP: "BM" + a known DIB header size at offset 14. Handles
@@ -65,6 +68,22 @@ object Multimodal {
         case _ => None
       }
       dims.collect { case (w, h) if sane(w) && sane(h) => (w, h, 1) }
+    }
+
+    /** PNG: the fixed 8-byte signature, then the mandatory IHDR first
+      * chunk (13-byte payload, big-endian dims at offsets 16/20). The
+      * signature's \x89 high bit + CRLF/LF bytes make text false-positives
+      * impossible; we still verify the IHDR tag and length.
+      */
+    private[ops] def parsePng(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 24) return None
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      var i = 0
+      while (i < 8) { if (u8(b, i) != (sig(i) & 0xff)) return None; i += 1 }
+      if (i32be(b, 8) != 13) return None // IHDR payload is always 13 bytes
+      if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return None
+      val (w, h) = (i32be(b, 16), i32be(b, 20))
+      if (sane(w) && sane(h)) Some((w, h, 1)) else None
     }
 
     /** Netpbm P1-P6: ASCII "P<digit>", then whitespace-separated width and

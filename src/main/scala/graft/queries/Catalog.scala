@@ -2027,7 +2027,24 @@ object Catalog {
         SELECT o_orderpriority, count(*) AS n,
                ${revenueSql("l_extendedprice", "l_discount")} AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Exact heavy hitters via a bounded Misra-Gries summary + exact
+    // verification pass: the exchange carries O(partitions x k) counters
+    // instead of one row per distinct token — the vocabulary-scale-proof
+    // form of GROUP BY ... HAVING. Result is exactly the HAVING query.
+    "q86_heavy_hitters" -> QueryDef(
+      fn = (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(TF.tokens(col("text"))).as("token"))
+        graft.ops.HeavyHitters.heavyHitters(toks, col("token"), minCount = 500L)
+          .select(col("item").as("token"), col("n"))
+          .orderBy("token")
+      },
+      oracle = Some(s"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest($toksSql) AS token FROM documents)
+        GROUP BY token HAVING count(*) >= 500 ORDER BY token"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -227,6 +227,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.HeaderCodec.parsePpm("Plain text file".getBytes).isEmpty)
   }
 
+  test("HeaderCodec parses PNG IHDR dimensions and rejects near-misses") {
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      def be(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        be(13) ++ "IHDR".getBytes ++ be(w) ++ be(h) ++
+        Array[Byte](8, 6, 0, 0, 0) // bit depth + color type + crc filler
+    }
+    assert(Multimodal.HeaderCodec.parsePng(pngBytes(1920, 1080)) == Some((1920, 1080, 1)))
+    // valid signature but a corrupt IHDR length must not parse
+    val bad = pngBytes(10, 10); bad(11) = 14
+    assert(Multimodal.HeaderCodec.parsePng(bad).isEmpty)
+    assert(Multimodal.HeaderCodec.parsePng("PNG without the high-bit byte".getBytes).isEmpty)
+  }
+
   test("HeaderCodec parses WAV fmt/data chunks into (channels, rate, samples)") {
     assert(Multimodal.HeaderCodec.parseWav(wavBytes(2, 44100, 16, 100)) ==
       Some((2, 44100, 100)))
