@@ -108,6 +108,15 @@ class PlanSpec extends AnyFunSuite {
     assert(single.isEmpty, s"single-partition exchange in q83 plan:\n$plan")
   }
 
+  test("q86: Misra-Gries pass partial-aggregates; candidates broadcast") {
+    val plan = planOf("q86_heavy_hitters")
+    // the sketch must combine map-side (typed-aggregate partial phase) and
+    // the candidate set must reach the exact pass as a broadcast semi join
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q81: corpus mix is map-only before the final aggregate") {
     val plan = planOf("q81_corpus_mix")
     // explode + keep-filter must not shuffle; the only exchanges belong to
