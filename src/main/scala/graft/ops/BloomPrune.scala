@@ -70,29 +70,61 @@ object BloomPrune {
       },
       session, bloom, key)
 
-  /** Build the serialized sketch of a frame's long key column — a
-    * distributed mergeable aggregate whose single binary result is
-    * returned to the caller.
+  /** The long probe value for an arbitrary-typed key: integral keys cast
+    * (value-preserving), everything else goes through `xxhash64` — the
+    * scheme BOTH sides of a probe must share. A bare `cast("long")` on a
+    * string key would yield null, the null-skipping aggregate would build
+    * an empty sketch, and every probe would return null — silently
+    * filtering out ALL rows.
+    */
+  private def asLongKey(key: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => key.cast("long")
+      case _                                             => xxhash64(key)
+    }
+  }
+
+  /** Build the serialized sketch of a frame's key column — a distributed
+    * mergeable aggregate whose single binary result is returned to the
+    * caller. `None` when `dim` has no non-null keys (the aggregate has
+    * nothing to build): callers must fall back rather than probe — a null
+    * sketch literal evaluates every probe to null and silently drops all
+    * rows.
     */
   def sketch(dim: DataFrame, dimKey: Column,
-      expectedItems: Long = DefaultExpectedItems): Array[Byte] =
-    dim.select(bloomAgg(dimKey.cast("long"), expectedItems,
+      expectedItems: Long = DefaultExpectedItems): Option[Array[Byte]] = {
+    val dt = dim.select(dimKey).schema.head.dataType
+    Option(dim.select(bloomAgg(asLongKey(dimKey, dt), expectedItems,
         Some(dim.sparkSession)).as("bloom"))
-      .head.getAs[Array[Byte]]("bloom")
+      .head.getAs[Array[Byte]]("bloom"))
+  }
 
   /** Exact semi join with map-side bloom pruning: `fact` rows whose
     * `factKey` appears in `dim.dimKey`. The bloom probe prunes the fact
     * side before its exchange; the exact semi join removes the sketch's
-    * false positives.
+    * false positives. Keys may be any type: both sides are probed through
+    * the same [[asLongKey]] scheme (both-integral pairs widen to long;
+    * otherwise the types must match exactly so equal values hash equally).
     */
   def prunedSemiJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       expectedItems: Long = DefaultExpectedItems): DataFrame = {
-    val bytes = sketch(dim, col(dimKey), expectedItems)
-    val session = Some(fact.sparkSession)
-    val dimKeys = dim.select(col(dimKey).as("__bloom_key")).distinct()
-    fact
-      .filter(bloomContains(lit(bytes), col(factKey).cast("long"), session))
-      .join(dimKeys, col(factKey) === col("__bloom_key"), "left_semi")
+    import org.apache.spark.sql.types._
+    val integral = Set[DataType](LongType, IntegerType, ShortType, ByteType)
+    val fdt = fact.schema(factKey).dataType
+    val ddt = dim.select(col(dimKey)).schema.head.dataType
+    require(fdt == ddt || (integral(fdt) && integral(ddt)),
+      s"bloom prune needs same-type (or both-integral) keys, got $fdt vs $ddt")
+    // left_semi ignores duplicate build rows — no distinct() needed, that
+    // would just add a full aggregation exchange on the dim side
+    val dimKeys = dim.select(col(dimKey).as("__bloom_key"))
+    val pruned = sketch(dim, col(dimKey), expectedItems) match {
+      case Some(bytes) =>
+        fact.filter(bloomContains(lit(bytes), asLongKey(col(factKey), fdt),
+          Some(fact.sparkSession)))
+      case None => fact // empty dim: the semi join below returns empty
+    }
+    pruned.join(dimKeys, col(factKey) === col("__bloom_key"), "left_semi")
   }
 }

@@ -54,7 +54,8 @@ object Dedup {
       textCol: String): DataFrame =
     incoming
       .select(col(idCol), TF.fingerprint(col(textCol)).as("fingerprint"))
-      .join(corpus.select(TF.fingerprint(col(textCol)).as("fingerprint")).distinct(),
+      // left_anti ignores duplicate right rows — no distinct() needed
+      .join(corpus.select(TF.fingerprint(col(textCol)).as("fingerprint")),
         Seq("fingerprint"), "left_anti")
 
   /** [[newDocs]] accelerated with a bloom sketch of the corpus
@@ -62,25 +63,35 @@ object Dedup {
     * fingerprint the sketch rejects are DEFINITELY new (bloom filters have
     * no false negatives) and bypass the anti-join entirely; only the
     * "maybe duplicate" sliver is joined. At 100 TB, where most of each
-    * incoming batch is novel, this turns a full-batch shuffle into a
-    * small-fraction shuffle at the cost of one ~1 MiB sketch broadcast.
+    * incoming batch is novel, this turns a full-batch SHUFFLE into a
+    * small-fraction shuffle; the cost is the sketch broadcast plus a
+    * second fingerprint SCAN of both inputs (the sketch action reads the
+    * corpus once, the anti-join again; the two probe branches each read
+    * the batch) — persist the inputs if their fingerprints are expensive,
+    * or keep the corpus side as a pre-computed fingerprint index.
+    *
+    * An empty corpus (bootstrap batch) short-circuits: everything is new.
     */
   def newDocsBloom(incoming: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String,
       expectedItems: Long = BloomPrune.DefaultExpectedItems): DataFrame = {
     val session = Some(incoming.sparkSession)
     val corpusFp = corpus.select(TF.fingerprint(col(textCol)).as("fingerprint"))
-    val bytes = BloomPrune.sketch(corpusFp, xxhash64(col("fingerprint")), expectedItems)
     val inFp = incoming
       .select(col(idCol), TF.fingerprint(col(textCol)).as("fingerprint"))
-    val probe =
-      BloomPrune.bloomContains(lit(bytes), xxhash64(col("fingerprint")), session)
-    val definitelyNew = inFp.filter(!probe)
-    val maybeDup = inFp.filter(probe)
-      .join(corpusFp.distinct(), Seq("fingerprint"), "left_anti")
-    definitelyNew.unionByName(maybeDup)
-      // same column order as newDocs (whose using-join fronts the key)
-      .select(col("fingerprint"), col(idCol))
+    BloomPrune.sketch(corpusFp, xxhash64(col("fingerprint")), expectedItems) match {
+      case None => // empty corpus: every incoming row is new
+        inFp.select(col("fingerprint"), col(idCol))
+      case Some(bytes) =>
+        val probe =
+          BloomPrune.bloomContains(lit(bytes), xxhash64(col("fingerprint")), session)
+        val definitelyNew = inFp.filter(!probe)
+        val maybeDup = inFp.filter(probe)
+          .join(corpusFp, Seq("fingerprint"), "left_anti")
+        definitelyNew.unionByName(maybeDup)
+          // same column order as newDocs (whose using-join fronts the key)
+          .select(col("fingerprint"), col(idCol))
+    }
   }
 
   // ------------------------------------------------------------- MinHash

@@ -78,22 +78,27 @@ object HeavyHitters {
     df.select(udaf(new MisraGries(k)).apply(item).as("summary"))
       .select(explode(map_keys(col("summary"))).as("item"))
 
-  /** Exactly the items with global count ≥ minCount, as (item, n).
+  /** Exactly the items with global count ≥ minCount, as (item, n) — the
+    * HAVING query's result over NON-NULL items (SQL's NULL group is
+    * deliberately excluded; COALESCE to a sentinel upstream if it
+    * matters). Null rows are dropped before sizing so they can neither
+    * inflate k nor vanish silently.
     *
-    * Runs three scans of `df` (size count, MG pass, exact count) —
-    * persist the input if it is not a cheap scan. The driver never holds
-    * more than the ≤ k candidate set (broadcast to the exact pass).
+    * Runs three scans of the input (size count, MG pass, exact count) —
+    * persist it if the scan is not cheap. The driver never holds more
+    * than the ≤ k candidate set (broadcast to the exact pass).
     */
   def heavyHitters(df: DataFrame, item: Column, minCount: Long,
       maxSummarySize: Int = 1 << 17): DataFrame = {
     require(minCount > 0, s"minCount must be positive: $minCount")
-    val n = df.count()
+    val items = df.select(item.as("item")).filter(col("item").isNotNull)
+    val n = items.count()
     val k = n / minCount + 1
     require(k <= maxSummarySize,
       s"minCount=$minCount over $n rows needs a $k-counter summary " +
         s"(cap $maxSummarySize) — raise the threshold or the cap")
-    df.select(item.as("item"))
-      .join(broadcast(candidates(df, item, k.toInt)), Seq("item"), "left_semi")
+    items
+      .join(broadcast(candidates(items, col("item"), k.toInt)), Seq("item"), "left_semi")
       .groupBy("item")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)

@@ -150,21 +150,28 @@ object Catalog {
         ORDER BY doc_id"""
   }
 
-  /** DuckDB SELECT computing each document's quality score — the same
-    * formula (and 4-dp rounding) as [[TF.qualityScore]] and q21's oracle,
-    * shared so q83's curriculum bucketing cannot drift from the scorer.
+  /** DuckDB twins of [[TF.qualityScore]]'s pieces, shared by q21 (the
+    * scorer itself) and q83 (curriculum bucketing) so the two oracles
+    * cannot drift: an inner SELECT exposing (doc_id, toks, stop_ratio,
+    * punct_ratio), the 4-dp quality formula over those columns, and the
+    * assembled (doc_id, quality) SELECT.
     */
-  private def qualitySelectSql: String = {
+  private def qualityInnerSql: String = {
     val hits = hitCountSql(TF.langMarkers("en"))
-    s"""SELECT doc_id, round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
-              + (1.0 - least(punct_ratio * 4.0, 1.0))
-              + least(stop_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
-        FROM (SELECT doc_id, toks,
-                CAST($hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-                CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-                  / CAST(length(text) AS DOUBLE) AS punct_ratio
-              FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))"""
+    s"""SELECT doc_id, toks,
+              CAST($hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+              CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE) AS punct_ratio
+        FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)"""
   }
+
+  private val qualityExprSql: String =
+    """round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+            + (1.0 - least(punct_ratio * 4.0, 1.0))
+            + least(stop_ratio * 4.0, 1.0)) / 3.0, 4)"""
+
+  private def qualitySelectSql: String =
+    s"SELECT doc_id, $qualityExprSql AS quality FROM ($qualityInnerSql)"
 
   /** Stage the events table into a temp directory for the file-stream
     * source (which monitors directories), tolerating both the single-file
@@ -547,21 +554,13 @@ object Catalog {
                   TF.qualityScore(col("text"), stops).as("quality"))
           .orderBy("doc_id")
       },
-      oracle = Some {
-        val hits = hitCountSql(TF.langMarkers("en"))
-        s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-                   round(stop_ratio, 4) AS stop_ratio,
-                   round(punct_ratio, 4) AS punct_ratio,
-                   round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
-                        + (1.0 - least(punct_ratio * 4.0, 1.0))
-                        + least(stop_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
-            FROM (SELECT doc_id, toks,
-                    CAST($hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-                    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE) AS punct_ratio
-                  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
-            ORDER BY doc_id"""
-      }),
+      oracle = Some(s"""
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(stop_ratio, 4) AS stop_ratio,
+               round(punct_ratio, 4) AS punct_ratio,
+               $qualityExprSql AS quality
+        FROM ($qualityInnerSql)
+        ORDER BY doc_id""")),
 
     // Language ID (marker-word argmax), SQL generated from the same marker
     // table with the same tie-break order.

@@ -11,7 +11,7 @@ class BloomPruneSpec extends AnyFunSuite {
   test("sketch membership has no false negatives") {
     val keys = (0L until 1000L).map(_ * 7)
     val dim = keys.toDF("k")
-    val bytes = BloomPrune.sketch(dim, col("k"))
+    val bytes = BloomPrune.sketch(dim, col("k")).get
     val probe = spark.range(0, 7000)
       .filter(BloomPrune.bloomContains(lit(bytes), col("id"), Some(spark)))
       .select("id").as[Long].collect().toSet
@@ -21,7 +21,7 @@ class BloomPruneSpec extends AnyFunSuite {
 
   test("definitely-absent verdicts are true negatives") {
     val dim = (0L until 100L).toDF("k")
-    val bytes = BloomPrune.sketch(dim, col("k"))
+    val bytes = BloomPrune.sketch(dim, col("k")).get
     val rejected = spark.range(0, 10000)
       .filter(!BloomPrune.bloomContains(lit(bytes), col("id"), Some(spark)))
       .select("id").as[Long].collect()
@@ -37,6 +37,22 @@ class BloomPruneSpec extends AnyFunSuite {
     val plain = fact.join(dim, col("fk") === col("pk"), "left_semi")
       .orderBy("row_id").collect()
     assert(pruned.toSeq == plain.toSeq)
+  }
+
+  test("prunedSemiJoin handles string keys (hashed, not cast-to-null)") {
+    val fact = (0 until 1000).map(i => (i.toLong, s"key_${i % 37}")).toDF("row_id", "fk")
+    val dim = Seq("key_3", "key_11", "key_36").toDF("pk")
+    val pruned = BloomPrune.prunedSemiJoin(fact, "fk", dim, "pk")
+      .orderBy("row_id").collect()
+    val plain = fact.join(dim, col("fk") === col("pk"), "left_semi")
+      .orderBy("row_id").collect()
+    assert(pruned.toSeq == plain.toSeq && pruned.nonEmpty)
+  }
+
+  test("prunedSemiJoin with an empty dim returns empty, not a crash") {
+    val fact = (0L until 100L).map(i => (i, i % 7)).toDF("row_id", "fk")
+    val dim = Seq.empty[Long].toDF("pk")
+    assert(BloomPrune.prunedSemiJoin(fact, "fk", dim, "pk").count() == 0L)
   }
 
   test("SQL surface: bloom_agg in a scalar subquery feeds bloom_contains") {

@@ -35,6 +35,14 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(trueHeavy.subsetOf(cands), s"missing: ${trueHeavy -- cands}")
   }
 
+  test("null items are excluded from both the result and the sizing count") {
+    val df = (Seq.fill(600)(Option("a")) ++ Seq.fill(600)(Option.empty[String]) ++
+      Seq.fill(10)(Option("b"))).toDF("item")
+    val out = HeavyHitters.heavyHitters(df, col("item"), minCount = 500)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 600L)) // no null group, no null-inflated k
+  }
+
   test("a too-low threshold fails fast instead of silently dropping items") {
     val df = Seq.fill(100000)("x").toDF("item")
     val e = intercept[IllegalArgumentException] {

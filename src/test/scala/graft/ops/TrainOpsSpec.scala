@@ -315,6 +315,13 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(bloom == plain)
   }
 
+  test("newDocsBloom with an empty corpus returns every incoming row") {
+    val empty = corpusDocs.filter(col("doc_id") < 0)
+    val out = Dedup.newDocsBloom(incoming, empty, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(10L, 11L, 12L))
+  }
+
   test("ngramContainment flags a short doc embedded in a long one") {
     val docs = Seq(
       (1L, "one two three four five"),
