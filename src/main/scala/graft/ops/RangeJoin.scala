@@ -60,4 +60,45 @@ object RangeJoin {
       .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
       .drop("__bucket")
   }
+
+  /** Interval×interval overlap join: pairs where
+    * `leftStart <= rightEnd && rightStart <= leftEnd` (inclusive overlap),
+    * plus equality keys — the both-sides-are-intervals sibling of
+    * [[pointInInterval]], same anti-nested-loop construction.
+    *
+    * Both sides explode into the fixed-width buckets they span and meet on
+    * an equi-join key of (keys..., bucket). An overlapping pair meets in
+    * EVERY shared bucket, so the join would duplicate it; the pair is kept
+    * only in its canonical bucket — the one containing the overlap's start
+    * `max(leftStart, rightStart)` — which exists for every true overlap
+    * and is unique. Cost is O((n + m)·spread) shuffle rows; pick
+    * `bucketWidth` near the typical interval length.
+    *
+    * The start/end column names must differ between the two sides (rename
+    * before calling — the result carries both quadruples).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketWidth: String = "1 hour"): DataFrame = {
+    require(Set(leftStart, leftEnd, rightStart, rightEnd).size == 4,
+      "interval column names must be distinct across sides")
+    val widthSec: Column = lit(parseWidthSeconds(bucketWidth))
+    def bucketOf(ts: Column): Column =
+      floor(unix_timestamp(ts).cast("long") / widthSec).cast("long")
+
+    val a = left.withColumn("__bucket",
+      explode(sequence(bucketOf(col(leftStart)), bucketOf(col(leftEnd)))))
+    val b = right.withColumn("__bucket",
+      explode(sequence(bucketOf(col(rightStart)), bucketOf(col(rightEnd)))))
+    a.join(b, on :+ "__bucket")
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      // canonical-bucket dedup: each true overlap survives exactly once
+      .filter(col("__bucket") ===
+        bucketOf(greatest(col(leftStart), col(rightStart))))
+      .drop("__bucket")
+  }
 }

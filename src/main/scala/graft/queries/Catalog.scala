@@ -2043,7 +2043,40 @@ object Catalog {
       oracle = Some(s"""
         SELECT token, count(*) AS n
         FROM (SELECT unnest($toksSql) AS token FROM documents)
-        GROUP BY token HAVING count(*) >= 500 ORDER BY token"""))
+        GROUP BY token HAVING count(*) >= 500 ORDER BY token""")),
+
+    // Interval×interval overlap join (attribution shape: which purchase
+    // windows overlap which click windows, per user). A naive theta join
+    // is a nested loop; ops.RangeJoin buckets both interval sides into the
+    // equi-join key and dedups via the canonical overlap-start bucket.
+    // Oracle: DuckDB's plain inequality join.
+    "q87_interval_overlap" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_start"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("c_end"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("p_start"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
+        graft.ops.RangeJoin.intervalOverlap(clicks, purchases, Seq("user_id"),
+            "c_start", "c_end", "p_start", "p_end", bucketWidth = "1 hour")
+          .select("click_id", "purchase_id")
+          .orderBy("click_id", "purchase_id")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_start,
+                          ts + INTERVAL 2 HOUR AS c_end
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id AS purchase_id, user_id, ts AS p_start,
+                          ts + INTERVAL 1 HOUR AS p_end
+                   FROM events WHERE event_type = 'purchase')
+        SELECT click_id, purchase_id
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND c_start <= p_end AND p_start <= c_end
+        ORDER BY click_id, purchase_id"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

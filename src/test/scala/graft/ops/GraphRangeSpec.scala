@@ -85,4 +85,38 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
       s"range join fell back to nested loop:\n$plan")
   }
+
+  test("intervalOverlap equals the naive theta join, each pair exactly once") {
+    // randomized intervals with heavy multi-bucket spans: the canonical-
+    // bucket dedup must keep each overlapping pair exactly once
+    val rnd = new scala.util.Random(11)
+    def mins(m: Int) = ts(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val a = (1 to 60).map { i =>
+      val s = rnd.nextInt(20 * 60); (i.toLong, i.toLong % 3, mins(s), mins(s + 1 + rnd.nextInt(300)))
+    }.toDF("a_id", "k", "a_start", "a_end")
+    val b = (1 to 60).map { i =>
+      val s = rnd.nextInt(20 * 60); (i.toLong, i.toLong % 3, mins(s), mins(s + 1 + rnd.nextInt(300)))
+    }.toDF("b_id", "k", "b_start", "b_end")
+
+    val got = RangeJoin.intervalOverlap(a, b, Seq("k"),
+        "a_start", "a_end", "b_start", "b_end", bucketWidth = "1 hour")
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    val naive = a.join(b, Seq("k"))
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive && got.nonEmpty)
+    // sorted comparison of full lists also proves no pair is duplicated
+  }
+
+  test("intervalOverlap counts touching endpoints as overlap (inclusive)") {
+    val a = Seq((1L, 0L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("a_id", "k", "a_start", "a_end")
+    val b = Seq((1L, 0L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")),
+                (2L, 0L, ts("2024-01-01 12:00:01"), ts("2024-01-01 13:00:00")))
+      .toDF("b_id", "k", "b_start", "b_end")
+    val got = RangeJoin.intervalOverlap(a, b, Seq("k"),
+        "a_start", "a_end", "b_start", "b_end")
+      .select("b_id").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // touching counts; disjoint does not
+  }
 }

@@ -64,6 +64,12 @@ class PlanSpec extends AnyFunSuite {
       plan)
   }
 
+  test("q87: interval-overlap join resolves to an equi-join, not a nested loop") {
+    val plan = planOf("q87_interval_overlap")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
   test("q65: PII scrub is map-only — no exchange before the final sort") {
     val plan = planOf("q65_pii_scrub")
     // exactly one Exchange (the ORDER BY's range partition); the scrub
