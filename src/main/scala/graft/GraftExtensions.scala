@@ -73,5 +73,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Cast(RegExpCount(exprs.head, Literal(re)), LongType): Expression
           }
           .reduce(Add(_, _)))))
+    // bloom join-pruning surface (engine-default sketch size) — same
+    // catalyst expressions the BloomPrune Column path registers per
+    // session, exposed at session build time for pure-SQL deployments
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      arity("bloom_agg", 1)(exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, graft.ops.BloomPrune.DefaultExpectedItems))))
+    e.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      arity("bloom_contains", 2)(exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1)))))
   }
 }

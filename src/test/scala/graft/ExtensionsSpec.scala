@@ -43,6 +43,14 @@ class ExtensionsSpec extends AnyFunSuite {
         "length(nfc_normalize('cafe\\u0301')) AS l")
         .head()
       assert(norm.getString(0) == "caf\u00e9" && norm.getInt(1) == 4)
+      // bloom surface: sketch-aggregate a key set in a scalar subquery,
+      // probe it with the codegen'd membership expression
+      extended.range(0, 10).createOrReplaceTempView("ext_bloom_keys")
+      val hits = extended.sql(
+        """SELECT count(*) AS n FROM range(0, 100)
+           WHERE bloom_contains((SELECT bloom_agg(id) FROM ext_bloom_keys), id)
+             AND id < 10""").head().getLong(0)
+      assert(hits == 10L) // all true members pass the probe
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
