@@ -73,16 +73,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Cast(RegExpCount(exprs.head, Literal(re)), LongType): Expression
           }
           .reduce(Add(_, _)))))
-    // bloom join-pruning surface (engine-default sketch size) — same
-    // catalyst expressions the BloomPrune Column path registers per
-    // session, exposed at session build time for pure-SQL deployments
+    // bloom join-pruning surface (engine-default sketch size) — the SAME
+    // builder the BloomPrune Column path registers per session (including
+    // its empty-input coalesce to an empty sketch: a bare aggregate
+    // returns NULL over an empty build side, and a null sketch makes
+    // every probe null — silently dropping all rows in pure SQL)
     e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
       arity("bloom_agg", 1)(exprs =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        graft.ops.BloomPrune.bloomAggExpression(
           exprs.head, graft.ops.BloomPrune.DefaultExpectedItems))))
     e.injectFunction((
       FunctionIdentifier("bloom_contains"),

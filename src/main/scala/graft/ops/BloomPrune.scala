@@ -40,9 +40,32 @@ object BloomPrune {
     */
   val DefaultExpectedItems = 1000000L
 
+  /** Serialized sketch over ZERO keys — the aggregate's identity value.
+    * `BloomFilterAggregate` returns SQL NULL over empty input, and a null
+    * sketch makes every probe null, silently dropping all rows; coalescing
+    * to this tiny empty sketch instead makes every probe FALSE — "nothing
+    * is a member", the correct semantics for an empty build side on every
+    * surface (semi join → empty, anti/NOT probe → keep everything).
+    */
+  val emptySketchBytes: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    org.apache.spark.util.sketch.BloomFilter.create(1).writeTo(out)
+    out.toByteArray
+  }
+
+  /** The expression every bloom_agg surface registers: the sketch
+    * aggregate coalesced with [[emptySketchBytes]] (see there for why).
+    */
+  def bloomAggExpression(key: org.apache.spark.sql.catalyst.expressions.Expression,
+      expectedItems: Long): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+      new BloomFilterAggregate(key, expectedItems).toAggregateExpression(),
+      org.apache.spark.sql.catalyst.expressions.Literal(emptySketchBytes,
+        org.apache.spark.sql.types.BinaryType)))
+
   /** SQL-surface + Column-path aggregate building a bloom sketch of a long
-    * key column (binary result). Registered per expectedItems value as
-    * `bloom_agg_<n>`.
+    * key column (binary result, never null). Registered per expectedItems
+    * value as `bloom_agg_<n>`.
     */
   def bloomAgg(key: Column, expectedItems: Long = DefaultExpectedItems,
       session: Option[SparkSession] = None): Column = {
@@ -50,9 +73,7 @@ object BloomPrune {
     SessionFunctions.callRegistered(s"bloom_agg_$expectedItems",
       exprs => {
         require(exprs.length == 1, s"bloom_agg expects 1 argument, got ${exprs.length}")
-        // raw AggregateFunction — the analyzer wraps it in an
-        // AggregateExpression, same as built-in registry entries
-        new BloomFilterAggregate(exprs.head, expectedItems)
+        bloomAggExpression(exprs.head, expectedItems)
       },
       session, key)
   }
@@ -87,10 +108,11 @@ object BloomPrune {
 
   /** Build the serialized sketch of a frame's key column — a distributed
     * mergeable aggregate whose single binary result is returned to the
-    * caller. `None` when `dim` has no non-null keys (the aggregate has
-    * nothing to build): callers must fall back rather than probe — a null
-    * sketch literal evaluates every probe to null and silently drops all
-    * rows.
+    * caller. `None` only in the never-expected case of a null aggregate
+    * result (the coalesced aggregate yields [[emptySketchBytes]] — which
+    * correctly rejects every probe — when `dim` has no non-null keys);
+    * callers still fall back rather than probe on `None`, defense in
+    * depth against a null sketch literal silently dropping all rows.
     */
   def sketch(dim: DataFrame, dimKey: Column,
       expectedItems: Long = DefaultExpectedItems): Option[Array[Byte]] = {
@@ -112,7 +134,9 @@ object BloomPrune {
       expectedItems: Long = DefaultExpectedItems): DataFrame = {
     import org.apache.spark.sql.types._
     val integral = Set[DataType](LongType, IntegerType, ShortType, ByteType)
-    val fdt = fact.schema(factKey).dataType
+    // resolve both key types through the analyzer (case-insensitive,
+    // nested-field-capable) — a raw schema(factKey) lookup is neither
+    val fdt = fact.select(col(factKey)).schema.head.dataType
     val ddt = dim.select(col(dimKey)).schema.head.dataType
     require(fdt == ddt || (integral(fdt) && integral(ddt)),
       s"bloom prune needs same-type (or both-integral) keys, got $fdt vs $ddt")

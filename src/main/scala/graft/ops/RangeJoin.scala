@@ -29,6 +29,12 @@ object RangeJoin {
     n.toLong * mult
   }
 
+  /** The one bucketing formula both join ops share — epoch seconds
+    * floor-divided into fixed-width bins.
+    */
+  private def bucketOf(widthSec: Column)(ts: Column): Column =
+    floor(unix_timestamp(ts).cast("long") / widthSec).cast("long")
+
   /** @param points      point-side frame
     * @param intervals   interval-side frame
     * @param on          equality key columns present on both sides
@@ -46,14 +52,11 @@ object RangeJoin {
       startTs: String,
       endTs: String,
       bucketWidth: String = "1 hour"): DataFrame = {
-    val widthSec: Column = lit(parseWidthSeconds(bucketWidth))
+    val bucket = bucketOf(lit(parseWidthSeconds(bucketWidth))) _
 
-    def bucketOf(ts: Column): Column =
-      floor(unix_timestamp(ts).cast("long") / widthSec).cast("long")
-
-    val binnedPoints = points.withColumn("__bucket", bucketOf(col(pointTs)))
+    val binnedPoints = points.withColumn("__bucket", bucket(col(pointTs)))
     val binnedIntervals = intervals.withColumn("__bucket",
-      explode(sequence(bucketOf(col(startTs)), bucketOf(col(endTs)))))
+      explode(sequence(bucket(col(startTs)), bucket(col(endTs)))))
 
     binnedPoints
       .join(binnedIntervals, on :+ "__bucket")
@@ -86,19 +89,17 @@ object RangeJoin {
       bucketWidth: String = "1 hour"): DataFrame = {
     require(Set(leftStart, leftEnd, rightStart, rightEnd).size == 4,
       "interval column names must be distinct across sides")
-    val widthSec: Column = lit(parseWidthSeconds(bucketWidth))
-    def bucketOf(ts: Column): Column =
-      floor(unix_timestamp(ts).cast("long") / widthSec).cast("long")
+    val bucket = bucketOf(lit(parseWidthSeconds(bucketWidth))) _
 
     val a = left.withColumn("__bucket",
-      explode(sequence(bucketOf(col(leftStart)), bucketOf(col(leftEnd)))))
+      explode(sequence(bucket(col(leftStart)), bucket(col(leftEnd)))))
     val b = right.withColumn("__bucket",
-      explode(sequence(bucketOf(col(rightStart)), bucketOf(col(rightEnd)))))
+      explode(sequence(bucket(col(rightStart)), bucket(col(rightEnd)))))
     a.join(b, on :+ "__bucket")
       .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
       // canonical-bucket dedup: each true overlap survives exactly once
       .filter(col("__bucket") ===
-        bucketOf(greatest(col(leftStart), col(rightStart))))
+        bucket(greatest(col(leftStart), col(rightStart))))
       .drop("__bucket")
   }
 }
