@@ -27,19 +27,49 @@ object Decontaminate {
     *        engine-portable exact semantics (the DuckDB oracle path).
     * @return (doc_id, n_shared_grams) — distinct shared grams per eval doc
     */
+  private def grams(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, hashGrams: Boolean): DataFrame = {
+    // explode must be a top-level select expression; hash in a second
+    // projection
+    val base = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TF.shingles(col(textCol), shingleSize))).as("g"))
+    base.select(col("doc_id"),
+      (if (hashGrams) xxhash64(col("g")) else col("g")).as("gram"))
+  }
+
   def contaminated(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
       hashGrams: Boolean = false): DataFrame = {
-    def grams(df: DataFrame) = {
-      // explode must be a top-level select expression; hash in a second
-      // projection
-      val base = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TF.shingles(col(textCol), shingleSize))).as("g"))
-      base.select(col("doc_id"),
-        (if (hashGrams) xxhash64(col("g")) else col("g")).as("gram"))
-    }
-    val trainGrams = grams(train).select("gram").distinct()
-    grams(eval)
+    val trainGrams = grams(train, idCol, textCol, shingleSize, hashGrams)
+      .select("gram").distinct()
+    grams(eval, idCol, textCol, shingleSize, hashGrams)
+      .join(trainGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
+  /** [[contaminated]] with a bloom prefilter on the eval gram stream —
+    * same exact result, different shuffle shape. A clean corpus is the
+    * common case: most eval grams appear NOWHERE in train, yet the plain
+    * inner join shuffles every one of them. Probing a sketch of the
+    * distinct train grams map-side drops the definitely-absent grams
+    * before the exchange (no false negatives ⇒ no contamination missed);
+    * sketch false positives still reach the exact string-keyed join and
+    * fall out there.
+    */
+  def contaminatedBloom(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      expectedItems: Long = BloomPrune.DefaultExpectedItems): DataFrame = {
+    val trainGrams = grams(train, idCol, textCol, shingleSize, hashGrams = false)
+      .select("gram").distinct()
+    val evalGrams = grams(eval, idCol, textCol, shingleSize, hashGrams = false)
+    val prefiltered =
+      BloomPrune.sketch(trainGrams, xxhash64(col("gram")), expectedItems) match {
+        case Some(bytes) => evalGrams.filter(BloomPrune.bloomContains(
+          lit(bytes), xxhash64(col("gram")), Some(eval.sparkSession)))
+        case None => evalGrams // defensive: never probe a null sketch
+      }
+    prefiltered
       .join(trainGrams, Seq("gram"))
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"))

@@ -173,6 +173,26 @@ object Catalog {
   private def qualitySelectSql: String =
     s"SELECT doc_id, $qualityExprSql AS quality FROM ($qualityInnerSql)"
 
+  /** q62/q88's shared oracle — the two entries exercise the plain and the
+    * bloom-prefiltered decontamination paths, which must produce the
+    * identical (doc_id, n_shared_grams) result.
+    */
+  private def decontamOracleSql: String = s"""
+    WITH split AS (
+      SELECT doc_id, text,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               < '${Sampling.thresholdHex(0.8)}' AS is_train
+      FROM documents),
+    sh AS (
+      SELECT doc_id, is_train, unnest(
+        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM (SELECT doc_id, is_train, $toksSql AS toks FROM split))
+    SELECT e.doc_id, count(DISTINCT e.gram) AS n_shared_grams
+    FROM (SELECT doc_id, gram FROM sh WHERE NOT is_train) e
+    JOIN (SELECT DISTINCT gram FROM sh WHERE is_train) t USING (gram)
+    GROUP BY e.doc_id ORDER BY e.doc_id"""
+
   /** Stage the events table into a temp directory for the file-stream
     * source (which monitors directories), tolerating both the single-file
     * and the directory-of-part-files layouts. Caller deletes via
@@ -1483,21 +1503,7 @@ object Catalog {
             docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text")
           .orderBy("doc_id")
       },
-      oracle = Some(s"""
-        WITH split AS (
-          SELECT doc_id, text,
-                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                   < '${graft.ops.Sampling.thresholdHex(0.8)}' AS is_train
-          FROM documents),
-        sh AS (
-          SELECT doc_id, is_train, unnest(
-            list_distinct(list_transform(generate_series(1, len(toks) - 2),
-              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
-          FROM (SELECT doc_id, is_train, $toksSql AS toks FROM split))
-        SELECT e.doc_id, count(DISTINCT e.gram) AS n_shared_grams
-        FROM (SELECT doc_id, gram FROM sh WHERE NOT is_train) e
-        JOIN (SELECT DISTINCT gram FROM sh WHERE is_train) t USING (gram)
-        GROUP BY e.doc_id ORDER BY e.doc_id""")),
+      oracle = Some(decontamOracleSql)),
 
     // End-to-end corpus curation — the composed training-data pass:
     // language-ID filter (en) → quality filter (>= 0.5) → exact dedup
@@ -2076,7 +2082,22 @@ object Catalog {
         SELECT click_id, purchase_id
         FROM c JOIN p ON c.user_id = p.user_id
                      AND c_start <= p_end AND p_start <= c_end
-        ORDER BY click_id, purchase_id"""))
+        ORDER BY click_id, purchase_id""")),
+
+    // q62's decontamination with the bloom-prefiltered gram stream: most
+    // eval grams appear nowhere in train, and the sketch probe drops them
+    // map-side before the join exchange. Identical result (same oracle as
+    // q62) — the driver-green proof that the prefilter changes only the
+    // shuffle shape, never the answer.
+    "q88_decontaminate_bloom" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val isTrain = graft.ops.Sampling.inSplit(col("doc_id"), 0.8)
+        graft.ops.Decontaminate.contaminatedBloom(
+            docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(decontamOracleSql))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -30,4 +30,18 @@ class DecontaminateSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exact == hashed)
   }
+
+  test("bloom-prefiltered path returns the same result as the plain path") {
+    val exact = Decontaminate.contaminated(train, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Decontaminate.contaminatedBloom(train, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == bloomed && bloomed.nonEmpty)
+  }
+
+  test("bloom path with an empty train split reports no contamination") {
+    val emptyTrain = train.filter("doc_id < 0")
+    assert(Decontaminate.contaminatedBloom(emptyTrain, eval, "doc_id", "text")
+      .count() == 0L)
+  }
 }
