@@ -123,6 +123,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q88: decontamination bloom probe filters grams before the join") {
+    val plan = planOf("q88_decontaminate_bloom")
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q81: corpus mix is map-only before the final aggregate") {
     val plan = planOf("q81_corpus_mix")
     // explode + keep-filter must not shuffle; the only exchanges belong to
