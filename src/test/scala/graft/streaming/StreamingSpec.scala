@@ -58,6 +58,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpus mixing runs unchanged under Structured Streaming (stream/batch parity)") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-stream-mix").toFile
+    val docs = (1 to 40).map(i => s"""{"doc_id":$i,"src":"src${i % 3}"}""")
+    writeBatch(inDir, "d1.json", docs)
+    val schema = "doc_id LONG, src STRING"
+    import org.apache.spark.sql.functions.col
+    val weights = Map("src0" -> 2.0, "src1" -> 0.5)
+    def mix(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.corpusMix(df, col("src"), col("doc_id"), weights)
+    // explode + deterministic filter are stateless — legal in append mode
+    // with no watermark, and must emit exactly the batch rows
+    val q = StreamingIngest.runToMemory(
+      mix(spark.readStream.schema(schema).json(inDir.getAbsolutePath)),
+      "mix_out")
+    try {
+      val streamed = spark.table("mix_out")
+        .select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+      val batch = mix(spark.read.schema(schema).json(inDir.getAbsolutePath))
+        .select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("hourly windowed aggregation emits per-hour means after watermark close") {
     val inDir = Files.createTempDirectory("graft-stream2").toFile
     writeBatch(inDir, "b1.json", Seq(
