@@ -361,4 +361,44 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // ----------------------------------------------- canonical doc per cluster
+
+  /** Canonical-document selection: given duplicate-pair edges (from any
+    * candidate pass — MinHash bands, SimHash blocks, embedding buckets),
+    * resolve them to clusters with [[ConnectedComponents]] and keep the
+    * HIGHEST-QUALITY member of each cluster (ties broken by smallest id) —
+    * the curation policy that beats min-id survivorship when near-dups
+    * differ in cleanliness (one copy has the nav chrome, one doesn't).
+    *
+    * Input: `docs` with an id and a quality column; `edges` as (id_a,
+    * id_b). Docs in no edge are their own singleton cluster and survive
+    * unchanged. Output: one row per CLUSTER — (component, kept_id,
+    * quality, n_members).
+    *
+    * Shape at scale: components is the O(log diameter) label-propagation
+    * loop (its own doc); the label join hashes by id; the argmax is one
+    * window over component — every key uniform, nothing on the driver but
+    * the convergence counter.
+    */
+  def keepCanonical(
+      docs: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      qualityCol: String): DataFrame = {
+    val labels = ConnectedComponents.components(edges) // (id, component)
+    val labeled = docs
+      .join(labels, docs(idCol) === labels("id"), "left")
+      .select(docs(idCol).as("__id"),
+        coalesce(col("component"), docs(idCol)).as("component"),
+        col(qualityCol).as("__q"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("__q").desc, col("__id").asc)
+    labeled
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("component")))
+      .filter(col("__rn") === 1)
+      .select(col("component"), col("__id").as("kept_id"),
+        col("__q").as(qualityCol), col("n_members"))
+  }
 }

@@ -66,6 +66,23 @@ object Catalog {
   private[queries] val mixWeights: Map[String, Double] =
     Map("src0" -> 2.0, "src1" -> 2.5, "src2" -> 0.25, "src3" -> 0.0)
 
+  /** q94's frequency watchlist + threshold, one constant feeding both
+    * engines: heavy tokens (~950 occurrences at every sf), rare ones
+    * ('dup' ~30, 'the' sits near the bar), and one absent ('quack') — so
+    * the sketch filter and the exact verify both have work to do.
+    */
+  private[queries] val cmsProbes: Seq[String] =
+    Seq("scan", "join", "window", "the", "fast", "dup", "quack")
+  private[queries] val cmsMinCount = 500L
+
+  /** q95's cluster-variant suffixes (constants shared with the oracle):
+    * the stopword-rich pad RAISES the quality score (stop_ratio up, punct
+    * ratio down), the junk pad LOWERS it — so the canonical pick per
+    * cluster is quality-driven, not id-order-driven.
+    */
+  private[queries] val canonPadHi = " the and is of to in a for"
+  private[queries] val canonPadLo = " zq zq zq zq zq zq zq zq"
+
   // ---------------------------------------------------------------------
   // SQL generators shared between the Column expressions and oracle text
 
@@ -156,14 +173,16 @@ object Catalog {
     * punct_ratio), the 4-dp quality formula over those columns, and the
     * assembled (doc_id, quality) SELECT.
     */
-  private def qualityInnerSql: String = {
+  private def qualityInnerSqlFrom(table: String): String = {
     val hits = hitCountSql(TF.langMarkers("en"))
     s"""SELECT doc_id, toks,
               CAST($hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
               CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
                 / CAST(length(text) AS DOUBLE) AS punct_ratio
-        FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)"""
+        FROM (SELECT doc_id, text, $toksSql AS toks FROM $table)"""
   }
+
+  private def qualityInnerSql: String = qualityInnerSqlFrom("documents")
 
   private val qualityExprSql: String =
     """round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
@@ -2097,7 +2116,256 @@ object Catalog {
             docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text")
           .orderBy("doc_id")
       },
-      oracle = Some(decontamOracleSql))
+      oracle = Some(decontamOracleSql)),
+
+    // ===== round-4 operators =====
+
+    // Line-level boilerplate removal (ops/Lines — the CCNet curation
+    // step): a per-source promo header is injected into every doc, then
+    // lines occurring in ≥ 2 distinct docs (headers + exact-dup text
+    // lines) are stripped and the survivors reassembled in order. The
+    // removal anti-join's build side is only the tiny frequent-line set;
+    // reassembly is the one doc-keyed shuffle.
+    "q89_line_boilerplate" -> QueryDef(
+      fn = (s, d) => {
+        val ptext = concat_ws("\n",
+          concat(lit("promo "), col("source")),
+          col("text"),
+          concat(lit("doc "), col("doc_id").cast("string")))
+        graft.ops.Lines.removeFrequentLines(
+            t(s, d, "documents").select(col("doc_id"), ptext.as("text")),
+            "doc_id", "text", minDocs = 2)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id,
+                     'promo ' || source || chr(10) || text || chr(10) ||
+                     'doc ' || CAST(doc_id AS VARCHAR) AS text
+                   FROM documents),
+        l AS (SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+              FROM d),
+        freq AS (SELECT line FROM l GROUP BY line
+                 HAVING count(DISTINCT doc_id) >= 2),
+        k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM l WHERE line NOT IN (SELECT line FROM freq)
+              GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(k.clean_text, '') AS clean_text,
+               coalesce(k.n_kept, 0) AS n_kept,
+               len(string_split(d.text, chr(10))) - coalesce(k.n_kept, 0) AS n_removed
+        FROM d LEFT JOIN k USING (doc_id) ORDER BY doc_id""")),
+
+    // Bounded per-group uniform sample (functions/MinKAggregate): the k
+    // smallest md5(id) per language are a deterministic uniform k-subset,
+    // and partial aggregation caps the exchange at O(groups × k) — the
+    // bounded-state replacement for the full window shuffle-and-sort the
+    // oracle expresses.
+    "q90_group_sample" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("lang"), md5(col("doc_id").cast("string")).as("__h"),
+          col("doc_id"))
+        .groupBy("lang")
+        .agg(graft.functions.MinKAggregate
+          .minK(10, col("__h"), col("doc_id")).as("__sample"))
+        .select(col("lang"), posexplode(col("__sample")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"))
+        .orderBy("lang", "rank"),
+      oracle = Some("""
+        SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
+        FROM (SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 10 ORDER BY lang, rank""")),
+
+    // Hourly gap-fill + forward fill (ops/TimeSeries): densify each event
+    // type's hourly average series over its own [min, max] hour range and
+    // carry the last observed value across the gaps — the sensor-feed
+    // repair step. The average is exact (integer cents) and 6-dp-snapped
+    // BEFORE the fill, so filled copies are bit-identical across engines.
+    "q91_gap_fill" -> QueryDef(
+      fn = (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg((floor((sum(cents(col("value"))).cast("double") / 100.0 /
+            count(col("value"))) * 1000000 + 0.5) / 1000000.0).as("avg_value"))
+        graft.ops.TimeSeries
+          .gapFillForwardFill(hourly, "event_type", "hour", "avg_value")
+          .orderBy("event_type", "hour")
+      },
+      oracle = Some(s"""
+        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                     floor((CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0
+                            / count(value)) * 1000000 + 0.5) / 1000000.0
+                       AS avg_value
+                   FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+              FROM h GROUP BY 1),
+        spine AS (SELECT event_type,
+                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                  FROM b),
+        j AS (SELECT s.event_type, s.hour, h.avg_value
+              FROM spine s LEFT JOIN h USING (event_type, hour))
+        SELECT event_type, hour,
+               last_value(avg_value IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY hour) AS avg_value,
+               (avg_value IS NULL) AS was_gap
+        FROM j ORDER BY event_type, hour""")),
+
+    // Trailing time-window rolling average (RANGE frame over epoch
+    // millis, ops/TimeSeries.rollingSumCount): each event's mean value
+    // over the same user's preceding hour — the feature-engineering
+    // window shape. Exact integer-cent sums inside the frame; RANGE
+    // includes order-column peers identically on both engines, so ties
+    // cannot diverge. One hash exchange on user_id.
+    "q92_rolling_window" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        graft.ops.TimeSeries.rollingSumCount(ev, "user_id", "ts_ms",
+            cents(col("value")), lookback = 3600000L)
+          .select(col("event_id"), col("user_id"), col("ts_ms"), col("win_n"),
+            (floor((col("win_sum").cast("double") / 100.0 / col("win_n"))
+              * 1000000 + 0.5) / 1000000.0).as("win_avg"))
+          .orderBy("event_id")
+      },
+      oracle = Some(s"""
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+               CAST(count(value) OVER w AS BIGINT) AS win_n,
+               floor((CAST(sum(${centsSql("value")}) OVER w AS DOUBLE) / 100.0
+                      / (count(value) OVER w)) * 1000000 + 0.5) / 1000000.0
+                 AS win_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // Z-score outlier flagging via exact group moments (the q76 machinery
+    // composed into a filter): mean/std from integer-cent sums are
+    // bit-identical doubles on both engines, so the |z| > 2 cut keeps
+    // exactly the same rows; the 5-row stats side broadcasts.
+    "q93_zscore_outliers" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+        val c = cents(col("value"))
+        val stats = ev.groupBy("event_type")
+          .agg(count(col("value")).as("__n"),
+            sum(c).as("__s1"), sum(c * c).as("__s2"))
+        val s1 = col("__s1").cast("double")
+        val s2 = col("__s2").cast("double")
+        val nD = col("__n").cast("double")
+        val moments = stats.select(col("event_type"),
+          (s1 / 100.0 / nD).as("__mean"),
+          (sqrt((s2 - s1 * s1 / nD) / (nD - 1)) / 100.0).as("__std"))
+        val z = (col("value") - col("__mean")) / col("__std")
+        ev.join(broadcast(moments), Seq("event_type"))
+          .withColumn("__z", z)
+          .filter(abs(col("__z")) > 2.0)
+          .select(col("event_id"), col("event_type"), col("value"),
+            (floor(col("__z") * 1000000 + 0.5) / 1000000.0).as("z"))
+          .orderBy("event_id")
+      },
+      oracle = Some(s"""
+        WITH m AS (SELECT event_type, count(value) AS n,
+                     CAST(sum(${centsSql("value")}) AS DOUBLE) AS s1,
+                     CAST(sum(${centsSql("value")} * ${centsSql("value")})
+                          AS DOUBLE) AS s2
+                   FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        s AS (SELECT event_type, s1 / 100.0 / n AS mean_v,
+                     sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100.0 AS std_v
+              FROM m)
+        SELECT event_id, event_type, value,
+               floor(((value - mean_v) / std_v) * 1000000 + 0.5) / 1000000.0 AS z
+        FROM events JOIN s USING (event_type)
+        WHERE value IS NOT NULL
+          AND abs((value - mean_v) / std_v) > 2.0
+        ORDER BY event_id""")),
+
+    // Count-Min sketch frequency watchlist (ops/CountMin): one mergeable
+    // depth×width sketch of the token stream answers post-hoc point
+    // queries; estimate ≥ t is a SUPERSET of the truly-heavy probes (CMS
+    // never undercounts), and the exact pass over `token IN (survivors)`
+    // keeps precisely the HAVING result. The sketch — not the vocabulary —
+    // crosses the exchange.
+    "q94_cms_watchlist" -> QueryDef(
+      fn = (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(TF.tokens(col("text"))).as("token"))
+        graft.ops.CountMin.heavyProbes(toks, col("token"), cmsProbes, cmsMinCount)
+          .select(col("item").as("token"), col("n"))
+          .orderBy("token")
+      },
+      oracle = Some(s"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest($toksSql) AS token FROM documents)
+        WHERE token IN (${sqlInList(cmsProbes)})
+        GROUP BY token HAVING count(*) >= $cmsMinCount ORDER BY token""")),
+
+    // Canonical-doc selection per duplicate cluster (Dedup.keepCanonical):
+    // the corpus is tripled into base + a stopword-padded variant (higher
+    // quality score) + a junk-padded one (lower); CHAIN edges build each
+    // cluster, and the argmax-quality pick must often choose the PADDED
+    // variant — survivorship by quality, not id order.
+    "q95_cluster_canonical" -> QueryDef(
+      fn = (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val v1 = base.select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(canonPadHi)).as("text"))
+        val v2 = base.select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(canonPadLo)).as("text"))
+        val corp = base.unionAll(v1).unionAll(v2)
+        val edges = base.select(col("doc_id").as("id_a"),
+            (col("doc_id") + 100000).as("id_b"))
+          .unionAll(base.select((col("doc_id") + 100000).as("id_a"),
+            (col("doc_id") + 200000).as("id_b")))
+        val scored = corp.select(col("doc_id"),
+          TF.qualityScore(col("text"), TF.langMarkers("en")).as("quality"))
+        Dedup.keepCanonical(scored, edges, "doc_id", "quality")
+          .orderBy("component")
+      },
+      oracle = Some {
+        val corpSql = s"""SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 100000 AS doc_id, text || '$canonPadHi'
+              AS text FROM documents
+            UNION ALL SELECT doc_id + 200000 AS doc_id, text || '$canonPadLo'
+              AS text FROM documents"""
+        s"""
+        WITH corp AS ($corpSql),
+        q AS (SELECT doc_id, $qualityExprSql AS quality
+              FROM (${qualityInnerSqlFrom("corp")})),
+        r AS (SELECT doc_id % 100000 AS component, doc_id, quality,
+                     row_number() OVER (PARTITION BY doc_id % 100000
+                       ORDER BY quality DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY doc_id % 100000) AS n_members
+              FROM q)
+        SELECT component, doc_id AS kept_id, quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM r WHERE rn = 1 ORDER BY component"""
+      }),
+
+    // Zone-map file pruning (ops/ZoneMap): per-file min/max stats plan
+    // the read set for a key-range predicate — Delta-style data skipping
+    // over plain parquet, with the residual filter keeping stale stats
+    // safe. The single-file test layout prunes trivially; ZoneMapSpec
+    // proves real file skipping on a multi-file range-partitioned write.
+    "q96_zonemap_prune" -> QueryDef(
+      fn = (s, d) => graft.ops.ZoneMap
+        .prunedRead(s, s"$d/lineitem.parquet", "l_orderkey",
+          lit(1000L), lit(3000L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          exactSum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag"),
+      oracle = Some(s"""
+        SELECT l_returnflag, count(*) AS n,
+               ${sumSql("l_extendedprice")} AS sum_price
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 1000 AND 3000
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
