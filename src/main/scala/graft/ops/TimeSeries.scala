@@ -65,7 +65,11 @@ object TimeSeries {
     require(lookback > 0, s"lookback must be positive: $lookback")
     val w = Window.partitionBy(keyCol).orderBy(col(orderCol))
       .rangeBetween(-lookback, Window.currentRow)
-    df.withColumn("win_sum", sum(exact).over(w))
-      .withColumn("win_n", count(exact).over(w))
+    // both frames in ONE projection: chained withColumns leave two Window
+    // nodes in the plan (CollapseWindow can't see through the interleaved
+    // Projects) — same answer, one extra pass over every sorted partition
+    df.select(df.columns.map(col) :+
+      sum(exact).over(w).as("win_sum") :+
+      count(exact).over(w).as("win_n"): _*)
   }
 }

@@ -136,4 +136,51 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(_.trim.startsWith("+- Generate")), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("q89: the frequent-line set broadcasts into the removal anti-join") {
+    val plan = planOf("q89_line_boilerplate")
+    // the exploded line stream must never shuffle for the removal — only
+    // the tiny frequent set crosses as a broadcast build side
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q90: min-k sampler partial-aggregates before the exchange") {
+    val plan = planOf("q90_group_sample")
+    // the whole point vs the window form: O(groups x k) over the wire
+    assert(plan.contains("partial_mink"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q92: rolling range window plans ONE window over one exchange") {
+    val plan = planOf("q92_rolling_window")
+    // sum + count share the frame — a refactor that splits them doubles
+    // the pass count over every sorted partition
+    // count the "(n) Window" detail headers — exactly one per Window node
+    val windows = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Window"))
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("q93: moment stats broadcast back onto the event stream") {
+    val plan = planOf("q93_zscore_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_sum"), plan) // exact moments combine map-side
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q94: only surviving probes reach the exact-count exchange") {
+    val plan = planOf("q94_cms_watchlist")
+    // the sketch pass already ran at plan time (bounded collect); the
+    // residual plan is filter -> partial count -> exchange on <= |probes| keys
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.linesIterator.exists(l => l.contains("Condition") && l.contains("token")) ||
+      plan.contains("IN ("), plan)
+  }
+
+  test("q96: zone-map residual predicate still reaches the parquet scan") {
+    val plan = planOf("q96_zonemap_prune")
+    assert(plan.contains("GreaterThanOrEqual(l_orderkey,1000)"), plan)
+    assert(plan.contains("LessThanOrEqual(l_orderkey,3000)"), plan)
+  }
 }
