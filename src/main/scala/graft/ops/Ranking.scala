@@ -86,4 +86,24 @@ object Ranking {
       .withColumn(out, tile.cast("long"))
       .drop("__bucket", "__base")
   }
+
+  /** Exact global `percent_rank` over `keyCols` — RANK semantics (tied
+    * keys share a rank), (rank - 1) / (n - 1), 0.0 for a single row —
+    * without the single-reducer window. Correctness of the split rank:
+    * equal keys always land in the same range partition, so a tie group
+    * never straddles workers and local `rank() + base` IS the global
+    * rank. Output: input columns + `out` (double).
+    */
+  def percentRankExact(df: DataFrame, keyCols: Seq[Column],
+      out: String = "pct_rank", numPartitions: Int = 0): DataFrame = {
+    val w = Window.partitionBy("__bucket").orderBy(keyCols: _*)
+    val (based, total) = withBases(df, keyCols, numPartitions)
+    val globalRank = col("__base") + rank().over(w).cast("long")
+    val pct =
+      if (total <= 1L) lit(0.0)
+      else (globalRank - 1L).cast("double") / lit((total - 1L).toDouble)
+    based
+      .withColumn(out, pct)
+      .drop("__bucket", "__base")
+  }
 }

@@ -83,6 +83,17 @@ object Catalog {
   private[queries] val canonPadHi = " the and is of to in a for"
   private[queries] val canonPadLo = " zq zq zq zq zq zq zq zq"
 
+  /** q97's profiled columns — one constant feeding both engines (the
+    * timestamp column is deliberately excluded from the ORACLE-paired
+    * profile: engines render timestamp strings differently; the op
+    * itself profiles any type).
+    */
+  private[queries] val profileCols: Seq[String] =
+    Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+  /** q98's funnel definition, shared with the oracle. */
+  private[queries] val funnelStepSeq: Seq[String] = Seq("view", "click", "purchase")
+
   // ---------------------------------------------------------------------
   // SQL generators shared between the Column expressions and oracle text
 
@@ -2365,7 +2376,91 @@ object Catalog {
                ${sumSql("l_extendedprice")} AS sum_price
         FROM lineitem
         WHERE l_orderkey BETWEEN 1000 AND 3000
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // One-pass table profiling (ops/Profile — the crawler-statistics
+    // step): per column, rows / nulls / exact distinct / min / max, all
+    // from ONE aggregate (multi-distinct Expand; swap in
+    // approx_count_distinct at 100 TB). The oracle is generated from the
+    // same column list, so the two sides cannot drift.
+    "q97_table_profile" -> QueryDef(
+      fn = (s, d) => graft.ops.Profile
+        .profile(t(s, d, "orders"), profileCols)
+        .orderBy("col_name"),
+      oracle = Some(graft.ops.Profile.profileSql("orders", profileCols))),
+
+    // Sequential conversion funnel (ops/Funnel): users reaching view,
+    // then click at-or-after their earliest view within 7 days, then
+    // purchase after that click. k user-keyed aggs + k-1 user-keyed
+    // joins — the per-user state is one timestamp per step.
+    "q98_funnel_steps" -> QueryDef(
+      fn = (s, d) => graft.ops.Funnel
+        .funnelSteps(t(s, d, "events"), "user_id", "ts", "event_type",
+          funnelStepSeq, maxSpan = Some("INTERVAL 7 DAYS"))
+        .orderBy("step"),
+      oracle = Some {
+        val stepCtes = funnelStepSeq.zipWithIndex.map { case (st, i) =>
+          if (i == 0)
+            s"s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$st' GROUP BY user_id)"
+          else
+            s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s$i p ON e.user_id = p.user_id
+                WHERE e.event_type = '$st' AND e.ts >= p.t
+                  AND e.ts <= p.t + INTERVAL 7 DAY
+                GROUP BY e.user_id)"""
+        }.mkString(", ")
+        val unions = funnelStepSeq.zipWithIndex.map { case (st, i) =>
+          s"SELECT ${i + 1} AS step, '$st' AS event_type, count(*) AS n_users FROM s${i + 1}"
+        }.mkString(" UNION ALL ")
+        s"WITH $stepCtes $unions ORDER BY step"
+      }),
+
+    // Weekly cohort retention: users bucketed by first-active week,
+    // counted per week offset — two user-keyed aggregations and one
+    // user-keyed join; week truncation and the day/7 offset are exact
+    // integer ops on both engines.
+    "q99_cohort_retention" -> QueryDef(
+      fn = (s, d) => {
+        val weekly = t(s, d, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .distinct()
+        val first = weekly.groupBy("user_id")
+          .agg(min(col("week")).as("cohort_week"))
+        weekly.join(first, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+              .as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      oracle = Some("""
+        WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                   FROM events),
+        f AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id)
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+                 AS week_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+
+    // Exact global percent_rank (ops/Ranking.percentRankExact): RANK
+    // semantics over n_chars DESC (real ties — tied docs share a pct),
+    // two-phase range-partitioned rank instead of the single-reducer
+    // window the oracle expresses. 6-dp floor snap on both engines.
+    "q100_percent_rank" -> QueryDef(
+      fn = (s, d) => graft.ops.Ranking
+        .percentRankExact(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc))
+        .select(col("doc_id"), col("n_chars"),
+          (floor(col("pct_rank") * 1000000 + 0.5) / 1000000.0).as("pct_rank"))
+        .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id, n_chars,
+               floor(percent_rank() OVER (ORDER BY n_chars DESC)
+                     * 1000000 + 0.5) / 1000000.0 AS pct_rank
+        FROM documents ORDER BY doc_id"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -183,4 +183,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(l_orderkey,1000)"), plan)
     assert(plan.contains("LessThanOrEqual(l_orderkey,3000)"), plan)
   }
+
+  test("q97: profiling 5 columns scans the table once (Expand, not re-scans)") {
+    val plan = planOf("q97_table_profile")
+    // multi-distinct goes through one Expand over ONE parquet scan
+    assert(plan.contains("Expand"), plan)
+    // count the "(n) Scan parquet" detail headers — one per scan node
+    // (the tree line above them also says "Scan parquet")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\s*"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+  }
+
+  test("q98: funnel joins are all equi-joins on the user key") {
+    val plan = planOf("q98_funnel_steps")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q99: cohort retention partial-aggregates before its exchanges") {
+    val plan = planOf("q99_cohort_retention")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q100: distributed percent_rank never funnels rows through one reducer") {
+    val plan = planOf("q100_percent_rank")
+    val single = plan.linesIterator.filter(_.contains("SinglePartition"))
+      .filterNot(_.contains("Broadcast"))
+      .toList
+    assert(single.isEmpty, s"single-partition exchange in q100 plan:\n$plan")
+  }
 }
