@@ -74,4 +74,60 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
   }
+
+  /** The removal step [[contaminated]] only detects: rewrite the TRAIN
+    * side with every eval-leaked span masked out. A train token is
+    * dropped when ANY `shingleSize`-gram occurrence covering it also
+    * appears in the eval split; the survivors are rejoined in order —
+    * overlapping and back-to-back hits merge naturally because coverage
+    * is computed per POSITION, not per span.
+    *
+    * Output: one row per train doc — (doc_id, clean_text, n_tokens_kept,
+    * n_tokens_removed) — clean docs pass through with zero removed, a
+    * fully-leaked doc survives as an empty string (filter on
+    * n_tokens_kept to drop such husks).
+    *
+    * Shape at scale: gram occurrences join the distinct eval-gram set on
+    * the gram (uniform key, same exchange as [[contaminated]] with the
+    * sides swapped); coverage explode is map-side; the anti-join and the
+    * positional reassembly hash by (doc, position) / doc. Nothing
+    * touches the driver.
+    */
+  def maskContaminated(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3): DataFrame = {
+    val evalGrams = grams(eval, idCol, textCol, shingleSize, hashGrams = false)
+      .select("gram").distinct()
+
+    // gram OCCURRENCES with 0-based start positions (no distinct — every
+    // occurrence masks its own span)
+    val occurrences = train.select(col(idCol).as("doc_id"),
+      posexplode(TF.shingles(col(textCol), shingleSize)).as(Seq("__p", "gram")))
+    val covered = occurrences
+      .join(evalGrams, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("__p"), col("__p") + (shingleSize - 1))).as("__p"))
+      .distinct()
+
+    val tokenized = train.select(col(idCol).as("doc_id"),
+      posexplode(TF.tokens(col(textCol))).as(Seq("__p", "__tok")))
+    val kept = tokenized.join(covered, Seq("doc_id", "__p"), "left_anti")
+    val reassembled = kept
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__p"), col("__tok")))),
+            x => x.getField("__tok")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+
+    train
+      .select(col(idCol).as("doc_id"),
+        TF.tokenCount(col(textCol)).as("__n_total"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__n_total") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .as("n_tokens_removed"))
+  }
 }

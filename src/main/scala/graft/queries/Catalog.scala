@@ -2460,7 +2460,55 @@ object Catalog {
         SELECT doc_id, n_chars,
                floor(percent_rank() OVER (ORDER BY n_chars DESC)
                      * 1000000 + 0.5) / 1000000.0 AS pct_rank
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Contamination REMOVAL (Decontaminate.maskContaminated): q62/q88
+    // detect eval leakage; this rewrites the train split with every
+    // leaked 3-gram occurrence masked out — coverage is per token
+    // position, so overlapping hits merge naturally. Same 0.8 hash split
+    // as q62; clean docs pass through with zero removed.
+    "q101_mask_contaminated" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val isTrain = graft.ops.Sampling.inSplit(col("doc_id"), 0.8)
+        graft.ops.Decontaminate.maskContaminated(
+            docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH split AS (
+          SELECT doc_id, text,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '${Sampling.thresholdHex(0.8)}' AS is_train
+          FROM documents),
+        tt AS (SELECT doc_id, $toksSql AS toks FROM split WHERE is_train),
+        eg AS (SELECT DISTINCT
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+               FROM (SELECT $toksSql AS toks FROM split WHERE NOT is_train) e,
+               LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g),
+        occ AS (SELECT doc_id, i
+                FROM tt,
+                LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+                WHERE (toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                        IN (SELECT gram FROM eg)),
+        cov AS (SELECT DISTINCT doc_id,
+                       unnest(generate_series(i, i + 2)) AS p
+                FROM occ),
+        tp AS (SELECT doc_id, unnest(toks) AS tok,
+                      unnest(generate_series(1, len(toks))) AS p
+               FROM tt),
+        kept AS (SELECT t.doc_id, t.tok, t.p
+                 FROM tp t LEFT JOIN cov c
+                   ON t.doc_id = c.doc_id AND t.p = c.p
+                 WHERE c.p IS NULL),
+        re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                      count(*) AS n_tokens_kept
+               FROM kept GROUP BY doc_id)
+        SELECT tt.doc_id,
+               coalesce(re.clean_text, '') AS clean_text,
+               coalesce(re.n_tokens_kept, 0) AS n_tokens_kept,
+               len(tt.toks) - coalesce(re.n_tokens_kept, 0) AS n_tokens_removed
+        FROM tt LEFT JOIN re USING (doc_id) ORDER BY doc_id"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

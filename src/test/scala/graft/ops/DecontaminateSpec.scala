@@ -44,4 +44,42 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(Decontaminate.contaminatedBloom(emptyTrain, eval, "doc_id", "text")
       .count() == 0L)
   }
+
+  test("masking removes exactly the leaked spans, in order") {
+    val tr = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"), // leak "cc dd ee" → tokens 3..5 drop
+      (2L, "totally clean training text right here") // untouched
+    ).toDF("doc_id", "text")
+    val ev = Seq((10L, "xx cc dd ee yy zz qq")).toDF("doc_id", "text")
+    val out = Decontaminate.maskContaminated(tr, ev, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out === Array(
+      (1L, "aa bb ff gg hh", 5L, 3L),
+      (2L, "totally clean training text right here", 6L, 0L)))
+  }
+
+  test("overlapping and adjacent leaked grams merge into one masked span") {
+    // eval contains "bb cc dd" AND "cc dd ee": occurrences at 2 and 3
+    // cover positions 2..5 — union, not double-removal
+    val tr = Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val ev = Seq((10L, "bb cc dd zz1 zz2 cc dd ee")).toDF("doc_id", "text")
+    val out = Decontaminate.maskContaminated(tr, ev, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out === Array((1L, "aa ff", 2L, 4L)))
+  }
+
+  test("a fully-leaked doc survives as an empty row, not a dropped one") {
+    val tr = Seq((1L, "pp qq rr")).toDF("doc_id", "text")
+    val ev = Seq((10L, "pp qq rr tail words here")).toDF("doc_id", "text")
+    val out = Decontaminate.maskContaminated(tr, ev, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out === Array((1L, "", 0L, 3L)))
+  }
+
+  test("masking leaves a disjoint corpus byte-identical") {
+    val out = Decontaminate.maskContaminated(train,
+        eval.filter("doc_id = 11"), "doc_id", "text")
+      .orderBy("doc_id").select("clean_text").as[String].collect()
+    assert(out === train.orderBy("doc_id").select("text").as[String].collect())
+  }
 }

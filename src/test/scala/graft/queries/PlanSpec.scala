@@ -206,6 +206,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q101: contamination masking joins on uniform keys, no nested loops") {
+    val plan = planOf("q101_mask_contaminated")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q100: distributed percent_rank never funnels rows through one reducer") {
     val plan = planOf("q100_percent_rank")
     val single = plan.linesIterator.filter(_.contains("SinglePartition"))
