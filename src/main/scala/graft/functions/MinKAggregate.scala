@@ -31,9 +31,25 @@ object MinKAggregate {
   final case class MinKBuf(items: Seq[Keyed])
 
   // lexicographic key ascending, id ascending on ties — exactly the
-  // window's ORDER BY key, id
+  // window's ORDER BY key, id. Spark sorts strings by UNSIGNED UTF-8
+  // bytes; Java's String.compareTo sorts UTF-16 code units, and the two
+  // disagree beyond the BMP (e.g. U+FFFF vs U+10000 — surrogates sort low
+  // in UTF-16, high in UTF-8), so compare bytes, not chars.
+  private def compareUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
   private def before(a: Keyed, b: Keyed): Boolean = {
-    val c = a.key.compareTo(b.key)
+    val c = compareUtf8(a.key, b.key)
     c < 0 || (c == 0 && a.id < b.id)
   }
 

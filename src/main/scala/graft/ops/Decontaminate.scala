@@ -29,10 +29,16 @@ object Decontaminate {
     */
   private def grams(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, hashGrams: Boolean): DataFrame = {
+    // docs shorter than the shingle produce NO grams (TF.shingles'
+    // whole-text fallback is a dedup convenience, not a contamination
+    // claim — and the SQL oracles generate grams only for len ≥ k, so the
+    // fallback would silently diverge the two engines on short docs).
     // explode must be a top-level select expression; hash in a second
-    // projection
+    // projection.
     val base = df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TF.shingles(col(textCol), shingleSize))).as("g"))
+      explode(when(TF.tokenCount(col(textCol)) >= shingleSize,
+          array_distinct(TF.shingles(col(textCol), shingleSize)))
+        .otherwise(array().cast("array<string>"))).as("g"))
     base.select(col("doc_id"),
       (if (hashGrams) xxhash64(col("g")) else col("g")).as("gram"))
   }
@@ -99,9 +105,12 @@ object Decontaminate {
       .select("gram").distinct()
 
     // gram OCCURRENCES with 0-based start positions (no distinct — every
-    // occurrence masks its own span)
+    // occurrence masks its own span; same short-doc guard as [[grams]]:
+    // sub-shingle docs assert no leakage and pass through untouched)
     val occurrences = train.select(col(idCol).as("doc_id"),
-      posexplode(TF.shingles(col(textCol), shingleSize)).as(Seq("__p", "gram")))
+      posexplode(when(TF.tokenCount(col(textCol)) >= shingleSize,
+          TF.shingles(col(textCol), shingleSize))
+        .otherwise(array().cast("array<string>"))).as(Seq("__p", "gram")))
     val covered = occurrences
       .join(evalGrams, Seq("gram"))
       .select(col("doc_id"),
@@ -120,14 +129,19 @@ object Decontaminate {
           " ").as("clean_text"),
         count(lit(1)).as("n_tokens_kept"))
 
+    // totals come from the already-exploded token stream (not a second
+    // pass over the text bytes); the id-only scan restoring token-less
+    // docs is column-pruned — it never reads text
+    val totals = tokenized.groupBy("doc_id")
+      .agg(count(lit(1)).as("__n_total"))
     train
-      .select(col(idCol).as("doc_id"),
-        TF.tokenCount(col(textCol)).as("__n_total"))
+      .select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
       .join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-        (col("__n_total") - coalesce(col("n_tokens_kept"), lit(0L)))
-          .as("n_tokens_removed"))
+        (coalesce(col("__n_total"), lit(0L)) -
+          coalesce(col("n_tokens_kept"), lit(0L))).as("n_tokens_removed"))
   }
 }

@@ -25,21 +25,22 @@ object Funnel {
     * greedy frontier: it maximizes the time remaining for later steps
     * under a span cap.
     */
-  def funnelSteps(
+  /** One frame per step: (user, __t = earliest reach time) — the shared
+    * frontier recursion behind both public forms.
+    */
+  private def reachFrontiers(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       typeCol: String,
       steps: Seq[String],
-      maxSpan: Option[String] = None): DataFrame = {
+      maxSpan: Option[String]): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel with zero steps")
     require(steps.distinct.size == steps.size, s"duplicate step in $steps")
-
     def earliest(df: DataFrame): DataFrame =
       df.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-
     val first = earliest(events.filter(col(typeCol) === steps.head))
-    val reached: Seq[DataFrame] = steps.tail.scanLeft(first) { (prev, step) =>
+    steps.tail.scanLeft(first) { (prev, step) =>
       val candidates = events.filter(col(typeCol) === step)
         .join(prev.select(col(userCol), col("__t").as("__prev_t")), Seq(userCol))
         .filter(col(tsCol) >= col("__prev_t"))
@@ -49,13 +50,21 @@ object Funnel {
       }
       earliest(capped)
     }
-
-    reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1L).as("step"), lit(step).as("event_type"),
-          col("n_users"))
-    }.reduce(_.unionAll(_))
   }
+
+  def funnelSteps(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxSpan: Option[String] = None): DataFrame =
+    reachFrontiers(events, userCol, tsCol, typeCol, steps, maxSpan)
+      .zip(steps).zipWithIndex.map { case ((df, step), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("step"), lit(step).as("event_type"),
+            col("n_users"))
+      }.reduce(_.unionAll(_))
 
   /** Per-user step-reach times in wide format — (user, t_step1, ...,
     * t_stepK nullable) — for downstream time-to-convert analysis.
@@ -66,23 +75,9 @@ object Funnel {
       tsCol: String,
       typeCol: String,
       steps: Seq[String],
-      maxSpan: Option[String] = None): DataFrame = {
-    require(steps.nonEmpty, "funnel with zero steps")
-    def earliest(df: DataFrame): DataFrame =
-      df.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-    val first = earliest(events.filter(col(typeCol) === steps.head))
-    val reached = steps.tail.scanLeft(first) { (prev, step) =>
-      val candidates = events.filter(col(typeCol) === step)
-        .join(prev.select(col(userCol), col("__t").as("__prev_t")), Seq(userCol))
-        .filter(col(tsCol) >= col("__prev_t"))
-      val capped = maxSpan match {
-        case Some(span) => candidates.filter(col(tsCol) <= col("__prev_t") + expr(span))
-        case None       => candidates
-      }
-      earliest(capped)
-    }
-    reached.zip(steps).map { case (df, step) =>
-      df.select(col(userCol), col("__t").as(s"t_$step"))
-    }.reduce((a, b) => a.join(b, Seq(userCol), "left"))
-  }
+      maxSpan: Option[String] = None): DataFrame =
+    reachFrontiers(events, userCol, tsCol, typeCol, steps, maxSpan)
+      .zip(steps).map { case (df, step) =>
+        df.select(col(userCol), col("__t").as(s"t_$step"))
+      }.reduce((a, b) => a.join(b, Seq(userCol), "left"))
 }

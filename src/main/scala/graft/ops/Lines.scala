@@ -69,10 +69,11 @@ object Lines {
         count(lit(1)).as("n_kept"))
 
     // docs whose every line was boilerplate drop out of the groupBy —
-    // restore them with an empty clean_text so the row count is stable
-    val totals = docs.select(
-      id, size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .cast("long").as("__n_total"))
+    // restore them with an empty clean_text so the row count is stable.
+    // Totals come from the already-exploded line stream (split yields at
+    // least one element for ANY string, so no doc is missing from it) —
+    // not from a second pass over the text bytes.
+    val totals = lines.groupBy(id).agg(count(lit(1)).as("__n_total"))
     totals
       .join(reassembled, Seq(idCol), "left")
       .select(

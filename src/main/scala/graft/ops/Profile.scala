@@ -46,7 +46,14 @@ object Profile {
   }
 
   /** DuckDB twin generated from the same column list (UNION ALL of one
-    * SELECT per column), so the two sides cannot drift.
+    * SELECT per column), so the column set and formulas cannot drift.
+    *
+    * String RENDERING of min/max can still differ between engines for
+    * some types: Spark prints doubles outside [1e-3, 1e7) in scientific
+    * notation where DuckDB prints plain decimal, and timestamp text
+    * differs too. Oracle-pair only columns whose min/max are integers,
+    * strings, or doubles inside that range (q97 pins such a set); the op
+    * itself profiles any type.
     */
   def profileSql(table: String, cols: Seq[String]): String =
     cols.map { c =>

@@ -83,6 +83,13 @@ object Catalog {
   private[queries] val canonPadHi = " the and is of to in a for"
   private[queries] val canonPadLo = " zq zq zq zq zq zq zq zq"
 
+  /** q95's variant-id shift. Both the cluster construction (doc_id +
+    * shift, + 2*shift) and the oracle's component label (doc_id % shift)
+    * assume max(doc_id) < shift — 10^12 leaves headroom far beyond any
+    * test corpus (and far inside long range at 3×shift).
+    */
+  private[queries] val canonShift = 1000000000000L
+
   /** q97's profiled columns — one constant feeding both engines (the
     * timestamp column is deliberately excluded from the ORACLE-paired
     * profile: engines render timestamp strings differently; the op
@@ -135,8 +142,31 @@ object Catalog {
   private def exactRevenue(price: Column, disc: Column): Column =
     sum(cents(price) * (lit(100L) - cents(disc))).cast("double") / 10000.0
 
+  /** Exact integer-cent moments of events.value per event_type — ONE
+    * implementation (plus its SQL twin below) shared by q76 (group
+    * stats) and q93 (z-score outliers), so a precision fix cannot
+    * desynchronize them. Output: (event_type, __n, __s1, __s2) with the
+    * sums as exact longs.
+    */
+  private def eventValueMoments(ev: DataFrame): DataFrame = {
+    val c = cents(col("value"))
+    ev.filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(col("value")).as("__n"),
+        sum(c).as("__s1"), sum(c * c).as("__s2"))
+  }
+
   private def centsSql(c: String): String =
     s"CAST(round($c * 100) AS BIGINT)"
+
+  /** DuckDB twin of [[eventValueMoments]] (an m-CTE body): (event_type,
+    * n, s1, s2) with the sums cast to DOUBLE for the derived formulas.
+    */
+  private def momentsSqlCte: String =
+    s"""SELECT event_type, count(value) AS n,
+          CAST(sum(${centsSql("value")}) AS DOUBLE) AS s1,
+          CAST(sum(${centsSql("value")} * ${centsSql("value")}) AS DOUBLE) AS s2
+        FROM events WHERE value IS NOT NULL GROUP BY event_type"""
   private def sumSql(c: String): String =
     s"(CAST(sum(${centsSql(c)}) AS DOUBLE) / 100.0)"
   private def avgSql(c: String): String =
@@ -1277,30 +1307,21 @@ object Catalog {
     // product on both sides).
     "q76_group_stats" -> QueryDef(
       fn = (s, d) => {
-        val c = cents(col("value"))
-        val agged = t(s, d, "events")
-          .filter(col("value").isNotNull)
-          .groupBy("event_type")
-          .agg(count(col("value")).as("n"),
-            sum(c).as("__s1"), sum(c * c).as("__s2"))
+        val agged = eventValueMoments(t(s, d, "events"))
         val s1 = col("__s1").cast("double")
         val s2 = col("__s2").cast("double")
-        val nD = col("n").cast("double")
+        val nD = col("__n").cast("double")
         val varC = (s2 - s1 * s1 / nD) / (nD - 1) // sample variance, cents^2
         def snap6(x: org.apache.spark.sql.Column) =
           floor(x * 1000000 + 0.5) / 1000000.0
-        agged.select(col("event_type"), col("n"),
+        agged.select(col("event_type"), col("__n").as("n"),
             snap6(s1 / 100.0 / nD).as("mean_value"),
             snap6(varC / 10000.0).as("var_value"),
             snap6(sqrt(varC) / 100.0).as("std_value"))
           .orderBy("event_type")
       },
       oracle = Some(s"""
-        WITH m AS (SELECT event_type, count(value) AS n,
-                     CAST(sum(${centsSql("value")}) AS DOUBLE) AS s1,
-                     CAST(sum(${centsSql("value")} * ${centsSql("value")})
-                          AS DOUBLE) AS s2
-                   FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        WITH m AS ($momentsSqlCte)
         SELECT event_type, n,
                floor((s1 / 100.0 / n) * 1000000 + 0.5) / 1000000.0
                  AS mean_value,
@@ -2150,8 +2171,8 @@ object Catalog {
       },
       oracle = Some("""
         WITH d AS (SELECT doc_id,
-                     'promo ' || source || chr(10) || text || chr(10) ||
-                     'doc ' || CAST(doc_id AS VARCHAR) AS text
+                     concat_ws(chr(10), 'promo ' || source, text,
+                               'doc ' || CAST(doc_id AS VARCHAR)) AS text
                    FROM documents),
         l AS (SELECT doc_id,
                      unnest(string_split(text, chr(10))) AS line,
@@ -2262,14 +2283,10 @@ object Catalog {
     "q93_zscore_outliers" -> QueryDef(
       fn = (s, d) => {
         val ev = t(s, d, "events").filter(col("value").isNotNull)
-        val c = cents(col("value"))
-        val stats = ev.groupBy("event_type")
-          .agg(count(col("value")).as("__n"),
-            sum(c).as("__s1"), sum(c * c).as("__s2"))
         val s1 = col("__s1").cast("double")
         val s2 = col("__s2").cast("double")
         val nD = col("__n").cast("double")
-        val moments = stats.select(col("event_type"),
+        val moments = eventValueMoments(ev).select(col("event_type"),
           (s1 / 100.0 / nD).as("__mean"),
           (sqrt((s2 - s1 * s1 / nD) / (nD - 1)) / 100.0).as("__std"))
         val z = (col("value") - col("__mean")) / col("__std")
@@ -2281,11 +2298,7 @@ object Catalog {
           .orderBy("event_id")
       },
       oracle = Some(s"""
-        WITH m AS (SELECT event_type, count(value) AS n,
-                     CAST(sum(${centsSql("value")}) AS DOUBLE) AS s1,
-                     CAST(sum(${centsSql("value")} * ${centsSql("value")})
-                          AS DOUBLE) AS s2
-                   FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        WITH m AS ($momentsSqlCte),
         s AS (SELECT event_type, s1 / 100.0 / n AS mean_v,
                      sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100.0 AS std_v
               FROM m)
@@ -2324,15 +2337,15 @@ object Catalog {
     "q95_cluster_canonical" -> QueryDef(
       fn = (s, d) => {
         val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val v1 = base.select((col("doc_id") + 100000).as("doc_id"),
+        val v1 = base.select((col("doc_id") + canonShift).as("doc_id"),
           concat(col("text"), lit(canonPadHi)).as("text"))
-        val v2 = base.select((col("doc_id") + 200000).as("doc_id"),
+        val v2 = base.select((col("doc_id") + 2 * canonShift).as("doc_id"),
           concat(col("text"), lit(canonPadLo)).as("text"))
         val corp = base.unionAll(v1).unionAll(v2)
         val edges = base.select(col("doc_id").as("id_a"),
-            (col("doc_id") + 100000).as("id_b"))
-          .unionAll(base.select((col("doc_id") + 100000).as("id_a"),
-            (col("doc_id") + 200000).as("id_b")))
+            (col("doc_id") + canonShift).as("id_b"))
+          .unionAll(base.select((col("doc_id") + canonShift).as("id_a"),
+            (col("doc_id") + 2 * canonShift).as("id_b")))
         val scored = corp.select(col("doc_id"),
           TF.qualityScore(col("text"), TF.langMarkers("en")).as("quality"))
         Dedup.keepCanonical(scored, edges, "doc_id", "quality")
@@ -2340,18 +2353,18 @@ object Catalog {
       },
       oracle = Some {
         val corpSql = s"""SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + 100000 AS doc_id, text || '$canonPadHi'
+            UNION ALL SELECT doc_id + $canonShift AS doc_id, text || '$canonPadHi'
               AS text FROM documents
-            UNION ALL SELECT doc_id + 200000 AS doc_id, text || '$canonPadLo'
+            UNION ALL SELECT doc_id + ${2 * canonShift} AS doc_id, text || '$canonPadLo'
               AS text FROM documents"""
         s"""
         WITH corp AS ($corpSql),
         q AS (SELECT doc_id, $qualityExprSql AS quality
               FROM (${qualityInnerSqlFrom("corp")})),
-        r AS (SELECT doc_id % 100000 AS component, doc_id, quality,
-                     row_number() OVER (PARTITION BY doc_id % 100000
+        r AS (SELECT doc_id % $canonShift AS component, doc_id, quality,
+                     row_number() OVER (PARTITION BY doc_id % $canonShift
                        ORDER BY quality DESC, doc_id) AS rn,
-                     count(*) OVER (PARTITION BY doc_id % 100000) AS n_members
+                     count(*) OVER (PARTITION BY doc_id % $canonShift) AS n_members
               FROM q)
         SELECT component, doc_id AS kept_id, quality,
                CAST(n_members AS BIGINT) AS n_members
