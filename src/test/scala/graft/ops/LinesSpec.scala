@@ -68,4 +68,30 @@ class LinesSpec extends AnyFunSuite {
       Lines.removeFrequentLines(docs, "doc_id", "text", minDocs = 1)
     }
   }
+
+  test("property: matches a serial reference on random corpora") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 5) {
+      val vocab = (1 to 12).map(i => s"line-$i") // small vocab → real repeats
+      val corpus = (1L to 60L).map { id =>
+        val n = 1 + rnd.nextInt(6)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      }
+      val minDocs = 2 + rnd.nextInt(4)
+      // serial reference
+      val docFreq = corpus.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val frequent = docFreq.filter(_._2 >= minDocs).keySet
+      val expected = corpus.map { case (id, ls) =>
+        val kept = ls.filterNot(frequent)
+        (id, kept.mkString("\n"), kept.size.toLong, (ls.size - kept.size).toLong)
+      }
+      // distributed
+      val df = corpus.map { case (id, ls) => (id, ls.mkString("\n")) }
+        .toDF("doc_id", "text").repartition(1 + rnd.nextInt(7))
+      val got = Lines.removeFrequentLines(df, "doc_id", "text", minDocs)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+      assert(got === expected, s"trial $trial (minDocs=$minDocs)")
+    }
+  }
 }
