@@ -2521,7 +2521,61 @@ object Catalog {
                coalesce(re.clean_text, '') AS clean_text,
                coalesce(re.n_tokens_kept, 0) AS n_tokens_kept,
                len(tt.toks) - coalesce(re.n_tokens_kept, 0) AS n_tokens_removed
-        FROM tt LEFT JOIN re USING (doc_id) ORDER BY doc_id"""))
+        FROM tt LEFT JOIN re USING (doc_id) ORDER BY doc_id""")),
+
+    // Event transition counts (the Markov-chain edge table): per user,
+    // each event paired with its predecessor via lag, grouped into
+    // (prev, next) counts. One hash exchange on user_id for the window,
+    // partial agg for the counts. Ordering is (epoch MILLIS, event_id) —
+    // both engines floor the nanos timestamp to the same millis value,
+    // so tie-breaks cannot diverge on sub-milli precision.
+    "q102_event_transitions" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prev_type", "next_type")
+      },
+      oracle = Some("""
+        SELECT prev_type, next_type, count(*) AS n
+        FROM (SELECT event_type AS next_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ms(ts), event_id) AS prev_type
+              FROM events)
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type ORDER BY prev_type, next_type""")),
+
+    // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    // each other instead of vanishing — the semantics dimension lookups
+    // need when "unknown" is itself a dimension member. The fact side
+    // nulls out 'view' events; the 5-row dim broadcasts.
+    "q103_nullsafe_join" -> QueryDef(
+      fn = (s, d) => {
+        val facts = t(s, d, "events")
+          .select(nullif(col("event_type"), lit("view")).as("k"),
+            col("value"))
+        val dim = s.createDataFrame(Seq(
+            (Option("click"), "clicked"), (Option("error"), "errored"),
+            (Option("purchase"), "purchased"), (Option("signup"), "signed"),
+            (Option.empty[String], "unknown")))
+          .toDF("k", "label")
+        facts.join(broadcast(dim), facts("k") <=> dim("k"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+          .orderBy("label")
+      },
+      oracle = Some(s"""
+        WITH f AS (SELECT nullif(event_type, 'view') AS k, value FROM events),
+        dim(k, label) AS (VALUES ('click', 'clicked'), ('error', 'errored'),
+                                 ('purchase', 'purchased'), ('signup', 'signed'),
+                                 (NULL, 'unknown'))
+        SELECT label, count(*) AS n, ${sumSql("value")} AS sum_value
+        FROM f JOIN dim ON f.k IS NOT DISTINCT FROM dim.k
+        GROUP BY label ORDER BY label"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
