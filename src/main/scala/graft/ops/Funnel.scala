@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Sequential conversion funnel — the product-analytics staple over an
   * event stream: how many users reached step 1, then step 2 AT OR AFTER
@@ -80,4 +81,67 @@ object Funnel {
       .zip(steps).map { case (df, step) =>
         df.select(col(userCol), col("__t").as(s"t_$step"))
       }.reduce((a, b) => a.join(b, Seq(userCol), "left"))
+
+  // ------------------------------------------------------------ streaming
+
+  final case class FunnelIn(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** Per-user earliest-reach times in epoch MICROS; None = step unreached.
+    * This is exactly the per-user state a batch funnel recomputes from
+    * scratch — one Option[Long] per step.
+    */
+  final case class FunnelFrontier(user_id: Long, reached: Seq[Option[Long]])
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  /** Streaming funnel: `flatMapGroupsWithState` keeps ONE frontier row per
+    * user (O(active users) state) and emits the updated frontier each
+    * batch (Update mode — the sink sees monotone refinements; fold with
+    * elementwise min downstream).
+    *
+    * Within a batch, events are folded in (timestamp, step-index) order;
+    * every step-i admission rechecks `ts >= frontier(i-1)` (and the span
+    * cap) at full precision, so the fold reproduces the batch recursion
+    * exactly when arrival order is time-ordered across batches — the
+    * standard streaming-funnel caveat: an event arriving in a LATER batch
+    * than a chronologically-later event it should have preceded cannot
+    * retroactively re-admit the other (bound that window with the source's
+    * watermark, as any incremental funnel must).
+    */
+  def streamingFunnel(
+      spark: SparkSession,
+      events: DataFrame, // user_id, ts, event_type
+      steps: Seq[String],
+      maxSpanMicros: Option[Long] = None): Dataset[FunnelFrontier] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel with zero steps")
+    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    val stepIdx: Map[String, Int] = steps.zipWithIndex.toMap
+
+    def update(userId: Long, rows: Iterator[FunnelIn],
+        state: GroupState[FunnelFrontier]): Iterator[FunnelFrontier] = {
+      val times = state.getOption.map(_.reached.toArray)
+        .getOrElse(Array.fill[Option[Long]](steps.size)(None))
+      val batch = rows.toSeq
+        .flatMap(r => stepIdx.get(r.event_type).map(i => (micros(r.ts), i)))
+        // time order; step index breaks timestamp ties so an equal-time
+        // step-(i-1) is visible to step i, as the batch >= admits it
+        .sortBy(identity)
+      batch.foreach { case (t, i) =>
+        val prevOk =
+          if (i == 0) true
+          else times(i - 1).exists(prev =>
+            t >= prev && maxSpanMicros.forall(span => t <= prev + span))
+        if (prevOk && times(i).forall(t < _)) times(i) = Some(t)
+      }
+      val frontier = FunnelFrontier(userId, times.toSeq)
+      state.update(frontier)
+      Iterator.single(frontier)
+    }
+
+    events.as[FunnelIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -101,6 +101,28 @@ object Catalog {
   /** q98's funnel definition, shared with the oracle. */
   private[queries] val funnelStepSeq: Seq[String] = Seq("view", "click", "purchase")
 
+  /** The funnel oracle — the sequential-CTE chain — shared VERBATIM by
+    * q98 (batch) and q104 (streaming): the two entries must produce the
+    * identical (step, event_type, n_users) result, which is the
+    * stream/batch-parity correctness claim.
+    */
+  private def funnelOracleSql: String = {
+    val stepCtes = funnelStepSeq.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$st' GROUP BY user_id)"
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s$i p ON e.user_id = p.user_id
+            WHERE e.event_type = '$st' AND e.ts >= p.t
+              AND e.ts <= p.t + INTERVAL 7 DAY
+            GROUP BY e.user_id)"""
+    }.mkString(", ")
+    val unions = funnelStepSeq.zipWithIndex.map { case (st, i) =>
+      s"SELECT ${i + 1} AS step, '$st' AS event_type, count(*) AS n_users FROM s${i + 1}"
+    }.mkString(" UNION ALL ")
+    s"WITH $stepCtes $unions ORDER BY step"
+  }
+
   // ---------------------------------------------------------------------
   // SQL generators shared between the Column expressions and oracle text
 
@@ -2411,22 +2433,7 @@ object Catalog {
         .funnelSteps(t(s, d, "events"), "user_id", "ts", "event_type",
           funnelStepSeq, maxSpan = Some("INTERVAL 7 DAYS"))
         .orderBy("step"),
-      oracle = Some {
-        val stepCtes = funnelStepSeq.zipWithIndex.map { case (st, i) =>
-          if (i == 0)
-            s"s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$st' GROUP BY user_id)"
-          else
-            s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t
-                FROM events e JOIN s$i p ON e.user_id = p.user_id
-                WHERE e.event_type = '$st' AND e.ts >= p.t
-                  AND e.ts <= p.t + INTERVAL 7 DAY
-                GROUP BY e.user_id)"""
-        }.mkString(", ")
-        val unions = funnelStepSeq.zipWithIndex.map { case (st, i) =>
-          s"SELECT ${i + 1} AS step, '$st' AS event_type, count(*) AS n_users FROM s${i + 1}"
-        }.mkString(" UNION ALL ")
-        s"WITH $stepCtes $unions ORDER BY step"
-      }),
+      oracle = Some(funnelOracleSql)),
 
     // Weekly cohort retention: users bucketed by first-active week,
     // counted per week offset — two user-keyed aggregations and one
@@ -2575,7 +2582,37 @@ object Catalog {
                                  (NULL, 'unknown'))
         SELECT label, count(*) AS n, ${sumSql("value")} AS sum_value
         FROM f JOIN dim ON f.k IS NOT DISTINCT FROM dim.k
-        GROUP BY label ORDER BY label"""))
+        GROUP BY label ORDER BY label""")),
+
+    // STREAMING funnel (Funnel.streamingFunnel): the q98 funnel as a real
+    // Structured Streaming query — flatMapGroupsWithState holds one
+    // multi-step frontier per user (O(active users) state), the memory
+    // sink collects the Update-mode refinements, and elementwise-min
+    // folding recovers the final frontier. Checked against the SAME
+    // oracle as q98 — stream/batch parity is the correctness claim.
+    "q104_stream_funnel" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("user_id", "ts", "event_type")
+        val frontiers = graft.ops.Funnel.streamingFunnel(s, stream,
+          funnelStepSeq, maxSpanMicros = Some(7L * 24 * 3600 * 1000000L))
+        val q = graft.streaming.StreamingIngest.runToMemory(
+          frontiers.toDF(), "q104_mem", outputMode = "update")
+        q.stop()
+        dropStaged(dir)
+        val folded = s.table("q104_mem").groupBy("user_id")
+          .agg(min(col("reached").getItem(0)).as("__t0"),
+            funnelStepSeq.indices.tail.map(i =>
+              min(col("reached").getItem(i)).as(s"__t$i")): _*)
+        funnelStepSeq.zipWithIndex.map { case (st, i) =>
+          folded.agg(count(col(s"__t$i")).as("n_users"))
+            .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
+              col("n_users"))
+        }.reduce(_.unionAll(_)).orderBy("step")
+      },
+      oracle = Some(funnelOracleSql))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

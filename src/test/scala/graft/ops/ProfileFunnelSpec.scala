@@ -95,6 +95,53 @@ class ProfileFunnelSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------- streaming funnel
+
+  test("streaming funnel frontier matches batch funnelTimes (parity)") {
+    val rnd = new scala.util.Random(23)
+    val types = Seq("view", "click", "buy", "noise")
+    val rows = (1 to 400).map { i =>
+      (rnd.nextInt(12).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L),
+        types(rnd.nextInt(types.size)))
+    }
+    val inDir = java.nio.file.Files.createTempDirectory("funnel-stream")
+    rows.toDF("user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(inDir.toString)
+
+    val steps = Seq("view", "click", "buy")
+    val spanMicros = 3600L * 1000000L // 1 hour
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_type STRING")
+      .parquet(inDir.toString)
+    val q = graft.streaming.StreamingIngest.runToMemory(
+      Funnel.streamingFunnel(spark, stream, steps, Some(spanMicros)).toDF(),
+      "funnel_parity_mem", outputMode = "update")
+    try {
+      val streamed = spark.table("funnel_parity_mem")
+        .groupBy("user_id")
+        .agg(min(col("reached").getItem(0)).as("t0"),
+          min(col("reached").getItem(1)).as("t1"),
+          min(col("reached").getItem(2)).as("t2"))
+        .as[(Long, Option[Long], Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val batch = Funnel.funnelTimes(
+          rows.toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", steps,
+          maxSpan = Some("INTERVAL 1 HOUR"))
+        .select(col("user_id"),
+          unix_micros(col("t_view")), unix_micros(col("t_click")),
+          unix_micros(col("t_buy")))
+        .as[(Long, Option[Long], Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(streamed === batch && batch.nonEmpty)
+      // funnel monotonicity: each reached step is at-or-after the previous
+      assert(streamed.values.forall { case (t0, t1, t2) =>
+        t1.forall(b => t0.exists(_ <= b)) && t2.forall(c => t1.exists(_ <= c))
+      })
+    } finally q.stop()
+  }
+
   // --------------------------------------------------- percentRankExact
 
   test("percentRankExact equals the global window form, ties included") {
