@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the Deequ/Great-Expectations
+  * shape, built from primitives): a rule table of named boolean Columns,
+  * evaluated in ONE aggregate pass — per rule, how many rows violate it
+  * and the violation rate.
+  *
+  * This generalizes the reference's hand-rolled validation steps (null
+  * audits, range predicates, schema-presence checks — SURVEY §2 P8-P11)
+  * into a single reusable pass: rules are data, the scan cost is paid
+  * once regardless of rule count, and every rule expression stays inside
+  * whole-stage codegen (no UDFs).
+  *
+  * A NULL rule result counts as a violation — an expectation that cannot
+  * be evaluated on a row is not satisfied by it (SQL's `WHERE`-style
+  * null-dropping would silently pass unknowns).
+  */
+object Expectations {
+
+  final case class Rule(name: String, predicate: Column)
+
+  /** One row per rule: (rule, n_rows, n_violations, violation_rate 6-dp).
+    * Single aggregate over a single scan; the wide one-row result is
+    * reshaped with an explode of literal structs (driver-free).
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules to check")
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule name in ${rules.map(_.name)}")
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ rules.map { r =>
+      sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L))
+        .as(s"__viol_${r.name}")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = rules.map { r =>
+      struct(
+        lit(r.name).as("rule"),
+        col("__rows").as("n_rows"),
+        col(s"__viol_${r.name}").as("n_violations"),
+        (floor(col(s"__viol_${r.name}").cast("double") / col("__rows")
+          * 1000000 + 0.5) / 1000000.0).as("violation_rate"))
+    }
+    row.select(explode(array(entries: _*)).as("__e")).select("__e.*")
+  }
+
+  /** Fail-fast gate: throws if any rule's violation rate exceeds its
+    * tolerance (0.0 = hard expectation). Returns the check report for
+    * logging on success.
+    */
+  def enforce(df: DataFrame, rules: Seq[Rule],
+      tolerance: Double = 0.0): DataFrame = {
+    val report = check(df, rules)
+    val bad = report.filter(col("violation_rate") > tolerance).collect()
+    require(bad.isEmpty,
+      s"expectations failed (tolerance $tolerance): " +
+        bad.map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(", "))
+    report
+  }
+}

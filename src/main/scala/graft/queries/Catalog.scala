@@ -299,6 +299,16 @@ object Catalog {
     dir
   }
 
+  /** Recursive variant for staged trees (parquet WRITES create nested
+    * dirs + _SUCCESS markers that the flat [[dropStaged]] can't clear).
+    */
+  private def dropStagedTree(dir: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   private def dropStaged(dir: java.nio.file.Path): Unit = {
     val staged = java.nio.file.Files.list(dir)
     try staged.forEach(f => java.nio.file.Files.deleteIfExists(f))
@@ -2612,7 +2622,72 @@ object Catalog {
               col("n_users"))
         }.reduce(_.unionAll(_)).orderBy("step")
       },
-      oracle = Some(funnelOracleSql))
+      oracle = Some(funnelOracleSql)),
+
+    // Schema-evolution read: half the corpus is staged WITHOUT the lang
+    // column (the v1 writer), half with it (v2); `mergeSchema` unions the
+    // file schemas and fills the missing column with NULL — the lakehouse
+    // reality of long-lived tables. The oracle expresses the semantic
+    // outcome over the original table. localCheckpoint materializes the
+    // result before the staged files are deleted.
+    "q105_schema_evolution" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = java.nio.file.Files.createTempDirectory("graft-evolve")
+        val p1 = s"$base/v1"; val p2 = s"$base/v2"
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "source")
+          .write.mode("overwrite").parquet(p1)
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select("doc_id", "source", "lang")
+          .write.mode("overwrite").parquet(p2)
+        val out = s.read.option("mergeSchema", "true").parquet(p1, p2)
+          .groupBy(coalesce(col("lang"), lit("__absent__")).as("lang"))
+          .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+          .orderBy("lang")
+          .localCheckpoint(true)
+        dropStagedTree(base)
+        out
+      },
+      oracle = Some("""
+        SELECT CASE WHEN doc_id % 2 = 0 THEN '__absent__' ELSE lang END AS lang,
+               count(*) AS n, min(doc_id) AS min_id
+        FROM documents GROUP BY 1 ORDER BY lang""")),
+
+    // Declarative data-quality expectations (ops/Expectations): the
+    // reference's scattered validation steps (null audit, range checks,
+    // domain checks — P8-P11) generalized into one rule-table pass: N
+    // rules, ONE scan, ONE aggregate; NULL rule results count as
+    // violations. Thresholds are chosen so some rules pass clean and
+    // some accumulate real violations.
+    "q106_expectations" -> QueryDef(
+      fn = (s, d) => {
+        import graft.ops.Expectations.Rule
+        graft.ops.Expectations.check(t(s, d, "lineitem"), Seq(
+            Rule("discount_low", col("l_discount") <= 0.05),
+            Rule("price_floor", col("l_extendedprice") >= 5000.0),
+            Rule("quantity_positive", col("l_quantity") > 0),
+            Rule("returnflag_domain", col("l_returnflag").isin("A", "N", "R")),
+            Rule("shipdate_present", col("l_shipdate").isNotNull)))
+          .orderBy("rule")
+      },
+      oracle = Some {
+        val ruleSql = Seq(
+          "discount_low" -> "l_discount <= 0.05",
+          "price_floor" -> "l_extendedprice >= 5000.0",
+          "quantity_positive" -> "l_quantity > 0",
+          "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+          "shipdate_present" -> "l_shipdate IS NOT NULL")
+        val viols = ruleSql.zipWithIndex.map { case ((_, p), i) =>
+          s"sum(CASE WHEN NOT coalesce($p, FALSE) THEN 1 ELSE 0 END) AS v$i"
+        }.mkString(", ")
+        val unions = ruleSql.zipWithIndex.map { case ((name, _), i) =>
+          s"""SELECT '$name' AS rule, n_rows, CAST(v$i AS BIGINT) AS n_violations,
+              floor(CAST(v$i AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000.0
+                AS violation_rate FROM t"""
+        }.mkString(" UNION ALL ")
+        s"WITH t AS (SELECT count(*) AS n_rows, $viols FROM lineitem) $unions ORDER BY rule"
+      })
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
