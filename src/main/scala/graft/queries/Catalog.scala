@@ -2687,7 +2687,184 @@ object Catalog {
                 AS violation_rate FROM t"""
         }.mkString(" UNION ALL ")
         s"WITH t AS (SELECT count(*) AS n_rows, $viols FROM lineitem) $unions ORDER BY rule"
-      })
+      }),
+
+    // SCD Type-2 compaction (ops/ChangeCapture.scd2): the per-user
+    // event_type log collapsed into validity intervals — one row per run
+    // of equal values with version / valid_from / valid_to / is_current.
+    // One hash exchange on user_id; both window passes share its sort.
+    // Interval bounds are epoch MILLIS (engines floor nanos identically;
+    // never order or output cross-engine raw nanos-vs-micros timestamps).
+    "q107_scd2_intervals" -> QueryDef(
+      fn = (s, d) => graft.ops.ChangeCapture.scd2(
+          t(s, d, "events"), key = "user_id", attr = "event_type",
+          seq = unix_millis(col("ts")), tie = col("event_id"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from").as("valid_from_ms"),
+          col("valid_to").as("valid_to_ms"), col("is_current"))
+        .orderBy("user_id", "version"),
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+                   FROM events),
+        chg AS (SELECT user_id, event_type, ms, event_id FROM (
+                  SELECT user_id, event_type, ms, event_id,
+                         lag(event_type) OVER w AS prev,
+                         row_number() OVER w AS rn
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        SELECT user_id, CAST(row_number() OVER w2 AS BIGINT) AS version,
+               event_type, ms AS valid_from_ms,
+               lead(ms) OVER w2 AS valid_to_ms,
+               (lead(ms) OVER w2 IS NULL) AS is_current
+        FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id)
+        ORDER BY user_id, version""")),
+
+    // Adjacent token-pair counts — the counting step of a BPE tokenizer
+    // training round (find the most frequent symbol pair to merge).
+    // Pairs are generated per document with a zero-shuffle array
+    // transform; the only exchange is the final partial-aggregated
+    // groupBy on the pair, and top-k plans TakeOrderedAndProject.
+    "q108_bpe_pairs" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(TF.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2)," +
+            " i -> named_struct('a', toks[i], 'b', toks[i + 1]))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("a"), col("b"))
+        .limit(100),
+      oracle = Some(s"""
+        WITH tk AS (SELECT $toksSql AS toks FROM documents),
+        pairs AS (SELECT unnest(toks[1:len(toks)-1]) AS a,
+                         unnest(toks[2:len(toks)]) AS b
+                  FROM tk WHERE len(toks) >= 2)
+        SELECT a, b, count(*) AS n FROM pairs
+        GROUP BY a, b ORDER BY n DESC, a, b LIMIT 100""")),
+
+    // Inverted-index build: token -> document frequency, total term
+    // frequency, and the first 5 postings (smallest doc_ids) as a CSV
+    // head. The postings head is bounded BEFORE collection: a row_number
+    // over (token, doc_id) caps collect_list state at 5 elements per
+    // group, so a stop-word token touching every document in a 100 TB
+    // corpus never materializes its full posting list in one aggregator.
+    // The window and the groupBy share the token hash partitioning.
+    "q109_inverted_index" -> QueryDef(
+      fn = (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+          .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy("token").orderBy("doc_id")
+        tf.withColumn("__rn", row_number().over(w))
+          .groupBy("token")
+          .agg(count(lit(1)).as("doc_freq"),
+            sum("tf").as("total_tf"),
+            expr("array_join(transform(array_sort(" +
+              "collect_list(CASE WHEN __rn <= 5 THEN doc_id END))," +
+              " x -> CAST(x AS STRING)), ',')").as("postings_head"))
+          .orderBy(desc("doc_freq"), col("token"))
+          .limit(100)
+      },
+      oracle = Some(s"""
+        WITH tf AS (SELECT token, doc_id, count(*) AS tf FROM (
+                      SELECT doc_id, unnest($toksSql) AS token FROM documents)
+                    GROUP BY token, doc_id)
+        SELECT token, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf,
+               array_to_string(list_transform(
+                 (list(doc_id ORDER BY doc_id))[1:5],
+                 x -> CAST(x AS VARCHAR)), ',') AS postings_head
+        FROM tf GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""")),
+
+    // Snapshot diff (ops/ChangeCapture.snapshotDiff): classify every key
+    // across two table versions as added / removed / changed / unchanged.
+    // The "after" snapshot is derived in-query from orders (drop %97,
+    // reprice %11, insert %13 clones under shifted keys), so the result
+    // is provable in SQL at every sf. Full outer hash join on the key —
+    // no broadcast assumption, holds when both snapshots are 100 TB.
+    "q110_snapshot_diff" -> QueryDef(
+      fn = (s, d) => {
+        val before = t(s, d, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        val updated = before
+          .filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+        val inserted = before.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + lit(1000000000000L)).as("o_orderkey"),
+            col("o_totalprice"), lit("N").as("o_orderstatus"))
+        graft.ops.ChangeCapture.snapshotDiff(
+            before, updated.unionAll(inserted), "o_orderkey",
+            Seq("o_totalprice", "o_orderstatus"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"))
+          .orderBy("change_type")
+      },
+      oracle = Some("""
+        WITH b AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+                   FROM orders),
+        a AS (SELECT k, CASE WHEN k % 11 = 0 THEN p + 1.0 ELSE p END AS p, st
+              FROM b WHERE k % 97 <> 0
+              UNION ALL
+              SELECT k + 1000000000000, p, 'N' FROM b WHERE k % 13 = 0),
+        diff AS (SELECT coalesce(a.k, b.k) AS k,
+                        CASE WHEN b.k IS NULL THEN 'added'
+                             WHEN a.k IS NULL THEN 'removed'
+                             WHEN (b.p IS DISTINCT FROM a.p)
+                               OR (b.st IS DISTINCT FROM a.st) THEN 'changed'
+                             ELSE 'unchanged' END AS change_type
+                 FROM b FULL JOIN a ON b.k = a.k)
+        SELECT change_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_key
+        FROM diff GROUP BY change_type ORDER BY change_type""")),
+
+    // CDC merge (ops/ChangeCapture.applyCdc — the MERGE INTO verbs):
+    // a change feed derived from orders (last change per key wins;
+    // 'P'-status orders delete the customer, %101 orderkeys insert a new
+    // shifted key, the rest upsert acctbal) applied onto the customer
+    // base. Two exchanges on the same key partitioning (window + join);
+    // balances are copied verbatim, so doubles stay bit-exact across
+    // engines.
+    "q111_cdc_merge" -> QueryDef(
+      fn = (s, d) => {
+        val base = t(s, d, "customer")
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
+        val changes = t(s, d, "orders").select(
+          when(col("o_orderkey") % 101 === 0, col("o_custkey") + lit(1000000L))
+            .otherwise(col("o_custkey")).as("c_custkey"),
+          when(col("o_orderkey") % 101 === 0, lit("I"))
+            .when(col("o_orderstatus") === "P", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("o_totalprice").as("c_acctbal"),
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the LTZ
+          // cast is shift-free and unix_millis == DuckDB epoch_ms.
+          unix_millis(col("o_orderdate").cast("timestamp_ltz")).as("seq_ms"),
+          col("o_orderkey"))
+        graft.ops.ChangeCapture.applyCdc(base, changes,
+            key = "c_custkey", op = "op",
+            seq = col("seq_ms"), tie = col("o_orderkey"),
+            valueCols = Seq("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        WITH ch AS (SELECT
+               CASE WHEN o_orderkey % 101 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS k,
+               CASE WHEN o_orderkey % 101 = 0 THEN 'I'
+                    WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+               o_totalprice AS bal, epoch_ms(o_orderdate) AS ms,
+               o_orderkey AS okey
+             FROM orders),
+        lastc AS (SELECT k, op, bal FROM (
+                    SELECT k, op, bal, row_number() OVER (
+                      PARTITION BY k ORDER BY ms DESC, okey DESC) AS rn
+                    FROM ch) WHERE rn = 1)
+        SELECT coalesce(lastc.k, c.c_custkey) AS c_custkey,
+               coalesce(lastc.bal, c.c_acctbal) AS c_acctbal,
+               c.c_mktsegment
+        FROM customer c FULL JOIN lastc ON c.c_custkey = lastc.k
+        WHERE lastc.op IS DISTINCT FROM 'D'
+        ORDER BY c_custkey"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.GraftSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChangeCaptureSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("scd2 collapses runs into versioned validity intervals") {
+    // key 1: A,A,B,B,A -> 3 intervals; key 2: one open interval.
+    val log = Seq(
+      (1L, 1L, Some("A")), (1L, 2L, Some("A")), (1L, 3L, Some("B")),
+      (1L, 4L, Some("B")), (1L, 5L, Some("A")),
+      (2L, 1L, Some("X")))
+      .toDF("k", "seq", "attr")
+    val out = ChangeCapture.scd2(log, "k", "attr", col("seq"), col("seq"))
+      .orderBy("k", "version")
+      .select("k", "version", "attr", "valid_from", "valid_to", "is_current")
+      .collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq(1L, 1L, "A", 1L, 3L, false),
+      Seq(1L, 2L, "B", 3L, 5L, false),
+      Seq(1L, 3L, "A", 5L, null, true),
+      Seq(2L, 1L, "X", 1L, null, true)))
+  }
+
+  test("scd2 treats NULL as a distinct state and breaks seq ties") {
+    // NULL attr opens its own interval (null-safe change detection);
+    // two rows at seq=2 are ordered by the tie column.
+    val log = Seq(
+      (1L, 1L, 10L, Some("A")), (1L, 2L, 20L, Option.empty[String]),
+      (1L, 2L, 30L, Some("B")), (1L, 3L, 40L, Some("B")))
+      .toDF("k", "seq", "tie", "attr")
+    val out = ChangeCapture.scd2(log, "k", "attr", col("seq"), col("tie"))
+      .orderBy("version")
+      .select("version", "attr", "valid_from", "valid_to", "is_current")
+      .collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq(1L, "A", 1L, 2L, false),
+      Seq(2L, null, 2L, 2L, false),
+      Seq(3L, "B", 2L, null, true)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged (null-safe)") {
+    val before = Seq(
+      (1L, Some(10.0), "x"), (2L, Some(20.0), "y"),
+      (3L, Some(30.0), "z"), (5L, Option.empty[Double], "n"))
+      .toDF("k", "v", "s")
+    val after = Seq(
+      (2L, Some(25.0), "y"), (3L, Some(30.0), "z"),
+      (4L, Some(40.0), "w"), (5L, Option.empty[Double], "n"))
+      .toDF("k", "v", "s")
+    val got = ChangeCapture.snapshotDiff(before, after, "k", Seq("v", "s"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "changed", 3L -> "unchanged",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
+  test("applyCdc: last change wins; upsert, delete, insert, passthrough") {
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "v", "extra")
+    // key 1: U then (later) D -> deleted; key 2: out-of-order U, seq 5
+    //   wins -> v=29; key 4: I -> inserted with NULL extra; key 5: D on a
+    //   missing key -> no output row.
+    val changes = Seq(
+      (1L, "U", 11.0, 1L, 1L), (1L, "D", 0.0, 2L, 1L),
+      (2L, "U", 29.0, 5L, 1L), (2L, "U", 21.0, 3L, 2L),
+      (4L, "I", 40.0, 1L, 1L), (5L, "D", 0.0, 1L, 1L))
+      .toDF("k", "op", "v", "seq", "tie")
+    val out = ChangeCapture.applyCdc(base, changes, "k", "op",
+        col("seq"), col("tie"), Seq("v"))
+      .orderBy("k").collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq(2L, 29.0, "b"),
+      Seq(3L, 30.0, "c"),
+      Seq(4L, 40.0, null)))
+  }
+
+  test("applyCdc equal-seq ties resolve by the tie column") {
+    val base = Seq((1L, 0.0)).toDF("k", "v")
+    val changes = Seq((1L, "U", 7.0, 1L, 2L), (1L, "U", 5.0, 1L, 1L))
+      .toDF("k", "op", "v", "seq", "tie")
+    val out = ChangeCapture.applyCdc(base, changes, "k", "op",
+      col("seq"), col("tie"), Seq("v")).collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 7.0)
+  }
+}

@@ -219,4 +219,32 @@ class PlanSpec extends AnyFunSuite {
       .toList
     assert(single.isEmpty, s"single-partition exchange in q100 plan:\n$plan")
   }
+
+  test("q107: both SCD2 window passes share ONE user_id exchange") {
+    val plan = planOf("q107_scd2_intervals")
+    // exchanges: the user_id hash partition + the final deterministic
+    // orderBy range partition — a third means the second window re-shuffled
+    val exchanges = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    val windows = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Window"))
+    assert(windows == 2, s"expected 2 Window nodes, got $windows:\n$plan")
+  }
+
+  test("q109: postings window reuses the token exchange; top-k never sorts all") {
+    val plan = planOf("q109_inverted_index")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // (token,doc_id) agg exchange + token window/agg exchange — the final
+    // ObjectHashAggregate must NOT add a third
+    val exchanges = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("partial_collect_list"), plan) // bounded postings combine map-side
+  }
+
+  test("q110/q111: merge ops are equi-joins, never nested loops") {
+    Seq("q110_snapshot_diff", "q111_cdc_merge").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
 }
