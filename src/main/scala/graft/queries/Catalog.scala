@@ -2864,7 +2864,165 @@ object Catalog {
                c.c_mktsegment
         FROM customer c FULL JOIN lastc ON c.c_custkey = lastc.k
         WHERE lastc.op IS DISTINCT FROM 'D'
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // Bucketed co-located fact-fact join: both sides written as 8-bucket
+    // tables on the join key (Sink.writeBucketed), so the sort-merge
+    // join's distribution requirement is satisfied by LAYOUT — zero
+    // exchange on either side. That is THE 100 TB fact-fact strategy:
+    // shuffle once at write time, join exchange-free on every read after.
+    // Broadcast is disabled while materializing so the bucketed path is
+    // what actually runs (not a small-scale broadcast accident);
+    // localCheckpoint materializes before confs are restored and the
+    // tables dropped. SinkSpec asserts the exchange-free plan.
+    "q112_bucketed_join" -> QueryDef(
+      fn = (s, d) => {
+        import graft.pipeline.Sink
+        Sink.writeBucketed(
+          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+          "q112_li_b", "l_orderkey", numBuckets = 8, sortCol = Some("l_orderkey"))
+        Sink.writeBucketed(
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          "q112_ord_b", "o_orderkey", numBuckets = 8, sortCol = Some("o_orderkey"))
+        val oldB = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        val oldA = s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val out =
+          try s.table("q112_li_b")
+            .join(s.table("q112_ord_b"), col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+            .orderBy("o_orderpriority")
+            .localCheckpoint(true)
+          finally {
+            oldB.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+              v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+            oldA.fold(s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+              v => s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+          }
+        s.sql("DROP TABLE IF EXISTS q112_li_b")
+        s.sql("DROP TABLE IF EXISTS q112_ord_b")
+        out
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, count(*) AS n,
+               ${revenueSql("l_extendedprice", "l_discount")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Last-touch attribution: each purchase credits the most recent
+    // PRECEDING non-purchase event of the same user (frame ends at 1
+    // PRECEDING; purchases with no prior touch fall to 'organic'). The
+    // ignore-nulls last() over a trailing frame is the canonical
+    // attribution plan — one hash exchange on user_id, no self-join.
+    "q113_last_touch" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .withColumn("channel",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("channel"), lit("organic")).as("channel"))
+          .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+          .orderBy("channel")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT user_id, event_type, value, epoch_ms(ts) AS ms,
+                          event_id FROM events),
+        att AS (SELECT event_type, value,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ms, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS channel
+                FROM e)
+        SELECT coalesce(channel, 'organic') AS channel, count(*) AS n,
+               ${sumSql("value")} AS sum_value
+        FROM att WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY channel""")),
+
+    // Vector int8 quantization audit (embedding compression for training
+    // storage): per vector, symmetric max-abs scaling to [-127,127],
+    // dequantize, and the mean squared reconstruction error — snapped to
+    // exact integer picounits (floor(mse*1e12+0.5)) so the per-label
+    // averages are order-independent long sums. Purely map-side until the
+    // final small groupBy; identical double ops in both engines (the
+    // err^2 fold is sequential in Spark `aggregate` and DuckDB list_sum,
+    // the same parity cosineSql relies on).
+    "q114_vector_quantize" -> QueryDef(
+      fn = (s, d) => t(s, d, "embeddings")
+        .withColumn("ma",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .filter(col("ma") > 0)
+        .withColumn("imse", expr(
+          """CAST(floor(aggregate(transform(embedding,
+                 x -> (CAST(x AS DOUBLE)
+                        - floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
+                          / (127.0 / ma))
+                      * (CAST(x AS DOUBLE)
+                        - floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
+                          / (127.0 / ma))),
+               CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+             / size(embedding) * 1e12 + 0.5) AS BIGINT)"""))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("CAST(floor(CAST(sum(imse) AS DOUBLE) / count(1) + 0.5) AS BIGINT)")
+            .as("avg_mse_e12"))
+        .orderBy("label"),
+      oracle = Some("""
+        WITH q AS (
+          SELECT label,
+                 CAST(floor(list_sum(list_transform(embedding,
+                     x -> (CAST(x AS DOUBLE)
+                            - floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
+                              / (127.0 / ma))
+                          * (CAST(x AS DOUBLE)
+                            - floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
+                              / (127.0 / ma))))
+                   / len(embedding) * 1e12 + 0.5) AS BIGINT) AS imse
+          FROM (SELECT label, embedding,
+                       list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS ma
+                FROM embeddings)
+          WHERE ma > 0)
+        SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+               CAST(floor(CAST(sum(imse) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+                 AS avg_mse_e12
+        FROM q GROUP BY label ORDER BY label""")),
+
+    // Schema-reconciling union (unionByName + allowMissingColumns):
+    // customers and suppliers fused into one party dimension; the column
+    // missing on the supplier side (segment) NULL-fills by NAME, not by
+    // position — the union a long-lived lakehouse needs when sources
+    // drift. Map-side until the small final aggregate.
+    "q115_union_by_name" -> QueryDef(
+      fn = (s, d) => {
+        val c = t(s, d, "customer").select(
+          col("c_custkey").as("id"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("segment"), lit("customer").as("kind"))
+        val su = t(s, d, "supplier").select(
+          col("s_suppkey").as("id"), col("s_acctbal").as("acctbal"),
+          lit("supplier").as("kind"))
+        c.unionByName(su, allowMissingColumns = true)
+          .groupBy(col("kind"),
+            coalesce(col("segment"), lit("__none__")).as("segment"))
+          .agg(count(lit(1)).as("n"), exactSum(col("acctbal")).as("sum_acctbal"))
+          .orderBy("kind", "segment")
+      },
+      oracle = Some(s"""
+        WITH party AS (
+          SELECT c_acctbal AS acctbal, c_mktsegment AS segment,
+                 'customer' AS kind FROM customer
+          UNION ALL
+          SELECT s_acctbal, NULL, 'supplier' FROM supplier)
+        SELECT kind, coalesce(segment, '__none__') AS segment,
+               count(*) AS n, ${sumSql("acctbal")} AS sum_acctbal
+        FROM party GROUP BY 1, 2 ORDER BY kind, segment"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -138,4 +138,26 @@ class SinkSpec extends AnyFunSuite {
     assert(agg.count() == 50)
     spark.sql("DROP TABLE bucketed_facts")
   }
+
+  test("two same-bucketed tables sort-merge join with zero exchanges") {
+    val facts = (1L to 1000L).map(i => (i % 50, i.toDouble)).toDF("k", "v")
+    val dim = (0L until 50L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
+    Sink.writeBucketed(facts, "bkt_join_facts", "k", 8, sortCol = Some("k"))
+    Sink.writeBucketed(dim, "bkt_join_dim", "k", 8, sortCol = Some("k"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_join_facts")
+        .join(spark.table("bkt_join_dim"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE bkt_join_facts")
+      spark.sql("DROP TABLE bkt_join_dim")
+    }
+  }
 }

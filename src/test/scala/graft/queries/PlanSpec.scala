@@ -247,4 +247,20 @@ class PlanSpec extends AnyFunSuite {
         !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
     }
   }
+
+  test("q113: attribution is one window pass, no self-join") {
+    val plan = planOf("q113_last_touch")
+    val windows = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Window"))
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
+    assert(!plan.contains("Join"), s"attribution must not self-join:\n$plan")
+  }
+
+  test("q114: quantization error is computed map-side before one small agg") {
+    val plan = planOf("q114_vector_quantize")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+    // per-vector math must not shuffle vectors: the only wide exchange
+    // keys are the label groups
+    val exchanges = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
 }
