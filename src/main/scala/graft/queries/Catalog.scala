@@ -3022,7 +3022,124 @@ object Catalog {
           SELECT s_acctbal, NULL, 'supplier' FROM supplier)
         SELECT kind, coalesce(segment, '__none__') AS segment,
                count(*) AS n, ${sumSql("acctbal")} AS sum_acctbal
-        FROM party GROUP BY 1, 2 ORDER BY kind, segment"""))
+        FROM party GROUP BY 1, 2 ORDER BY kind, segment""")),
+
+    // 2-D Pareto frontier per group (ops/Pareto): the cheapest part at
+    // every size per brand. The O(n^2) dominance self-join becomes ONE
+    // window pass (sort by (size, price), keep rows strictly below the
+    // running price minimum) — one hash exchange on brand, no join.
+    // The oracle states the naive dominance definition directly, so the
+    // window formulation is verified against the real skyline semantics.
+    "q116_pareto_frontier" -> QueryDef(
+      fn = (s, d) => graft.ops.Pareto.frontier2d(
+          t(s, d, "part").select("p_brand", "p_size", "p_retailprice", "p_partkey"),
+          Seq("p_brand"), x = "p_size", y = "p_retailprice", tie = "p_partkey")
+        .select("p_brand", "p_size", "p_retailprice", "p_partkey")
+        .orderBy("p_brand", "p_size", "p_partkey"),
+      oracle = Some("""
+        SELECT p_brand, p_size, p_retailprice, p_partkey
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_brand = p.p_brand
+            AND ((q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
+                  AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))
+                 OR (q.p_size = p.p_size AND q.p_retailprice = p.p_retailprice
+                     AND q.p_partkey < p.p_partkey)))
+        ORDER BY p_brand, p_size, p_partkey""")),
+
+    // CSV round-trip (header + explicit schema back): the one tabular
+    // source format the reference never touches but any engine user
+    // will. Doubles survive exactly (Java shortest-round-trip rendering,
+    // exact parse back); the aggregate proves content equality against
+    // the original parquet via the oracle. localCheckpoint materializes
+    // before the staged files are deleted.
+    "q117_csv_roundtrip" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-csv")
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"$base/orders_csv")
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        val out = s.read.schema(schema).option("header", "true")
+          .csv(s"$base/orders_csv")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"),
+            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint(true)
+        dropStagedTree(base)
+        out
+      },
+      oracle = Some(s"""
+        SELECT o_orderstatus, count(*) AS n,
+               ${sumSql("o_totalprice")} AS sum_price,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Cumulative distinct users per day WITHOUT count(distinct) over a
+    // window (unsupported, and unboundable state at scale): mark each
+    // user's FIRST event (row_number = 1), count firsts per day, then a
+    // running sum over the tiny day-grain frame. The only wide exchange
+    // is on user_id; the final cumulative window runs over ~days rows.
+    "q118_cumulative_distinct" -> QueryDef(
+      fn = (s, d) => {
+        val wUser = Window.partitionBy("user_id")
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+        val days = t(s, d, "events")
+          // `div` = integer division (Column `/` on longs is DOUBLE
+          // division whose truncation can disagree with DuckDB's `//`)
+          .withColumn("day_ms",
+            expr("(unix_millis(ts) div 86400000) * 86400000"))
+          .withColumn("__rn", row_number().over(wUser))
+          .groupBy("day_ms")
+          .agg(count(when(col("__rn") === 1, 1)).as("new_users"),
+            countDistinct("user_id").as("active_users"))
+        days
+          .withColumn("cum_users",
+            sum("new_users").over(Window.orderBy("day_ms")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("day_ms")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),
+        firsts AS (SELECT user_id, ms, ms // 86400000 * 86400000 AS day_ms,
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY ms, event_id) AS rn FROM e),
+        days AS (SELECT day_ms,
+                        count(*) FILTER (rn = 1) AS new_users,
+                        count(DISTINCT user_id) AS active_users
+                 FROM firsts GROUP BY day_ms)
+        SELECT day_ms, new_users, active_users,
+               CAST(sum(new_users) OVER (ORDER BY day_ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_users
+        FROM days ORDER BY day_ms""")),
+
+    // Sliding-window aggregation (batch twin of the streaming shape):
+    // Spark's window(ts, 2h, 1h) assigns each event to its TWO
+    // epoch-aligned hourly-sliding buckets map-side (a Generate, no
+    // self-union), then partial-aggregates per window start. The oracle
+    // unnests the same two starts per event.
+    "q119_sliding_window" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("win_start_ms"),
+          col("n"), col("sum_value"))
+        .orderBy("win_start_ms"),
+      oracle = Some(s"""
+        WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+        w AS (SELECT unnest([ms // 3600000 * 3600000,
+                             ms // 3600000 * 3600000 - 3600000]) AS ws,
+                     value
+              FROM e)
+        SELECT ws AS win_start_ms, count(*) AS n,
+               ${sumSql("value")} AS sum_value
+        FROM w GROUP BY ws ORDER BY ws"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -263,4 +263,20 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange"))
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
   }
+
+  test("q116: skyline is one window pass, never the O(n^2) dominance join") {
+    val plan = planOf("q116_pareto_frontier")
+    val windows = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Window"))
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
+    assert(!plan.contains("Join"), s"skyline must not self-join:\n$plan")
+  }
+
+  test("q119: sliding windows expand map-side and partial-aggregate") {
+    val plan = planOf("q119_sliding_window")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    // the 2x window expansion must happen BEFORE the exchange (Expand or
+    // Generate under the partial aggregate), never via a self-union scan
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\s*"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+  }
 }
