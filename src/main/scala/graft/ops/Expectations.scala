@@ -46,6 +46,23 @@ object Expectations {
     row.select(explode(array(entries: _*)).as("__e")).select("__e.*")
   }
 
+  /** Referential-integrity audit (the FK-shaped expectation): one row
+    * `(fk, n_child, n_orphans, orphan_rate)` counting child rows whose
+    * key has no match in `parent`. `left_anti` keeps the probe side
+    * streaming and ignores duplicate parent keys without paying a
+    * distinct; the two single-row aggregates join with a bounded cross.
+    */
+  def foreignKey(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child
+      .join(parent, child(childKey) === parent(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    child.agg(count(lit(1)).as("n_child")).crossJoin(orphans).select(
+      lit(name).as("fk"), col("n_child"), col("n_orphans"),
+      (floor(col("n_orphans").cast("double") / col("n_child")
+        * 1000000 + 0.5) / 1000000.0).as("orphan_rate"))
+  }
+
   /** Fail-fast gate: throws if any rule's violation rate exceeds its
     * tolerance (0.0 = hard expectation). Returns the check report for
     * logging on success.

@@ -3139,7 +3139,150 @@ object Catalog {
               FROM e)
         SELECT ws AS win_start_ms, count(*) AS n,
                ${sumSql("value")} AS sum_value
-        FROM w GROUP BY ws ORDER BY ws"""))
+        FROM w GROUP BY ws ORDER BY ws""")),
+
+    // Referential-integrity audit (Expectations.foreignKey): orphan
+    // counts + rates for three FK edges of the star schema — two sound
+    // ones and one deliberately broken parent (part with p_partkey%5
+    // dropped) so the audit proves it can COUNT orphans, not just report
+    // zero. Each edge is one left_anti probe; duplicate parent keys cost
+    // nothing (no distinct).
+    "q120_fk_audit" -> QueryDef(
+      fn = (s, d) => {
+        import graft.ops.Expectations
+        val li = t(s, d, "lineitem")
+        val ord = t(s, d, "orders")
+        val partBroken = t(s, d, "part").filter(col("p_partkey") % 5 =!= 0)
+        Seq(
+          Expectations.foreignKey("li_orders", li, "l_orderkey",
+            ord, "o_orderkey"),
+          Expectations.foreignKey("li_part_broken", li, "l_partkey",
+            partBroken, "p_partkey"),
+          Expectations.foreignKey("orders_customer", ord, "o_custkey",
+            t(s, d, "customer"), "c_custkey"))
+          .reduce(_.unionAll(_)).orderBy("fk")
+      },
+      oracle = Some("""
+        WITH fks AS (
+          SELECT 'li_orders' AS fk,
+                 (SELECT count(*) FROM lineitem) AS n_child,
+                 (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                    (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+          UNION ALL
+          SELECT 'li_part_broken',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                    (SELECT 1 FROM part p
+                     WHERE p.p_partkey % 5 <> 0
+                       AND p.p_partkey = l.l_partkey))
+          UNION ALL
+          SELECT 'orders_customer',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                    (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)))
+        SELECT fk, n_child, CAST(n_orphans AS BIGINT) AS n_orphans,
+               floor(CAST(n_orphans AS DOUBLE) / n_child * 1000000 + 0.5)
+                 / 1000000.0 AS orphan_rate
+        FROM fks ORDER BY fk""")),
+
+    // Gaps-and-islands: missing l_linenumber ranges per order after a
+    // synthetic prune (linenumber 2 dropped from every 7th order). The
+    // classic sequence-gap detection — one lead() window per order key,
+    // gap = (cur+1, next-1) where next-cur > 1. One hash exchange.
+    "q121_gap_islands" -> QueryDef(
+      fn = (s, d) => {
+        val pruned = t(s, d, "lineitem")
+          .filter(!(col("l_linenumber") === 2 && col("l_orderkey") % 7 === 0))
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
+        val w = Window.partitionBy("l_orderkey").orderBy("ln")
+        pruned.withColumn("next_ln", lead(col("ln"), 1).over(w))
+          .filter(col("next_ln") - col("ln") > 1)
+          .select(col("l_orderkey"), (col("ln") + 1).as("gap_start"),
+            (col("next_ln") - 1).as("gap_end"))
+          .orderBy("l_orderkey", "gap_start")
+      },
+      oracle = Some("""
+        WITH pruned AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln
+                        FROM lineitem
+                        WHERE NOT (l_linenumber = 2 AND l_orderkey % 7 = 0)),
+        g AS (SELECT l_orderkey, ln,
+                     lead(ln) OVER (PARTITION BY l_orderkey ORDER BY ln)
+                       AS next_ln
+              FROM pruned)
+        SELECT l_orderkey, ln + 1 AS gap_start, next_ln - 1 AS gap_end
+        FROM g WHERE next_ln - ln > 1
+        ORDER BY l_orderkey, gap_start""")),
+
+    // Edit distance between consecutive documents' 120-char prefixes:
+    // the exact verify step a fuzzy-dedup pipeline runs on candidate
+    // pairs (here the pair generator is the trivial id-successor join so
+    // the oracle is expressible; MinHash/SimHash candidates are the scale
+    // generators — q26/q27). levenshtein is codegen'd and bounded by the
+    // prefix cap, and the corpus is ASCII so both engines agree on
+    // character semantics.
+    "q122_edit_distance" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 120).as("prefix"))
+        val left = docs.select(col("doc_id").as("doc_id_a"),
+          col("prefix").as("pa"))
+        val right = docs.select((col("doc_id") - 1).as("doc_id_a"),
+          col("doc_id").as("doc_id_b"), col("prefix").as("pb"))
+        left.join(right, "doc_id_a")
+          .select(col("doc_id_a"), col("doc_id_b"),
+            levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+          .orderBy("doc_id_a")
+      },
+      oracle = Some("""
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(levenshtein(substr(a.text, 1, 120),
+                                substr(b.text, 1, 120)) AS BIGINT) AS edit_dist
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        ORDER BY doc_id_a""")),
+
+    // Robust outlier detection via MAD (median absolute deviation):
+    // median and MAD are computed over integer CENTS so every
+    // interpolated midpoint is exactly representable and
+    // percentile ≡ quantile_cont bit-for-bit (the q54 parity, hardened).
+    // Two grouped exact-percentile passes + broadcast joins back; the
+    // 100 TB swap-in is approx_percentile, same plan shape.
+    "q123_mad_outliers" -> QueryDef(
+      fn = (s, d) => {
+        val c = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), cents(col("value")).as("cts"))
+        val med = c.groupBy("event_type")
+          .agg(expr("percentile(cts, 0.5)").as("m"))
+        val dev = c.join(broadcast(med), "event_type")
+          .withColumn("dv", abs(col("cts") - col("m")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(dv, 0.5)").as("md"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("m")) / 100.0, 4).as("median_value"),
+            round(min(col("md")) / 100.0, 4).as("mad_value"),
+            sum(when(col("dv") > lit(3.0) * col("md"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT event_type, ${centsSql("value")} AS cts
+                   FROM events WHERE value IS NOT NULL),
+        med AS (SELECT event_type, quantile_cont(cts, 0.5) AS m
+                FROM c GROUP BY event_type),
+        dev AS (SELECT c.event_type, cts, m, abs(cts - m) AS dv
+                FROM c JOIN med USING (event_type)),
+        mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS md
+                FROM dev GROUP BY event_type)
+        SELECT dev.event_type, count(*) AS n,
+               round(min(m) / 100.0, 4) AS median_value,
+               round(min(md) / 100.0, 4) AS mad_value,
+               CAST(sum(CASE WHEN dv > 3.0 * md THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type ORDER BY event_type"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -53,4 +53,26 @@ class ExpectationsSpec extends AnyFunSuite {
       Expectations.check(df, Seq(Rule("x", col("v") > 0), Rule("x", col("v") < 9)))
     }
   }
+
+  test("foreignKey counts orphans; duplicate parent keys don't multiply") {
+    import spark.implicits._
+    val child = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "x"))
+      .toDF("fk_id", "payload")
+    // parent key 1 duplicated: left_anti must not double-count matches
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("id")
+    val row = Expectations.foreignKey("t", child, "fk_id", parent, "id")
+      .collect()(0)
+    assert(row.getString(0) == "t")
+    assert(row.getLong(1) == 4L && row.getLong(2) == 1L)
+    assert(row.getDouble(3) == 0.25)
+  }
+
+  test("foreignKey with zero orphans reports a 0.0 rate") {
+    import spark.implicits._
+    val child = Seq(1L, 2L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("k2")
+    val row = Expectations.foreignKey("ok", child, "k", parent, "k2")
+      .collect()(0)
+    assert(row.getLong(2) == 0L && row.getDouble(3) == 0.0)
+  }
 }

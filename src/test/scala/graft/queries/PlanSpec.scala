@@ -279,4 +279,24 @@ class PlanSpec extends AnyFunSuite {
     val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\s*"))
     assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
   }
+
+  test("q120: every FK probe is a broadcast anti-join, never a shuffle") {
+    val plan = planOf("q120_fk_audit")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"FK parents must broadcast:\n$plan")
+  }
+
+  test("q121: gap detection is one window pass over the order key") {
+    val plan = planOf("q121_gap_islands")
+    val windows = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Window"))
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
+    assert(!plan.contains("Join"), s"gap detection must not self-join:\n$plan")
+  }
+
+  test("q123: percentile passes partial-aggregate; medians broadcast back") {
+    val plan = planOf("q123_mad_outliers")
+    assert(plan.contains("partial_percentile"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
