@@ -123,6 +123,21 @@ object Catalog {
     s"WITH $stepCtes $unions ORDER BY step"
   }
 
+  /** The sliding-window oracle (each event unnested to its two
+    * epoch-aligned 2h/1h buckets) — shared VERBATIM by q119 (batch) and
+    * q125 (streaming): identical results are the stream/batch-parity
+    * claim, the same pairing as q98/q104.
+    */
+  private def slidingOracleSql: String = s"""
+    WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+    w AS (SELECT unnest([ms // 3600000 * 3600000,
+                         ms // 3600000 * 3600000 - 3600000]) AS ws,
+                 value
+          FROM e)
+    SELECT ws AS win_start_ms, count(*) AS n,
+           ${sumSql("value")} AS sum_value
+    FROM w GROUP BY ws ORDER BY ws"""
+
   // ---------------------------------------------------------------------
   // SQL generators shared between the Column expressions and oracle text
 
@@ -3131,15 +3146,7 @@ object Catalog {
         .select(unix_millis(col("window.start")).as("win_start_ms"),
           col("n"), col("sum_value"))
         .orderBy("win_start_ms"),
-      oracle = Some(s"""
-        WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
-        w AS (SELECT unnest([ms // 3600000 * 3600000,
-                             ms // 3600000 * 3600000 - 3600000]) AS ws,
-                     value
-              FROM e)
-        SELECT ws AS win_start_ms, count(*) AS n,
-               ${sumSql("value")} AS sum_value
-        FROM w GROUP BY ws ORDER BY ws""")),
+      oracle = Some(slidingOracleSql)),
 
     // Referential-integrity audit (Expectations.foreignKey): orphan
     // counts + rates for three FK edges of the star schema — two sound
@@ -3282,7 +3289,90 @@ object Catalog {
                CAST(sum(CASE WHEN dv > 3.0 * md THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_outliers
         FROM dev JOIN mad USING (event_type)
-        GROUP BY dev.event_type ORDER BY event_type"""))
+        GROUP BY dev.event_type ORDER BY event_type""")),
+
+    // Sparse top-k document similarity via an inverted-index join — the
+    // sparse twin of the dense ANN path (q25/q30/q44): per-token posting
+    // lists, df-capped (champion pruning bounds the join fanout to
+    // df^2 per token), integer TF dot products (exact long sums, no
+    // float association), directional top-3 per doc. The synthetic
+    // corpus's vocabulary is ~30 stop-word-frequency tokens + singletons,
+    // so two deterministic group tags are injected in-query to create the
+    // sparse structure (the q89/q95 construction pattern); the OPERATOR
+    // under test is the posting-join shape.
+    "q124_sparse_topk" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count() // bounded scalar, same pattern as q71
+        val maxDf = math.max(2L, n / 10)
+        val tagged = docs.select(col("doc_id"),
+          concat(col("text"), lit(" taga"), expr("doc_id div 7"),
+            lit(" tagb"), col("doc_id") % 13).as("text"))
+        val tok = tagged.select(col("doc_id"),
+          explode(TF.tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val keep = tok.groupBy("token")
+          .agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") >= 2 && col("df") <= maxDf)
+          .select("token")
+        val tfp = tf.join(keep, Seq("token")) // token-keyed, reused below
+        val a = tfp.select(col("token"), col("doc_id").as("a"), col("tf").as("tfa"))
+        val b = tfp.select(col("token"), col("doc_id").as("b"), col("tf").as("tfb"))
+        val pairs = a.join(b, Seq("token")).filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(sum(col("tfa") * col("tfb")).as("dot"))
+        val sym = pairs.unionAll(
+          pairs.select(col("b").as("a"), col("a").as("b"), col("dot")))
+        val w = Window.partitionBy("a").orderBy(desc("dot"), col("b"))
+        sym.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("a").as("doc_id"), col("rank").cast("long").as("rank"),
+            col("b").as("neighbor_id"), col("dot"))
+          .orderBy("doc_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH tagged AS (SELECT doc_id,
+               text || ' taga' || (doc_id // 7) || ' tagb' || (doc_id % 13)
+                 AS text
+             FROM documents),
+        tok AS (SELECT doc_id, unnest($toksSql) AS token FROM tagged),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        nn AS (SELECT count(*) AS n FROM documents),
+        keep AS (SELECT token FROM
+                   (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY 1) CROSS JOIN nn
+                 WHERE df >= 2 AND df <= greatest(2, n // 10)),
+        tfp AS (SELECT tf.* FROM tf JOIN keep USING (token)),
+        pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+                  FROM tfp a JOIN tfp b
+                    ON a.token = b.token AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sym AS (SELECT a, b, dot FROM pairs
+                UNION ALL SELECT b, a, dot FROM pairs),
+        r AS (SELECT a, b, dot, row_number() OVER (
+                PARTITION BY a ORDER BY dot DESC, b) AS rank FROM sym)
+        SELECT a AS doc_id, CAST(rank AS BIGINT) AS rank,
+               b AS neighbor_id, dot
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // STREAMING sliding windows: q119's 2h/1h aggregation as a real
+    // Structured Streaming query (complete mode, memory sink), checked
+    // against the SAME oracle — stream/batch parity for overlapping
+    // window assignment, the q98/q104 pairing applied to q119.
+    "q125_stream_sliding" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = stream.groupBy(window(col("ts"), "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+        val table = runToMemoryTable(s, agg, "q125_mem")
+        dropStaged(dir)
+        table.select(unix_millis(col("window.start")).as("win_start_ms"),
+          col("n"), col("sum_value"))
+          .orderBy("win_start_ms")
+      },
+      oracle = Some(slidingOracleSql))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -299,4 +299,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q124: posting joins stay equi-keyed; dot products partial-aggregate") {
+    val plan = planOf("q124_sparse_topk")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
 }
