@@ -82,10 +82,14 @@ object ChangeCapture {
       .when(col("a.__a").isNull, "removed")
       .when(differs, "changed")
       .otherwise("unchanged")
+    // After-side values verbatim whenever an after row exists (a change
+    // TO NULL must surface as NULL, so no coalesce); before-side only
+    // for removals.
     joined.select(
       coalesce(col(s"a.$key"), col(s"b.$key")).as(key) +:
         changeType.as("change_type") +:
-        compareCols.map(c => coalesce(col(s"a.$c"), col(s"b.$c")).as(c)): _*)
+        compareCols.map(c => when(col("a.__a").isNotNull, col(s"a.$c"))
+          .otherwise(col(s"b.$c")).as(c)): _*)
   }
 
   /** Apply a CDC change feed onto a base table (the MERGE INTO verbs):
@@ -113,7 +117,11 @@ object ChangeCapture {
       .filter(!(col(s"c.$op") <=> lit("D")))
       .select(
         coalesce(col(s"c.$key"), col(s"b.$key")).as(key) +:
-          (valueCols.map(c => coalesce(col(s"c.$c"), col(s"b.$c")).as(c)) ++
+          // op-aware, not coalesce: a winning U/I change REPLACES the
+          // value even with NULL (a CDC feed clearing a field must not
+          // silently retain the base value)
+          (valueCols.map(c => when(col(s"c.$op").isNotNull, col(s"c.$c"))
+            .otherwise(col(s"b.$c")).as(c)) ++
             baseOnly.map(c => col(s"b.$c").as(c))): _*)
   }
 }

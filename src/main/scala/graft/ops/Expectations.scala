@@ -54,13 +54,19 @@ object Expectations {
     */
   def foreignKey(name: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame = {
-    val orphans = child
+    // SQL FK semantics: a NULL child key is "no reference", not a
+    // violation — only non-null keys are probed for orphanhood.
+    val orphans = child.filter(child(childKey).isNotNull)
       .join(parent, child(childKey) === parent(parentKey), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
     child.agg(count(lit(1)).as("n_child")).crossJoin(orphans).select(
       lit(name).as("fk"), col("n_child"), col("n_orphans"),
-      (floor(col("n_orphans").cast("double") / col("n_child")
-        * 1000000 + 0.5) / 1000000.0).as("orphan_rate"))
+      // explicit 0-row guard: 0/0 is NaN and floor(NaN) coerces to a
+      // deceptively clean 0L — an empty audit must still read 0.0 by
+      // DECISION, with n_child=0 visible beside it
+      when(col("n_child") === 0, lit(0.0))
+        .otherwise(floor(col("n_orphans").cast("double") / col("n_child")
+          * 1000000 + 0.5) / 1000000.0).as("orphan_rate"))
   }
 
   /** Fail-fast gate: throws if any rule's violation rate exceeds its

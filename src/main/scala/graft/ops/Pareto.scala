@@ -24,7 +24,11 @@ object Pareto {
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(x).asc, col(y).asc, col(tie).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__min_y", min(col(y)).over(w))
+    // Rows with NULL x or y are incomparable under dominance — they are
+    // excluded, never frontier members and never dominators (a NULL-x
+    // row would otherwise sort NULLS FIRST and poison the running min).
+    df.filter(col(x).isNotNull && col(y).isNotNull)
+      .withColumn("__min_y", min(col(y)).over(w))
       .filter(col("__min_y").isNull || col(y) < col("__min_y"))
       .drop("__min_y")
   }

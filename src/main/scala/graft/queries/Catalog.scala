@@ -2875,7 +2875,8 @@ object Catalog {
                       PARTITION BY k ORDER BY ms DESC, okey DESC) AS rn
                     FROM ch) WHERE rn = 1)
         SELECT coalesce(lastc.k, c.c_custkey) AS c_custkey,
-               coalesce(lastc.bal, c.c_acctbal) AS c_acctbal,
+               CASE WHEN lastc.op IS NOT NULL THEN lastc.bal
+                    ELSE c.c_acctbal END AS c_acctbal,
                c.c_mktsegment
         FROM customer c FULL JOIN lastc ON c.c_custkey = lastc.k
         WHERE lastc.op IS DISTINCT FROM 'D'
@@ -2903,23 +2904,23 @@ object Catalog {
         val oldA = s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        val out =
-          try s.table("q112_li_b")
-            .join(s.table("q112_ord_b"), col("l_orderkey") === col("o_orderkey"))
-            .groupBy("o_orderpriority")
-            .agg(count(lit(1)).as("n"),
-              exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
-            .orderBy("o_orderpriority")
-            .localCheckpoint(true)
-          finally {
-            oldB.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
-              v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
-            oldA.fold(s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
-              v => s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
-          }
-        s.sql("DROP TABLE IF EXISTS q112_li_b")
-        s.sql("DROP TABLE IF EXISTS q112_ord_b")
-        out
+        try s.table("q112_li_b")
+          .join(s.table("q112_ord_b"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(true)
+        finally {
+          oldB.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+            v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+          oldA.fold(s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+            v => s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+          // in the finally so a failed materialization can't leak the
+          // managed tables + warehouse files
+          s.sql("DROP TABLE IF EXISTS q112_li_b")
+          s.sql("DROP TABLE IF EXISTS q112_ord_b")
+        }
       },
       oracle = Some(s"""
         SELECT o_orderpriority, count(*) AS n,
@@ -3079,15 +3080,14 @@ object Catalog {
           StructField("o_orderkey", LongType),
           StructField("o_orderstatus", StringType),
           StructField("o_totalprice", DoubleType)))
-        val out = s.read.schema(schema).option("header", "true")
+        try s.read.schema(schema).option("header", "true")
           .csv(s"$base/orders_csv")
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"),
             min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
           .orderBy("o_orderstatus")
           .localCheckpoint(true)
-        dropStagedTree(base)
-        out
+        finally dropStagedTree(base)
       },
       oracle = Some(s"""
         SELECT o_orderstatus, count(*) AS n,

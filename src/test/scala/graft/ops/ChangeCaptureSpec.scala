@@ -78,6 +78,25 @@ class ChangeCaptureSpec extends AnyFunSuite {
       Seq(4L, 40.0, null)))
   }
 
+  test("snapshotDiff surfaces a change TO NULL as NULL, not the stale value") {
+    val before = Seq((1L, Some(10.0))).toDF("k", "v")
+    val after = Seq((1L, Option.empty[Double])).toDF("k", "v")
+    val row = ChangeCapture.snapshotDiff(before, after, "k", Seq("v"))
+      .collect()(0)
+    assert(row.getString(1) == "changed")
+    assert(row.isNullAt(2), "after-side NULL must win over the before value")
+  }
+
+  test("applyCdc: a winning U change with NULL value clears the field") {
+    val base = Seq((1L, Some(10.0))).toDF("k", "v")
+    val changes = Seq((1L, "U", Option.empty[Double], 1L, 1L))
+      .toDF("k", "op", "v", "seq", "tie")
+    val out = ChangeCapture.applyCdc(base, changes, "k", "op",
+      col("seq"), col("tie"), Seq("v")).collect()
+    assert(out.length == 1 && out(0).isNullAt(1),
+      "NULL in a winning change must replace, not retain, the base value")
+  }
+
   test("applyCdc equal-seq ties resolve by the tie column") {
     val base = Seq((1L, 0.0)).toDF("k", "v")
     val changes = Seq((1L, "U", 7.0, 1L, 2L), (1L, "U", 5.0, 1L, 1L))

@@ -75,4 +75,24 @@ class ExpectationsSpec extends AnyFunSuite {
       .collect()(0)
     assert(row.getLong(2) == 0L && row.getDouble(3) == 0.0)
   }
+
+  test("foreignKey: NULL child keys are 'no reference', not orphans") {
+    import spark.implicits._
+    val child = Seq(Some(1L), None, None).toDF("k")
+    val parent = Seq(1L).toDF("k2")
+    val row = Expectations.foreignKey("opt", child, "k", parent, "k2")
+      .collect()(0)
+    assert(row.getLong(1) == 3L, "n_child counts all rows")
+    assert(row.getLong(2) == 0L, "NULL keys must not count as orphans")
+  }
+
+  test("foreignKey on an empty child reports rate 0.0, never NaN-as-zero") {
+    import spark.implicits._
+    val child = Seq.empty[Long].toDF("k")
+    val parent = Seq(1L).toDF("k2")
+    val row = Expectations.foreignKey("empty", child, "k", parent, "k2")
+      .collect()(0)
+    assert(row.getLong(1) == 0L && row.getLong(2) == 0L)
+    assert(row.getDouble(3) == 0.0 && !row.getDouble(3).isNaN)
+  }
 }

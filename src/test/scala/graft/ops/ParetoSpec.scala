@@ -37,6 +37,17 @@ class ParetoSpec extends AnyFunSuite {
     assert(got == Set(("a", 1, 5.0, 1L), ("a", 2, 4.0, 3L)))
   }
 
+  test("NULL coordinates are excluded: never frontier members, never dominators") {
+    val df = Seq(
+      (Option.empty[Int], Some(1.0), 1L), // NULL x would poison the running min
+      (Some(5), Some(2.0), 2L),
+      (Some(6), Option.empty[Double], 3L)) // NULL y is incomparable
+      .toDF("x", "y", "id").withColumn("g", org.apache.spark.sql.functions.lit("a"))
+    val got = Pareto.frontier2d(df, Seq("g"), "x", "y", "id")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+
   test("a single point and a fully dominated chain behave") {
     val df = Seq(("a", 1, 1.0, 1L), ("a", 2, 2.0, 2L), ("a", 3, 3.0, 3L),
       ("b", 9, 9.0, 4L)).toDF("g", "x", "y", "id")
