@@ -3372,7 +3372,67 @@ object Catalog {
           col("n"), col("sum_value"))
           .orderBy("win_start_ms")
       },
-      oracle = Some(slidingOracleSql))
+      oracle = Some(slidingOracleSql)),
+
+    // Dynamic partition pruning: events staged as a day-partitioned
+    // table, joined to a FILTERED day dimension on the partition column —
+    // Catalyst injects the dim's surviving keys as a runtime partition
+    // filter, so the fact scan reads only the matching day directories
+    // (the decisive scan-cost lever for date-keyed 100 TB facts).
+    // SinkSpec asserts `dynamicpruning` in the live executed plan; here
+    // the semantic outcome is oracle-checked. Cleanup in finally.
+    "q126_dpp_join" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-dpp")
+        t(s, d, "events")
+          .withColumn("day_ms", expr("(unix_millis(ts) div 86400000) * 86400000"))
+          .write.partitionBy("day_ms").parquet(s"$base/ev")
+        try {
+          val facts = s.read.parquet(s"$base/ev")
+          // the filter sits directly over the dim scan — the
+          // PartitionPruning rule needs a selective predicate on the
+          // build side (a filter over a local relation folds away; see
+          // DppSpec for the distilled requirements)
+          val dim = t(s, d, "events")
+            .filter(expr("(unix_millis(ts) div 86400000) % 3 = 0"))
+            .select(expr("(unix_millis(ts) div 86400000) * 86400000").as("day_ms"))
+            .distinct()
+          facts.join(broadcast(dim), Seq("day_ms"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+            .orderBy("event_type")
+            .localCheckpoint(true)
+        } finally dropStagedTree(base)
+      },
+      oracle = Some(s"""
+        SELECT event_type, count(*) AS n, ${sumSql("value")} AS sum_value
+        FROM events
+        WHERE (epoch_ms(ts) // 86400000) % 3 = 0
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // Native DECIMAL(18,2) aggregation — the exact-money path WITHOUT
+    // the cents trick (the trade documented at Catalog.cents: decimal
+    // hash-agg is ~3x the long path but needs no scaling insight). Exact
+    // decimal sums, one final cast to double, identical in both engines.
+    "q127_decimal_agg" -> QueryDef(
+      fn = (s, d) => t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("p"),
+          col("l_discount").cast("decimal(18,2)").as("disc"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p")).cast("double").as("sum_price"),
+          sum(col("p") * (lit(java.math.BigDecimal.ONE) - col("disc")))
+            .cast("double").as("sum_disc_price"))
+        .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS sum_disc_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
