@@ -56,6 +56,33 @@ object ChangeCapture {
       lead(col("__seq"), 1).over(w2).isNull.as("is_current"))
   }
 
+  /** Merge a NEW change-log batch into an existing SCD2 dimension — the
+    * incremental maintenance verb: the dimension's own rows are replayed
+    * as change events (one per interval, at `valid_from`), unioned with
+    * the new batch, and re-compacted by [[scd2]]. Cost is
+    * O(dim + batch), never O(full history); a batch whose first value
+    * equals a key's current attr EXTENDS the open interval instead of
+    * opening a spurious version, and versions renumber densely.
+    *
+    * Contract: batches arrive in `seq` order — every new-log seq is >
+    * every dim `valid_from` for the same key (equal-seq rows must never
+    * straddle a batch boundary; the compaction cannot reconstruct the
+    * original tie order across it). The invariant
+    * `scd2Merge(scd2(log <= T), log > T) == scd2(log)` is spec-checked
+    * on random histories.
+    */
+  def scd2Merge(dim: DataFrame, newLog: DataFrame, key: String,
+      attr: String, seq: Column, tie: Column): DataFrame = {
+    // version is the replay tie: two intervals of one key CAN share a
+    // valid_from (equal-seq changes tie-broken by the original log's tie
+    // column, which compaction discards) — version preserves that order.
+    val dimAsLog = dim.select(col(key), col(attr),
+      col("valid_from").as("__ms"), col("version").as("__mtie"))
+    val logNorm = newLog.select(col(key), col(attr),
+      seq.as("__ms"), tie.cast("long").as("__mtie"))
+    scd2(dimAsLog.unionAll(logNorm), key, attr, col("__ms"), col("__mtie"))
+  }
+
   /** Classify every key across two snapshots of the same table:
     * `added` (key only in `after`), `removed` (key only in `before`),
     * `changed` (present in both, any compare column differs null-safely)

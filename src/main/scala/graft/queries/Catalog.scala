@@ -138,6 +138,27 @@ object Catalog {
            ${sumSql("value")} AS sum_value
     FROM w GROUP BY ws ORDER BY ws"""
 
+  /** The SCD2 oracle (change detection + versioning over the full event
+    * history) — shared VERBATIM by q107 (one-shot compaction) and q129
+    * (incremental merge of a split history): identical results are the
+    * incremental-maintenance correctness claim.
+    */
+  private def scd2OracleSql: String = """
+    WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+               FROM events),
+    chg AS (SELECT user_id, event_type, ms, event_id FROM (
+              SELECT user_id, event_type, ms, event_id,
+                     lag(event_type) OVER w AS prev,
+                     row_number() OVER w AS rn
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+    SELECT user_id, CAST(row_number() OVER w2 AS BIGINT) AS version,
+           event_type, ms AS valid_from_ms,
+           lead(ms) OVER w2 AS valid_to_ms,
+           (lead(ms) OVER w2 IS NULL) AS is_current
+    FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ORDER BY user_id, version"""
+
   // ---------------------------------------------------------------------
   // SQL generators shared between the Column expressions and oracle text
 
@@ -2718,21 +2739,7 @@ object Catalog {
           col("valid_from").as("valid_from_ms"),
           col("valid_to").as("valid_to_ms"), col("is_current"))
         .orderBy("user_id", "version"),
-      oracle = Some("""
-        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
-                   FROM events),
-        chg AS (SELECT user_id, event_type, ms, event_id FROM (
-                  SELECT user_id, event_type, ms, event_id,
-                         lag(event_type) OVER w AS prev,
-                         row_number() OVER w AS rn
-                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
-                WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
-        SELECT user_id, CAST(row_number() OVER w2 AS BIGINT) AS version,
-               event_type, ms AS valid_from_ms,
-               lead(ms) OVER w2 AS valid_to_ms,
-               (lead(ms) OVER w2 IS NULL) AS is_current
-        FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id)
-        ORDER BY user_id, version""")),
+      oracle = Some(scd2OracleSql)),
 
     // Adjacent token-pair counts — the counting step of a BPE tokenizer
     // training round (find the most frequent symbol pair to merge).
@@ -3432,7 +3439,62 @@ object Catalog {
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
                  AS sum_disc_price
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Hot-key join under AQE: one synthetic mega-key holds a quarter of
+    // lineitem; semantics are oracle-checked here, and the RUNTIME
+    // behavior — AQE splitting the skewed SMJ partition (`skew=true`) —
+    // is asserted live in SkewSpec with prod-shaped thresholds scaled
+    // down. Complements the manual salting paths (q41/q85), which cover
+    // the shapes AQE does not rewrite.
+    "q128_skew_join_aqe" -> QueryDef(
+      fn = (s, d) => {
+        val facts = t(s, d, "lineitem").select(
+          when(col("l_orderkey") % 4 === 0, 0L)
+            .otherwise(col("l_orderkey") % 1000).as("k"),
+          col("l_quantity"))
+        val dim = t(s, d, "orders")
+          .filter(col("o_orderkey") < 1000)
+          .select(col("o_orderkey").as("k"),
+            col("o_orderpriority").as("grp"))
+        facts.join(dim, "k")
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+          .orderBy("grp")
+      },
+      oracle = Some(s"""
+        WITH f AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+                               ELSE l_orderkey % 1000 END AS k, l_quantity
+                   FROM lineitem),
+        dim AS (SELECT o_orderkey AS k, o_orderpriority AS grp
+                FROM orders WHERE o_orderkey < 1000)
+        SELECT grp, count(*) AS n, ${sumSql("l_quantity")} AS sum_qty
+        FROM f JOIN dim USING (k)
+        GROUP BY grp ORDER BY grp""")),
+
+    // Incremental SCD2 merge (ChangeCapture.scd2Merge): the event
+    // history is split at min+15d; the first half is compacted into a
+    // dimension, the second half merged in — cost O(dim + batch), not
+    // O(history). Checked against the SAME oracle as q107's one-shot
+    // compaction: merge(compact(old), new) == compact(all) is the
+    // incremental-maintenance correctness claim.
+    "q129_scd2_merge" -> QueryDef(
+      fn = (s, d) => {
+        import graft.ops.ChangeCapture
+        val ev = t(s, d, "events")
+        val ms = unix_millis(col("ts"))
+        val t0 = ev.agg(min(ms)).head.getLong(0) // bounded scalar
+        val split = t0 + 15L * 86400000L
+        val dim = ChangeCapture.scd2(ev.filter(ms <= split),
+          "user_id", "event_type", ms, col("event_id"))
+        ChangeCapture.scd2Merge(dim, ev.filter(ms > split),
+            "user_id", "event_type", ms, col("event_id"))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("valid_from").as("valid_from_ms"),
+            col("valid_to").as("valid_to_ms"), col("is_current"))
+          .orderBy("user_id", "version")
+      },
+      oracle = Some(scd2OracleSql))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -43,6 +43,42 @@ class ChangeCaptureSpec extends AnyFunSuite {
       Seq(3L, "B", 2L, null, true)))
   }
 
+  test("scd2Merge(compact(old), new) == compact(all) on random histories") {
+    val rnd = new scala.util.Random(11)
+    // duplicate seqs per key are deliberate (tie column disambiguates);
+    // the split at seq 50 is strict, so no equal-seq boundary straddle
+    val log = (1L to 400L).map { i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong + 1, i,
+        Seq("A", "B", "C")(rnd.nextInt(3)))
+    }.toDF("k", "seq", "tie", "attr")
+    val outCols = Seq("k", "version", "attr", "valid_from", "valid_to",
+      "is_current")
+    val full = ChangeCapture.scd2(log, "k", "attr", col("seq"), col("tie"))
+      .select(outCols.map(col): _*)
+    val dim = ChangeCapture.scd2(log.filter(col("seq") <= 50),
+      "k", "attr", col("seq"), col("tie"))
+    val merged = ChangeCapture.scd2Merge(dim, log.filter(col("seq") > 50),
+      "k", "attr", col("seq"), col("tie"))
+      .select(outCols.map(col): _*)
+    assert(graft.GraftSpark.collectSet(merged) == graft.GraftSpark.collectSet(full))
+  }
+
+  test("scd2Merge extends the open interval when the batch repeats the current attr") {
+    val dim = ChangeCapture.scd2(
+      Seq((1L, 1L, 1L, "A")).toDF("k", "seq", "tie", "attr"),
+      "k", "attr", col("seq"), col("tie"))
+    val merged = ChangeCapture.scd2Merge(dim,
+      Seq((1L, 5L, 1L, "A"), (1L, 9L, 2L, "B")).toDF("k", "seq", "tie", "attr"),
+      "k", "attr", col("seq"), col("tie"))
+      .orderBy("version")
+      .select("version", "attr", "valid_from", "valid_to", "is_current")
+      .collect().map(_.toSeq)
+    // no spurious version at seq 5; B opens at 9
+    assert(merged.toSeq == Seq(
+      Seq(1L, "A", 1L, 9L, false),
+      Seq(2L, "B", 9L, null, true)))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged (null-safe)") {
     val before = Seq(
       (1L, Some(10.0), "x"), (2L, Some(20.0), "y"),

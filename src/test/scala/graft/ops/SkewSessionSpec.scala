@@ -39,6 +39,38 @@ class SkewSpec extends AnyFunSuite {
     assert(salted("H") == 1000L)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    import spark.implicits._
+    // one mega-key holding half the rows; thresholds lowered so the
+    // local data qualifies as skewed (prod defaults are 256 MB-scale)
+    val overrides = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = (1L to 40000L)
+        .map(i => (if (i % 2 == 0) 0L else i % 500, s"payload_$i"))
+        .toDF("k", "v")
+      val right = (0L until 500L).map(i => (i, s"dim_$i")).toDF("k", "g")
+      val joined = left.join(right, "k").groupBy("g")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      joined.collect() // AQE decides at runtime — materialize first
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a runtime skew-split SMJ in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hotKeys surfaces the dominant key") {
     val hot = Skew.hotKeys(skewed, "key", minFraction = 0.5).collect()
     assert(hot.length == 1 && hot.head.getString(0) == "hot")
