@@ -3494,7 +3494,105 @@ object Catalog {
             col("valid_to").as("valid_to_ms"), col("is_current"))
           .orderBy("user_id", "version")
       },
-      oracle = Some(scd2OracleSql))
+      oracle = Some(scd2OracleSql)),
+
+    // GROUPING SETS with grouping_id — the explicit-sets member of the
+    // rollup (q36) / cube (q51) family, through the SQL surface (S11).
+    // Both engines put the leftmost grouping column in the id's MSB;
+    // NULLS FIRST is spelled out because DuckDB default-sorts nulls last.
+    "q130_grouping_sets" -> QueryDef(
+      fn = (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q130_li")
+        s.sql(s"""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                 count(*) AS n,
+                 CAST(sum(CAST(l_quantity * 100.0 + SIGNUM(l_quantity) * 0.5
+                   AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+          FROM q130_li
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                  (l_returnflag), ())
+          ORDER BY gid, l_returnflag ASC NULLS FIRST,
+                   l_linestatus ASC NULLS FIRST""")
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n, ${sumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST,
+                 l_linestatus ASC NULLS FIRST""")),
+
+    // VARIANT shredding (the Spark 4 semi-structured type): props parsed
+    // ONCE to a variant, fields extracted with variant_get — the
+    // schema-on-read path that replaces per-field JSON re-parsing. The
+    // oracle reads the same fields with DuckDB's JSON functions.
+    "q131_variant_shred" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type", "k_mod"),
+      oracle = Some("""
+        WITH x AS (SELECT event_type,
+                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type, k % 10 AS k_mod, count(*) AS n,
+               min(k) AS min_k, max(k) AS max_k
+        FROM x GROUP BY event_type, k % 10
+        ORDER BY event_type, k_mod""")),
+
+    // ORC round-trip — the second columnar format (built-in writer and
+    // vectorized reader): semantics must survive the format change
+    // exactly. Same staging discipline as q117 (finally-cleanup,
+    // checkpoint before delete); the oracle reads the original parquet.
+    "q132_orc_roundtrip" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-orc")
+        t(s, d, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").orc(s"$base/li_orc")
+        try s.read.orc(s"$base/li_orc")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("l_quantity")).as("sum_qty"),
+            exactSum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+          .localCheckpoint(true)
+        finally dropStagedTree(base)
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, count(*) AS n,
+               ${sumSql("l_quantity")} AS sum_qty,
+               ${sumSql("l_extendedprice")} AS sum_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Regexp family over the corpus: extract-all + explode (token mining),
+    // count (pattern frequency), replace (normalization length delta) —
+    // RE2-safe patterns only (no lookaround), so Java and DuckDB regex
+    // semantics coincide.
+    "q133_regexp_family" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("CAST(regexp_count(text, '[aeiou]{2}') AS BIGINT)")
+            .as("vowel_pairs"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]{7,}', 0)) AS BIGINT)")
+            .as("long_words"),
+          length(regexp_replace(col("text"), "[aeiou]", ""))
+            .cast("long").as("len_novowels"))
+        .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT)
+                 AS vowel_pairs,
+               CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT)
+                 AS long_words,
+               CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+                 AS len_novowels
+        FROM documents ORDER BY doc_id"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
