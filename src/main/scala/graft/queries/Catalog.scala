@@ -3592,7 +3592,72 @@ object Catalog {
                  AS long_words,
                CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
                  AS len_novowels
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Date-dimension build (every warehouse's first table): a calendar
+    // spine spanning the orders date range via sequence+explode (no
+    // driver loop), with the derived attributes joins prune on. Dates are
+    // rendered ISO so both engines hash identical strings; day-of-week is
+    // normalized to DuckDB's Sunday=0 convention (Spark's dayofweek is
+    // Sunday=1 — an off-by-one that silently shifts every weekly report).
+    "q134_date_dim" -> QueryDef(
+      fn = (s, d) => {
+        val range = t(s, d, "orders")
+          .agg(min(to_date(col("o_orderdate"))).as("lo"),
+            max(to_date(col("o_orderdate"))).as("hi"))
+        range.select(explode(expr(
+            "sequence(lo, hi, INTERVAL 1 DAY)")).as("d"))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            year(col("d")).cast("long").as("yr"),
+            quarter(col("d")).cast("long").as("qtr"),
+            month(col("d")).cast("long").as("mon"),
+            (dayofweek(col("d")) - 1).cast("long").as("dow0"),
+            weekofyear(col("d")).cast("long").as("iso_week"),
+            (col("d") === last_day(col("d"))).as("is_month_end"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH r AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                          CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                    AS dts FROM r),
+        days AS (SELECT CAST(dts AS DATE) AS d FROM spine)
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(year(d) AS BIGINT) AS yr,
+               CAST(quarter(d) AS BIGINT) AS qtr,
+               CAST(month(d) AS BIGINT) AS mon,
+               CAST(dayofweek(d) AS BIGINT) AS dow0,
+               CAST(weekofyear(d) AS BIGINT) AS iso_week,
+               (d = last_day(d)) AS is_month_end
+        FROM days ORDER BY day""")),
+
+    // Join-strategy hints: the planner-control surface. The orders side
+    // is forced through a ShuffledHashJoin (no sort, build-side hash —
+    // right when both sides are large but one fits per-partition memory)
+    // and the customer dim through a SortMergeJoin despite being
+    // broadcastable. Semantics unchanged — the oracle is the plain join;
+    // PlanSpec asserts both strategy nodes survive planning.
+    "q135_join_hints" -> QueryDef(
+      fn = (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+        val ord = t(s, d, "orders").hint("shuffle_hash")
+          .select("o_orderkey", "o_custkey")
+        val cust = t(s, d, "customer").hint("merge")
+          .select("c_custkey", "c_mktsegment")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some(s"""
+        SELECT c_mktsegment, count(*) AS n,
+               ${sumSql("l_extendedprice")} AS sum_price
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -306,4 +306,10 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("partial_sum"), plan)
   }
+
+  test("q135: join hints are honored (shuffle-hash + forced merge)") {
+    val plan = planOf("q135_join_hints")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
 }
