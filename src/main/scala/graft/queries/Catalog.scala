@@ -3657,7 +3657,68 @@ object Catalog {
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // STREAM-STREAM interval join (StreamingIngest.streamStreamJoin):
+    // clicks matched to purchases of the same user within +-1h, both
+    // sides watermarked so state stays O(recent traffic). The oracle is
+    // the equivalent batch interval join over integer MICROS on both
+    // engines — comparing raw nanos (DuckDB) to truncated micros (Spark)
+    // would flip boundary-exact pairs.
+    "q136_stream_stream_join" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        def src = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val clicks = src.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value")
+        val joined = graft.streaming.StreamingIngest.streamStreamJoin(
+          clicks, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
+          within = "1 hour", watermark = "2 hours")
+        val q = graft.streaming.StreamingIngest.runToMemory(
+          joined, "q136_mem", outputMode = "append")
+        q.stop()
+        dropStaged(dir)
+        s.table("q136_mem")
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), exactSum(col("r_value")).as("sum_value"))
+          .orderBy("bucket")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+              WHERE event_type = 'purchase')
+        SELECT c.user_id % 10 AS bucket, count(*) AS n,
+               ${sumSql("p.value")} AS sum_value
+        FROM c JOIN p ON c.user_id = p.user_id
+          AND p.us BETWEEN c.us - 3600000000 AND c.us + 3600000000
+        GROUP BY c.user_id % 10 ORDER BY bucket""")),
+
+    // Multi-aggregate pivot: count AND exact sum per pivoted event_type
+    // in ONE pass (Spark suffixes the agg aliases onto each pivot value;
+    // the oracle mirrors the generated names with conditional
+    // aggregates). Explicit value list keeps the output schema static —
+    // no distinct-collect job (SURVEY §4).
+    "q137_pivot_multi_agg" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .groupBy((col("user_id") % 20).as("bucket"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sv"))
+        .orderBy("bucket"),
+      oracle = Some {
+        // nullif: Spark's pivot yields NULL (not 0) for an absent
+        // (bucket, value) combination — count(*) FILTER yields 0
+        val cols = eventTypes.map { et =>
+          s"""nullif(count(*) FILTER (event_type = '$et'), 0) AS "${et}_n",
+              (CAST(sum(${centsSql("value")})
+                 FILTER (event_type = '$et') AS DOUBLE) / 100.0) AS "${et}_sv""""
+        }.mkString(", ")
+        s"""SELECT user_id % 20 AS bucket, $cols
+            FROM events GROUP BY user_id % 20 ORDER BY bucket"""
+      })
   )
 
   /** Names of the headline benchmark queries, in catalog order. */
