@@ -76,11 +76,20 @@ object ChangeCapture {
     // version is the replay tie: two intervals of one key CAN share a
     // valid_from (equal-seq changes tie-broken by the original log's tie
     // column, which compaction discards) — version preserves that order.
+    // The batch tie keeps ITS OWN type (a cast-to-long would reorder
+    // numeric strings and throw on non-numeric ones under ANSI): the
+    // union tie is a two-field struct, version on the dim side, the raw
+    // tie on the batch side, compared lexicographically. Cross-boundary
+    // equal-seq rows are excluded by the contract, so the two fields
+    // never actually compete.
     val dimAsLog = dim.select(col(key), col(attr),
-      col("valid_from").as("__ms"), col("version").as("__mtie"))
+      col("valid_from").as("__ms"),
+      col("version").as("__vtie"), lit(null).as("__btie"))
     val logNorm = newLog.select(col(key), col(attr),
-      seq.as("__ms"), tie.cast("long").as("__mtie"))
-    scd2(dimAsLog.unionAll(logNorm), key, attr, col("__ms"), col("__mtie"))
+      seq.as("__ms"), lit(null).cast("long").as("__vtie"),
+      tie.as("__btie"))
+    scd2(dimAsLog.unionAll(logNorm), key, attr, col("__ms"),
+      struct(col("__vtie"), col("__btie")))
   }
 
   /** Classify every key across two snapshots of the same table:

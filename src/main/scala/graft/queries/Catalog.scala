@@ -3062,7 +3062,8 @@ object Catalog {
       oracle = Some("""
         SELECT p_brand, p_size, p_retailprice, p_partkey
         FROM part p
-        WHERE NOT EXISTS (
+        WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+          AND NOT EXISTS (
           SELECT 1 FROM part q
           WHERE q.p_brand = p.p_brand
             AND ((q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
@@ -3180,20 +3181,23 @@ object Catalog {
         WITH fks AS (
           SELECT 'li_orders' AS fk,
                  (SELECT count(*) FROM lineitem) AS n_child,
-                 (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT count(*) FROM lineitem l
+                  WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
                     (SELECT 1 FROM orders o
                      WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
           UNION ALL
           SELECT 'li_part_broken',
                  (SELECT count(*) FROM lineitem),
-                 (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT count(*) FROM lineitem l
+                  WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
                     (SELECT 1 FROM part p
                      WHERE p.p_partkey % 5 <> 0
                        AND p.p_partkey = l.l_partkey))
           UNION ALL
           SELECT 'orders_customer',
                  (SELECT count(*) FROM orders),
-                 (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                 (SELECT count(*) FROM orders o
+                  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
                     (SELECT 1 FROM customer c
                      WHERE c.c_custkey = o.o_custkey)))
         SELECT fk, n_child, CAST(n_orphans AS BIGINT) AS n_orphans,
@@ -3391,10 +3395,12 @@ object Catalog {
     "q126_dpp_join" -> QueryDef(
       fn = (s, d) => {
         val base = java.nio.file.Files.createTempDirectory("graft-dpp")
-        t(s, d, "events")
-          .withColumn("day_ms", expr("(unix_millis(ts) div 86400000) * 86400000"))
-          .write.partitionBy("day_ms").parquet(s"$base/ev")
         try {
+          // staging write INSIDE the try: a mid-write failure must still
+          // drop the partial tree
+          t(s, d, "events")
+            .withColumn("day_ms", expr("(unix_millis(ts) div 86400000) * 86400000"))
+            .write.partitionBy("day_ms").parquet(s"$base/ev")
           val facts = s.read.parquet(s"$base/ev")
           // the filter sits directly over the dim scan — the
           // PartitionPruning rule needs a selective predicate on the
@@ -3552,17 +3558,18 @@ object Catalog {
     "q132_orc_roundtrip" -> QueryDef(
       fn = (s, d) => {
         val base = java.nio.file.Files.createTempDirectory("graft-orc")
-        t(s, d, "lineitem")
-          .select("l_returnflag", "l_quantity", "l_extendedprice")
-          .write.mode("overwrite").orc(s"$base/li_orc")
-        try s.read.orc(s"$base/li_orc")
-          .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"),
-            exactSum(col("l_quantity")).as("sum_qty"),
-            exactSum(col("l_extendedprice")).as("sum_price"))
-          .orderBy("l_returnflag")
-          .localCheckpoint(true)
-        finally dropStagedTree(base)
+        try {
+          t(s, d, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_extendedprice")
+            .write.mode("overwrite").orc(s"$base/li_orc")
+          s.read.orc(s"$base/li_orc")
+            .groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"),
+              exactSum(col("l_quantity")).as("sum_qty"),
+              exactSum(col("l_extendedprice")).as("sum_price"))
+            .orderBy("l_returnflag")
+            .localCheckpoint(true)
+        } finally dropStagedTree(base)
       },
       oracle = Some(s"""
         SELECT l_returnflag, count(*) AS n,
@@ -3668,19 +3675,20 @@ object Catalog {
     "q136_stream_stream_join" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
-        def src = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val clicks = src.filter(col("event_type") === "click")
-          .select("event_id", "user_id", "ts")
-        val purchases = src.filter(col("event_type") === "purchase")
-          .select("user_id", "ts", "value")
-        val joined = graft.streaming.StreamingIngest.streamStreamJoin(
-          clicks, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
-          within = "1 hour", watermark = "2 hours")
-        val q = graft.streaming.StreamingIngest.runToMemory(
-          joined, "q136_mem", outputMode = "append")
-        q.stop()
-        dropStaged(dir)
+        try {
+          def src = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val clicks = src.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts")
+          val purchases = src.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "value")
+          val joined = graft.streaming.StreamingIngest.streamStreamJoin(
+            clicks, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
+            within = "1 hour", watermark = "2 hours")
+          val q = graft.streaming.StreamingIngest.runToMemory(
+            joined, "q136_mem", outputMode = "append")
+          q.stop()
+        } finally dropStaged(dir)
         s.table("q136_mem")
           .groupBy((col("user_id") % 10).as("bucket"))
           .agg(count(lit(1)).as("n"), exactSum(col("r_value")).as("sum_value"))

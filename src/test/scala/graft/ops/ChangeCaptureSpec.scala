@@ -63,6 +63,20 @@ class ChangeCaptureSpec extends AnyFunSuite {
     assert(graft.GraftSpark.collectSet(merged) == graft.GraftSpark.collectSet(full))
   }
 
+  test("scd2Merge keeps the batch tie's own type (numeric strings stay lexicographic)") {
+    // seq ties inside the batch break by STRING tie: '10' < '9'
+    // lexicographically — a cast-to-long would invert them (and throw
+    // under ANSI for non-numeric ids)
+    val dim = ChangeCapture.scd2(
+      Seq((1L, 1L, "e1", "A")).toDF("k", "seq", "tie", "attr"),
+      "k", "attr", col("seq"), col("tie"))
+    val merged = ChangeCapture.scd2Merge(dim,
+      Seq((1L, 5L, "9", "C"), (1L, 5L, "10", "B")).toDF("k", "seq", "tie", "attr"),
+      "k", "attr", col("seq"), col("tie"))
+      .orderBy("version").select("version", "attr").collect().map(_.toSeq)
+    assert(merged.toSeq == Seq(Seq(1L, "A"), Seq(2L, "B"), Seq(3L, "C")))
+  }
+
   test("scd2Merge extends the open interval when the batch repeats the current attr") {
     val dim = ChangeCapture.scd2(
       Seq((1L, 1L, 1L, "A")).toDF("k", "seq", "tie", "attr"),
