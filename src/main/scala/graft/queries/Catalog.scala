@@ -3726,7 +3726,64 @@ object Catalog {
         }.mkString(", ")
         s"""SELECT user_id % 20 AS bucket, $cols
             FROM events GROUP BY user_id % 20 ORDER BY bucket"""
-      })
+      }),
+
+    // Correlated LATERAL subquery (per-order aggregate applied row-wise):
+    // Catalyst decorrelates it into a join + aggregate — the SQL-surface
+    // shape analysts write, executed as the distributed plan an engine
+    // should produce (no per-row re-execution, no nested loops — the
+    // PlanSpec guard). Orders without lineitems still yield a row
+    // (NULL max, 0 count) on both engines.
+    "q138_lateral_subquery" -> QueryDef(
+      fn = (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q138_ord")
+        t(s, d, "lineitem").createOrReplaceTempView("q138_li")
+        s.sql("""
+          SELECT o_orderkey, o_orderpriority, l.max_price, l.n_lines
+          FROM q138_ord, LATERAL (
+            SELECT max(l_extendedprice) AS max_price,
+                   count(*) AS n_lines
+            FROM q138_li WHERE l_orderkey = o_orderkey) l
+          ORDER BY o_orderkey""")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority, l.max_price, l.n_lines
+        FROM orders, LATERAL (
+          SELECT max(l_extendedprice) AS max_price,
+                 count(*) AS n_lines
+          FROM lineitem WHERE l_orderkey = o_orderkey) l
+        ORDER BY o_orderkey""")),
+
+    // Scalar subqueries, uncorrelated AND correlated, in one predicate:
+    // orders above the global average price (exact cents average — a
+    // plain avg(double) would be association-dependent across engines)
+    // and below twice their own most expensive line. Catalyst plans the
+    // uncorrelated scalar as a one-row broadcast and decorrelates the
+    // correlated one into an aggregate join.
+    "q139_scalar_subquery" -> QueryDef(
+      fn = (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q139_ord")
+        t(s, d, "lineitem").createOrReplaceTempView("q139_li")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS n
+          FROM q139_ord
+          WHERE o_totalprice > (
+              SELECT CAST(sum(CAST(o_totalprice * 100.0
+                  + SIGNUM(o_totalprice) * 0.5 AS BIGINT)) AS DOUBLE)
+                / 100.0 / count(o_totalprice)
+              FROM q139_ord)
+            AND o_totalprice < (
+              SELECT max(l_extendedprice) * 2
+              FROM q139_li WHERE l_orderkey = o_orderkey)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > (SELECT ${avgSql("o_totalprice")} FROM orders)
+          AND o_totalprice < (SELECT max(l_extendedprice) * 2
+                              FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -312,4 +312,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), plan)
     assert(plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q138/q139: subqueries decorrelate — no per-row nested-loop re-execution") {
+    Seq("q138_lateral_subquery", "q139_scalar_subquery").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
 }
