@@ -39,16 +39,30 @@ object Catalog {
       oracle: Option[String],
       bench: Boolean = false)
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private[queries] val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** q69's rebalance policy — one constant feeding both engines. Defined
     * before `all`: its oracle SQL is generated at map-construction time.
     */
   private[queries] val strataFractions: Map[String, Double] =
     Map("en" -> 0.5, "zh" -> 0.8)
+
+  /** q30/q44's ANN quality floors: per query, the sum of the returned
+    * top-5 cosines must reach this fraction of the exact brute-force
+    * top-5 sum. Set-overlap recall is the wrong gate on this corpus —
+    * the embeddings are weakly structured (exact top-5 cosine sums
+    * ~1.4-1.7), so many neighbors are near-interchangeable and LSH
+    * legitimately returns different-but-nearly-as-good ones. Floors sit
+    * under the measured per-query MINIMUM across sf0.001/0.01/0.1
+    * (LSH/6-planes: 0.53; IVF/nprobe=4: 0.90) with margin — a broken
+    * path (dead multiprobe, collapsed quantizer, dim mismatch) scores
+    * ~0 and goes red. Defined before `all` (init order).
+    */
+  private[queries] val Q30_QUALITY_FLOOR = 0.4
+  private[queries] val Q44_QUALITY_FLOOR = 0.85
 
   /** q75's chunking geometry — one set of constants feeding both the
     * Column expressions and the interpolated oracle SQL (also defined
@@ -106,7 +120,7 @@ object Catalog {
     * identical (step, event_type, n_users) result, which is the
     * stream/batch-parity correctness claim.
     */
-  private def funnelOracleSql: String = {
+  private[queries] def funnelOracleSql: String = {
     val stepCtes = funnelStepSeq.zipWithIndex.map { case (st, i) =>
       if (i == 0)
         s"s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$st' GROUP BY user_id)"
@@ -128,7 +142,7 @@ object Catalog {
     * q125 (streaming): identical results are the stream/batch-parity
     * claim, the same pairing as q98/q104.
     */
-  private def slidingOracleSql: String = s"""
+  private[queries] def slidingOracleSql: String = s"""
     WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
     w AS (SELECT unnest([ms // 3600000 * 3600000,
                          ms // 3600000 * 3600000 - 3600000]) AS ws,
@@ -143,7 +157,7 @@ object Catalog {
     * (incremental merge of a split history): identical results are the
     * incremental-maintenance correctness claim.
     */
-  private def scd2OracleSql: String = """
+  private[queries] def scd2OracleSql: String = """
     WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
                FROM events),
     chg AS (SELECT user_id, event_type, ms, event_id FROM (
@@ -166,7 +180,7 @@ object Catalog {
     * [[Aqi.subIndexRaw]] — slopes folded to Scala doubles, rendered with
     * shortest-round-trip toString so DuckDB parses the identical double.
     */
-  private def aqiSqlExpr(c: String, bps: Aqi.Breakpoints): String = {
+  private[queries] def aqiSqlExpr(c: String, bps: Aqi.Breakpoints): String = {
     val (lastLo, lastHi, lastALo, lastAHi) = bps.last
     val beyond = s"($lastALo + ($c - $lastLo) * ${(lastAHi - lastALo) / (lastHi - lastLo)})"
     val whens = bps.map { case (cLo, cHi, aLo, aHi) =>
@@ -190,14 +204,14 @@ object Catalog {
   // allocates a BigDecimal per row; since x*100 sits within 1e-9 of the
   // true integer, adding ±0.5 and truncating (double→long cast) yields the
   // identical integer purely in registers.
-  private def cents(c: Column): Column =
+  private[queries] def cents(c: Column): Column =
     (c * 100 + signum(c) * 0.5).cast("long")
-  private def exactSum(c: Column): Column = sum(cents(c)).cast("double") / 100.0
-  private def exactAvg(c: Column): Column =
+  private[queries] def exactSum(c: Column): Column = sum(cents(c)).cast("double") / 100.0
+  private[queries] def exactAvg(c: Column): Column =
     sum(cents(c)).cast("double") / 100.0 / count(c)
   // revenue = sum(price * (1 - disc)): price_cents * (100 - disc_cents)
   // is the exact product scaled by 1e4
-  private def exactRevenue(price: Column, disc: Column): Column =
+  private[queries] def exactRevenue(price: Column, disc: Column): Column =
     sum(cents(price) * (lit(100L) - cents(disc))).cast("double") / 10000.0
 
   /** Exact integer-cent moments of events.value per event_type — ONE
@@ -206,7 +220,7 @@ object Catalog {
     * desynchronize them. Output: (event_type, __n, __s1, __s2) with the
     * sums as exact longs.
     */
-  private def eventValueMoments(ev: DataFrame): DataFrame = {
+  private[queries] def eventValueMoments(ev: DataFrame): DataFrame = {
     val c = cents(col("value"))
     ev.filter(col("value").isNotNull)
       .groupBy("event_type")
@@ -214,40 +228,40 @@ object Catalog {
         sum(c).as("__s1"), sum(c * c).as("__s2"))
   }
 
-  private def centsSql(c: String): String =
+  private[queries] def centsSql(c: String): String =
     s"CAST(round($c * 100) AS BIGINT)"
 
   /** DuckDB twin of [[eventValueMoments]] (an m-CTE body): (event_type,
     * n, s1, s2) with the sums cast to DOUBLE for the derived formulas.
     */
-  private def momentsSqlCte: String =
+  private[queries] def momentsSqlCte: String =
     s"""SELECT event_type, count(value) AS n,
           CAST(sum(${centsSql("value")}) AS DOUBLE) AS s1,
           CAST(sum(${centsSql("value")} * ${centsSql("value")}) AS DOUBLE) AS s2
         FROM events WHERE value IS NOT NULL GROUP BY event_type"""
-  private def sumSql(c: String): String =
+  private[queries] def sumSql(c: String): String =
     s"(CAST(sum(${centsSql(c)}) AS DOUBLE) / 100.0)"
-  private def avgSql(c: String): String =
+  private[queries] def avgSql(c: String): String =
     s"(${sumSql(c)} / count($c))"
-  private def revenueSql(p: String, d: String): String =
+  private[queries] def revenueSql(p: String, d: String): String =
     s"(CAST(sum(${centsSql(p)} * (100 - ${centsSql(d)})) AS DOUBLE) / 10000.0)"
 
-  private def sqlInList(words: Seq[String]): String =
+  private[queries] def sqlInList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
-  private def hitCountSql(words: Seq[String]): String =
+  private[queries] def hitCountSql(words: Seq[String]): String =
     s"len(list_filter(toks, t -> lower(t) IN (${sqlInList(words)})))"
 
   // mirrors TF.tokens: split on whitespace runs, drop empty fragments
   // (bare split returns [''] for blank text)
-  private val toksSql =
+  private[queries] val toksSql =
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
   /** DuckDB expression for cosine over two float-list columns, with the
     * same shape as [[VF.cosine]]: double-cast elementwise products,
     * sequential sum, dot / (sqrt(nsqA) * sqrt(nsqB)).
     */
-  private def cosineSql(a: String, b: String): String = {
+  private[queries] def cosineSql(a: String, b: String): String = {
     def nsq(v: String) =
       s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     val dot =
@@ -255,7 +269,7 @@ object Catalog {
     s"($dot / (sqrt(${nsq(a)}) * sqrt(${nsq(b)})))"
   }
 
-  private val langIdSql: String = {
+  private[queries] val langIdSql: String = {
     val langs = TF.langMarkers.toSeq.sortBy(_._1)
     val scores = langs.map { case (l, ws) => s"${hitCountSql(ws)} AS s_$l" }.mkString(", ")
     val best = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
@@ -272,7 +286,7 @@ object Catalog {
     * punct_ratio), the 4-dp quality formula over those columns, and the
     * assembled (doc_id, quality) SELECT.
     */
-  private def qualityInnerSqlFrom(table: String): String = {
+  private[queries] def qualityInnerSqlFrom(table: String): String = {
     val hits = hitCountSql(TF.langMarkers("en"))
     s"""SELECT doc_id, toks,
               CAST($hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
@@ -281,21 +295,21 @@ object Catalog {
         FROM (SELECT doc_id, text, $toksSql AS toks FROM $table)"""
   }
 
-  private def qualityInnerSql: String = qualityInnerSqlFrom("documents")
+  private[queries] def qualityInnerSql: String = qualityInnerSqlFrom("documents")
 
-  private val qualityExprSql: String =
+  private[queries] val qualityExprSql: String =
     """round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
             + (1.0 - least(punct_ratio * 4.0, 1.0))
             + least(stop_ratio * 4.0, 1.0)) / 3.0, 4)"""
 
-  private def qualitySelectSql: String =
+  private[queries] def qualitySelectSql: String =
     s"SELECT doc_id, $qualityExprSql AS quality FROM ($qualityInnerSql)"
 
   /** q62/q88's shared oracle — the two entries exercise the plain and the
     * bloom-prefiltered decontamination paths, which must produce the
     * identical (doc_id, n_shared_grams) result.
     */
-  private def decontamOracleSql: String = s"""
+  private[queries] def decontamOracleSql: String = s"""
     WITH split AS (
       SELECT doc_id, text,
              substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
@@ -322,7 +336,7 @@ object Catalog {
     * does this: `StreamingIngest` points `readStream` straight at the
     * landing directory and data arrives there by itself.
     */
-  private def stageEventsDir(d: String): java.nio.file.Path = {
+  private[queries] def stageEventsDir(d: String): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
     if (java.nio.file.Files.isDirectory(src)) {
@@ -338,14 +352,14 @@ object Catalog {
   /** Recursive variant for staged trees (parquet WRITES create nested
     * dirs + _SUCCESS markers that the flat [[dropStaged]] can't clear).
     */
-  private def dropStagedTree(dir: java.nio.file.Path): Unit = {
+  private[queries] def dropStagedTree(dir: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(dir)
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally walk.close()
   }
 
-  private def dropStaged(dir: java.nio.file.Path): Unit = {
+  private[queries] def dropStaged(dir: java.nio.file.Path): Unit = {
     val staged = java.nio.file.Files.list(dir)
     try staged.forEach(f => java.nio.file.Files.deleteIfExists(f))
     finally staged.close()
@@ -355,7 +369,7 @@ object Catalog {
   /** The raw events schema as the nanosAsLong reader surfaces it (ts is a
     * nanosecond long; see [[graft.Tables.requiredConfs]]).
     */
-  private val eventsRawSchema = StructType(Seq(
+  private[queries] val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
@@ -364,7 +378,7 @@ object Catalog {
     * materialized table (stopping any prior query of the same name so the
     * entry is re-runnable).
     */
-  private def runToMemoryTable(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  private[queries] def runToMemoryTable(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
     s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
@@ -377,3414 +391,21 @@ object Catalog {
     * hardcode event-type→category) — shared by the q50 Column expression
     * and its generated oracle CASE so the two sides cannot drift.
     */
-  private val eventCategoryMap: Map[String, String] = Map(
+  private[queries] val eventCategoryMap: Map[String, String] = Map(
     "click" -> "engagement", "view" -> "engagement",
     "purchase" -> "conversion", "signup" -> "conversion")
 
   // ---------------------------------------------------------------------
 
+  /** The full catalog, assembled from the domain slices in catalog order
+    * (ListMap: oracle_sql.json and benchNames preserve insertion order).
+    */
   val all: ListMap[String, QueryDef] = ListMap(
+    (CatalogCore.entries ++ CatalogTextVec.entries ++
+      CatalogAnalytics.entries ++ CatalogTraining.entries ++
+      CatalogScaleOps.entries ++ CatalogCorpusOps.entries ++
+      CatalogInfra.entries ++ CatalogRoundtrip.entries): _*)
 
-    // ===== aggregation / scan surface (SURVEY §2.4) =====
-
-    // A3/A5/A6 analog — full-scan grouped aggregate, TPC-H Q1 shape.
-    // Headline scan+agg benchmark; reads 6 of 11 lineitem columns.
-    "q01_pricing_summary" -> QueryDef(
-      fn = (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          exactSum(col("l_quantity")).as("sum_qty"),
-          exactSum(col("l_extendedprice")).as("sum_base_price"),
-          exactRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-          exactAvg(col("l_quantity")).as("avg_qty"),
-          exactAvg(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"),
-      oracle = Some(s"""
-        SELECT l_returnflag, l_linestatus,
-               ${sumSql("l_quantity")} AS sum_qty,
-               ${sumSql("l_extendedprice")} AS sum_base_price,
-               ${revenueSql("l_extendedprice", "l_discount")} AS sum_disc_price,
-               ${avgSql("l_quantity")} AS avg_qty,
-               ${avgSql("l_discount")} AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus"""),
-      bench = true),
-
-    // A5 + O2 — group-count ranking, deterministic tie-break.
-    "q02_group_count_topk" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), col("user_id"), col("event_type"))
-        .limit(20),
-      oracle = Some("""
-        SELECT user_id, event_type, count(*) AS cnt
-        FROM events GROUP BY user_id, event_type
-        ORDER BY cnt DESC, user_id, event_type LIMIT 20""")),
-
-    // A6 — min/max/count/distinct summary.
-    "q03_minmax_summary" -> QueryDef(
-      fn = (s, d) => t(s, d, "events").agg(
-        count(lit(1)).as("cnt"),
-        countDistinct(col("user_id")).as("n_users"),
-        min("ts").as("min_ts"),
-        max("ts").as("max_ts"),
-        exactSum(col("value")).as("sum_value"),
-        exactAvg(col("value")).as("avg_value")),
-      oracle = Some(s"""
-        SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
-               min(ts) AS min_ts, max(ts) AS max_ts,
-               ${sumSql("value")} AS sum_value, ${avgSql("value")} AS avg_value
-        FROM events""")),
-
-    // A7 — conditional counts (SUM(CASE WHEN ...) per category).
-    "q04_conditional_counts" -> QueryDef(
-      fn = (s, d) => {
-        val aggs = eventTypes.map(x =>
-          sum(when(col("event_type") === x, 1).otherwise(0)).cast("long").as(s"n_$x"))
-        t(s, d, "events").agg(aggs.head, aggs.tail: _*)
-      },
-      oracle = Some {
-        val cols = eventTypes.map(x =>
-          s"CAST(sum(CASE WHEN event_type = '$x' THEN 1 ELSE 0 END) AS BIGINT) AS n_$x")
-        s"SELECT ${cols.mkString(", ")} FROM events"
-      }),
-
-    // A1 — the core long→wide pivot (events stand in for measurements:
-    // event_type is the "parameter", value the reading), via the pipeline's
-    // pivot operator with an explicit value list (no distinct-collect job).
-    "q05_pivot_event_values" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .transform(Transforms.pivotParameters(
-          keys = Seq("user_id"), pivotCol = "event_type",
-          valueCol = "value", values = Some(eventTypes),
-          agg = c => sum(cents(c)).cast("double") / 100.0 / count(c)))
-        .select(col("user_id") +: eventTypes.map(x => col(x)): _*)
-        .orderBy("user_id"),
-      oracle = Some {
-        val cols = eventTypes.map(x =>
-          s"""(CAST(sum(CASE WHEN event_type = '$x' THEN ${centsSql("value")} END) AS DOUBLE)
-              / 100.0 / count(CASE WHEN event_type = '$x' THEN value END)) AS "$x"""")
-        s"""SELECT user_id, ${cols.mkString(", ")}
-            FROM events GROUP BY user_id ORDER BY user_id"""
-      },
-      bench = true),
-
-    // ===== window / dedup (W1, P4, A2) =====
-
-    // W1 — rank-based dedup, deterministic tie-break mode: first event per
-    // (user, type) by (ts, event_id), via the pipeline's dedup operator.
-    "q06_window_dedup" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .transform(Transforms.dedupByRank(
-          Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
-        .select("event_id", "user_id", "event_type", "ts", "value")
-        .orderBy("user_id", "event_type"),
-      oracle = Some("""
-        SELECT event_id, user_id, event_type, ts, value FROM (
-          SELECT event_id, user_id, event_type, ts, value,
-                 row_number() OVER (PARTITION BY user_id, event_type
-                                    ORDER BY ts, event_id) AS rn
-          FROM events) WHERE rn = 1
-        ORDER BY user_id, event_type""")),
-
-    // A10 — DISTINCT projection.
-    "q07_distinct" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .select("lang", "source").distinct().orderBy("lang", "source"),
-      oracle = Some(
-        "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source")),
-
-    // ===== joins (J1-J3 + the shapes the reference lacks) =====
-
-    // J1 + P5 — broadcast left-join enrichment with fill-defaults, then
-    // grouped rollup (the mart enrichment shape on TPC-H keys).
-    "q08_enrich_join" -> QueryDef(
-      fn = (s, d) => t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")),
-          col("o_custkey") === col("c_custkey"), "left")
-        .withColumn("mktsegment", coalesce(col("c_mktsegment"), lit("Unknown")))
-        .groupBy("mktsegment")
-        .agg(count(lit(1)).as("n_orders"),
-             exactSum(col("o_totalprice")).as("total_price"))
-        .orderBy("mktsegment"),
-      oracle = Some(s"""
-        SELECT coalesce(c_mktsegment, 'Unknown') AS mktsegment,
-               count(*) AS n_orders, ${sumSql("o_totalprice")} AS total_price
-        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-        GROUP BY 1 ORDER BY mktsegment"""),
-      bench = true),
-
-    // Dimension join chain (customer → nation → region), both broadcast.
-    "q09_join_chain" -> QueryDef(
-      fn = (s, d) => t(s, d, "customer")
-        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
-        .groupBy("r_name", "n_name")
-        .agg(count(lit(1)).as("n_customers"),
-             exactSum(col("c_acctbal")).as("total_acctbal"))
-        .orderBy("r_name", "n_name"),
-      oracle = Some(s"""
-        SELECT r_name, n_name, count(*) AS n_customers,
-               ${sumSql("c_acctbal")} AS total_acctbal
-        FROM customer
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
-
-    // ===== projections / scalar functions (P1, P2, F2, F3) =====
-
-    // P1 + P2 — timestamp parse and partition-column derivation via the
-    // pipeline operator (year int, month/day zero-padded strings — the
-    // reference's contract asymmetry, cast long here for oracle parity).
-    "q10_derive_partitions" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .withColumnRenamed("ts", "datetime")
-        .transform(Transforms.derivePartitions)
-        .select(col("event_id"), col("year").cast("long").as("year"),
-                col("month"), col("day"))
-        .orderBy("event_id"),
-      oracle = Some("""
-        SELECT event_id, year(ts) AS year,
-               lpad(CAST(month(ts) AS VARCHAR), 2, '0') AS month,
-               lpad(CAST(day(ts) AS VARCHAR), 2, '0') AS day
-        FROM events ORDER BY event_id""")),
-
-    // P9 — per-column null audit as one distributed aggregate.
-    "q11_null_audit" -> QueryDef(
-      fn = (s, d) => Transforms.nullAudit(
-        t(s, d, "events"),
-        Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
-      oracle = Some {
-        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-          .map(c => s"count(CASE WHEN $c IS NULL THEN 1 END) AS $c")
-        s"SELECT ${cols.mkString(", ")} FROM events"
-      }),
-
-    // P5 + F7/F14 — null-injection + fill-defaults (na.fill on a real null).
-    "q12_fill_defaults" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .withColumn("etype",
-          when(col("event_type") === "error", lit(null)).otherwise(col("event_type")))
-        .na.fill(Map("etype" -> "Unknown"))
-        .select("event_id", "etype")
-        .orderBy("event_id"),
-      oracle = Some("""
-        SELECT event_id, coalesce(nullif(event_type, 'error'), 'Unknown') AS etype
-        FROM events ORDER BY event_id""")),
-
-    // P10 — range predicates (pushed to the parquet scan) + rollup.
-    "q13_range_filter" -> QueryDef(
-      fn = (s, d) => t(s, d, "lineitem")
-        .filter(col("l_quantity").between(10.0, 40.0) &&
-                col("l_discount").between(0.02, 0.08))
-        .agg(count(lit(1)).as("cnt"),
-             exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue")),
-      oracle = Some(s"""
-        SELECT count(*) AS cnt,
-               ${revenueSql("l_extendedprice", "l_discount")} AS revenue
-        FROM lineitem
-        WHERE l_quantity BETWEEN 10.0 AND 40.0
-          AND l_discount BETWEEN 0.02 AND 0.08""")),
-
-    // A11 — metadata-consistency audit (distinct tuples per group).
-    "q14_metadata_consistency" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             countDistinct(col("lang")).as("n_langs"))
-        .withColumn("inconsistent", col("n_langs") > 1)
-        .orderBy("source"),
-      oracle = Some("""
-        SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-               count(DISTINCT lang) > 1 AS inconsistent
-        FROM documents GROUP BY source ORDER BY source""")),
-
-    // F12 — event-time bucketing (the streaming windowed-agg shape, batch).
-    "q15_hour_bucket" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"))
-        .agg(count(lit(1)).as("cnt"), exactAvg(col("value")).as("avg_value"))
-        .orderBy("hour"),
-      oracle = Some(s"""
-        SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
-               ${avgSql("value")} AS avg_value
-        FROM events GROUP BY 1 ORDER BY hour""")),
-
-    // §2.10 — the AQI suite as pure Column expressions (no UDF): piecewise
-    // linear interpolation + category, SQL generated from the same
-    // breakpoint table.
-    "q16_aqi" -> QueryDef(
-      fn = (s, d) => {
-        val raw = Aqi.subIndexRaw(col("value"), Aqi.pm25Breakpoints)
-        t(s, d, "events")
-          .select(col("event_id"), round(raw, 4).as("aqi"),
-                  Aqi.aqiLevel(raw).as("aqi_level"))
-          .orderBy("event_id")
-      },
-      oracle = Some {
-        val raw = aqiSqlExpr("value", Aqi.pm25Breakpoints)
-        s"""SELECT event_id, round(raw, 4) AS aqi,
-                   CASE WHEN raw IS NULL THEN NULL
-                        WHEN raw <= 50 THEN 'Good'
-                        WHEN raw <= 100 THEN 'Moderate'
-                        WHEN raw <= 150 THEN 'Unhealthy for Sensitive Groups'
-                        WHEN raw <= 200 THEN 'Unhealthy'
-                        WHEN raw <= 300 THEN 'Very Unhealthy'
-                        ELSE 'Hazardous' END AS aqi_level
-            FROM (SELECT event_id, $raw AS raw FROM events)
-            ORDER BY event_id"""
-      }),
-
-    // A8 + O2 — date-range filtered grouped avg/max, top-k by avg.
-    "q17_top_avg" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .filter(col("ts") < lit("2024-01-16").cast("timestamp"))
-        .groupBy("user_id")
-        .agg(exactAvg(col("value")).as("avg_value"), max("value").as("max_value"))
-        .orderBy(desc("avg_value"), col("user_id"))
-        .limit(10),
-      oracle = Some(s"""
-        SELECT user_id, ${avgSql("value")} AS avg_value, max(value) AS max_value
-        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
-        GROUP BY user_id ORDER BY avg_value DESC, user_id LIMIT 10""")),
-
-    // ===== text analysis (training-data ops) =====
-
-    // Token counting (whitespace tokenizer) + char stats.
-    "q18_token_stats" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .select(col("doc_id"),
-                TF.tokenCount(col("text")).as("n_tokens"),
-                length(col("text")).cast("long").as("n_chars"),
-                round(TF.meanTokenLength(col("text")), 4).as("mean_token_len"))
-        .orderBy("doc_id"),
-      oracle = Some(s"""
-        SELECT doc_id, len(toks) AS n_tokens,
-               length(text) AS n_chars,
-               round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-                     / CAST(len(toks) AS DOUBLE), 4) AS mean_token_len
-        FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
-        ORDER BY doc_id""")),
-
-    // Document fingerprinting (md5 of normalized text — engine-portable).
-    "q19_fingerprint" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"),
-      oracle = Some(s"""
-        SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
-        FROM documents ORDER BY doc_id""")),
-
-    // Exact dedup groups: hash-groupBy on the fingerprint, deterministic
-    // min-id survivor.
-    "q20_exact_dedup" -> QueryDef(
-      fn = (s, d) => Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("fingerprint"),
-      oracle = Some(s"""
-        SELECT md5(array_to_string($toksSql, ' ')) AS fingerprint,
-               min(doc_id) AS canonical_id, count(*) AS dup_count
-        FROM documents GROUP BY 1 ORDER BY fingerprint"""),
-      bench = true),
-
-    // Quality scoring (length/punct/stopword terms), SQL generated from the
-    // same constants.
-    "q21_quality_score" -> QueryDef(
-      fn = (s, d) => {
-        val stops = TF.langMarkers("en")
-        t(s, d, "documents")
-          .select(col("doc_id"),
-                  TF.tokenCount(col("text")).as("n_tokens"),
-                  round(TF.stopwordRatio(col("text"), stops), 4).as("stop_ratio"),
-                  round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
-                  TF.qualityScore(col("text"), stops).as("quality"))
-          .orderBy("doc_id")
-      },
-      oracle = Some(s"""
-        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-               round(stop_ratio, 4) AS stop_ratio,
-               round(punct_ratio, 4) AS punct_ratio,
-               $qualityExprSql AS quality
-        FROM ($qualityInnerSql)
-        ORDER BY doc_id""")),
-
-    // Language ID (marker-word argmax), SQL generated from the same marker
-    // table with the same tie-break order.
-    "q22_lang_id" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), TF.langId(col("text")).as("lang_guess"))
-        .orderBy("doc_id"),
-      oracle = Some(langIdSql)),
-
-    // ===== embeddings: similarity + near-dup (training-data ops) =====
-
-    // Vector norm via higher-order aggregate (double accumulation).
-    "q23_embedding_norm" -> QueryDef(
-      fn = (s, d) => t(s, d, "embeddings")
-        .select(col("vec_id"), col("label"),
-                round(VF.norm(col("embedding")), 4).as("norm"))
-        .orderBy("vec_id"),
-      oracle = Some("""
-        SELECT vec_id, label,
-               round(sqrt(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
-        FROM embeddings ORDER BY vec_id""")),
-
-    // Pairwise cosine on a key slice (exact, both engines sequential-sum).
-    "q24_cosine_pairs" -> QueryDef(
-      fn = (s, d) => {
-        val e = t(s, d, "embeddings").filter(col("vec_id") < 10)
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-        a.crossJoin(b).filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-                  round(VF.cosine(col("va"), col("vb")), 6).as("cosine"))
-          .orderBy("id_a", "id_b")
-      },
-      oracle = Some(s"""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < 10 AND b.vec_id < 10 AND a.vec_id < b.vec_id
-        ORDER BY id_a, id_b""")),
-
-    // Brute-force cosine top-k (exact ANN baseline): 20 queries, k=5.
-    "q25_knn_bruteforce" -> QueryDef(
-      fn = (s, d) => {
-        val emb = t(s, d, "embeddings")
-        Similarity.bruteForceTopK(
-            emb.filter(col("vec_id") < 20), emb, k = 5)
-          .orderBy("query_id", "rank")
-      },
-      oracle = Some(s"""
-        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
-               CAST(rn AS BIGINT) AS rank
-        FROM (
-          SELECT query_id, neighbor_id, cosine,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, neighbor_id) AS rn
-          FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   ${cosineSql("q.embedding", "c.embedding")} AS cosine
-            FROM embeddings q, embeddings c
-            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id))
-        WHERE rn <= 5 ORDER BY query_id, rank"""),
-      bench = true),
-
-    // ===== LSH dedup suites =====
-    // Construction: union the corpus with an id-shifted exact copy, so the
-    // expected duplicate pairs are provable in SQL while the full
-    // signature → banding → bucket-join → verify path executes for real.
-
-    // MinHash + LSH candidate generation, then exact n-gram-Jaccard
-    // verification (the production two-stage shape: cheap LSH recall, exact
-    // precision pass on candidates only). On a 200-doc slice doubled with
-    // exact copies so the oracle can afford the exhaustive pair scan; LSH
-    // recall at j ≥ 0.9 is 1 - (1-0.9^4)^16 ≈ 1 - 4e-8, so candidate-set ∩
-    // verification equals the exhaustive answer.
-    "q26_minhash_dedup" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-        val doubled = docs.select(col("doc_id"), col("text"))
-          .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-        val cands = Dedup.minhashCandidates(doubled, "doc_id", "text")
-          .select("id_a", "id_b")
-        Dedup.ngramJaccard(cands, doubled, "doc_id", "text")
-          .filter(col("jaccard") >= 0.9)
-          .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
-      },
-      oracle = Some(s"""
-        WITH docs2 AS (
-          SELECT doc_id, text FROM documents WHERE doc_id < 200
-          UNION ALL
-          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 200),
-        sh AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-          FROM (SELECT doc_id, $toksSql AS toks FROM docs2))
-        SELECT id_a, id_b, jaccard FROM (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                       / CAST(len(a.shingles) + len(b.shingles)
-                              - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE),
-                       9) AS jaccard
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        WHERE jaccard >= 0.9 ORDER BY id_a, id_b"""),
-      bench = true),
-
-    // SimHash near-dup: signature + 16-bit blocking + Hamming verify; the
-    // copy-pair projection (id_b = id_a + 100000) is the SQL-provable
-    // slice of the candidate set.
-    "q27_simhash_dup" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val doubled = docs.select(col("doc_id"), col("text"))
-          .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-        Dedup.simhashCandidates(doubled, "doc_id", "text", maxDistance = 3)
-          .filter(col("id_b") === col("id_a") + 100000)
-          .orderBy("id_a", "id_b")
-      },
-      oracle = Some("""
-        SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
-               CAST(0 AS INTEGER) AS hamming
-        FROM documents ORDER BY id_a, id_b""")),
-
-    // n-gram (3-shingle) Jaccard verification on candidate pairs —
-    // consecutive-id pairs so the oracle can rebuild the exact value.
-    "q28_ngram_jaccard" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val pairs = docs.select(col("doc_id").as("id_a"),
-                                (col("doc_id") + 1).as("id_b"))
-        Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
-          .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a")
-      },
-      oracle = Some(s"""
-        WITH sh AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-          FROM (SELECT doc_id, $toksSql AS toks FROM documents))
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                     / CAST(len(a.shingles) + len(b.shingles)
-                            - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE),
-                     9) AS jaccard
-        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-        ORDER BY id_a""")),
-
-    // Embedding near-dup via hyperplane-LSH buckets + exact cosine.
-    "q29_embedding_neardup" -> QueryDef(
-      fn = (s, d) => {
-        val emb = t(s, d, "embeddings")
-        val doubled = emb.select(col("vec_id"), col("embedding"))
-          .unionAll(emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-        Dedup.embeddingNearDup(doubled, "vec_id", "embedding", minCosine = 0.98)
-          .orderBy("id_a", "id_b")
-      },
-      oracle = Some("""
-        SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
-        FROM embeddings ORDER BY id_a, id_b""")),
-
-    // LSH-bucketed ANN (multiprobe) — seeded-hash internals, rows-only.
-    "q30_lsh_knn" -> QueryDef(
-      fn = (s, d) => {
-        val emb = t(s, d, "embeddings")
-        Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 5,
-            numPlanes = 10)
-          .orderBy("query_id", "rank")
-      },
-      oracle = None),
-
-    // ===== multi-join analytics (flagship) =====
-
-    "q31_region_revenue" -> QueryDef(
-      fn = (s, d) => t(s, d, "lineitem")
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
-        .groupBy("r_name")
-        .agg(
-          exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
-        .orderBy("r_name"),
-      oracle = Some(s"""
-        SELECT r_name,
-               ${revenueSql("l_extendedprice", "l_discount")} AS revenue,
-               count(DISTINCT o_orderkey) AS n_orders
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name ORDER BY r_name"""),
-      bench = true),
-
-    // Semi join (EXISTS) — a join shape the reference lacks.
-    "q32_semi_join" -> QueryDef(
-      fn = (s, d) => t(s, d, "orders")
-        .join(t(s, d, "lineitem").filter(col("l_quantity") > 49)
-                .select("l_orderkey"),
-          col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("o_orderpriority"),
-      oracle = Some("""
-        SELECT o_orderpriority, count(*) AS n
-        FROM orders o
-        WHERE EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
-
-    // Anti join (NOT EXISTS). The orders side is restricted to big-ticket
-    // orders (>400k; ~13% of orders) so the anti set is non-empty at every
-    // sf — 20/202/1997 customers at sf0.001/0.01/0.1. The unrestricted
-    // version returned 0 rows at sf0.01: a vacuously-passing test.
-    "q33_anti_join" -> QueryDef(
-      fn = (s, d) => t(s, d, "customer")
-        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000)
-                .select("o_custkey"),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("c_mktsegment"),
-      oracle = Some("""
-        SELECT c_mktsegment, count(*) AS n
-        FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey
-                            AND o.o_totalprice > 400000)
-        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
-
-    // ===== SQL-text surface (S11 — the Athena entry point on spark.sql) =====
-
-    "q34_sql_text_surface" -> QueryDef(
-      fn = (s, d) => {
-        t(s, d, "events").createOrReplaceTempView("events_v")
-        s.sql("""SELECT user_id, COUNT(*) AS count FROM events_v
-                 GROUP BY user_id ORDER BY count DESC, user_id""")
-      },
-      oracle = Some("""
-        SELECT user_id, COUNT(*) AS count FROM events
-        GROUP BY user_id ORDER BY count DESC, user_id""")),
-
-    // A9 — AQI aggregate validation query (count/avg/min/max over the
-    // computed sub-index; 2-dp snap + exact decimal sum for the average).
-    "q35_aqi_summary" -> QueryDef(
-      fn = (s, d) => {
-        val aqi2 = round(Aqi.subIndexRaw(col("value"), Aqi.pm25Breakpoints), 2)
-        t(s, d, "events").agg(
-          count(lit(1)).as("total"),
-          count(aqi2).as("aqi_count"),
-          (sum(cents(aqi2)).cast("double") / 100.0 / count(aqi2)).as("aqi_avg"),
-          min(aqi2).as("aqi_min"),
-          max(aqi2).as("aqi_max"))
-      },
-      oracle = Some {
-        val raw = aqiSqlExpr("value", Aqi.pm25Breakpoints)
-        s"""SELECT count(*) AS total, count(aqi2) AS aqi_count,
-                   (CAST(sum(${centsSql("aqi2")}) AS DOUBLE) / 100.0 / count(aqi2)) AS aqi_avg,
-                   min(aqi2) AS aqi_min, max(aqi2) AS aqi_max
-            FROM (SELECT round($raw, 2) AS aqi2 FROM events)"""
-      }),
-
-    // Rollup (engine extension — the reference has no grouping sets).
-    "q36_rollup" -> QueryDef(
-      fn = (s, d) => t(s, d, "customer")
-        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
-        .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"))
-        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
-                coalesce(col("n_name"), lit("ALL")).as("nation"),
-                col("n_customers"))
-        .orderBy("region", "nation"),
-      oracle = Some("""
-        SELECT coalesce(r_name, 'ALL') AS region,
-               coalesce(n_name, 'ALL') AS nation,
-               count(*) AS n_customers
-        FROM customer
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""")),
-
-    // §2.11 — the catalog-validation stage (list tables, count each) as a
-    // single distributed result.
-    "q37_catalog_validation" -> QueryDef(
-      fn = (s, d) => graft.Tables.names
-        .map(n => t(s, d, n).agg(count(lit(1)).as("n"))
-          .select(lit(n).as("table_name"), col("n")))
-        .reduce(_.unionAll(_))
-        .orderBy("table_name"),
-      oracle = Some(graft.Tables.names
-        .map(n => s"SELECT '$n' AS table_name, count(*) AS n FROM $n")
-        .mkString("", " UNION ALL ", " ORDER BY table_name"))),
-
-    // F10 — date arithmetic with a scalar subquery ("last 24 h of data").
-    "q38_recent_window" -> QueryDef(
-      fn = (s, d) => {
-        t(s, d, "events").createOrReplaceTempView("events_recent_v")
-        s.sql(s"""SELECT COUNT(*) AS n,
-                         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-                  FROM events_recent_v
-                  WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOURS FROM events_recent_v)""")
-      },
-      oracle = Some("""
-        SELECT COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-        FROM events
-        WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOUR FROM events)""")),
-
-    // §2.7 — set operations (EXCEPT / INTERSECT with a provenance tag).
-    "q39_set_ops" -> QueryDef(
-      fn = (s, d) => {
-        val a = t(s, d, "events").filter(col("value") > 190)
-          .select("user_id").distinct()
-        val b = t(s, d, "events").filter(col("event_type") === "purchase")
-          .select("user_id").distinct()
-        a.except(b).withColumn("op", lit("except"))
-          .unionAll(a.intersect(b).withColumn("op", lit("intersect")))
-          .orderBy("op", "user_id")
-      },
-      oracle = Some("""
-        SELECT user_id, 'except' AS op FROM (
-          SELECT DISTINCT user_id FROM events WHERE value > 190
-          EXCEPT
-          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-        UNION ALL
-        SELECT user_id, 'intersect' AS op FROM (
-          SELECT DISTINCT user_id FROM events WHERE value > 190
-          INTERSECT
-          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-        ORDER BY op, user_id""")),
-
-    // Stateful sessionization (gap-based) — the lag + cumulative-sum window
-    // idiom; streaming twin lives in ops.Sessionize.streamingSessions.
-    "q40_sessionize" -> QueryDef(
-      fn = (s, d) => graft.ops.Sessionize
-        .sessionSummaries(t(s, d, "events"), gapMinutes = 30)
-        .orderBy("user_id", "session_id"),
-      bench = true,
-      oracle = Some("""
-        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-               min(ts) AS session_start, max(ts) AS session_end,
-               count(*) AS n_events,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-        FROM (
-          SELECT user_id, ts, value,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
-          FROM (
-            SELECT user_id, ts, value,
-                   CASE WHEN prev_ts IS NULL
-                          OR ts > prev_ts + INTERVAL 30 MINUTE
-                        THEN 1 ELSE 0 END AS is_new
-            FROM (SELECT user_id, ts, value,
-                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-                  FROM events)))
-        GROUP BY user_id, session_id
-        ORDER BY user_id, session_id""")),
-
-    // Two-phase salted aggregation (hot-key mitigation) — must be
-    // result-identical to the plain group-count the oracle computes.
-    "q41_salted_agg" -> QueryDef(
-      fn = (s, d) => graft.ops.Skew
-        .saltedCount(t(s, d, "events"), Seq("event_type"), saltBuckets = 8)
-        .orderBy("event_type"),
-      oracle = Some("""
-        SELECT event_type, count(*) AS n
-        FROM events GROUP BY event_type ORDER BY event_type""")),
-
-    // F13 — JSON field extraction from the event props payload.
-    "q42_json_extract" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .select(col("event_id"),
-                get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .orderBy("event_id"),
-      oracle = Some("""
-        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        FROM events ORDER BY event_id""")),
-
-    // As-of join: each click enriched with the user's most recent purchase
-    // at or before it. Spark lacks the operator; ops.AsOfJoin composes it
-    // as one hash shuffle + window (no range-join blowup). DuckDB's native
-    // ASOF LEFT JOIN is the oracle.
-    "q43_asof_join" -> QueryDef(
-      fn = (s, d) => {
-        val ev = t(s, d, "events")
-        val clicks = ev.filter(col("event_type") === "click")
-          .select("event_id", "user_id", "ts")
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
-        graft.ops.AsOfJoin.asof(clicks, purchases,
-            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
-            rightCols = Seq("p_value"))
-          .orderBy("event_id")
-      },
-      bench = true,
-      oracle = Some("""
-        SELECT l.event_id, l.user_id, l.ts, r.value AS p_value, r.ts AS asof_ts
-        FROM (SELECT * FROM events WHERE event_type = 'click') l
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-          ON l.user_id = r.user_id AND l.ts >= r.ts
-        ORDER BY l.event_id""")),
-
-    // Range (interval-containment) join via time binning: error events
-    // matched to the session interval containing them. A theta-join would
-    // plan nested-loop; the binned form is an equi-join (spec-asserted).
-    "q45_range_join" -> QueryDef(
-      fn = (s, d) => {
-        val ev = t(s, d, "events")
-        val sessions = graft.ops.Sessionize.sessionSummaries(ev, gapMinutes = 30)
-          .select(col("user_id"), col("session_id"),
-                  col("session_start"), col("session_end"))
-        val errors = ev.filter(col("event_type") === "error")
-          .select("event_id", "user_id", "ts")
-        graft.ops.RangeJoin.pointInInterval(errors, sessions,
-            Seq("user_id"), "ts", "session_start", "session_end", "1 hour")
-          .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
-          .orderBy("event_id")
-      },
-      oracle = Some("""
-        WITH sess AS (
-          SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
-          FROM (
-            SELECT user_id, ts,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
-            FROM (
-              SELECT user_id, ts,
-                     CASE WHEN prev_ts IS NULL
-                            OR ts > prev_ts + INTERVAL 30 MINUTE
-                          THEN 1 ELSE 0 END AS is_new
-              FROM (SELECT user_id, ts,
-                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-                    FROM events)))
-          GROUP BY user_id, session_id)
-        SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id
-        FROM events e JOIN sess s
-          ON e.user_id = s.user_id
-         AND e.ts >= s.session_start AND e.ts <= s.session_end
-        WHERE e.event_type = 'error'
-        ORDER BY e.event_id""")),
-
-    // IVF-Flat ANN (k-means coarse quantizer + nprobe lists) — the
-    // similarity-search scale path. Iterative float training has no SQL
-    // twin → rows-only check; recall vs brute force is spec-asserted.
-    "q44_ivf_knn" -> QueryDef(
-      fn = (s, d) => {
-        val emb = t(s, d, "embeddings")
-        val model = graft.ops.IvfIndex.train(emb, "vec_id", "embedding",
-          k = 8, iterations = 3)
-        val indexed = graft.ops.IvfIndex.index(emb, "embedding", model)
-        graft.ops.IvfIndex.search(
-            emb.filter(col("vec_id") < 20), indexed, model, k = 5, nprobe = 4)
-          .orderBy("query_id", "rank")
-      },
-      oracle = None),
-
-    // Connected components over near-dup PAIRS → duplicate GROUPS with a
-    // canonical id (the transitive-closure step after any LSH pass).
-    // Construction: corpus tripled with id-shifted exact copies; edges are
-    // the CHAIN per fingerprint group (a-b, b-c), so single-hop
-    // canonicalization would get c wrong — the oracle result requires real
-    // transitivity. Labels converge by distributed min-propagation; nothing
-    // touches the driver but the convergence counter.
-    "q46_dup_clusters" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val tripled = docs
-          .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-          .unionAll(docs.select((col("doc_id") + 200000).as("doc_id"), col("text")))
-        val fp = tripled.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
-        val w = Window.partitionBy("fp").orderBy("doc_id")
-        val edges = fp.withColumn("prev", lag(col("doc_id"), 1).over(w))
-          .filter(col("prev").isNotNull)
-          .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
-        graft.ops.ConnectedComponents.components(edges).orderBy("id")
-      },
-      // scale-independent oracle: component = min id within each
-      // fingerprint group of the tripled corpus (the base corpus may itself
-      // contain exact duplicates — at sf0.1 it does — and the chain edges
-      // connect the WHOLE group, so the min spans text-equal base docs too)
-      oracle = Some(s"""
-        WITH t AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents)
-        SELECT doc_id AS id,
-               min(doc_id) OVER (PARTITION BY f) AS component
-        FROM (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS f FROM t)
-        ORDER BY id""")),
-
-    // Multimodal plumbing: opaque binary payloads + typed metadata through
-    // the per-partition decode/feature-extract pass (ops.Multimodal — the
-    // codec itself is a deterministic stub; the schema, partitioning and
-    // batch-iteration shape are real). The oracle proves the pass is
-    // row-and-byte exact; width/height/frame stats are spec-asserted.
-    "q47_media_features" -> QueryDef(
-      fn = (s, d) => {
-        val media = graft.ops.Multimodal.syntheticMedia(s, t(s, d, "documents"))
-        graft.ops.Multimodal.extractFeatures(media)
-          .select(col("media_id"), col("kind"), col("byte_len"))
-          .orderBy("media_id")
-      },
-      oracle = Some("""
-        SELECT doc_id AS media_id,
-               (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
-               octet_length(encode(text)) AS byte_len
-        FROM documents ORDER BY media_id""")),
-
-    // Structured Streaming entry: the same hourly windowed aggregate as
-    // q15, executed as a real streaming query (parquet file source →
-    // windowed agg → memory sink, complete mode) and checked against the
-    // BATCH oracle — stream/batch result parity is the correctness claim.
-    "q48_stream_hour_agg" -> QueryDef(
-      fn = (s, d) => {
-        val dir = stageEventsDir(d)
-        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val agg = stream
-          .groupBy(window(col("ts"), "1 hour"))
-          .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value"))
-        val table = runToMemoryTable(s, agg, "q48_mem")
-        dropStaged(dir)
-        table
-          .select(col("window.start").as("hour"), col("cnt"), col("sum_value"))
-          .orderBy("hour")
-      },
-      oracle = Some(s"""
-        SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
-               ${sumSql("value")} AS sum_value
-        FROM events GROUP BY 1 ORDER BY hour""")),
-
-    // Window frames — lag/lead and a bounded moving average
-    // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), deterministic order by
-    // (ts, event_id). The frame shapes the reference never uses but any
-    // time-series consumer of this engine will.
-    "q49_window_frames" -> QueryDef(
-      fn = (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val frame = w.rowsBetween(-2, Window.currentRow)
-        t(s, d, "events").select(
-            col("event_id"), col("user_id"), col("ts"),
-            lag(col("value"), 1).over(w).as("prev_value"),
-            lead(col("value"), 1).over(w).as("next_value"),
-            (sum(cents(col("value"))).over(frame).cast("double") / 100.0 /
-              count(col("value")).over(frame)).as("moving_avg"))
-          .orderBy("event_id")
-      },
-      oracle = Some("""
-        SELECT event_id, user_id, ts,
-               lag(value, 1) OVER w AS prev_value,
-               lead(value, 1) OVER w AS next_value,
-               (CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER f AS DOUBLE)
-                / 100.0 / count(value) OVER f) AS moving_avg
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-               f AS (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        ORDER BY event_id""")),
-
-    // J3 — static-map lookup join (the reference's hardcoded
-    // location→city fix): a `typedLit(Map)` literal evaluated per-row with
-    // a coalesce fallback — no join, no shuffle, pure codegen'd expression.
-    // The SQL CASE is generated from the same Scala Map.
-    "q50_static_map_join" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .select(col("event_id"),
-          coalesce(element_at(typedLit(eventCategoryMap), col("event_type")),
-            lit("other")).as("category"))
-        .groupBy("category").agg(count(lit(1)).as("n"))
-        .orderBy("category"),
-      oracle = Some {
-        val whens = eventCategoryMap
-          .groupBy(_._2).toSeq.sortBy(_._1)
-          .map { case (cat, kvs) =>
-            s"WHEN event_type IN (${sqlInList(kvs.keys.toSeq.sorted)}) THEN '$cat'"
-          }.mkString(" ")
-        s"""SELECT CASE $whens ELSE 'other' END AS category, count(*) AS n
-            FROM events GROUP BY 1 ORDER BY category"""
-      }),
-
-    // CUBE grouping sets (completes the rollup/cube pair from q36).
-    "q51_cube" -> QueryDef(
-      fn = (s, d) => t(s, d, "customer")
-        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
-        .cube(col("r_name"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_customers"),
-             exactSum(col("c_acctbal")).as("total_acctbal"))
-        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
-                coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
-                col("n_customers"), col("total_acctbal"))
-        .orderBy("region", "mktsegment"),
-      oracle = Some(s"""
-        SELECT coalesce(r_name, 'ALL') AS region,
-               coalesce(c_mktsegment, 'ALL') AS mktsegment,
-               count(*) AS n_customers, ${sumSql("c_acctbal")} AS total_acctbal
-        FROM customer
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY CUBE(r_name, c_mktsegment) ORDER BY region, mktsegment""")),
-
-    // TPC-H Q14 shape — conditional revenue share over a broadcast
-    // fact-dimension join (part is ~2k rows at sf0.01; at 100 TB it stays
-    // broadcast-able while lineitem scales out).
-    "q52_promo_share" -> QueryDef(
-      fn = (s, d) => {
-        val promoRev = (sum(when(col("p_type") === "ECONOMY",
-            cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
-          .otherwise(lit(0L))).cast("double") / 10000.0)
-        t(s, d, "lineitem")
-          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
-          .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
-          .agg(promoRev.as("promo_revenue"),
-               exactRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
-               count(lit(1)).as("n_items"))
-          .withColumn("promo_share",
-            round(col("promo_revenue") / col("total_revenue"), 6))
-          .orderBy("ship_month")
-      },
-      oracle = Some(s"""
-        SELECT ship_month, promo_revenue, total_revenue, n_items,
-               round(promo_revenue / total_revenue, 6) AS promo_share
-        FROM (
-          SELECT date_trunc('month', l_shipdate) AS ship_month,
-                 CAST(sum(CASE WHEN p_type = 'ECONOMY'
-                   THEN ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
-                   ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
-                 ${revenueSql("l_extendedprice", "l_discount")} AS total_revenue,
-                 count(*) AS n_items
-          FROM lineitem JOIN part ON l_partkey = p_partkey
-          GROUP BY 1)
-        ORDER BY ship_month""")),
-
-    // TPC-H Q9 shape — supplier-nation revenue by ship year; two broadcast
-    // dimension hops off the fact table, one shuffle (the final group-by).
-    "q53_supplier_volume" -> QueryDef(
-      fn = (s, d) => t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("ship_year"))
-        .agg(exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-             count(lit(1)).as("n_items"))
-        .orderBy("n_name", "ship_year"),
-      oracle = Some(s"""
-        SELECT n_name, year(l_shipdate) AS ship_year,
-               ${revenueSql("l_extendedprice", "l_discount")} AS revenue,
-               count(*) AS n_items
-        FROM lineitem
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        GROUP BY n_name, year(l_shipdate) ORDER BY n_name, ship_year""")),
-
-    // Grouped mean/variance/stddev via EXACT integer moments: S1=sum(c),
-    // S2=sum(c^2) over integer cents are exact long sums (order-free),
-    // and every downstream double op — including sqrt, which IEEE-754
-    // requires to be correctly rounded, unlike ln — runs identically on
-    // both engines. This is how you get distributed second moments
-    // without Welford-merge FP nondeterminism. S1*S1 is computed in
-    // doubles (it can exceed long range; identical doubles → identical
-    // product on both sides).
-    "q76_group_stats" -> QueryDef(
-      fn = (s, d) => {
-        val agged = eventValueMoments(t(s, d, "events"))
-        val s1 = col("__s1").cast("double")
-        val s2 = col("__s2").cast("double")
-        val nD = col("__n").cast("double")
-        val varC = (s2 - s1 * s1 / nD) / (nD - 1) // sample variance, cents^2
-        def snap6(x: org.apache.spark.sql.Column) =
-          floor(x * 1000000 + 0.5) / 1000000.0
-        agged.select(col("event_type"), col("__n").as("n"),
-            snap6(s1 / 100.0 / nD).as("mean_value"),
-            snap6(varC / 10000.0).as("var_value"),
-            snap6(sqrt(varC) / 100.0).as("std_value"))
-          .orderBy("event_type")
-      },
-      oracle = Some(s"""
-        WITH m AS ($momentsSqlCte)
-        SELECT event_type, n,
-               floor((s1 / 100.0 / n) * 1000000 + 0.5) / 1000000.0
-                 AS mean_value,
-               floor(((s2 - s1 * s1 / n) / (n - 1) / 10000.0)
-                     * 1000000 + 0.5) / 1000000.0 AS var_value,
-               floor((sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100.0)
-                     * 1000000 + 0.5) / 1000000.0 AS std_value
-        FROM m ORDER BY event_type""")),
-
-    // Per-group Pearson correlation via exact CROSS moments — the q76
-    // technique extended: Sx, Sy, Sxx, Syy, Sxy are exact long sums over
-    // cents, the correlation formula then runs on identical doubles
-    // (sqrt only — no ln). Distributed corr without merge-order drift.
-    "q78_group_corr" -> QueryDef(
-      fn = (s, d) => {
-        val x = cents(col("l_quantity"))
-        val y = cents(col("l_extendedprice"))
-        // second moments sum in DECIMAL(38,0): sum(price_cents^2) already
-        // sits at 7.4e18 of long's 9.2e18 at sf0.1 — one 10x scale-up
-        // from an ANSI overflow. Per-row products still fit long exactly.
-        val agged = t(s, d, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"),
-            sum(x).as("__sx"), sum(y).as("__sy"),
-            sum((x * x).cast("decimal(38,0)")).as("__sxx"),
-            sum((y * y).cast("decimal(38,0)")).as("__syy"),
-            sum((x * y).cast("decimal(38,0)")).as("__sxy"))
-        val nD = col("n").cast("double")
-        def d6(c: org.apache.spark.sql.Column) =
-          floor(c * 1000000 + 0.5) / 1000000.0
-        val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
-        val cov = col("__sxy").cast("double") - sx * sy / nD
-        val vx = col("__sxx").cast("double") - sx * sx / nD
-        val vy = col("__syy").cast("double") - sy * sy / nD
-        agged.select(col("l_returnflag"), col("n"),
-            d6(cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"))
-          .orderBy("l_returnflag")
-      },
-      oracle = Some(s"""
-        WITH m AS (SELECT l_returnflag, count(*) AS n,
-            CAST(sum(${centsSql("l_quantity")}) AS DOUBLE) AS sx,
-            CAST(sum(${centsSql("l_extendedprice")}) AS DOUBLE) AS sy,
-            CAST(sum(${centsSql("l_quantity")} * ${centsSql("l_quantity")})
-                 AS DOUBLE) AS sxx,
-            CAST(sum(${centsSql("l_extendedprice")} * ${centsSql("l_extendedprice")})
-                 AS DOUBLE) AS syy,
-            CAST(sum(${centsSql("l_quantity")} * ${centsSql("l_extendedprice")})
-                 AS DOUBLE) AS sxy
-          FROM lineitem GROUP BY l_returnflag)
-        SELECT l_returnflag, n,
-               floor(((sxy - sx * sy / n)
-                      / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)))
-                     * 1000000 + 0.5) / 1000000.0 AS corr_qty_price
-        FROM m ORDER BY l_returnflag""")),
-
-    // Fixed-width histogram of event values (25-unit buckets, capped
-    // tail): corpus/metric profiling — exact integer bucket math, one
-    // partial-agg shuffle.
-    "q77_value_histogram" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .filter(col("value").isNotNull)
-        .withColumn("bucket",
-          least(floor(col("value") / 25.0), lit(12.0)).cast("long"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("bucket"),
-      oracle = Some("""
-        SELECT CAST(least(floor(value / 25.0), 12) AS BIGINT) AS bucket,
-               count(*) AS n
-        FROM events WHERE value IS NOT NULL
-        GROUP BY 1 ORDER BY bucket""")),
-
-    // Exact interpolated percentiles per group (both engines implement the
-    // same (n-1)*q linear interpolation; 4-dp round absorbs the last bit).
-    "q54_percentiles" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.25)"), 4).as("p25"),
-             round(expr("percentile(value, 0.5)"), 4).as("p50"),
-             round(expr("percentile(value, 0.75)"), 4).as("p75"))
-        .orderBy("event_type"),
-      oracle = Some("""
-        SELECT event_type,
-               round(quantile_cont(value, 0.25), 4) AS p25,
-               round(quantile_cont(value, 0.5), 4) AS p50,
-               round(quantile_cont(value, 0.75), 4) AS p75
-        FROM events GROUP BY event_type ORDER BY event_type""")),
-
-    // HLL approximate distinct (the 100 TB cardinality path: fixed-size
-    // sketch, no exact-distinct shuffle). Sketch internals are
-    // implementation-specific → rows-only check here; the ≤2% error bound
-    // vs the exact count is spec-asserted (CatalogExtraSpec).
-    "q55_approx_distinct" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("exact_users"),
-             approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-        .orderBy("event_type"),
-      oracle = None),
-
-    // Per-label embedding centroids through the typed VectorMean Aggregator
-    // (partial merges on fixed-width buffers — the UDAF surface), exploded
-    // to (label, dim, value) rows. 4-dp round absorbs partial-merge-order
-    // float reassociation on both engines.
-    "q56_embedding_centroids" -> QueryDef(
-      fn = (s, d) => t(s, d, "embeddings")
-        .groupBy("label")
-        .agg(graft.functions.VectorAggregates.vectorMean(col("embedding"))
-          .as("centroid"))
-        .select(col("label"), posexplode(col("centroid")))
-        .select(col("label").cast("long").as("label"),
-                col("pos").cast("long").as("dim"),
-                round(col("col"), 4).as("v"))
-        .orderBy("label", "dim"),
-      oracle = Some("""
-        SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
-               round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS v
-        FROM embeddings, generate_series(1, 64) AS t(i)
-        GROUP BY label, i ORDER BY label, dim""")),
-
-    // Top-k per group (rank window + filter — the grouped analogue of
-    // TakeOrderedAndProject; at scale the rank is computed inside each
-    // group's partition, no global sort).
-    "q57_topk_per_group" -> QueryDef(
-      fn = (s, d) => {
-        val w = Window.partitionBy("event_type")
-          .orderBy(col("value").desc_nulls_last, col("event_id"))
-        t(s, d, "events")
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("event_type"), col("rank").cast("long").as("rank"),
-                  col("event_id"), col("value"))
-          .orderBy("event_type", "rank")
-      },
-      oracle = Some("""
-        SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, value
-        FROM (SELECT event_type, event_id, value,
-                     row_number() OVER (PARTITION BY event_type
-                                        ORDER BY value DESC NULLS LAST, event_id) AS rn
-              FROM events)
-        WHERE rn <= 3 ORDER BY event_type, rank""")),
-
-    // Deterministic hash train/eval split (ops.Sampling): a pure function
-    // of the row key — stable across re-runs, retries and repartitioning,
-    // unlike rand(). md5 hex is identical in both engines, so the oracle
-    // reproduces the exact membership, not just the fractions.
-    "q58_hash_split" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .withColumn("split",
-          graft.ops.Sampling.splitLabel(col("doc_id"), trainFrac = 0.8))
-        .groupBy("split")
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
-        .orderBy("split"),
-      oracle = Some(s"""
-        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                         < '${graft.ops.Sampling.thresholdHex(0.8)}'
-                    THEN 'train' ELSE 'eval' END AS split,
-               count(*) AS n, min(doc_id) AS min_id
-        FROM documents GROUP BY 1 ORDER BY split""")),
-
-    // Grouped top-k via the bounded-state TopK Aggregator — result-
-    // identical to the q57 window form, but partial aggregation trims each
-    // group to <=k items per input partition BEFORE the shuffle (the
-    // exchange carries O(groups x k), not O(rows); the window form shuffles
-    // everything). Same oracle shape as q57, null scores excluded.
-    "q59_topk_aggregate" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .filter(col("value").isNotNull)
-        .groupBy("event_type")
-        .agg(graft.functions.TopKAggregate.topK(3, col("value"), col("event_id"))
-          .as("top"))
-        .select(col("event_type"), posexplode(col("top")))
-        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
-                col("col.id").as("event_id"), col("col.score").as("value"))
-        .orderBy("event_type", "rank"),
-      oracle = Some("""
-        SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, value
-        FROM (SELECT event_type, event_id, value,
-                     row_number() OVER (PARTITION BY event_type
-                                        ORDER BY value DESC, event_id) AS rn
-              FROM events WHERE value IS NOT NULL)
-        WHERE rn <= 3 ORDER BY event_type, rank""")),
-
-    // Chained stateful streaming operators: dropDuplicates state feeding a
-    // grouped count in one continuous query — the streaming twin of
-    // count(DISTINCT), checked against the batch oracle.
-    "q60_stream_dedup_count" -> QueryDef(
-      fn = (s, d) => {
-        val dir = stageEventsDir(d)
-        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-        val agg = stream
-          .select("user_id", "event_type")
-          .dropDuplicates("user_id", "event_type")
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_users"))
-        val table = runToMemoryTable(s, agg, "q60_mem")
-        dropStaged(dir)
-        table.orderBy("event_type")
-      },
-      oracle = Some("""
-        SELECT event_type, count(DISTINCT user_id) AS n_users
-        FROM events GROUP BY event_type ORDER BY event_type""")),
-
-    // Z-order (Morton) clustering key — the multi-column layout
-    // optimization behind Delta/Iceberg Z-ORDER (ops.ZOrder). The bit
-    // interleave is generated for both engines from the same bit
-    // positions; clustering behavior (range partition + sort) is
-    // spec-asserted.
-    "q61_zorder_key" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .select(col("doc_id"),
-          graft.ops.ZOrder.zValue(
-            pmod(col("doc_id"), lit(65536)), pmod(col("n_chars"), lit(65536)))
-            .as("z"))
-        .orderBy("doc_id"),
-      oracle = Some(s"""
-        SELECT doc_id,
-               ${graft.ops.ZOrder.zValueSql("(doc_id % 65536)", "(n_chars % 65536)")} AS z
-        FROM documents ORDER BY doc_id""")),
-
-    // Train/eval decontamination: eval docs sharing any word 3-gram with
-    // the train split (ops.Decontaminate over the ops.Sampling hash split)
-    // — the benchmark-leakage sweep every scraped corpus needs before
-    // training. The oracle rebuilds split + shingles + overlap in SQL.
-    "q62_decontamination" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val isTrain = graft.ops.Sampling.inSplit(col("doc_id"), 0.8)
-        graft.ops.Decontaminate.contaminated(
-            docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text")
-          .orderBy("doc_id")
-      },
-      oracle = Some(decontamOracleSql)),
-
-    // End-to-end corpus curation — the composed training-data pass:
-    // language-ID filter (en) → quality filter (>= 0.5) → exact dedup
-    // (min-id survivor). One declarative plan: two per-row projections and
-    // a single fingerprint-keyed window, so Catalyst fuses the filters into
-    // the scan. Oracle rebuilt from the same marker/quality constants.
-    "q63_corpus_curation" -> QueryDef(
-      fn = (s, d) => {
-        val stops = TF.langMarkers("en")
-        val w = Window.partitionBy(TF.fingerprint(col("text"))).orderBy(col("doc_id"))
-        t(s, d, "documents")
-          .select(col("doc_id"), col("text"),
-            TF.langId(col("text")).as("lang_guess"),
-            TF.qualityScore(col("text"), stops).as("quality"))
-          .filter(col("lang_guess") === "en" && col("quality") >= 0.5)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("doc_id", "quality")
-          .orderBy("doc_id")
-      },
-      oracle = Some {
-        val langs = TF.langMarkers.toSeq.sortBy(_._1)
-        val scores = langs.map { case (l, ws) => s"${hitCountSql(ws)} AS s_$l" }.mkString(", ")
-        val best = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-        val cases = langs.map { case (l, _) => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'" }.mkString(" ")
-        val hits = hitCountSql(TF.langMarkers("en"))
-        s"""
-        WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-        lang AS (
-          SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess
-          FROM (SELECT doc_id, $scores, $best AS best FROM base)),
-        quality AS (
-          SELECT doc_id,
-                 round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
-                      + (1.0 - least(punct_ratio * 4.0, 1.0))
-                      + least(stop_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
-          FROM (SELECT doc_id, toks,
-                  CAST($hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-                  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE) AS punct_ratio
-                FROM base)),
-        kept AS (
-          SELECT b.doc_id, md5(array_to_string(b.toks, ' ')) AS fp, q.quality
-          FROM base b JOIN lang l USING (doc_id) JOIN quality q USING (doc_id)
-          WHERE l.lang_guess = 'en' AND q.quality >= 0.5)
-        SELECT doc_id, quality FROM (
-          SELECT doc_id, quality,
-                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-          FROM kept)
-        WHERE rn = 1 ORDER BY doc_id"""
-      }),
-
-    // Unpivot (wide→long) — the inverse of the reference's core pivot
-    // (A1): melt measure columns back to (measure, value) rows. Spark's
-    // native unpivot; the oracle is the equivalent UNION ALL.
-    "q64_unpivot" -> QueryDef(
-      fn = (s, d) => t(s, d, "lineitem")
-        .filter(col("l_orderkey") < 100)
-        .unpivot(
-          Array(col("l_orderkey"), col("l_linenumber")),
-          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
-          "measure", "value")
-        .orderBy("l_orderkey", "l_linenumber", "measure"),
-      oracle = Some("""
-        SELECT l_orderkey, l_linenumber, measure, value FROM (
-          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
-                 l_quantity AS value FROM lineitem WHERE l_orderkey < 100
-          UNION ALL
-          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
-          FROM lineitem WHERE l_orderkey < 100
-          UNION ALL
-          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
-          FROM lineitem WHERE l_orderkey < 100)
-        ORDER BY l_orderkey, l_linenumber, measure""")),
-
-    // ===== training-pipeline extensions round 2 =====
-
-    // PII redaction (ops/Redact): structured identifiers scrubbed by a
-    // pattern table that also generates the oracle SQL. The corpus has no
-    // real PII, so both sides inject it deterministically from doc_id
-    // first — the scrub then has something non-vacuous to remove in every
-    // row, and the cleaned text is hash-compared cell-exactly.
-    "q65_pii_scrub" -> QueryDef(
-      fn = (s, d) => {
-        val pii = concat(
-          substring(col("text"), 1, 40),
-          lit(" mail u"), col("doc_id"), lit("@ex.io ip 10.0."),
-          pmod(col("doc_id"), lit(256)), lit(".7 tel 555-01"),
-          pmod(col("doc_id"), lit(10)))
-        t(s, d, "documents")
-          .select(col("doc_id") +:
-            (Redact.counts(pii) :+ Redact.scrub(pii).as("clean_text")): _*)
-          .orderBy("doc_id")
-      },
-      oracle = Some(s"""
-        WITH pii AS (SELECT doc_id,
-          concat(substring(text, 1, 40), ' mail u', CAST(doc_id AS VARCHAR),
-                 '@ex.io ip 10.0.', CAST(doc_id % 256 AS VARCHAR),
-                 '.7 tel 555-01', CAST(doc_id % 10 AS VARCHAR)) AS ptext
-          FROM documents)
-        SELECT doc_id, ${Redact.countsSql("ptext").mkString(", ")},
-               ${Redact.scrubSql("ptext")} AS clean_text
-        FROM pii ORDER BY doc_id""")),
-
-    // Repetition-ratio quality signal: distinct-token share, the cheap
-    // proxy for boilerplate/spam docs every corpus filter uses. Pure map
-    // over codegen'd array functions — no shuffle.
-    "q66_repetition" -> QueryDef(
-      fn = (s, d) => {
-        val toks = TF.tokens(col("text"))
-        val ratio = size(array_distinct(toks)).cast("double") / size(toks)
-        t(s, d, "documents")
-          .select(
-            col("doc_id"),
-            size(array_distinct(toks)).cast("long").as("n_distinct"),
-            size(toks).cast("long").as("n_tokens"),
-            // floor-based 4-dp snap (NOTES.md): identical double ops on
-            // both engines, no round() tie-break semantics to diverge
-            (floor(ratio * 10000 + 0.5) / 10000.0).as("distinct_ratio"),
-            (ratio < 0.35).as("repetitive"))
-          .orderBy("doc_id")
-      },
-      oracle = Some(s"""
-        SELECT doc_id,
-               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-               CAST(len(toks) AS BIGINT) AS n_tokens,
-               floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-                     * 10000 + 0.5) / 10000.0 AS distinct_ratio,
-               (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.35)
-                 AS repetitive
-        FROM (SELECT doc_id, $toksSql AS toks FROM documents)
-        ORDER BY doc_id""")),
-
-    // Sequence packing (ops/Pack): concat-and-chunk into 512-token
-    // training sequences via the distributed two-phase prefix sum; the
-    // oracle is the single-window formulation, which the parallel form
-    // must reproduce exactly — this check IS the scan-algorithm proof.
-    "q67_sequence_pack" -> QueryDef(
-      fn = (s, d) => Pack.packSequences(
-          t(s, d, "documents")
-            .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens")),
-          "doc_id", "n_tokens", budget = 512)
-        .orderBy("doc_id"),
-      oracle = Some(Pack.packSql(s"len($toksSql)", 512))),
-
-    // Batched inference plumbing (ops/Inference): fixed-size batches
-    // through mapPartitions with a deterministic SQL-expressible scorer —
-    // the oracle verifies the row↔score mapping survives batching.
-    "q68_batched_inference" -> QueryDef(
-      fn = (s, d) => {
-        import s.implicits._
-        Inference.scoreBatched(
-          t(s, d, "documents").select(col("doc_id"), col("text"))
-            .as[(Long, String)],
-          new Inference.TokenDensityScorer, batchSize = 64)
-          .orderBy("doc_id")
-      },
-      oracle = Some(s"""
-        SELECT doc_id,
-               floor((CAST(len($toksSql) AS DOUBLE) / (length(text) + 1))
-                     * 1000000 + 0.5) / 1000000.0 AS score
-        FROM documents ORDER BY doc_id""")),
-
-    // Repeated-span detection (ops/Spans): token spans shared by >= 2
-    // documents, merged into maximal spans per doc (gaps-and-islands).
-    // The substring-level dedup signal document-level dedup misses.
-    "q70_repeated_spans" -> QueryDef(
-      fn = (s, d) => graft.ops.Spans.repeatedSpans(
-          t(s, d, "documents"), "doc_id", "text", n = 8, minDocs = 2)
-        .orderBy("doc_id", "span_start"),
-      oracle = Some(s"""
-        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        grams AS (SELECT doc_id, i AS pos,
-                         array_to_string(toks[i:i+7], ' ') AS gram
-                  FROM toks,
-                  LATERAL (SELECT unnest(generate_series(1, len(toks)-7)) AS i) g),
-        rep AS (SELECT gram FROM grams
-                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        r AS (SELECT doc_id, pos,
-                     pos - row_number() OVER (PARTITION BY doc_id
-                                              ORDER BY pos) AS island
-              FROM grams WHERE gram IN (SELECT gram FROM rep))
-        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-               CAST(max(pos) + 7 AS BIGINT) AS span_end,
-               count(*) AS n_grams
-        FROM r GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
-
-    // Packed training shards: materialize q67's assignment — the docs
-    // STARTING in each 512-token window, concatenated in offset order
-    // with an <eos> separator. The groupBy key is the sequence id
-    // (uniform), and each group is a handful of docs: the canonical
-    // "write training shards" shuffle shape.
-    "q72_packed_shards" -> QueryDef(
-      fn = (s, d) => {
-        val packed = Pack.packSequences(
-          t(s, d, "documents").select(col("doc_id"), col("text"),
-            TF.tokenCount(col("text")).as("n_tokens")),
-          "doc_id", "n_tokens", budget = 512)
-        packed.groupBy("seq_id")
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).as("n_tokens"),
-            array_join(
-              transform(
-                array_sort(collect_list(struct(col("offset_in_seq"),
-                  col("doc_id"), col("text")))),
-                x => x.getField("text")),
-              " <eos> ").as("shard_text"))
-          .orderBy("seq_id")
-      },
-      oracle = Some(s"""
-        WITH toks AS (SELECT doc_id, text, len($toksSql) AS n_tokens
-                      FROM documents),
-        cum AS (SELECT doc_id, text, n_tokens,
-                CAST(sum(n_tokens) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                  - n_tokens AS start FROM toks)
-        SELECT CAST(start // 512 AS BIGINT) AS seq_id,
-               count(*) AS n_docs,
-               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-               string_agg(text, ' <eos> '
-                 ORDER BY start % 512, doc_id) AS shard_text
-        FROM cum GROUP BY 1 ORDER BY seq_id""")),
-
-    // TF-IDF keyword extraction, top-3 per document. Rational idf
-    // (tf * N / df, no logarithm) on purpose: both engines divide the
-    // SAME exact integers, so scores are bit-identical — a libm ln()
-    // could differ by an ulp between engines and flip a rank tie.
-    // The df dimension is |vocab| rows -> broadcast; the token explode
-    // is the op's inherent cost.
-    "q71_tfidf_keywords" -> QueryDef(
-      fn = (s, d) => {
-        val docsDf = t(s, d, "documents")
-        val n = docsDf.count() // bounded scalar (one long on the driver)
-        val tok = docsDf.select(col("doc_id"),
-          explode(TF.tokens(col("text"))).as("token"))
-        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dfDim = tok.groupBy("token")
-          .agg(countDistinct(col("doc_id")).as("df"))
-        val scored = tf.join(broadcast(dfDim), Seq("token"))
-          .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(desc("score"), col("token"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("doc_id"), col("rank").cast("long").as("rank"),
-            col("token"),
-            // floor-based 6-dp snap: identical double ops both engines
-            (floor(col("score") * 1000000 + 0.5) / 1000000.0).as("score"))
-          .orderBy("doc_id", "rank")
-      },
-      oracle = Some(s"""
-        WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-        dfd AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-        nn AS (SELECT count(*) AS n FROM documents),
-        r AS (SELECT tf.doc_id, tf.token,
-                     CAST(tf.tf * nn.n AS DOUBLE) / dfd.df AS score,
-                     row_number() OVER (PARTITION BY tf.doc_id
-                       ORDER BY CAST(tf.tf * nn.n AS DOUBLE) / dfd.df DESC,
-                                tf.token) AS rank
-              FROM tf JOIN dfd ON tf.token = dfd.token CROSS JOIN nn)
-        SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
-               floor(score * 1000000 + 0.5) / 1000000.0 AS score
-        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
-
-    // Per-source contribution cap: no single domain may contribute more
-    // than K documents — the standard anti-domination curation step. The
-    // kept subset is deterministic (md5 order, doc_id tie-break), so
-    // re-runs and both engines agree.
-    "q73_per_source_cap" -> QueryDef(
-      fn = (s, d) => {
-        val w = Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        t(s, d, "documents")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 10)
-          .groupBy("source")
-          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
-          .orderBy("source")
-      },
-      oracle = Some("""
-        SELECT source, count(*) AS n, min(doc_id) AS min_id FROM (
-          SELECT source, doc_id,
-                 row_number() OVER (PARTITION BY source
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-          FROM documents)
-        WHERE rn <= 10 GROUP BY source ORDER BY source""")),
-
-    // Unicode NFC normalization (native codegen'd Expression): both
-    // engines append the DECOMPOSED "cafe" + U+0301 and normalize — the
-    // composed form must come back one code point shorter, and the
-    // normalized strings hash-compare cell-exactly. chr(769) is DuckDB's
-    // spelling of the combining acute.
-    "q74_nfc_normalize" -> QueryDef(
-      fn = (s, d) => {
-        val raw = concat(col("text"), lit(" cafe\u0301")) // e + combining acute, escaped
-        t(s, d, "documents")
-          .select(col("doc_id"),
-            graft.functions.expressions.NfcNormalize
-              .nfcNormalize(raw, session = Some(s)) // pin: no thread-local reliance
-              .as("norm_text"),
-            length(raw).cast("long").as("n_chars_raw"))
-          .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
-          .orderBy("doc_id")
-      },
-      oracle = Some("""
-        SELECT doc_id,
-               nfc_normalize(text || ' cafe' || chr(769)) AS norm_text,
-               length(text || ' cafe' || chr(769)) AS n_chars_raw,
-               length(nfc_normalize(text || ' cafe' || chr(769))) AS n_chars_norm
-        FROM documents ORDER BY doc_id""")),
-
-    // Overlapping document chunking (size 32, overlap 8): the window
-    // split embedding pipelines run before encoding long docs. Window
-    // starts are 1, 1+stride, ... up to n-overlap, so every token is
-    // covered and no window is pure overlap; the tail window may be
-    // short. Pure map + explode — no shuffle before the final sort.
-    "q75_doc_chunks" -> QueryDef(
-      fn = (s, d) => {
-        t(s, d, "documents")
-          .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
-          .withColumn("__n", size(col("__toks")))
-          .filter(col("__n") > 0)
-          .select(col("doc_id"), col("__toks"), col("__n"),
-            explode(sequence(lit(1),
-              greatest(lit(1), col("__n") - ChunkOverlap),
-              lit(ChunkStride))).as("start"))
-          .select(
-            col("doc_id"),
-            expr(s"CAST((start - 1) div $ChunkStride AS BIGINT)").as("chunk_id"),
-            array_join(slice(col("__toks"), col("start"), lit(ChunkSize)), " ")
-              .as("chunk_text"),
-            least(lit(ChunkSize), col("__n") - col("start") + 1).cast("long")
-              .as("n_chunk_tokens"))
-          .orderBy("doc_id", "chunk_id")
-      },
-      oracle = Some(s"""
-        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM toks
-               WHERE len(toks) > 0)
-        SELECT doc_id,
-               CAST((i - 1) // $ChunkStride AS BIGINT) AS chunk_id,
-               array_to_string(toks[i:i+${ChunkSize - 1}], ' ') AS chunk_text,
-               CAST(least($ChunkSize, n - i + 1) AS BIGINT) AS n_chunk_tokens
-        FROM t2,
-        LATERAL (SELECT unnest(generate_series(1,
-                   greatest(1, n - $ChunkOverlap), $ChunkStride)) AS i) g
-        ORDER BY doc_id, chunk_id""")),
-
-    // Stratified sampling (ops/Sampling.stratifiedKeep): per-language
-    // deterministic downsampling — rebalance an over-represented stratum
-    // without touching the rest; hash-prefix mechanism shared with q58.
-    "q69_stratified_sample" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"),
-          Catalog.strataFractions))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
-        .orderBy("lang"),
-      oracle = Some(s"""
-        SELECT lang, count(*) AS n, min(doc_id) AS min_id FROM documents
-        WHERE ${Sampling.stratifiedKeepSql("doc_id", "lang", strataFractions)}
-        GROUP BY lang ORDER BY lang""")),
-
-    // ===== round-3 scale operators =====
-
-    // Bloom-filter join pruning (the manual runtime filter): orders are
-    // probed map-side against a mergeable sketch of the BUILDING
-    // customers' keys BEFORE any exchange — at scale that drops ~4/5 of
-    // the fact side before it is serialized into the shuffle — then the
-    // exact semi join removes the sketch's false positives, so the result
-    // is exact at any fpp. Oracle: the plain semi join.
-    "q79_bloom_prune_join" -> QueryDef(
-      fn = (s, d) => {
-        val dim = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
-        graft.ops.BloomPrune.prunedSemiJoin(
-            t(s, d, "orders"), "o_custkey", dim, "c_custkey",
-            expectedItems = 100000L)
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"))
-          .orderBy("o_orderpriority")
-      },
-      oracle = Some(s"""
-        SELECT o_orderpriority, count(*) AS n,
-               ${sumSql("o_totalprice")} AS sum_price
-        FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer
-                            WHERE c_mktsegment = 'BUILDING')
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
-
-    // Incremental dedup — the production shape: each new crawl batch
-    // (doc_id % 5 = 0 here) is checked against the standing corpus instead
-    // of re-deduplicating everything. The bloom-accelerated path short-
-    // circuits definitely-new rows past the anti-join (no false negatives);
-    // the result is provably identical to the plain anti-join the oracle
-    // expresses.
-    "q80_incremental_dedup" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val incoming = docs.filter(col("doc_id") % 5 === 0)
-        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-        Dedup.newDocsBloom(incoming, corpus, "doc_id", "text")
-          .select(col("doc_id"), col("fingerprint"))
-          .orderBy("doc_id")
-      },
-      oracle = Some(s"""
-        WITH fp AS (SELECT doc_id,
-                           md5(array_to_string($toksSql, ' ')) AS fingerprint
-                    FROM documents)
-        SELECT i.doc_id, i.fingerprint
-        FROM fp i
-        WHERE i.doc_id % 5 = 0
-          AND NOT EXISTS (SELECT 1 FROM fp c
-                          WHERE c.doc_id % 5 <> 0
-                            AND c.fingerprint = i.fingerprint)
-        ORDER BY doc_id""")),
-
-    // Weighted corpus mixing: per-source up/down-weighting by replication
-    // + deterministic fractional sampling (explode + filter — fully
-    // map-side, no shuffle before the final agg). Weights cover integer
-    // upsample (x2), fractional upsample (x2.5), downsample (x0.25), drop
-    // (x0), and the implicit default x1.
-    "q81_corpus_mix" -> QueryDef(
-      fn = (s, d) => Sampling
-        .corpusMix(t(s, d, "documents"), col("source"), col("doc_id"), mixWeights)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_rows"),
-             countDistinct("doc_id").as("n_docs"),
-             max("epoch").as("max_epoch"))
-        .orderBy("source"),
-      oracle = Some {
-        val (slotsSql, keepSql) = Sampling.corpusMixSql("doc_id", "source", mixWeights)
-        s"""SELECT source, count(*) AS n_rows,
-                   count(DISTINCT doc_id) AS n_docs, max(epoch) AS max_epoch
-            FROM (SELECT source, doc_id,
-                         unnest(generate_series(0, CAST($slotsSql AS BIGINT) - 1)) AS epoch
-                  FROM documents)
-            WHERE $keepSql
-            GROUP BY source ORDER BY source"""
-      }),
-
-    // Global token vocabulary with corpus + document frequencies, top-50 —
-    // the tokenizer-training precursor. explode → one shuffle on the token
-    // key with partial aggregation; top-k is TakeOrderedAndProject.
-    "q82_vocab_topk" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("n_docs"))
-        .orderBy(desc("n"), asc("token"))
-        .limit(50),
-      oracle = Some(s"""
-        SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
-        FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
-        GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
-
-    // Curriculum bucketing: exact ntile(8) over (quality DESC, doc_id)
-    // via the two-phase distributed rank (range partition + local
-    // row_number + base offsets) — NOT the single-reducer global window.
-    // Oracle: DuckDB's native ntile window, which the distributed form
-    // must reproduce bucket-for-bucket.
-    "q83_curriculum_ntile" -> QueryDef(
-      fn = (s, d) => {
-        val scored = t(s, d, "documents")
-          .select(col("doc_id"),
-            TF.qualityScore(col("text"), TF.langMarkers("en")).as("quality"))
-        graft.ops.Ranking
-          .ntileExact(scored, 8, Seq(col("quality").desc, col("doc_id").asc))
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("n"), min("quality").as("min_quality"),
-               max("quality").as("max_quality"), min("doc_id").as("min_id"))
-          .orderBy("bucket")
-      },
-      oracle = Some(s"""
-        WITH q AS ($qualitySelectSql),
-        b AS (SELECT doc_id, quality,
-                     CAST(ntile(8) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS bucket
-              FROM q)
-        SELECT bucket, count(*) AS n, min(quality) AS min_quality,
-               max(quality) AS max_quality, min(doc_id) AS min_id
-        FROM b GROUP BY bucket ORDER BY bucket""")),
-
-    // n-gram CONTAINMENT (|A∩B| / min(|A|,|B|)) on candidate pairs — the
-    // subset-duplication detector Jaccard misses. Same adjacent-id pair
-    // construction and provably-safe 9-dp rounding as q28.
-    "q84_ngram_containment" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val pairs = docs.select(col("doc_id").as("id_a"),
-                                (col("doc_id") + 1).as("id_b"))
-        Dedup.ngramContainment(pairs, docs, "doc_id", "text")
-          .select("id_a", "id_b", "containment")
-          .orderBy("id_a")
-      },
-      oracle = Some(s"""
-        WITH sh AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-          FROM (SELECT doc_id, $toksSql AS toks FROM documents))
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                     / CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE),
-                     9) AS containment
-        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-        ORDER BY id_a""")),
-
-    // Salted fact⋈dim join (lineitem⋈orders on a salted key): the
-    // hot-key mitigation for broadcast-ineligible joins, result-invariant
-    // by construction — the oracle is the plain join. Salting trades
-    // 8x replication of the (much smaller) right side for an 8-way split
-    // of every hot left key.
-    "q85_salted_join" -> QueryDef(
-      fn = (s, d) => {
-        val orders = t(s, d, "orders")
-          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-        graft.ops.Skew.saltedJoin(t(s, d, "lineitem"), orders,
-            "l_orderkey", saltBuckets = 8)
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"),
-               exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
-          .orderBy("o_orderpriority")
-      },
-      oracle = Some(s"""
-        SELECT o_orderpriority, count(*) AS n,
-               ${revenueSql("l_extendedprice", "l_discount")} AS revenue
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
-
-    // Exact heavy hitters via a bounded Misra-Gries summary + exact
-    // verification pass: the exchange carries O(partitions x k) counters
-    // instead of one row per distinct token — the vocabulary-scale-proof
-    // form of GROUP BY ... HAVING. Result is exactly the HAVING query.
-    "q86_heavy_hitters" -> QueryDef(
-      fn = (s, d) => {
-        val toks = t(s, d, "documents")
-          .select(explode(TF.tokens(col("text"))).as("token"))
-        graft.ops.HeavyHitters.heavyHitters(toks, col("token"), minCount = 500L)
-          .select(col("item").as("token"), col("n"))
-          .orderBy("token")
-      },
-      oracle = Some(s"""
-        SELECT token, count(*) AS n
-        FROM (SELECT unnest($toksSql) AS token FROM documents)
-        GROUP BY token HAVING count(*) >= 500 ORDER BY token""")),
-
-    // Interval×interval overlap join (attribution shape: which purchase
-    // windows overlap which click windows, per user). A naive theta join
-    // is a nested loop; ops.RangeJoin buckets both interval sides into the
-    // equi-join key and dedups via the canonical overlap-start bucket.
-    // Oracle: DuckDB's plain inequality join.
-    "q87_interval_overlap" -> QueryDef(
-      fn = (s, d) => {
-        val ev = t(s, d, "events")
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"),
-            col("ts").as("c_start"),
-            (col("ts") + expr("INTERVAL 2 HOURS")).as("c_end"))
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"), col("user_id"),
-            col("ts").as("p_start"),
-            (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
-        graft.ops.RangeJoin.intervalOverlap(clicks, purchases, Seq("user_id"),
-            "c_start", "c_end", "p_start", "p_end", bucketWidth = "1 hour")
-          .select("click_id", "purchase_id")
-          .orderBy("click_id", "purchase_id")
-      },
-      oracle = Some("""
-        WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_start,
-                          ts + INTERVAL 2 HOUR AS c_end
-                   FROM events WHERE event_type = 'click'),
-             p AS (SELECT event_id AS purchase_id, user_id, ts AS p_start,
-                          ts + INTERVAL 1 HOUR AS p_end
-                   FROM events WHERE event_type = 'purchase')
-        SELECT click_id, purchase_id
-        FROM c JOIN p ON c.user_id = p.user_id
-                     AND c_start <= p_end AND p_start <= c_end
-        ORDER BY click_id, purchase_id""")),
-
-    // q62's decontamination with the bloom-prefiltered gram stream: most
-    // eval grams appear nowhere in train, and the sketch probe drops them
-    // map-side before the join exchange. Identical result (same oracle as
-    // q62) — the driver-green proof that the prefilter changes only the
-    // shuffle shape, never the answer.
-    "q88_decontaminate_bloom" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val isTrain = graft.ops.Sampling.inSplit(col("doc_id"), 0.8)
-        graft.ops.Decontaminate.contaminatedBloom(
-            docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text")
-          .orderBy("doc_id")
-      },
-      oracle = Some(decontamOracleSql)),
-
-    // ===== round-4 operators =====
-
-    // Line-level boilerplate removal (ops/Lines — the CCNet curation
-    // step): a per-source promo header is injected into every doc, then
-    // lines occurring in ≥ 2 distinct docs (headers + exact-dup text
-    // lines) are stripped and the survivors reassembled in order. The
-    // removal anti-join's build side is only the tiny frequent-line set;
-    // reassembly is the one doc-keyed shuffle.
-    "q89_line_boilerplate" -> QueryDef(
-      fn = (s, d) => {
-        val ptext = concat_ws("\n",
-          concat(lit("promo "), col("source")),
-          col("text"),
-          concat(lit("doc "), col("doc_id").cast("string")))
-        graft.ops.Lines.removeFrequentLines(
-            t(s, d, "documents").select(col("doc_id"), ptext.as("text")),
-            "doc_id", "text", minDocs = 2)
-          .orderBy("doc_id")
-      },
-      oracle = Some("""
-        WITH d AS (SELECT doc_id,
-                     concat_ws(chr(10), 'promo ' || source, text,
-                               'doc ' || CAST(doc_id AS VARCHAR)) AS text
-                   FROM documents),
-        l AS (SELECT doc_id,
-                     unnest(string_split(text, chr(10))) AS line,
-                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
-              FROM d),
-        freq AS (SELECT line FROM l GROUP BY line
-                 HAVING count(DISTINCT doc_id) >= 2),
-        k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-                     count(*) AS n_kept
-              FROM l WHERE line NOT IN (SELECT line FROM freq)
-              GROUP BY doc_id)
-        SELECT d.doc_id,
-               coalesce(k.clean_text, '') AS clean_text,
-               coalesce(k.n_kept, 0) AS n_kept,
-               len(string_split(d.text, chr(10))) - coalesce(k.n_kept, 0) AS n_removed
-        FROM d LEFT JOIN k USING (doc_id) ORDER BY doc_id""")),
-
-    // Bounded per-group uniform sample (functions/MinKAggregate): the k
-    // smallest md5(id) per language are a deterministic uniform k-subset,
-    // and partial aggregation caps the exchange at O(groups × k) — the
-    // bounded-state replacement for the full window shuffle-and-sort the
-    // oracle expresses.
-    "q90_group_sample" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .select(col("lang"), md5(col("doc_id").cast("string")).as("__h"),
-          col("doc_id"))
-        .groupBy("lang")
-        .agg(graft.functions.MinKAggregate
-          .minK(10, col("__h"), col("doc_id")).as("__sample"))
-        .select(col("lang"), posexplode(col("__sample")))
-        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
-          col("col.id").as("doc_id"))
-        .orderBy("lang", "rank"),
-      oracle = Some("""
-        SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
-        FROM (SELECT lang, doc_id,
-                     row_number() OVER (PARTITION BY lang
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-              FROM documents)
-        WHERE rn <= 10 ORDER BY lang, rank""")),
-
-    // Hourly gap-fill + forward fill (ops/TimeSeries): densify each event
-    // type's hourly average series over its own [min, max] hour range and
-    // carry the last observed value across the gaps — the sensor-feed
-    // repair step. The average is exact (integer cents) and 6-dp-snapped
-    // BEFORE the fill, so filled copies are bit-identical across engines.
-    "q91_gap_fill" -> QueryDef(
-      fn = (s, d) => {
-        val hourly = t(s, d, "events")
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-          .agg((floor((sum(cents(col("value"))).cast("double") / 100.0 /
-            count(col("value"))) * 1000000 + 0.5) / 1000000.0).as("avg_value"))
-        graft.ops.TimeSeries
-          .gapFillForwardFill(hourly, "event_type", "hour", "avg_value")
-          .orderBy("event_type", "hour")
-      },
-      oracle = Some(s"""
-        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
-                     floor((CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0
-                            / count(value)) * 1000000 + 0.5) / 1000000.0
-                       AS avg_value
-                   FROM events GROUP BY 1, 2),
-        b AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
-              FROM h GROUP BY 1),
-        spine AS (SELECT event_type,
-                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
-                  FROM b),
-        j AS (SELECT s.event_type, s.hour, h.avg_value
-              FROM spine s LEFT JOIN h USING (event_type, hour))
-        SELECT event_type, hour,
-               last_value(avg_value IGNORE NULLS)
-                 OVER (PARTITION BY event_type ORDER BY hour) AS avg_value,
-               (avg_value IS NULL) AS was_gap
-        FROM j ORDER BY event_type, hour""")),
-
-    // Trailing time-window rolling average (RANGE frame over epoch
-    // millis, ops/TimeSeries.rollingSumCount): each event's mean value
-    // over the same user's preceding hour — the feature-engineering
-    // window shape. Exact integer-cent sums inside the frame; RANGE
-    // includes order-column peers identically on both engines, so ties
-    // cannot diverge. One hash exchange on user_id.
-    "q92_rolling_window" -> QueryDef(
-      fn = (s, d) => {
-        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
-          unix_millis(col("ts")).as("ts_ms"), col("value"))
-        graft.ops.TimeSeries.rollingSumCount(ev, "user_id", "ts_ms",
-            cents(col("value")), lookback = 3600000L)
-          .select(col("event_id"), col("user_id"), col("ts_ms"), col("win_n"),
-            (floor((col("win_sum").cast("double") / 100.0 / col("win_n"))
-              * 1000000 + 0.5) / 1000000.0).as("win_avg"))
-          .orderBy("event_id")
-      },
-      oracle = Some(s"""
-        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
-               CAST(count(value) OVER w AS BIGINT) AS win_n,
-               floor((CAST(sum(${centsSql("value")}) OVER w AS DOUBLE) / 100.0
-                      / (count(value) OVER w)) * 1000000 + 0.5) / 1000000.0
-                 AS win_avg
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
-                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
-        ORDER BY event_id""")),
-
-    // Z-score outlier flagging via exact group moments (the q76 machinery
-    // composed into a filter): mean/std from integer-cent sums are
-    // bit-identical doubles on both engines, so the |z| > 2 cut keeps
-    // exactly the same rows; the 5-row stats side broadcasts.
-    "q93_zscore_outliers" -> QueryDef(
-      fn = (s, d) => {
-        val ev = t(s, d, "events").filter(col("value").isNotNull)
-        val s1 = col("__s1").cast("double")
-        val s2 = col("__s2").cast("double")
-        val nD = col("__n").cast("double")
-        val moments = eventValueMoments(ev).select(col("event_type"),
-          (s1 / 100.0 / nD).as("__mean"),
-          (sqrt((s2 - s1 * s1 / nD) / (nD - 1)) / 100.0).as("__std"))
-        val z = (col("value") - col("__mean")) / col("__std")
-        ev.join(broadcast(moments), Seq("event_type"))
-          .withColumn("__z", z)
-          .filter(abs(col("__z")) > 2.0)
-          .select(col("event_id"), col("event_type"), col("value"),
-            (floor(col("__z") * 1000000 + 0.5) / 1000000.0).as("z"))
-          .orderBy("event_id")
-      },
-      oracle = Some(s"""
-        WITH m AS ($momentsSqlCte),
-        s AS (SELECT event_type, s1 / 100.0 / n AS mean_v,
-                     sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100.0 AS std_v
-              FROM m)
-        SELECT event_id, event_type, value,
-               floor(((value - mean_v) / std_v) * 1000000 + 0.5) / 1000000.0 AS z
-        FROM events JOIN s USING (event_type)
-        WHERE value IS NOT NULL
-          AND abs((value - mean_v) / std_v) > 2.0
-        ORDER BY event_id""")),
-
-    // Count-Min sketch frequency watchlist (ops/CountMin): one mergeable
-    // depth×width sketch of the token stream answers post-hoc point
-    // queries; estimate ≥ t is a SUPERSET of the truly-heavy probes (CMS
-    // never undercounts), and the exact pass over `token IN (survivors)`
-    // keeps precisely the HAVING result. The sketch — not the vocabulary —
-    // crosses the exchange.
-    "q94_cms_watchlist" -> QueryDef(
-      fn = (s, d) => {
-        val toks = t(s, d, "documents")
-          .select(explode(TF.tokens(col("text"))).as("token"))
-        graft.ops.CountMin.heavyProbes(toks, col("token"), cmsProbes, cmsMinCount)
-          .select(col("item").as("token"), col("n"))
-          .orderBy("token")
-      },
-      oracle = Some(s"""
-        SELECT token, count(*) AS n
-        FROM (SELECT unnest($toksSql) AS token FROM documents)
-        WHERE token IN (${sqlInList(cmsProbes)})
-        GROUP BY token HAVING count(*) >= $cmsMinCount ORDER BY token""")),
-
-    // Canonical-doc selection per duplicate cluster (Dedup.keepCanonical):
-    // the corpus is tripled into base + a stopword-padded variant (higher
-    // quality score) + a junk-padded one (lower); CHAIN edges build each
-    // cluster, and the argmax-quality pick must often choose the PADDED
-    // variant — survivorship by quality, not id order.
-    "q95_cluster_canonical" -> QueryDef(
-      fn = (s, d) => {
-        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val v1 = base.select((col("doc_id") + canonShift).as("doc_id"),
-          concat(col("text"), lit(canonPadHi)).as("text"))
-        val v2 = base.select((col("doc_id") + 2 * canonShift).as("doc_id"),
-          concat(col("text"), lit(canonPadLo)).as("text"))
-        val corp = base.unionAll(v1).unionAll(v2)
-        val edges = base.select(col("doc_id").as("id_a"),
-            (col("doc_id") + canonShift).as("id_b"))
-          .unionAll(base.select((col("doc_id") + canonShift).as("id_a"),
-            (col("doc_id") + 2 * canonShift).as("id_b")))
-        val scored = corp.select(col("doc_id"),
-          TF.qualityScore(col("text"), TF.langMarkers("en")).as("quality"))
-        Dedup.keepCanonical(scored, edges, "doc_id", "quality")
-          .orderBy("component")
-      },
-      oracle = Some {
-        val corpSql = s"""SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + $canonShift AS doc_id, text || '$canonPadHi'
-              AS text FROM documents
-            UNION ALL SELECT doc_id + ${2 * canonShift} AS doc_id, text || '$canonPadLo'
-              AS text FROM documents"""
-        s"""
-        WITH corp AS ($corpSql),
-        q AS (SELECT doc_id, $qualityExprSql AS quality
-              FROM (${qualityInnerSqlFrom("corp")})),
-        r AS (SELECT doc_id % $canonShift AS component, doc_id, quality,
-                     row_number() OVER (PARTITION BY doc_id % $canonShift
-                       ORDER BY quality DESC, doc_id) AS rn,
-                     count(*) OVER (PARTITION BY doc_id % $canonShift) AS n_members
-              FROM q)
-        SELECT component, doc_id AS kept_id, quality,
-               CAST(n_members AS BIGINT) AS n_members
-        FROM r WHERE rn = 1 ORDER BY component"""
-      }),
-
-    // Zone-map file pruning (ops/ZoneMap): per-file min/max stats plan
-    // the read set for a key-range predicate — Delta-style data skipping
-    // over plain parquet, with the residual filter keeping stale stats
-    // safe. The single-file test layout prunes trivially; ZoneMapSpec
-    // proves real file skipping on a multi-file range-partitioned write.
-    "q96_zonemap_prune" -> QueryDef(
-      fn = (s, d) => graft.ops.ZoneMap
-        .prunedRead(s, s"$d/lineitem.parquet", "l_orderkey",
-          lit(1000L), lit(3000L))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          exactSum(col("l_extendedprice")).as("sum_price"))
-        .orderBy("l_returnflag"),
-      oracle = Some(s"""
-        SELECT l_returnflag, count(*) AS n,
-               ${sumSql("l_extendedprice")} AS sum_price
-        FROM lineitem
-        WHERE l_orderkey BETWEEN 1000 AND 3000
-        GROUP BY l_returnflag ORDER BY l_returnflag""")),
-
-    // One-pass table profiling (ops/Profile — the crawler-statistics
-    // step): per column, rows / nulls / exact distinct / min / max, all
-    // from ONE aggregate (multi-distinct Expand; swap in
-    // approx_count_distinct at 100 TB). The oracle is generated from the
-    // same column list, so the two sides cannot drift.
-    "q97_table_profile" -> QueryDef(
-      fn = (s, d) => graft.ops.Profile
-        .profile(t(s, d, "orders"), profileCols)
-        .orderBy("col_name"),
-      oracle = Some(graft.ops.Profile.profileSql("orders", profileCols))),
-
-    // Sequential conversion funnel (ops/Funnel): users reaching view,
-    // then click at-or-after their earliest view within 7 days, then
-    // purchase after that click. k user-keyed aggs + k-1 user-keyed
-    // joins — the per-user state is one timestamp per step.
-    "q98_funnel_steps" -> QueryDef(
-      fn = (s, d) => graft.ops.Funnel
-        .funnelSteps(t(s, d, "events"), "user_id", "ts", "event_type",
-          funnelStepSeq, maxSpan = Some("INTERVAL 7 DAYS"))
-        .orderBy("step"),
-      oracle = Some(funnelOracleSql)),
-
-    // Weekly cohort retention: users bucketed by first-active week,
-    // counted per week offset — two user-keyed aggregations and one
-    // user-keyed join; week truncation and the day/7 offset are exact
-    // integer ops on both engines.
-    "q99_cohort_retention" -> QueryDef(
-      fn = (s, d) => {
-        val weekly = t(s, d, "events")
-          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-          .distinct()
-        val first = weekly.groupBy("user_id")
-          .agg(min(col("week")).as("cohort_week"))
-        weekly.join(first, Seq("user_id"))
-          .groupBy(col("cohort_week"),
-            (datediff(col("week"), col("cohort_week")) / 7).cast("long")
-              .as("week_offset"))
-          .agg(countDistinct(col("user_id")).as("n_users"))
-          .orderBy("cohort_week", "week_offset")
-      },
-      oracle = Some("""
-        WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
-                   FROM events),
-        f AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id)
-        SELECT cohort_week,
-               CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
-                 AS week_offset,
-               count(DISTINCT user_id) AS n_users
-        FROM a JOIN f USING (user_id)
-        GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
-
-    // Exact global percent_rank (ops/Ranking.percentRankExact): RANK
-    // semantics over n_chars DESC (real ties — tied docs share a pct),
-    // two-phase range-partitioned rank instead of the single-reducer
-    // window the oracle expresses. 6-dp floor snap on both engines.
-    "q100_percent_rank" -> QueryDef(
-      fn = (s, d) => graft.ops.Ranking
-        .percentRankExact(
-          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
-          Seq(col("n_chars").desc))
-        .select(col("doc_id"), col("n_chars"),
-          (floor(col("pct_rank") * 1000000 + 0.5) / 1000000.0).as("pct_rank"))
-        .orderBy("doc_id"),
-      oracle = Some("""
-        SELECT doc_id, n_chars,
-               floor(percent_rank() OVER (ORDER BY n_chars DESC)
-                     * 1000000 + 0.5) / 1000000.0 AS pct_rank
-        FROM documents ORDER BY doc_id""")),
-
-    // Contamination REMOVAL (Decontaminate.maskContaminated): q62/q88
-    // detect eval leakage; this rewrites the train split with every
-    // leaked 3-gram occurrence masked out — coverage is per token
-    // position, so overlapping hits merge naturally. Same 0.8 hash split
-    // as q62; clean docs pass through with zero removed.
-    "q101_mask_contaminated" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val isTrain = graft.ops.Sampling.inSplit(col("doc_id"), 0.8)
-        graft.ops.Decontaminate.maskContaminated(
-            docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text")
-          .orderBy("doc_id")
-      },
-      oracle = Some(s"""
-        WITH split AS (
-          SELECT doc_id, text,
-                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                   < '${Sampling.thresholdHex(0.8)}' AS is_train
-          FROM documents),
-        tt AS (SELECT doc_id, $toksSql AS toks FROM split WHERE is_train),
-        eg AS (SELECT DISTINCT
-                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
-               FROM (SELECT $toksSql AS toks FROM split WHERE NOT is_train) e,
-               LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g),
-        occ AS (SELECT doc_id, i
-                FROM tt,
-                LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
-                WHERE (toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                        IN (SELECT gram FROM eg)),
-        cov AS (SELECT DISTINCT doc_id,
-                       unnest(generate_series(i, i + 2)) AS p
-                FROM occ),
-        tp AS (SELECT doc_id, unnest(toks) AS tok,
-                      unnest(generate_series(1, len(toks))) AS p
-               FROM tt),
-        kept AS (SELECT t.doc_id, t.tok, t.p
-                 FROM tp t LEFT JOIN cov c
-                   ON t.doc_id = c.doc_id AND t.p = c.p
-                 WHERE c.p IS NULL),
-        re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
-                      count(*) AS n_tokens_kept
-               FROM kept GROUP BY doc_id)
-        SELECT tt.doc_id,
-               coalesce(re.clean_text, '') AS clean_text,
-               coalesce(re.n_tokens_kept, 0) AS n_tokens_kept,
-               len(tt.toks) - coalesce(re.n_tokens_kept, 0) AS n_tokens_removed
-        FROM tt LEFT JOIN re USING (doc_id) ORDER BY doc_id""")),
-
-    // Event transition counts (the Markov-chain edge table): per user,
-    // each event paired with its predecessor via lag, grouped into
-    // (prev, next) counts. One hash exchange on user_id for the window,
-    // partial agg for the counts. Ordering is (epoch MILLIS, event_id) —
-    // both engines floor the nanos timestamp to the same millis value,
-    // so tie-breaks cannot diverge on sub-milli precision.
-    "q102_event_transitions" -> QueryDef(
-      fn = (s, d) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(unix_millis(col("ts")), col("event_id"))
-        t(s, d, "events")
-          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-          .filter(col("prev_type").isNotNull)
-          .groupBy(col("prev_type"), col("event_type").as("next_type"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy("prev_type", "next_type")
-      },
-      oracle = Some("""
-        SELECT prev_type, next_type, count(*) AS n
-        FROM (SELECT event_type AS next_type,
-                     lag(event_type) OVER (PARTITION BY user_id
-                       ORDER BY epoch_ms(ts), event_id) AS prev_type
-              FROM events)
-        WHERE prev_type IS NOT NULL
-        GROUP BY prev_type, next_type ORDER BY prev_type, next_type""")),
-
-    // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
-    // each other instead of vanishing — the semantics dimension lookups
-    // need when "unknown" is itself a dimension member. The fact side
-    // nulls out 'view' events; the 5-row dim broadcasts.
-    "q103_nullsafe_join" -> QueryDef(
-      fn = (s, d) => {
-        val facts = t(s, d, "events")
-          .select(nullif(col("event_type"), lit("view")).as("k"),
-            col("value"))
-        val dim = s.createDataFrame(Seq(
-            (Option("click"), "clicked"), (Option("error"), "errored"),
-            (Option("purchase"), "purchased"), (Option("signup"), "signed"),
-            (Option.empty[String], "unknown")))
-          .toDF("k", "label")
-        facts.join(broadcast(dim), facts("k") <=> dim("k"))
-          .groupBy("label")
-          .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
-          .orderBy("label")
-      },
-      oracle = Some(s"""
-        WITH f AS (SELECT nullif(event_type, 'view') AS k, value FROM events),
-        dim(k, label) AS (VALUES ('click', 'clicked'), ('error', 'errored'),
-                                 ('purchase', 'purchased'), ('signup', 'signed'),
-                                 (NULL, 'unknown'))
-        SELECT label, count(*) AS n, ${sumSql("value")} AS sum_value
-        FROM f JOIN dim ON f.k IS NOT DISTINCT FROM dim.k
-        GROUP BY label ORDER BY label""")),
-
-    // STREAMING funnel (Funnel.streamingFunnel): the q98 funnel as a real
-    // Structured Streaming query — flatMapGroupsWithState holds one
-    // multi-step frontier per user (O(active users) state), the memory
-    // sink collects the Update-mode refinements, and elementwise-min
-    // folding recovers the final frontier. Checked against the SAME
-    // oracle as q98 — stream/batch parity is the correctness claim.
-    "q104_stream_funnel" -> QueryDef(
-      fn = (s, d) => {
-        val dir = stageEventsDir(d)
-        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          .select("user_id", "ts", "event_type")
-        val frontiers = graft.ops.Funnel.streamingFunnel(s, stream,
-          funnelStepSeq, maxSpanMicros = Some(7L * 24 * 3600 * 1000000L))
-        val q = graft.streaming.StreamingIngest.runToMemory(
-          frontiers.toDF(), "q104_mem", outputMode = "update")
-        q.stop()
-        dropStaged(dir)
-        val folded = s.table("q104_mem").groupBy("user_id")
-          .agg(min(col("reached").getItem(0)).as("__t0"),
-            funnelStepSeq.indices.tail.map(i =>
-              min(col("reached").getItem(i)).as(s"__t$i")): _*)
-        funnelStepSeq.zipWithIndex.map { case (st, i) =>
-          folded.agg(count(col(s"__t$i")).as("n_users"))
-            .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
-              col("n_users"))
-        }.reduce(_.unionAll(_)).orderBy("step")
-      },
-      oracle = Some(funnelOracleSql)),
-
-    // Schema-evolution read: half the corpus is staged WITHOUT the lang
-    // column (the v1 writer), half with it (v2); `mergeSchema` unions the
-    // file schemas and fills the missing column with NULL — the lakehouse
-    // reality of long-lived tables. The oracle expresses the semantic
-    // outcome over the original table. localCheckpoint materializes the
-    // result before the staged files are deleted.
-    "q105_schema_evolution" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val base = java.nio.file.Files.createTempDirectory("graft-evolve")
-        val p1 = s"$base/v1"; val p2 = s"$base/v2"
-        docs.filter(col("doc_id") % 2 === 0)
-          .select("doc_id", "source")
-          .write.mode("overwrite").parquet(p1)
-        docs.filter(col("doc_id") % 2 =!= 0)
-          .select("doc_id", "source", "lang")
-          .write.mode("overwrite").parquet(p2)
-        val out = s.read.option("mergeSchema", "true").parquet(p1, p2)
-          .groupBy(coalesce(col("lang"), lit("__absent__")).as("lang"))
-          .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
-          .orderBy("lang")
-          .localCheckpoint(true)
-        dropStagedTree(base)
-        out
-      },
-      oracle = Some("""
-        SELECT CASE WHEN doc_id % 2 = 0 THEN '__absent__' ELSE lang END AS lang,
-               count(*) AS n, min(doc_id) AS min_id
-        FROM documents GROUP BY 1 ORDER BY lang""")),
-
-    // Declarative data-quality expectations (ops/Expectations): the
-    // reference's scattered validation steps (null audit, range checks,
-    // domain checks — P8-P11) generalized into one rule-table pass: N
-    // rules, ONE scan, ONE aggregate; NULL rule results count as
-    // violations. Thresholds are chosen so some rules pass clean and
-    // some accumulate real violations.
-    "q106_expectations" -> QueryDef(
-      fn = (s, d) => {
-        import graft.ops.Expectations.Rule
-        graft.ops.Expectations.check(t(s, d, "lineitem"), Seq(
-            Rule("discount_low", col("l_discount") <= 0.05),
-            Rule("price_floor", col("l_extendedprice") >= 5000.0),
-            Rule("quantity_positive", col("l_quantity") > 0),
-            Rule("returnflag_domain", col("l_returnflag").isin("A", "N", "R")),
-            Rule("shipdate_present", col("l_shipdate").isNotNull)))
-          .orderBy("rule")
-      },
-      oracle = Some {
-        val ruleSql = Seq(
-          "discount_low" -> "l_discount <= 0.05",
-          "price_floor" -> "l_extendedprice >= 5000.0",
-          "quantity_positive" -> "l_quantity > 0",
-          "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
-          "shipdate_present" -> "l_shipdate IS NOT NULL")
-        val viols = ruleSql.zipWithIndex.map { case ((_, p), i) =>
-          s"sum(CASE WHEN NOT coalesce($p, FALSE) THEN 1 ELSE 0 END) AS v$i"
-        }.mkString(", ")
-        val unions = ruleSql.zipWithIndex.map { case ((name, _), i) =>
-          s"""SELECT '$name' AS rule, n_rows, CAST(v$i AS BIGINT) AS n_violations,
-              floor(CAST(v$i AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000.0
-                AS violation_rate FROM t"""
-        }.mkString(" UNION ALL ")
-        s"WITH t AS (SELECT count(*) AS n_rows, $viols FROM lineitem) $unions ORDER BY rule"
-      }),
-
-    // SCD Type-2 compaction (ops/ChangeCapture.scd2): the per-user
-    // event_type log collapsed into validity intervals — one row per run
-    // of equal values with version / valid_from / valid_to / is_current.
-    // One hash exchange on user_id; both window passes share its sort.
-    // Interval bounds are epoch MILLIS (engines floor nanos identically;
-    // never order or output cross-engine raw nanos-vs-micros timestamps).
-    "q107_scd2_intervals" -> QueryDef(
-      fn = (s, d) => graft.ops.ChangeCapture.scd2(
-          t(s, d, "events"), key = "user_id", attr = "event_type",
-          seq = unix_millis(col("ts")), tie = col("event_id"))
-        .select(col("user_id"), col("version"), col("event_type"),
-          col("valid_from").as("valid_from_ms"),
-          col("valid_to").as("valid_to_ms"), col("is_current"))
-        .orderBy("user_id", "version"),
-      oracle = Some(scd2OracleSql)),
-
-    // Adjacent token-pair counts — the counting step of a BPE tokenizer
-    // training round (find the most frequent symbol pair to merge).
-    // Pairs are generated per document with a zero-shuffle array
-    // transform; the only exchange is the final partial-aggregated
-    // groupBy on the pair, and top-k plans TakeOrderedAndProject.
-    "q108_bpe_pairs" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .select(TF.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(toks) - 2)," +
-            " i -> named_struct('a', toks[i], 'b', toks[i + 1]))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), col("a"), col("b"))
-        .limit(100),
-      oracle = Some(s"""
-        WITH tk AS (SELECT $toksSql AS toks FROM documents),
-        pairs AS (SELECT unnest(toks[1:len(toks)-1]) AS a,
-                         unnest(toks[2:len(toks)]) AS b
-                  FROM tk WHERE len(toks) >= 2)
-        SELECT a, b, count(*) AS n FROM pairs
-        GROUP BY a, b ORDER BY n DESC, a, b LIMIT 100""")),
-
-    // Inverted-index build: token -> document frequency, total term
-    // frequency, and the first 5 postings (smallest doc_ids) as a CSV
-    // head. The postings head is bounded BEFORE collection: a row_number
-    // over (token, doc_id) caps collect_list state at 5 elements per
-    // group, so a stop-word token touching every document in a 100 TB
-    // corpus never materializes its full posting list in one aggregator.
-    // The window and the groupBy share the token hash partitioning.
-    "q109_inverted_index" -> QueryDef(
-      fn = (s, d) => {
-        val tf = t(s, d, "documents")
-          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-          .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-        val w = Window.partitionBy("token").orderBy("doc_id")
-        tf.withColumn("__rn", row_number().over(w))
-          .groupBy("token")
-          .agg(count(lit(1)).as("doc_freq"),
-            sum("tf").as("total_tf"),
-            expr("array_join(transform(array_sort(" +
-              "collect_list(CASE WHEN __rn <= 5 THEN doc_id END))," +
-              " x -> CAST(x AS STRING)), ',')").as("postings_head"))
-          .orderBy(desc("doc_freq"), col("token"))
-          .limit(100)
-      },
-      oracle = Some(s"""
-        WITH tf AS (SELECT token, doc_id, count(*) AS tf FROM (
-                      SELECT doc_id, unnest($toksSql) AS token FROM documents)
-                    GROUP BY token, doc_id)
-        SELECT token, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf,
-               array_to_string(list_transform(
-                 (list(doc_id ORDER BY doc_id))[1:5],
-                 x -> CAST(x AS VARCHAR)), ',') AS postings_head
-        FROM tf GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""")),
-
-    // Snapshot diff (ops/ChangeCapture.snapshotDiff): classify every key
-    // across two table versions as added / removed / changed / unchanged.
-    // The "after" snapshot is derived in-query from orders (drop %97,
-    // reprice %11, insert %13 clones under shifted keys), so the result
-    // is provable in SQL at every sf. Full outer hash join on the key —
-    // no broadcast assumption, holds when both snapshots are 100 TB.
-    "q110_snapshot_diff" -> QueryDef(
-      fn = (s, d) => {
-        val before = t(s, d, "orders")
-          .select("o_orderkey", "o_totalprice", "o_orderstatus")
-        val updated = before
-          .filter(col("o_orderkey") % 97 =!= 0)
-          .withColumn("o_totalprice",
-            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(1.0))
-              .otherwise(col("o_totalprice")))
-        val inserted = before.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + lit(1000000000000L)).as("o_orderkey"),
-            col("o_totalprice"), lit("N").as("o_orderstatus"))
-        graft.ops.ChangeCapture.snapshotDiff(
-            before, updated.unionAll(inserted), "o_orderkey",
-            Seq("o_totalprice", "o_orderstatus"))
-          .groupBy("change_type")
-          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"))
-          .orderBy("change_type")
-      },
-      oracle = Some("""
-        WITH b AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
-                   FROM orders),
-        a AS (SELECT k, CASE WHEN k % 11 = 0 THEN p + 1.0 ELSE p END AS p, st
-              FROM b WHERE k % 97 <> 0
-              UNION ALL
-              SELECT k + 1000000000000, p, 'N' FROM b WHERE k % 13 = 0),
-        diff AS (SELECT coalesce(a.k, b.k) AS k,
-                        CASE WHEN b.k IS NULL THEN 'added'
-                             WHEN a.k IS NULL THEN 'removed'
-                             WHEN (b.p IS DISTINCT FROM a.p)
-                               OR (b.st IS DISTINCT FROM a.st) THEN 'changed'
-                             ELSE 'unchanged' END AS change_type
-                 FROM b FULL JOIN a ON b.k = a.k)
-        SELECT change_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_key
-        FROM diff GROUP BY change_type ORDER BY change_type""")),
-
-    // CDC merge (ops/ChangeCapture.applyCdc — the MERGE INTO verbs):
-    // a change feed derived from orders (last change per key wins;
-    // 'P'-status orders delete the customer, %101 orderkeys insert a new
-    // shifted key, the rest upsert acctbal) applied onto the customer
-    // base. Two exchanges on the same key partitioning (window + join);
-    // balances are copied verbatim, so doubles stay bit-exact across
-    // engines.
-    "q111_cdc_merge" -> QueryDef(
-      fn = (s, d) => {
-        val base = t(s, d, "customer")
-          .select("c_custkey", "c_acctbal", "c_mktsegment")
-        val changes = t(s, d, "orders").select(
-          when(col("o_orderkey") % 101 === 0, col("o_custkey") + lit(1000000L))
-            .otherwise(col("o_custkey")).as("c_custkey"),
-          when(col("o_orderkey") % 101 === 0, lit("I"))
-            .when(col("o_orderstatus") === "P", lit("D"))
-            .otherwise(lit("U")).as("op"),
-          col("o_totalprice").as("c_acctbal"),
-          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the LTZ
-          // cast is shift-free and unix_millis == DuckDB epoch_ms.
-          unix_millis(col("o_orderdate").cast("timestamp_ltz")).as("seq_ms"),
-          col("o_orderkey"))
-        graft.ops.ChangeCapture.applyCdc(base, changes,
-            key = "c_custkey", op = "op",
-            seq = col("seq_ms"), tie = col("o_orderkey"),
-            valueCols = Seq("c_acctbal"))
-          .orderBy("c_custkey")
-      },
-      oracle = Some("""
-        WITH ch AS (SELECT
-               CASE WHEN o_orderkey % 101 = 0 THEN o_custkey + 1000000
-                    ELSE o_custkey END AS k,
-               CASE WHEN o_orderkey % 101 = 0 THEN 'I'
-                    WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
-               o_totalprice AS bal, epoch_ms(o_orderdate) AS ms,
-               o_orderkey AS okey
-             FROM orders),
-        lastc AS (SELECT k, op, bal FROM (
-                    SELECT k, op, bal, row_number() OVER (
-                      PARTITION BY k ORDER BY ms DESC, okey DESC) AS rn
-                    FROM ch) WHERE rn = 1)
-        SELECT coalesce(lastc.k, c.c_custkey) AS c_custkey,
-               CASE WHEN lastc.op IS NOT NULL THEN lastc.bal
-                    ELSE c.c_acctbal END AS c_acctbal,
-               c.c_mktsegment
-        FROM customer c FULL JOIN lastc ON c.c_custkey = lastc.k
-        WHERE lastc.op IS DISTINCT FROM 'D'
-        ORDER BY c_custkey""")),
-
-    // Bucketed co-located fact-fact join: both sides written as 8-bucket
-    // tables on the join key (Sink.writeBucketed), so the sort-merge
-    // join's distribution requirement is satisfied by LAYOUT — zero
-    // exchange on either side. That is THE 100 TB fact-fact strategy:
-    // shuffle once at write time, join exchange-free on every read after.
-    // Broadcast is disabled while materializing so the bucketed path is
-    // what actually runs (not a small-scale broadcast accident);
-    // localCheckpoint materializes before confs are restored and the
-    // tables dropped. SinkSpec asserts the exchange-free plan.
-    "q112_bucketed_join" -> QueryDef(
-      fn = (s, d) => {
-        import graft.pipeline.Sink
-        Sink.writeBucketed(
-          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
-          "q112_li_b", "l_orderkey", numBuckets = 8, sortCol = Some("l_orderkey"))
-        Sink.writeBucketed(
-          t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
-          "q112_ord_b", "o_orderkey", numBuckets = 8, sortCol = Some("o_orderkey"))
-        val oldB = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-        val oldA = s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        try s.table("q112_li_b")
-          .join(s.table("q112_ord_b"), col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"),
-            exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
-          .orderBy("o_orderpriority")
-          .localCheckpoint(true)
-        finally {
-          oldB.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
-            v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
-          oldA.fold(s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
-            v => s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
-          // in the finally so a failed materialization can't leak the
-          // managed tables + warehouse files
-          s.sql("DROP TABLE IF EXISTS q112_li_b")
-          s.sql("DROP TABLE IF EXISTS q112_ord_b")
-        }
-      },
-      oracle = Some(s"""
-        SELECT o_orderpriority, count(*) AS n,
-               ${revenueSql("l_extendedprice", "l_discount")} AS revenue
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
-
-    // Last-touch attribution: each purchase credits the most recent
-    // PRECEDING non-purchase event of the same user (frame ends at 1
-    // PRECEDING; purchases with no prior touch fall to 'organic'). The
-    // ignore-nulls last() over a trailing frame is the canonical
-    // attribution plan — one hash exchange on user_id, no self-join.
-    "q113_last_touch" -> QueryDef(
-      fn = (s, d) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(unix_millis(col("ts")), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        t(s, d, "events")
-          .withColumn("channel",
-            last(when(col("event_type") =!= "purchase", col("event_type")),
-              ignoreNulls = true).over(w))
-          .filter(col("event_type") === "purchase")
-          .groupBy(coalesce(col("channel"), lit("organic")).as("channel"))
-          .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
-          .orderBy("channel")
-      },
-      oracle = Some(s"""
-        WITH e AS (SELECT user_id, event_type, value, epoch_ms(ts) AS ms,
-                          event_id FROM events),
-        att AS (SELECT event_type, value,
-                 last_value(CASE WHEN event_type <> 'purchase'
-                                 THEN event_type END IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ms, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS channel
-                FROM e)
-        SELECT coalesce(channel, 'organic') AS channel, count(*) AS n,
-               ${sumSql("value")} AS sum_value
-        FROM att WHERE event_type = 'purchase'
-        GROUP BY 1 ORDER BY channel""")),
-
-    // Vector int8 quantization audit (embedding compression for training
-    // storage): per vector, symmetric max-abs scaling to [-127,127],
-    // dequantize, and the mean squared reconstruction error — snapped to
-    // exact integer picounits (floor(mse*1e12+0.5)) so the per-label
-    // averages are order-independent long sums. Purely map-side until the
-    // final small groupBy; identical double ops in both engines (the
-    // err^2 fold is sequential in Spark `aggregate` and DuckDB list_sum,
-    // the same parity cosineSql relies on).
-    "q114_vector_quantize" -> QueryDef(
-      fn = (s, d) => t(s, d, "embeddings")
-        .withColumn("ma",
-          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
-        .filter(col("ma") > 0)
-        .withColumn("imse", expr(
-          """CAST(floor(aggregate(transform(embedding,
-                 x -> (CAST(x AS DOUBLE)
-                        - floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
-                          / (127.0 / ma))
-                      * (CAST(x AS DOUBLE)
-                        - floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
-                          / (127.0 / ma))),
-               CAST(0.0 AS DOUBLE), (a, x) -> a + x)
-             / size(embedding) * 1e12 + 0.5) AS BIGINT)"""))
-        .groupBy(col("label").cast("long").as("label"))
-        .agg(count(lit(1)).as("n_vecs"),
-          expr("CAST(floor(CAST(sum(imse) AS DOUBLE) / count(1) + 0.5) AS BIGINT)")
-            .as("avg_mse_e12"))
-        .orderBy("label"),
-      oracle = Some("""
-        WITH q AS (
-          SELECT label,
-                 CAST(floor(list_sum(list_transform(embedding,
-                     x -> (CAST(x AS DOUBLE)
-                            - floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
-                              / (127.0 / ma))
-                          * (CAST(x AS DOUBLE)
-                            - floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
-                              / (127.0 / ma))))
-                   / len(embedding) * 1e12 + 0.5) AS BIGINT) AS imse
-          FROM (SELECT label, embedding,
-                       list_max(list_transform(embedding,
-                         x -> abs(CAST(x AS DOUBLE)))) AS ma
-                FROM embeddings)
-          WHERE ma > 0)
-        SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
-               CAST(floor(CAST(sum(imse) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
-                 AS avg_mse_e12
-        FROM q GROUP BY label ORDER BY label""")),
-
-    // Schema-reconciling union (unionByName + allowMissingColumns):
-    // customers and suppliers fused into one party dimension; the column
-    // missing on the supplier side (segment) NULL-fills by NAME, not by
-    // position — the union a long-lived lakehouse needs when sources
-    // drift. Map-side until the small final aggregate.
-    "q115_union_by_name" -> QueryDef(
-      fn = (s, d) => {
-        val c = t(s, d, "customer").select(
-          col("c_custkey").as("id"), col("c_acctbal").as("acctbal"),
-          col("c_mktsegment").as("segment"), lit("customer").as("kind"))
-        val su = t(s, d, "supplier").select(
-          col("s_suppkey").as("id"), col("s_acctbal").as("acctbal"),
-          lit("supplier").as("kind"))
-        c.unionByName(su, allowMissingColumns = true)
-          .groupBy(col("kind"),
-            coalesce(col("segment"), lit("__none__")).as("segment"))
-          .agg(count(lit(1)).as("n"), exactSum(col("acctbal")).as("sum_acctbal"))
-          .orderBy("kind", "segment")
-      },
-      oracle = Some(s"""
-        WITH party AS (
-          SELECT c_acctbal AS acctbal, c_mktsegment AS segment,
-                 'customer' AS kind FROM customer
-          UNION ALL
-          SELECT s_acctbal, NULL, 'supplier' FROM supplier)
-        SELECT kind, coalesce(segment, '__none__') AS segment,
-               count(*) AS n, ${sumSql("acctbal")} AS sum_acctbal
-        FROM party GROUP BY 1, 2 ORDER BY kind, segment""")),
-
-    // 2-D Pareto frontier per group (ops/Pareto): the cheapest part at
-    // every size per brand. The O(n^2) dominance self-join becomes ONE
-    // window pass (sort by (size, price), keep rows strictly below the
-    // running price minimum) — one hash exchange on brand, no join.
-    // The oracle states the naive dominance definition directly, so the
-    // window formulation is verified against the real skyline semantics.
-    "q116_pareto_frontier" -> QueryDef(
-      fn = (s, d) => graft.ops.Pareto.frontier2d(
-          t(s, d, "part").select("p_brand", "p_size", "p_retailprice", "p_partkey"),
-          Seq("p_brand"), x = "p_size", y = "p_retailprice", tie = "p_partkey")
-        .select("p_brand", "p_size", "p_retailprice", "p_partkey")
-        .orderBy("p_brand", "p_size", "p_partkey"),
-      oracle = Some("""
-        SELECT p_brand, p_size, p_retailprice, p_partkey
-        FROM part p
-        WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
-          AND NOT EXISTS (
-          SELECT 1 FROM part q
-          WHERE q.p_brand = p.p_brand
-            AND ((q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
-                  AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))
-                 OR (q.p_size = p.p_size AND q.p_retailprice = p.p_retailprice
-                     AND q.p_partkey < p.p_partkey)))
-        ORDER BY p_brand, p_size, p_partkey""")),
-
-    // CSV round-trip (header + explicit schema back): the one tabular
-    // source format the reference never touches but any engine user
-    // will. Doubles survive exactly (Java shortest-round-trip rendering,
-    // exact parse back); the aggregate proves content equality against
-    // the original parquet via the oracle. localCheckpoint materializes
-    // before the staged files are deleted.
-    "q117_csv_roundtrip" -> QueryDef(
-      fn = (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-csv")
-        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
-          .write.mode("overwrite").option("header", "true")
-          .csv(s"$base/orders_csv")
-        val schema = StructType(Seq(
-          StructField("o_orderkey", LongType),
-          StructField("o_orderstatus", StringType),
-          StructField("o_totalprice", DoubleType)))
-        try s.read.schema(schema).option("header", "true")
-          .csv(s"$base/orders_csv")
-          .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"),
-            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
-          .orderBy("o_orderstatus")
-          .localCheckpoint(true)
-        finally dropStagedTree(base)
-      },
-      oracle = Some(s"""
-        SELECT o_orderstatus, count(*) AS n,
-               ${sumSql("o_totalprice")} AS sum_price,
-               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
-
-    // Cumulative distinct users per day WITHOUT count(distinct) over a
-    // window (unsupported, and unboundable state at scale): mark each
-    // user's FIRST event (row_number = 1), count firsts per day, then a
-    // running sum over the tiny day-grain frame. The only wide exchange
-    // is on user_id; the final cumulative window runs over ~days rows.
-    "q118_cumulative_distinct" -> QueryDef(
-      fn = (s, d) => {
-        val wUser = Window.partitionBy("user_id")
-          .orderBy(unix_millis(col("ts")), col("event_id"))
-        val days = t(s, d, "events")
-          // `div` = integer division (Column `/` on longs is DOUBLE
-          // division whose truncation can disagree with DuckDB's `//`)
-          .withColumn("day_ms",
-            expr("(unix_millis(ts) div 86400000) * 86400000"))
-          .withColumn("__rn", row_number().over(wUser))
-          .groupBy("day_ms")
-          .agg(count(when(col("__rn") === 1, 1)).as("new_users"),
-            countDistinct("user_id").as("active_users"))
-        days
-          .withColumn("cum_users",
-            sum("new_users").over(Window.orderBy("day_ms")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .orderBy("day_ms")
-      },
-      oracle = Some("""
-        WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),
-        firsts AS (SELECT user_id, ms, ms // 86400000 * 86400000 AS day_ms,
-                          row_number() OVER (PARTITION BY user_id
-                            ORDER BY ms, event_id) AS rn FROM e),
-        days AS (SELECT day_ms,
-                        count(*) FILTER (rn = 1) AS new_users,
-                        count(DISTINCT user_id) AS active_users
-                 FROM firsts GROUP BY day_ms)
-        SELECT day_ms, new_users, active_users,
-               CAST(sum(new_users) OVER (ORDER BY day_ms
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                 AS cum_users
-        FROM days ORDER BY day_ms""")),
-
-    // Sliding-window aggregation (batch twin of the streaming shape):
-    // Spark's window(ts, 2h, 1h) assigns each event to its TWO
-    // epoch-aligned hourly-sliding buckets map-side (a Generate, no
-    // self-union), then partial-aggregates per window start. The oracle
-    // unnests the same two starts per event.
-    "q119_sliding_window" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .groupBy(window(col("ts"), "2 hours", "1 hour"))
-        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
-        .select(unix_millis(col("window.start")).as("win_start_ms"),
-          col("n"), col("sum_value"))
-        .orderBy("win_start_ms"),
-      oracle = Some(slidingOracleSql)),
-
-    // Referential-integrity audit (Expectations.foreignKey): orphan
-    // counts + rates for three FK edges of the star schema — two sound
-    // ones and one deliberately broken parent (part with p_partkey%5
-    // dropped) so the audit proves it can COUNT orphans, not just report
-    // zero. Each edge is one left_anti probe; duplicate parent keys cost
-    // nothing (no distinct).
-    "q120_fk_audit" -> QueryDef(
-      fn = (s, d) => {
-        import graft.ops.Expectations
-        val li = t(s, d, "lineitem")
-        val ord = t(s, d, "orders")
-        val partBroken = t(s, d, "part").filter(col("p_partkey") % 5 =!= 0)
-        Seq(
-          Expectations.foreignKey("li_orders", li, "l_orderkey",
-            ord, "o_orderkey"),
-          Expectations.foreignKey("li_part_broken", li, "l_partkey",
-            partBroken, "p_partkey"),
-          Expectations.foreignKey("orders_customer", ord, "o_custkey",
-            t(s, d, "customer"), "c_custkey"))
-          .reduce(_.unionAll(_)).orderBy("fk")
-      },
-      oracle = Some("""
-        WITH fks AS (
-          SELECT 'li_orders' AS fk,
-                 (SELECT count(*) FROM lineitem) AS n_child,
-                 (SELECT count(*) FROM lineitem l
-                  WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
-                    (SELECT 1 FROM orders o
-                     WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
-          UNION ALL
-          SELECT 'li_part_broken',
-                 (SELECT count(*) FROM lineitem),
-                 (SELECT count(*) FROM lineitem l
-                  WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
-                    (SELECT 1 FROM part p
-                     WHERE p.p_partkey % 5 <> 0
-                       AND p.p_partkey = l.l_partkey))
-          UNION ALL
-          SELECT 'orders_customer',
-                 (SELECT count(*) FROM orders),
-                 (SELECT count(*) FROM orders o
-                  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
-                    (SELECT 1 FROM customer c
-                     WHERE c.c_custkey = o.o_custkey)))
-        SELECT fk, n_child, CAST(n_orphans AS BIGINT) AS n_orphans,
-               floor(CAST(n_orphans AS DOUBLE) / n_child * 1000000 + 0.5)
-                 / 1000000.0 AS orphan_rate
-        FROM fks ORDER BY fk""")),
-
-    // Gaps-and-islands: missing l_linenumber ranges per order after a
-    // synthetic prune (linenumber 2 dropped from every 7th order). The
-    // classic sequence-gap detection — one lead() window per order key,
-    // gap = (cur+1, next-1) where next-cur > 1. One hash exchange.
-    "q121_gap_islands" -> QueryDef(
-      fn = (s, d) => {
-        val pruned = t(s, d, "lineitem")
-          .filter(!(col("l_linenumber") === 2 && col("l_orderkey") % 7 === 0))
-          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
-        val w = Window.partitionBy("l_orderkey").orderBy("ln")
-        pruned.withColumn("next_ln", lead(col("ln"), 1).over(w))
-          .filter(col("next_ln") - col("ln") > 1)
-          .select(col("l_orderkey"), (col("ln") + 1).as("gap_start"),
-            (col("next_ln") - 1).as("gap_end"))
-          .orderBy("l_orderkey", "gap_start")
-      },
-      oracle = Some("""
-        WITH pruned AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln
-                        FROM lineitem
-                        WHERE NOT (l_linenumber = 2 AND l_orderkey % 7 = 0)),
-        g AS (SELECT l_orderkey, ln,
-                     lead(ln) OVER (PARTITION BY l_orderkey ORDER BY ln)
-                       AS next_ln
-              FROM pruned)
-        SELECT l_orderkey, ln + 1 AS gap_start, next_ln - 1 AS gap_end
-        FROM g WHERE next_ln - ln > 1
-        ORDER BY l_orderkey, gap_start""")),
-
-    // Edit distance between consecutive documents' 120-char prefixes:
-    // the exact verify step a fuzzy-dedup pipeline runs on candidate
-    // pairs (here the pair generator is the trivial id-successor join so
-    // the oracle is expressible; MinHash/SimHash candidates are the scale
-    // generators — q26/q27). levenshtein is codegen'd and bounded by the
-    // prefix cap, and the corpus is ASCII so both engines agree on
-    // character semantics.
-    "q122_edit_distance" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 120).as("prefix"))
-        val left = docs.select(col("doc_id").as("doc_id_a"),
-          col("prefix").as("pa"))
-        val right = docs.select((col("doc_id") - 1).as("doc_id_a"),
-          col("doc_id").as("doc_id_b"), col("prefix").as("pb"))
-        left.join(right, "doc_id_a")
-          .select(col("doc_id_a"), col("doc_id_b"),
-            levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
-          .orderBy("doc_id_a")
-      },
-      oracle = Some("""
-        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               CAST(levenshtein(substr(a.text, 1, 120),
-                                substr(b.text, 1, 120)) AS BIGINT) AS edit_dist
-        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        ORDER BY doc_id_a""")),
-
-    // Robust outlier detection via MAD (median absolute deviation):
-    // median and MAD are computed over integer CENTS so every
-    // interpolated midpoint is exactly representable and
-    // percentile ≡ quantile_cont bit-for-bit (the q54 parity, hardened).
-    // Two grouped exact-percentile passes + broadcast joins back; the
-    // 100 TB swap-in is approx_percentile, same plan shape.
-    "q123_mad_outliers" -> QueryDef(
-      fn = (s, d) => {
-        val c = t(s, d, "events").filter(col("value").isNotNull)
-          .select(col("event_type"), cents(col("value")).as("cts"))
-        val med = c.groupBy("event_type")
-          .agg(expr("percentile(cts, 0.5)").as("m"))
-        val dev = c.join(broadcast(med), "event_type")
-          .withColumn("dv", abs(col("cts") - col("m")))
-        val mad = dev.groupBy("event_type")
-          .agg(expr("percentile(dv, 0.5)").as("md"))
-        dev.join(broadcast(mad), "event_type")
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
-            round(min(col("m")) / 100.0, 4).as("median_value"),
-            round(min(col("md")) / 100.0, 4).as("mad_value"),
-            sum(when(col("dv") > lit(3.0) * col("md"), 1L).otherwise(0L))
-              .as("n_outliers"))
-          .orderBy("event_type")
-      },
-      oracle = Some(s"""
-        WITH c AS (SELECT event_type, ${centsSql("value")} AS cts
-                   FROM events WHERE value IS NOT NULL),
-        med AS (SELECT event_type, quantile_cont(cts, 0.5) AS m
-                FROM c GROUP BY event_type),
-        dev AS (SELECT c.event_type, cts, m, abs(cts - m) AS dv
-                FROM c JOIN med USING (event_type)),
-        mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS md
-                FROM dev GROUP BY event_type)
-        SELECT dev.event_type, count(*) AS n,
-               round(min(m) / 100.0, 4) AS median_value,
-               round(min(md) / 100.0, 4) AS mad_value,
-               CAST(sum(CASE WHEN dv > 3.0 * md THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_outliers
-        FROM dev JOIN mad USING (event_type)
-        GROUP BY dev.event_type ORDER BY event_type""")),
-
-    // Sparse top-k document similarity via an inverted-index join — the
-    // sparse twin of the dense ANN path (q25/q30/q44): per-token posting
-    // lists, df-capped (champion pruning bounds the join fanout to
-    // df^2 per token), integer TF dot products (exact long sums, no
-    // float association), directional top-3 per doc. The synthetic
-    // corpus's vocabulary is ~30 stop-word-frequency tokens + singletons,
-    // so two deterministic group tags are injected in-query to create the
-    // sparse structure (the q89/q95 construction pattern); the OPERATOR
-    // under test is the posting-join shape.
-    "q124_sparse_topk" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val n = docs.count() // bounded scalar, same pattern as q71
-        val maxDf = math.max(2L, n / 10)
-        val tagged = docs.select(col("doc_id"),
-          concat(col("text"), lit(" taga"), expr("doc_id div 7"),
-            lit(" tagb"), col("doc_id") % 13).as("text"))
-        val tok = tagged.select(col("doc_id"),
-          explode(TF.tokens(col("text"))).as("token"))
-        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val keep = tok.groupBy("token")
-          .agg(countDistinct("doc_id").as("df"))
-          .filter(col("df") >= 2 && col("df") <= maxDf)
-          .select("token")
-        val tfp = tf.join(keep, Seq("token")) // token-keyed, reused below
-        val a = tfp.select(col("token"), col("doc_id").as("a"), col("tf").as("tfa"))
-        val b = tfp.select(col("token"), col("doc_id").as("b"), col("tf").as("tfb"))
-        val pairs = a.join(b, Seq("token")).filter(col("a") < col("b"))
-          .groupBy("a", "b").agg(sum(col("tfa") * col("tfb")).as("dot"))
-        val sym = pairs.unionAll(
-          pairs.select(col("b").as("a"), col("a").as("b"), col("dot")))
-        val w = Window.partitionBy("a").orderBy(desc("dot"), col("b"))
-        sym.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("a").as("doc_id"), col("rank").cast("long").as("rank"),
-            col("b").as("neighbor_id"), col("dot"))
-          .orderBy("doc_id", "rank")
-      },
-      oracle = Some(s"""
-        WITH tagged AS (SELECT doc_id,
-               text || ' taga' || (doc_id // 7) || ' tagb' || (doc_id % 13)
-                 AS text
-             FROM documents),
-        tok AS (SELECT doc_id, unnest($toksSql) AS token FROM tagged),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-        nn AS (SELECT count(*) AS n FROM documents),
-        keep AS (SELECT token FROM
-                   (SELECT token, count(DISTINCT doc_id) AS df
-                    FROM tok GROUP BY 1) CROSS JOIN nn
-                 WHERE df >= 2 AND df <= greatest(2, n // 10)),
-        tfp AS (SELECT tf.* FROM tf JOIN keep USING (token)),
-        pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
-                         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
-                  FROM tfp a JOIN tfp b
-                    ON a.token = b.token AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-        sym AS (SELECT a, b, dot FROM pairs
-                UNION ALL SELECT b, a, dot FROM pairs),
-        r AS (SELECT a, b, dot, row_number() OVER (
-                PARTITION BY a ORDER BY dot DESC, b) AS rank FROM sym)
-        SELECT a AS doc_id, CAST(rank AS BIGINT) AS rank,
-               b AS neighbor_id, dot
-        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
-
-    // STREAMING sliding windows: q119's 2h/1h aggregation as a real
-    // Structured Streaming query (complete mode, memory sink), checked
-    // against the SAME oracle — stream/batch parity for overlapping
-    // window assignment, the q98/q104 pairing applied to q119.
-    "q125_stream_sliding" -> QueryDef(
-      fn = (s, d) => {
-        val dir = stageEventsDir(d)
-        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val agg = stream.groupBy(window(col("ts"), "2 hours", "1 hour"))
-          .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
-        val table = runToMemoryTable(s, agg, "q125_mem")
-        dropStaged(dir)
-        table.select(unix_millis(col("window.start")).as("win_start_ms"),
-          col("n"), col("sum_value"))
-          .orderBy("win_start_ms")
-      },
-      oracle = Some(slidingOracleSql)),
-
-    // Dynamic partition pruning: events staged as a day-partitioned
-    // table, joined to a FILTERED day dimension on the partition column —
-    // Catalyst injects the dim's surviving keys as a runtime partition
-    // filter, so the fact scan reads only the matching day directories
-    // (the decisive scan-cost lever for date-keyed 100 TB facts).
-    // SinkSpec asserts `dynamicpruning` in the live executed plan; here
-    // the semantic outcome is oracle-checked. Cleanup in finally.
-    "q126_dpp_join" -> QueryDef(
-      fn = (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-dpp")
-        try {
-          // staging write INSIDE the try: a mid-write failure must still
-          // drop the partial tree
-          t(s, d, "events")
-            .withColumn("day_ms", expr("(unix_millis(ts) div 86400000) * 86400000"))
-            .write.partitionBy("day_ms").parquet(s"$base/ev")
-          val facts = s.read.parquet(s"$base/ev")
-          // the filter sits directly over the dim scan — the
-          // PartitionPruning rule needs a selective predicate on the
-          // build side (a filter over a local relation folds away; see
-          // DppSpec for the distilled requirements)
-          val dim = t(s, d, "events")
-            .filter(expr("(unix_millis(ts) div 86400000) % 3 = 0"))
-            .select(expr("(unix_millis(ts) div 86400000) * 86400000").as("day_ms"))
-            .distinct()
-          facts.join(broadcast(dim), Seq("day_ms"))
-            .groupBy("event_type")
-            .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
-            .orderBy("event_type")
-            .localCheckpoint(true)
-        } finally dropStagedTree(base)
-      },
-      oracle = Some(s"""
-        SELECT event_type, count(*) AS n, ${sumSql("value")} AS sum_value
-        FROM events
-        WHERE (epoch_ms(ts) // 86400000) % 3 = 0
-        GROUP BY event_type ORDER BY event_type""")),
-
-    // Native DECIMAL(18,2) aggregation — the exact-money path WITHOUT
-    // the cents trick (the trade documented at Catalog.cents: decimal
-    // hash-agg is ~3x the long path but needs no scaling insight). Exact
-    // decimal sums, one final cast to double, identical in both engines.
-    "q127_decimal_agg" -> QueryDef(
-      fn = (s, d) => t(s, d, "lineitem")
-        .select(col("l_returnflag"),
-          col("l_extendedprice").cast("decimal(18,2)").as("p"),
-          col("l_discount").cast("decimal(18,2)").as("disc"))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(col("p")).cast("double").as("sum_price"),
-          sum(col("p") * (lit(java.math.BigDecimal.ONE) - col("disc")))
-            .cast("double").as("sum_disc_price"))
-        .orderBy("l_returnflag"),
-      oracle = Some("""
-        SELECT l_returnflag, count(*) AS n,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 AS sum_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-                 AS sum_disc_price
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
-
-    // Hot-key join under AQE: one synthetic mega-key holds a quarter of
-    // lineitem; semantics are oracle-checked here, and the RUNTIME
-    // behavior — AQE splitting the skewed SMJ partition (`skew=true`) —
-    // is asserted live in SkewSpec with prod-shaped thresholds scaled
-    // down. Complements the manual salting paths (q41/q85), which cover
-    // the shapes AQE does not rewrite.
-    "q128_skew_join_aqe" -> QueryDef(
-      fn = (s, d) => {
-        val facts = t(s, d, "lineitem").select(
-          when(col("l_orderkey") % 4 === 0, 0L)
-            .otherwise(col("l_orderkey") % 1000).as("k"),
-          col("l_quantity"))
-        val dim = t(s, d, "orders")
-          .filter(col("o_orderkey") < 1000)
-          .select(col("o_orderkey").as("k"),
-            col("o_orderpriority").as("grp"))
-        facts.join(dim, "k")
-          .groupBy("grp")
-          .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
-          .orderBy("grp")
-      },
-      oracle = Some(s"""
-        WITH f AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
-                               ELSE l_orderkey % 1000 END AS k, l_quantity
-                   FROM lineitem),
-        dim AS (SELECT o_orderkey AS k, o_orderpriority AS grp
-                FROM orders WHERE o_orderkey < 1000)
-        SELECT grp, count(*) AS n, ${sumSql("l_quantity")} AS sum_qty
-        FROM f JOIN dim USING (k)
-        GROUP BY grp ORDER BY grp""")),
-
-    // Incremental SCD2 merge (ChangeCapture.scd2Merge): the event
-    // history is split at min+15d; the first half is compacted into a
-    // dimension, the second half merged in — cost O(dim + batch), not
-    // O(history). Checked against the SAME oracle as q107's one-shot
-    // compaction: merge(compact(old), new) == compact(all) is the
-    // incremental-maintenance correctness claim.
-    "q129_scd2_merge" -> QueryDef(
-      fn = (s, d) => {
-        import graft.ops.ChangeCapture
-        val ev = t(s, d, "events")
-        val ms = unix_millis(col("ts"))
-        val t0 = ev.agg(min(ms)).head.getLong(0) // bounded scalar
-        val split = t0 + 15L * 86400000L
-        val dim = ChangeCapture.scd2(ev.filter(ms <= split),
-          "user_id", "event_type", ms, col("event_id"))
-        ChangeCapture.scd2Merge(dim, ev.filter(ms > split),
-            "user_id", "event_type", ms, col("event_id"))
-          .select(col("user_id"), col("version"), col("event_type"),
-            col("valid_from").as("valid_from_ms"),
-            col("valid_to").as("valid_to_ms"), col("is_current"))
-          .orderBy("user_id", "version")
-      },
-      oracle = Some(scd2OracleSql)),
-
-    // GROUPING SETS with grouping_id — the explicit-sets member of the
-    // rollup (q36) / cube (q51) family, through the SQL surface (S11).
-    // Both engines put the leftmost grouping column in the id's MSB;
-    // NULLS FIRST is spelled out because DuckDB default-sorts nulls last.
-    "q130_grouping_sets" -> QueryDef(
-      fn = (s, d) => {
-        t(s, d, "lineitem").createOrReplaceTempView("q130_li")
-        s.sql(s"""
-          SELECT l_returnflag, l_linestatus,
-                 CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-                 count(*) AS n,
-                 CAST(sum(CAST(l_quantity * 100.0 + SIGNUM(l_quantity) * 0.5
-                   AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
-          FROM q130_li
-          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                  (l_returnflag), ())
-          ORDER BY gid, l_returnflag ASC NULLS FIRST,
-                   l_linestatus ASC NULLS FIRST""")
-      },
-      oracle = Some(s"""
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-               count(*) AS n, ${sumSql("l_quantity")} AS sum_qty
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_returnflag), ())
-        ORDER BY gid, l_returnflag ASC NULLS FIRST,
-                 l_linestatus ASC NULLS FIRST""")),
-
-    // VARIANT shredding (the Spark 4 semi-structured type): props parsed
-    // ONCE to a variant, fields extracted with variant_get — the
-    // schema-on-read path that replaces per-field JSON re-parsing. The
-    // oracle reads the same fields with DuckDB's JSON functions.
-    "q131_variant_shred" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .select(col("event_type"),
-          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
-        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
-        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
-        .orderBy("event_type", "k_mod"),
-      oracle = Some("""
-        WITH x AS (SELECT event_type,
-                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-                   FROM events)
-        SELECT event_type, k % 10 AS k_mod, count(*) AS n,
-               min(k) AS min_k, max(k) AS max_k
-        FROM x GROUP BY event_type, k % 10
-        ORDER BY event_type, k_mod""")),
-
-    // ORC round-trip — the second columnar format (built-in writer and
-    // vectorized reader): semantics must survive the format change
-    // exactly. Same staging discipline as q117 (finally-cleanup,
-    // checkpoint before delete); the oracle reads the original parquet.
-    "q132_orc_roundtrip" -> QueryDef(
-      fn = (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-orc")
-        try {
-          t(s, d, "lineitem")
-            .select("l_returnflag", "l_quantity", "l_extendedprice")
-            .write.mode("overwrite").orc(s"$base/li_orc")
-          s.read.orc(s"$base/li_orc")
-            .groupBy("l_returnflag")
-            .agg(count(lit(1)).as("n"),
-              exactSum(col("l_quantity")).as("sum_qty"),
-              exactSum(col("l_extendedprice")).as("sum_price"))
-            .orderBy("l_returnflag")
-            .localCheckpoint(true)
-        } finally dropStagedTree(base)
-      },
-      oracle = Some(s"""
-        SELECT l_returnflag, count(*) AS n,
-               ${sumSql("l_quantity")} AS sum_qty,
-               ${sumSql("l_extendedprice")} AS sum_price
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
-
-    // Regexp family over the corpus: extract-all + explode (token mining),
-    // count (pattern frequency), replace (normalization length delta) —
-    // RE2-safe patterns only (no lookaround), so Java and DuckDB regex
-    // semantics coincide.
-    "q133_regexp_family" -> QueryDef(
-      fn = (s, d) => t(s, d, "documents")
-        .select(col("doc_id"),
-          expr("CAST(regexp_count(text, '[aeiou]{2}') AS BIGINT)")
-            .as("vowel_pairs"),
-          expr("CAST(size(regexp_extract_all(text, '[a-z]{7,}', 0)) AS BIGINT)")
-            .as("long_words"),
-          length(regexp_replace(col("text"), "[aeiou]", ""))
-            .cast("long").as("len_novowels"))
-        .orderBy("doc_id"),
-      oracle = Some("""
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT)
-                 AS vowel_pairs,
-               CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT)
-                 AS long_words,
-               CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
-                 AS len_novowels
-        FROM documents ORDER BY doc_id""")),
-
-    // Date-dimension build (every warehouse's first table): a calendar
-    // spine spanning the orders date range via sequence+explode (no
-    // driver loop), with the derived attributes joins prune on. Dates are
-    // rendered ISO so both engines hash identical strings; day-of-week is
-    // normalized to DuckDB's Sunday=0 convention (Spark's dayofweek is
-    // Sunday=1 — an off-by-one that silently shifts every weekly report).
-    "q134_date_dim" -> QueryDef(
-      fn = (s, d) => {
-        val range = t(s, d, "orders")
-          .agg(min(to_date(col("o_orderdate"))).as("lo"),
-            max(to_date(col("o_orderdate"))).as("hi"))
-        range.select(explode(expr(
-            "sequence(lo, hi, INTERVAL 1 DAY)")).as("d"))
-          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
-            year(col("d")).cast("long").as("yr"),
-            quarter(col("d")).cast("long").as("qtr"),
-            month(col("d")).cast("long").as("mon"),
-            (dayofweek(col("d")) - 1).cast("long").as("dow0"),
-            weekofyear(col("d")).cast("long").as("iso_week"),
-            (col("d") === last_day(col("d"))).as("is_month_end"))
-          .orderBy("day")
-      },
-      oracle = Some("""
-        WITH r AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
-                          CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
-        spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
-                    AS dts FROM r),
-        days AS (SELECT CAST(dts AS DATE) AS d FROM spine)
-        SELECT strftime(d, '%Y-%m-%d') AS day,
-               CAST(year(d) AS BIGINT) AS yr,
-               CAST(quarter(d) AS BIGINT) AS qtr,
-               CAST(month(d) AS BIGINT) AS mon,
-               CAST(dayofweek(d) AS BIGINT) AS dow0,
-               CAST(weekofyear(d) AS BIGINT) AS iso_week,
-               (d = last_day(d)) AS is_month_end
-        FROM days ORDER BY day""")),
-
-    // Join-strategy hints: the planner-control surface. The orders side
-    // is forced through a ShuffledHashJoin (no sort, build-side hash —
-    // right when both sides are large but one fits per-partition memory)
-    // and the customer dim through a SortMergeJoin despite being
-    // broadcastable. Semantics unchanged — the oracle is the plain join;
-    // PlanSpec asserts both strategy nodes survive planning.
-    "q135_join_hints" -> QueryDef(
-      fn = (s, d) => {
-        val li = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
-        val ord = t(s, d, "orders").hint("shuffle_hash")
-          .select("o_orderkey", "o_custkey")
-        val cust = t(s, d, "customer").hint("merge")
-          .select("c_custkey", "c_mktsegment")
-        li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(cust, col("o_custkey") === col("c_custkey"))
-          .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n"),
-            exactSum(col("l_extendedprice")).as("sum_price"))
-          .orderBy("c_mktsegment")
-      },
-      oracle = Some(s"""
-        SELECT c_mktsegment, count(*) AS n,
-               ${sumSql("l_extendedprice")} AS sum_price
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
-
-    // STREAM-STREAM interval join (StreamingIngest.streamStreamJoin):
-    // clicks matched to purchases of the same user within +-1h, both
-    // sides watermarked so state stays O(recent traffic). The oracle is
-    // the equivalent batch interval join over integer MICROS on both
-    // engines — comparing raw nanos (DuckDB) to truncated micros (Spark)
-    // would flip boundary-exact pairs.
-    "q136_stream_stream_join" -> QueryDef(
-      fn = (s, d) => {
-        val dir = stageEventsDir(d)
-        try {
-          def src = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          val clicks = src.filter(col("event_type") === "click")
-            .select("event_id", "user_id", "ts")
-          val purchases = src.filter(col("event_type") === "purchase")
-            .select("user_id", "ts", "value")
-          val joined = graft.streaming.StreamingIngest.streamStreamJoin(
-            clicks, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
-            within = "1 hour", watermark = "2 hours")
-          val q = graft.streaming.StreamingIngest.runToMemory(
-            joined, "q136_mem", outputMode = "append")
-          q.stop()
-        } finally dropStaged(dir)
-        s.table("q136_mem")
-          .groupBy((col("user_id") % 10).as("bucket"))
-          .agg(count(lit(1)).as("n"), exactSum(col("r_value")).as("sum_value"))
-          .orderBy("bucket")
-      },
-      oracle = Some(s"""
-        WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events
-                   WHERE event_type = 'click'),
-        p AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
-              WHERE event_type = 'purchase')
-        SELECT c.user_id % 10 AS bucket, count(*) AS n,
-               ${sumSql("p.value")} AS sum_value
-        FROM c JOIN p ON c.user_id = p.user_id
-          AND p.us BETWEEN c.us - 3600000000 AND c.us + 3600000000
-        GROUP BY c.user_id % 10 ORDER BY bucket""")),
-
-    // Multi-aggregate pivot: count AND exact sum per pivoted event_type
-    // in ONE pass (Spark suffixes the agg aliases onto each pivot value;
-    // the oracle mirrors the generated names with conditional
-    // aggregates). Explicit value list keeps the output schema static —
-    // no distinct-collect job (SURVEY §4).
-    "q137_pivot_multi_agg" -> QueryDef(
-      fn = (s, d) => t(s, d, "events")
-        .groupBy((col("user_id") % 20).as("bucket"))
-        .pivot("event_type", eventTypes)
-        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sv"))
-        .orderBy("bucket"),
-      oracle = Some {
-        // nullif: Spark's pivot yields NULL (not 0) for an absent
-        // (bucket, value) combination — count(*) FILTER yields 0
-        val cols = eventTypes.map { et =>
-          s"""nullif(count(*) FILTER (event_type = '$et'), 0) AS "${et}_n",
-              (CAST(sum(${centsSql("value")})
-                 FILTER (event_type = '$et') AS DOUBLE) / 100.0) AS "${et}_sv""""
-        }.mkString(", ")
-        s"""SELECT user_id % 20 AS bucket, $cols
-            FROM events GROUP BY user_id % 20 ORDER BY bucket"""
-      }),
-
-    // Correlated LATERAL subquery (per-order aggregate applied row-wise):
-    // Catalyst decorrelates it into a join + aggregate — the SQL-surface
-    // shape analysts write, executed as the distributed plan an engine
-    // should produce (no per-row re-execution, no nested loops — the
-    // PlanSpec guard). Orders without lineitems still yield a row
-    // (NULL max, 0 count) on both engines.
-    "q138_lateral_subquery" -> QueryDef(
-      fn = (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("q138_ord")
-        t(s, d, "lineitem").createOrReplaceTempView("q138_li")
-        s.sql("""
-          SELECT o_orderkey, o_orderpriority, l.max_price, l.n_lines
-          FROM q138_ord, LATERAL (
-            SELECT max(l_extendedprice) AS max_price,
-                   count(*) AS n_lines
-            FROM q138_li WHERE l_orderkey = o_orderkey) l
-          ORDER BY o_orderkey""")
-      },
-      oracle = Some("""
-        SELECT o_orderkey, o_orderpriority, l.max_price, l.n_lines
-        FROM orders, LATERAL (
-          SELECT max(l_extendedprice) AS max_price,
-                 count(*) AS n_lines
-          FROM lineitem WHERE l_orderkey = o_orderkey) l
-        ORDER BY o_orderkey""")),
-
-    // Scalar subqueries, uncorrelated AND correlated, in one predicate:
-    // orders above the global average price (exact cents average — a
-    // plain avg(double) would be association-dependent across engines)
-    // and below twice their own most expensive line. Catalyst plans the
-    // uncorrelated scalar as a one-row broadcast and decorrelates the
-    // correlated one into an aggregate join.
-    "q139_scalar_subquery" -> QueryDef(
-      fn = (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("q139_ord")
-        t(s, d, "lineitem").createOrReplaceTempView("q139_li")
-        s.sql("""
-          SELECT o_orderpriority, count(*) AS n
-          FROM q139_ord
-          WHERE o_totalprice > (
-              SELECT CAST(sum(CAST(o_totalprice * 100.0
-                  + SIGNUM(o_totalprice) * 0.5 AS BIGINT)) AS DOUBLE)
-                / 100.0 / count(o_totalprice)
-              FROM q139_ord)
-            AND o_totalprice < (
-              SELECT max(l_extendedprice) * 2
-              FROM q139_li WHERE l_orderkey = o_orderkey)
-          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
-      },
-      oracle = Some(s"""
-        SELECT o_orderpriority, count(*) AS n
-        FROM orders
-        WHERE o_totalprice > (SELECT ${avgSql("o_totalprice")} FROM orders)
-          AND o_totalprice < (SELECT max(l_extendedprice) * 2
-                              FROM lineitem WHERE l_orderkey = o_orderkey)
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
-  )
 
   /** Names of the headline benchmark queries, in catalog order. */
   def benchNames: Seq[String] = all.collect { case (n, q) if q.bench => n }.toSeq

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Aqi, TextFunctions => TF, VectorFunctions => VF}
+import graft.ops.{Dedup, Inference, Pack, Redact, Sampling, Similarity}
+import graft.pipeline.Transforms
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import scala.collection.immutable.ListMap
+
+import Catalog._
+
+/** pipeline sink/source round-trips as oracle-checked SELECTs (q140-q143).
+  *
+  * One slice of the query catalog (split from the single 3.9k-line map
+  * in round 5). Entry ORDER is load-bearing: [[Catalog.all]] is a
+  * ListMap concatenated slice-by-slice, and oracle_sql.json iterates
+  * it in insertion order.
+  */
+private[queries] object CatalogRoundtrip {
+  def entries: Seq[(String, QueryDef)] = Seq(
+    // ===== sink/source round-trips (S4/S5, S8, S9/S10 as SELECTs) =====
+    // These close COVERAGE.md's spec-only rows with oracle-checked
+    // queries: each stages a fixture DERIVED FROM an oracle-visible
+    // table through the real pipeline sink, reads it back through the
+    // real pipeline source, and aggregates — so the DuckDB compare
+    // proves the write+read semantics end to end, not just "a spec ran".
+
+    // S5 NDJSON round-trip: Sink.writeNdjson → declared-schema read.
+    // Doubles survive exactly (shortest-round-trip render, exact parse);
+    // null values are OMITTED by the JSON writer and must come back as
+    // NULL, which count(*) vs count(value) distinguishes.
+    "q140_ndjson_roundtrip" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-ndj")
+        try {
+          graft.pipeline.Sink.writeNdjson(
+            t(s, d, "events").select("event_id", "event_type", "value"),
+            s"$base/ev")
+          s.read.schema(StructType(Seq(
+              StructField("event_id", LongType),
+              StructField("event_type", StringType),
+              StructField("value", DoubleType))))
+            .json(s"$base/ev")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), count(col("value")).as("n_value"),
+              exactSum(col("value")).as("sum_value"),
+              min("event_id").as("min_id"), max("event_id").as("max_id"))
+            .orderBy("event_type")
+            .localCheckpoint(true)
+        } finally dropStagedTree(base)
+      },
+      oracle = Some(s"""
+        SELECT event_type, count(*) AS n, count(value) AS n_value,
+               ${sumSql("value")} AS sum_value,
+               min(event_id) AS min_id, max(event_id) AS max_id
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // S8+S10 round-trip: API-measurement-shaped rows built from events,
+    // landed as ONE wrapped {meta,results} envelope (Sink.writeWrapped —
+    // the reference's capture format), read back + flattened by
+    // Extract.readWrappedMeasurements. The id slice keeps the single
+    // envelope at capture size (the format's design point); the oracle
+    // recomputes the aggregate from the source slice.
+    "q141_wrapped_roundtrip" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-wrap")
+        try {
+          val m = t(s, d, "events").filter(col("event_id") < 200).select(
+            col("value"),
+            struct(col("user_id").as("id"), col("event_type").as("name"),
+              lit("\u00b5g/m\u00b3").as("units"),
+              upper(col("event_type")).as("displayName")).as("parameter"),
+            struct(lit("raw").as("label"), lit("hours").as("interval"),
+              struct(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                  .as("utc"),
+                lit(null).cast("string").as("local")).as("datetimeFrom"),
+              struct(date_format(col("ts") + expr("INTERVAL 1 HOUR"),
+                  "yyyy-MM-dd'T'HH:mm:ss'Z'").as("utc"),
+                lit(null).cast("string").as("local")).as("datetimeTo"))
+              .as("period"),
+            struct(((col("user_id") % 90).cast("double") + 0.25).as("latitude"),
+              ((col("user_id") % 180).cast("double") + 0.5).as("longitude"))
+              .as("coordinates"),
+            struct(lit(false).as("hasFlags")).as("flagInfo"))
+          graft.pipeline.Sink.writeWrapped(m, s"$base/cap", "events-capture",
+            java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+          graft.pipeline.Extract
+            .readWrappedMeasurements(s, s"$base/cap", sensorId = 7772024L)
+            .groupBy("parameter")
+            .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"),
+              min("datetime").as("min_dt"), max("datetime").as("max_dt"))
+            .orderBy("parameter")
+            .localCheckpoint(true)
+        } finally dropStagedTree(base)
+      },
+      oracle = Some(s"""
+        SELECT event_type AS parameter, count(*) AS n,
+               ${sumSql("value")} AS sum_value,
+               min(strftime(ts, '%Y-%m-%dT%H:%M:%SZ')) AS min_dt,
+               max(strftime(ts, '%Y-%m-%dT%H:%M:%SZ')) AS max_dt
+        FROM events WHERE event_id < 200
+        GROUP BY event_type ORDER BY parameter""")),
+
+    // S9+J2/J3 round-trip: locations built from customer rows (nested
+    // country/coordinates/sensors exactly per Schemas.location), landed
+    // as a wrapped envelope, read back via Extract.readLocations and
+    // exploded to the sensor dimension — nulled localities fall through
+    // the city-override chain to 'Unknown' (the ids sit far below the
+    // reference's hardcoded map, so the middle coalesce arm is null).
+    "q142_locations_explode" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-loc")
+        try {
+          def sensor(n: Int, param: String) = struct(
+            (col("c_custkey") * 10 + n).as("id"),
+            concat(lit(s"sensor-$n-"), col("c_custkey")).as("name"),
+            struct(lit(n.toLong).as("id"), lit(param).as("name"),
+              lit("\u00b5g/m\u00b3").as("units"), upper(lit(param)).as("displayName"))
+              .as("parameter"))
+          val locs = t(s, d, "customer").filter(col("c_custkey") < 300)
+            .select(
+              col("c_custkey").as("id"), col("c_name").as("name"),
+              when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+                .otherwise(col("c_mktsegment")).as("locality"),
+              lit("Asia/Ho_Chi_Minh").as("timezone"),
+              struct(col("c_nationkey").as("id"), lit("VN").as("code"),
+                lit("Vietnam").as("name")).as("country"),
+              struct(((col("c_custkey") % 90).cast("double") + 0.25)
+                  .as("latitude"),
+                ((col("c_custkey") % 180).cast("double") + 0.5)
+                  .as("longitude")).as("coordinates"),
+              array(sensor(1, "pm25"), sensor(2, "pm10")).as("sensors"),
+              struct(lit("2024-01-01T00:00:00Z").as("utc"),
+                lit(null).cast("string").as("local")).as("datetimeFirst"),
+              struct(lit("2024-06-01T00:00:00Z").as("utc"),
+                lit(null).cast("string").as("local")).as("datetimeLast"))
+          graft.pipeline.Sink.writeWrapped(locs, s"$base/loc", "locations",
+            java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+          graft.pipeline.Extract.sensorDimension(
+              graft.pipeline.Extract.readLocations(s, s"$base/loc"))
+            .orderBy("sensor_id")
+            .localCheckpoint(true)
+        } finally dropStagedTree(base)
+      },
+      oracle = Some("""
+        WITH c AS (SELECT c_custkey AS id, c_name, c_mktsegment
+                   FROM customer WHERE c_custkey < 300),
+        s AS (SELECT id * 10 + 1 AS sensor_id, id, c_name, c_mktsegment FROM c
+              UNION ALL
+              SELECT id * 10 + 2, id, c_name, c_mktsegment FROM c)
+        SELECT sensor_id, id AS location_id, c_name AS location_name,
+               CASE WHEN id % 3 = 0 THEN 'Unknown'
+                    ELSE c_mktsegment END AS city,
+               'Asia/Ho_Chi_Minh' AS timezone, 'VN' AS country,
+               CAST(id % 90 AS DOUBLE) + 0.25 AS latitude,
+               CAST(id % 180 AS DOUBLE) + 0.5 AS longitude
+        FROM s ORDER BY sensor_id""")),
+
+    // S4 hour-keyed raw-zone round-trip: Sink.writeHourlyNdjson lands
+    // events under y/m/d/h directories (partition values derived from
+    // the event time and dropped from file content, as the reference
+    // does by hand); the read-back groups BY THE DIRECTORY KEYS, so the
+    // oracle equality proves the layout derivation itself.
+    "q143_hourly_ndjson" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-hourly")
+        try {
+          graft.pipeline.Sink.writeHourlyNdjson(
+            t(s, d, "events").select("event_id", "ts", "event_type", "value"),
+            "ts", s"$base/raw")
+          s.read.schema(StructType(Seq(
+              StructField("event_id", LongType),
+              StructField("event_type", StringType),
+              StructField("value", DoubleType))))
+            .json(s"$base/raw")
+            .groupBy(col("y").cast("long").as("y"),
+              col("m").cast("long").as("m"), col("d").cast("long").as("d"),
+              col("h").cast("long").as("h"))
+            .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+            .orderBy("y", "m", "d", "h")
+            .localCheckpoint(true)
+        } finally dropStagedTree(base)
+      },
+      oracle = Some(s"""
+        SELECT CAST(strftime(ts, '%Y') AS BIGINT) AS y,
+               CAST(strftime(ts, '%m') AS BIGINT) AS m,
+               CAST(strftime(ts, '%d') AS BIGINT) AS d,
+               CAST(strftime(ts, '%H') AS BIGINT) AS h,
+               count(*) AS n, ${sumSql("value")} AS sum_value
+        FROM events GROUP BY 1, 2, 3, 4 ORDER BY y, m, d, h"""))
+  )
+}

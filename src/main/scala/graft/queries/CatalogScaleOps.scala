@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Aqi, TextFunctions => TF, VectorFunctions => VF}
+import graft.ops.{Dedup, Inference, Pack, Redact, Sampling, Similarity}
+import graft.pipeline.Transforms
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import scala.collection.immutable.ListMap
+
+import Catalog._
+
+/** scale machinery: bloom/salt/skew, rank, spans, heavy hitters (q79-q88).
+  *
+  * One slice of the query catalog (split from the single 3.9k-line map
+  * in round 5). Entry ORDER is load-bearing: [[Catalog.all]] is a
+  * ListMap concatenated slice-by-slice, and oracle_sql.json iterates
+  * it in insertion order.
+  */
+private[queries] object CatalogScaleOps {
+  def entries: Seq[(String, QueryDef)] = Seq(
+    // ===== round-3 scale operators =====
+
+    // Bloom-filter join pruning (the manual runtime filter): orders are
+    // probed map-side against a mergeable sketch of the BUILDING
+    // customers' keys BEFORE any exchange — at scale that drops ~4/5 of
+    // the fact side before it is serialized into the shuffle — then the
+    // exact semi join removes the sketch's false positives, so the result
+    // is exact at any fpp. Oracle: the plain semi join.
+    "q79_bloom_prune_join" -> QueryDef(
+      fn = (s, d) => {
+        val dim = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        graft.ops.BloomPrune.prunedSemiJoin(
+            t(s, d, "orders"), "o_custkey", dim, "c_custkey",
+            expectedItems = 100000L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, count(*) AS n,
+               ${sumSql("o_totalprice")} AS sum_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Incremental dedup — the production shape: each new crawl batch
+    // (doc_id % 5 = 0 here) is checked against the standing corpus instead
+    // of re-deduplicating everything. The bloom-accelerated path short-
+    // circuits definitely-new rows past the anti-join (no false negatives);
+    // the result is provably identical to the plain anti-join the oracle
+    // expresses.
+    "q80_incremental_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val incoming = docs.filter(col("doc_id") % 5 === 0)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        Dedup.newDocsBloom(incoming, corpus, "doc_id", "text")
+          .select(col("doc_id"), col("fingerprint"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH fp AS (SELECT doc_id,
+                           md5(array_to_string($toksSql, ' ')) AS fingerprint
+                    FROM documents)
+        SELECT i.doc_id, i.fingerprint
+        FROM fp i
+        WHERE i.doc_id % 5 = 0
+          AND NOT EXISTS (SELECT 1 FROM fp c
+                          WHERE c.doc_id % 5 <> 0
+                            AND c.fingerprint = i.fingerprint)
+        ORDER BY doc_id""")),
+
+    // Weighted corpus mixing: per-source up/down-weighting by replication
+    // + deterministic fractional sampling (explode + filter — fully
+    // map-side, no shuffle before the final agg). Weights cover integer
+    // upsample (x2), fractional upsample (x2.5), downsample (x0.25), drop
+    // (x0), and the implicit default x1.
+    "q81_corpus_mix" -> QueryDef(
+      fn = (s, d) => Sampling
+        .corpusMix(t(s, d, "documents"), col("source"), col("doc_id"), mixWeights)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct("doc_id").as("n_docs"),
+             max("epoch").as("max_epoch"))
+        .orderBy("source"),
+      oracle = Some {
+        val (slotsSql, keepSql) = Sampling.corpusMixSql("doc_id", "source", mixWeights)
+        s"""SELECT source, count(*) AS n_rows,
+                   count(DISTINCT doc_id) AS n_docs, max(epoch) AS max_epoch
+            FROM (SELECT source, doc_id,
+                         unnest(generate_series(0, CAST($slotsSql AS BIGINT) - 1)) AS epoch
+                  FROM documents)
+            WHERE $keepSql
+            GROUP BY source ORDER BY source"""
+      }),
+
+    // Global token vocabulary with corpus + document frequencies, top-50 —
+    // the tokenizer-training precursor. explode → one shuffle on the token
+    // key with partial aggregation; top-k is TakeOrderedAndProject.
+    "q82_vocab_topk" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("n_docs"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(50),
+      oracle = Some(s"""
+        SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
+    // Curriculum bucketing: exact ntile(8) over (quality DESC, doc_id)
+    // via the two-phase distributed rank (range partition + local
+    // row_number + base offsets) — NOT the single-reducer global window.
+    // Oracle: DuckDB's native ntile window, which the distributed form
+    // must reproduce bucket-for-bucket.
+    "q83_curriculum_ntile" -> QueryDef(
+      fn = (s, d) => {
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"),
+            TF.qualityScore(col("text"), TF.langMarkers("en")).as("quality"))
+        graft.ops.Ranking
+          .ntileExact(scored, 8, Seq(col("quality").desc, col("doc_id").asc))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min("quality").as("min_quality"),
+               max("quality").as("max_quality"), min("doc_id").as("min_id"))
+          .orderBy("bucket")
+      },
+      oracle = Some(s"""
+        WITH q AS ($qualitySelectSql),
+        b AS (SELECT doc_id, quality,
+                     CAST(ntile(8) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS bucket
+              FROM q)
+        SELECT bucket, count(*) AS n, min(quality) AS min_quality,
+               max(quality) AS max_quality, min(doc_id) AS min_id
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // n-gram CONTAINMENT (|A∩B| / min(|A|,|B|)) on candidate pairs — the
+    // subset-duplication detector Jaccard misses. Same adjacent-id pair
+    // construction and provably-safe 9-dp rounding as q28.
+    "q84_ngram_containment" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = docs.select(col("doc_id").as("id_a"),
+                                (col("doc_id") + 1).as("id_b"))
+        Dedup.ngramContainment(pairs, docs, "doc_id", "text")
+          .select("id_a", "id_b", "containment")
+          .orderBy("id_a")
+      },
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE),
+                     9) AS containment
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ORDER BY id_a""")),
+
+    // Salted fact⋈dim join (lineitem⋈orders on a salted key): the
+    // hot-key mitigation for broadcast-ineligible joins, result-invariant
+    // by construction — the oracle is the plain join. Salting trades
+    // 8x replication of the (much smaller) right side for an 8-way split
+    // of every hot left key.
+    "q85_salted_join" -> QueryDef(
+      fn = (s, d) => {
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.ops.Skew.saltedJoin(t(s, d, "lineitem"), orders,
+            "l_orderkey", saltBuckets = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, count(*) AS n,
+               ${revenueSql("l_extendedprice", "l_discount")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Exact heavy hitters via a bounded Misra-Gries summary + exact
+    // verification pass: the exchange carries O(partitions x k) counters
+    // instead of one row per distinct token — the vocabulary-scale-proof
+    // form of GROUP BY ... HAVING. Result is exactly the HAVING query.
+    "q86_heavy_hitters" -> QueryDef(
+      fn = (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(TF.tokens(col("text"))).as("token"))
+        graft.ops.HeavyHitters.heavyHitters(toks, col("token"), minCount = 500L)
+          .select(col("item").as("token"), col("n"))
+          .orderBy("token")
+      },
+      oracle = Some(s"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest($toksSql) AS token FROM documents)
+        GROUP BY token HAVING count(*) >= 500 ORDER BY token""")),
+
+    // Interval×interval overlap join (attribution shape: which purchase
+    // windows overlap which click windows, per user). A naive theta join
+    // is a nested loop; ops.RangeJoin buckets both interval sides into the
+    // equi-join key and dedups via the canonical overlap-start bucket.
+    // Oracle: DuckDB's plain inequality join.
+    "q87_interval_overlap" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_start"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("c_end"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("p_start"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
+        graft.ops.RangeJoin.intervalOverlap(clicks, purchases, Seq("user_id"),
+            "c_start", "c_end", "p_start", "p_end", bucketWidth = "1 hour")
+          .select("click_id", "purchase_id")
+          .orderBy("click_id", "purchase_id")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_start,
+                          ts + INTERVAL 2 HOUR AS c_end
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id AS purchase_id, user_id, ts AS p_start,
+                          ts + INTERVAL 1 HOUR AS p_end
+                   FROM events WHERE event_type = 'purchase')
+        SELECT click_id, purchase_id
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND c_start <= p_end AND p_start <= c_end
+        ORDER BY click_id, purchase_id""")),
+
+    // q62's decontamination with the bloom-prefiltered gram stream: most
+    // eval grams appear nowhere in train, and the sketch probe drops them
+    // map-side before the join exchange. Identical result (same oracle as
+    // q62) — the driver-green proof that the prefilter changes only the
+    // shuffle shape, never the answer.
+    "q88_decontaminate_bloom" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val isTrain = graft.ops.Sampling.inSplit(col("doc_id"), 0.8)
+        graft.ops.Decontaminate.contaminatedBloom(
+            docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(decontamOracleSql)),
+  )
+}

@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Aqi, TextFunctions => TF, VectorFunctions => VF}
+import graft.ops.{Dedup, Inference, Pack, Redact, Sampling, Similarity}
+import graft.pipeline.Transforms
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import scala.collection.immutable.ListMap
+
+import Catalog._
+
+/** text analysis, embedding similarity and the LSH dedup suites (q18-q30).
+  *
+  * One slice of the query catalog (split from the single 3.9k-line map
+  * in round 5). Entry ORDER is load-bearing: [[Catalog.all]] is a
+  * ListMap concatenated slice-by-slice, and oracle_sql.json iterates
+  * it in insertion order.
+  */
+private[queries] object CatalogTextVec {
+  def entries: Seq[(String, QueryDef)] = Seq(
+    // ===== text analysis (training-data ops) =====
+
+    // Token counting (whitespace tokenizer) + char stats.
+    "q18_token_stats" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+                TF.tokenCount(col("text")).as("n_tokens"),
+                length(col("text")).cast("long").as("n_chars"),
+                round(TF.meanTokenLength(col("text")), 4).as("mean_token_len"))
+        .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id, len(toks) AS n_tokens,
+               length(text) AS n_chars,
+               round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE), 4) AS mean_token_len
+        FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+        ORDER BY doc_id""")),
+
+    // Document fingerprinting (md5 of normalized text — engine-portable).
+    "q19_fingerprint" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // Exact dedup groups: hash-groupBy on the fingerprint, deterministic
+    // min-id survivor.
+    "q20_exact_dedup" -> QueryDef(
+      fn = (s, d) => Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("fingerprint"),
+      oracle = Some(s"""
+        SELECT md5(array_to_string($toksSql, ' ')) AS fingerprint,
+               min(doc_id) AS canonical_id, count(*) AS dup_count
+        FROM documents GROUP BY 1 ORDER BY fingerprint"""),
+      bench = true),
+
+    // Quality scoring (length/punct/stopword terms), SQL generated from the
+    // same constants.
+    "q21_quality_score" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+                  TF.tokenCount(col("text")).as("n_tokens"),
+                  round(TF.stopwordRatio(col("text"), stops), 4).as("stop_ratio"),
+                  round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+                  TF.qualityScore(col("text"), stops).as("quality"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(stop_ratio, 4) AS stop_ratio,
+               round(punct_ratio, 4) AS punct_ratio,
+               $qualityExprSql AS quality
+        FROM ($qualityInnerSql)
+        ORDER BY doc_id""")),
+
+    // Language ID (marker-word argmax), SQL generated from the same marker
+    // table with the same tie-break order.
+    "q22_lang_id" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TF.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id"),
+      oracle = Some(langIdSql)),
+
+    // ===== embeddings: similarity + near-dup (training-data ops) =====
+
+    // Vector norm via higher-order aggregate (double accumulation).
+    "q23_embedding_norm" -> QueryDef(
+      fn = (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+                round(VF.norm(col("embedding")), 4).as("norm"))
+        .orderBy("vec_id"),
+      oracle = Some("""
+        SELECT vec_id, label,
+               round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+        FROM embeddings ORDER BY vec_id""")),
+
+    // Pairwise cosine on a key slice (exact, both engines sequential-sum).
+    "q24_cosine_pairs" -> QueryDef(
+      fn = (s, d) => {
+        val e = t(s, d, "embeddings").filter(col("vec_id") < 10)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+                  round(VF.cosine(col("va"), col("vb")), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 10 AND b.vec_id < 10 AND a.vec_id < b.vec_id
+        ORDER BY id_a, id_b""")),
+
+    // Brute-force cosine top-k (exact ANN baseline): 20 queries, k=5.
+    "q25_knn_bruteforce" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 20), emb, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(s"""
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+               CAST(rn AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cosineSql("q.embedding", "c.embedding")} AS cosine
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id))
+        WHERE rn <= 5 ORDER BY query_id, rank"""),
+      bench = true),
+
+    // ===== LSH dedup suites =====
+    // Construction: union the corpus with an id-shifted exact copy, so the
+    // expected duplicate pairs are provable in SQL while the full
+    // signature → banding → bucket-join → verify path executes for real.
+
+    // MinHash + LSH candidate generation, then exact n-gram-Jaccard
+    // verification (the production two-stage shape: cheap LSH recall, exact
+    // precision pass on candidates only). On a 200-doc slice doubled with
+    // exact copies so the oracle can afford the exhaustive pair scan; LSH
+    // recall at j ≥ 0.9 is 1 - (1-0.9^4)^16 ≈ 1 - 4e-8, so candidate-set ∩
+    // verification equals the exhaustive answer.
+    "q26_minhash_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        val doubled = docs.select(col("doc_id"), col("text"))
+          .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val cands = Dedup.minhashCandidates(doubled, "doc_id", "text")
+          .select("id_a", "id_b")
+        Dedup.ngramJaccard(cands, doubled, "doc_id", "text")
+          .filter(col("jaccard") >= 0.9)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        WITH docs2 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 200),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          FROM (SELECT doc_id, $toksSql AS toks FROM docs2))
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                       / CAST(len(a.shingles) + len(b.shingles)
+                              - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE),
+                       9) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.9 ORDER BY id_a, id_b"""),
+      bench = true),
+
+    // SimHash near-dup: signature + 16-bit blocking + Hamming verify; the
+    // copy-pair projection (id_b = id_a + 100000) is the SQL-provable
+    // slice of the candidate set.
+    "q27_simhash_dup" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val doubled = docs.select(col("doc_id"), col("text"))
+          .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.simhashCandidates(doubled, "doc_id", "text", maxDistance = 3)
+          .filter(col("id_b") === col("id_a") + 100000)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+               CAST(0 AS INTEGER) AS hamming
+        FROM documents ORDER BY id_a, id_b""")),
+
+    // n-gram (3-shingle) Jaccard verification on candidate pairs —
+    // consecutive-id pairs so the oracle can rebuild the exact value.
+    "q28_ngram_jaccard" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = docs.select(col("doc_id").as("id_a"),
+                                (col("doc_id") + 1).as("id_b"))
+        Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a")
+      },
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / CAST(len(a.shingles) + len(b.shingles)
+                            - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE),
+                     9) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ORDER BY id_a""")),
+
+    // Embedding near-dup via hyperplane-LSH buckets + exact cosine.
+    "q29_embedding_neardup" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val doubled = emb.select(col("vec_id"), col("embedding"))
+          .unionAll(emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        Dedup.embeddingNearDup(doubled, "vec_id", "embedding", minCosine = 0.98)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+        FROM embeddings ORDER BY id_a, id_b""")),
+
+    // LSH-bucketed ANN (multiprobe), emitted as its GUARANTEE so the
+    // oracle can gate it: per query, the returned top-5's cosine sum
+    // must reach Q30_QUALITY_FLOOR of the in-engine exact brute-force
+    // top-5 sum (set-overlap recall is the wrong metric here — see the
+    // floor's scaladoc). The oracle asserts every query clears it: a
+    // broken bucketing (wrong dim, dead multiprobe, empty candidates)
+    // scores ~0 and the hash check goes red. Seeded planes make the
+    // booleans deterministic.
+    "q30_lsh_knn" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 20)
+        val approx = Similarity.lshTopK(queries, emb, k = 5, numPlanes = 6)
+        val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+        val exactSum = exact.groupBy("query_id")
+          .agg(sum("cosine").as("exact_sum"))
+        val approxSum = approx.groupBy("query_id")
+          .agg(sum("cosine").as("approx_sum"))
+        queries.select(col("vec_id").as("query_id"))
+          .join(exactSum, Seq("query_id"))
+          .join(approxSum, Seq("query_id"), "left")
+          .select(col("query_id"),
+            (coalesce(col("approx_sum"), lit(0.0))
+              >= col("exact_sum") * Q30_QUALITY_FLOOR).as("quality_ok"))
+          .orderBy("query_id")
+      },
+      oracle = Some("""
+        SELECT vec_id AS query_id, TRUE AS quality_ok
+        FROM embeddings WHERE vec_id < 20 ORDER BY query_id""")),
+  )
+}

@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Aqi, TextFunctions => TF, VectorFunctions => VF}
+import graft.ops.{Dedup, Inference, Pack, Redact, Sampling, Similarity}
+import graft.pipeline.Transforms
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import scala.collection.immutable.ListMap
+
+import Catalog._
+
+/** training-pipeline extensions: PII, packing, sampling, chunking (q65-q78).
+  *
+  * One slice of the query catalog (split from the single 3.9k-line map
+  * in round 5). Entry ORDER is load-bearing: [[Catalog.all]] is a
+  * ListMap concatenated slice-by-slice, and oracle_sql.json iterates
+  * it in insertion order.
+  */
+private[queries] object CatalogTraining {
+  def entries: Seq[(String, QueryDef)] = Seq(
+    // ===== training-pipeline extensions round 2 =====
+
+    // PII redaction (ops/Redact): structured identifiers scrubbed by a
+    // pattern table that also generates the oracle SQL. The corpus has no
+    // real PII, so both sides inject it deterministically from doc_id
+    // first — the scrub then has something non-vacuous to remove in every
+    // row, and the cleaned text is hash-compared cell-exactly.
+    "q65_pii_scrub" -> QueryDef(
+      fn = (s, d) => {
+        val pii = concat(
+          substring(col("text"), 1, 40),
+          lit(" mail u"), col("doc_id"), lit("@ex.io ip 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 tel 555-01"),
+          pmod(col("doc_id"), lit(10)))
+        t(s, d, "documents")
+          .select(col("doc_id") +:
+            (Redact.counts(pii) :+ Redact.scrub(pii).as("clean_text")): _*)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH pii AS (SELECT doc_id,
+          concat(substring(text, 1, 40), ' mail u', CAST(doc_id AS VARCHAR),
+                 '@ex.io ip 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                 '.7 tel 555-01', CAST(doc_id % 10 AS VARCHAR)) AS ptext
+          FROM documents)
+        SELECT doc_id, ${Redact.countsSql("ptext").mkString(", ")},
+               ${Redact.scrubSql("ptext")} AS clean_text
+        FROM pii ORDER BY doc_id""")),
+
+    // Repetition-ratio quality signal: distinct-token share, the cheap
+    // proxy for boilerplate/spam docs every corpus filter uses. Pure map
+    // over codegen'd array functions — no shuffle.
+    "q66_repetition" -> QueryDef(
+      fn = (s, d) => {
+        val toks = TF.tokens(col("text"))
+        val ratio = size(array_distinct(toks)).cast("double") / size(toks)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"),
+            size(toks).cast("long").as("n_tokens"),
+            // floor-based 4-dp snap (NOTES.md): identical double ops on
+            // both engines, no round() tie-break semantics to diverge
+            (floor(ratio * 10000 + 0.5) / 10000.0).as("distinct_ratio"),
+            (ratio < 0.35).as("repetitive"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                     * 10000 + 0.5) / 10000.0 AS distinct_ratio,
+               (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.35)
+                 AS repetitive
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        ORDER BY doc_id""")),
+
+    // Sequence packing (ops/Pack): concat-and-chunk into 512-token
+    // training sequences via the distributed two-phase prefix sum; the
+    // oracle is the single-window formulation, which the parallel form
+    // must reproduce exactly — this check IS the scan-algorithm proof.
+    "q67_sequence_pack" -> QueryDef(
+      fn = (s, d) => Pack.packSequences(
+          t(s, d, "documents")
+            .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512)
+        .orderBy("doc_id"),
+      oracle = Some(Pack.packSql(s"len($toksSql)", 512))),
+
+    // Batched inference plumbing (ops/Inference): fixed-size batches
+    // through mapPartitions with a deterministic SQL-expressible scorer —
+    // the oracle verifies the row↔score mapping survives batching.
+    "q68_batched_inference" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Inference.scoreBatched(
+          t(s, d, "documents").select(col("doc_id"), col("text"))
+            .as[(Long, String)],
+          new Inference.TokenDensityScorer, batchSize = 64)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               floor((CAST(len($toksSql) AS DOUBLE) / (length(text) + 1))
+                     * 1000000 + 0.5) / 1000000.0 AS score
+        FROM documents ORDER BY doc_id""")),
+
+    // Repeated-span detection (ops/Spans): token spans shared by >= 2
+    // documents, merged into maximal spans per doc (gaps-and-islands).
+    // The substring-level dedup signal document-level dedup misses.
+    "q70_repeated_spans" -> QueryDef(
+      fn = (s, d) => graft.ops.Spans.repeatedSpans(
+          t(s, d, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start"),
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        grams AS (SELECT doc_id, i AS pos,
+                         array_to_string(toks[i:i+7], ' ') AS gram
+                  FROM toks,
+                  LATERAL (SELECT unnest(generate_series(1, len(toks)-7)) AS i) g),
+        rep AS (SELECT gram FROM grams
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        r AS (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS island
+              FROM grams WHERE gram IN (SELECT gram FROM rep))
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               count(*) AS n_grams
+        FROM r GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
+
+    // Packed training shards: materialize q67's assignment — the docs
+    // STARTING in each 512-token window, concatenated in offset order
+    // with an <eos> separator. The groupBy key is the sequence id
+    // (uniform), and each group is a handful of docs: the canonical
+    // "write training shards" shuffle shape.
+    "q72_packed_shards" -> QueryDef(
+      fn = (s, d) => {
+        val packed = Pack.packSequences(
+          t(s, d, "documents").select(col("doc_id"), col("text"),
+            TF.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512)
+        packed.groupBy("seq_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("offset_in_seq"),
+                  col("doc_id"), col("text")))),
+                x => x.getField("text")),
+              " <eos> ").as("shard_text"))
+          .orderBy("seq_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, text, len($toksSql) AS n_tokens
+                      FROM documents),
+        cum AS (SELECT doc_id, text, n_tokens,
+                CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  - n_tokens AS start FROM toks)
+        SELECT CAST(start // 512 AS BIGINT) AS seq_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               string_agg(text, ' <eos> '
+                 ORDER BY start % 512, doc_id) AS shard_text
+        FROM cum GROUP BY 1 ORDER BY seq_id""")),
+
+    // TF-IDF keyword extraction, top-3 per document. Rational idf
+    // (tf * N / df, no logarithm) on purpose: both engines divide the
+    // SAME exact integers, so scores are bit-identical — a libm ln()
+    // could differ by an ulp between engines and flip a rank tie.
+    // The df dimension is |vocab| rows -> broadcast; the token explode
+    // is the op's inherent cost.
+    "q71_tfidf_keywords" -> QueryDef(
+      fn = (s, d) => {
+        val docsDf = t(s, d, "documents")
+        val n = docsDf.count() // bounded scalar (one long on the driver)
+        val tok = docsDf.select(col("doc_id"),
+          explode(TF.tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfDim = tok.groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val scored = tf.join(broadcast(dfDim), Seq("token"))
+          .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("score"), col("token"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("token"),
+            // floor-based 6-dp snap: identical double ops both engines
+            (floor(col("score") * 1000000 + 0.5) / 1000000.0).as("score"))
+          .orderBy("doc_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfd AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM documents),
+        r AS (SELECT tf.doc_id, tf.token,
+                     CAST(tf.tf * nn.n AS DOUBLE) / dfd.df AS score,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf * nn.n AS DOUBLE) / dfd.df DESC,
+                                tf.token) AS rank
+              FROM tf JOIN dfd ON tf.token = dfd.token CROSS JOIN nn)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+               floor(score * 1000000 + 0.5) / 1000000.0 AS score
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // Per-source contribution cap: no single domain may contribute more
+    // than K documents — the standard anti-domination curation step. The
+    // kept subset is deterministic (md5 order, doc_id tie-break), so
+    // re-runs and both engines agree.
+    "q73_per_source_cap" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        SELECT source, count(*) AS n, min(doc_id) AS min_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10 GROUP BY source ORDER BY source""")),
+
+    // Unicode NFC normalization (native codegen'd Expression): both
+    // engines append the DECOMPOSED "cafe" + U+0301 and normalize — the
+    // composed form must come back one code point shorter, and the
+    // normalized strings hash-compare cell-exactly. chr(769) is DuckDB's
+    // spelling of the combining acute.
+    "q74_nfc_normalize" -> QueryDef(
+      fn = (s, d) => {
+        val raw = concat(col("text"), lit(" cafe\u0301")) // e + combining acute, escaped
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.expressions.NfcNormalize
+              .nfcNormalize(raw, session = Some(s)) // pin: no thread-local reliance
+              .as("norm_text"),
+            length(raw).cast("long").as("n_chars_raw"))
+          .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               nfc_normalize(text || ' cafe' || chr(769)) AS norm_text,
+               length(text || ' cafe' || chr(769)) AS n_chars_raw,
+               length(nfc_normalize(text || ' cafe' || chr(769))) AS n_chars_norm
+        FROM documents ORDER BY doc_id""")),
+
+    // Overlapping document chunking (size 32, overlap 8): the window
+    // split embedding pipelines run before encoding long docs. Window
+    // starts are 1, 1+stride, ... up to n-overlap, so every token is
+    // covered and no window is pure overlap; the tail window may be
+    // short. Pure map + explode — no shuffle before the final sort.
+    "q75_doc_chunks" -> QueryDef(
+      fn = (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+          .withColumn("__n", size(col("__toks")))
+          .filter(col("__n") > 0)
+          .select(col("doc_id"), col("__toks"), col("__n"),
+            explode(sequence(lit(1),
+              greatest(lit(1), col("__n") - ChunkOverlap),
+              lit(ChunkStride))).as("start"))
+          .select(
+            col("doc_id"),
+            expr(s"CAST((start - 1) div $ChunkStride AS BIGINT)").as("chunk_id"),
+            array_join(slice(col("__toks"), col("start"), lit(ChunkSize)), " ")
+              .as("chunk_text"),
+            least(lit(ChunkSize), col("__n") - col("start") + 1).cast("long")
+              .as("n_chunk_tokens"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM toks
+               WHERE len(toks) > 0)
+        SELECT doc_id,
+               CAST((i - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+               array_to_string(toks[i:i+${ChunkSize - 1}], ' ') AS chunk_text,
+               CAST(least($ChunkSize, n - i + 1) AS BIGINT) AS n_chunk_tokens
+        FROM t2,
+        LATERAL (SELECT unnest(generate_series(1,
+                   greatest(1, n - $ChunkOverlap), $ChunkStride)) AS i) g
+        ORDER BY doc_id, chunk_id""")),
+
+    // Stratified sampling (ops/Sampling.stratifiedKeep): per-language
+    // deterministic downsampling — rebalance an over-represented stratum
+    // without touching the rest; hash-prefix mechanism shared with q58.
+    "q69_stratified_sample" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+          Catalog.strataFractions))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("lang"),
+      oracle = Some(s"""
+        SELECT lang, count(*) AS n, min(doc_id) AS min_id FROM documents
+        WHERE ${Sampling.stratifiedKeepSql("doc_id", "lang", strataFractions)}
+        GROUP BY lang ORDER BY lang""")),
+  )
+}

