@@ -191,6 +191,89 @@ private[queries] object CatalogRoundtrip {
                CAST(strftime(ts, '%d') AS BIGINT) AS d,
                CAST(strftime(ts, '%H') AS BIGINT) AS h,
                count(*) AS n, ${sumSql("value")} AS sum_value
-        FROM events GROUP BY 1, 2, 3, 4 ORDER BY y, m, d, h"""))
+        FROM events GROUP BY 1, 2, 3, 4 ORDER BY y, m, d, h""")),
+
+    // S3+P2+S2 round-trip: the partitioned parquet MART sink
+    // (repartition-by-partition-cols + sortWithinPartitions +
+    // partitionBy + maxRecordsPerFile — the production layout writer)
+    // written from derivePartitions output (year int, month/day
+    // zero-padded strings: the reference's asymmetric contract), read
+    // back through partition DISCOVERY, and aggregated by the
+    // discovered keys. Values prove the year/month/day derivation AND
+    // the layout round-trip; casts absorb discovery's string→int
+    // type inference (the trap compactPartitions documents).
+    "q144_partitioned_mart" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-mart")
+        try {
+          val mart = Transforms.derivePartitions(
+            t(s, d, "events").select(col("event_id"),
+              col("ts").as("datetime"), col("event_type"), col("value")))
+          graft.pipeline.Sink.writePartitioned(mart, s"$base/mart",
+            partitionCols = Seq("year", "month", "day"), mode = "overwrite")
+          s.read.parquet(s"$base/mart")
+            .groupBy(col("year").cast("long").as("y"),
+              col("month").cast("long").as("m"),
+              col("day").cast("long").as("d"))
+            .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+            .orderBy("y", "m", "d")
+            .localCheckpoint(true)
+        } finally dropStagedTree(base)
+      },
+      oracle = Some(s"""
+        SELECT CAST(strftime(ts, '%Y') AS BIGINT) AS y,
+               CAST(strftime(ts, '%m') AS BIGINT) AS m,
+               CAST(strftime(ts, '%d') AS BIGINT) AS d,
+               count(*) AS n, ${sumSql("value")} AS sum_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY y, m, d""")),
+
+    // P7+P1 as a SELECT: active-sensor filtering over a staged
+    // locations envelope — customers %4==0 report a stale datetimeLast
+    // (outside the 7-day window of the injected asOf) and are dropped;
+    // each survivor carries one sensor whose RAW parameter name 'PM2.5'
+    // must normalize to 'pm25' to survive the required-parameter match
+    // (the reference's HCMC naming fix) while its 'co2' sibling is
+    // filtered out. The oracle derives the surviving set from customer.
+    "q145_active_sensors" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-act")
+        try {
+          def sensor(n: Int, param: String) = struct(
+            (col("c_custkey") * 10 + n).as("id"),
+            concat(lit(s"sensor-$n-"), col("c_custkey")).as("name"),
+            struct(lit(n.toLong).as("id"), lit(param).as("name"),
+              lit("\u00b5g/m\u00b3").as("units"), lit(param).as("displayName"))
+              .as("parameter"))
+          val locs = t(s, d, "customer").filter(col("c_custkey") < 300)
+            .select(
+              col("c_custkey").as("id"), col("c_name").as("name"),
+              col("c_mktsegment").as("locality"),
+              lit("Asia/Ho_Chi_Minh").as("timezone"),
+              struct(col("c_nationkey").as("id"), lit("VN").as("code"),
+                lit("Vietnam").as("name")).as("country"),
+              struct(lit(10.75).as("latitude"), lit(106.5).as("longitude"))
+                .as("coordinates"),
+              array(sensor(1, "PM2.5"), sensor(2, "co2")).as("sensors"),
+              struct(lit("2024-01-01T00:00:00Z").as("utc"),
+                lit(null).cast("string").as("local")).as("datetimeFirst"),
+              struct(
+                when(col("c_custkey") % 4 === 0,
+                    lit("2024-05-20T00:00:00Z"))
+                  .otherwise(lit("2024-05-30T00:00:00Z")).as("utc"),
+                lit(null).cast("string").as("local")).as("datetimeLast"))
+          graft.pipeline.Sink.writeWrapped(locs, s"$base/loc", "locations",
+            java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+          graft.pipeline.Extract.activeSensors(
+              graft.pipeline.Extract.readLocations(s, s"$base/loc"),
+              asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+            .orderBy("sensor_id")
+            .localCheckpoint(true)
+        } finally dropStagedTree(base)
+      },
+      oracle = Some("""
+        SELECT c_custkey * 10 + 1 AS sensor_id,
+               c_custkey AS location_id, 'pm25' AS parameter
+        FROM customer WHERE c_custkey < 300 AND c_custkey % 4 <> 0
+        ORDER BY sensor_id"""))
   )
 }

@@ -61,10 +61,19 @@ class SkewSpec extends AnyFunSuite {
       val joined = left.join(right, "k").groupBy("g")
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
-      joined.collect() // AQE decides at runtime — materialize first
+      val rows = joined.collect() // AQE decides at runtime — materialize first
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"expected a runtime skew-split SMJ in:\n$plan")
+      // the VALUES through the skew-split path, not just the plan shape:
+      // a mis-merged split would drop or double hot-key rows. Even i →
+      // mega-key 0 (20,000 rows); odd i → odd i%500 (80 each); even
+      // dims other than 0 never occur.
+      val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts("dim_0") == 20000L, s"hot key: ${counts.get("dim_0")}")
+      assert(counts("dim_1") == 80L && counts("dim_499") == 80L)
+      assert(!counts.contains("dim_2"))
+      assert(counts.values.sum == 40000L)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
