@@ -659,6 +659,34 @@ private[queries] object CatalogAnalytics {
                TRUE AS within_bound
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Approximate percentile — q54's sketch twin and the percentile
+    // family's 100 TB path (exact percentile buffers every group value;
+    // the GK sketch is fixed-size and mergeable). The sketch VALUE can
+    // vary with partial-merge order, so the gate is its GUARANTEE in
+    // RANK space, which is merge-order-proof: the fraction of values at
+    // or below the approx median must sit within 2% of 0.5 (the
+    // guarantee bound is 1/accuracy = 0.1%; 20x slack means only a
+    // broken sketch goes red). n is oracle-diffed for real; the
+    // re-join to count ranks broadcasts the 5-row sketch result.
+    "q146_approx_percentile" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+        val sk = ev.groupBy("event_type")
+          .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50a"))
+        ev.join(broadcast(sk), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("value") <= col("p50a"), 1)).as("below"))
+          .select(col("event_type"), col("n"),
+            (abs(col("below").cast("double") / col("n") - 0.5) <= 0.02)
+              .as("within_bound"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(value) AS n, TRUE AS within_bound
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
     // Per-label embedding centroids through the typed VectorMean Aggregator
     // (partial merges on fixed-width buffers — the UDAF surface), exploded
     // to (label, dim, value) rows. 4-dp round absorbs partial-merge-order
