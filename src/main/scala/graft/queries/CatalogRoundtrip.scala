@@ -274,6 +274,99 @@ private[queries] object CatalogRoundtrip {
         SELECT c_custkey * 10 + 1 AS sensor_id,
                c_custkey AS location_id, 'pm25' AS parameter
         FROM customer WHERE c_custkey < 300 AND c_custkey % 4 <> 0
-        ORDER BY sensor_id"""))
+        ORDER BY sensor_id""")),
+
+    // The WHOLE reference dataflow as one oracle-checked SELECT: raw
+    // NDJSON staged from events (every 13th datetime invalid), then
+    // readRawQuarantined (S1: declared schema + corrupt-line split) →
+    // parse (P1, invalid→null) → drop (P6) → derive (P2) → rank-dedup
+    // (W1, deterministic tie) → pivot (A1) → metadata + broadcast
+    // enrich (P3+J1) → fill defaults (P5) — the full mart, row-wise.
+    // Every mart-visible column is a function of (location_id, datetime,
+    // parameter, value), so the dedup/dropDuplicates survivor choice
+    // cannot leak nondeterminism. The oracle rebuilds the mart in SQL;
+    // its tie-break spells NULLS FIRST because Spark's window asc is
+    // nulls-first while DuckDB defaults nulls-last.
+    "q147_raw_pipeline" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-rawpipe")
+        try {
+          val loc = col("user_id") % 50
+          val raw = t(s, d, "events").select(
+            loc.as("location_id"),
+            col("event_id").as("sensor_id"),
+            when(col("event_id") % 13 === 0, lit("not-a-ts"))
+              .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+              .as("datetime"),
+            when(col("event_type") === "click", "pm25")
+              .when(col("event_type") === "view", "pm10")
+              .when(col("event_type") === "error", "no2")
+              .when(col("event_type") === "purchase", "o3")
+              .otherwise("co").as("parameter"),
+            col("value"),
+            lit("\u00b5g/m\u00b3").as("unit"),
+            when(loc % 5 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("City_"), loc)).as("city"),
+            when(loc % 7 === 0, lit(null).cast("string"))
+              .otherwise(lit("TH")).as("country"),
+            when(loc % 11 === 0, lit(null).cast("double"))
+              .otherwise(loc.cast("double") + 0.25).as("latitude"),
+            (loc.cast("double") + 0.5).as("longitude"),
+            concat(lit("Loc_"), loc).as("location_name"),
+            lit("Asia/Ho_Chi_Minh").as("timezone"),
+            lit("2024-06-01T00:00:00Z").as("extracted_at"))
+          graft.pipeline.Sink.writeNdjson(raw, s"$base/raw")
+          val cfg = graft.pipeline.Schemas.JobConfig(
+            inputPath = s"$base/raw", outputPath = s"$base/out")
+          val (rawDf, quarantined) =
+            graft.pipeline.OpenAqPipeline.readRawQuarantined(s, cfg)
+          // staged lines are all well-formed; assert the quarantine
+          // channel is empty so a schema drift cannot silently shrink
+          // the mart (the split itself is ExtractSpec/PipelineSpec-tested
+          // on malformed fixtures)
+          require(quarantined.isEmpty, "unexpected quarantined raw lines")
+          val (_, _, mart) = graft.pipeline.OpenAqPipeline.transform(rawDf, cfg)
+          mart
+            .withColumn("year", col("year").cast("long"))
+            .orderBy("location_id", "datetime")
+            .localCheckpoint(true)
+        } finally dropStagedTree(base)
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT user_id % 50 AS loc, event_id,
+                 CASE WHEN event_id % 13 = 0 THEN NULL
+                      ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS dts,
+                 CASE event_type WHEN 'click' THEN 'pm25'
+                      WHEN 'view' THEN 'pm10' WHEN 'error' THEN 'no2'
+                      WHEN 'purchase' THEN 'o3' ELSE 'co' END AS parameter,
+                 value
+          FROM events),
+        valid AS (SELECT loc, CAST(dts AS TIMESTAMP) AS dt, parameter, value
+                  FROM raw WHERE dts IS NOT NULL),
+        surv AS (SELECT loc, dt, parameter, value FROM (
+                   SELECT loc, dt, parameter, value, row_number() OVER (
+                     PARTITION BY loc, dt
+                     ORDER BY parameter ASC NULLS FIRST,
+                              value ASC NULLS FIRST) AS rn
+                   FROM valid) WHERE rn = 1)
+        SELECT CAST(loc AS VARCHAR) AS location_id, dt AS datetime,
+               year(dt) AS year,
+               lpad(CAST(month(dt) AS VARCHAR), 2, '0') AS month,
+               lpad(CAST(day(dt) AS VARCHAR), 2, '0') AS day,
+               CASE WHEN parameter = 'pm25' THEN value END AS pm25,
+               CASE WHEN parameter = 'pm10' THEN value END AS pm10,
+               CASE WHEN parameter = 'no2' THEN value END AS no2,
+               CAST(NULL AS DOUBLE) AS so2,
+               CASE WHEN parameter = 'o3' THEN value END AS o3,
+               CASE WHEN parameter = 'co' THEN value END AS co,
+               CAST(NULL AS DOUBLE) AS bc,
+               'Loc_' || CAST(loc AS VARCHAR) AS location_name,
+               CASE WHEN loc % 5 = 0 THEN 'Unknown'
+                    ELSE 'City_' || CAST(loc AS VARCHAR) END AS city_name,
+               CASE WHEN loc % 7 = 0 THEN 'VN' ELSE 'TH' END AS country_code,
+               CASE WHEN loc % 11 = 0 THEN 0.0 ELSE loc + 0.25 END AS latitude,
+               loc + 0.5 AS longitude
+        FROM surv ORDER BY location_id, datetime"""))
   )
 }
