@@ -21,8 +21,9 @@ object SparkEntry {
     Catalog.all.map { case (name, q) => name -> q.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-seeded ops (LSH internals)
-    * → driver records a weaker rows-only check.
+    * the same parquet tables. Every entry has one (round 5): hash-seeded
+    * ops (LSH/IVF/HLL/GK) emit their recall/error GUARANTEES as
+    * deterministic rows the oracle asserts, instead of rows-only checks.
     */
   def oracleSql: Map[String, String] =
     Catalog.all.collect { case (name, q) if q.oracle.isDefined =>
