@@ -687,6 +687,37 @@ private[queries] object CatalogAnalytics {
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
 
+    // The remaining analytic-window family members: cume_dist,
+    // nth_value and first_value over the default peer-inclusive RANGE
+    // frame. The ordering tuple (value, event_id) is UNIQUE, so every
+    // row is its own peer group — cume_dist is row_number/count (the
+    // same n/m IEEE division on both engines, bit-exact without
+    // rounding) and the running frame is exactly rows 1..current.
+    // NULLS LAST is spelled out on both sides (Spark window asc is
+    // nulls-FIRST by default, DuckDB nulls-LAST — the one place the
+    // engines' defaults disagree).
+    "q148_window_family" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").asc_nulls_last, col("event_id"))
+        t(s, d, "events").select(
+          col("event_id"), col("event_type"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("value"), 3).over(w).as("nv3"),
+          first(col("value")).over(w).as("fv"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, event_type,
+               cume_dist() OVER w AS cd,
+               nth_value(value, 3) OVER w AS nv3,
+               first_value(value) OVER w AS fv
+        FROM events
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY value ASC NULLS LAST, event_id
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
     // Per-label embedding centroids through the typed VectorMean Aggregator
     // (partial merges on fixed-width buffers — the UDAF surface), exploded
     // to (label, dim, value) rows. 4-dp round absorbs partial-merge-order
