@@ -696,24 +696,30 @@ private[queries] object CatalogAnalytics {
     // NULLS LAST is spelled out on both sides (Spark window asc is
     // nulls-FIRST by default, DuckDB nulls-LAST — the one place the
     // engines' defaults disagree).
+    // Partition key is user_id, NOT event_type: user cardinality grows
+    // with the corpus so per-partition row counts stay bounded, while
+    // the 5-value event_type would put ~1/5 of a 100 TB table in one
+    // window task. For a distribution over a LOW-cardinality key at
+    // scale, ops/Ranking (range-partition + driver-summed offsets) is
+    // the path — the same reason q83/q100 avoid a global window.
     "q148_window_family" -> QueryDef(
       fn = (s, d) => {
-        val w = Window.partitionBy("event_type")
+        val w = Window.partitionBy("user_id")
           .orderBy(col("value").asc_nulls_last, col("event_id"))
         t(s, d, "events").select(
-          col("event_id"), col("event_type"),
+          col("event_id"), col("user_id"),
           cume_dist().over(w).as("cd"),
           nth_value(col("value"), 3).over(w).as("nv3"),
           first(col("value")).over(w).as("fv"))
           .orderBy("event_id")
       },
       oracle = Some("""
-        SELECT event_id, event_type,
+        SELECT event_id, user_id,
                cume_dist() OVER w AS cd,
                nth_value(value, 3) OVER w AS nv3,
                first_value(value) OVER w AS fv
         FROM events
-        WINDOW w AS (PARTITION BY event_type
+        WINDOW w AS (PARTITION BY user_id
                      ORDER BY value ASC NULLS LAST, event_id
                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY event_id""")),
