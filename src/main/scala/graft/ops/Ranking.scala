@@ -87,6 +87,28 @@ object Ranking {
       .drop("__bucket", "__base")
   }
 
+  /** Exact global `cume_dist` over `keyCols` — peer-inclusive count of
+    * rows with key <= current key, divided by n; 1.0 for the last peer
+    * group — without the single-reducer window. The local window keeps
+    * Spark's DEFAULT frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW),
+    * which is peer-inclusive, so `base + count over frame` is the global
+    * peer-inclusive count: equal keys never straddle range partitions
+    * and every earlier partition holds strictly smaller keys.
+    * Output: input columns + `out` (double).
+    */
+  def cumeDistExact(df: DataFrame, keyCols: Seq[Column],
+      out: String = "cume_dist", numPartitions: Int = 0): DataFrame = {
+    val w = Window.partitionBy("__bucket").orderBy(keyCols: _*)
+    val (based, total) = withBases(df, keyCols, numPartitions)
+    val cnt = col("__base") + count(lit(1)).over(w)
+    val cd =
+      if (total == 0L) lit(0.0) // no rows survive anyway
+      else cnt.cast("double") / lit(total.toDouble)
+    based
+      .withColumn(out, cd)
+      .drop("__bucket", "__base")
+  }
+
   /** Exact global `percent_rank` over `keyCols` — RANK semantics (tied
     * keys share a rank), (rank - 1) / (n - 1), 0.0 for a single row —
     * without the single-reducer window. Correctness of the split rank:

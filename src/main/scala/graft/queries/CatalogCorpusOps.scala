@@ -333,6 +333,26 @@ private[queries] object CatalogCorpusOps {
                      * 1000000 + 0.5) / 1000000.0 AS pct_rank
         FROM documents ORDER BY doc_id""")),
 
+    // Exact global cume_dist (ops/Ranking.cumeDistExact): the
+    // distribution-over-a-low-cardinality-key scale path promised by
+    // q148's scaladoc — peer-inclusive count/n via the same two-phase
+    // range-partitioned scan as q100, no single-reducer window. Same
+    // tie-heavy n_chars key and 6-dp floor snap as q100; both engines
+    // divide the same integers as IEEE doubles.
+    "q149_cume_dist" -> QueryDef(
+      fn = (s, d) => graft.ops.Ranking
+        .cumeDistExact(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").asc))
+        .select(col("doc_id"), col("n_chars"),
+          (floor(col("cume_dist") * 1000000 + 0.5) / 1000000.0).as("cd"))
+        .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id, n_chars,
+               floor(cume_dist() OVER (ORDER BY n_chars ASC)
+                     * 1000000 + 0.5) / 1000000.0 AS cd
+        FROM documents ORDER BY doc_id""")),
+
     // Contamination REMOVAL (Decontaminate.maskContaminated): q62/q88
     // detect eval leakage; this rewrites the train split with every
     // leaked 3-gram occurrence masked out — coverage is per token

@@ -43,6 +43,27 @@ class RankingSpec extends AnyFunSuite {
     assertNtileMatches(df, 8)
   }
 
+  test("cumeDistExact equals the global window cume_dist, ties included") {
+    // no id tiebreak on purpose: peer groups of ~143 rows each exercise
+    // the peer-inclusive frame across partition boundaries
+    val df = corpus(1000)
+    val twoPhase = Ranking
+      .cumeDistExact(df, Seq(col("score").desc), numPartitions = 7)
+      .select("id", "cume_dist").as[(Long, Double)].collect().toMap
+    val window = df
+      .withColumn("cume_dist", cume_dist()
+        .over(Window.orderBy(col("score").desc)))
+      .select("id", "cume_dist").as[(Long, Double)].collect().toMap
+    assert(twoPhase == window)
+  }
+
+  test("cumeDistExact of a single row is 1.0") {
+    val df = Seq((1L, 9.0)).toDF("id", "v")
+    val out = Ranking.cumeDistExact(df, Seq(col("v").asc))
+      .select("cume_dist").as[Double].collect()
+    assert(out.toSeq == Seq(1.0))
+  }
+
   private def assertNtileMatches(df: org.apache.spark.sql.DataFrame, b: Int): Unit = {
     val twoPhase = Ranking
       .ntileExact(df, b, Seq(col("score").desc, col("id").asc), numPartitions = 7)
