@@ -220,6 +220,14 @@ class PlanSpec extends AnyFunSuite {
     assert(single.isEmpty, s"single-partition exchange in q100 plan:\n$plan")
   }
 
+  test("q149: distributed cume_dist never funnels rows through one reducer") {
+    val plan = planOf("q149_cume_dist")
+    val single = plan.linesIterator.filter(_.contains("SinglePartition"))
+      .filterNot(_.contains("Broadcast"))
+      .toList
+    assert(single.isEmpty, s"single-partition exchange in q149 plan:\n$plan")
+  }
+
   test("q107: both SCD2 window passes share ONE user_id exchange") {
     val plan = planOf("q107_scd2_intervals")
     // exchanges: the user_id hash partition + the final deterministic
