@@ -122,6 +122,79 @@ object OpenAqPipeline {
     deduped.unpersist()
     (mart, Metrics(rawCount, dedupCount, pivotCount, enrichedCount, audit))
   }
+
+  /** [[run]]'s zero-extra-pass twin: every metric the reference logs
+    * (raw/dedup/pivot/enriched counts + the critical-column null audit)
+    * is collected by `Observation` DURING the single mart-write action —
+    * no persist, no count actions, no second scan of the mart. At 100 TB
+    * this removes a MEMORY_AND_DISK spill of the whole dataset plus four
+    * extra jobs; the trade is that validation becomes post-write (the
+    * audit `require` fires AFTER data landed), so pair it with
+    * `writeMode = "overwrite-dynamic"` when reruns must be idempotent.
+    * [[run]] stays the reference-parity default (gate before write),
+    * same opt-in pattern as the overwrite-dynamic sink mode.
+    *
+    * Observations live ONLY on the scan→dedup→pivot→mart spine, which
+    * executes exactly once per write. The enrich metadata branch
+    * re-derives `parsed` WITHOUT observations: it runs as a separate
+    * (broadcast-build) job over the same scan, and a CollectMetrics node
+    * reached by two jobs in one action would double-count.
+    */
+  def runObserved(spark: SparkSession, cfg: Schemas.JobConfig, viewName: String = "vietnam"): (DataFrame, Metrics) = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit, when}
+    val obsRaw = Observation(); val obsDedup = Observation()
+    val obsPivot = Observation(); val obsMart = Observation()
+
+    val raw = readRaw(spark, cfg).observe(obsRaw, count(lit(1)).as("n"))
+    val parsed = raw
+      .transform(Transforms.parseDatetime)
+      .transform(Transforms.dropInvalidDatetime)
+      .transform(Transforms.derivePartitions)
+    val dedupKeys = Seq("location_id", "datetime")
+    val deduped = (if (cfg.deterministicDedup)
+        parsed.transform(Transforms.dedupByRank(dedupKeys, Seq(col("parameter"), col("value"))))
+      else
+        parsed.transform(Transforms.dedupByRank(dedupKeys, Nil)))
+      .observe(obsDedup, count(lit(1)).as("n"))
+    val pivoted = deduped
+      .transform(Transforms.pivotParameters(values = cfg.pivotValues))
+      .observe(obsPivot, count(lit(1)).as("n"))
+
+    // unobserved metadata branch (see scaladoc)
+    val metaParsed = readRaw(spark, cfg)
+      .transform(Transforms.parseDatetime)
+      .transform(Transforms.dropInvalidDatetime)
+      .transform(Transforms.derivePartitions)
+    val meta = Transforms.buildMetadata(metaParsed)
+
+    val martBase = pivoted
+      .withColumn("location_id", col("location_id").cast("string"))
+      .transform(Transforms.enrich(meta))
+      .transform(Transforms.fillDefaults)
+    Transforms.requireColumns(martBase)
+    // same expressions as Transforms.nullAudit, riding the write pass
+    val auditExprs = Schemas.criticalColumns
+      .map(c => count(when(col(c).isNull, 1)).as(c))
+    val mart = martBase.observe(
+      obsMart, count(lit(1)).as("n"), auditExprs: _*)
+
+    Sink.writePartitioned(mart, cfg.outputPath, cfg.partitionCols, cfg.writeMode)
+
+    val martRow = obsMart.get
+    val audit = Schemas.criticalColumns.map(c => c -> martRow(c).asInstanceOf[Long]).toMap
+    require(audit.values.forall(_ == 0L), s"null critical columns: $audit")
+
+    val written = spark.read.schema(mart.schema).parquet(cfg.outputPath)
+    written.createOrReplaceTempView(viewName)
+
+    (mart, Metrics(
+      obsRaw.get("n").asInstanceOf[Long],
+      obsDedup.get("n").asInstanceOf[Long],
+      obsPivot.get("n").asInstanceOf[Long],
+      martRow("n").asInstanceOf[Long],
+      audit))
+  }
 }
 
 /** S3/S4 — sinks. */

@@ -62,6 +62,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.count() == 2)
   }
 
+  test("runObserved: identical metrics and mart via Observation, no extra pass") {
+    val inDir = Files.createTempDirectory("graft-in-obs").toFile
+    Files.write(new java.io.File(inDir, "raw_1.json").toPath,
+      ndjson.mkString("\n").getBytes("UTF-8"))
+    val outA = Files.createTempDirectory("graft-out-obs-a").toFile.getAbsolutePath + "/mart"
+    val outB = Files.createTempDirectory("graft-out-obs-b").toFile.getAbsolutePath + "/mart"
+
+    val (_, mRun) = OpenAqPipeline.run(spark,
+      Schemas.JobConfig(inputPath = inDir.getAbsolutePath, outputPath = outA),
+      viewName = "obs_run")
+    val (_, mObs) = OpenAqPipeline.runObserved(spark,
+      Schemas.JobConfig(inputPath = inDir.getAbsolutePath, outputPath = outB),
+      viewName = "obs_observed")
+
+    assert(mObs == mRun) // every count + the full null-audit map
+    // written marts are row-identical (compare on the deterministic key)
+    val a = spark.read.parquet(outA).selectExpr("location_id", "datetime", "pm25")
+      .collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(outB).selectExpr("location_id", "datetime", "pm25")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("quarantined read splits malformed lines from valid rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toFile
     java.nio.file.Files.write(new java.io.File(dir, "raw.json").toPath,
