@@ -12,6 +12,11 @@ import org.apache.spark.sql.SparkSession
   *   --input_path /data/aq_raw --output_path /data/marts/vietnam \
   *   --env dev --partition_cols year,month,day"
   * }}}
+  *
+  * `--metrics observed` switches to [[OpenAqPipeline.runObserved]]
+  * (counts + null audit collected during the write, no persist — the
+  * scale path; validation is post-write, so combine with
+  * `--write_mode overwrite-dynamic` for idempotent reruns).
   */
 object ProcessOpenaqRaw {
 
@@ -41,9 +46,13 @@ object ProcessOpenaqRaw {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val observed = args.sliding(2, 2)
+      .exists(p => p.length == 2 && p(0) == "--metrics" && p(1) == "observed")
     Log.start(s"Glue-equivalent transform job (env=${cfg.env})")
     try {
-      val (_, m) = OpenAqPipeline.run(spark, cfg)
+      val (_, m) =
+        if (observed) OpenAqPipeline.runObserved(spark, cfg)
+        else OpenAqPipeline.run(spark, cfg)
       Log.ok(s"Read ${m.rawCount} raw records from ${cfg.inputPath}")
       Log.ok(s"Deduplicated to ${m.dedupCount} records")
       Log.ok(s"Enriched mart rows: ${m.enrichedCount}")
