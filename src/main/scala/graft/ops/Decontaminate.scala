@@ -129,14 +129,16 @@ object Decontaminate {
           " ").as("clean_text"),
         count(lit(1)).as("n_tokens_kept"))
 
-    // totals come from the already-exploded token stream (not a second
-    // pass over the text bytes); the id-only scan restoring token-less
-    // docs is column-pruned — it never reads text
-    val totals = tokenized.groupBy("doc_id")
-      .agg(count(lit(1)).as("__n_total"))
+    // totals are a per-row tokenCount over the original text — identical
+    // by construction to counting the exploded stream (tokenCount IS
+    // size(tokens); the null-text coalesce mirrors posexplode emitting 0
+    // rows) — computed map-side in the SAME scan that restores token-less
+    // docs. This replaces a second full posexplode + token-stream
+    // groupBy shuffle + extra join, which at corpus scale was the most
+    // expensive way to count.
     train
-      .select(col(idCol).as("doc_id"))
-      .join(totals, Seq("doc_id"), "left")
+      .select(col(idCol).as("doc_id"),
+        coalesce(TF.tokenCount(col(textCol)), lit(0L)).as("__n_total"))
       .join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
