@@ -549,8 +549,12 @@ private[queries] object CatalogInfra {
         val tok = tagged.select(col("doc_id"),
           explode(TF.tokens(col("text"))).as("token"))
         val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val keep = tok.groupBy("token")
-          .agg(countDistinct("doc_id").as("df"))
+        // df comes from tf, which already holds ONE row per (doc, token):
+        // count(*) per token there IS countDistinct(doc_id) over the raw
+        // stream — so the corpus is tokenized once, not twice, and the
+        // two-phase distinct aggregate becomes a plain count
+        val keep = tf.groupBy("token")
+          .agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2 && col("df") <= maxDf)
           .select("token")
         val tfp = tf.join(keep, Seq("token")) // token-keyed, reused below

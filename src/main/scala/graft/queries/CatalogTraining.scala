@@ -184,8 +184,11 @@ private[queries] object CatalogTraining {
         val tok = docsDf.select(col("doc_id"),
           explode(TF.tokens(col("text"))).as("token"))
         val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dfDim = tok.groupBy("token")
-          .agg(countDistinct(col("doc_id")).as("df"))
+        // df from tf (one row per doc x token already): plain count there
+        // equals countDistinct(doc_id) over the raw stream, and the
+        // corpus is tokenized once instead of twice (the q124 trick)
+        val dfDim = tf.groupBy("token")
+          .agg(count(lit(1)).as("df"))
         val scored = tf.join(broadcast(dfDim), Seq("token"))
           .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
         val w = Window.partitionBy("doc_id")
