@@ -51,7 +51,10 @@ object Decontaminate {
     grams(eval, idCol, textCol, shingleSize, hashGrams)
       .join(trainGrams, Seq("gram"))
       .groupBy("doc_id")
-      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      // plain count IS countDistinct here: [[grams]] array_distincts per
+      // doc and the train side is distinct, so the join emits at most one
+      // row per (doc, gram) — no two-phase distinct aggregate needed
+      .agg(count(lit(1)).as("n_shared_grams"))
   }
 
   /** [[contaminated]] with a bloom prefilter on the eval gram stream —
@@ -78,7 +81,7 @@ object Decontaminate {
     prefiltered
       .join(trainGrams, Seq("gram"))
       .groupBy("doc_id")
-      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .agg(count(lit(1)).as("n_shared_grams")) // same argument as above
   }
 
   /** The removal step [[contaminated]] only detects: rewrite the TRAIN
