@@ -4,9 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line with total + per-query wall times. Each query is
-  * run twice; the second (warm: code generated, JIT'd, file listings
-  * cached) timing is reported — the steady-state number a long-running
-  * cluster job would see.
+  * run once for warmup (code generated, JIT'd, file listings cached),
+  * then three measured times; the MEDIAN is reported per query, with the
+  * raw samples alongside. A single warm sample on a 32-thread local JVM
+  * jitters +-25% (round 5's driver bench read two unchanged queries at
+  * +23%/+26% while a 4-sample rerun was flat) — the median of three is
+  * the cheapest estimator that survives one GC pause / compilation storm
+  * without chasing phantom regressions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,19 +37,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.benchQueries.map { name =>
+    val samplesPerQuery = 3
+    val sampled = SparkEntry.benchQueries.map { name =>
       timeOnce(name) // warmup
-      name -> timeOnce(name)
+      name -> Seq.fill(samplesPerQuery)(timeOnce(name))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // a query counts as failed if ANY sample failed (a flaky failure is
+    // still a failure); its median is reported as -1
+    val results = sampled.map { case (name, ss) =>
+      val median = if (ss.exists(_ < 0)) -1.0 else ss.sorted.apply(ss.size / 2)
+      (name, median, ss)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val samples = results
+      .map { case (k, _, ss) => "\"" + k + "\":" + ss.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // a failed query must not subtract from (i.e. improve) the headline
     // total: sum successes only and report failures explicitly
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples$failedField,"sf":"$sfDir"}"""
     // belt: persist to a file for consumers that can't parse sbt stdout
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
