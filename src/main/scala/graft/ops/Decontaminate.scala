@@ -53,7 +53,13 @@ object Decontaminate {
       .groupBy("doc_id")
       // plain count IS countDistinct here: [[grams]] array_distincts per
       // doc and the train side is distinct, so the join emits at most one
-      // row per (doc, gram) — no two-phase distinct aggregate needed
+      // row per (doc, gram) — no two-phase distinct aggregate needed.
+      // Caveat when hashGrams=true: array_distinct runs on the gram
+      // STRINGS, so two distinct grams in one doc colliding under
+      // xxhash64 would emit two rows for one hash key and double-count —
+      // the same negligible-probability collision the hashGrams scaladoc
+      // already accepts for the join itself (~n^2/2^64), traded for not
+      // paying a two-phase distinct aggregate on the at-scale path.
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
@@ -134,14 +140,17 @@ object Decontaminate {
 
     // totals are a per-row tokenCount over the original text — identical
     // by construction to counting the exploded stream (tokenCount IS
-    // size(tokens); the null-text coalesce mirrors posexplode emitting 0
-    // rows) — computed map-side in the SAME scan that restores token-less
-    // docs. This replaces a second full posexplode + token-stream
-    // groupBy shuffle + extra join, which at corpus scale was the most
-    // expensive way to count.
+    // size(tokens); the explicit null-text branch mirrors posexplode
+    // emitting 0 rows) — computed map-side in the SAME scan that restores
+    // token-less docs. This replaces a second full posexplode +
+    // token-stream groupBy shuffle + extra join, which at corpus scale
+    // was the most expensive way to count. The when() (not
+    // coalesce(size(...))) keeps the total engine-config-independent:
+    // with spark.sql.ansi.enabled=false, size(null) is -1, not null.
     train
       .select(col(idCol).as("doc_id"),
-        coalesce(TF.tokenCount(col(textCol)), lit(0L)).as("__n_total"))
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(TF.tokenCount(col(textCol))).as("__n_total"))
       .join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -34,6 +34,13 @@ object Drift {
     * `(n_a, n_b, js_nats)`. Zero-count buckets contribute 0 by the
     * 0*ln(0) = 0 convention (the `when` guards); the mixture m is
     * strictly positive on every kept bucket, so no division by zero.
+    *
+    * Degenerate inputs: if exactly one snapshot is empty (ta or tb = 0)
+    * its distribution is undefined, so `js_nats` is NULL — the counts
+    * still report which side was empty, and NULL (vs a silent NaN from
+    * 0/0 propagating through the mixture) survives round-tripping
+    * through parquet/SQL comparisons. If BOTH are empty there are no
+    * buckets at all and the result has zero rows.
     */
   def jsDivergence(a: DataFrame, b: DataFrame, valueCol: Column,
       width: Double): DataFrame = {
@@ -48,8 +55,11 @@ object Drift {
     joined.crossJoin(broadcast(totals))
       .select(
         col("ta"), col("tb"),
-        (col("na").cast("double") / col("ta")).as("p"),
-        (col("nb").cast("double") / col("tb")).as("q"))
+        // the when-guards also keep ANSI mode from raising DIVIDE_BY_ZERO
+        // on an empty side (CaseWhen evaluates its value lazily); a NULL
+        // p/q nulls its terms and the final guard nulls js_nats
+        when(col("ta") > 0, col("na").cast("double") / col("ta")).as("p"),
+        when(col("tb") > 0, col("nb").cast("double") / col("tb")).as("q"))
       .withColumn("m", (col("p") + col("q")) / 2.0)
       .withColumn("term",
         when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2.0)
@@ -58,6 +68,9 @@ object Drift {
           .otherwise(0.0))
       .groupBy("ta", "tb") // single group — the histogram is O(buckets)
       .agg(sum(col("term")).as("js_nats"))
-      .select(col("ta").as("n_a"), col("tb").as("n_b"), col("js_nats"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        // empty-side guard (see scaladoc): an undefined divergence is
+        // NULL, never the NaN the 0/0 mixture would propagate
+        when(col("ta") > 0 && col("tb") > 0, col("js_nats")).as("js_nats"))
   }
 }

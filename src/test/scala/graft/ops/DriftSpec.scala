@@ -48,4 +48,22 @@ class DriftSpec extends AnyFunSuite {
       .select("n_a", "n_b").as[(Long, Long)].head()
     assert(row == ((4L, 4L)))
   }
+
+  test("one empty snapshot yields NULL divergence (not NaN), counts intact") {
+    val a = Seq(0.1, 1.2, 2.3)
+    val empty = Seq.empty[Double]
+    Seq((a, empty, (3L, 0L)), (empty, a, (0L, 3L))).foreach {
+      case (l, r, want) =>
+        val row = Drift.jsDivergence(l.toDF("v"), r.toDF("v"), col("v"), 1.0)
+          .select("n_a", "n_b", "js_nats").head()
+        assert((row.getLong(0), row.getLong(1)) == want)
+        assert(row.isNullAt(2), s"js_nats should be NULL, got ${row.get(2)}")
+    }
+  }
+
+  test("both snapshots empty yields zero rows") {
+    val empty = Seq.empty[Double]
+    assert(Drift.jsDivergence(empty.toDF("v"), empty.toDF("v"), col("v"), 1.0)
+      .count() == 0L)
+  }
 }
