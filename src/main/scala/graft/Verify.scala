@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query subset — surgical re-runs
+    // into an existing outDir during development (the driver passes 2)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)         => (s, o, Option.empty[Set[String]])
+      case Array(s, o, subset) => (s, o, Some(subset.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,17 +20,39 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val rowCounts = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // the driver contract names each result dir `<name>.parquet`
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        // metadata-only count off the written footers — the query is not
+        // re-executed; this feeds the vacuousness guard below
+        name -> spark.read.parquet(s"$outDir/$name.parquet").count()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        name -> -1L
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       oracleJson(SparkEntry.oracleSql))
     spark.stop()
+    // Vacuousness guard (mechanical form of the q33/q139 review rule): a
+    // query whose result is EMPTY proves nothing — an empty Spark result
+    // vs an empty oracle result hashes green no matter how broken the
+    // operator is. Every catalog query is required to return >=1 row at
+    // every tested sf (global aggregates return exactly 1). Tripping is
+    // loud AND fatal, but only after every artifact is on disk, so a trip
+    // still leaves the full result set for diagnosis.
+    val vacuous = rowCounts.collect { case (name, 0L) => name }
+    if (vacuous.nonEmpty) {
+      val msg = s"[verify] VACUOUS (0-row) results: ${vacuous.mkString(", ")}"
+      System.err.println(msg)
+      Files.writeString(Paths.get(s"$outDir/vacuous.json"),
+        vacuous.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+      sys.exit(2)
+    }
   }
 
   /** The oracle manifest the driver reads. Two contract points, both of
