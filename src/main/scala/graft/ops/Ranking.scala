@@ -22,31 +22,48 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** Range-partitioned frame + per-partition base offsets + total count.
-    * The localCheckpoint pins row placement so the count pass and the
-    * rank pass see identical partitioning.
+  /** Range-partition on the sort key and pin row placement (the
+    * localCheckpoint) so the per-bucket measure pass and the rank pass
+    * see identical partitioning.
     */
-  private def withBases(df: DataFrame, sortCols: Seq[Column],
-      numPartitions: Int): (DataFrame, Long) = {
+  private def rangeParted(df: DataFrame, sortCols: Seq[Column],
+      numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df
-      .repartitionByRange(n, sortCols: _*)
+    df.repartitionByRange(n, sortCols: _*)
       .withColumn("__bucket", spark_partition_id())
       .localCheckpoint()
+  }
+
+  /** Turn per-bucket measures (row counts, distinct-key counts, ...) into
+    * exclusive running bases, broadcast them back, and return the joined
+    * frame + the measure total. Driver holds O(numPartitions) longs.
+    */
+  private def joinBases(parted: DataFrame,
+      counts: Array[(Int, Long)]): (DataFrame, Long) = {
+    val sorted = counts.sortBy(_._1)
+    val bases = sorted.scanLeft((0, 0L)) {
+      case ((_, acc), (bucket, c)) => (bucket, acc + c)
+    }
+    val baseOffsets = sorted.map(_._1).zip(bases.map(_._2))
+    val basesDf = parted.sparkSession.createDataFrame(baseOffsets.toSeq)
+      .toDF("__bucket", "__base")
+    val total = sorted.map(_._2).sum
+    (parted.join(broadcast(basesDf), Seq("__bucket")), total)
+  }
+
+  /** Range-partitioned frame + per-partition ROW-count base offsets +
+    * total row count — the machinery for row_number/ntile/rank and the
+    * frame-count ops (cume_dist).
+    */
+  private def withBases(df: DataFrame, sortCols: Seq[Column],
+      numPartitions: Int): (DataFrame, Long) = {
+    val parted = rangeParted(df, sortCols, numPartitions)
     val counts = parted.groupBy("__bucket")
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    val bases = counts.scanLeft((0, 0L)) {
-      case ((_, acc), (bucket, c)) => (bucket, acc + c)
-    }
-    val baseOffsets = counts.map(_._1).zip(bases.map(_._2))
-    val basesDf = spark.createDataFrame(baseOffsets.toSeq)
-      .toDF("__bucket", "__base")
-    val total = counts.map(_._2).sum
-    (parted.join(broadcast(basesDf), Seq("__bucket")), total)
+    joinBases(parted, counts)
   }
 
   /** Exact global `row_number` (1-based, long) over `sortCols`, fully
@@ -107,6 +124,89 @@ object Ranking {
     based
       .withColumn(out, cd)
       .drop("__bucket", "__base")
+  }
+
+  /** Exact global `rank` over `keyCols` — SQL RANK semantics: 1 + the
+    * number of rows with a strictly smaller key, tied keys share a rank,
+    * gaps after ties — without the single-reducer window. Correctness of
+    * the split: equal keys always land in the same range partition, so a
+    * tie group never straddles workers, every earlier partition holds
+    * only strictly smaller keys, and local `rank() + base` IS the global
+    * rank. Output: input columns + `out` (long, 1-based).
+    */
+  def globalRankExact(df: DataFrame, keyCols: Seq[Column],
+      out: String = "rnk", numPartitions: Int = 0): DataFrame = {
+    val w = Window.partitionBy("__bucket").orderBy(keyCols: _*)
+    val (based, _) = withBases(df, keyCols, numPartitions)
+    based
+      .withColumn(out, col("__base") + rank().over(w).cast("long"))
+      .drop("__bucket", "__base")
+  }
+
+  /** Exact global `dense_rank` over `keyCols` — 1 + the number of
+    * DISTINCT smaller keys, no gaps after ties — without the
+    * single-reducer window. Output: input columns + `out` (long,
+    * 1-based). Delegates to [[rankAndDenseRank]] (the dense base needs
+    * the local ladder anyway — see there).
+    */
+  def denseRankExact(df: DataFrame, keyCols: Seq[Column],
+      out: String = "drnk", numPartitions: Int = 0): DataFrame =
+    rankAndDenseRank(df, keyCols, "__rnk_drop", out, numPartitions)
+      .drop("__rnk_drop")
+
+  /** Exact global `rank` AND `dense_rank` from ONE range-partitioned
+    * pass: one shuffle, one local window sort, one pinned frame. The
+    * local rank/dense_rank ladders are computed first and checkpointed;
+    * the per-bucket base measures then fall out of ONE bounded
+    * aggregate over the pinned ladder — rank's base is the bucket row
+    * count, dense_rank's base is `max(local dense_rank)` (= the
+    * bucket's distinct-key count, no separate distinct pass needed).
+    * Ties never straddle range partitions, so earlier buckets hold only
+    * strictly smaller keys and `base + local ladder` is the global
+    * ladder for both functions. Driver holds O(numPartitions) longs.
+    * Output: input columns + `rankOut` + `denseOut` (long, 1-based).
+    */
+  def rankAndDenseRank(df: DataFrame, keyCols: Seq[Column],
+      rankOut: String = "rnk", denseOut: String = "drnk",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    // checkpoint AFTER the window (unlike withBases, which pins before
+    // it): both the base pass and the final projection read the ladder,
+    // so pinning the laddered frame makes the window sort run exactly
+    // once and keeps the two passes placement-consistent
+    val laddered = ladderPlan(df, keyCols, numPartitions).localCheckpoint()
+    val measures = laddered.groupBy("__bucket")
+      .agg(count(lit(1)).as("__n"), max(col("__ld")).as("__d")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var rAcc = 0L; var dAcc = 0L
+    val bases = measures.map { case (b, rows, keys) =>
+      val base = (b, rAcc, dAcc); rAcc += rows; dAcc += keys; base
+    }
+    val basesDf = spark.createDataFrame(bases.toSeq)
+      .toDF("__bucket", "__rbase", "__dbase")
+    laddered.join(broadcast(basesDf), Seq("__bucket"))
+      .withColumn(rankOut, col("__rbase") + col("__lr"))
+      .withColumn(denseOut, col("__dbase") + col("__ld"))
+      .drop("__bucket", "__lr", "__ld", "__rbase", "__dbase")
+  }
+
+  /** The pre-checkpoint ladder plan (range partition + per-bucket
+    * rank/dense_rank window). Exposed `private[ops]` because the eager
+    * checkpoint in [[rankAndDenseRank]] hides this — the stage whose
+    * shape decides 100 TB survival — from the final frame's explain;
+    * RankingSpec asserts the no-single-reducer property on it directly.
+    */
+  private[ops] def ladderPlan(df: DataFrame, keyCols: Seq[Column],
+      numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = Window.partitionBy("__bucket").orderBy(keyCols: _*)
+    df.repartitionByRange(n, keyCols: _*)
+      .withColumn("__bucket", spark_partition_id())
+      .withColumn("__lr", rank().over(w).cast("long"))
+      .withColumn("__ld", dense_rank().over(w).cast("long"))
   }
 
   /** Exact global `percent_rank` over `keyCols` — RANK semantics (tied

@@ -663,15 +663,32 @@ private[queries] object CatalogCorpusOps {
                  x -> CAST(x AS VARCHAR)), ',') AS postings_head
         FROM tf GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""")),
 
-    // Snapshot diff (ops/ChangeCapture.snapshotDiff): classify every key
-    // across two table versions as added / removed / changed / unchanged.
-    // The "after" snapshot is derived in-query from orders (drop %97,
-    // reprice %11, insert %13 clones under shifted keys), so the result
-    // is provable in SQL at every sf. Full outer hash join on the key —
-    // no broadcast assumption, holds when both snapshots are 100 TB.
-    // sum_key sums k % 1e6, not raw keys: the +1e12-shifted 'added'
-    // keys would overflow a long sum near sf100 under ANSI mode; the
-    // modulo surrogate stays provably in range at any sf (1e6 × rows)
-    // while still fingerprinting WHICH keys landed in each class.
+    // Exact global rank + dense_rank (ops/Ranking.rankAndDenseRank),
+    // completing the SQL ranking family on the two-phase range-partition
+    // pattern (q83 ntile, q100 percent_rank, q149 cume_dist) — both
+    // functions from ONE shuffle + ONE local window sort; their bases
+    // differ (rows vs distinct keys in earlier partitions). The key is
+    // l_quantity: ~50 distinct values across the whole table, the
+    // maximal-tie stress — every tie group spans many input partitions
+    // yet must emit one shared rank (RANK, gaps after ties) and
+    // consecutive steps (DENSE_RANK, no gaps). Integer-only output; the
+    // per-row pairing is the strongest possible gate (no rollup masks a
+    // misplaced row). Output ORDER BY includes l_quantity because the
+    // synthetic lineitem duplicates (l_orderkey, l_linenumber) pairs
+    // (~2% of rows at every sf) — with it, any residual order tie is a
+    // full-row duplicate (equal quantity forces equal rnk AND drnk), so
+    // the row sequence is compare-stable across engines.
+    "q151_rank_family" -> QueryDef(
+      fn = (s, d) => graft.ops.Ranking
+        .rankAndDenseRank(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          Seq(col("l_quantity").asc))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(rank() OVER (ORDER BY l_quantity ASC) AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER (ORDER BY l_quantity ASC) AS BIGINT) AS drnk
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"""))
   )
 }

@@ -22,6 +22,16 @@ import Catalog._
   */
 private[queries] object CatalogInfra {
   def entries: Seq[(String, QueryDef)] = Seq(
+    // Snapshot diff (ops/ChangeCapture.snapshotDiff): classify every key
+    // across two table versions as added / removed / changed / unchanged.
+    // The "after" snapshot is derived in-query from orders (drop %97,
+    // reprice %11, insert %13 clones under shifted keys), so the result
+    // is provable in SQL at every sf. Full outer hash join on the key —
+    // no broadcast assumption, holds when both snapshots are 100 TB.
+    // sum_key sums k % 1e6, not raw keys: the +1e12-shifted 'added'
+    // keys would overflow a long sum near sf100 under ANSI mode; the
+    // modulo surrogate stays provably in range at any sf (1e6 x rows)
+    // while still fingerprinting WHICH keys landed in each class.
     "q110_snapshot_diff" -> QueryDef(
       fn = (s, d) => {
         val before = t(s, d, "orders")

@@ -64,6 +64,70 @@ class RankingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1.0))
   }
 
+  test("globalRankExact equals the global window rank, tie groups intact") {
+    // no id tiebreak: tie groups of ~143 rows each must share ONE rank
+    // and leave the RANK gap after themselves, across bucket boundaries
+    val df = corpus(1000)
+    val twoPhase = Ranking
+      .globalRankExact(df, Seq(col("score").desc), numPartitions = 7)
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    val window = df
+      .withColumn("rnk", rank().over(Window.orderBy(col("score").desc)).cast("long"))
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    assert(twoPhase == window)
+  }
+
+  test("rankAndDenseRank equals the global window rank + dense_rank") {
+    val df = corpus(1000)
+    val twoPhase = Ranking
+      .rankAndDenseRank(df, Seq(col("score").asc), numPartitions = 7)
+      .select("id", "rnk", "drnk").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val w = Window.orderBy(col("score").asc)
+    val window = df
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .select("id", "rnk", "drnk").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(twoPhase == window)
+  }
+
+  test("denseRankExact: consecutive ranks, no gaps, null keys are one peer group") {
+    val df = Seq((1L, Option(3.0)), (2L, Option(1.0)), (3L, None),
+      (4L, Option(1.0)), (5L, None), (6L, Option(2.0)))
+      .toDF("id", "score")
+    val twoPhase = Ranking
+      .denseRankExact(df, Seq(col("score").asc), numPartitions = 3)
+      .select("id", "drnk").as[(Long, Long)].collect().toMap
+    val window = df
+      .withColumn("drnk",
+        dense_rank().over(Window.orderBy(col("score").asc)).cast("long"))
+      .select("id", "drnk").as[(Long, Long)].collect().toMap
+    assert(twoPhase == window)
+    // dense ranks are the consecutive set 1..#distinct
+    assert(twoPhase.values.toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("rank ladder plans per-bucket windows, never a single-reducer window") {
+    // the stage the eager checkpoint hides from downstream explains:
+    // assert the 100TB-deciding property (window partitioned by
+    // __bucket, no SinglePartition exchange) on the pre-checkpoint plan
+    val plan = Ranking.ladderPlan(corpus(100), Seq(col("score").asc), 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val single = plan.linesIterator.filter(_.contains("SinglePartition"))
+      .filterNot(_.contains("Broadcast")).toList
+    assert(single.isEmpty, s"single-partition exchange in ladder plan:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("rank family on a single-value key: all rank 1, dense_rank 1") {
+    val df = (1L to 20L).map(i => (i, 42.0)).toDF("id", "score")
+    val out = Ranking.rankAndDenseRank(df, Seq(col("score").asc), numPartitions = 4)
+      .select("rnk", "drnk").as[(Long, Long)].collect()
+    assert(out.forall(_ == ((1L, 1L))))
+  }
+
   private def assertNtileMatches(df: org.apache.spark.sql.DataFrame, b: Int): Unit = {
     val twoPhase = Ranking
       .ntileExact(df, b, Seq(col("score").desc, col("id").asc), numPartitions = 7)
