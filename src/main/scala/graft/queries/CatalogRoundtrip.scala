@@ -286,36 +286,14 @@ private[queries] object CatalogRoundtrip {
     // parameter, value), so the dedup/dropDuplicates survivor choice
     // cannot leak nondeterminism. The oracle rebuilds the mart in SQL;
     // its tie-break spells NULLS FIRST because Spark's window asc is
-    // nulls-first while DuckDB defaults nulls-last.
+    // nulls-first while DuckDB defaults nulls-last. Staging + oracle are
+    // shared with q152 ([[stagedRawFrame]] / [[rawPipelineOracleSql]])
+    // so the plain and the observed dataflow gates cannot drift.
     "q147_raw_pipeline" -> QueryDef(
       fn = (s, d) => {
         val base = java.nio.file.Files.createTempDirectory("graft-rawpipe")
         try {
-          val loc = col("user_id") % 50
-          val raw = t(s, d, "events").select(
-            loc.as("location_id"),
-            col("event_id").as("sensor_id"),
-            when(col("event_id") % 13 === 0, lit("not-a-ts"))
-              .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
-              .as("datetime"),
-            when(col("event_type") === "click", "pm25")
-              .when(col("event_type") === "view", "pm10")
-              .when(col("event_type") === "error", "no2")
-              .when(col("event_type") === "purchase", "o3")
-              .otherwise("co").as("parameter"),
-            col("value"),
-            lit("\u00b5g/m\u00b3").as("unit"),
-            when(loc % 5 === 0, lit(null).cast("string"))
-              .otherwise(concat(lit("City_"), loc)).as("city"),
-            when(loc % 7 === 0, lit(null).cast("string"))
-              .otherwise(lit("TH")).as("country"),
-            when(loc % 11 === 0, lit(null).cast("double"))
-              .otherwise(loc.cast("double") + 0.25).as("latitude"),
-            (loc.cast("double") + 0.5).as("longitude"),
-            concat(lit("Loc_"), loc).as("location_name"),
-            lit("Asia/Ho_Chi_Minh").as("timezone"),
-            lit("2024-06-01T00:00:00Z").as("extracted_at"))
-          graft.pipeline.Sink.writeNdjson(raw, s"$base/raw")
+          graft.pipeline.Sink.writeNdjson(stagedRawFrame(s, d), s"$base/raw")
           val cfg = graft.pipeline.Schemas.JobConfig(
             inputPath = s"$base/raw", outputPath = s"$base/out")
           val (rawDf, quarantined) =
@@ -332,7 +310,85 @@ private[queries] object CatalogRoundtrip {
             .localCheckpoint(true)
         } finally dropStagedTree(base)
       },
-      oracle = Some("""
+      oracle = Some(rawPipelineOracleSql(""))),
+
+    // §2.11 + A3/A4 under the oracle gate: the SAME staged raw data as
+    // q147, through [[graft.pipeline.OpenAqPipeline.runObserved]] — the
+    // zero-extra-pass twin that collects every reference-logged metric
+    // by Observation DURING the one write action. The result carries the
+    // observed counts as constant columns, so the oracle proves BOTH
+    // claims at once: (a) the instrumented pipeline emits the
+    // byte-identical mart, and (b) raw/dedup/pivot/mart counts match an
+    // independent SQL recomputation. The CollectMetrics double-count
+    // hazard runObserved's scaladoc designs around (a broadcast metadata
+    // branch re-reading an observed scan) would surface here as n_raw
+    // doubling → hash red.
+    "q152_observed_pipeline" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-obspipe")
+        try {
+          graft.pipeline.Sink.writeNdjson(stagedRawFrame(s, d), s"$base/raw")
+          val cfg = graft.pipeline.Schemas.JobConfig(
+            inputPath = s"$base/raw", outputPath = s"$base/out",
+            writeMode = "overwrite-dynamic")
+          val (mart, m) = graft.pipeline.OpenAqPipeline
+            .runObserved(s, cfg, viewName = "q152_mart")
+          mart
+            .withColumn("year", col("year").cast("long"))
+            .withColumn("n_raw", lit(m.rawCount))
+            .withColumn("n_dedup", lit(m.dedupCount))
+            .withColumn("n_pivot", lit(m.pivotCount))
+            .withColumn("n_mart", lit(m.enrichedCount))
+            .orderBy("location_id", "datetime")
+            .localCheckpoint(true)
+        } finally dropStagedTree(base)
+      },
+      oracle = Some(rawPipelineOracleSql("""
+        , (SELECT count(*) FROM raw) AS n_raw
+        , (SELECT count(*) FROM surv) AS n_dedup
+        , (SELECT count(*) FROM surv) AS n_pivot
+        , (SELECT count(*) FROM surv) AS n_mart""")))
+  )
+
+  /** q147/q152's shared raw staging: events re-shaped into the
+    * reference's raw-measurement NDJSON layout — every 13th datetime
+    * invalid (P6 has real work), city/country/latitude null on modular
+    * slices (P5 has real work), five parameters from event_type (A1
+    * pivots all of them).
+    */
+  private def stagedRawFrame(s: SparkSession, d: String): DataFrame = {
+    val loc = col("user_id") % 50
+    t(s, d, "events").select(
+      loc.as("location_id"),
+      col("event_id").as("sensor_id"),
+      when(col("event_id") % 13 === 0, lit("not-a-ts"))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .as("datetime"),
+      when(col("event_type") === "click", "pm25")
+        .when(col("event_type") === "view", "pm10")
+        .when(col("event_type") === "error", "no2")
+        .when(col("event_type") === "purchase", "o3")
+        .otherwise("co").as("parameter"),
+      col("value"),
+      lit("\u00b5g/m\u00b3").as("unit"),
+      when(loc % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("City_"), loc)).as("city"),
+      when(loc % 7 === 0, lit(null).cast("string"))
+        .otherwise(lit("TH")).as("country"),
+      when(loc % 11 === 0, lit(null).cast("double"))
+        .otherwise(loc.cast("double") + 0.25).as("latitude"),
+      (loc.cast("double") + 0.5).as("longitude"),
+      concat(lit("Loc_"), loc).as("location_name"),
+      lit("Asia/Ho_Chi_Minh").as("timezone"),
+      lit("2024-06-01T00:00:00Z").as("extracted_at"))
+  }
+
+  /** The mart-rebuild oracle shared VERBATIM by q147 (plain `transform`)
+    * and q152 (`runObserved`) — identical mart rows are the
+    * plain/observed parity claim; `extraCols` appends q152's
+    * observed-count columns (scalar subqueries over the same CTEs).
+    */
+  private def rawPipelineOracleSql(extraCols: String): String = s"""
         WITH raw AS (
           SELECT user_id % 50 AS loc, event_id,
                  CASE WHEN event_id % 13 = 0 THEN NULL
@@ -366,7 +422,6 @@ private[queries] object CatalogRoundtrip {
                     ELSE 'City_' || CAST(loc AS VARCHAR) END AS city_name,
                CASE WHEN loc % 7 = 0 THEN 'VN' ELSE 'TH' END AS country_code,
                CASE WHEN loc % 11 = 0 THEN 0.0 ELSE loc + 0.25 END AS latitude,
-               loc + 0.5 AS longitude
-        FROM surv ORDER BY location_id, datetime"""))
-  )
+               loc + 0.5 AS longitude$extraCols
+        FROM surv ORDER BY location_id, datetime"""
 }
