@@ -212,6 +212,22 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q101: exactly 4 explodes / 4 scans — survivor totals stay map-side") {
+    // the round-5 optimization derives per-doc totals from tokenCount in
+    // the restore scan instead of a SECOND tokens-posexplode + groupBy +
+    // join; the plan's Generate census is the guard. The four explodes:
+    // eval shingles, train shingle occurrences, coverage sequence, train
+    // tokens. The four scans: eval docs, occurrence docs, token docs,
+    // totals docs. A regression back to exploded totals shows up as a
+    // 5th Generate (and 5th scan-side Exchange chain) here — invisible
+    // in noisy local wall time, fatal at corpus scale.
+    val plan = planOf("q101_mask_contaminated")
+    val gens = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Generate"))
+    assert(gens == 4, s"expected 4 Generate nodes, got $gens:\n$plan")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\s*"))
+    assert(scans == 4, s"expected 4 scans, got $scans:\n$plan")
+  }
+
   test("q100: distributed percent_rank never funnels rows through one reducer") {
     val plan = planOf("q100_percent_rank")
     val single = plan.linesIterator.filter(_.contains("SinglePartition"))
@@ -226,6 +242,17 @@ class PlanSpec extends AnyFunSuite {
       .filterNot(_.contains("Broadcast"))
       .toList
     assert(single.isEmpty, s"single-partition exchange in q149 plan:\n$plan")
+  }
+
+  test("q151: distributed rank+dense_rank never funnels rows through one reducer") {
+    // the ladder window itself runs inside rankAndDenseRank's eager
+    // checkpoint and is invisible here — RankingSpec pins ITS shape
+    // (per-bucket window, no SinglePartition) on the pre-checkpoint plan
+    val plan = planOf("q151_rank_family")
+    val single = plan.linesIterator.filter(_.contains("SinglePartition"))
+      .filterNot(_.contains("Broadcast"))
+      .toList
+    assert(single.isEmpty, s"single-partition exchange in q151 plan:\n$plan")
   }
 
   test("q107: both SCD2 window passes share ONE user_id exchange") {
@@ -313,6 +340,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("q124: the single tokenize exchange is REUSED across tf/df consumers") {
+    // round 5 derived df (and every other consumer) from ONE tokenized
+    // TF frame. The static plan duplicates that subtree per consumer —
+    // that is how Spark prints shared lineage — so a node census cannot
+    // see the sharing; the executed plan can: identical exchanges
+    // collapse to ReusedExchange at runtime. A regression to a second
+    // independent tokenize (e.g. a distinct-agg df) changes the
+    // exchange signature and the reuse disappears.
+    val df = SparkEntry.queries("q124_sparse_topk")(spark, sf)
+    df.collect() // collect, not write: the write path clones the plan,
+    // leaving THIS queryExecution's adaptive plan unexecuted (and the
+    // result is the bounded per-doc top-3 — collect-safe at spec scale)
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("isFinalPlan=true"), executed.linesIterator.next())
+    assert(executed.contains("ReusedExchange"),
+      s"no exchange reuse in executed q124 plan:\n$executed")
   }
 
   test("q135: join hints are honored (shuffle-hash + forced merge)") {
