@@ -689,6 +689,35 @@ private[queries] object CatalogCorpusOps {
         SELECT l_orderkey, l_linenumber, l_quantity,
                CAST(rank() OVER (ORDER BY l_quantity ASC) AS BIGINT) AS rnk,
                CAST(dense_rank() OVER (ORDER BY l_quantity ASC) AS BIGINT) AS drnk
-        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""")),
+
+    // Equi-depth histogram (the selectivity-estimation statistic every
+    // optimizer keeps): 8 equal-row buckets of documents.n_chars with
+    // per-bucket (lo, hi, n) bounds, built on ops/Ranking.ntileExact —
+    // the two-phase range-partitioned ntile, then one bounded groupBy.
+    // No single-reducer window anywhere; at 100 TB this is one range
+    // shuffle + an O(buckets) aggregate. Oracle-safety of ties: ntile
+    // MAY split a tie group across adjacent buckets and the engines may
+    // split it differently, but the per-bucket result is INVARIANT —
+    // bucket sizes are fixed by n and the boundary rows all carry the
+    // same value, so lo/hi/n never depend on which tied row went where
+    // (this is why the sort key needs no tiebreak). 8 rows at every sf.
+    "q153_equidepth_hist" -> QueryDef(
+      fn = (s, d) => graft.ops.Ranking
+        .ntileExact(
+          t(s, d, "documents").select(col("n_chars")),
+          8, Seq(col("n_chars").asc))
+        .groupBy("bucket")
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      oracle = Some("""
+        WITH b AS (SELECT n_chars,
+                          CAST(ntile(8) OVER (ORDER BY n_chars ASC) AS BIGINT)
+                            AS bucket
+                   FROM documents)
+        SELECT bucket, min(n_chars) AS lo, max(n_chars) AS hi,
+               count(*) AS n
+        FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }
