@@ -271,5 +271,38 @@ private[queries] object CatalogTextVec {
       oracle = Some("""
         SELECT vec_id AS query_id, TRUE AS quality_ok
         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""")),
+
+    // Within-document repetition ratio — the corpus-curation rule
+    // (popularized by the Gopher quality filters) that catches
+    // boilerplate-looped and template-generated docs the cross-doc
+    // dedup paths (q20/q26) cannot see: fraction of a doc's 3-gram
+    // occurrences that are repeats, 1 - distinct/total. Entirely
+    // map-side per doc (explode-free: size + array_distinct on the
+    // shingle array) — zero shuffles before the final sort at any
+    // corpus size. Docs under 3 tokens have no grams and are excluded
+    // on both engines. The ratio is one IEEE division of two exact
+    // longs — correctly rounded identically everywhere, no snap needed.
+    "q154_repetition_ratio" -> QueryDef(
+      fn = (s, d) => t(s, d, "documents")
+        .filter(TF.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"), TF.shingles(col("text"), 3).as("gs"))
+        .select(col("doc_id"),
+          size(col("gs")).cast("long").as("n_grams"),
+          size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+        .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH g AS (SELECT doc_id,
+                     list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       AS gs
+                   FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+                   WHERE len(toks) >= 3)
+        SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+               1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                 AS rep_ratio
+        FROM g ORDER BY doc_id""")),
   )
 }
