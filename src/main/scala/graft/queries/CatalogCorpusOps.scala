@@ -689,7 +689,8 @@ private[queries] object CatalogCorpusOps {
         SELECT l_orderkey, l_linenumber, l_quantity,
                CAST(rank() OVER (ORDER BY l_quantity ASC) AS BIGINT) AS rnk,
                CAST(dense_rank() OVER (ORDER BY l_quantity ASC) AS BIGINT) AS drnk
-        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""")),
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"""),
+      bench = true),
 
     // Equi-depth histogram (the selectivity-estimation statistic every
     // optimizer keeps): 8 equal-row buckets of documents.n_chars with

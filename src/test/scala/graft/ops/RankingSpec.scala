@@ -121,6 +121,33 @@ class RankingSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("rank family matches the window oracle over random data (ties, nulls, partitions)") {
+    // randomized contract check: random key distributions (heavy ties,
+    // ~10% nulls), random partition counts — both ranks must equal the
+    // single-partition window's on every row
+    val rnd = new scala.util.Random(151)
+    (1 to 5).foreach { trial =>
+      val n = 50 + rnd.nextInt(400)
+      val parts = 2 + rnd.nextInt(9)
+      val keySpace = 1 + rnd.nextInt(12)
+      val df = (1 to n).map { i =>
+        (i.toLong, if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(keySpace).toDouble))
+      }.toDF("id", "score")
+      val twoPhase = Ranking
+        .rankAndDenseRank(df, Seq(col("score").asc), numPartitions = parts)
+        .select("id", "rnk", "drnk").as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      val w = Window.orderBy(col("score").asc)
+      val window = df
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .select("id", "rnk", "drnk").as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(twoPhase == window,
+        s"trial $trial (n=$n parts=$parts keys=$keySpace) diverged")
+    }
+  }
+
   test("rank family on a single-value key: all rank 1, dense_rank 1") {
     val df = (1L to 20L).map(i => (i, 42.0)).toDF("id", "score")
     val out = Ranking.rankAndDenseRank(df, Seq(col("score").asc), numPartitions = 4)
