@@ -719,6 +719,40 @@ private[queries] object CatalogCorpusOps {
                    FROM documents)
         SELECT bucket, min(n_chars) AS lo, max(n_chars) AS hi,
                count(*) AS n
-        FROM b GROUP BY bucket ORDER BY bucket"""))
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // Candidate-key profiling (the data-quality discovery step that
+    // would have caught this round's q151 lesson BEFORE it bit: the
+    // synthetic lineitem's (l_orderkey, l_linenumber) is NOT unique,
+    // and neither is the triple with l_quantity — asserted here as
+    // exact distinct counts + uniqueness booleans at every sf). All
+    // three multi-column distincts ride ONE scan through Catalyst's
+    // Expand (the q97 single-scan profile shape); output is one row.
+    // Columns are non-null in this table, so Spark's null-dropping
+    // countDistinct and DuckDB's struct-DISTINCT agree exactly.
+    "q155_key_candidates" -> QueryDef(
+      fn = (s, d) => t(s, d, "lineitem")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("d_okey"),
+          countDistinct(col("l_orderkey"), col("l_linenumber"))
+            .as("d_okey_line"),
+          countDistinct(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity")).as("d_okey_line_qty"))
+        .select(col("n_rows"), col("d_okey"), col("d_okey_line"),
+          col("d_okey_line_qty"),
+          (col("d_okey_line") === col("n_rows")).as("pair_is_unique"),
+          (col("d_okey_line_qty") === col("n_rows")).as("triple_is_unique")),
+      oracle = Some("""
+        SELECT count(*) AS n_rows,
+               count(DISTINCT l_orderkey) AS d_okey,
+               count(DISTINCT (l_orderkey, l_linenumber)) AS d_okey_line,
+               count(DISTINCT (l_orderkey, l_linenumber, l_quantity))
+                 AS d_okey_line_qty,
+               count(DISTINCT (l_orderkey, l_linenumber)) = count(*)
+                 AS pair_is_unique,
+               count(DISTINCT (l_orderkey, l_linenumber, l_quantity))
+                 = count(*) AS triple_is_unique
+        FROM lineitem"""))
   )
 }
