@@ -13,6 +13,14 @@ import org.apache.spark.sql.SparkSession
   * without chasing phantom regressions.
   */
 object Bench {
+
+  /** Median of the timing samples; -1 if ANY sample failed (a flaky
+    * failure is still a failure — it must not silently improve the
+    * headline total). Upper median for even sizes.
+    */
+  private[graft] def median(ss: Seq[Double]): Double =
+    if (ss.exists(_ < 0)) -1.0 else ss.sorted.apply(ss.size / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,12 +50,7 @@ object Bench {
       timeOnce(name) // warmup
       name -> Seq.fill(samplesPerQuery)(timeOnce(name))
     }
-    // a query counts as failed if ANY sample failed (a flaky failure is
-    // still a failure); its median is reported as -1
-    val results = sampled.map { case (name, ss) =>
-      val median = if (ss.exists(_ < 0)) -1.0 else ss.sorted.apply(ss.size / 2)
-      (name, median, ss)
-    }
+    val results = sampled.map { case (name, ss) => (name, median(ss), ss) }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val samples = results

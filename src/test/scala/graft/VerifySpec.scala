@@ -37,4 +37,10 @@ class VerifySpec extends AnyFunSuite {
         s"$k looks stripMargin-mangled (lone |): $sql")
     }
   }
+
+  test("bench median: middle sample, and any failed sample poisons the query") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(5.0)) == 5.0)
+    assert(Bench.median(Seq(1.0, -1.0, 0.5)) == -1.0)
+  }
 }
