@@ -251,5 +251,32 @@ private[queries] object CatalogScaleOps {
           .orderBy("doc_id")
       },
       oracle = Some(decontamOracleSql)),
+
+    // Pre-join cardinality diagnostic — the "should I salt this?"
+    // check run BEFORE a skew-prone join: for the events self-join on
+    // user_id (the sessionization/self-match shape), output size is
+    // exactly sum_k c_k^2, and the top contributing keys are the ones
+    // q41's salting or a per-key cap must handle. One map-side-partial
+    // groupBy over the key + an O(keys) sum + a top-5
+    // TakeOrderedAndProject — the estimate costs one aggregate, the
+    // join it diagnoses would cost sum(c^2) rows. Ties at the top-5
+    // cut break by user_id on both engines.
+    "q156_join_blowup" -> QueryDef(
+      fn = (s, d) => {
+        val counts = t(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum(col("c") * col("c")).as("est_rows"))
+        counts
+          .select(col("user_id"), (col("c") * col("c")).as("contrib"))
+          .orderBy(col("contrib").desc, col("user_id").asc).limit(5)
+          .crossJoin(broadcast(total)) // 1-row totals frame
+          .orderBy(col("contrib").desc, col("user_id").asc)
+      },
+      oracle = Some("""
+        WITH c AS (SELECT user_id, count(*) AS c FROM events
+                   GROUP BY user_id)
+        SELECT user_id, c * c AS contrib,
+               (SELECT CAST(sum(c * c) AS BIGINT) FROM c) AS est_rows
+        FROM c ORDER BY contrib DESC, user_id ASC LIMIT 5""")),
   )
 }
