@@ -9,7 +9,15 @@ object Verify {
     // into an existing outDir during development (the driver passes 2)
     val (sfDir, outDir, only) = args match {
       case Array(s, o)         => (s, o, Option.empty[Set[String]])
-      case Array(s, o, subset) => (s, o, Some(subset.split(",").toSet))
+      case Array(s, o, subset) => (s, o, Some(subset.split(",").map(_.trim).toSet))
+    }
+    // an unknown subset name would otherwise run NOTHING and exit 0 —
+    // and the stale parquet from a previous run would then pass the
+    // compare, making a typo'd surgical re-run look like a green fix
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in subset: ${unknown.mkString(", ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
@@ -46,13 +54,24 @@ object Verify {
     // loud AND fatal, but only after every artifact is on disk, so a trip
     // still leaves the full result set for diagnosis.
     val vacuous = rowCounts.collect { case (name, 0L) => name }
-    if (vacuous.nonEmpty) {
-      val msg = s"[verify] VACUOUS (0-row) results: ${vacuous.mkString(", ")}"
-      System.err.println(msg)
+    // in SUBSET mode a crashed query is as fatal as a vacuous one: the
+    // stale parquet from a previous run would mask the crash in the
+    // compare. (In full mode the missing parquet itself fails the
+    // compare, and the driver owns that verdict — keep exit 0 there.)
+    val crashed = rowCounts.collect { case (name, -1L) => name }
+    if (vacuous.nonEmpty || (only.isDefined && crashed.nonEmpty)) {
+      if (vacuous.nonEmpty)
+        System.err.println(
+          s"[verify] VACUOUS (0-row) results: ${vacuous.mkString(", ")}")
+      if (crashed.nonEmpty)
+        System.err.println(
+          s"[verify] FAILED queries: ${crashed.mkString(", ")}")
       Files.writeString(Paths.get(s"$outDir/vacuous.json"),
         vacuous.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
       sys.exit(2)
     }
+    // a clean run must not leave a stale trip record beside its artifacts
+    Files.deleteIfExists(Paths.get(s"$outDir/vacuous.json"))
   }
 
   /** The oracle manifest the driver reads. Two contract points, both of
