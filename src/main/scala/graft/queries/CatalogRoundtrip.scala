@@ -331,9 +331,16 @@ private[queries] object CatalogRoundtrip {
           val cfg = graft.pipeline.Schemas.JobConfig(
             inputPath = s"$base/raw", outputPath = s"$base/out",
             writeMode = "overwrite-dynamic")
-          val (mart, m) = graft.pipeline.OpenAqPipeline
+          val (_, m) = graft.pipeline.OpenAqPipeline
             .runObserved(s, cfg, viewName = "q152_mart")
-          mart
+          // read the mart BACK from the registered view over the written
+          // parquet rather than re-materializing the logical frame: the
+          // write already executed the whole lineage once (that's what
+          // the Observations rode), and the round trip through the sink
+          // is the stronger gate — byte-level through partitioned
+          // parquet, string partition values preserved by the declared
+          // schema (see run's re-read comment)
+          s.table("q152_mart")
             .withColumn("year", col("year").cast("long"))
             .withColumn("n_raw", lit(m.rawCount))
             .withColumn("n_dedup", lit(m.dedupCount))

@@ -260,7 +260,13 @@ private[queries] object CatalogScaleOps {
     // groupBy over the key + an O(keys) sum + a top-5
     // TakeOrderedAndProject — the estimate costs one aggregate, the
     // join it diagnoses would cost sum(c^2) rows. Ties at the top-5
-    // cut break by user_id on both engines.
+    // cut break by user_id on both engines. Overflow posture (same as
+    // the cents comment in Catalog.scala): long c*c holds per-key
+    // counts to ~3.03e9 rows, and under ANSI mode (Spark 4 default) a
+    // breach RAISES rather than wraps; a deployment whose single
+    // hottest key exceeds billions of rows would swap the squares to
+    // decimal(38,0) — at that point the answer to "should I salt" is
+    // already yes.
     "q156_join_blowup" -> QueryDef(
       fn = (s, d) => {
         val counts = t(s, d, "events").groupBy("user_id")
