@@ -212,7 +212,7 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("q101: exactly 4 explodes / 4 scans — survivor totals stay map-side") {
+  test("q101: exactly 4 explodes / 4 scans - survivor totals stay map-side") {
     // the round-5 optimization derives per-doc totals from tokenCount in
     // the restore scan instead of a SECOND tokens-posexplode + groupBy +
     // join; the plan's Generate census is the guard. The four explodes:
