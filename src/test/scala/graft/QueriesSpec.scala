@@ -25,7 +25,8 @@ class QueriesSpec extends AnyFunSuite {
     Seq("q01_pricing_summary", "q06_window_dedup", "q16_aqi",
         "q22_lang_id", "q25_knn_bruteforce", "q31_region_revenue",
         "q59_topk_aggregate", "q61_zorder_key", "q63_corpus_curation",
-        "q64_unpivot")
+        "q64_unpivot", "q151_rank_family", "q153_equidepth_hist",
+        "q154_repetition_ratio", "q156_join_blowup")
       .foreach { name =>
         assert(SparkEntry.queries(name)(spark, sf).count() > 0, s"$name empty")
       }
