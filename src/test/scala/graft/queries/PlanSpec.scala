@@ -373,4 +373,28 @@ class PlanSpec extends AnyFunSuite {
         !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
     }
   }
+
+  test("q154: repetition ratio is map-only - one exchange (the final sort)") {
+    // the whole point of the explode-free shape: per-doc shingle stats
+    // compute in the scan's projection, so the only exchange is the
+    // deterministic output ORDER BY
+    val plan = planOf("q154_repetition_ratio")
+    val exchanges = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Generate"), s"explode crept into q154:\n$plan")
+  }
+
+  test("q155: three multi-column distincts ride ONE scan through Expand") {
+    val plan = planOf("q155_key_candidates")
+    assert(plan.contains("Expand"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\s*"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+  }
+
+  test("q156: blowup estimate partial-aggregates; top-5 never sorts all keys") {
+    val plan = planOf("q156_join_blowup")
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"totals must broadcast:\n$plan")
+  }
 }
