@@ -5,12 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line with total + per-query wall times. Each query is
   * run once for warmup (code generated, JIT'd, file listings cached),
-  * then three measured times; the MEDIAN is reported per query, with the
-  * raw samples alongside. A single warm sample on a 32-thread local JVM
-  * jitters +-25% (round 5's driver bench read two unchanged queries at
-  * +23%/+26% while a 4-sample rerun was flat) — the median of three is
-  * the cheapest estimator that survives one GC pause / compilation storm
-  * without chasing phantom regressions.
+  * then measured; the MEDIAN is reported per query, with the raw samples
+  * and the per-query MIN alongside. A single warm sample on a 32-thread
+  * local JVM jitters +-25% (round 5's driver bench read two unchanged
+  * queries at +23%/+26% while a 4-sample rerun was flat; round 6's q08
+  * read +145% on an unchanged path) — so:
+  *  - sub-second queries get 5 samples instead of 3 (their jitter is
+  *    stage-overhead-dominated and proportionally the worst);
+  *  - `mins` carries the per-query minimum — the low-noise statistic for
+  *    cross-round comparison of unchanged code (a real regression moves
+  *    the min; a GC pause or compilation storm only moves the median);
+  *  - `prev` carries the common-query subtotal vs the newest committed
+  *    BENCH_r*.json, so the round-over-round delta is computed here,
+  *    mechanically, instead of eyeballed across files.
   */
 object Bench {
 
@@ -20,6 +27,28 @@ object Bench {
     */
   private[graft] def median(ss: Seq[Double]): Double =
     if (ss.exists(_ < 0)) -1.0 else ss.sorted.apply(ss.size / 2)
+
+  /** Newest committed BENCH_r*.json in `dir` (by round number), parsed to
+    * its per-query medians — the comparison base for `prev`. None when no
+    * prior round exists or parsing fails (first round, moved file).
+    */
+  private[graft] def previousBench(dir: java.io.File): Option[(String, Map[String, Double])] =
+    try {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f))
+          case _     => None
+        })
+        .sortBy(-_._1).headOption.map { case (_, f) =>
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          val qs = root.get("queries")
+          val it = qs.properties().iterator()
+          val m = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asDouble() }
+          (f.getName, m.result())
+        }
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,24 +74,48 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val samplesPerQuery = 3
     val sampled = SparkEntry.benchQueries.map { name =>
-      timeOnce(name) // warmup
-      name -> Seq.fill(samplesPerQuery)(timeOnce(name))
+      val warm = timeOnce(name)
+      // a query that cannot even warm up must not burn 3-5 slow failing
+      // runs NOR mask the warmup failure behind samples that happen to
+      // succeed on retry — short-circuit to an explicit failure
+      if (warm < 0) name -> Seq(-1.0)
+      else {
+        val first3 = Seq.fill(3)(timeOnce(name))
+        // sub-second tier: stage-overhead jitter dominates, widen to 5
+        val ss = if (first3.forall(s => s >= 0 && s < 1.0))
+          first3 ++ Seq.fill(2)(timeOnce(name))
+        else first3
+        name -> ss
+      }
     }
-    val results = sampled.map { case (name, ss) => (name, median(ss), ss) }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val samples = results
-      .map { case (k, _, ss) => "\"" + k + "\":" + ss.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
+    val results = sampled.map { case (name, ss) =>
+      (name, median(ss), if (ss.exists(_ < 0)) -1.0 else ss.min, ss)
+    }
+    def field(f: ((String, Double, Double, Seq[Double])) => String) =
+      results.map(f).mkString("{", ",", "}")
+    val qs = field { case (k, med, _, _) => "\"" + k + "\":" + med }
+    val mins = field { case (k, _, mn, _) => "\"" + k + "\":" + mn }
+    val samples = field { case (k, _, _, ss) => "\"" + k + "\":" + ss.mkString("[", ",", "]") }
     // a failed query must not subtract from (i.e. improve) the headline
     // total: sum successes only and report failures explicitly
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples$failedField,"sf":"$sfDir"}"""
+    // round-over-round: subtotal of the queries BOTH rounds ran (medians,
+    // the statistic earlier rounds recorded), so a bench-set change never
+    // poisons the comparison
+    val prevField = previousBench(new java.io.File(".")).flatMap { case (fname, prev) =>
+      val common = results.collect { case (k, v, _, _) if v >= 0 && prev.get(k).exists(_ >= 0) => k -> v }
+      if (common.isEmpty) None else {
+        val cur = common.map(_._2).sum
+        val pv = common.map { case (k, _) => prev(k) }.sum
+        val pct = if (pv > 0) (cur - pv) / pv * 100.0 else 0.0
+        Some(s""","prev":{"file":"$fname","n_common":${common.size},"common_prev":$pv,"common_cur":$cur,"delta_pct":${math.round(pct * 10) / 10.0}}""")
+      }
+    }.getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"samples":$samples$failedField$prevField,"sf":"$sfDir"}"""
     // belt: persist to a file for consumers that can't parse sbt stdout
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))

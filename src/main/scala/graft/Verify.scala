@@ -40,6 +40,21 @@ object Verify {
         name -> spark.read.parquet(s"$outDir/$name.parquet").count()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a reused outDir may hold this query's parquet from a PREVIOUS
+        // run — stale, not missing — and a stale result would pass the
+        // compare, masking the crash (the same masking the subset-mode
+        // fatal path closes). Delete it so the compare sees a hole.
+        try {
+          val stale = Paths.get(s"$outDir/$name.parquet")
+          if (Files.exists(stale)) {
+            val walk = Files.walk(stale)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          }
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] stale cleanup of $name failed: ${e2.getMessage}")
+        }
         name -> -1L
       }
     }
@@ -54,24 +69,28 @@ object Verify {
     // loud AND fatal, but only after every artifact is on disk, so a trip
     // still leaves the full result set for diagnosis.
     val vacuous = rowCounts.collect { case (name, 0L) => name }
-    // in SUBSET mode a crashed query is as fatal as a vacuous one: the
-    // stale parquet from a previous run would mask the crash in the
-    // compare. (In full mode the missing parquet itself fails the
-    // compare, and the driver owns that verdict — keep exit 0 there.)
+    // in SUBSET mode a crashed query is as fatal as a vacuous one (its
+    // stale parquet was just deleted above, but the run still must not
+    // read as green). In full mode the now-missing parquet fails the
+    // compare and the driver owns that verdict — keep exit 0 there.
     val crashed = rowCounts.collect { case (name, -1L) => name }
-    if (vacuous.nonEmpty || (only.isDefined && crashed.nonEmpty)) {
+    if (vacuous.nonEmpty || crashed.nonEmpty) {
       if (vacuous.nonEmpty)
         System.err.println(
           s"[verify] VACUOUS (0-row) results: ${vacuous.mkString(", ")}")
       if (crashed.nonEmpty)
         System.err.println(
           s"[verify] FAILED queries: ${crashed.mkString(", ")}")
+      // the trip record carries BOTH lists so a tooling consumer sees
+      // crashed queries too, not just stderr + exit code (format change
+      // from the round-6 bare array is safe: nothing parses it yet)
+      def arr(ns: Seq[String]) = ns.map(n => "\"" + n + "\"").mkString("[", ",", "]")
       Files.writeString(Paths.get(s"$outDir/vacuous.json"),
-        vacuous.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
-      sys.exit(2)
-    }
-    // a clean run must not leave a stale trip record beside its artifacts
-    Files.deleteIfExists(Paths.get(s"$outDir/vacuous.json"))
+        s"""{"vacuous":${arr(vacuous)},"crashed":${arr(crashed)}}""")
+      if (vacuous.nonEmpty || only.isDefined) sys.exit(2)
+    } else
+      // a clean run must not leave a stale trip record beside its artifacts
+      Files.deleteIfExists(Paths.get(s"$outDir/vacuous.json"))
   }
 
   /** The oracle manifest the driver reads. Two contract points, both of

@@ -37,18 +37,19 @@ object Pack {
       idCol: String,
       tokensCol: String,
       budget: Long,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      durable: Boolean = false): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
     // Pin placement: range partitioning samples the data to pick bounds,
     // and the offsets pass + the cumsum pass MUST agree on which rows
-    // landed where. localCheckpoint materializes the partitioning once.
-    val parted = df
+    // landed where. Ranking.pin documents the default localCheckpoint
+    // vs durable persist(DISK_ONLY) executor-loss trade.
+    val parted = Ranking.pin(df
       .repartitionByRange(n, col(idCol))
-      .withColumn("__bucket", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("__bucket", spark_partition_id()), durable)
 
     // Phase 2: per-bucket totals -> driver prefix sum (n rows, bounded).
     val totals = parted.groupBy("__bucket")

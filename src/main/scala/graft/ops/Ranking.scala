@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed global ranking. A bare `row_number() OVER (ORDER BY ...)`
   * or `ntile(b) OVER (ORDER BY ...)` has an empty PARTITION BY, so Spark
@@ -22,18 +23,39 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** Range-partition on the sort key and pin row placement (the
-    * localCheckpoint) so the per-bucket measure pass and the rank pass
-    * see identical partitioning.
+  /** Pin a frame's partition placement for multi-pass reuse — both
+    * passes of the two-phase scan MUST see rows in identical partitions
+    * (re-executing `repartitionByRange` could re-sample its boundaries).
+    *
+    * Default (`durable = false`): `localCheckpoint` — materializes to
+    * executor-LOCAL storage and truncates lineage. Fastest, but on a
+    * real cluster an executor lost after the checkpoint FAILS THE JOB
+    * (no lineage left to recompute its blocks from); a single-JVM run
+    * never sees that failure mode.
+    *
+    * Durable (`durable = true`): `persist(DISK_ONLY)` with lineage
+    * kept — a lost executor's partitions are recomputed instead of
+    * killing the job. Placement stays pass-consistent because every
+    * pass reads the SAME cached plan: its RDD graph holds one
+    * RangePartitioner whose boundaries were sampled once at first
+    * materialization, so a recompute reuses those exact boundaries.
+    * Cost: the recompute re-reads the source, and the cache occupies
+    * executor disk until the caller `unpersist`s the returned frame.
+    */
+  private[ops] def pin(df: DataFrame, durable: Boolean): DataFrame =
+    if (durable) df.persist(StorageLevel.DISK_ONLY) else df.localCheckpoint()
+
+  /** Range-partition on the sort key and pin row placement ([[pin]]) so
+    * the per-bucket measure pass and the rank pass see identical
+    * partitioning.
     */
   private def rangeParted(df: DataFrame, sortCols: Seq[Column],
-      numPartitions: Int): DataFrame = {
+      numPartitions: Int, durable: Boolean): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartitionByRange(n, sortCols: _*)
-      .withColumn("__bucket", spark_partition_id())
-      .localCheckpoint()
+    pin(df.repartitionByRange(n, sortCols: _*)
+      .withColumn("__bucket", spark_partition_id()), durable)
   }
 
   /** Turn per-bucket measures (row counts, distinct-key counts, ...) into
@@ -58,8 +80,8 @@ object Ranking {
     * frame-count ops (cume_dist).
     */
   private def withBases(df: DataFrame, sortCols: Seq[Column],
-      numPartitions: Int): (DataFrame, Long) = {
-    val parted = rangeParted(df, sortCols, numPartitions)
+      numPartitions: Int, durable: Boolean): (DataFrame, Long) = {
+    val parted = rangeParted(df, sortCols, numPartitions, durable)
     val counts = parted.groupBy("__bucket")
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => (r.getInt(0), r.getLong(1)))
@@ -70,9 +92,10 @@ object Ranking {
     * parallel. Output: input columns + `out`.
     */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
-      out: String = "rn", numPartitions: Int = 0): DataFrame = {
+      out: String = "rn", numPartitions: Int = 0,
+      durable: Boolean = false): DataFrame = {
     val w = Window.partitionBy("__bucket").orderBy(sortCols: _*)
-    val (based, _) = withBases(df, sortCols, numPartitions)
+    val (based, _) = withBases(df, sortCols, numPartitions, durable)
     based
       .withColumn(out, col("__base") + row_number().over(w).cast("long"))
       .drop("__bucket", "__base")
@@ -84,10 +107,11 @@ object Ranking {
     * (long, 1-based).
     */
   def ntileExact(df: DataFrame, buckets: Int, sortCols: Seq[Column],
-      out: String = "bucket", numPartitions: Int = 0): DataFrame = {
+      out: String = "bucket", numPartitions: Int = 0,
+      durable: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val w = Window.partitionBy("__bucket").orderBy(sortCols: _*)
-    val (based, total) = withBases(df, sortCols, numPartitions)
+    val (based, total) = withBases(df, sortCols, numPartitions, durable)
     // SQL ntile: with q = n div b, r = n mod b, the first r buckets have
     // q+1 rows. Rows 1..r*(q+1) map by div(q+1); the rest by div(q) after
     // shifting past the large buckets.
@@ -114,9 +138,10 @@ object Ranking {
     * Output: input columns + `out` (double).
     */
   def cumeDistExact(df: DataFrame, keyCols: Seq[Column],
-      out: String = "cume_dist", numPartitions: Int = 0): DataFrame = {
+      out: String = "cume_dist", numPartitions: Int = 0,
+      durable: Boolean = false): DataFrame = {
     val w = Window.partitionBy("__bucket").orderBy(keyCols: _*)
-    val (based, total) = withBases(df, keyCols, numPartitions)
+    val (based, total) = withBases(df, keyCols, numPartitions, durable)
     val cnt = col("__base") + count(lit(1)).over(w)
     val cd =
       if (total == 0L) lit(0.0) // no rows survive anyway
@@ -135,9 +160,10 @@ object Ranking {
     * rank. Output: input columns + `out` (long, 1-based).
     */
   def globalRankExact(df: DataFrame, keyCols: Seq[Column],
-      out: String = "rnk", numPartitions: Int = 0): DataFrame = {
+      out: String = "rnk", numPartitions: Int = 0,
+      durable: Boolean = false): DataFrame = {
     val w = Window.partitionBy("__bucket").orderBy(keyCols: _*)
-    val (based, _) = withBases(df, keyCols, numPartitions)
+    val (based, _) = withBases(df, keyCols, numPartitions, durable)
     based
       .withColumn(out, col("__base") + rank().over(w).cast("long"))
       .drop("__bucket", "__base")
@@ -150,8 +176,9 @@ object Ranking {
     * the local ladder anyway — see there).
     */
   def denseRankExact(df: DataFrame, keyCols: Seq[Column],
-      out: String = "drnk", numPartitions: Int = 0): DataFrame =
-    rankAndDenseRank(df, keyCols, "__rnk_drop", out, numPartitions)
+      out: String = "drnk", numPartitions: Int = 0,
+      durable: Boolean = false): DataFrame =
+    rankAndDenseRank(df, keyCols, "__rnk_drop", out, numPartitions, durable)
       .drop("__rnk_drop")
 
   /** Exact global `rank` AND `dense_rank` from ONE range-partitioned
@@ -168,13 +195,14 @@ object Ranking {
     */
   def rankAndDenseRank(df: DataFrame, keyCols: Seq[Column],
       rankOut: String = "rnk", denseOut: String = "drnk",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0, durable: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    // checkpoint AFTER the window (unlike withBases, which pins before
-    // it): both the base pass and the final projection read the ladder,
-    // so pinning the laddered frame makes the window sort run exactly
-    // once and keeps the two passes placement-consistent
-    val laddered = ladderPlan(df, keyCols, numPartitions).localCheckpoint()
+    // pin AFTER the window (unlike withBases, which pins before it):
+    // both the base pass and the final projection read the ladder, so
+    // pinning the laddered frame makes the window sort run exactly once
+    // and keeps the two passes placement-consistent ([[pin]] documents
+    // the localCheckpoint-vs-durable executor-loss trade)
+    val laddered = pin(ladderPlan(df, keyCols, numPartitions), durable)
     val measures = laddered.groupBy("__bucket")
       .agg(count(lit(1)).as("__n"), max(col("__ld")).as("__d")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
@@ -217,9 +245,10 @@ object Ranking {
     * rank. Output: input columns + `out` (double).
     */
   def percentRankExact(df: DataFrame, keyCols: Seq[Column],
-      out: String = "pct_rank", numPartitions: Int = 0): DataFrame = {
+      out: String = "pct_rank", numPartitions: Int = 0,
+      durable: Boolean = false): DataFrame = {
     val w = Window.partitionBy("__bucket").orderBy(keyCols: _*)
-    val (based, total) = withBases(df, keyCols, numPartitions)
+    val (based, total) = withBases(df, keyCols, numPartitions, durable)
     val globalRank = col("__base") + rank().over(w).cast("long")
     val pct =
       if (total <= 1L) lit(0.0)

@@ -348,7 +348,12 @@ private[queries] object CatalogRoundtrip {
             .withColumn("n_mart", lit(m.enrichedCount))
             .orderBy("location_id", "datetime")
             .localCheckpoint(true)
-        } finally dropStagedTree(base)
+        } finally {
+          // the view points at $base/out, which the next line deletes — a
+          // dangling catalog entry would shadow any later same-named view
+          s.catalog.dropTempView("q152_mart")
+          dropStagedTree(base)
+        }
       },
       oracle = Some(rawPipelineOracleSql("""
         , (SELECT count(*) FROM raw) AS n_raw
