@@ -28,27 +28,39 @@ object Bench {
   private[graft] def median(ss: Seq[Double]): Double =
     if (ss.exists(_ < 0)) -1.0 else ss.sorted.apply(ss.size / 2)
 
-  /** Newest committed BENCH_r*.json in `dir` (by round number), parsed to
-    * its per-query medians — the comparison base for `prev`. None when no
-    * prior round exists or parsing fails (first round, moved file).
+  /** Newest PARSEABLE BENCH_r*.json in `dir` (by round number), read to
+    * its per-query medians — the comparison base for `prev`. The driver
+    * wraps the bench stdout line under a `"parsed"` key (null when its
+    * tail capture truncated the line, as in round 7), so look there first
+    * and fall back to a top-level `"queries"` (the raw line format). Files
+    * whose medians can't be recovered are skipped, not fatal — so an
+    * unparseable current-round file falls through to the previous round.
+    * None when no round yields medians.
     */
-  private[graft] def previousBench(dir: java.io.File): Option[(String, Map[String, Double])] =
-    try {
-      val rx = "BENCH_r(\\d+)\\.json".r
-      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-        .flatMap(f => f.getName match {
-          case rx(n) => Some((n.toInt, f))
-          case _     => None
-        })
-        .sortBy(-_._1).headOption.map { case (_, f) =>
-          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-          val qs = root.get("queries")
+  private[graft] def previousBench(dir: java.io.File): Option[(String, Map[String, Double])] = {
+    val rx = "BENCH_r(\\d+)\\.json".r
+    val candidates = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => f.getName match {
+        case rx(n) => Some((n.toInt, f))
+        case _     => None
+      })
+      .sortBy(-_._1)
+    candidates.iterator.flatMap { case (_, f) =>
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val parsed = root.path("parsed").path("queries")
+        val qs = if (!parsed.isMissingNode && parsed.isObject) parsed
+                 else root.path("queries")
+        if (!qs.isObject || qs.isEmpty) None
+        else {
           val it = qs.properties().iterator()
           val m = Map.newBuilder[String, Double]
           while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asDouble() }
-          (f.getName, m.result())
+          Some((f.getName, m.result()))
         }
-    } catch { case _: Throwable => None }
+      } catch { case _: Throwable => None }
+    }.nextOption()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,11 +127,16 @@ object Bench {
         Some(s""","prev":{"file":"$fname","n_common":${common.size},"common_prev":$pv,"common_cur":$cur,"delta_pct":${math.round(pct * 10) / 10.0}}""")
       }
     }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"samples":$samples$failedField$prevField,"sf":"$sfDir"}"""
+    // stdout line stays SLIM: round 7's line (with the raw sample arrays
+    // inline) outgrew the driver's tail-capture window and arrived
+    // truncated → "parsed": null for the whole round. Samples go only to
+    // the side file; the line keeps queries + mins + failed + prev.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins$failedField$prevField,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"samples":$samples$failedField$prevField,"sf":"$sfDir"}"""
     // belt: persist to a file for consumers that can't parse sbt stdout
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop() // stop BEFORE printing so the JSON is the final stdout line
     println(line)

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-provided synthetic tables (TESTDATA.md).
   *
@@ -17,22 +17,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session configs every graft session needs. `nanosAsLong` is required
-    * because `events.parquet` carries TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright; with the flag it surfaces as a
-    * long that [[load]] converts back to a (microsecond) timestamp.
+  /** Session configs every graft session needs. `nanosAsLong` stays for
+    * back-compat with testdata generations that carried TIMESTAMP(NANOS)
+    * (Spark's vectorized reader rejects nanos outright; with the flag it
+    * surfaces as a long). Newer generations carry TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) → TIMESTAMP_NTZ; [[load]] normalizes both.
     */
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** Normalize an events-shaped `ts` column to session-TZ `TimestampType`
+    * whatever the file encoding was:
+    *   - TIMESTAMP(NANOS) via `nanosAsLong` → LongType nanos → integer-divide
+    *     to µs (the data's actual precision; no double rounding);
+    *   - TIMESTAMP(MICROS, NTZ) → TimestampNTZType → cast, value-preserving
+    *     under the pinned UTC session time zone;
+    *   - TIMESTAMP (adjusted-to-UTC) → already TimestampType, no-op.
+    * Every consumer (batch via [[load]], streaming via the catalog's staged
+    * reader) must funnel through here so a driver-side re-encode of the
+    * testdata cannot silently shift the time axis again.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // nanos-as-long epoch column back to a real timestamp (µs precision —
-    // the data's actual precision; integer division, no double rounding)
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")

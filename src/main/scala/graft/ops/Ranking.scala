@@ -39,8 +39,16 @@ object Ranking {
     * pass reads the SAME cached plan: its RDD graph holds one
     * RangePartitioner whose boundaries were sampled once at first
     * materialization, so a recompute reuses those exact boundaries.
-    * Cost: the recompute re-reads the source, and the cache occupies
-    * executor disk until the caller `unpersist`s the returned frame.
+    * Two costs the caller accepts:
+    *  - the recompute path additionally requires the SOURCE frame to be
+    *    deterministic (stable reads, no `rand`, no unstable sampling):
+    *    recomputed rows that differ from those counted in the offsets
+    *    pass would silently corrupt ranks — a failure mode
+    *    `localCheckpoint` (no recompute, job fails instead) cannot have;
+    *  - the DISK_ONLY cache is on the INTERNAL range-partitioned frame,
+    *    not the frame returned to the caller (which is a projection over
+    *    it), so `unpersist()` on the returned frame will NOT release it:
+    *    it lives until `spark.catalog.clearCache()` or session end.
     */
   private[ops] def pin(df: DataFrame, durable: Boolean): DataFrame =
     if (durable) df.persist(StorageLevel.DISK_ONLY) else df.localCheckpoint()

@@ -366,13 +366,19 @@ object Catalog {
     java.nio.file.Files.deleteIfExists(dir)
   }
 
-  /** The raw events schema as the nanosAsLong reader surfaces it (ts is a
-    * nanosecond long; see [[graft.Tables.requiredConfs]]).
+  /** Streaming reader over a staged events dir that is agnostic to the
+    * file's `ts` encoding. `readStream` needs a declared schema, so we take
+    * it from the actual parquet footer (one cheap batch-read of the staged
+    * copy) rather than hardcoding an assumption — the driver has already
+    * re-encoded `ts` once (nanos → micros-NTZ), and a hardcoded schema
+    * turns that flip into a silent 1000× time-axis compression. The footer
+    * schema plus [[graft.Tables.normalizeTs]] yields session-TZ
+    * `TimestampType` for every encoding, identical to the batch path.
     */
-  private[queries] val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private[queries] def stagedEventsStream(s: SparkSession, dir: java.nio.file.Path): DataFrame = {
+    val footer = s.read.parquet(dir.toString).schema
+    Tables.normalizeTs(s.readStream.schema(footer).parquet(dir.toString))
+  }
 
   /** Run a streaming frame to a complete-mode memory sink and return the
     * materialized table (stopping any prior query of the same name so the

@@ -389,8 +389,7 @@ private[queries] object CatalogAnalytics {
     "q48_stream_hour_agg" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
-        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = stagedEventsStream(s, dir)
         val agg = stream
           .groupBy(window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value"))
@@ -813,7 +812,7 @@ private[queries] object CatalogAnalytics {
     "q60_stream_dedup_count" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
-        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
+        val stream = stagedEventsStream(s, dir)
         val agg = stream
           .select("user_id", "event_type")
           .dropDuplicates("user_id", "event_type")

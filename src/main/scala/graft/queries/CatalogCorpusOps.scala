@@ -503,8 +503,7 @@ private[queries] object CatalogCorpusOps {
     "q104_stream_funnel" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
-        val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = stagedEventsStream(s, dir)
           .select("user_id", "ts", "event_type")
         val frontiers = graft.ops.Funnel.streamingFunnel(s, stream,
           funnelStepSeq, maxSpanMicros = Some(7L * 24 * 3600 * 1000000L))

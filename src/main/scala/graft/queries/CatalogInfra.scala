@@ -21,6 +21,14 @@ import Catalog._
   * it in insertion order.
   */
 private[queries] object CatalogInfra {
+  /** q124's champion-list cap: tokens with df above this never generate
+    * candidate pairs, bounding the posting join at cap^2 pairs per token
+    * REGARDLESS of corpus size. One constant, interpolated into both the
+    * Column expression and the oracle SQL so the engines cannot drift
+    * (the q71 constants pattern).
+    */
+  private val sparseTopkDfCap = 64L
+
   def entries: Seq[(String, QueryDef)] = Seq(
     // Snapshot diff (ops/ChangeCapture.snapshotDiff): classify every key
     // across two table versions as added / removed / changed / unchanged.
@@ -548,11 +556,19 @@ private[queries] object CatalogInfra {
     // so two deterministic group tags are injected in-query to create the
     // sparse structure (the q89/q95 construction pattern); the OPERATOR
     // under test is the posting-join shape.
+    //
+    // The champion cap is ABSOLUTE, not proportional: with a cap of c the
+    // worst token contributes at most c^2 = 4096 candidate pairs and the
+    // whole join at most |vocab| * c^2 — both independent of corpus size.
+    // (The earlier n/10 cap made the per-token bound grow n^2: at 100x
+    // the docs the worst token generated 10,000x the pairs — a
+    // scale-killer. Tokens with df > c are dropped from candidate
+    // generation entirely, the standard champion-list trade: recall for
+    // those pairs comes from their OTHER, rarer shared tokens.)
     "q124_sparse_topk" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
-        val n = docs.count() // bounded scalar, same pattern as q71
-        val maxDf = math.max(2L, n / 10)
+        val maxDf = sparseTopkDfCap // shared with the oracle SQL below
         val tagged = docs.select(col("doc_id"),
           concat(col("text"), lit(" taga"), expr("doc_id div 7"),
             lit(" tagb"), col("doc_id") % 13).as("text"))
@@ -588,11 +604,10 @@ private[queries] object CatalogInfra {
              FROM documents),
         tok AS (SELECT doc_id, unnest($toksSql) AS token FROM tagged),
         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-        nn AS (SELECT count(*) AS n FROM documents),
         keep AS (SELECT token FROM
                    (SELECT token, count(DISTINCT doc_id) AS df
-                    FROM tok GROUP BY 1) CROSS JOIN nn
-                 WHERE df >= 2 AND df <= greatest(2, n // 10)),
+                    FROM tok GROUP BY 1)
+                 WHERE df >= 2 AND df <= $sparseTopkDfCap),
         tfp AS (SELECT tf.* FROM tf JOIN keep USING (token)),
         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
                          CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
@@ -619,8 +634,7 @@ private[queries] object CatalogInfra {
         // stream run must not leak the staged copy of events
         val table =
           try {
-            val stream = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-              .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            val stream = stagedEventsStream(s, dir)
             val agg = stream.groupBy(window(col("ts"), "2 hours", "1 hour"))
               .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
             runToMemoryTable(s, agg, "q125_mem")
@@ -926,8 +940,7 @@ private[queries] object CatalogInfra {
       fn = (s, d) => {
         val dir = stageEventsDir(d)
         try {
-          def src = s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          def src = stagedEventsStream(s, dir)
           val clicks = src.filter(col("event_type") === "click")
             .select("event_id", "user_id", "ts")
           val purchases = src.filter(col("event_type") === "purchase")

@@ -43,4 +43,36 @@ class VerifySpec extends AnyFunSuite {
     assert(Bench.median(Seq(5.0)) == 5.0)
     assert(Bench.median(Seq(1.0, -1.0, 0.5)) == -1.0)
   }
+
+  test("previousBench reads driver-wrapped files and skips unparseable rounds") {
+    // Mirror the driver's actual BENCH_r*.json shape: the bench stdout
+    // line nested under "parsed" (null when tail capture truncated it —
+    // the round-7 failure this guards against). The newest round here is
+    // unparseable, so the comparison base must fall through to r2.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-prev")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r2.json"),
+      """{"n":2,"rc":0,"tail":"...","parsed":{"metric":"total","value":3.5,
+        |"queries":{"q01":1.5,"q02":2.0},"sf":"sf0.1"}}""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r3.json"),
+      """{"n":3,"rc":0,"tail":"truncat","parsed":null}""")
+    val got = Bench.previousBench(dir.toFile)
+    assert(got.isDefined)
+    val (fname, qs) = got.get
+    assert(fname == "BENCH_r2.json")
+    assert(qs == Map("q01" -> 1.5, "q02" -> 2.0))
+    // raw bench-line format (top-level queries) also parses
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r4.json"),
+      """{"metric":"total","value":1.0,"queries":{"q09":1.0},"sf":"x"}""")
+    assert(Bench.previousBench(dir.toFile).get._1 == "BENCH_r4.json")
+  }
+
+  test("previousBench parses the actual committed bench files in the repo") {
+    // Against the real repo dir: r7's parsed is null, so this must land on
+    // an older round (r6) and recover non-empty medians.
+    val got = Bench.previousBench(new java.io.File("."))
+    assert(got.isDefined, "no parseable BENCH_r*.json found in repo root")
+    val (fname, qs) = got.get
+    assert(qs.nonEmpty, s"$fname parsed to empty medians")
+    assert(qs.contains("q01_pricing_summary"), s"$fname medians missing headline query")
+  }
 }
