@@ -284,5 +284,71 @@ private[queries] object CatalogScaleOps {
         SELECT user_id, c * c AS contrib,
                (SELECT CAST(sum(c * c) AS BIGINT) FROM c) AS est_rows
         FROM c ORDER BY contrib DESC, user_id ASC LIMIT 5""")),
+
+    // The live extraction plane under the oracle gate (S13; reference
+    // extract_api.py:38-104 pagination, :193-268 per-sensor fetch): a
+    // deterministic FixtureFetcher stands in for HTTP, and the WHOLE chain
+    // runs for real — driver page loop (4 full + 1 partial page, empty
+    // page 6 terminates), locations JSON parse, sensors explode,
+    // DISTRIBUTED per-sensor measurement fetch over mapPartitions, JSON
+    // flatten, and the continue-on-error per-sensor skip (ids % 13 == 0
+    // answer 404 and must vanish without failing the job). The fixture is
+    // generated from closed-form formulas of the location id, so DuckDB
+    // rebuilds the identical rows from range() — pagination/flatten/skip
+    // semantics sit under the same hash gate as every batch operator.
+    "q157_api_source" -> QueryDef(
+      fn = (s, d) => {
+        import graft.pipeline.ApiSource
+        val pageSize = 7
+        val locIds = 1 to 25 // -> 4 full pages + 1 partial under pageSize 7
+        def sensorJson(sid: Long) = {
+          val p = if (sid % 2 == 0) "pm25" else "pm10"
+          s"""{"id":$sid,"name":"sensor-$sid","parameter":{"id":${sid % 7},"name":"$p","units":"ug/m3","displayName":"$p"}}"""
+        }
+        def locJson(l: Int) =
+          s"""{"id":$l,"name":"loc-$l","locality":"city-$l","timezone":"UTC",""" +
+          s""""country":{"id":56,"code":"VN","name":"Vietnam"},""" +
+          s""""coordinates":{"latitude":${l % 30}.5,"longitude":10${l % 10}.25},""" +
+          s""""sensors":[${sensorJson(2L * l)},${sensorJson(2L * l + 1)}],""" +
+          s""""datetimeFirst":{"utc":"2024-01-01T00:00:00Z","local":"2024-01-01T07:00:00+07:00"},""" +
+          s""""datetimeLast":{"utc":"2024-01-31T00:00:00Z","local":"2024-01-31T07:00:00+07:00"}}"""
+        def measurementJson(sid: Long, m: Int) = {
+          val p = if (sid % 2 == 0) "pm25" else "pm10"
+          s"""{"value":$sid.$m,"parameter":{"id":${sid % 7},"name":"$p","units":"ug/m3","displayName":"$p"},""" +
+          s""""period":{"label":"1h","interval":"01:00:00",""" +
+          s""""datetimeFrom":{"utc":"2024-01-01T0$m:00:00Z","local":"2024-01-01T0$m:00:00+00:00"},""" +
+          s""""datetimeTo":{"utc":"2024-01-01T0${m + 1}:00:00Z","local":"2024-01-01T0${m + 1}:00:00+00:00"}},""" +
+          s""""flagInfo":{"hasFlags":false}}"""
+        }
+        val pages = locIds.grouped(pageSize).zipWithIndex.map { case (ls, i) =>
+          (i + 1) -> (ApiSource.Page(ls.map(locJson)): ApiSource.FetchResult)
+        }.toMap
+        val measurements = locIds.flatMap(l => Seq(2L * l, 2L * l + 1)).map { sid =>
+          sid -> (if (sid % 13 == 0) ApiSource.HttpError(404, "gone")
+                  else ApiSource.Page((0 until 3).map(m => measurementJson(sid, m)))
+                 : ApiSource.FetchResult)
+        }.toMap
+        val fetcher = ApiSource.FixtureFetcher(pages, measurements)
+        val locs = ApiSource.fetchAllLocations(fetcher, pageSize = pageSize)
+        val sensorIds = ApiSource.locationsDf(s, locs)
+          .select(explode(col("sensors.id")).as("sid"))
+          .collect().map(_.getLong(0)).sorted.toSeq // bounded: fixture ids
+        ApiSource.fetchMeasurementsDistributed(
+            s, sensorIds, fetcher, "2024-01-01", "2024-01-02", parallelism = 8)
+          .select(col("sensor_id"), col("datetime"), col("parameter"),
+            col("value"), col("unit"))
+          .orderBy("sensor_id", "datetime")
+      },
+      oracle = Some("""
+        WITH sensors AS (SELECT range AS sid FROM range(2, 52)),
+        ms AS (SELECT range AS m FROM range(0, 3))
+        SELECT sid AS sensor_id,
+               '2024-01-01T0' || m || ':00:00Z' AS datetime,
+               CASE WHEN sid % 2 = 0 THEN 'pm25' ELSE 'pm10' END AS parameter,
+               (sid * 10 + m) / 10.0 AS value,
+               'ug/m3' AS unit
+        FROM sensors CROSS JOIN ms
+        WHERE sid % 13 <> 0
+        ORDER BY sensor_id, datetime""")),
   )
 }
