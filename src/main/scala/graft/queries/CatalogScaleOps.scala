@@ -350,5 +350,47 @@ private[queries] object CatalogScaleOps {
         FROM sensors CROSS JOIN ms
         WHERE sid % 13 <> 0
         ORDER BY sensor_id, datetime""")),
+
+    // SHOW PARTITIONS over the partitioned mart — the reference's
+    // partition-inspection check (tests/test_phase5_manual_trigger.py:
+    // 284-287 runs SHOW PARTITIONS on the Athena table after a manual
+    // trigger). Here the mart is written with the real partitioned sink,
+    // registered as an external datasource table over its LOCATION, its
+    // partitions recovered from the directory layout (the MSCK REPAIR
+    // twin — what a metastore-backed deployment gets from the crawler),
+    // and SHOW PARTITIONS is the literal SQL surface. Partition-value
+    // type inference is scoped OFF so the padded month/day strings
+    // round-trip verbatim ("month=01", not "month=1") — the same
+    // int/string partition contract F6 pins for the files themselves.
+    "q158_show_partitions" -> QueryDef(
+      fn = (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-showpart")
+        val tbl = "graft_q158_mart"
+        val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prev = s.conf.get(confKey)
+        try {
+          val mart = Transforms.derivePartitions(
+            t(s, d, "events").select(col("event_id"),
+              col("ts").as("datetime"), col("event_type"), col("value")))
+          graft.pipeline.Sink.writePartitioned(mart, s"$base/mart",
+            partitionCols = Seq("year", "month", "day"), mode = "overwrite")
+          s.conf.set(confKey, "false")
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$base/mart'")
+          s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
+          s.sql(s"SHOW PARTITIONS $tbl")
+            .orderBy("partition")
+            .localCheckpoint(true) // eager: resolves before table drop
+        } finally {
+          s.conf.set(confKey, prev)
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          dropStagedTree(base)
+        }
+      },
+      oracle = Some("""
+        SELECT DISTINCT 'year=' || strftime(ts, '%Y') ||
+               '/month=' || strftime(ts, '%m') ||
+               '/day=' || strftime(ts, '%d') AS "partition"
+        FROM events ORDER BY "partition" """)),
   )
 }
