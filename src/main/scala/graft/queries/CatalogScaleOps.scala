@@ -298,38 +298,10 @@ private[queries] object CatalogScaleOps {
     // semantics sit under the same hash gate as every batch operator.
     "q157_api_source" -> QueryDef(
       fn = (s, d) => {
-        import graft.pipeline.ApiSource
-        val pageSize = 7
-        val locIds = 1 to 25 // -> 4 full pages + 1 partial under pageSize 7
-        def sensorJson(sid: Long) = {
-          val p = if (sid % 2 == 0) "pm25" else "pm10"
-          s"""{"id":$sid,"name":"sensor-$sid","parameter":{"id":${sid % 7},"name":"$p","units":"ug/m3","displayName":"$p"}}"""
-        }
-        def locJson(l: Int) =
-          s"""{"id":$l,"name":"loc-$l","locality":"city-$l","timezone":"UTC",""" +
-          s""""country":{"id":56,"code":"VN","name":"Vietnam"},""" +
-          s""""coordinates":{"latitude":${l % 30}.5,"longitude":10${l % 10}.25},""" +
-          s""""sensors":[${sensorJson(2L * l)},${sensorJson(2L * l + 1)}],""" +
-          s""""datetimeFirst":{"utc":"2024-01-01T00:00:00Z","local":"2024-01-01T07:00:00+07:00"},""" +
-          s""""datetimeLast":{"utc":"2024-01-31T00:00:00Z","local":"2024-01-31T07:00:00+07:00"}}"""
-        def measurementJson(sid: Long, m: Int) = {
-          val p = if (sid % 2 == 0) "pm25" else "pm10"
-          s"""{"value":$sid.$m,"parameter":{"id":${sid % 7},"name":"$p","units":"ug/m3","displayName":"$p"},""" +
-          s""""period":{"label":"1h","interval":"01:00:00",""" +
-          s""""datetimeFrom":{"utc":"2024-01-01T0$m:00:00Z","local":"2024-01-01T0$m:00:00+00:00"},""" +
-          s""""datetimeTo":{"utc":"2024-01-01T0${m + 1}:00:00Z","local":"2024-01-01T0${m + 1}:00:00+00:00"}},""" +
-          s""""flagInfo":{"hasFlags":false}}"""
-        }
-        val pages = locIds.grouped(pageSize).zipWithIndex.map { case (ls, i) =>
-          (i + 1) -> (ApiSource.Page(ls.map(locJson)): ApiSource.FetchResult)
-        }.toMap
-        val measurements = locIds.flatMap(l => Seq(2L * l, 2L * l + 1)).map { sid =>
-          sid -> (if (sid % 13 == 0) ApiSource.HttpError(404, "gone")
-                  else ApiSource.Page((0 until 3).map(m => measurementJson(sid, m)))
-                 : ApiSource.FetchResult)
-        }.toMap
-        val fetcher = ApiSource.FixtureFetcher(pages, measurements)
-        val locs = ApiSource.fetchAllLocations(fetcher, pageSize = pageSize)
+        import graft.pipeline.{ApiSource, FixtureApi}
+        val fetcher = FixtureApi.fetcher
+        val locs = ApiSource.fetchAllLocations(fetcher,
+          pageSize = FixtureApi.pageSize)
         val sensorIds = ApiSource.locationsDf(s, locs)
           .select(explode(col("sensors.id")).as("sid"))
           .collect().map(_.getLong(0)).sorted.toSeq // bounded: fixture ids
@@ -339,17 +311,35 @@ private[queries] object CatalogScaleOps {
             col("value"), col("unit"))
           .orderBy("sensor_id", "datetime")
       },
-      oracle = Some("""
-        WITH sensors AS (SELECT range AS sid FROM range(2, 52)),
-        ms AS (SELECT range AS m FROM range(0, 3))
-        SELECT sid AS sensor_id,
-               '2024-01-01T0' || m || ':00:00Z' AS datetime,
-               CASE WHEN sid % 2 = 0 THEN 'pm25' ELSE 'pm10' END AS parameter,
-               (sid * 10 + m) / 10.0 AS value,
-               'ug/m3' AS unit
-        FROM sensors CROSS JOIN ms
-        WHERE sid % 13 <> 0
-        ORDER BY sensor_id, datetime""")),
+      oracle = Some(graft.pipeline.FixtureApi.oracleSql)),
+
+    // The SAME extraction semantics through the DataSource V2 reader
+    // (sources/OpenAqSource): `spark.read.format("openaq")` with the
+    // fixture fetcher injected by class name — locations endpoint
+    // (single input partition, driver-loop-equivalent pagination inside
+    // the reader) feeds the sensor-id list; measurements endpoint
+    // spreads those ids over round-robin input-partition slices, each
+    // executor instantiating the fetcher reflectively. Checked against
+    // the IDENTICAL oracle as q157: the two extraction planes (ad-hoc
+    // driver loop vs first-class DSv2 table) must agree row-for-row,
+    // which is exactly the parity a user switching between them relies
+    // on.
+    "q159_dsv2_source" -> QueryDef(
+      fn = (s, d) => {
+        import graft.pipeline.{FixtureApi, FixtureApiFetcher}
+        import graft.sources.OpenAqSource
+        val cls = classOf[FixtureApiFetcher].getName
+        val sensorIds = OpenAqSource.locations(s, cls,
+            pageSize = FixtureApi.pageSize)
+          .select(explode(col("sensors.id")).as("sid"))
+          .collect().map(_.getLong(0)).sorted.toSeq // bounded: fixture ids
+        OpenAqSource.measurements(s, cls, sensorIds,
+            "2024-01-01", "2024-01-02", numPartitions = 8)
+          .select(col("sensor_id"), col("datetime"), col("parameter"),
+            col("value"), col("unit"))
+          .orderBy("sensor_id", "datetime")
+      },
+      oracle = Some(graft.pipeline.FixtureApi.oracleSql)),
 
     // SHOW PARTITIONS over the partitioned mart — the reference's
     // partition-inspection check (tests/test_phase5_manual_trigger.py:
