@@ -382,5 +382,82 @@ private[queries] object CatalogScaleOps {
                '/month=' || strftime(ts, '%m') ||
                '/day=' || strftime(ts, '%d') AS "partition"
         FROM events ORDER BY "partition" """)),
+
+    // NATIVE streaming session windows — `session_window(ts, gap)` under
+    // a real append-mode streaming query, the engine-managed twin of the
+    // flatMapGroupsWithState sessionizer (q40's batch logic, SURVEY
+    // §2.9). Two semantics pinned here:
+    //  - boundary: session_window merges windows that OVERLAP, so an
+    //    event at EXACTLY prev + gap starts a NEW session (q40's lag
+    //    formulation uses > and would keep it) — the oracle uses >= to
+    //    match, and session_end is last_event + gap (the window bound),
+    //    not last_event;
+    //  - emission: append mode only emits sessions the watermark has
+    //    passed, and the watermark trails the max seen event time, so
+    //    trailing sessions never flush on their own. A far-future
+    //    SENTINEL event (user_id -1, +7 days) appended as a second file
+    //    batch advances the watermark past every real session; the
+    //    sentinel's own open session is filtered out. This is the
+    //    standard flush idiom for bounded replays of an unbounded
+    //    operator; a production stream just keeps running instead.
+    // State is O(open sessions), watermark-bounded — scales.
+    "q160_stream_session_window" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        val table = try {
+          val stream = stagedEventsStream(s, dir)
+            .select("user_id", "ts", "value")
+          val agg = stream
+            .withWatermark("ts", "0 seconds")
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"),
+              exactSum(col("value")).as("sum_value"))
+          s.streams.active.filter(q => Option(q.name).contains("q160_mem"))
+            .foreach(_.stop())
+          val q = agg.writeStream.format("memory").queryName("q160_mem")
+            .outputMode("append").start()
+          q.processAllAvailable()
+          // sentinel: bump the max-ts row 7 days, in the staged files' OWN
+          // ts encoding (the write must match the declared stream schema)
+          val footer = s.read.parquet(dir.toString)
+          val bumped = footer.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              col("ts") + lit(7L * 24 * 3600 * 1000000000L) // nanos long
+            case _ => col("ts") + expr("INTERVAL 7 DAYS")
+          }
+          footer.orderBy(col("ts").desc).limit(1)
+            .withColumn("ts", bumped)
+            .withColumn("user_id", lit(-1L))
+            .write.mode("append").parquet(dir.toString)
+          q.processAllAvailable()
+          q.stop()
+          s.table("q160_mem")
+        } finally dropStagedTree(dir)
+        table.filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start")
+      },
+      oracle = Some(s"""
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events, ${sumSql("value")} AS sum_value
+        FROM (
+          SELECT user_id, ts, value,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM (
+            SELECT user_id, ts, value,
+                   CASE WHEN prev_ts IS NULL
+                          OR ts >= prev_ts + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM (SELECT user_id, ts, value,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS prev_ts
+                  FROM events)))
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
   )
 }
