@@ -46,9 +46,23 @@ object Tables {
       case _                => df
     }
 
+  /** Other driver tables carrying event-time columns that a nanos-long
+    * re-encode (the round-7 breakage class) would zero: absorb ONLY the
+    * long encoding for these — their current timestamp form (NTZ today)
+    * is already what every query and oracle agrees on, so it passes
+    * through untouched.
+    */
+  private val longTsColumns: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"), "lineitem" -> Seq("l_shipdate"))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeTs(df) else df
+    if (name == "events") normalizeTs(df)
+    else longTsColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else d
+    }
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
