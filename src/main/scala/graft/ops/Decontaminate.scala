@@ -104,8 +104,17 @@ object Decontaminate {
     *
     * Shape at scale: gram occurrences join the distinct eval-gram set on
     * the gram (uniform key, same exchange as [[contaminated]] with the
-    * sides swapped); coverage explode is map-side; the anti-join and the
-    * positional reassembly hash by (doc, position) / doc. Nothing
+    * sides swapped); ONLY the matched occurrences — the contaminated
+    * sliver, not the full token stream — shuffle again, collapsing to
+    * one covered-span array per dirty doc (bounded by that doc's own
+    * token count). Reassembly is a doc-keyed join (broadcast-able when
+    * contamination is sparse — the common case) plus per-row
+    * LINEAR-TIME array ops: `array_except` over positions is hash-based
+    * O(n+m) and `element_at` on an array is O(1), so each doc costs
+    * O(tokens + covered). (An earlier fused attempt used
+    * `filter(array_contains)` — O(tokens x covered) per doc — and
+    * measured 3x SLOWER than the shuffle-heavy formulation it replaced;
+    * the linear form beats both. See NOTES.md round-8 entry.) Nothing
     * touches the driver.
     */
   def maskContaminated(train: DataFrame, eval: DataFrame,
@@ -120,42 +129,37 @@ object Decontaminate {
       posexplode(when(TF.tokenCount(col(textCol)) >= shingleSize,
           TF.shingles(col(textCol), shingleSize))
         .otherwise(array().cast("array<string>"))).as(Seq("__p", "gram")))
+    // one row per CONTAMINATED doc: every covered position, expanded from
+    // the leaked span starts map-side (the exchange carries only matched
+    // occurrences) and deduped doc-side
     val covered = occurrences
       .join(evalGrams, Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("__p"), col("__p") + (shingleSize - 1))).as("__p"))
-      .distinct()
-
-    val tokenized = train.select(col(idCol).as("doc_id"),
-      posexplode(TF.tokens(col(textCol))).as(Seq("__p", "__tok")))
-    val kept = tokenized.join(covered, Seq("doc_id", "__p"), "left_anti")
-    val reassembled = kept
       .groupBy("doc_id")
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("__p"), col("__tok")))),
-            x => x.getField("__tok")),
-          " ").as("clean_text"),
-        count(lit(1)).as("n_tokens_kept"))
+      .agg(collect_set(col("__p")).as("__covered"))
 
-    // totals are a per-row tokenCount over the original text — identical
-    // by construction to counting the exploded stream (tokenCount IS
-    // size(tokens); the explicit null-text branch mirrors posexplode
-    // emitting 0 rows) — computed map-side in the SAME scan that restores
-    // token-less docs. This replaces a second full posexplode +
-    // token-stream groupBy shuffle + extra join, which at corpus scale
-    // was the most expensive way to count. The when() (not
-    // coalesce(size(...))) keeps the total engine-config-independent:
-    // with spark.sql.ansi.enabled=false, size(null) is -1, not null.
+    // Per-row linear reassembly. The when() null-text branch keeps totals
+    // engine-config-independent (with spark.sql.ansi.enabled=false,
+    // size(null) is -1, not null).
+    val toks = when(col("__text").isNull, array().cast("array<string>"))
+      .otherwise(TF.tokens(col("__text")))
+    val coveredArr = coalesce(col("__covered"), array().cast("array<int>"))
+    // positions 0..n-1 minus covered — array_except hashes the right side
+    // (O(n+m)) and preserves left order, so kept positions stay ascending.
+    // The empty-doc guard matters: sequence(0, -1) is a DESCENDING
+    // sequence, not empty, and the out-of-range element_at would throw
+    // under ANSI mode.
+    val allPos = when(size(toks) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(toks) - 1).cast("array<int>"))
+    val keptPos = array_except(allPos, coveredArr)
+    val keptToks = transform(keptPos, i => element_at(toks, i + 1))
     train
-      .select(col(idCol).as("doc_id"),
-        when(col(textCol).isNull, lit(0L))
-          .otherwise(TF.tokenCount(col(textCol))).as("__n_total"))
-      .join(reassembled, Seq("doc_id"), "left")
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-        (coalesce(col("__n_total"), lit(0L)) -
-          coalesce(col("n_tokens_kept"), lit(0L))).as("n_tokens_removed"))
+        array_join(keptToks, " ").as("clean_text"),
+        size(keptToks).cast("long").as("n_tokens_kept"),
+        (size(toks) - size(keptToks)).cast("long").as("n_tokens_removed"))
   }
 }

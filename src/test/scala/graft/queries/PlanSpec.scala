@@ -212,20 +212,21 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("q101: exactly 4 explodes / 4 scans - survivor totals stay map-side") {
-    // the round-5 optimization derives per-doc totals from tokenCount in
-    // the restore scan instead of a SECOND tokens-posexplode + groupBy +
-    // join; the plan's Generate census is the guard. The four explodes:
-    // eval shingles, train shingle occurrences, coverage sequence, train
-    // tokens. The four scans: eval docs, occurrence docs, token docs,
-    // totals docs. A regression back to exploded totals shows up as a
-    // 5th Generate (and 5th scan-side Exchange chain) here — invisible
-    // in noisy local wall time, fatal at corpus scale.
+  test("q101: exactly 3 explodes / 3 scans - reassembly stays per-row") {
+    // the round-8 linear reassembly removed the token-stream explode
+    // entirely: kept tokens come from array_except over positions +
+    // element_at inside the restore projection (O(tokens+covered) per
+    // row, zero exchanges). The three explodes: eval shingles, train
+    // shingle occurrences, coverage sequence. The three scans: eval
+    // docs, occurrence docs, restore docs. A regression back to an
+    // exploded token stream shows up as a 4th Generate (and its
+    // (doc,pos)-keyed Exchange chain) here — invisible in noisy local
+    // wall time, fatal at corpus scale.
     val plan = planOf("q101_mask_contaminated")
     val gens = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Generate"))
-    assert(gens == 4, s"expected 4 Generate nodes, got $gens:\n$plan")
+    assert(gens == 3, s"expected 3 Generate nodes, got $gens:\n$plan")
     val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\s*"))
-    assert(scans == 4, s"expected 4 scans, got $scans:\n$plan")
+    assert(scans == 3, s"expected 3 scans, got $scans:\n$plan")
   }
 
   test("q100: distributed percent_rank never funnels rows through one reducer") {
