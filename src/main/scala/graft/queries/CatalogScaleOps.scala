@@ -416,21 +416,23 @@ private[queries] object CatalogScaleOps {
             .foreach(_.stop())
           val q = agg.writeStream.format("memory").queryName("q160_mem")
             .outputMode("append").start()
-          q.processAllAvailable()
-          // sentinel: bump the max-ts row 7 days, in the staged files' OWN
-          // ts encoding (the write must match the declared stream schema)
-          val footer = s.read.parquet(dir.toString)
-          val bumped = footer.schema("ts").dataType match {
-            case org.apache.spark.sql.types.LongType =>
-              col("ts") + lit(7L * 24 * 3600 * 1000000000L) // nanos long
-            case _ => col("ts") + expr("INTERVAL 7 DAYS")
-          }
-          footer.orderBy(col("ts").desc).limit(1)
-            .withColumn("ts", bumped)
-            .withColumn("user_id", lit(-1L))
-            .write.mode("append").parquet(dir.toString)
-          q.processAllAvailable()
-          q.stop()
+          try {
+            q.processAllAvailable()
+            // sentinel: bump the max-ts row 7 days, in the staged files'
+            // OWN ts encoding (the write must match the declared stream
+            // schema)
+            val footer = s.read.parquet(dir.toString)
+            val bumped = footer.schema("ts").dataType match {
+              case org.apache.spark.sql.types.LongType =>
+                col("ts") + lit(7L * 24 * 3600 * 1000000000L) // nanos long
+              case _ => col("ts") + expr("INTERVAL 7 DAYS")
+            }
+            footer.orderBy(col("ts").desc).limit(1)
+              .withColumn("ts", bumped)
+              .withColumn("user_id", lit(-1L))
+              .write.mode("append").parquet(dir.toString)
+            q.processAllAvailable()
+          } finally q.stop() // a leaked query would hold the staged dir
           s.table("q160_mem")
         } finally dropStagedTree(dir)
         table.filter(col("user_id") >= 0)
