@@ -82,4 +82,13 @@ class DecontaminateSpec extends AnyFunSuite {
       .orderBy("doc_id").select("clean_text").as[String].collect()
     assert(out === train.orderBy("doc_id").select("text").as[String].collect())
   }
+
+  test("bloom-prefiltered masking is row-identical to the exact path") {
+    val plain = Decontaminate.maskContaminated(train, eval, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    val bloomed = Decontaminate.maskContaminated(train, eval, "doc_id", "text",
+        bloomPrefilter = true)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(bloomed === plain)
+  }
 }
