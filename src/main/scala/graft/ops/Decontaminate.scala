@@ -126,58 +126,130 @@ object Decontaminate {
     *        the sketch-build job are pure overhead (measured +60% on the
     *        synthetic bench corpus, where ~80% of docs are dirty —
     *        hence default OFF).
+    * @param hashGrams same trade as [[contaminated]]'s flag: join the
+    *        occurrence stream to the eval-gram set on `xxhash64(gram)`
+    *        instead of the gram string — 8-byte shuffle keys instead of
+    *        full gram text, the right trade at corpus scale. A collision
+    *        would mask 0-2 extra CLEAN tokens (never unmask a leaked
+    *        one), at ~n^2/2^64 probability — noise at decontamination
+    *        tolerances. Keep false for engine-portable exact semantics.
+    * @param expectedItems bloom sketch sizing for the EVAL-gram sketch
+    *        (mirrors [[contaminatedBloom]]); an undersized sketch on a
+    *        large eval split silently degrades to pass-through (fpp→1),
+    *        so size it to the eval split's distinct-gram count.
+    * @param reassembly how survivors are rejoined, "linear" (default) or
+    *        "shuffle" — SAME result, different physical shape:
+    *        - "linear": doc-keyed join of the covered-position arrays
+    *          back to the original rows, then per-row O(tokens+covered)
+    *          array ops (`array_except` hashes the right side;
+    *          `element_at` is O(1)). The token stream itself never
+    *          shuffles — three fewer exchanges.
+    *        - "shuffle": posexplode the full token stream, anti-join the
+    *          covered (doc,position) pairs, groupBy doc + sort-collect.
+    *          Shuffles every token twice; kept for the measured A/B (see
+    *          NOTES.md round-9) and as the fallback if a pathological
+    *          corpus (single giant doc) ever overflows a per-row array.
     */
   def maskContaminated(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
-      bloomPrefilter: Boolean = false): DataFrame = {
-    val evalGrams = grams(eval, idCol, textCol, shingleSize, hashGrams = false)
+      bloomPrefilter: Boolean = false,
+      hashGrams: Boolean = false,
+      expectedItems: Long = BloomPrune.DefaultExpectedItems,
+      reassembly: String = "linear"): DataFrame = {
+    require(reassembly == "linear" || reassembly == "shuffle",
+      s"reassembly must be 'linear' or 'shuffle', got '$reassembly'")
+    val evalGrams = grams(eval, idCol, textCol, shingleSize, hashGrams)
       .select("gram").distinct()
 
     // gram OCCURRENCES with 0-based start positions (no distinct — every
     // occurrence masks its own span; same short-doc guard as [[grams]]:
-    // sub-shingle docs assert no leakage and pass through untouched)
+    // sub-shingle docs assert no leakage and pass through untouched).
+    // As in [[grams]], the optional hash is a second projection so the
+    // explode stays a top-level select expression.
     val occurrences = train.select(col(idCol).as("doc_id"),
       posexplode(when(TF.tokenCount(col(textCol)) >= shingleSize,
           TF.shingles(col(textCol), shingleSize))
-        .otherwise(array().cast("array<string>"))).as(Seq("__p", "gram")))
+        .otherwise(array().cast("array<string>"))).as(Seq("__p", "__g")))
+      .select(col("doc_id"), col("__p"),
+        (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("gram"))
     val prefiltered =
       if (!bloomPrefilter) occurrences
-      else BloomPrune.sketch(evalGrams, xxhash64(col("gram"))) match {
+      else BloomPrune.sketch(evalGrams, xxhash64(col("gram")), expectedItems) match {
         case Some(bytes) => occurrences.filter(BloomPrune.bloomContains(
           lit(bytes), xxhash64(col("gram")), Some(train.sparkSession)))
         case None => occurrences // defensive: never probe a null sketch
       }
-    // one row per CONTAMINATED doc: every covered position, expanded from
-    // the leaked span starts map-side (the exchange carries only matched
-    // occurrences) and deduped doc-side
-    val covered = prefiltered
-      .join(evalGrams, Seq("gram"))
-      .select(col("doc_id"),
-        explode(sequence(col("__p"), col("__p") + (shingleSize - 1))).as("__p"))
-      .groupBy("doc_id")
-      .agg(collect_set(col("__p")).as("__covered"))
+    // the leaked span starts — ONLY matched occurrences survive the join
+    val hits = prefiltered.join(evalGrams, Seq("gram"))
 
-    // Per-row linear reassembly. The when() null-text branch keeps totals
-    // engine-config-independent (with spark.sql.ansi.enabled=false,
-    // size(null) is -1, not null).
-    val toks = when(col("__text").isNull, array().cast("array<string>"))
-      .otherwise(TF.tokens(col("__text")))
-    val coveredArr = coalesce(col("__covered"), array().cast("array<int>"))
-    // positions 0..n-1 minus covered — array_except hashes the right side
-    // (O(n+m)) and preserves left order, so kept positions stay ascending.
-    // The empty-doc guard matters: sequence(0, -1) is a DESCENDING
-    // sequence, not empty, and the out-of-range element_at would throw
-    // under ANSI mode.
-    val allPos = when(size(toks) === 0, array().cast("array<int>"))
-      .otherwise(sequence(lit(0), size(toks) - 1).cast("array<int>"))
-    val keptPos = array_except(allPos, coveredArr)
-    val keptToks = transform(keptPos, i => element_at(toks, i + 1))
-    train
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        array_join(keptToks, " ").as("clean_text"),
-        size(keptToks).cast("long").as("n_tokens_kept"),
-        (size(toks) - size(keptToks)).cast("long").as("n_tokens_removed"))
+    if (reassembly == "linear") {
+      // one row per CONTAMINATED doc: every covered position, expanded
+      // from the leaked span starts map-side (the exchange carries only
+      // matched occurrences) and deduped doc-side
+      val covered = hits
+        .select(col("doc_id"),
+          explode(sequence(col("__p"), col("__p") + (shingleSize - 1))).as("__p"))
+        .groupBy("doc_id")
+        .agg(collect_set(col("__p")).as("__covered"))
+
+      // Per-row linear reassembly. The when() null-text branch keeps
+      // totals engine-config-independent (with spark.sql.ansi.enabled=
+      // false, size(null) is -1, not null).
+      val toks = when(col("__text").isNull, array().cast("array<string>"))
+        .otherwise(TF.tokens(col("__text")))
+      val coveredArr = coalesce(col("__covered"), array().cast("array<int>"))
+      // positions 0..n-1 minus covered — array_except hashes the right
+      // side (O(n+m)) and preserves left order, so kept positions stay
+      // ascending. The empty-doc guard matters: sequence(0, -1) is a
+      // DESCENDING sequence, not empty, and the out-of-range element_at
+      // would throw under ANSI mode.
+      val allPos = when(size(toks) === 0, array().cast("array<int>"))
+        .otherwise(sequence(lit(0), size(toks) - 1).cast("array<int>"))
+      val keptPos = array_except(allPos, coveredArr)
+      val keptToks = transform(keptPos, i => element_at(toks, i + 1))
+      train
+        .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          array_join(keptToks, " ").as("clean_text"),
+          size(keptToks).cast("long").as("n_tokens_kept"),
+          (size(toks) - size(keptToks)).cast("long").as("n_tokens_removed"))
+    } else {
+      // "shuffle" form (the pre-round-9 default): coverage explode is
+      // map-side, then the FULL token stream anti-joins the covered
+      // (doc, position) pairs and regroups per doc.
+      val covered = hits
+        .select(col("doc_id"),
+          explode(sequence(col("__p"), col("__p") + (shingleSize - 1))).as("__p"))
+        .distinct()
+      val tokenized = train.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("__p", "__tok")))
+      val kept = tokenized.join(covered, Seq("doc_id", "__p"), "left_anti")
+      val reassembled = kept
+        .groupBy("doc_id")
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("__p"), col("__tok")))),
+              x => x.getField("__tok")),
+            " ").as("clean_text"),
+          count(lit(1)).as("n_tokens_kept"))
+      // totals are a per-row tokenCount over the original text — identical
+      // by construction to counting the exploded stream (tokenCount IS
+      // size(tokens); the explicit null-text branch mirrors posexplode
+      // emitting 0 rows) — computed map-side in the SAME scan that
+      // restores token-less docs. The when() (not coalesce(size(...)))
+      // keeps the total engine-config-independent: with
+      // spark.sql.ansi.enabled=false, size(null) is -1, not null.
+      train
+        .select(col(idCol).as("doc_id"),
+          when(col(textCol).isNull, lit(0L))
+            .otherwise(TF.tokenCount(col(textCol))).as("__n_total"))
+        .join(reassembled, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+          (coalesce(col("__n_total"), lit(0L)) -
+            coalesce(col("n_tokens_kept"), lit(0L))).as("n_tokens_removed"))
+    }
   }
 }

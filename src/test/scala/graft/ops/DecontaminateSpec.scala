@@ -83,6 +83,65 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(out === train.orderBy("doc_id").select("text").as[String].collect())
   }
 
+  // seeded random corpus over a small vocabulary so gram overlap is
+  // plentiful; exercises overlapping spans, clean docs, short docs, and
+  // empty strings in one shot
+  private def randomCorpus(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (1 to 12).map(i => s"t$i")
+    (1 to n).map { i =>
+      val len = rnd.nextInt(25) // 0..24 tokens: includes sub-shingle docs
+      (i.toLong, (1 to len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("shuffle reassembly is row-identical to the linear form (random corpora)") {
+    for (seed <- Seq(7, 23)) {
+      val tr = randomCorpus(seed, 60)
+      val ev = randomCorpus(seed + 100, 20)
+      val linear = Decontaminate.maskContaminated(tr, ev, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+      val shuffle = Decontaminate.maskContaminated(tr, ev, "doc_id", "text",
+          reassembly = "shuffle")
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+      assert(shuffle === linear)
+      assert(linear.exists(_._4 > 0), s"seed $seed corpus is vacuous")
+    }
+  }
+
+  test("hashed-gram masking is row-identical to the string path (random corpora)") {
+    for (seed <- Seq(13, 31)) {
+      val tr = randomCorpus(seed, 60)
+      val ev = randomCorpus(seed + 100, 20)
+      val exact = Decontaminate.maskContaminated(tr, ev, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+      val hashed = Decontaminate.maskContaminated(tr, ev, "doc_id", "text",
+          hashGrams = true)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+      assert(hashed === exact)
+      assert(exact.exists(_._4 > 0), s"seed $seed corpus is vacuous")
+    }
+  }
+
+  test("hashed grams compose with the bloom prefilter and the shuffle form") {
+    val tr = randomCorpus(41, 40)
+    val ev = randomCorpus(141, 15)
+    val base = Decontaminate.maskContaminated(tr, ev, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    val combo = Decontaminate.maskContaminated(tr, ev, "doc_id", "text",
+        bloomPrefilter = true, hashGrams = true, expectedItems = 1000L,
+        reassembly = "shuffle")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(combo === base)
+  }
+
+  test("rejects an unknown reassembly form loudly") {
+    intercept[IllegalArgumentException] {
+      Decontaminate.maskContaminated(train, eval, "doc_id", "text",
+        reassembly = "bogus")
+    }
+  }
+
   test("bloom-prefiltered masking is row-identical to the exact path") {
     val plain = Decontaminate.maskContaminated(train, eval, "doc_id", "text")
       .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
