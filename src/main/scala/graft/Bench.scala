@@ -31,10 +31,13 @@ object Bench {
   /** Newest PARSEABLE BENCH_r*.json in `dir` (by round number), read to
     * its per-query medians — the comparison base for `prev`. The driver
     * wraps the bench stdout line under a `"parsed"` key (null when its
-    * tail capture truncated the line, as in round 7), so look there first
-    * and fall back to a top-level `"queries"` (the raw line format). Files
-    * whose medians can't be recovered are skipped, not fatal — so an
-    * unparseable current-round file falls through to the previous round.
+    * tail capture truncated the line, as in round 7), so look there
+    * first, fall back to a top-level `"queries"` (the raw line format),
+    * and LAST extract the `"queries":{...}` object straight out of the
+    * raw `"tail"` text — a truncated line usually loses its HEAD, not
+    * the medians object, so round 7's numbers are recoverable and the
+    * round-over-round chain never silently skips a round. Files whose
+    * medians can't be recovered by any route are skipped, not fatal.
     * None when no round yields medians.
     */
   private[graft] def previousBench(dir: java.io.File): Option[(String, Map[String, Double])] = {
@@ -45,19 +48,35 @@ object Bench {
         case _     => None
       })
       .sortBy(-_._1)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def toMap(qs: com.fasterxml.jackson.databind.JsonNode): Option[Map[String, Double]] =
+      if (!qs.isObject || qs.isEmpty) None
+      else {
+        val it = qs.properties().iterator()
+        val m = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asDouble() }
+        Some(m.result())
+      }
+    // the medians object is flat ("name":number pairs), so the first '}'
+    // after `"queries":{` closes it — no brace counting needed
+    def fromTail(root: com.fasterxml.jackson.databind.JsonNode): Option[Map[String, Double]] = {
+      val tail = root.path("tail")
+      if (!tail.isTextual) None
+      else {
+        val t = tail.asText()
+        val start = t.indexOf("\"queries\":{")
+        val end = if (start < 0) -1 else t.indexOf('}', start)
+        if (end < 0) None
+        else toMap(mapper.readTree(t.substring(start + "\"queries\":".length, end + 1)))
+      }
+    }
     candidates.iterator.flatMap { case (_, f) =>
       try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val root = mapper.readTree(f)
         val parsed = root.path("parsed").path("queries")
         val qs = if (!parsed.isMissingNode && parsed.isObject) parsed
                  else root.path("queries")
-        if (!qs.isObject || qs.isEmpty) None
-        else {
-          val it = qs.properties().iterator()
-          val m = Map.newBuilder[String, Double]
-          while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asDouble() }
-          Some((f.getName, m.result()))
-        }
+        toMap(qs).orElse(fromTail(root)).map((f.getName, _))
       } catch { case _: Throwable => None }
     }.nextOption()
   }

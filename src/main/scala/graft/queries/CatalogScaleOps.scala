@@ -311,7 +311,8 @@ private[queries] object CatalogScaleOps {
             col("value"), col("unit"))
           .orderBy("sensor_id", "datetime")
       },
-      oracle = Some(graft.pipeline.FixtureApi.oracleSql)),
+      oracle = Some(graft.pipeline.FixtureApi.oracleSql),
+      bench = true),
 
     // The SAME extraction semantics through the DataSource V2 reader
     // (sources/OpenAqSource): `spark.read.format("openaq")` with the
@@ -460,6 +461,7 @@ private[queries] object CatalogScaleOps {
                            AS prev_ts
                   FROM events)))
         GROUP BY user_id, sid
-        ORDER BY user_id, session_start""")),
+        ORDER BY user_id, session_start"""),
+      bench = true),
   )
 }

@@ -64,6 +64,29 @@ class VerifySpec extends AnyFunSuite {
     java.nio.file.Files.writeString(dir.resolve("BENCH_r4.json"),
       """{"metric":"total","value":1.0,"queries":{"q09":1.0},"sf":"x"}""")
     assert(Bench.previousBench(dir.toFile).get._1 == "BENCH_r4.json")
+    // head-truncated tail (round 7's actual failure mode): parsed is
+    // null and the line lost its front, but the medians object survives
+    // inside the tail text — must be recovered, not skipped
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r5.json"),
+      """{"n":5,"rc":0,"tail":"45,\"unit\":\"sec\",\"queries\":{\"q07\":2.25,\"q08\":0.5},\"mins\":{\"q07\":2.0}","parsed":null}""")
+    val r5 = Bench.previousBench(dir.toFile)
+    assert(r5.get._1 == "BENCH_r5.json")
+    assert(r5.get._2 == Map("q07" -> 2.25, "q08" -> 0.5))
+  }
+
+  test("previousBench recovers round 7's medians from its truncated tail") {
+    // The real committed artifact whose "parsed" is null: the fallback
+    // must pull the medians out of the raw tail text so the
+    // round-over-round chain has no hole at r7.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-r7")
+    java.nio.file.Files.copy(java.nio.file.Paths.get("BENCH_r07.json"),
+      dir.resolve("BENCH_r07.json"))
+    val got = Bench.previousBench(dir.toFile)
+    assert(got.isDefined, "r7 tail fallback failed")
+    val (fname, qs) = got.get
+    assert(fname == "BENCH_r07.json")
+    assert(qs.get("q01_pricing_summary").exists(v => v > 1.2 && v < 1.4))
+    assert(qs.size >= 13, s"r7 recovered only ${qs.size} medians")
   }
 
   test("previousBench parses the actual committed bench files in the repo") {
