@@ -27,21 +27,44 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** Epoch-long → µs, the unit inferred per value from its MAGNITUDE:
+    * for any instant between 1973 and ~5138, seconds ≈ 1e9-1e11,
+    * millis ≈ 1e12-1e14, micros ≈ 1e15-1e17, nanos ≥ 1e17 — the bands
+    * are disjoint, so a single-unit file (the only kind a writer
+    * produces) converts correctly WHICHEVER unit the driver re-encodes
+    * to next. Round 7 shipped nanos; a future micros-long or
+    * millis-long re-encode would previously have been silently divided
+    * by 1000 and shifted the time axis 1000x (the exact failure class
+    * `nanosAsLong` guards) — now each lands in its own band.
+    * Sub-second precision of the original instant is preserved (integer
+    * µs arithmetic, no double rounding).
+    */
+  private def epochLongToMicros(c: String) = expr(
+    s"""CASE WHEN $c >= 100000000000000000 THEN $c div 1000
+             WHEN $c >=    100000000000000 THEN $c
+             WHEN $c >=       100000000000 THEN $c * 1000
+             ELSE $c * 1000000 END""")
+
   /** Normalize an events-shaped `ts` column to session-TZ `TimestampType`
     * whatever the file encoding was:
     *   - TIMESTAMP(NANOS) via `nanosAsLong` → LongType nanos → integer-divide
-    *     to µs (the data's actual precision; no double rounding);
+    *     to µs (the data's actual precision; no double rounding) — unit
+    *     inferred by magnitude ([[epochLongToMicros]]), so micros/millis
+    *     longs normalize too;
     *   - TIMESTAMP(MICROS, NTZ) → TimestampNTZType → cast, value-preserving
     *     under the pinned UTC session time zone;
     *   - TIMESTAMP (adjusted-to-UTC) → already TimestampType, no-op.
     * Every consumer (batch via [[load]], streaming via the catalog's staged
     * reader) must funnel through here so a driver-side re-encode of the
     * testdata cannot silently shift the time axis again.
+    * TestdataContractSpec additionally asserts the normalized VALUES land
+    * in a plausible epoch range, so a band miss fails loudly, not as a
+    * scaled time axis.
     */
   def normalizeTs(df: DataFrame): DataFrame =
     if (!df.schema.fieldNames.contains("ts")) df
     else df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType         => df.withColumn("ts", timestamp_micros(epochLongToMicros("ts")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
       case _                => df
     }
@@ -60,7 +83,7 @@ object Tables {
     if (name == "events") normalizeTs(df)
     else longTsColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        d.withColumn(c, timestamp_micros(epochLongToMicros(c)))
       else d
     }
   }

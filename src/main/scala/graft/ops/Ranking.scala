@@ -47,11 +47,48 @@ object Ranking {
     *    `localCheckpoint` (no recompute, job fails instead) cannot have;
     *  - the DISK_ONLY cache is on the INTERNAL range-partitioned frame,
     *    not the frame returned to the caller (which is a projection over
-    *    it), so `unpersist()` on the returned frame will NOT release it:
-    *    it lives until `spark.catalog.clearCache()` or session end.
+    *    it), so `unpersist()` on the returned frame will NOT release it.
+    *    Every durable pin is therefore tracked in a JVM-global registry;
+    *    call [[releaseDurablePins]] when the ranked outputs have been
+    *    consumed (or `spark.catalog.clearCache()` / session end).
     */
   private[ops] def pin(df: DataFrame, durable: Boolean): DataFrame =
-    if (durable) df.persist(StorageLevel.DISK_ONLY) else df.localCheckpoint()
+    if (durable) {
+      val p = df.persist(StorageLevel.DISK_ONLY)
+      durablePinned.synchronized { durablePinned += p }
+      p
+    } else df.localCheckpoint()
+
+  /** Internal frames currently pinned by `durable = true` calls — the
+    * release handle [[pin]]'s scaladoc promises. Registry, not
+    * per-call return value, so the public ops keep returning a bare
+    * DataFrame; the price is coarseness: release frees EVERY live
+    * durable pin in the JVM, so concurrent durable rankings should
+    * each consume their output before anyone releases. (Releasing
+    * early is safe for correctness — lineage is kept and the cached
+    * plan's RangePartitioner re-applies the same sampled boundaries on
+    * recompute — it just costs the recompute.)
+    */
+  private val durablePinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Number of durable pins currently registered (diagnostics/specs). */
+  def durablePinCount: Int = durablePinned.synchronized { durablePinned.size }
+
+  private[ops] def durablePinnedFrames: Seq[DataFrame] =
+    durablePinned.synchronized { durablePinned.toSeq }
+
+  /** Unpersist every frame pinned by a `durable = true` ranking call in
+    * this JVM and empty the registry; returns how many were released.
+    * @param blocking wait for the blocks to actually drop (specs want
+    *        this; production callers usually don't need to).
+    */
+  def releaseDurablePins(blocking: Boolean = false): Int =
+    durablePinned.synchronized {
+      val n = durablePinned.size
+      durablePinned.foreach(_.unpersist(blocking))
+      durablePinned.clear()
+      n
+    }
 
   /** Range-partition on the sort key and pin row placement ([[pin]]) so
     * the per-bucket measure pass and the rank pass see identical

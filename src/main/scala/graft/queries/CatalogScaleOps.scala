@@ -356,25 +356,32 @@ private[queries] object CatalogScaleOps {
     "q158_show_partitions" -> QueryDef(
       fn = (s, d) => {
         val base = java.nio.file.Files.createTempDirectory("graft-showpart")
-        val tbl = "graft_q158_mart"
+        // unique suffix: the session catalog is shared, so a fixed name
+        // would race a concurrent run of this query (round-8 advice) —
+        // the temp dir's own unique tail is a free nonce
+        val tbl = s"graft_q158_mart_${base.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
         val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        val prev = s.conf.get(confKey)
+        // the DDL runs in a CLONED session: newSession() shares the
+        // SparkContext and the external catalog (so the table surface is
+        // real) but carries its own SQLConf, so flipping inference off —
+        // needed for the padded month/day strings to round-trip verbatim
+        // ("month=01", not "month=1") — can't leak into a concurrent
+        // query sharing the parent session (round-8 advice)
+        val ddl = s.newSession()
         try {
           val mart = Transforms.derivePartitions(
             t(s, d, "events").select(col("event_id"),
               col("ts").as("datetime"), col("event_type"), col("value")))
           graft.pipeline.Sink.writePartitioned(mart, s"$base/mart",
             partitionCols = Seq("year", "month", "day"), mode = "overwrite")
-          s.conf.set(confKey, "false")
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$base/mart'")
-          s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
-          s.sql(s"SHOW PARTITIONS $tbl")
+          ddl.conf.set(confKey, "false")
+          ddl.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$base/mart'")
+          ddl.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
+          ddl.sql(s"SHOW PARTITIONS $tbl")
             .orderBy("partition")
             .localCheckpoint(true) // eager: resolves before table drop
         } finally {
-          s.conf.set(confKey, prev)
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          ddl.sql(s"DROP TABLE IF EXISTS $tbl")
           dropStagedTree(base)
         }
       },

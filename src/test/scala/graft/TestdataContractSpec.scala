@@ -69,6 +69,28 @@ class TestdataContractSpec extends AnyFunSuite {
         "entry assume float elements")
   }
 
+  test("normalized event-time VALUES land in a plausible epoch range") {
+    // The type asserts above cannot catch a unit mix-up that still
+    // yields TimestampType (round-8 advice: a micros-long re-encode fed
+    // to a nanos divisor scales the time axis 1000x and every downstream
+    // window silently shifts). Pin the VALUES: synthetic dates are
+    // 1990s-2020s; a 1000x scale in either direction lands in early-1970
+    // (divide) or past year 3000 (multiply), far outside [1990, 2100).
+    val lo = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    for ((table, c) <- Seq(("events", "ts"), ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"))) {
+      val row = loaded(table)
+        .selectExpr(s"min(cast($c as timestamp))", s"max(cast($c as timestamp))")
+        .head()
+      val (mn, mx) = (row.getTimestamp(0), row.getTimestamp(1))
+      assert(mn != null && !mn.before(lo) && mx.before(hi),
+        s"testdata contract: $table.$c normalized to [$mn, $mx], outside " +
+          "the plausible [2000, 2100) epoch band — a driver re-encode " +
+          "likely changed the epoch-long unit; see Tables.epochLongToMicros")
+    }
+  }
+
   test("every driver table is present and non-empty") {
     Tables.names.foreach { t =>
       assert(loaded(t).limit(1).count() == 1L,

@@ -155,6 +155,25 @@ class RankingSpec extends AnyFunSuite {
     assert(out.forall(_ == ((1L, 1L))))
   }
 
+  test("releaseDurablePins frees the internal DISK_ONLY cache") {
+    Ranking.releaseDurablePins(blocking = true) // clean slate for the count
+    val df = (1L to 50L).map(i => (i, (i * 37 % 11).toDouble)).toDF("id", "score")
+    val ranked = Ranking.globalRowNumber(df,
+      Seq(col("score").asc, col("id").asc), numPartitions = 4, durable = true)
+    assert(ranked.count() == 50L) // materialize: offsets pass ran, cache live
+    assert(Ranking.durablePinCount == 1)
+    val pinned = Ranking.durablePinnedFrames.head
+    assert(pinned.storageLevel == org.apache.spark.storage.StorageLevel.DISK_ONLY,
+      s"internal frame not DISK_ONLY: ${pinned.storageLevel}")
+    assert(Ranking.releaseDurablePins(blocking = true) == 1)
+    assert(Ranking.durablePinCount == 0)
+    assert(pinned.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      s"cache survived release: ${pinned.storageLevel}")
+    // non-durable pins (localCheckpoint) never enter the registry
+    val lc = Ranking.globalRowNumber(df, Seq(col("id").asc), numPartitions = 4)
+    assert(lc.count() == 50L && Ranking.durablePinCount == 0)
+  }
+
   private def assertNtileMatches(df: org.apache.spark.sql.DataFrame, b: Int): Unit = {
     val twoPhase = Ranking
       .ntileExact(df, b, Seq(col("score").desc, col("id").asc), numPartitions = 7)

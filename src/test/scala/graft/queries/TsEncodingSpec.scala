@@ -40,11 +40,33 @@ class TsEncodingSpec extends AnyFunSuite {
     dir
   }
 
-  // The three encodings: nanos-long (legacy nanosAsLong surface), the
-  // current micros-NTZ, and plain adjusted-UTC TIMESTAMP.
+  // The encodings: nanos-long (legacy nanosAsLong surface), the current
+  // micros-NTZ, plain adjusted-UTC TIMESTAMP, and the OTHER epoch-long
+  // units a future driver re-encode could plausibly ship (micros-long,
+  // millis-long, seconds-long — Tables.epochLongToMicros infers the unit
+  // from the value's magnitude band, so all of them must land on the
+  // same time axis; sub-µs detail obviously can't survive seconds-long,
+  // hence the fixture's instants sit on whole seconds).
+  //
+  // LIMITATION (round-8 advice): the "nanos-long" fixture writes a plain
+  // INT64 column — Spark has no writer for TIMESTAMP(NANOS) parquet, so
+  // the actual `spark.sql.legacy.parquet.nanosAsLong` READ surface (a
+  // real TIMESTAMP(NANOS) annotation surfacing as LongType) is not
+  // exercised here, only the post-read LongType normalization branch.
+  // Generating a true TIMESTAMP(NANOS) file needs parquet-java's
+  // low-level writer, which this sandbox's classpath carries only via
+  // Spark's shaded internals; the driver's own r1-r6 testdata WAS that
+  // encoding and round 6 ran green on it, which is the missing half of
+  // the evidence.
   private lazy val fixtures: Map[String, String] = Map(
     "nanos-long" -> writeFixture(df =>
       df.withColumn("ts", (unix_micros(col("ts")) * 1000L))),
+    "micros-long" -> writeFixture(df =>
+      df.withColumn("ts", unix_micros(col("ts")))),
+    "millis-long" -> writeFixture(df =>
+      df.withColumn("ts", unix_millis(col("ts")))),
+    "seconds-long" -> writeFixture(df =>
+      df.withColumn("ts", unix_seconds(col("ts")))),
     "micros-ntz" -> writeFixture(df =>
       df.withColumn("ts", col("ts").cast("timestamp_ntz"))),
     "micros-utc" -> writeFixture(identity))
