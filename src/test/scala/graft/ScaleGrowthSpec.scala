@@ -1,0 +1,139 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wall-time growth audit for the heavy operator family (round-8 verdict
+  * item #3): replicate the input tables 4x and 16x into temp sf-dirs,
+  * time each query at every scale, fit the log-log growth exponent, and
+  * assert NEAR-LINEAR. This is the check that would have caught q124's
+  * proportional champion cap (superlinear posting-join fanout) a round
+  * early, and it guards every future cap/threshold choice.
+  *
+  * Replication is PERTURBED so the workload actually scales instead of
+  * degenerating: every replica's tokens get a per-replica suffix (so
+  * replicas are fully DISSIMILAR — 16 identical copies of each doc would
+  * make every dedup/similarity op legitimately quadratic in the factor,
+  * false-failing the audit) and ids are shifted past the base range (so
+  * key cardinality grows with the data, as at real scale).
+  *
+  * Interpretation limits, by design: at these sizes (base sf0.001)
+  * wall-time has a large constant stage-overhead term, so the fitted
+  * exponent UNDERSTATES the asymptotic one — a clean pass is typically
+  * well under 1.0. The assert at 1.6 is therefore a quadratic-blowup
+  * tripwire, not a precision measurement: an O(n^2) term big enough to
+  * matter pushes the 16x point ~256x and the fit far past the bound
+  * (verified by the synthetic-quadratic self-test below). Measured
+  * exponents per round are recorded in NOTES.md.
+  */
+class ScaleGrowthSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private val baseSf = "/root/testdata/sf0.001"
+  private val factors = Seq(1, 4, 16)
+  private val queries = Seq("q101_mask_contaminated", "q124_sparse_topk",
+    "q26_minhash_dedup", "q151_rank_family")
+
+  /** Per-replica token suffix: replicas share NO grams/tokens, so
+    * similarity/dedup work grows linearly in the factor (each replica is
+    * its own self-contained corpus of the base's internal structure).
+    */
+  private def perturbText(c: org.apache.spark.sql.Column, i: Int) =
+    array_join(transform(TF.tokens(c), t => concat(t, lit(s"_r$i"))), " ")
+
+  /** Write documents+lineitem replicated `factor`x under a temp sf-dir
+    * shaped like the driver's (one `<table>.parquet` per table).
+    */
+  private def stage(factor: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-growth-x$factor").toString
+    val docs = Tables.documents(spark, baseSf).select("doc_id", "text")
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until factor).map(i => docs.select(
+        (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
+        perturbText(col("text"), i).as("text")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val li = Tables.lineitem(spark, baseSf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val maxOk = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    (0 until factor).map(i => li.select(
+        (col("l_orderkey") + lit(i * maxOk)).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  private def timeOnce(name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Growth exponent from the LAST segment (largest two scales):
+    * ln(t_hi/t_lo) / ln(f_hi/f_lo). The small-scale points are
+    * constant-overhead-dominated and flatten a least-squares fit in both
+    * directions (they hid ~0.3 of the synthetic-quadratic's slope when
+    * this used the full three-point fit); the tail segment is where the
+    * asymptotic term is most visible, which is the conservative choice
+    * for a blowup tripwire.
+    */
+  private def fitExponent(points: Seq[(Int, Double)]): Double = {
+    val Seq((fLo, tLo), (fHi, tHi)) = points.sortBy(_._1).takeRight(2)
+    math.log(tHi / tLo) / math.log(fHi.toDouble / fLo)
+  }
+
+  test("heavy-family wall time grows near-linearly at 4x and 16x data") {
+    val dirs = factors.map(f => f -> stage(f)).toMap
+    try {
+      val exponents = queries.map { q =>
+        timeOnce(q, dirs(1)) // warm: codegen, JIT, listings
+        val times = factors.map { f =>
+          f -> Seq.fill(2)(timeOnce(q, dirs(f))).min // min-of-2: drop GC/JIT spikes
+        }
+        val e = fitExponent(times)
+        info(f"$q: exponent $e%.2f  " +
+          times.map { case (f, t) => f"x$f=$t%.2fs" }.mkString("  "))
+        q -> e
+      }
+      exponents.foreach { case (q, e) =>
+        assert(e < 1.6,
+          f"$q wall-time growth exponent $e%.2f looks superlinear — a cap/" +
+            "threshold is probably proportional to corpus size (q124's " +
+            "round-7 bug class); profile the 16x plan")
+      }
+    } finally dirs.values.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(d)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("the tripwire actually fires on a quadratic workload (self-test)") {
+    // an all-pairs join over n rows: t ~ n^2. The fit must land well
+    // above the 1.6 bound at these same sizes, proving the assert has
+    // teeth despite the constant-overhead term.
+    def quad(n: Int): Double = {
+      val df = spark.range(n.toLong).toDF("id")
+      val t0 = System.nanoTime()
+      df.as("a").join(df.as("b"),
+          expr("a.id != b.id"))
+        .agg(count(lit(1))).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    quad(2000) // warm
+    val base = 5000
+    // min-of-3 at the two lower scales: a GC spike on the x4 point is
+    // the one noise source that could mask the quadratic tail slope
+    val pts = factors.map(f =>
+      f -> Seq.fill(if (f < 16) 3 else 2)(quad(base * f)).min)
+    val e = fitExponent(pts)
+    info(f"synthetic all-pairs: exponent $e%.2f  " +
+      pts.map { case (f, t) => f"x$f=$t%.2fs" }.mkString("  "))
+    assert(e > 1.6, f"self-test: quadratic workload fit $e%.2f <= 1.6 — " +
+      "the sizes are too small for the tripwire to see past stage overhead")
+  }
+}
