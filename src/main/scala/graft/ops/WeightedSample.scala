@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted sampling WITH replacement by integer cumulative-weight
+  * inversion — the corpus-mixing primitive for "sample k documents
+  * proportional to length/quality weight" (reference-class pipelines
+  * weight by token count when building training mixes; cf. the epoch
+  * weights in [[Sampling.corpusMix]] which replicate rows by a FIXED
+  * per-source factor, where this draws k rows proportional to a
+  * PER-ROW weight).
+  *
+  * All arithmetic is exact integer math — cumulative ranges are longs,
+  * the k draw targets are md5-derived uniforms reduced mod total weight
+  * — so two engines agree bit-for-bit (the repo's standard oracle
+  * discipline: no floating-point selection boundaries).
+  *
+  * Shape at scale: one range shuffle for the prefix sum (two-phase, the
+  * [[Ranking]] pattern: local cumsum per range bucket + O(buckets)
+  * driver offsets), then the k targets BROADCAST against the corpus
+  * with a range-containment predicate — k constant, so the probe is one
+  * map-side pass, no corpus shuffle, no driver materialization beyond
+  * the O(buckets) sums and the k draws.
+  */
+object WeightedSample {
+
+  /** Draw `k` rows with replacement, P(row) proportional to `weightCol`
+    * (long-valued, rows with weight <= 0 are excluded). Deterministic:
+    * draw `i` targets `uniform(md5(i)) mod totalWeight` and selects the
+    * unique row whose cumulative-weight interval contains the target.
+    * Output: (draw_id, <idCol>, weight) — one row per draw, ordered by
+    * draw_id; the same corpus row may win several draws (replacement).
+    *
+    * The mod reduction carries the usual ~W/2^32 selection bias toward
+    * low targets — negligible against sampling variance for any k, and
+    * the price of staying in exact integer math end-to-end.
+    */
+  def sampleWithReplacement(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, numPartitions: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df
+      .select(col(idCol), col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0L)
+    // two-phase exclusive prefix sum in idCol order (the Ranking
+    // pattern, including its placement pin: re-executing
+    // repartitionByRange could re-sample boundaries between the
+    // per-bucket measure pass and the probe pass)
+    val parted = Ranking.pin(
+      base.repartitionByRange(n, col(idCol))
+        .withColumn("__bucket", spark_partition_id()),
+      durable = false)
+    val bucketSums = parted.groupBy("__bucket")
+      .agg(sum(col("__w")).as("__s")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val bases = bucketSums.scanLeft((0, 0L)) {
+      case ((_, acc), (b, s)) => (b, acc + s)
+    }
+    val offsets = bucketSums.map(_._1).zip(bases.map(_._2))
+    val total = bucketSums.map(_._2).sum
+    require(total > 0L, "no rows with positive weight to sample from")
+    val basesDf = spark.createDataFrame(offsets.toSeq).toDF("__bucket", "__base")
+    val localCum = sum(col("__w")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("__bucket").orderBy(idCol)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val withCum = parted.join(broadcast(basesDf), Seq("__bucket"))
+      .withColumn("__cum", coalesce(localCum, lit(0L)) + col("__base"))
+    // k deterministic draw targets in [0, total): md5 prefix -> 32-bit
+    // uniform -> mod total (conv() parses the 8 hex digits unsigned,
+    // identical to the oracle's 0x-prefixed cast)
+    val draws = spark.range(k.toLong)
+      .select(col("id").as("draw_id"),
+        (expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          % total).as("__target"))
+    withCum.join(broadcast(draws),
+        col("__target") >= col("__cum") &&
+        col("__target") < col("__cum") + col("__w"))
+      .select(col("draw_id"), col(idCol), col("__w").as("weight"))
+  }
+}

@@ -470,5 +470,28 @@ private[queries] object CatalogScaleOps {
         GROUP BY user_id, sid
         ORDER BY user_id, session_start"""),
       bench = true),
+
+    // Sketch-based distinct counting under an error-bound oracle gate.
+    // At 100 TB, count(DISTINCT user) per group is a full shuffle of
+    // every (group, user) pair; the HLL++ sketch is the mergeable
+    // O(kB)-per-group answer. Sketches differ across engines, so the
+    // HASH gate pins what IS portable: the exact count (the oracle's own
+    // aggregate) and the claim the sketch landed within 5 sigma of it
+    // (rsd 0.02 -> 10% bound; Spark's estimate is deterministic for
+    // fixed input, so a sketch regression past the bound goes hash-red
+    // instead of silently degrading downstream cardinality estimates).
+    "q163_approx_distinct" -> QueryDef(
+      fn = (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")).cast("double") <=
+            lit(0.10) * col("n_exact").cast("double")).as("approx_ok"))
+        .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               true AS approx_ok
+        FROM events GROUP BY event_type ORDER BY event_type""")),
   )
 }

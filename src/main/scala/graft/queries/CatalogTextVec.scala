@@ -304,5 +304,41 @@ private[queries] object CatalogTextVec {
                1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
                  AS rep_ratio
         FROM g ORDER BY doc_id""")),
+
+    // FILTERED vector search — top-k cosine among only the corpus rows
+    // passing a metadata predicate (here lang='en' via the doc_id-aligned
+    // documents dim), the RAG/retrieval shape every vector store calls
+    // "metadata filtering". PRE-filter strategy: the predicate joins the
+    // dim BEFORE the distance computation, so non-matching vectors never
+    // cost a dot product and top-k is exact over the filtered set (a
+    // post-filter over an unfiltered ANN top-k can return < k rows —
+    // the classic recall bug this formulation avoids). The dim join is
+    // broadcast-able; the scored probe stays [[Similarity]]'s broadcast
+    // cross of the 20 queries, no corpus shuffle.
+    "q162_filtered_ann" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val enIds = t(s, d, "documents").filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 20), emb.join(broadcast(enIds), Seq("vec_id")),
+            k = 5)
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(s"""
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+               CAST(rn AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cosineSql("q.embedding", "c.embedding")} AS cosine
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+              AND c.vec_id IN (SELECT doc_id FROM documents
+                               WHERE lang = 'en')))
+        WHERE rn <= 5 ORDER BY query_id, rank""")),
   )
 }

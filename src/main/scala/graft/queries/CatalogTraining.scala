@@ -314,5 +314,31 @@ private[queries] object CatalogTraining {
         SELECT lang, count(*) AS n, min(doc_id) AS min_id FROM documents
         WHERE ${Sampling.stratifiedKeepSql("doc_id", "lang", strataFractions)}
         GROUP BY lang ORDER BY lang""")),
+
+    // Weighted sampling WITH replacement (ops/WeightedSample): 64 draws
+    // proportional to n_chars by integer cumulative-weight inversion —
+    // the "sample documents proportional to length" corpus-mixing
+    // primitive. All-integer math (long cumsum intervals, md5-derived
+    // mod-reduced targets), so both engines select identical rows; the
+    // Spark side is a two-phase range-partitioned prefix sum plus a
+    // k-row broadcast containment probe, no corpus shuffle.
+    "q161_weighted_sample" -> QueryDef(
+      fn = (s, d) => graft.ops.WeightedSample.sampleWithReplacement(
+          t(s, d, "documents"), "doc_id", "n_chars", k = 64)
+        .orderBy("draw_id"),
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, n_chars AS weight,
+                 coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM documents WHERE n_chars > 0),
+        t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+        d AS (SELECT CAST(g.s AS BIGINT) AS draw_id,
+                     CAST(('0x' || substring(md5(CAST(g.s AS VARCHAR)), 1, 8))
+                          AS BIGINT) % (SELECT tot FROM t) AS target
+              FROM (SELECT unnest(generate_series(0, 63)) AS s) g)
+        SELECT d.draw_id, w.doc_id, w.weight
+        FROM d JOIN w ON d.target >= w.cum AND d.target < w.cum + w.weight
+        ORDER BY draw_id""")),
   )
 }
