@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * — so two engines agree bit-for-bit (the repo's standard oracle
   * discipline: no floating-point selection boundaries).
   *
-  * Shape at scale: one range shuffle for the prefix sum (two-phase, the
-  * [[Ranking]] pattern: local cumsum per range bucket + O(buckets)
-  * driver offsets), then the k targets BROADCAST against the corpus
+  * Shape at scale: one range shuffle for the prefix sum ([[PrefixSum]]
+  * — the [[Ranking]]-style two-phase scan: local cumsum per range
+  * bucket + O(buckets) driver offsets), then the k targets BROADCAST
+  * against the corpus
   * with a range-containment predicate — k constant, so the probe is one
   * map-side pass, no corpus shuffle, no driver materialization beyond
   * the O(buckets) sums and the k draws.
@@ -40,35 +41,14 @@ object WeightedSample {
       k: Int, numPartitions: Int = 0): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val base = df
       .select(col(idCol), col(weightCol).cast("long").as("__w"))
       .filter(col("__w") > 0L)
-    // two-phase exclusive prefix sum in idCol order (the Ranking
-    // pattern, including its placement pin: re-executing
-    // repartitionByRange could re-sample boundaries between the
-    // per-bucket measure pass and the probe pass)
-    val parted = Ranking.pin(
-      base.repartitionByRange(n, col(idCol))
-        .withColumn("__bucket", spark_partition_id()),
-      durable = false)
-    val bucketSums = parted.groupBy("__bucket")
-      .agg(sum(col("__w")).as("__s")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val bases = bucketSums.scanLeft((0, 0L)) {
-      case ((_, acc), (b, s)) => (b, acc + s)
-    }
-    val offsets = bucketSums.map(_._1).zip(bases.map(_._2))
-    val total = bucketSums.map(_._2).sum
+    // exclusive prefix sum in idCol order ([[PrefixSum]]: two-phase
+    // range-partitioned, placement-pinned)
+    val (withCum, total) = PrefixSum.exclusiveWithTotal(
+      base, Seq(col(idCol)), col("__w"), "__cum", numPartitions)
     require(total > 0L, "no rows with positive weight to sample from")
-    val basesDf = spark.createDataFrame(offsets.toSeq).toDF("__bucket", "__base")
-    val localCum = sum(col("__w")).over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy("__bucket").orderBy(idCol)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
-    val withCum = parted.join(broadcast(basesDf), Seq("__bucket"))
-      .withColumn("__cum", coalesce(localCum, lit(0L)) + col("__base"))
     // k deterministic draw targets in [0, total): md5 prefix -> 32-bit
     // uniform -> mod total (conv() parses the 8 hex digits unsigned,
     // identical to the oracle's 0x-prefixed cast)

@@ -493,5 +493,36 @@ private[queries] object CatalogScaleOps {
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
                true AS approx_ok
         FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Sketch-based percentiles under a RANK-error gate — q163's pattern
+    // for the other big sketch swap (q123's COVERAGE row promises
+    // approx_percentile as the 100 TB stand-in for exact percentile;
+    // this pins that the stand-in actually lands where the exact one
+    // does). GK sketches guarantee rank error <= eps*N (Spark's default
+    // accuracy 1e4 -> eps 1e-4), so the approx p50 VALUE must sit
+    // between the exact interpolated p45 and p55 values (values are
+    // monotone in rank) — a claim both engines can state exactly, while
+    // the sketch itself is engine-specific. Cents keep the exact
+    // percentiles quantile_cont-portable (q123's trick).
+    "q165_approx_percentile" -> QueryDef(
+      fn = (s, d) => t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), cents(col("value")).as("cts"))
+        .groupBy("event_type")
+        .agg(expr("percentile(cts, 0.5)").as("p50"),
+          expr("percentile(cts, 0.45)").as("__lo"),
+          expr("percentile(cts, 0.55)").as("__hi"),
+          expr("approx_percentile(cts, 0.5)").as("__ap"))
+        .select(col("event_type"),
+          round(col("p50") / 100.0, 4).as("median_value"),
+          (col("__ap") >= floor(col("__lo")) &&
+           col("__ap") <= ceil(col("__hi"))).as("approx_ok"))
+        .orderBy("event_type"),
+      oracle = Some(s"""
+        SELECT event_type,
+               round(quantile_cont(${centsSql("value")}, 0.5)
+                     / 100.0, 4) AS median_value,
+               true AS approx_ok
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
   )
 }

@@ -340,5 +340,40 @@ private[queries] object CatalogTraining {
         SELECT d.draw_id, w.doc_id, w.weight
         FROM d JOIN w ON d.target >= w.cum AND d.target < w.cum + w.weight
         ORDER BY draw_id""")),
+
+    // Token-budget corpus cut (ops/PrefixSum): order the corpus by a
+    // deterministic quality tier (en first, longest first, id tiebreak)
+    // and keep the prefix whose EXCLUSIVE running token total stays
+    // under the budget — "take the best documents until the token budget
+    // is spent", the standard curriculum/budget selection move. The
+    // running total is the two-phase range-partitioned prefix sum (no
+    // single-reducer window); the boundary doc may overshoot the budget,
+    // by construction (exclusive cum < B keeps it) — pinned on both
+    // engines. All-integer ordering and sums: no FP selection boundary.
+    "q164_token_budget_cut" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          when(col("lang") === "en", 0L).otherwise(1L).as("pri"))
+        graft.ops.PrefixSum.exclusive(docs,
+            Seq(col("pri").asc, col("n_tokens").desc, col("doc_id").asc),
+            col("n_tokens"), "cum_tokens")
+          .filter(col("cum_tokens") < 50000L)
+          .select("doc_id", "lang", "n_tokens", "cum_tokens")
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, lang,
+                     CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                     CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS pri
+                   FROM documents),
+        c AS (SELECT doc_id, lang, n_tokens,
+                coalesce(sum(n_tokens) OVER (
+                  ORDER BY pri ASC, n_tokens DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_tokens
+              FROM t)
+        SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens < 50000 ORDER BY doc_id""")),
   )
 }

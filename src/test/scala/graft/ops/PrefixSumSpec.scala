@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.GraftSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PrefixSumSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def randomDf(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(i => (i.toLong, rnd.nextInt(9).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "v", "key")
+  }
+
+  test("matches the single-window oracle on random data, any partitioning") {
+    for ((seed, parts) <- Seq((3, 2), (17, 7), (29, 16))) {
+      val df = randomDf(seed, 500)
+      // total order: (key, id) — key alone has ties
+      val got = PrefixSum.exclusive(df, Seq(col("key").asc, col("id").asc),
+          col("v"), "cum", numPartitions = parts)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("cum",
+          coalesce(sum(col("v")).over(Window.orderBy(col("key").asc, col("id").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed parts=$parts")
+    }
+  }
+
+  test("exclusive semantics: first row 0, total is the grand sum") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    val (out, total) = PrefixSum.exclusiveWithTotal(df, Seq(col("id")), col("v"))
+    assert(total == 60L)
+    assert(out.orderBy("id").select("id", "cum").as[(Long, Long)].collect()
+      === Array((1L, 0L), (2L, 10L), (3L, 30L)))
+  }
+
+  test("descending sort columns order the running total correctly") {
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 4L)).toDF("id", "v")
+    val out = PrefixSum.exclusive(df, Seq(col("id").desc), col("v"))
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect()
+    // order 3,2,1: cum(3)=0, cum(2)=4, cum(1)=6
+    assert(out === Array((1L, 6L), (2L, 4L), (3L, 0L)))
+  }
+
+  test("empty input yields an empty frame and zero total") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "v")
+    val (out, total) = PrefixSum.exclusiveWithTotal(df, Seq(col("id")), col("v"))
+    assert(total == 0L && out.count() == 0L)
+  }
+}
