@@ -524,5 +524,48 @@ private[queries] object CatalogScaleOps {
                true AS approx_ok
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
+
+    // Exact WEIGHTED median per group — the importance-weighted central
+    // tendency (duplicate-count or quality weights) no builtin covers on
+    // either engine. Lower weighted median: the smallest value whose
+    // INCLUSIVE running weight reaches half the group total. All-integer
+    // (cents values, long weights, 2*cum >= total avoids division), one
+    // group-keyed window + one aggregate — per-group state is the
+    // group's own rows, partitioned by the group key, no global funnel.
+    // Weight = 1 + event_id % 5: deterministic, spans 1..5, and makes
+    // the weighted median provably differ from the plain one for some
+    // groups (both engines compute the same difference).
+    "q166_weighted_median" -> QueryDef(
+      fn = (s, d) => {
+        val e = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), cents(col("value")).as("cts"),
+            (col("event_id") % 5 + 1).as("w"))
+        val win = Window.partitionBy("event_type")
+          .orderBy(col("cts").asc, col("w").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("event_type")
+        e.withColumn("cum", sum(col("w")).over(win))
+          .withColumn("total", sum(col("w")).over(tot))
+          .filter(col("cum") * 2 >= col("total"))
+          .groupBy("event_type")
+          .agg(round(min(col("cts")) / 100.0, 2).as("wmedian"),
+            min(col("total")).as("total_weight"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT event_type, ${centsSql("value")} AS cts,
+                          event_id % 5 + 1 AS w
+                   FROM events WHERE value IS NOT NULL),
+        c AS (SELECT event_type, cts, w,
+                     sum(w) OVER (PARTITION BY event_type
+                                  ORDER BY cts ASC, w ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum,
+                     sum(w) OVER (PARTITION BY event_type) AS total
+              FROM e)
+        SELECT event_type, round(min(cts) / 100.0, 2) AS wmedian,
+               CAST(min(total) AS BIGINT) AS total_weight
+        FROM c WHERE cum * 2 >= total
+        GROUP BY event_type ORDER BY event_type""")),
   )
 }
