@@ -567,5 +567,76 @@ private[queries] object CatalogScaleOps {
                CAST(min(total) AS BIGINT) AS total_weight
         FROM c WHERE cum * 2 >= total
         GROUP BY event_type ORDER BY event_type""")),
+
+    // Exact GLOBAL order statistics without the single-reducer
+    // percentile: Spark's `percentile` is an ObjectHashAggregate that
+    // collects every value of the group — for a global statistic that
+    // is ALL rows on one reducer, the q123 family's documented 100 TB
+    // limit. Order statistics via [[graft.ops.Ranking]] instead: one
+    // range shuffle, local row_number + driver offsets, then pick the
+    // k-th rows. Integer cents, rank positions (lower median, ceil-p95)
+    // instead of interpolation — portable as plain OFFSET selection.
+    "q167_global_order_stats" -> QueryDef(
+      fn = (s, d) => {
+        val e = t(s, d, "events").filter(col("value").isNotNull)
+          .select(cents(col("value")).as("cts"), col("event_id"))
+        val n = e.count() // one count job; the rank pass reuses the scan
+        val ranked = graft.ops.Ranking.globalRowNumber(
+          e, Seq(col("cts").asc, col("event_id").asc), "rn")
+        val kMed = (n + 1) / 2        // lower median position
+        val kP95 = (n * 95 + 99) / 100 // ceil(0.95 n)
+        ranked.filter(col("rn") === kMed || col("rn") === kP95)
+          .select(
+            when(col("rn") === kMed, "p50_lower").otherwise("p95_ceil")
+              .as("stat"),
+            col("rn").as("k"),
+            round(col("cts") / 100.0, 2).as("value"))
+          .orderBy("stat")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT ${centsSql("value")} AS cts, event_id
+                   FROM events WHERE value IS NOT NULL),
+        n AS (SELECT count(*) AS n FROM e),
+        r AS (SELECT cts,
+                     row_number() OVER (ORDER BY cts ASC, event_id ASC)
+                       AS rn
+              FROM e)
+        SELECT CASE WHEN rn = (SELECT (n + 1) // 2 FROM n)
+                    THEN 'p50_lower' ELSE 'p95_ceil' END AS stat,
+               rn AS k, round(cts / 100.0, 2) AS value
+        FROM r
+        WHERE rn = (SELECT (n + 1) // 2 FROM n)
+           OR rn = (SELECT (n * 95 + 99) // 100 FROM n)
+        ORDER BY stat""")),
+
+    // UNPIVOT / melt — the inverse of the A1 pivot family (q05/q137):
+    // wide metric columns back to (key, metric, value) long form, the
+    // shape feature stores and metric pipelines ingest. `unpivot` is
+    // pure map-side row expansion (the Expand operator — no shuffle, no
+    // UDF); values share one double type, column-name labels become
+    // data. Oracle = the UNION ALL spelling, the engine-neutral
+    // definition of the operation.
+    "q168_unpivot_metrics" -> QueryDef(
+      fn = (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0) // slim, deterministic slice
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "metric_value")
+        // metric_value in the sort: the synthetic (orderkey, linenumber)
+        // pair is NOT unique (NOTES round-6 lesson) — residual ties must
+        // be full-row duplicates or engines may order them differently
+        .orderBy("l_orderkey", "l_linenumber", "metric", "metric_value"),
+      oracle = Some("""
+        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+        SELECT l_orderkey, l_linenumber, metric, metric_value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                 l_quantity AS metric_value FROM src
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          FROM src
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src)
+        ORDER BY l_orderkey, l_linenumber, metric, metric_value""")),
   )
 }
