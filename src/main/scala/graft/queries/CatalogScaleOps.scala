@@ -529,24 +529,27 @@ private[queries] object CatalogScaleOps {
     // tendency (duplicate-count or quality weights) no builtin covers on
     // either engine. Lower weighted median: the smallest value whose
     // INCLUSIVE running weight reaches half the group total. All-integer
-    // (cents values, long weights, 2*cum >= total avoids division), one
-    // group-keyed window + one aggregate — per-group state is the
-    // group's own rows, partitioned by the group key, no global funnel.
-    // Weight = 1 + event_id % 5: deterministic, spans 1..5, and makes
-    // the weighted median provably differ from the plain one for some
-    // groups (both engines compute the same difference).
+    // (cents values, long weights, 2*cum >= total avoids division).
+    // events has a HANDFUL of types, so the obvious grouped window
+    // (`PARTITION BY event_type ORDER BY cts`) would funnel each type's
+    // ENTIRE data through one reducer at 100 TB — the running weight is
+    // [[graft.ops.PrefixSum.exclusivePerGroup]] instead (range partition
+    // on (group, value): one group spans many partitions, per-group
+    // offsets rolled up on the driver), plus one partial-agg totals
+    // join. Weight = 1 + event_id % 5: deterministic, spans 1..5, and
+    // makes the weighted median provably differ from the plain one for
+    // some groups (both engines compute the same difference).
     "q166_weighted_median" -> QueryDef(
       fn = (s, d) => {
         val e = t(s, d, "events").filter(col("value").isNotNull)
           .select(col("event_type"), cents(col("value")).as("cts"),
             (col("event_id") % 5 + 1).as("w"))
-        val win = Window.partitionBy("event_type")
-          .orderBy(col("cts").asc, col("w").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = Window.partitionBy("event_type")
-        e.withColumn("cum", sum(col("w")).over(win))
-          .withColumn("total", sum(col("w")).over(tot))
-          .filter(col("cum") * 2 >= col("total"))
+        val withCum = graft.ops.PrefixSum.exclusivePerGroup(e,
+          Seq(col("event_type")), Seq(col("cts").asc, col("w").asc),
+          col("w"), "excl")
+        val totals = e.groupBy("event_type").agg(sum(col("w")).as("total"))
+        withCum.join(broadcast(totals), "event_type")
+          .filter((col("excl") + col("w")) * 2 >= col("total"))
           .groupBy("event_type")
           .agg(round(min(col("cts")) / 100.0, 2).as("wmedian"),
             min(col("total")).as("total_weight"))

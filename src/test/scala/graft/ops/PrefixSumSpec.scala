@@ -46,6 +46,36 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(out === Array((1L, 6L), (2L, 4L), (3L, 0L)))
   }
 
+  test("per-group form matches the grouped-window oracle (groups span buckets)") {
+    for ((seed, parts) <- Seq((5, 8), (19, 16))) {
+      // 3 fat groups x ~170 rows over 8-16 range partitions: every group
+      // spans several buckets, exercising the per-group offset rollup
+      val rnd = new scala.util.Random(seed)
+      val df = (1 to 500).map(i =>
+          (i.toLong, s"g${rnd.nextInt(3)}", rnd.nextInt(7).toLong, rnd.nextInt(100).toLong))
+        .toDF("id", "grp", "v", "key")
+      val got = PrefixSum.exclusivePerGroup(df, Seq(col("grp")),
+          Seq(col("key").asc, col("id").asc), col("v"), "cum", numPartitions = parts)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("cum",
+          coalesce(sum(col("v")).over(
+            Window.partitionBy("grp").orderBy(col("key").asc, col("id").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed parts=$parts")
+    }
+  }
+
+  test("per-group form: single-row groups get 0; empty input is empty") {
+    val df = Seq((1L, "a", 5L), (2L, "b", 7L)).toDF("id", "grp", "v")
+    val out = PrefixSum.exclusivePerGroup(df, Seq(col("grp")), Seq(col("id")),
+        col("v")).select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "grp", "v")
+    assert(PrefixSum.exclusivePerGroup(empty, Seq(col("grp")), Seq(col("id")),
+      col("v")).count() == 0L)
+  }
+
   test("empty input yields an empty frame and zero total") {
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
     val (out, total) = PrefixSum.exclusiveWithTotal(df, Seq(col("id")), col("v"))
