@@ -398,4 +398,37 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("SortMergeJoin"), s"totals must broadcast:\n$plan")
   }
+
+  test("q161: draws broadcast against the corpus; prefix-sum window is bucketed") {
+    val plan = planOf("q161_weighted_sample")
+    // the containment probe is the INTENTIONAL bounded nested loop: k
+    // draw rows broadcast (BuildRight), never the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin Inner BuildRight"), plan)
+    // the running-total window rides the range buckets, not an empty
+    // partition spec (which would be the single-reducer funnel)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q164/q166/q167: prefix-sum family plans have no single-reducer funnel") {
+    Seq("q164_token_budget_cut", "q166_weighted_median",
+        "q167_global_order_stats").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("SinglePartition"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
+  test("q166: group totals broadcast back; no sort-merge join") {
+    val plan = planOf("q166_weighted_median")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q168: unpivot is the map-side Expand - one exchange (the output sort)") {
+    val plan = planOf("q168_unpivot_metrics")
+    assert(plan.contains("Expand"), plan)
+    val exchanges = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
 }
