@@ -138,12 +138,22 @@ object Ranking {
     */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
       out: String = "rn", numPartitions: Int = 0,
-      durable: Boolean = false): DataFrame = {
+      durable: Boolean = false): DataFrame =
+    globalRowNumberWithTotal(df, sortCols, out, numPartitions, durable)._1
+
+  /** [[globalRowNumber]] plus the TOTAL row count, which the two-phase
+    * scan computes anyway (sum of the per-bucket measures) — callers
+    * needing n for a rank position (k-th element, percentile rank cuts)
+    * would otherwise pay a separate full scan for `df.count()`.
+    */
+  def globalRowNumberWithTotal(df: DataFrame, sortCols: Seq[Column],
+      out: String = "rn", numPartitions: Int = 0,
+      durable: Boolean = false): (DataFrame, Long) = {
     val w = Window.partitionBy("__bucket").orderBy(sortCols: _*)
-    val (based, _) = withBases(df, sortCols, numPartitions, durable)
-    based
+    val (based, total) = withBases(df, sortCols, numPartitions, durable)
+    (based
       .withColumn(out, col("__base") + row_number().over(w).cast("long"))
-      .drop("__bucket", "__base")
+      .drop("__bucket", "__base"), total)
   }
 
   /** Exact `ntile(buckets)` with SQL window semantics — n rows split into

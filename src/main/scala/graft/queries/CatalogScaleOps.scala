@@ -583,8 +583,9 @@ private[queries] object CatalogScaleOps {
       fn = (s, d) => {
         val e = t(s, d, "events").filter(col("value").isNotNull)
           .select(cents(col("value")).as("cts"), col("event_id"))
-        val n = e.count() // one count job; the rank pass reuses the scan
-        val ranked = graft.ops.Ranking.globalRowNumber(
+        // total falls out of the rank machinery's own per-bucket counts
+        // — no separate count() scan of the raw table
+        val (ranked, n) = graft.ops.Ranking.globalRowNumberWithTotal(
           e, Seq(col("cts").asc, col("event_id").asc), "rn")
         val kMed = (n + 1) / 2        // lower median position
         val kP95 = (n * 95 + 99) / 100 // ceil(0.95 n)
