@@ -38,6 +38,29 @@ object Sampling {
   def splitLabel(key: Column, trainFrac: Double): Column =
     when(inSplit(key, trainFrac), "train").otherwise("eval")
 
+  /** Leakage-free three-way split: the label is a pure function of the
+    * CLUSTER key (content fingerprint for exact-dup clusters, or a
+    * connected-component label for near-dup clusters), so every member of
+    * a duplicate cluster lands in the SAME split — the guarantee that
+    * keeps eval data from leaking into train through copies the row-id
+    * split of [[splitLabel]] cannot give. Same md5-prefix mechanism:
+    * deterministic, repartition-proof, engine-portable.
+    */
+  def leakFreeSplitLabel(clusterKey: Column, trainFrac: Double,
+      valFrac: Double): Column = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"fractions out of range: train=$trainFrac val=$valFrac")
+    val h = substring(md5(clusterKey.cast("string")), 1, 8)
+    // the lit(boolean) guards fold away at plan time and replicate
+    // inSplit's frac>=1.0 short-circuit (a bare `h < 'ffffffff'` would
+    // misroute the ~1-in-4e9 keys hashing to the cap — guaranteed hits
+    // at corpus scale)
+    when(lit(trainFrac >= 1.0) || h < lit(thresholdHex(trainFrac)), "train")
+      .when(lit(trainFrac + valFrac >= 1.0)
+        || h < lit(thresholdHex(trainFrac + valFrac)), "val")
+      .otherwise("test")
+  }
+
   /** Stratified keep-filter: a different deterministic sampling fraction
     * per stratum (e.g. downsample over-represented languages, keep the
     * rest whole — the standard corpus rebalancing move). Same hash-prefix

@@ -642,5 +642,120 @@ private[queries] object CatalogScaleOps {
           UNION ALL
           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src)
         ORDER BY l_orderkey, l_linenumber, metric, metric_value""")),
+
+    // PMI collocation mining (the tokenizer-vocabulary phrase-discovery
+    // pass): adjacent-bigram pointwise mutual information from exact
+    // corpus counts — ln((c_ab·N²)/(M·c_a·c_b)) with N total tokens, M
+    // total bigrams. Bigram extraction is pure codegen projection; the
+    // totals come from the already-aggregated count frames (no second
+    // corpus scan) and broadcast back; the only transcendental is one ln
+    // of an exact integer rational, so DuckDB replays it bit-for-bit.
+    "q169_pmi_collocations" -> QueryDef(
+      fn = (s, d) =>
+        graft.ops.Collocations.pmiBigrams(t(s, d, "documents"), "text", minCount = 5L)
+          .orderBy(col("pmi").desc, col("w1"), col("w2")),
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                             i -> t[i])) AS w1,
+                      unnest(list_transform(generate_series(1, len(t) - 1),
+                             i -> t[i+1])) AS w2
+               FROM toks WHERE len(t) >= 2),
+        bgc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        ug AS (SELECT unnest(t) AS w FROM toks),
+        ugc AS (SELECT w, count(*) AS c FROM ug GROUP BY w),
+        tot AS (SELECT (SELECT count(*) FROM ug) AS n_tok,
+                       (SELECT count(*) FROM bg) AS n_bg)
+        SELECT w1, w2, c_ab,
+               round(ln((CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                         * CAST(n_tok AS DOUBLE))
+                        / (CAST(n_bg AS DOUBLE) * CAST(a.c AS DOUBLE)
+                           * CAST(b.c AS DOUBLE))), 6) AS pmi
+        FROM bgc
+        JOIN ugc a ON bgc.w1 = a.w
+        JOIN ugc b ON bgc.w2 = b.w
+        CROSS JOIN tot
+        WHERE c_ab >= 5
+        ORDER BY pmi DESC, w1, w2""")),
+
+    // Exact Jaccard set-similarity SELF-JOIN via prefix filtering
+    // (AllPairs/PPJoin): every pair with 3-shingle Jaccard >= 3/5,
+    // discovered — not handed in like q28's verification — without ever
+    // forming the quadratic pair space. The injected +100000 duplicates
+    // guarantee jaccard-1.0 rows (vacuousness guard); all threshold
+    // arithmetic is integer (inter*5 >= union*3), so the oracle's naive
+    // all-pairs replay decides every boundary identically.
+    "q170_setsim_join" -> QueryDef(
+      fn = (s, d) => {
+        val sub = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        val dbl = sub.select(col("doc_id"), col("text"))
+          .unionAll(sub.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        graft.ops.SetSimJoin.jaccardSelfJoin(dbl, "doc_id", "text", 3, 5)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        dbl AS (SELECT doc_id AS id, text FROM sub
+                UNION ALL SELECT doc_id + 100000, text FROM sub),
+        sh AS (SELECT id,
+                      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+               FROM (SELECT id, $toksSql AS toks FROM dbl)),
+        p AS (SELECT a.id AS id_a, b.id AS id_b,
+                     len(list_intersect(a.s, b.s)) AS inter,
+                     len(a.s) AS na, len(b.s) AS nb
+              FROM sh a JOIN sh b ON a.id < b.id)
+        SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE)
+                     / CAST(na + nb - inter AS DOUBLE), 9) AS jaccard
+        FROM p WHERE inter * 5 >= (na + nb - inter) * 3
+        ORDER BY id_a, id_b""")),
+
+    // Leakage-free (dedup-aware) train/val/test split: the label hashes
+    // the CONTENT FINGERPRINT, not the row id, so every member of a
+    // duplicate cluster lands in one split — the guarantee that keeps
+    // eval leaking into train through copies (the injected +100000
+    // duplicates are exactly such copies). `mixed_clusters` — the count
+    // of fingerprints straddling >1 split — is recomputed by BOTH
+    // engines and must be 0: the leakage property itself is under the
+    // hash gate, not just the split sizes. Pure map-side labeling + two
+    // fingerprint-keyed uniform shuffles; no window, no driver state.
+    "q171_leakfree_split" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val dbl = docs.select(col("doc_id"), col("text"))
+          .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val labeled = dbl
+          .withColumn("fp", TF.fingerprint(col("text")))
+          .withColumn("split",
+            Sampling.leakFreeSplitLabel(col("fp"), trainFrac = 0.8, valFrac = 0.1))
+        val mixed = labeled.groupBy("fp")
+          .agg(countDistinct("split").as("nsp"))
+          .filter(col("nsp") > 1)
+          .agg(count(lit(1)).as("mixed_clusters"))
+        labeled.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("fp").as("n_clusters"))
+          .crossJoin(broadcast(mixed))
+          .orderBy("split")
+      },
+      oracle = Some(s"""
+        WITH dbl AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id + 100000, text FROM documents),
+        lab AS (SELECT doc_id, fp,
+                       CASE WHEN substring(md5(fp), 1, 8)
+                                 < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+                            WHEN substring(md5(fp), 1, 8)
+                                 < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (SELECT doc_id,
+                             md5(array_to_string($toksSql, ' ')) AS fp
+                      FROM dbl)),
+        mix AS (SELECT count(*) AS mixed_clusters FROM (
+                  SELECT fp FROM lab GROUP BY fp
+                  HAVING count(DISTINCT split) > 1))
+        SELECT split, count(*) AS n_docs, count(DISTINCT fp) AS n_clusters,
+               (SELECT mixed_clusters FROM mix) AS mixed_clusters
+        FROM lab GROUP BY split ORDER BY split""")),
   )
 }

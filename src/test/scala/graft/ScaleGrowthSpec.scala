@@ -34,7 +34,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
   private val baseSf = "/root/testdata/sf0.001"
   private val factors = Seq(1, 4, 16)
   private val queries = Seq("q101_mask_contaminated", "q124_sparse_topk",
-    "q26_minhash_dedup", "q151_rank_family")
+    "q26_minhash_dedup", "q151_rank_family", "q170_setsim_join")
 
   /** Per-replica token suffix: replicas share NO grams/tokens, so
     * similarity/dedup work grows linearly in the factor (each replica is

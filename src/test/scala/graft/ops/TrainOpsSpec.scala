@@ -246,6 +246,33 @@ class StratifiedSamplingSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("leakFreeSplitLabel: cluster members share a split; 3 labels appear") {
+    // 200 clusters of 3 copies each, distinct row ids but one cluster key
+    val rows = for (c <- 1L to 200L; r <- 0L to 2L) yield (c * 10 + r, s"fp$c")
+    val df = rows.toDF("id", "fp")
+      .withColumn("split", Sampling.leakFreeSplitLabel(col("fp"), 0.6, 0.2))
+    val perCluster = df.groupBy("fp")
+      .agg(countDistinct("split").as("nsp")).as[(String, Long)].collect()
+    assert(perCluster.forall(_._2 == 1L), "a cluster straddled splits")
+    val labels = df.select("split").distinct().as[String].collect().toSet
+    assert(labels == Set("train", "val", "test"))
+    // fractions roughly honored at the CLUSTER level
+    val byLabel = df.select("fp", "split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel("train") > 90 && byLabel("train") < 150)
+    assert(byLabel("val") > 15 && byLabel("val") < 70)
+  }
+
+  test("leakFreeSplitLabel boundary fractions: all-train and no-val") {
+    val df = (1L to 50L).map(i => (i, s"k$i")).toDF("id", "k")
+    val allTrain = df.withColumn("s", Sampling.leakFreeSplitLabel(col("k"), 1.0, 0.0))
+      .select("s").distinct().as[String].collect().toSet
+    assert(allTrain == Set("train"))
+    val noVal = df.withColumn("s", Sampling.leakFreeSplitLabel(col("k"), 0.5, 0.0))
+      .select("s").distinct().as[String].collect().toSet
+    assert(noVal.subsetOf(Set("train", "test")) && noVal.size == 2)
+  }
 }
 
 class CorpusMixSpec extends AnyFunSuite {

@@ -431,4 +431,29 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange"))
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("q169: PMI totals come from 1-row broadcasts, counts aggregate partial") {
+    val plan = planOf("q169_pmi_collocations")
+    // the N/M totals must ride broadcast nested loops over ONE row each,
+    // never a shuffled join; the count aggs must combine map-side
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q170: prefix-filter join is equi-join shaped, never cartesian") {
+    val plan = planOf("q170_setsim_join")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // candidate dedup + verification aggregate partially before exchanges
+    assert(plan.contains("partial_first") || plan.contains("HashAggregate"), plan)
+  }
+
+  test("q171: leak-free split is map-side labeling + partial-agg rollups") {
+    val plan = planOf("q171_leakfree_split")
+    // no join except the 1-row audit broadcast; no window, no sort-merge
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }
