@@ -81,6 +81,78 @@ object SetSimJoin {
           .as("jaccard"))
   }
 
+  /** TWO-corpus variant — every (left, right) pair with Jaccard ≥ τ, the
+    * near-duplicate CONTAMINATION shape: `left` = an eval/holdout set,
+    * `right` = the training corpus, and the output is the pair list a
+    * decontamination pass would drop or mask (the fuzzy complement of
+    * [[Decontaminate]]'s exact-gram sweep — paraphrased or lightly-edited
+    * copies that share no long exact gram still land here).
+    *
+    * The prefix guarantee needs ONE total order spanning both corpora, so
+    * document frequencies are counted over the UNION before each side is
+    * reordered; everything else — integer thresholds, prefix equi-join,
+    * length filter, exact verify — matches [[jaccardSelfJoin]]. Output:
+    * `(id_l, id_r, jaccard)`.
+    */
+  def jaccardJoin(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, tauNum: Int, tauDen: Int, shingleSize: Int = 3,
+      hashShingles: Boolean = false): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must satisfy 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+
+    def sets(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
+      shingleCol(textCol, shingleSize, hashShingles).as("sh"))
+    val l = sets(left)
+    val r = sets(right)
+
+    // one shared df order over BOTH corpora
+    val exploded = l.withColumn("side", lit("l"))
+      .unionAll(r.withColumn("side", lit("r")))
+      .select(col("side"), col("id"), explode(col("sh")).as("g"))
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    val ordered = exploded.join(freq, Seq("g"))
+      .groupBy("side", "id")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("fg"))
+      .select(col("side"), col("id"),
+        transform(col("fg"), x => x.getField("g")).as("sh"),
+        size(col("fg")).cast("long").as("n"))
+
+    val ceilTauN = expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen")
+    val pre = ordered
+      .withColumn("p", (col("n") - ceilTauN + 1).cast("int"))
+      .select(col("side"), col("id"), col("n"),
+        explode(slice(col("sh"), lit(1), col("p"))).as("g"))
+
+    val cands = pre.filter(col("side") === "l")
+      .select(col("g"), col("id").as("id_l"), col("n").as("n_l"))
+      .join(pre.filter(col("side") === "r")
+        .select(col("g"), col("id").as("id_r"), col("n").as("n_r")), Seq("g"))
+      .filter(col("n_r") * tauNum <= col("n_l") * tauDen &&
+              col("n_l") * tauNum <= col("n_r") * tauDen)
+      .select("id_l", "id_r")
+      .dropDuplicates("id_l", "id_r")
+
+    cands
+      .join(ordered.filter(col("side") === "l")
+        .select(col("id").as("id_l"), col("sh").as("sh_l"),
+          col("n").as("n_l")), Seq("id_l"))
+      .join(ordered.filter(col("side") === "r")
+        .select(col("id").as("id_r"), col("sh").as("sh_r"),
+          col("n").as("n_r")), Seq("id_r"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_l"), col("sh_r"))).cast("long"))
+      .withColumn("uni", col("n_l") + col("n_r") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_l"), col("id_r"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 9)
+          .as("jaccard"))
+  }
+
+  private def shingleCol(textCol: String, shingleSize: Int,
+      hashShingles: Boolean): Column =
+    if (hashShingles) TF.shingleHashes(col(textCol), shingleSize)
+    else array_distinct(TF.shingles(col(textCol), shingleSize))
+
   /** The rare-first ordered sets `(id, sh, n)` and the UNVERIFIED candidate
     * pairs `(id_a, id_b)` the prefix filter admits — exposed so tests (and
     * cost probes) can measure pruning, since the filter's whole value is
@@ -92,10 +164,8 @@ object SetSimJoin {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must satisfy 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
 
-    val shCol =
-      if (hashShingles) TF.shingleHashes(col(textCol), shingleSize)
-      else array_distinct(TF.shingles(col(textCol), shingleSize))
-    val sets = docs.select(col(idCol).cast("long").as("id"), shCol.as("sh"))
+    val sets = docs.select(col(idCol).cast("long").as("id"),
+      shingleCol(textCol, shingleSize, hashShingles).as("sh"))
 
     // Global rare-first order: document frequency asc, shingle value asc.
     // One uniform shuffle keyed by shingle; partial counts collapse

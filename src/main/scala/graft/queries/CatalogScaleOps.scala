@@ -757,5 +757,46 @@ private[queries] object CatalogScaleOps {
         SELECT split, count(*) AS n_docs, count(DISTINCT fp) AS n_clusters,
                (SELECT mixed_clusters FROM mix) AS mixed_clusters
         FROM lab GROUP BY split ORDER BY split""")),
+
+    // Near-duplicate CONTAMINATION between two corpora: the two-corpus
+    // prefix-filter join finds every (eval, train) pair with 3-shingle
+    // Jaccard >= 4/5 — the fuzzy complement of the exact-gram
+    // decontamination sweep (q62/q88/q101): a paraphrased copy that
+    // shares no long exact gram still lands here. Eval = a re-id'd
+    // verbatim slice of the corpus (every eval doc has a guaranteed
+    // jaccard-1.0 source in train); df order spans BOTH corpora; the
+    // oracle is the naive eval x train cross — small only because eval
+    // is small, which is also the production shape.
+    "q172_neardup_contamination" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val eval0 = docs.filter(col("doc_id") % 83 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+        graft.ops.SetSimJoin.jaccardJoin(
+            eval0, docs.select(col("doc_id"), col("text")),
+            "doc_id", "text", 4, 5)
+          .orderBy("id_l", "id_r")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT doc_id + 200000 AS id, text FROM documents
+                    WHERE doc_id % 83 = 0),
+        tr AS (SELECT doc_id AS id, text FROM documents),
+        she AS (SELECT id,
+                       list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                FROM (SELECT id, $toksSql AS toks FROM ev)),
+        sht AS (SELECT id,
+                       list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                FROM (SELECT id, $toksSql AS toks FROM tr)),
+        p AS (SELECT e.id AS id_l, t.id AS id_r,
+                     len(list_intersect(e.s, t.s)) AS inter,
+                     len(e.s) AS na, len(t.s) AS nb
+              FROM she e CROSS JOIN sht t)
+        SELECT id_l, id_r,
+               round(CAST(inter AS DOUBLE)
+                     / CAST(na + nb - inter AS DOUBLE), 9) AS jaccard
+        FROM p WHERE inter * 5 >= (na + nb - inter) * 4
+        ORDER BY id_l, id_r""")),
   )
 }

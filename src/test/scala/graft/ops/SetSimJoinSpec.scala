@@ -88,6 +88,49 @@ class SetSimJoinSpec extends AnyFunSuite {
       "prefix join must stay an equi-join")
   }
 
+  private def naiveTwo(l: DataFrame, r: DataFrame, tauNum: Int,
+      tauDen: Int): Set[Seq[Any]] = {
+    def sets(df: DataFrame) = df.select(col("id"),
+      array_distinct(TF.shingles(col("text"), 3)).as("sh"))
+    val out = sets(l).select(col("id").as("id_l"), col("sh").as("sh_l"))
+      .crossJoin(sets(r).select(col("id").as("id_r"), col("sh").as("sh_r")))
+      .withColumn("inter",
+        size(array_intersect(col("sh_l"), col("sh_r"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_l")).cast("long") + size(col("sh_r")) - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_l"), col("id_r"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 9)
+          .as("jaccard"))
+    GraftSpark.collectSet(out)
+  }
+
+  test("two-corpus jaccardJoin equals naive cross at several thresholds") {
+    for ((num, den) <- Seq((3, 5), (4, 5))) {
+      val train = corpus(seed = 11, n = 60, vocab = 12)
+      // eval: some verbatim train copies (guaranteed hits) + fresh docs
+      val eval0 = train.limit(10).withColumn("id", col("id") + 500000)
+        .unionAll(corpus(seed = 12, n = 20, vocab = 12)
+          .withColumn("id", col("id") + 900000))
+      val fast = GraftSpark.collectSet(
+        SetSimJoin.jaccardJoin(eval0, train, "id", "text", num, den))
+      assert(fast == naiveTwo(eval0, train, num, den), s"tau=$num/$den")
+      assert(fast.nonEmpty, "verbatim copies must be found")
+    }
+  }
+
+  test("two-corpus join finds the paraphrase exact grams miss") {
+    // one-token edit: Jaccard over 3-shingles stays high though several
+    // long grams break — the fuzzy-contamination case
+    val train = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("id", "text")
+    val eval0 = Seq((10L, "the quick brown fox leaps over the lazy dog today"))
+      .toDF("id", "text")
+    val hits = SetSimJoin.jaccardJoin(eval0, train, "id", "text", 1, 3)
+      .collect()
+    assert(hits.length == 1 && hits.head.getLong(0) == 10L)
+  }
+
   test("hashShingles=true (the at-scale 8-byte key) yields identical pairs") {
     for (seed <- Seq(3, 4)) {
       val docs = corpus(seed, n = 50, vocab = 15)

@@ -449,6 +449,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_first") || plan.contains("HashAggregate"), plan)
   }
 
+  test("q172: two-corpus contamination join is equi-join shaped, no cartesian") {
+    val plan = planOf("q172_neardup_contamination")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q171: leak-free split is map-side labeling + partial-agg rollups") {
     val plan = planOf("q171_leakfree_split")
     // no join except the 1-row audit broadcast; no window, no sort-merge
