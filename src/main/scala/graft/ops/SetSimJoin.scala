@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity SELF-JOIN via prefix filtering (the
@@ -59,12 +60,18 @@ object SetSimJoin {
     *   changes the (still global, still total) shingle order; a hash
     *   collision could overstate one intersection by 1 — at 2^-64 per
     *   pair, the accepted negligible-probability trade.
+    * @param reuse materialize the rare-first ordered sets once
+    *   (`localCheckpoint`, the Ranking default trade: fastest, but a
+    *   lost executor after the checkpoint fails the job instead of
+    *   recomputing) — the ordered frame feeds FOUR consumers (both
+    *   prefix-join sides and both verify joins), each of which would
+    *   otherwise re-run the scan + df shuffle + reorder chain.
     */
   def jaccardSelfJoin(docs: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int, shingleSize: Int = 3,
-      hashShingles: Boolean = false): DataFrame = {
+      hashShingles: Boolean = false, reuse: Boolean = true): DataFrame = {
     val (ordered, cands) = orderedSetsAndCandidates(
-      docs, idCol, textCol, tauNum, tauDen, shingleSize, hashShingles)
+      docs, idCol, textCol, tauNum, tauDen, shingleSize, hashShingles, reuse)
 
     // Exact verification on survivors only.
     cands
@@ -96,26 +103,28 @@ object SetSimJoin {
     */
   def jaccardJoin(left: DataFrame, right: DataFrame, idCol: String,
       textCol: String, tauNum: Int, tauDen: Int, shingleSize: Int = 3,
-      hashShingles: Boolean = false): DataFrame = {
+      hashShingles: Boolean = false, reuse: Boolean = true): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must satisfy 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
 
-    def sets(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
-      shingleCol(textCol, shingleSize, hashShingles).as("sh"))
-    val l = sets(left)
-    val r = sets(right)
-
-    // one shared df order over BOTH corpora
-    val exploded = l.withColumn("side", lit("l"))
-      .unionAll(r.withColumn("side", lit("r")))
-      .select(col("side"), col("id"), explode(col("sh")).as("g"))
+    // explode the expression directly (see the self-join's pushdown-copy
+    // note); one shared df order over BOTH corpora
+    def explodedSide(df: DataFrame, side: String) =
+      df.select(lit(side).as("side"), col(idCol).cast("long").as("id"),
+        explode(shingleCol(textCol, shingleSize, hashShingles)).as("g"))
+    val exploded = explodedSide(left, "l").unionAll(explodedSide(right, "r"))
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
-    val ordered = exploded.join(freq, Seq("g"))
+    // window-ordered rebuild — same formulation (and same pathological-HOF
+    // avoidance rationale) as the self-join's
+    val w = Window.partitionBy("side", "id").orderBy(col("df"), col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val reordered = exploded.join(freq, Seq("g"))
+      .withColumn("shArr", collect_list("g").over(w))
       .groupBy("side", "id")
-      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("fg"))
-      .select(col("side"), col("id"),
-        transform(col("fg"), x => x.getField("g")).as("sh"),
-        size(col("fg")).cast("long").as("n"))
+      .agg(first("shArr").as("sh"))
+      .select(col("side"), col("id"), col("sh"),
+        size(col("sh")).cast("long").as("n"))
+    val ordered = if (reuse) reordered.localCheckpoint() else reordered
 
     val ceilTauN = expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen")
     val pre = ordered
@@ -160,28 +169,43 @@ object SetSimJoin {
     */
   private[graft] def orderedSetsAndCandidates(docs: DataFrame, idCol: String,
       textCol: String, tauNum: Int, tauDen: Int,
-      shingleSize: Int, hashShingles: Boolean = false): (DataFrame, DataFrame) = {
+      shingleSize: Int, hashShingles: Boolean = false,
+      reuse: Boolean = false): (DataFrame, DataFrame) = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must satisfy 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
 
-    val sets = docs.select(col(idCol).cast("long").as("id"),
-      shingleCol(textCol, shingleSize, hashShingles).as("sh"))
+    // Explode the shingle EXPRESSION directly — never project it into a
+    // named column first: Catalyst pushes the generator's implicit
+    // not-empty/not-null filter below such a Project as a full COPY of
+    // the (interpreted, internally-redundant) shingle HOF tree, so each
+    // input row pays the tokenize+shingle cost ~3x (measured 6x total
+    // wall time on the q170 probe pair — NOTES round 9).
+    val exploded = docs.select(col(idCol).cast("long").as("id"),
+      explode(shingleCol(textCol, shingleSize, hashShingles)).as("g"))
 
     // Global rare-first order: document frequency asc, shingle value asc.
     // One uniform shuffle keyed by shingle; partial counts collapse
     // map-side before the exchange.
-    val exploded = sets.select(col("id"), explode(col("sh")).as("g"))
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
 
-    // Rebuild each set in (df, g) order. array_sort on the struct gives
-    // the lexicographic (df asc, g asc) total order — the same comparator
-    // on every document, which is all the prefix guarantee needs.
-    val ordered = exploded.join(freq, Seq("g"))
+    // Rebuild each set in (df asc, g asc) order — the same comparator on
+    // every document, which is all the prefix guarantee needs. The
+    // obvious `array_sort(collect_list(struct)) + transform(_.g)`
+    // spelling is PATHOLOGICAL here (the HOF projection over the
+    // aggregated struct array measured 6x the entire chain — NOTES
+    // round 9); the window-ordered collect_list builds the same array
+    // with plain aggregates: the unbounded frame evaluates once per
+    // id-group, and first() is frame-constant per group (deterministic)
+    // collapsing rows WITHOUT a new exchange — the window already hash
+    // partitioned by id.
+    val w = Window.partitionBy("id").orderBy(col("df"), col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val reordered = exploded.join(freq, Seq("g"))
+      .withColumn("shArr", collect_list("g").over(w))
       .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("fg"))
-      .select(col("id"),
-        transform(col("fg"), x => x.getField("g")).as("sh"),
-        size(col("fg")).cast("long").as("n"))
+      .agg(first("shArr").as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).cast("long").as("n"))
+    val ordered = if (reuse) reordered.localCheckpoint() else reordered
 
     // Prefix length p = n − ⌈τ·n⌉ + 1, all-integer ceiling.
     val ceilTauN = expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen")

@@ -709,7 +709,8 @@ private[queries] object CatalogScaleOps {
                round(CAST(inter AS DOUBLE)
                      / CAST(na + nb - inter AS DOUBLE), 9) AS jaccard
         FROM p WHERE inter * 5 >= (na + nb - inter) * 3
-        ORDER BY id_a, id_b""")),
+        ORDER BY id_a, id_b"""),
+      bench = true),
 
     // Leakage-free (dedup-aware) train/val/test split: the label hashes
     // the CONTENT FINGERPRINT, not the row id, so every member of a
