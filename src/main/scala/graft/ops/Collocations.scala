@@ -39,10 +39,18 @@ object Collocations {
     val uni = docs.select(explode(ts).as("w"))
     val ugc = uni.groupBy("w").agg(count(lit(1)).as("c"))
 
-    val bg = docs.select(ts.as("t")).filter(size(col("t")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
-        i => struct(element_at(col("t"), i).as("w1"),
-          element_at(col("t"), i + 1).as("w2")))).as("p"))
+    // The pair array is exploded as an inline EXPRESSION with a when()
+    // guard (null for <2-token docs → the generator emits nothing), not
+    // projected into a named column behind a filter — the named-column +
+    // filter spelling makes Catalyst push `size(t) >= 2` into the scan
+    // with the whole tokenizer tree inlined, so every row pays tokenize
+    // twice (the SetSimJoin round-9 lesson; Conditions are pinned
+    // HOF-free in PlanSpec).
+    val pairs = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => struct(element_at(ts, i).as("w1"),
+          element_at(ts, i + 1).as("w2"))))
+    val bg = docs.select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
 

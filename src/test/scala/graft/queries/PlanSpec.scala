@@ -432,6 +432,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("q169/q170/q172: no HOF tree duplicated into a Filter condition") {
+    // the round-9 pathology tripwire: projecting a generator input into a
+    // named column (or filtering on it) lets Catalyst inline the whole
+    // interpreted tokenize/shingle lambda tree into scan Filters — the
+    // plans are operator-shape identical, only the Condition text shows it
+    Seq("q169_pmi_collocations", "q170_setsim_join",
+        "q172_neardup_contamination").foreach { q =>
+      val plan = planOf(q)
+      val conds = plan.linesIterator.filter(_.contains("Condition")).toSeq
+      assert(!conds.exists(_.contains("lambdafunction")),
+        s"$q pushed a HOF into a Filter:\n${conds.mkString("\n")}")
+    }
+  }
+
   test("q169: PMI totals come from 1-row broadcasts, counts aggregate partial") {
     val plan = planOf("q169_pmi_collocations")
     // the N/M totals must ride broadcast nested loops over ONE row each,
