@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over an edge-list DataFrame — triangle
+  * counting and PageRank, the two classic "does your engine do iterative /
+  * multi-way-join compute" probes. Complements [[ConnectedComponents]]
+  * (round 4): CC answers reachability, triangles answer local density,
+  * PageRank answers global importance.
+  *
+  * Input convention: an UNDIRECTED graph as a canonical edge list
+  * (src < dst, one row per edge, no self-loops) — the shape
+  * [[Baskets.frequentItemPairs]] emits.
+  *
+  * Scale shapes (100 TB):
+  *  - triangle counting uses the degree-ordering trick (Schank's
+  *    forward/compact-forward, also the shape of the MapReduce NodeIterator++
+  *    algorithm): orient every edge from its lower-(degree, id) endpoint to
+  *    the higher one, so every wedge is enumerated exactly once at its
+  *    lowest-degree vertex — the per-vertex fanout is bounded by
+  *    "out-degree after orientation" <= O(sqrt(|E|)) for any graph, which
+  *    is what keeps a power-law hub from emitting deg^2 wedges;
+  *  - the wedge join and the closing-edge join are plain shuffle equi-joins
+  *    on vertex / edge keys (AQE may broadcast the oriented edge list when
+  *    small); counts are exact integers — no FP in the hot path;
+  *  - PageRank is iterative: each iteration is one shuffle (contributions
+  *    keyed by dst) plus a broadcast-able teleport join, and the loop
+  *    `localCheckpoint`s each rank frame to CUT LINEAGE — without it the
+  *    plan doubles per iteration and the job dies of planning time long
+  *    before it dies of data size (the classic iterative-Spark trap).
+  */
+object Graph {
+
+  /** Canonicalize + dedup an arbitrary undirected edge list: drops
+    * self-loops, orders endpoints (min, max), dedups parallel edges.
+    */
+  def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"))
+      .distinct()
+
+  /** Global triangle census of a canonical undirected edge list:
+    * one row — (n_nodes, n_edges, n_wedges, n_triangles,
+    * global_clustering) where global_clustering = 3*triangles / wedges
+    * (0.0 when the graph has no wedges), rounded to 6 dp. All counts are
+    * exact longs; the coefficient is one double division of exact
+    * integers, so an oracle replays it bit-for-bit.
+    */
+  def triangleCensus(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // the edge list feeds SEVEN consumers (degrees, the two wedge sides,
+    // the closing-edge probe, three of the census counters) — without a
+    // pin, every consumer recomputes the caller's edge-building tree
+    // (for a co-occurrence graph, a full basket self-join, ~8x) and the
+    // plan grows multiplicatively. Same lineage-cut rule as [[pageRank]].
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+
+    // degree per vertex (undirected)
+    val deg = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+
+    // orient: lower (deg, id) -> higher (deg, id); total order, so every
+    // edge gets exactly one direction and every triangle exactly one
+    // (lowest-endpoint) wedge apex
+    val withDeg = e
+      .join(deg.select(col("v").as("src"), col("deg").as("dsrc")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("deg").as("ddst")), Seq("dst"))
+    val oriented = withDeg.select(
+      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
+        struct(col("src").as("u"), col("dst").as("w")))
+        .otherwise(struct(col("dst").as("u"), col("src").as("w"))).as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"))
+      .localCheckpoint(eager = true) // three consumers: e1, e2, closing
+
+    // wedges at the apex u: (u -> v), (u -> w), v < w; closing edge is
+    // oriented too, but its direction within {v, w} depends on degrees —
+    // join both endpoint orders via the canonical (min, max) form, which
+    // for an oriented pair with v < w is just (v, w)
+    val e1 = oriented.select(col("u"), col("w").as("v1"))
+    val e2 = oriented.select(col("u"), col("w").as("v2"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("v1") < col("v2"))
+    val closing = oriented.select(
+      least(col("u"), col("w")).as("v1"), greatest(col("u"), col("w")).as("v2"))
+    val triangles = wedges.join(closing, Seq("v1", "v2"), "left_semi")
+
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    // wedge total = sum over v of C(deg, 2) — from the aggregated degree
+    // frame, not the wedge join (the join is support only for triangles)
+    val nWedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+
+    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nWedges))
+      .crossJoin(broadcast(nTri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(when(col("n_wedges") > 0,
+          col("n_triangles").cast("double") * 3.0 / col("n_wedges").cast("double"))
+          .otherwise(0.0), 6).as("global_clustering"))
+  }
+
+  /** PageRank over the undirected graph (each canonical edge walked in
+    * both directions), fixed iteration count, damping `d`:
+    *
+    *   r_0(v)    = 1/N
+    *   r_{k+1}(v) = (1-d)/N + d * sum_{u ~ v} r_k(u) / deg(u)
+    *
+    * Undirected expansion means every vertex in the edge list has
+    * out-degree >= 1 — no dangling mass, so the scores sum to 1 exactly
+    * (up to FP) and the oracle needs no dangling-redistribution term.
+    *
+    * Output: (node, pagerank) with pagerank rounded to `roundDp`.
+    * Each iteration's frame is `localCheckpoint`ed: constant-size plan,
+    * constant planning time, lineage cut — the non-negotiable for
+    * iterative Spark.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, damping: Double = 0.85,
+      roundDp: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val out = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+
+    val deg = out.groupBy("src").agg(count(lit(1)).as("deg"))
+    // adjacency with the out-degree attached once, reused every iteration
+    val adj = out.join(deg, Seq("src")).localCheckpoint(eager = true)
+    val nodes = deg.select(col("src").as("node")).localCheckpoint(eager = true)
+    val n = nodes.count()
+
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val contribs = adj
+        .join(ranks, adj("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      // every node has in-edges here (undirected expansion), but keep the
+      // left join + coalesce: the directed variant of this loop needs it
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n)
+            + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks.select(col("node"), round(col("rank"), roundDp).as("pagerank"))
+  }
+}

@@ -83,6 +83,77 @@ object Lines {
         (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Corpus-global PARAGRAPH-level exact dedup (the CCNet/RefinedWeb
+    * paragraph-dedup step, the sibling of [[removeFrequentLines]]'s
+    * frequency-based removal): segment every document into fixed
+    * `segTokens`-token windows, keep only the globally FIRST occurrence of
+    * each distinct segment (first = smallest (id, position) — a total,
+    * deterministic order), and reassemble each document from its surviving
+    * segments. A verbatim copy of an earlier document collapses to the
+    * empty string; a document that shares a prefix keeps only its novel
+    * tail.
+    *
+    * Scale shape: segmentation is a pure codegen projection (the segment
+    * array is exploded as an inline expression — never projected into a
+    * named column first, or Catalyst clones the tokenizer tree into the
+    * scan filter; round-9 SetSimJoin lesson); first-occurrence selection
+    * is ONE window keyed by the segment text (min-row per key; group sizes
+    * = duplicate multiplicity, bounded in practice); reassembly is one
+    * doc-keyed shuffle. Keying by the full segment text keeps the op exact
+    * (two distinct segments can never conflate); a 100 TB deployment
+    * trading that for a narrower exchange would key on a 128-bit hash, the
+    * same trade [[Lines]] documents for frequent-line removal.
+    *
+    * Output: one row per input document — (idCol, clean_text, n_kept,
+    * n_removed), clean_text = surviving segments joined by a single space
+    * (segments themselves are space-joined token windows, so the
+    * reassembled text is exactly the surviving tokens space-joined).
+    */
+  def dedupSegments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1: $segTokens")
+    val id = col(idCol)
+    val ts = graft.functions.TextFunctions.tokens(col(textCol))
+    val k = segTokens
+
+    val segArr = when(size(ts) >= 1,
+      transform(sequence(lit(0), ((size(ts) - 1) / k).cast("int")),
+        i => array_join(slice(ts, i * k + 1, lit(k)), " ")))
+    val segs = docs.select(id, posexplode(segArr).as(Seq("__pos", "__seg")))
+
+    val first = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__seg")).orderBy(id, col("__pos"))
+    val kept = segs
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(first))
+      .filter(col("__rn") === 1)
+
+    val reassembled = kept
+      .groupBy(id)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+            x => x.getField("__seg")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+
+    // totals keyed off the segment stream; the docs base restores rows
+    // whose every segment was a duplicate (or whose text had no tokens)
+    val totals = segs.groupBy(id).agg(count(lit(1)).as("__n_total"))
+    docs.select(id)
+      .join(totals, Seq(idCol), "left")
+      .join(reassembled, Seq(idCol), "left")
+      .select(
+        id,
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("__n_total"), lit(0L))
+          - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** The frequent-line set itself (for auditing what a removal pass would
     * strip): (line, n_docs) with n_docs ≥ minDocs.
     */

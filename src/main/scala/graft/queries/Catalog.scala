@@ -410,7 +410,8 @@ object Catalog {
     (CatalogCore.entries ++ CatalogTextVec.entries ++
       CatalogAnalytics.entries ++ CatalogTraining.entries ++
       CatalogScaleOps.entries ++ CatalogCorpusOps.entries ++
-      CatalogInfra.entries ++ CatalogRoundtrip.entries): _*)
+      CatalogInfra.entries ++ CatalogRoundtrip.entries ++
+      CatalogGraphMining.entries): _*)
 
 
   /** Names of the headline benchmark queries, in catalog order. */

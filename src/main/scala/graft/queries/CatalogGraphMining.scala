@@ -1,0 +1,346 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF}
+import graft.ops.{Baskets, Graph, Lines}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Catalog._
+
+/** Round-9 third wave: graph analytics (triangles, PageRank), basket
+  * mining, corpus paragraph dedup, per-group OLS, BM25 ranking
+  * (q173-q178).
+  *
+  * One slice of the query catalog. Entry ORDER is load-bearing:
+  * [[Catalog.all]] is a ListMap concatenated slice-by-slice, and
+  * oracle_sql.json iterates it in insertion order.
+  */
+private[queries] object CatalogGraphMining {
+
+  /** q173's segment width (tokens per paragraph-proxy window) — one
+    * constant feeding both engines.
+    */
+  private val SegTokens = 10
+
+  /** q174/q175/q176's support bars — constants shared with the oracles. */
+  private val PairMinSupport = 2L
+  private val SupplierEdgeSupport = 5L
+
+  /** q176's PageRank hyperparameters. The damping constants are injected
+    * into the oracle SQL as SCALA-RENDERED doubles (e.g. `1.0 - 0.85` =
+    * 0.15000000000000002) so DuckDB's decimal literal arithmetic cannot
+    * diverge from JVM double arithmetic.
+    */
+  private val PrDamping = 0.85
+  private val PrIters = 3
+
+  /** q177's hour base: epoch hours of 2024-01-01T00:00Z (all events sit
+    * in Jan 2024, so x ∈ [0, 744] — with cents-y, every OLS sum fits a
+    * long with >100x headroom at sf0.1).
+    */
+  private val HourBase = 1704067200L / 3600L
+
+  /** q178's BM25 constants: query terms (all present in the synthetic
+    * vocabulary) and the standard k1/b.
+    */
+  private val Bm25Terms = Seq("scan", "join", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** The shared DuckDB CTE prefix for the co-occurrence graphs: distinct
+    * (basket, item) pairs from lineitem over `itemCol`, then canonical
+    * support-filtered edges. The Apriori prune is an optimization, not a
+    * semantic: pairs at support s imply items at support >= s, so the
+    * oracle states the plain definition.
+    */
+  private def edgesSqlCte(itemCol: String, minSup: Long): String =
+    s"""po AS (SELECT DISTINCT l_orderkey AS b, $itemCol AS i FROM lineitem),
+        e AS (SELECT a.i AS s, b.i AS d, count(*) AS support
+              FROM po a JOIN po b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING count(*) >= $minSup)"""
+
+  def entries: Seq[(String, QueryDef)] = Seq(
+
+    // Corpus-global paragraph-level exact dedup (CCNet/RefinedWeb's
+    // paragraph step; the line-frequency pass q89 removes boilerplate,
+    // THIS removes verbatim reuse): fixed 10-token segments, keep only
+    // the globally-first (doc_id, pos) occurrence of each distinct
+    // segment, reassemble. Injected rows make it non-vacuous at every
+    // sf: verbatim copies (+300000) collapse to empty; concat docs
+    // (+400000, text_i || ' ' || text_{i+1}) keep only the segments the
+    // token-stream concatenation creates at the seam and in the
+    // misaligned tail. clean_fp = md5(clean_text) keeps the diffed rows
+    // slim while still hash-verifying exact reassembly.
+    "q173_paragraph_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2"))
+        val concats = docs.join(nxt, Seq("doc_id"))
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat_ws(" ", col("text"), col("__t2")).as("text"))
+        val dbl = docs
+          .unionAll(docs.select((col("doc_id") + 300000).as("doc_id"), col("text")))
+          .unionAll(concats)
+        Lines.dedupSegments(dbl, "doc_id", "text", SegTokens)
+          .select(col("doc_id"), col("n_kept"), col("n_removed"),
+            md5(col("clean_text")).as("clean_fp"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        dbl AS (SELECT doc_id, text FROM base
+                UNION ALL SELECT doc_id + 300000, text FROM base
+                UNION ALL
+                SELECT a.doc_id + 400000, a.text || ' ' || b.text
+                FROM base a JOIN base b ON b.doc_id = a.doc_id + 1),
+        toks AS (SELECT doc_id, $toksSql AS t FROM dbl),
+        seg AS (SELECT doc_id, i - 1 AS pos,
+                       array_to_string(t[(i-1)*$SegTokens + 1 : i*$SegTokens], ' ') AS s
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, ((len(t) - 1) // $SegTokens) + 1)) AS i
+                      FROM toks)),
+        kept AS (SELECT * FROM (
+                   SELECT doc_id, pos, s,
+                          row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+                   FROM seg) WHERE rn = 1),
+        re AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS clean_text,
+                      count(*) AS n_kept
+               FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_total FROM seg GROUP BY doc_id)
+        SELECT dbl.doc_id, coalesce(re.n_kept, 0) AS n_kept,
+               coalesce(tot.n_total, 0) - coalesce(re.n_kept, 0) AS n_removed,
+               md5(coalesce(re.clean_text, '')) AS clean_fp
+        FROM dbl
+        LEFT JOIN tot ON dbl.doc_id = tot.doc_id
+        LEFT JOIN re ON dbl.doc_id = re.doc_id
+        ORDER BY dbl.doc_id""")),
+
+    // Market-basket frequent pairs (Apriori level 2) over order baskets:
+    // top-100 co-purchased part pairs by support. The engine prunes
+    // non-frequent items BEFORE the per-basket pair expansion and fences
+    // mega-baskets (ops/Baskets scaladoc); the oracle states the plain
+    // quadratic definition — identical results, different cost shapes.
+    "q174_item_pairs" -> QueryDef(
+      fn = (s, d) =>
+        Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PairMinSupport)
+          .orderBy(col("support").desc, col("item_a"), col("item_b"))
+          .limit(100),
+      oracle = Some(s"""
+        WITH po AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+        SELECT a.i AS item_a, b.i AS item_b, count(*) AS support
+        FROM po a JOIN po b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= $PairMinSupport
+        ORDER BY support DESC, item_a, item_b LIMIT 100""")),
+
+    // Triangle census of the supplier co-purchase graph (suppliers are
+    // linked when they co-serve >= 5 orders): degree-ordered wedge
+    // enumeration — each triangle found exactly once at its lowest-
+    // (degree, id) apex, per-vertex fanout bounded O(sqrt(|E|)) — vs the
+    // oracle's direct wedge+closing-edge replay. All counts exact longs;
+    // the clustering coefficient is one double division of exact
+    // integers.
+    "q175_triangle_census" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            "l_orderkey", "l_suppkey", SupplierEdgeSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+        Graph.triangleCensus(edges, "src", "dst")
+      },
+      oracle = Some(s"""
+        WITH ${edgesSqlCte("l_suppkey", SupplierEdgeSupport)},
+        deg AS (SELECT v, count(*) AS dg FROM (
+                  SELECT s AS v FROM e UNION ALL SELECT d FROM e)
+                GROUP BY v),
+        o AS (SELECT CASE WHEN (ds.dg, e.s) < (dd.dg, e.d)
+                          THEN e.s ELSE e.d END AS u,
+                     CASE WHEN (ds.dg, e.s) < (dd.dg, e.d)
+                          THEN e.d ELSE e.s END AS w
+              FROM e JOIN deg ds ON e.s = ds.v JOIN deg dd ON e.d = dd.v),
+        wg AS (SELECT a.w AS v1, b.w AS v2 FROM o a JOIN o b
+               ON a.u = b.u AND a.w < b.w),
+        tri AS (SELECT count(*) AS n_triangles
+                FROM wg JOIN e ON wg.v1 = e.s AND wg.v2 = e.d),
+        agg AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                       (SELECT count(*) FROM e) AS n_edges,
+                       (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+                         AS n_wedges,
+                       (SELECT n_triangles FROM tri) AS n_triangles)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               round(CASE WHEN n_wedges > 0
+                          THEN CAST(n_triangles AS DOUBLE) * 3.0
+                               / CAST(n_wedges AS DOUBLE)
+                          ELSE 0.0 END, 6) AS global_clustering
+        FROM agg""")),
+
+    // PageRank (3 iterations, damping 0.85) over the part co-purchase
+    // graph, walked undirected — every listed vertex has degree >= 1, so
+    // there is no dangling mass and the oracle needs no redistribution
+    // term. The engine loop localCheckpoints each iteration (constant
+    // plan size — THE iterative-Spark requirement); the oracle is the
+    // same recurrence unrolled into r0..r3 CTEs, generated from the same
+    // constants. Top-50 by rank, id tie-break.
+    "q176_pagerank" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PairMinSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+        Graph.pageRank(edges, "src", "dst", PrIters, PrDamping)
+          .orderBy(col("pagerank").desc, col("node"))
+          .limit(50)
+      },
+      oracle = Some {
+        val teleport = (1.0 - PrDamping) // Scala-rendered: exact JVM double
+        val iters = (1 to PrIters).map { k =>
+          s"""r$k AS (SELECT n.node,
+                   ($teleport / CAST((SELECT n FROM nn) AS DOUBLE)
+                    + $PrDamping * coalesce(c.contrib, 0.0)) AS rank
+               FROM nodes n LEFT JOIN (
+                 SELECT bi.dst AS node,
+                        sum(r${k - 1}.rank / CAST(deg.dg AS DOUBLE)) AS contrib
+                 FROM bi JOIN r${k - 1} ON bi.src = r${k - 1}.node
+                 JOIN deg ON bi.src = deg.src
+                 GROUP BY bi.dst) c ON n.node = c.node)"""
+        }.mkString(",\n")
+        s"""
+        WITH ${edgesSqlCte("l_partkey", PairMinSupport)},
+        bi AS (SELECT s AS src, d AS dst FROM e
+               UNION ALL SELECT d, s FROM e),
+        deg AS (SELECT src, count(*) AS dg FROM bi GROUP BY src),
+        nodes AS (SELECT src AS node FROM deg),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node,
+                      CAST(1.0 AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)
+                        AS rank FROM nodes),
+        $iters
+        SELECT node, round(rank, 6) AS pagerank FROM r$PrIters
+        ORDER BY pagerank DESC, node LIMIT 50"""
+      }),
+
+    // Per-group simple OLS (y = value over x = event hour): slope,
+    // intercept, R^2 per event_type from the closed-form moment sums.
+    // Every sum is an exact integer (x = hours since 2024-01-01, y =
+    // cents), every numerator/denominator is an exact long, and the
+    // doubles enter only in the final fixed-order divisions — both
+    // engines cast the SAME exact longs and perform the SAME IEEE ops,
+    // so the 8-dp rounding can never straddle. Single scan, one
+    // five-group aggregate; the regression itself is O(groups).
+    "q177_group_ols" -> QueryDef(
+      fn = (s, d) => {
+        val x = (floor(col("ts").cast("long") / 3600) - HourBase).cast("long")
+        val y = cents(col("value"))
+        val g = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), x.as("__x"), y.as("__y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+            sum(col("__x") * col("__x")).as("__sxx"),
+            sum(col("__x") * col("__y")).as("__sxy"),
+            sum(col("__y") * col("__y")).as("__syy"))
+        val num = (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+        val den = (col("n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+        val den2 = (col("n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+        g.select(col("event_type"), col("n"),
+            round(num / den, 8).as("slope_cents_per_hour"),
+            round((col("__sy").cast("double") - num / den * col("__sx").cast("double"))
+              / col("n").cast("double"), 8).as("intercept_cents"),
+            round(num * num / (den * den2), 8).as("r2"))
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        val xSql = s"(CAST(floor(epoch(ts) / 3600) AS BIGINT) - $HourBase)"
+        val ySql = centsSql("value")
+        s"""
+        WITH m AS (SELECT event_type, count(*) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x * x) AS BIGINT) AS sxx,
+                          CAST(sum(x * y) AS BIGINT) AS sxy,
+                          CAST(sum(y * y) AS BIGINT) AS syy
+                   FROM (SELECT event_type, $xSql AS x, $ySql AS y
+                         FROM events WHERE value IS NOT NULL)
+                   GROUP BY event_type),
+        f AS (SELECT event_type, n,
+                     CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                     CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+                     CAST(n * syy - sy * sy AS DOUBLE) AS den2,
+                     CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+              FROM m)
+        SELECT event_type, n,
+               round(num / den, 8) AS slope_cents_per_hour,
+               round((syd - num / den * sxd) / CAST(n AS DOUBLE), 8)
+                 AS intercept_cents,
+               round(num * num / (den * den2), 8) AS r2
+        FROM f ORDER BY event_type"""
+      }),
+
+    // BM25 document ranking for a fixed conjunctive term query — the IR
+    // scoring sibling of q71's TF-IDF keywords. ZERO shuffles on the
+    // corpus side: per-term tf and dl are per-row array ops, the corpus
+    // stats (N, avgdl, per-term df) are ONE 1-row aggregate broadcast
+    // back, and the score is a fixed left-to-right 3-term sum of
+    // identically-spelled double expressions — no FP-association
+    // between engines anywhere. Top-20 by score, id tie-break.
+    "q178_bm25" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val ts = TF.tokens(col("text"))
+        val withTf = docs.select(
+          (col("doc_id") +: size(ts).cast("long").as("dl") +:
+            Bm25Terms.map(tm =>
+              size(filter(ts, x => x === lit(tm))).cast("long").as(s"tf_$tm"))): _*)
+        val statAggs =
+          sum(col("dl")).cast("double").as("sum_dl") +:
+            count(lit(1)).cast("double").as("n_docs") +:
+            Bm25Terms.map(tm =>
+              sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).cast("double")
+                .as(s"df_$tm"))
+        val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+        val scored = withTf.crossJoin(broadcast(stats))
+        val termScore: String => Column = tm => {
+          val tf = col(s"tf_$tm").cast("double")
+          val idf = log(lit(1.0) +
+            (col("n_docs") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5)))
+          val avgdl = col("sum_dl") / col("n_docs")
+          idf * (tf * lit(Bm25K1 + 1.0)) /
+            (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl))
+        }
+        val score = Bm25Terms.map(termScore).reduceLeft(_ + _)
+        scored.select(col("doc_id"), round(score, 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      oracle = Some {
+        val k1p1 = Bm25K1 + 1.0 // Scala-rendered doubles (see PrDamping)
+        val oneMinusB = 1.0 - Bm25B
+        val tfSqls = Bm25Terms.map(tm =>
+          s"CAST(len(list_filter(toks, x -> x = '$tm')) AS BIGINT) AS tf_$tm")
+        val dfSqls = Bm25Terms.map(tm =>
+          s"CAST(sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$tm")
+        val scoreSql = Bm25Terms.map { tm =>
+          s"""(ln(CAST(1.0 AS DOUBLE)
+                  + (n_docs - df_$tm + CAST(0.5 AS DOUBLE))
+                    / (df_$tm + CAST(0.5 AS DOUBLE)))
+               * (CAST(tf_$tm AS DOUBLE) * CAST($k1p1 AS DOUBLE))
+               / (CAST(tf_$tm AS DOUBLE)
+                  + CAST($Bm25K1 AS DOUBLE)
+                    * (CAST($oneMinusB AS DOUBLE)
+                       + CAST($Bm25B AS DOUBLE) * CAST(dl AS DOUBLE)
+                         / (sum_dl / n_docs))))"""
+        }.mkString(" + ")
+        s"""
+        WITH wt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                           ${tfSqls.mkString(", ")}
+                    FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        st AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+                      CAST(count(*) AS DOUBLE) AS n_docs,
+                      ${dfSqls.mkString(", ")}
+               FROM wt)
+        SELECT doc_id, round($scoreSql, 6) AS bm25
+        FROM wt CROSS JOIN st
+        ORDER BY bm25 DESC, doc_id LIMIT 20"""
+      }),
+  )
+}

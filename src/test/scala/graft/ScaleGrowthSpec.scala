@@ -34,7 +34,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
   private val baseSf = "/root/testdata/sf0.001"
   private val factors = Seq(1, 4, 16)
   private val queries = Seq("q101_mask_contaminated", "q124_sparse_topk",
-    "q26_minhash_dedup", "q151_rank_family", "q170_setsim_join")
+    "q26_minhash_dedup", "q151_rank_family", "q170_setsim_join",
+    "q173_paragraph_dedup", "q175_triangle_census")
 
   /** Per-replica token suffix: replicas share NO grams/tokens, so
     * similarity/dedup work grows linearly in the factor (each replica is
@@ -55,12 +56,21 @@ class ScaleGrowthSpec extends AnyFunSuite {
         perturbText(col("text"), i).as("text")))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // part/supp keys shift per replica too: each replica is its own
+    // disjoint co-occurrence graph, so the basket/graph family's work
+    // grows linearly in the factor (shared keys would densify the ONE
+    // graph superlinearly and false-fail the audit — the text-perturb
+    // argument, applied to graph keys)
     val li = Tables.lineitem(spark, baseSf)
-      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey", "l_suppkey")
     val maxOk = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val maxPk = li.agg(max("l_partkey")).head.getLong(0) + 1
+    val maxSk = li.agg(max("l_suppkey")).head.getLong(0) + 1
     (0 until factor).map(i => li.select(
         (col("l_orderkey") + lit(i * maxOk)).as("l_orderkey"),
-        col("l_linenumber"), col("l_quantity")))
+        col("l_linenumber"), col("l_quantity"),
+        (col("l_partkey") + lit(i * maxPk)).as("l_partkey"),
+        (col("l_suppkey") + lit(i * maxSk)).as("l_suppkey")))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     dir

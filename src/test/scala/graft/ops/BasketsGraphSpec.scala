@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.GraftSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BasketsGraphSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  // ---- Baskets ----------------------------------------------------------
+
+  test("frequentItemPairs counts distinct-basket support with a<b order") {
+    // baskets: {1,2,3}, {1,2}, {2,3}, {1,2 with item 2 repeated}
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L),
+      (13L, 1L), (13L, 2L), (13L, 2L) // repeat must not double-count
+    ).toDF("b", "i")
+    val out = Baskets.frequentItemPairs(df, "b", "i", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 3L), (2L, 3L, 2L)))
+  }
+
+  test("frequentItemPairs minSupport=1 keeps singleton pairs") {
+    val df = Seq((1L, 5L), (1L, 7L)).toDF("b", "i")
+    val out = Baskets.frequentItemPairs(df, "b", "i", minSupport = 1L).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == Set((5L, 7L, 1L)))
+  }
+
+  test("maxBasketSize fences mega-baskets out entirely") {
+    // basket 1 has 4 items (all pairs support 1 via it); basket 2 repeats
+    // the (1,2) pair. With maxBasketSize=3, only basket 2 contributes.
+    val mega = (1L to 4L).map((1L, _))
+    val small = Seq((2L, 1L), (2L, 2L))
+    val df = (mega ++ small).toDF("b", "i")
+    val out = Baskets.frequentItemPairs(df, "b", "i", 1L, maxBasketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 1L)))
+  }
+
+  test("apriori prune does not change the answer") {
+    val df = Seq(
+      (1L, 1L), (1L, 2L), (1L, 9L),
+      (2L, 1L), (2L, 2L),
+      (3L, 9L)).toDF("b", "i")
+    // item 9's support is 2 (survives the prune); its pairs are all
+    // support 1 and die at the pair filter; (1,2) support 2 survives
+    val out = Baskets.frequentItemPairs(df, "b", "i", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 2L)))
+  }
+
+  // ---- Graph.triangleCensus --------------------------------------------
+
+  private def census(edges: Seq[(Long, Long)]) = {
+    val df = edges.toDF("src", "dst")
+    Graph.triangleCensus(df, "src", "dst").collect().head
+  }
+
+  test("triangle census on a complete K4") {
+    // K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, clustering 1.0
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val r = census(k4)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      == ((4L, 6L, 12L, 4L, 1.0)))
+  }
+
+  test("triangle census on a path graph has zero triangles") {
+    val r = census(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(r.getLong(3) == 0L)
+    assert(r.getLong(2) == 2L) // two wedges at nodes 2 and 3
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("triangle census counts each triangle once despite shared edges") {
+    // two triangles sharing edge (1,2): {1,2,3} and {1,2,4}
+    val r = census(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+    assert(r.getLong(3) == 2L)
+  }
+
+  test("canonicalEdges drops self-loops, orders endpoints, dedups") {
+    val df = Seq((2L, 1L), (1L, 2L), (3L, 3L), (1L, 2L)).toDF("a", "b")
+    val out = Graph.canonicalEdges(df, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  // ---- Graph.pageRank ---------------------------------------------------
+
+  test("pageRank on a symmetric graph preserves total mass and symmetry") {
+    // square cycle: all nodes symmetric → rank = 1/4 each, any iterations
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val out = Graph.pageRank(sq.toDF("src", "dst"), "src", "dst",
+        iterations = 3, damping = 0.85)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.values.toSet == Set(0.25))
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("pageRank ranks the star hub above the leaves") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val out = Graph.pageRank(star.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(1L) > out(2L))
+    assert(Set(2L, 3L, 4L, 5L).map(out).size == 1) // leaves identical
+    // total mass ~1 (no dangling in the undirected expansion)
+    assert(math.abs(out.values.sum - 1.0) < 1e-4)
+  }
+
+  test("pageRank matches the hand-unrolled recurrence on a tiny graph") {
+    // path 1-2-3: degrees 1,2,1; d=0.5, 1 iteration from uniform 1/3:
+    // r(1) = r(3) = 0.5/3 + 0.5*(r(2)/2)      = 1/6 + 1/12 = 0.25
+    // r(2) = 0.5/3 + 0.5*(r(1)/1 + r(3)/1)    = 1/6 + 1/3  = 0.5
+    val out = Graph.pageRank(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+        "src", "dst", iterations = 1, damping = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == Map(1L -> 0.25, 2L -> 0.5, 3L -> 0.25))
+  }
+
+  // ---- Lines.dedupSegments ---------------------------------------------
+
+  test("dedupSegments keeps the globally first occurrence only") {
+    // seg width 2: doc 1 = [a b][c d]; doc 2 = [a b][x y]; doc 3 = [c d]
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d")).toDF("id", "text")
+    val out = Lines.dedupSegments(docs, "id", "text", segTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, "a b c d", 2L, 0L),
+      (2L, "x y", 1L, 1L),
+      (3L, "", 0L, 1L)))
+  }
+
+  test("dedupSegments: verbatim copy collapses to empty, partial tail kept") {
+    val docs = Seq(
+      (1L, "a b c d e"), // segs [a b][c d][e]
+      (2L, "a b c d e"), // exact copy → empty
+      (3L, "a b z")      // [a b] dup, [z] novel
+    ).toDF("id", "text")
+    val out = Lines.dedupSegments(docs, "id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "a b c d e")
+    assert(out(2L) == "")
+    assert(out(3L) == "z")
+  }
+
+  test("dedupSegments keeps a row for token-empty docs") {
+    val docs = Seq((1L, "a b"), (2L, "   ")).toDF("id", "text")
+    val out = Lines.dedupSegments(docs, "id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set((1L, "a b", 1L, 0L), (2L, "", 0L, 0L)))
+  }
+
+  test("dedupSegments reassembles multi-segment docs in original order") {
+    val docs = Seq((1L, (1 to 9).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val out = Lines.dedupSegments(docs, "id", "text", 2).collect().head
+    assert(out.getString(1) == (1 to 9).map(i => s"w$i").mkString(" "))
+    assert(out.getLong(2) == 5L) // ceil(9/2) segments, all kept
+  }
+}

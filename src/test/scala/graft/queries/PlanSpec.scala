@@ -476,4 +476,53 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("q173: paragraph dedup keeps the tokenizer out of scan Filters") {
+    val plan = planOf("q173_paragraph_dedup")
+    val conds = plan.linesIterator.filter(_.contains("Condition")).toSeq
+    assert(!conds.exists(_.contains("lambdafunction")),
+      s"q173 pushed a HOF into a Filter:\n${conds.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q174/q175/q176: basket/graph joins are equi-joins, never cartesian") {
+    Seq("q174_item_pairs", "q175_triangle_census", "q176_pagerank").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+    // support/degree counts must combine map-side before any exchange
+    // (q176's final frame is post-checkpoint — its aggregates already ran
+    // eagerly inside the iteration loop, so it is asserted separately)
+    Seq("q174_item_pairs", "q175_triangle_census").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$q:\n$plan")
+    }
+  }
+
+  test("q176: pagerank's iteration frames are checkpointed (lineage cut)") {
+    val plan = planOf("q176_pagerank")
+    // the adjacency/rank frames enter the final iteration as scans of
+    // checkpointed RDDs, not as re-derived join trees over lineitem
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"), plan)
+  }
+
+  test("q177: group OLS is one scan + one partial-agg exchange") {
+    val plan = planOf("q177_group_ols")
+    assert(plan.contains("partial_sum"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
+  }
+
+  test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
+    val plan = planOf("q178_bm25")
+    // per-doc tf/dl are map-side; the only join is the broadcast stats
+    // cross; the final top-20 is TakeOrdered (no global sort exchange)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans <= 2, s"expected <= 2 scans (docs + stats), got $scans:\n$plan")
+  }
 }
