@@ -148,4 +148,41 @@ object Graph {
     }
     ranks.select(col("node"), round(col("rank"), roundDp).as("pagerank"))
   }
+
+  /** Bounded-hop BFS over the undirected graph: the minimum hop distance
+    * from any seed node, for every node within `maxHops` (unreachable
+    * nodes are absent). Output: (node, dist) with dist in [0, maxHops].
+    *
+    * Scale shape: classic frontier expansion — each round joins the
+    * CURRENT FRONTIER (not the visited set, not the full graph) against
+    * the adjacency list, then anti-joins the visited set; state per round
+    * is O(frontier) + O(visited), both bounded by the vertex set, and the
+    * loop `localCheckpoint`s both frames (lineage cut, same rule as
+    * [[pageRank]]). Rounds are maxHops — a constant — so the whole walk
+    * is maxHops shuffles keyed by vertex id.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val bi = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+
+    var frontier = seeds.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint(eager = true)
+    var visited = frontier.select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(eager = true)
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = bi.join(frontier, bi("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      visited = visited
+        .unionAll(frontier.select(col("node"), lit(hop).as("dist")))
+        .localCheckpoint(eager = true)
+    }
+    visited
+  }
 }

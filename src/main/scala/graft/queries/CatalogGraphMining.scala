@@ -342,5 +342,86 @@ private[queries] object CatalogGraphMining {
         FROM wt CROSS JOIN st
         ORDER BY bm25 DESC, doc_id LIMIT 20"""
       }),
+
+    // Mergeable-sketch ROLLUP (the datasketches pattern q163 stops short
+    // of): per-(event_type, day) HLL sketches built in ONE leaf pass,
+    // then UNION-MERGED upward to per-type and global distinct-user
+    // estimates — re-aggregation without re-scanning the corpus, the
+    // shape a 100 TB daily-rollup pipeline ships to its mart layer. The
+    // sketch bytes are engine-specific, so (q163's pattern) the hash
+    // gate pins the EXACT counts plus an `approx_ok` error-bound claim
+    // (default lgK=12 → rsd ~1.6%; the 10% gate leaves ~6 sigma).
+    "q179_hll_rollup" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val leaf = ev.groupBy(col("event_type"), date_trunc("day", col("ts")).as("__day"))
+          .agg(hll_sketch_agg(col("user_id")).as("__sk"))
+        val perType = leaf.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+        val globalEst = leaf.agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+        val exactType = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        val exactGlobal = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        val typed = exactType.join(perType, Seq("event_type"))
+          .select(lit("type").as("level"), col("event_type").as("key"),
+            col("n_exact"), col("__est"))
+        val global = exactGlobal.crossJoin(broadcast(globalEst))
+          .select(lit("global").as("level"), lit("*").as("key"),
+            col("n_exact"), col("__est"))
+        typed.unionAll(global)
+          .select(col("level"), col("key"), col("n_exact"),
+            (abs(col("__est") - col("n_exact").cast("double")) <=
+              lit(0.10) * col("n_exact").cast("double")).as("approx_ok"))
+          .orderBy("level", "key")
+      },
+      oracle = Some("""
+        SELECT 'global' AS level, '*' AS key,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               true AS approx_ok
+        FROM events
+        UNION ALL
+        SELECT 'type', event_type, CAST(count(DISTINCT user_id) AS BIGINT),
+               true
+        FROM events GROUP BY event_type
+        ORDER BY level, key""")),
+
+    // Bounded-hop BFS (multi-source shortest hop distance) over the part
+    // co-purchase graph: minimum hops from the seed set (part ids
+    // divisible by 97) within 3 rounds. The engine walks frontier
+    // against adjacency with an anti-join on visited (state O(frontier)
+    // + O(visited), lineage checkpointed per round); the oracle unrolls
+    // the same three rounds as CTEs. Hop counts are exact integers —
+    // nothing to round.
+    "q180_bfs_hops" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PairMinSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+        val nodes = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.filter(col("node") % 97 === 0)
+        Graph.bfsHops(edges, "src", "dst", seeds, "node", maxHops = 3)
+          .orderBy("dist", "node")
+      },
+      oracle = Some {
+        val rounds = (1 to 3).map { k =>
+          s"""f$k AS (SELECT DISTINCT bi.dst AS node
+                 FROM bi JOIN f${k - 1} ON bi.src = f${k - 1}.node
+                 WHERE bi.dst NOT IN (SELECT node FROM v${k - 1})),
+              v$k AS (SELECT * FROM v${k - 1}
+                      UNION ALL SELECT node, $k FROM f$k)"""
+        }.mkString(",\n")
+        s"""
+        WITH ${edgesSqlCte("l_partkey", PairMinSupport)},
+        bi AS (SELECT s AS src, d AS dst FROM e
+               UNION ALL SELECT d, s FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM bi),
+        f0 AS (SELECT node FROM nodes WHERE node % 97 = 0),
+        v0 AS (SELECT node, 0 AS dist FROM f0),
+        $rounds
+        SELECT node, CAST(dist AS INT) AS dist FROM v3
+        ORDER BY dist, node"""
+      }),
   )
 }

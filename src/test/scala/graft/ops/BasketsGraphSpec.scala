@@ -120,6 +120,39 @@ class BasketsGraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0.25, 2L -> 0.5, 3L -> 0.25))
   }
 
+  // ---- Graph.bfsHops ----------------------------------------------------
+
+  private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) = {
+    val e = edges.toDF("src", "dst")
+    Graph.bfsHops(e, "src", "dst", seeds.toDF("node"), "node", maxHops)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+  }
+
+  test("bfsHops walks a path graph out to maxHops and stops") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(hops(path, Seq(1L), 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfsHops takes the minimum distance over multiple seeds") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(hops(path, Seq(1L, 4L), 3) == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
+
+  test("bfsHops maxHops=0 returns exactly the seed set") {
+    assert(hops(Seq((1L, 2L)), Seq(1L), 0) == Map(1L -> 0))
+  }
+
+  test("bfsHops never reaches a disconnected component") {
+    val g = Seq((1L, 2L), (10L, 11L))
+    assert(hops(g, Seq(1L), 5) == Map(1L -> 0, 2L -> 1))
+  }
+
+  test("bfsHops walks edges in both directions") {
+    // seed at the DST end of every stored edge
+    assert(hops(Seq((1L, 2L), (2L, 3L)), Seq(3L), 2)
+      == Map(3L -> 0, 2L -> 1, 1L -> 2))
+  }
+
   // ---- Lines.dedupSegments ---------------------------------------------
 
   test("dedupSegments keeps the globally first occurrence only") {

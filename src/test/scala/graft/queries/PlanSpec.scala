@@ -515,6 +515,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
   }
 
+  test("q179: HLL rollup merges sketches partially before the exchange") {
+    val plan = planOf("q179_hll_rollup")
+    // the leaf sketches and the union-merge must both combine map-side
+    assert(plan.contains("partial_hll_sketch_agg"), plan)
+    assert(plan.contains("partial_hll_union_agg"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q180: BFS final frame is checkpointed unions, no cartesian") {
+    val plan = planOf("q180_bfs_hops")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"), plan)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
