@@ -423,5 +423,153 @@ private[queries] object CatalogGraphMining {
         SELECT node, CAST(dist AS INT) AS dist FROM v3
         ORDER BY dist, node"""
       }),
+
+    // A/B experiment readout (Welch's t-test per metric group): users are
+    // deterministically hash-split into variants (the q58/q171 md5
+    // machinery — assignment is reproducible and join-free), per-variant
+    // moments are exact integer-cent sums, and the t statistic is a fixed
+    // sequence of IEEE ops over exact longs — both engines compute the
+    // IDENTICAL double, so even the 1.96 significance boundary is safe to
+    // gate on. One scan, one 10-group aggregate, broadcast self-join.
+    "q181_ab_test" -> QueryDef(
+      fn = (s, d) => {
+        val y = cents(col("value"))
+        val isA = graft.ops.Sampling.inSplit(col("user_id"), 0.5)
+        // ONE corpus pass: the variant axis pivots into columns (A_n,
+        // A_s1, ... B_s2) instead of a per-variant self-join that would
+        // scan events twice
+        val piv = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            when(isA, "A").otherwise("B").as("__v"), y.as("__y"))
+          .groupBy("event_type").pivot("__v", Seq("A", "B"))
+          .agg(count(lit(1)).as("n"), sum(col("__y")).as("s1"),
+            sum(col("__y") * col("__y")).as("s2"))
+        def mean(v: String) = col(s"${v}_s1").cast("double") / col(s"${v}_n").cast("double")
+        def variance(v: String) =
+          (col(s"${v}_n") * col(s"${v}_s2") - col(s"${v}_s1") * col(s"${v}_s1")).cast("double") /
+            (col(s"${v}_n") * (col(s"${v}_n") - 1)).cast("double")
+        val tStat = (mean("A") - mean("B")) /
+          sqrt(variance("A") / col("A_n").cast("double")
+            + variance("B") / col("B_n").cast("double"))
+        piv
+          .select(col("event_type"), col("A_n").as("n_a"), col("B_n").as("n_b"),
+            round(mean("A") / 100.0, 4).as("mean_a"),
+            round(mean("B") / 100.0, 4).as("mean_b"),
+            round(tStat, 6).as("t_stat"),
+            (abs(tStat) > 1.96).as("significant"))
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        val aCond = s"substring(md5(CAST(user_id AS VARCHAR)), 1, 8) " +
+          s"< '${graft.ops.Sampling.thresholdHex(0.5)}'"
+        def mean(v: String) = s"(CAST(s1$v AS DOUBLE) / CAST(n_$v AS DOUBLE))"
+        def vr(v: String) =
+          s"(CAST(n_$v * s2$v - s1$v * s1$v AS DOUBLE) / CAST(n_$v * (n_$v - 1) AS DOUBLE))"
+        val tSql = s"((${mean("a")} - ${mean("b")}) / sqrt(${vr("a")} / CAST(n_a AS DOUBLE) + ${vr("b")} / CAST(n_b AS DOUBLE)))"
+        s"""
+        WITH m AS (SELECT event_type,
+                          CASE WHEN $aCond THEN 'A' ELSE 'B' END AS v,
+                          count(*) AS n,
+                          CAST(sum(${centsSql("value")}) AS BIGINT) AS s1,
+                          CAST(sum(${centsSql("value")} * ${centsSql("value")}) AS BIGINT) AS s2
+                   FROM events WHERE value IS NOT NULL
+                   GROUP BY 1, 2),
+        j AS (SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+                     a.s1 AS s1a, a.s2 AS s2a, b.s1 AS s1b, b.s2 AS s2b
+              FROM (SELECT * FROM m WHERE v = 'A') a
+              JOIN (SELECT * FROM m WHERE v = 'B') b USING (event_type))
+        SELECT event_type, n_a, n_b,
+               round(${mean("a")} / 100.0, 4) AS mean_a,
+               round(${mean("b")} / 100.0, 4) AS mean_b,
+               round($tSql, 6) AS t_stat,
+               (abs($tSql) > 1.96) AS significant
+        FROM j ORDER BY event_type"""
+      }),
+
+    // Leave-one-out target encoding (the ML feature-engineering trick:
+    // encode a categorical as the mean of the target over the OTHER rows
+    // of its category, so a row never sees its own label): per-category
+    // sums are one partial-agg pass broadcast back; the per-row encoding
+    // (sum - y)/(n - 1) is exact-long arithmetic with one double
+    // division — identical in both engines. Output is a deterministic
+    // id-slice of the encoded rows (the op is per-row; diffing a slim
+    // slice keeps the gate sharp without shipping the corpus).
+    "q182_target_encoding" -> QueryDef(
+      fn = (s, d) => {
+        val y = cents(col("value"))
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+        val g = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("__n"), sum(y).as("__s1"))
+        ev.filter(col("event_id") % 997 === 0)
+          .select(col("event_id"), col("event_type"), y.as("__y"))
+          .join(broadcast(g), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            round(when(col("__n") > 1,
+              (col("__s1") - col("__y")).cast("double")
+                / (col("__n") - 1).cast("double") / 100.0), 6).as("loo_mean"))
+          .orderBy("event_id")
+      },
+      oracle = Some(s"""
+        WITH g AS (SELECT event_type, count(*) AS n,
+                          CAST(sum(${centsSql("value")}) AS BIGINT) AS s1
+                   FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        SELECT event_id, e.event_type,
+               round(CASE WHEN n > 1
+                 THEN CAST(s1 - ${centsSql("value")} AS DOUBLE)
+                      / CAST(n - 1 AS DOUBLE) / 100.0 END, 6) AS loo_mean
+        FROM events e JOIN g ON e.event_type = g.event_type
+        WHERE value IS NOT NULL AND event_id % 997 = 0
+        ORDER BY event_id""")),
+
+    // Deterministic negative sampling (the recsys/contrastive-training
+    // step: for each user, items they did NOT interact with): candidates
+    // come from a multiplicative integer hash of (user, slot) — pure
+    // arithmetic, engine-portable, no RNG state — then a shuffle
+    // anti-join against the observed (user, item) pairs removes
+    // positives, and a tiny per-user window keeps the first 3 surviving
+    // slots. Map-side candidate generation; the only corpus-sized
+    // exchange is the anti-join keyed (user, item).
+    "q183_negative_sampling" -> QueryDef(
+      fn = (s, d) => {
+        val observed = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+          .distinct()
+        val maxPart = t(s, d, "lineitem").agg(max(col("l_partkey")).as("__mp"))
+        val users = t(s, d, "orders").filter(col("o_custkey") % 199 === 0)
+          .select(col("o_custkey").as("user")).distinct()
+        val cands = users.crossJoin(broadcast(maxPart))
+          .select(col("user"), explode(sequence(lit(0L), lit(5L))).as("slot"), col("__mp"))
+          .select(col("user"), col("slot"),
+            (((col("user") * 2654435761L + col("slot") * 40503L) % 999999937L)
+              % col("__mp") + 1L).as("item"))
+        val negs = cands.join(observed, Seq("user", "item"), "left_anti")
+          .groupBy("user", "item").agg(min(col("slot")).as("slot"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user")).orderBy(col("slot"), col("item"))
+        negs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
+          .select(col("user"), col("slot"), col("item"))
+          .orderBy("user", "slot", "item")
+      },
+      oracle = Some("""
+        WITH obs AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        mp AS (SELECT max(l_partkey) AS m FROM lineitem),
+        users AS (SELECT DISTINCT o_custkey AS u FROM orders
+                  WHERE o_custkey % 199 = 0),
+        cands AS (SELECT u, s.slot,
+                         ((u * 2654435761 + s.slot * 40503) % 999999937)
+                           % (SELECT m FROM mp) + 1 AS item
+                  FROM users, (SELECT unnest(generate_series(0, 5)) AS slot) s),
+        neg AS (SELECT c.u, c.item, min(c.slot) AS slot FROM cands c
+                WHERE NOT EXISTS (SELECT 1 FROM obs o
+                                  WHERE o.u = c.u AND o.item = c.item)
+                GROUP BY c.u, c.item),
+        r AS (SELECT u, slot, item,
+                     row_number() OVER (PARTITION BY u ORDER BY slot, item) AS rn
+              FROM neg)
+        SELECT u AS user, slot, item FROM r WHERE rn <= 3
+        ORDER BY user, slot, item""")),
   )
 }

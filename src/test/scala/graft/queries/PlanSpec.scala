@@ -529,6 +529,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"), plan)
   }
 
+  test("q181: A/B test reads events ONCE — pivot, not a per-variant self-join") {
+    val plan = planOf("q181_ab_test")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q182: LOO encoding joins the category sums as a broadcast") {
+    val plan = planOf("q182_target_encoding")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans <= 2, s"expected <= 2 scans (sums + sample), got $scans:\n$plan")
+  }
+
+  test("q183: negative sampling anti-join is equi-shaped; candidates are map-side") {
+    val plan = planOf("q183_negative_sampling")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // anti join on (user, item) must be a hash join, not nested-loop
+    assert(plan.contains("LeftAnti"), plan)
+    val bnlj = plan.linesIterator.count(
+      _.trim.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    assert(bnlj <= 1, s"only the 1-row max-part broadcast may nest-loop:\n$plan")
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
