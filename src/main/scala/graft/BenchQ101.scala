@@ -35,13 +35,16 @@ object BenchQ101 {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the exact q101 frame, parameterized by reassembly form
+    // the exact q101 frame, parameterized by a variant spec:
+    // "<reassembly>" or "<reassembly>+hash" (hash = hashGrams join keys)
     def q101(form: String) = {
       val docs = Tables.load(spark, sfDir, "documents")
       val isTrain = graft.ops.Sampling.inSplit(col("doc_id"), 0.8)
+      val parts = form.split("\\+")
       graft.ops.Decontaminate.maskContaminated(
           docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text",
-          reassembly = form)
+          hashGrams = parts.contains("hash"),
+          reassembly = parts.head)
         .orderBy("doc_id")
     }
     def timeOnce(form: String): Double = {
@@ -50,7 +53,7 @@ object BenchQ101 {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val forms = Seq("linear", "shuffle")
+    val forms = if (args.length >= 2) args.take(2).toSeq else Seq("linear", "shuffle")
     forms.foreach(timeOnce) // warm both: codegen, JIT, file listings
     // interleave: round r times both forms back-to-back; alternate which
     // goes first so slot-order bias cancels too
@@ -60,14 +63,14 @@ object BenchQ101 {
       val order = if (r % 2 == 1) forms else forms.reverse
       val timed = order.map(f => f -> timeOnce(f)).toMap
       forms.foreach(f => samples(f) :+= timed(f))
-      deltas += timed("linear") - timed("shuffle")
+      deltas += timed(forms.head) - timed(forms(1))
     }
     def med(ss: Seq[Double]) = ss.sorted.apply(ss.size / 2)
     val fields = forms.map { f =>
       val ss = samples(f)
       s""""$f":{"median":${med(ss)},"min":${ss.min},"samples":${ss.mkString("[", ",", "]")}}"""
     }
-    val line = s"""{"bench":"q101_ab","sf":"$sfDir","rounds":$rounds,${fields.mkString(",")},"paired_delta_median":${med(deltas.toSeq)},"winner":"${if (med(deltas.toSeq) <= 0) "linear" else "shuffle"}"}"""
+    val line = s"""{"bench":"q101_ab","sf":"$sfDir","rounds":$rounds,${fields.mkString(",")},"paired_delta_median":${med(deltas.toSeq)},"winner":"${if (med(deltas.toSeq) <= 0) forms.head else forms(1)}"}"""
     spark.stop()
     println(line)
   }

@@ -185,4 +185,50 @@ object Graph {
     }
     visited
   }
+
+  /** Deterministic hash-picked random walks (the node2vec/DeepWalk
+    * sampling core, with the RNG replaced by a multiplicative integer
+    * hash of (current node, step) — replayable by any engine, no seed
+    * state): `steps`-step walks from every seed over the undirected
+    * graph. Output: (seed, step, node) — step 0 is the seed itself; a
+    * walk only ends early if its node has no neighbors (impossible for
+    * nodes drawn from the edge list).
+    *
+    * Scale shape: the adjacency is RANKED ONCE (one window keyed by
+    * vertex — neighbor lists are bounded by max degree), then every step
+    * is ONE equi-join on (vertex, index); adjacency/degree frames are
+    * `localCheckpoint`ed before the loop and each frontier after its
+    * step (the [[pageRank]]/[[bfsHops]] lineage rule — without the pins
+    * the edge-building tree is re-derived per step and the plan grows
+    * multiplicatively).
+    */
+  def hashWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val bi = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = bi.select(col("src"), col("dst"),
+        org.apache.spark.sql.functions.row_number().over(w).cast("long").as("__idx"))
+      .localCheckpoint(eager = true)
+    val deg = adj.groupBy("src").agg(max(col("__idx")).as("__deg"))
+      .localCheckpoint(eager = true)
+
+    var walk = seeds.select(col(seedCol).as("seed"), lit(0).as("step"),
+      col(seedCol).as("node")).localCheckpoint(eager = true)
+    var frontier = walk.select(col("seed"), col("node"))
+    for (k <- 1 to steps) {
+      val pick = (col("node") * 2654435761L + lit(k.toLong) * 40503L) % 999999937L
+      val next = frontier
+        .join(deg, frontier("node") === deg("src"))
+        .select(col("seed"), col("node"), (pick % col("__deg") + 1L).as("__pick"))
+        .join(adj, col("node") === adj("src") && col("__pick") === adj("__idx"))
+        .select(col("seed"), col("dst").as("node"))
+        .localCheckpoint(eager = true)
+      walk = walk.unionAll(next.select(col("seed"), lit(k).as("step"), col("node")))
+      frontier = next
+    }
+    walk
+  }
 }

@@ -571,5 +571,89 @@ private[queries] object CatalogGraphMining {
               FROM neg)
         SELECT u AS user, slot, item FROM r WHERE rn <= 3
         ORDER BY user, slot, item""")),
+
+    // Streaming mergeable sketches: q179's HLL machinery kept LIVE — the
+    // sketch state is maintained incrementally across micro-batches (the
+    // datasketches aggregate merges per batch; complete mode emits the
+    // merged estimate), which is exactly how a 100 TB ingest keeps
+    // "distinct users so far" without a distinct-shuffle per trigger.
+    // The gate: exact per-type event counts must match the batch oracle
+    // (stream/batch parity on the exact column) AND the sketch estimate
+    // must sit inside the q179 error bound.
+    "q184_stream_hll" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        val stream = stagedEventsStream(s, dir)
+        val agg = stream.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            hll_sketch_agg(col("user_id")).as("__sk"))
+        val table = runToMemoryTable(s, agg, "q184_mem")
+        dropStaged(dir)
+        val exact = t(s, d, "events").groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_distinct"))
+        table
+          .select(col("event_type"), col("n_events"),
+            hll_sketch_estimate(col("__sk")).as("__est"))
+          .join(broadcast(exact), Seq("event_type"))
+          .select(col("event_type"), col("n_events"), col("n_distinct"),
+            (abs(col("__est") - col("n_distinct").cast("double")) <=
+              lit(0.10) * col("n_distinct").cast("double")).as("approx_ok"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+               true AS approx_ok
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Deterministic random walks (the node2vec/DeepWalk sampling core):
+    // 3-step walks from the seed set over the part co-purchase graph,
+    // each step picking the hash-indexed neighbor from an ORDERED
+    // adjacency list — rank the neighbors of each vertex once
+    // (row_number over dst), then stepping is an equi-join on
+    // (vertex, index) with the index a pure integer hash of
+    // (current node, step). No RNG state, replayable by the oracle's
+    // unrolled CTEs; a walk ends early only if its node vanished from
+    // the adjacency (cannot happen on an undirected expansion).
+    "q185_random_walks" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PairMinSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+        val nodes = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.filter(col("node") % 97 === 0)
+        Graph.hashWalks(edges, "src", "dst", seeds, "node", steps = 3)
+          .orderBy("seed", "step", "node")
+      },
+      oracle = Some {
+        val steps = (1 to 3).map { k =>
+          s"""w$k AS (SELECT w.seed,
+                   (SELECT a.dst FROM adj a
+                    WHERE a.src = w.node
+                      AND a.idx = ((w.node * 2654435761 + $k * 40503)
+                                   % 999999937) % (SELECT d.dg FROM deg d
+                                                   WHERE d.src = w.node) + 1)
+                     AS node
+               FROM w${k - 1} w)"""
+        }.mkString(",\n")
+        s"""
+        WITH ${edgesSqlCte("l_partkey", PairMinSupport)},
+        bi AS (SELECT s AS src, d AS dst FROM e
+               UNION ALL SELECT d, s FROM e),
+        adj AS (SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst) AS idx
+                FROM bi),
+        deg AS (SELECT src, max(idx) AS dg FROM adj GROUP BY src),
+        w0 AS (SELECT src AS seed, src AS node FROM deg WHERE src % 97 = 0),
+        $steps
+        SELECT seed, step, node FROM (
+          SELECT seed, 0 AS step, node FROM w0
+          UNION ALL SELECT seed, 1, node FROM w1
+          UNION ALL SELECT seed, 2, node FROM w2
+          UNION ALL SELECT seed, 3, node FROM w3)
+        ORDER BY seed, step, node"""
+      }),
   )
 }

@@ -153,6 +153,33 @@ class BasketsGraphSpec extends AnyFunSuite {
       == Map(3L -> 0, 2L -> 1, 1L -> 2))
   }
 
+  // ---- Graph.hashWalks --------------------------------------------------
+
+  test("hashWalks: step 0 is the seed, every step moves to a real neighbor") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val out = Graph.hashWalks(edges.toDF("src", "dst"), "src", "dst",
+        Seq(1L, 3L).toDF("node"), "node", steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bySeed = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+    assert(bySeed.keySet == Set(1L, 3L))
+    bySeed.foreach { case (seed, path) =>
+      assert(path.head == seed)
+      assert(path.size == 4) // 0..3, no early end on a connected graph
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(adj(a).contains(b), s"step $a -> $b is not an edge")
+      }
+    }
+  }
+
+  test("hashWalks is deterministic across runs") {
+    val edges = (1L to 20L).map(i => (i, i % 20 + 1))
+    def run() = Graph.hashWalks(edges.toDF("src", "dst"), "src", "dst",
+        Seq(5L).toDF("node"), "node", steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run() == run())
+  }
+
   // ---- Lines.dedupSegments ---------------------------------------------
 
   test("dedupSegments keeps the globally first occurrence only") {

@@ -555,6 +555,17 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"only the 1-row max-part broadcast may nest-loop:\n$plan")
   }
 
+  test("q185: random-walk steps are checkpointed — no recompute tree, no cartesian") {
+    val plan = planOf("q185_random_walks")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the per-step frames enter as checkpointed RDD scans; the
+    // edge-building tree must NOT be re-derived per step (the 433 KB
+    // pre-fix explain re-inlined the basket self-join ~7x)
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"), plan)
+    assert(plan.length < 50000, s"plan blew up to ${plan.length} chars")
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
