@@ -113,7 +113,8 @@ private[queries] object CatalogGraphMining {
         FROM dbl
         LEFT JOIN tot ON dbl.doc_id = tot.doc_id
         LEFT JOIN re ON dbl.doc_id = re.doc_id
-        ORDER BY dbl.doc_id""")),
+        ORDER BY dbl.doc_id"""),
+      bench = true),
 
     // Market-basket frequent pairs (Apriori level 2) over order baskets:
     // top-100 co-purchased part pairs by support. The engine prunes
@@ -173,7 +174,8 @@ private[queries] object CatalogGraphMining {
                           THEN CAST(n_triangles AS DOUBLE) * 3.0
                                / CAST(n_wedges AS DOUBLE)
                           ELSE 0.0 END, 6) AS global_clustering
-        FROM agg""")),
+        FROM agg"""),
+      bench = true),
 
     // PageRank (3 iterations, damping 0.85) over the part co-purchase
     // graph, walked undirected — every listed vertex has degree >= 1, so
@@ -655,5 +657,98 @@ private[queries] object CatalogGraphMining {
           UNION ALL SELECT seed, 3, node FROM w3)
         ORDER BY seed, step, node"""
       }),
+
+    // Exact AUC (Mann-Whitney U from score-group counts) — the first of
+    // the model-EVALUATION family: scorer = the q21 quality heuristic
+    // (4-dp, already hash-gated cross-engine), label = the lang column's
+    // ground truth 'en'. NO per-row ranking: U comes from per-distinct-
+    // score (pos, neg) counts + one cumulative window over the DISTINCT
+    // SCORE axis (bounded at 10^4+1 rows by the 4-dp grid, regardless of
+    // corpus size) — ties handled exactly via 2U = sum pos_s*(2*cumneg
+    // + neg_s), all integer until one final division.
+    "q186_auc" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        val scored = t(s, d, "documents").select(
+          (TF.qualityScore(col("text"), stops) * 10000 + 0.5).cast("long").as("__s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("__y"))
+        val grp = scored.groupBy("__s")
+          .agg(sum(col("__y")).as("__pos"),
+            (count(lit(1)) - sum(col("__y"))).as("__neg"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val u2 = grp
+          .withColumn("__cumneg", coalesce(sum(col("__neg")).over(w), lit(0L)))
+          .agg(sum(col("__pos") * (lit(2L) * col("__cumneg") + col("__neg"))).as("__u2"),
+            sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"))
+        u2.select(col("n_pos"), col("n_neg"),
+          round(col("__u2").cast("double")
+            / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT CAST(round(($qualityExprSql) * 10000) AS BIGINT) AS s,
+                           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM ($qualityInnerSql) q
+                    JOIN documents USING (doc_id)),
+        g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+                     CAST(count(*) - sum(y) AS BIGINT) AS neg
+              FROM sc GROUP BY s),
+        c AS (SELECT s, pos, neg,
+                     CAST(coalesce(sum(neg) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cumneg
+              FROM g)
+        SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg,
+               round(CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE)
+                     / CAST(2 * sum(pos) * sum(neg) AS DOUBLE), 6) AS auc
+        FROM c""")),
+
+    // Calibration curve + expected calibration error (the reliability-
+    // diagram readout beside q186's discrimination readout): 10
+    // equal-width confidence bins; per bin the mean predicted score
+    // (confidence) vs the observed positive rate (accuracy). The ECE
+    // numerator is SUM |10000*pos_b - s_b| — exact integers per bin, one
+    // final division — so the usual FP-association hazard of summing
+    // weighted bin gaps never arises.
+    "q187_calibration" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        val scored = t(s, d, "documents").select(
+          (TF.qualityScore(col("text"), stops) * 10000 + 0.5).cast("long").as("__s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("__y"))
+        val binned = scored
+          .withColumn("bin", least(col("__s") / 1000, lit(9L)).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ssum"),
+            sum(col("__y")).as("__pos"))
+        val ece = binned.agg(
+          (sum(abs(lit(10000L) * col("__pos") - col("__ssum"))).cast("double")
+            / (lit(10000L) * sum(col("n"))).cast("double")).as("__ece"))
+        binned.crossJoin(broadcast(ece))
+          .select(col("bin"), col("n"),
+            round(col("__ssum").cast("double")
+              / (lit(10000L) * col("n")).cast("double"), 6).as("confidence"),
+            round(col("__pos").cast("double") / col("n").cast("double"), 6).as("accuracy"),
+            round(col("__ece"), 6).as("ece"))
+          .orderBy("bin")
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT CAST(round(($qualityExprSql) * 10000) AS BIGINT) AS s,
+                           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM ($qualityInnerSql) q
+                    JOIN documents USING (doc_id)),
+        b AS (SELECT least(s // 1000, 9) AS bin, count(*) AS n,
+                     CAST(sum(s) AS BIGINT) AS ssum,
+                     CAST(sum(y) AS BIGINT) AS pos
+              FROM sc GROUP BY 1),
+        e AS (SELECT CAST(sum(abs(10000 * pos - ssum)) AS DOUBLE)
+                       / CAST(10000 * sum(n) AS DOUBLE) AS ece FROM b)
+        SELECT bin, n,
+               round(CAST(ssum AS DOUBLE) / CAST(10000 * n AS DOUBLE), 6)
+                 AS confidence,
+               round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+               round((SELECT ece FROM e), 6) AS ece
+        FROM b ORDER BY bin""")),
   )
 }

@@ -566,6 +566,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.length < 50000, s"plan blew up to ${plan.length} chars")
   }
 
+  test("q186: AUC is one scan; the rank window rides the tiny score-group frame") {
+    val plan = planOf("q186_auc")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    // the cumulative window must sit ABOVE the score-group aggregation
+    // (bounded 10^4 rows), never over per-row ranks
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q187: calibration is one scan + a 1-row ECE broadcast") {
+    val plan = planOf("q187_calibration")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans <= 2, s"expected <= 2 scans, got $scans:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
