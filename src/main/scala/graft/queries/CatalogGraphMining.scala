@@ -750,5 +750,74 @@ private[queries] object CatalogGraphMining {
                round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
                round((SELECT ece FROM e), 6) AS ece
         FROM b ORDER BY bin""")),
+
+    // Per-class precision/recall/F1 for the q22 language-ID model against
+    // the lang ground truth — the classification leg of the evaluation
+    // family (q186 ranks, q187 calibrates, this classifies). ONE corpus
+    // scan builds the confusion MATRIX (a bounded languages² frame);
+    // n_true/n_pred/tp all derive from the matrix, so the three
+    // per-class aggregates never rescan. Classes with zero predictions
+    // get null precision/F1 (stated as CASE in both engines). All ratios
+    // are exact small-integer rationals; F1's 2pr/(p+r) is spelled
+    // identically on both sides.
+    "q188_classifier_report" -> QueryDef(
+      fn = (s, d) => {
+        val cm = t(s, d, "documents")
+          .select(col("lang"), TF.langId(col("text")).as("__guess"))
+          .groupBy("lang", "__guess").agg(count(lit(1)).as("__n"))
+          .localCheckpoint(eager = true) // 3 consumers, one scan
+        val nTrue = cm.groupBy("lang").agg(sum(col("__n")).as("n_true"))
+          .select(col("lang").as("class"), col("n_true"))
+        val nPred = cm.groupBy("__guess").agg(sum(col("__n")).as("n_pred"))
+          .select(col("__guess").as("class"), col("n_pred"))
+        val tp = cm.filter(col("lang") === col("__guess"))
+          .select(col("lang").as("class"), col("__n").as("tp"))
+        val p = col("tp").cast("double") / col("n_pred").cast("double")
+        val r = col("tp").cast("double") / col("n_true").cast("double")
+        nTrue.join(nPred, Seq("class"), "full_outer")
+          .join(tp, Seq("class"), "left")
+          .select(col("class"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+          .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+            round(when(col("n_pred") > 0, p), 6).as("precision"),
+            round(when(col("n_true") > 0, r), 6).as("recall"),
+            round(when(col("n_pred") > 0 && col("n_true") > 0 && col("tp") > 0,
+              lit(2.0) * p * r / (p + r)), 6).as("f1"))
+          .orderBy("class")
+      },
+      oracle = Some {
+        val guess = langIdSql // SELECT doc_id, lang, lang_guess ... ORDER BY
+        s"""
+        WITH cm AS (SELECT lang, lang_guess AS g, count(*) AS n
+                    FROM ($guess) GROUP BY 1, 2),
+        nt AS (SELECT lang AS class, CAST(sum(n) AS BIGINT) AS n_true
+               FROM cm GROUP BY lang),
+        np AS (SELECT g AS class, CAST(sum(n) AS BIGINT) AS n_pred
+               FROM cm GROUP BY g),
+        tp AS (SELECT lang AS class, CAST(n AS BIGINT) AS tp FROM cm
+               WHERE lang = g),
+        j AS (SELECT coalesce(nt.class, np.class) AS class,
+                     coalesce(n_true, 0) AS n_true,
+                     coalesce(n_pred, 0) AS n_pred,
+                     coalesce(tp.tp, 0) AS tp
+              FROM nt FULL OUTER JOIN np ON nt.class = np.class
+              LEFT JOIN tp ON coalesce(nt.class, np.class) = tp.class)
+        SELECT class, n_true, n_pred, tp,
+               round(CASE WHEN n_pred > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END, 6)
+                 AS precision,
+               round(CASE WHEN n_true > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END, 6)
+                 AS recall,
+               round(CASE WHEN n_pred > 0 AND n_true > 0 AND tp > 0
+                 THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                      * (CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))
+                      / ((CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                         + (CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))) END, 6)
+                 AS f1
+        FROM j ORDER BY class"""
+      }),
   )
 }

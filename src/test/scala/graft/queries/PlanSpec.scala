@@ -584,6 +584,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q188: classifier report derives everything from the checkpointed matrix") {
+    val plan = planOf("q188_classifier_report")
+    // the corpus is scanned ONCE (eagerly, into the confusion-matrix
+    // checkpoint); the final plan must join RDD scans, not re-scan parquet
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 0, s"expected 0 parquet scans, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
