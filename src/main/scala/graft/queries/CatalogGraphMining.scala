@@ -819,5 +819,74 @@ private[queries] object CatalogGraphMining {
                  AS f1
         FROM j ORDER BY class"""
       }),
+
+    // Component census + exact modularity of the part co-purchase graph.
+    // Two things are under test: (1) the iterative min-label
+    // ConnectedComponents op against an ORGANIC graph with a recursive-
+    // CTE oracle — q46/q95 gate it only on constructed clusters where
+    // the answer is known by id arithmetic; here DuckDB recomputes the
+    // labels by actual transitive closure; (2) Newman modularity of the
+    // partition, in its closed exact form: for a CC partition every edge
+    // is intra, so Q = 1 - sum_c(d_c^2) / (4 m^2) — BOTH terms exact
+    // integers until one division (no per-component double sum, no FP
+    // association). Top-10 components by size + the global Q.
+    "q189_component_modularity" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PairMinSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+          .localCheckpoint(eager = true) // feeds labels, degrees, m
+        val comp = graft.ops.ConnectedComponents
+          .components(edges, "src", "dst")
+          .select(col("id"), col("component"))
+        val deg = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("__deg"))
+        val byComp = comp.join(deg, Seq("id"))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_nodes"), sum(col("__deg")).as("degree_sum"))
+          .localCheckpoint(eager = true) // feeds top-10 AND the Q scalar
+        val m = edges.agg(count(lit(1)).as("__m"))
+        val q = byComp
+          .agg(sum(col("degree_sum") * col("degree_sum")).as("__sumd2"))
+          .crossJoin(broadcast(m))
+          .select((lit(1.0) - col("__sumd2").cast("double")
+            / (lit(4L) * col("__m") * col("__m")).cast("double")).as("__q"))
+        byComp
+          .orderBy(col("n_nodes").desc, col("component"))
+          .limit(10)
+          .crossJoin(broadcast(q))
+          .select(col("component"), col("n_nodes"), col("degree_sum"),
+            round(col("__q"), 6).as("modularity"))
+          .orderBy(col("n_nodes").desc, col("component"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                              FROM lineitem),
+        e AS (SELECT a.i AS s, b.i AS d FROM po a JOIN po b
+              ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING count(*) >= $PairMinSupport),
+        bi AS (SELECT s AS src, d AS dst FROM e
+               UNION ALL SELECT d, s FROM e),
+        reach(id, lab) AS (
+          SELECT src, src FROM bi
+          UNION
+          SELECT bi.dst, reach.lab FROM reach
+          JOIN bi ON bi.src = reach.id WHERE reach.lab < bi.dst),
+        comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        deg AS (SELECT src AS id, count(*) AS dg FROM bi GROUP BY src),
+        bc AS (SELECT component, count(*) AS n_nodes,
+                      CAST(sum(dg) AS BIGINT) AS degree_sum
+               FROM comp JOIN deg USING (id) GROUP BY component),
+        m AS (SELECT count(*) AS m FROM e),
+        q AS (SELECT 1.0 - CAST(sum(degree_sum * degree_sum) AS DOUBLE)
+                           / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m)
+                                  AS DOUBLE) AS q
+              FROM bc)
+        SELECT component, n_nodes, degree_sum,
+               round((SELECT q FROM q), 6) AS modularity
+        FROM bc
+        ORDER BY n_nodes DESC, component LIMIT 10""")),
   )
 }

@@ -594,6 +594,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q189: modularity census runs on checkpointed frames, 1-row Q broadcast") {
+    val plan = planOf("q189_component_modularity")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 0, s"expected 0 parquet scans post-checkpoint, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
