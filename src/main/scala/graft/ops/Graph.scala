@@ -129,6 +129,7 @@ object Graph {
     val adj = out.join(deg, Seq("src")).localCheckpoint(eager = true)
     val nodes = deg.select(col("src").as("node")).localCheckpoint(eager = true)
     val n = nodes.count()
+    require(n > 0, "pageRank: empty edge list (no vertices) — 1/N undefined")
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint(eager = true)

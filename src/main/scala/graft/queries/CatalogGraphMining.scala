@@ -47,6 +47,75 @@ private[queries] object CatalogGraphMining {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** q178/q191's shared scored frame: (doc_id, bm25 [6-dp], grade) with
+    * grade = total query-term tf (the integer relevance proxy q191
+    * grades rankings by). ZERO corpus shuffles: per-term tf and dl are
+    * per-row array ops, the corpus stats (N, avgdl, per-term df) are ONE
+    * 1-row aggregate broadcast back, and the score is a fixed
+    * left-to-right term sum of identically-spelled double expressions.
+    */
+  private def bm25ScoredFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val ts = TF.tokens(col("text"))
+    val withTf = docs.select(
+      (col("doc_id") +: size(ts).cast("long").as("dl") +:
+        Bm25Terms.map(tm =>
+          size(filter(ts, x => x === lit(tm))).cast("long").as(s"tf_$tm"))): _*)
+    val statAggs =
+      sum(col("dl")).cast("double").as("sum_dl") +:
+        count(lit(1)).cast("double").as("n_docs") +:
+        Bm25Terms.map(tm =>
+          sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).cast("double")
+            .as(s"df_$tm"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val termScore: String => Column = tm => {
+      val tf = col(s"tf_$tm").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5)))
+      val avgdl = col("sum_dl") / col("n_docs")
+      idf * (tf * lit(Bm25K1 + 1.0)) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl))
+    }
+    val score = Bm25Terms.map(termScore).reduceLeft(_ + _)
+    val grade = Bm25Terms.map(tm => col(s"tf_$tm")).reduceLeft(_ + _)
+    scored.select(col("doc_id"), round(score, 6).as("bm25"), grade.as("grade"))
+  }
+
+  /** DuckDB twin of [[bm25ScoredFrame]]: SELECT doc_id, bm25, grade. */
+  private def bm25OracleCore: String = {
+    val k1p1 = Bm25K1 + 1.0 // Scala-rendered doubles (see PrDamping)
+    val oneMinusB = 1.0 - Bm25B
+    val tfSqls = Bm25Terms.map(tm =>
+      s"CAST(len(list_filter(toks, x -> x = '$tm')) AS BIGINT) AS tf_$tm")
+    val dfSqls = Bm25Terms.map(tm =>
+      s"CAST(sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$tm")
+    val scoreSql = Bm25Terms.map { tm =>
+      s"""(ln(CAST(1.0 AS DOUBLE)
+              + (n_docs - df_$tm + CAST(0.5 AS DOUBLE))
+                / (df_$tm + CAST(0.5 AS DOUBLE)))
+           * (CAST(tf_$tm AS DOUBLE) * CAST($k1p1 AS DOUBLE))
+           / (CAST(tf_$tm AS DOUBLE)
+              + CAST($Bm25K1 AS DOUBLE)
+                * (CAST($oneMinusB AS DOUBLE)
+                   + CAST($Bm25B AS DOUBLE) * CAST(dl AS DOUBLE)
+                     / (sum_dl / n_docs))))"""
+    }.mkString(" + ")
+    val gradeSql = Bm25Terms.map(tm => s"tf_$tm").mkString(" + ")
+    s"""
+    SELECT doc_id, round($scoreSql, 6) AS bm25,
+           CAST($gradeSql AS BIGINT) AS grade
+    FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                 ${tfSqls.mkString(", ")}
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)) wt
+    CROSS JOIN (SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+                       CAST(count(*) AS DOUBLE) AS n_docs,
+                       ${dfSqls.mkString(", ")}
+                FROM (SELECT CAST(len(toks) AS BIGINT) AS dl,
+                             ${tfSqls.mkString(", ")}
+                      FROM (SELECT doc_id, $toksSql AS toks FROM documents))) st"""
+  }
+
   /** The shared DuckDB CTE prefix for the co-occurrence graphs: distinct
     * (basket, item) pairs from lineitem over `itemCol`, then canonical
     * support-filtered edges. The Apriori prune is an optimization, not a
@@ -286,64 +355,14 @@ private[queries] object CatalogGraphMining {
     // identically-spelled double expressions — no FP-association
     // between engines anywhere. Top-20 by score, id tie-break.
     "q178_bm25" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val ts = TF.tokens(col("text"))
-        val withTf = docs.select(
-          (col("doc_id") +: size(ts).cast("long").as("dl") +:
-            Bm25Terms.map(tm =>
-              size(filter(ts, x => x === lit(tm))).cast("long").as(s"tf_$tm"))): _*)
-        val statAggs =
-          sum(col("dl")).cast("double").as("sum_dl") +:
-            count(lit(1)).cast("double").as("n_docs") +:
-            Bm25Terms.map(tm =>
-              sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).cast("double")
-                .as(s"df_$tm"))
-        val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
-        val scored = withTf.crossJoin(broadcast(stats))
-        val termScore: String => Column = tm => {
-          val tf = col(s"tf_$tm").cast("double")
-          val idf = log(lit(1.0) +
-            (col("n_docs") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5)))
-          val avgdl = col("sum_dl") / col("n_docs")
-          idf * (tf * lit(Bm25K1 + 1.0)) /
-            (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl))
-        }
-        val score = Bm25Terms.map(termScore).reduceLeft(_ + _)
-        scored.select(col("doc_id"), round(score, 6).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(20)
-      },
-      oracle = Some {
-        val k1p1 = Bm25K1 + 1.0 // Scala-rendered doubles (see PrDamping)
-        val oneMinusB = 1.0 - Bm25B
-        val tfSqls = Bm25Terms.map(tm =>
-          s"CAST(len(list_filter(toks, x -> x = '$tm')) AS BIGINT) AS tf_$tm")
-        val dfSqls = Bm25Terms.map(tm =>
-          s"CAST(sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$tm")
-        val scoreSql = Bm25Terms.map { tm =>
-          s"""(ln(CAST(1.0 AS DOUBLE)
-                  + (n_docs - df_$tm + CAST(0.5 AS DOUBLE))
-                    / (df_$tm + CAST(0.5 AS DOUBLE)))
-               * (CAST(tf_$tm AS DOUBLE) * CAST($k1p1 AS DOUBLE))
-               / (CAST(tf_$tm AS DOUBLE)
-                  + CAST($Bm25K1 AS DOUBLE)
-                    * (CAST($oneMinusB AS DOUBLE)
-                       + CAST($Bm25B AS DOUBLE) * CAST(dl AS DOUBLE)
-                         / (sum_dl / n_docs))))"""
-        }.mkString(" + ")
-        s"""
-        WITH wt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-                           ${tfSqls.mkString(", ")}
-                    FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
-        st AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
-                      CAST(count(*) AS DOUBLE) AS n_docs,
-                      ${dfSqls.mkString(", ")}
-               FROM wt)
-        SELECT doc_id, round($scoreSql, 6) AS bm25
-        FROM wt CROSS JOIN st
-        ORDER BY bm25 DESC, doc_id LIMIT 20"""
-      }),
+      fn = (s, d) => bm25ScoredFrame(s, d)
+        .select(col("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20),
+      oracle = Some(s"""
+        WITH core AS ($bm25OracleCore)
+        SELECT doc_id, bm25 FROM core
+        ORDER BY bm25 DESC, doc_id LIMIT 20""")),
 
     // Mergeable-sketch ROLLUP (the datasketches pattern q163 stops short
     // of): per-(event_type, day) HLL sketches built in ONE leaf pass,
@@ -888,5 +907,129 @@ private[queries] object CatalogGraphMining {
                round((SELECT q FROM q), 6) AS modularity
         FROM bc
         ORDER BY n_nodes DESC, component LIMIT 10""")),
+
+    // Train-and-evaluate a Markov next-event baseline entirely in the
+    // engine: transition counts from the md5-hash TRAIN users fit the
+    // model (argmax next per previous event, count-desc/name-asc
+    // tie-break — deterministic), held-out users score it. Exact integer
+    // accuracy per previous-event class plus an overall '*' row. The
+    // model is a 25-row broadcast; the corpus sees one scan and one
+    // per-user window.
+    "q190_markov_eval" -> QueryDef(
+      fn = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val trans = t(s, d, "events")
+          .select(col("user_id"), col("event_type").as("prev"),
+            lead(col("event_type"), 1).over(w).as("nxt"))
+          .filter(col("nxt").isNotNull)
+          .localCheckpoint(eager = true) // feeds train counts AND eval
+        val isTrain = graft.ops.Sampling.inSplit(col("user_id"), 0.8)
+        val counts = trans.filter(isTrain)
+          .groupBy("prev", "nxt").agg(count(lit(1)).as("__c"))
+        val pick = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prev")).orderBy(col("__c").desc, col("nxt"))
+        val model = counts.withColumn("__rn", row_number().over(pick))
+          .filter(col("__rn") === 1)
+          .select(col("prev"), col("nxt").as("__pred"))
+        val eval0 = trans.filter(!isTrain)
+          .join(broadcast(model), Seq("prev"))
+          .select(col("prev"),
+            when(col("nxt") === col("__pred"), 1L).otherwise(0L).as("__ok"))
+        val perClass = eval0.groupBy("prev")
+          .agg(count(lit(1)).as("n_eval"), sum(col("__ok")).as("n_correct"))
+        val overall = eval0
+          .agg(count(lit(1)).as("n_eval"), sum(col("__ok")).as("n_correct"))
+          .select(lit("*").as("prev"), col("n_eval"), col("n_correct"))
+        perClass.unionAll(overall)
+          .select(col("prev"), col("n_eval"), col("n_correct"),
+            round(col("n_correct").cast("double")
+              / col("n_eval").cast("double"), 6).as("accuracy"))
+          .orderBy("prev")
+      },
+      oracle = Some {
+        val trainCond = s"substring(md5(CAST(user_id AS VARCHAR)), 1, 8) " +
+          s"< '${graft.ops.Sampling.thresholdHex(0.8)}'"
+        s"""
+        WITH trans AS (SELECT user_id, event_type AS prev,
+                              lead(event_type, 1) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)
+                                AS nxt
+                       FROM events),
+        tr AS (SELECT * FROM trans WHERE nxt IS NOT NULL),
+        cnt AS (SELECT prev, nxt, count(*) AS c FROM tr
+                WHERE $trainCond GROUP BY 1, 2),
+        model AS (SELECT prev, nxt AS pred FROM (
+                    SELECT prev, nxt,
+                           row_number() OVER (PARTITION BY prev
+                             ORDER BY c DESC, nxt) AS rn
+                    FROM cnt) WHERE rn = 1),
+        ev AS (SELECT tr.prev,
+                      CASE WHEN tr.nxt = model.pred THEN 1 ELSE 0 END AS ok
+               FROM tr JOIN model ON tr.prev = model.prev
+               WHERE NOT ($trainCond)),
+        pc AS (SELECT prev, count(*) AS n_eval,
+                      CAST(sum(ok) AS BIGINT) AS n_correct
+               FROM ev GROUP BY prev
+               UNION ALL
+               SELECT '*', count(*), CAST(sum(ok) AS BIGINT) FROM ev)
+        SELECT prev, n_eval, n_correct,
+               round(CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+                 AS accuracy
+        FROM pc ORDER BY prev"""
+      }),
+
+    // Retrieval-quality metrics for the q178 BM25 ranking: NDCG@10 and
+    // MRR against the integer relevance grade (total query-term tf). The
+    // ranked and ideal top-10s come from TakeOrdered limits (never a
+    // corpus-wide row_number window); position assignment is a window
+    // over the 10 surviving rows. Discount uses ln(pos+1) on BOTH sides
+    // — the log-base constant cancels in NDCG, and ln is the one
+    // transcendental the oracle already replays bit-for-bit (q169).
+    "q191_ndcg" -> QueryDef(
+      fn = (s, d) => {
+        val sc = bm25ScoredFrame(s, d).localCheckpoint(eager = true)
+        def top10(order: Seq[Column]) = {
+          val lim = sc.orderBy(order: _*).limit(10)
+          val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+          lim.withColumn("__pos", row_number().over(w))
+        }
+        val ranked = top10(Seq(col("bm25").desc, col("doc_id")))
+        val ideal = top10(Seq(col("grade").desc, col("doc_id")))
+        val dcg = ranked.agg(sum(col("grade").cast("double")
+          / log(col("__pos").cast("double") + 1.0)).as("__dcg"))
+        val idcg = ideal.agg(sum(col("grade").cast("double")
+          / log(col("__pos").cast("double") + 1.0)).as("__idcg"))
+        val firstHit = ranked.filter(col("grade") > 0)
+          .agg(min(col("__pos")).as("__fp"))
+        dcg.crossJoin(broadcast(idcg)).crossJoin(broadcast(firstHit))
+          .select(round(col("__dcg"), 6).as("dcg10"),
+            round(col("__idcg"), 6).as("idcg10"),
+            round(when(col("__idcg") > 0, col("__dcg") / col("__idcg")), 6)
+              .as("ndcg10"),
+            round(coalesce(lit(1.0) / col("__fp").cast("double"), lit(0.0)), 6)
+              .as("mrr"))
+      },
+      oracle = Some(s"""
+        WITH core AS ($bm25OracleCore),
+        ranked AS (SELECT grade,
+                          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+                   FROM core ORDER BY bm25 DESC, doc_id LIMIT 10),
+        ideal AS (SELECT grade,
+                         row_number() OVER (ORDER BY grade DESC, doc_id) AS pos
+                  FROM core ORDER BY grade DESC, doc_id LIMIT 10),
+        d AS (SELECT sum(CAST(grade AS DOUBLE)
+                         / ln(CAST(pos AS DOUBLE) + 1.0)) AS dcg FROM ranked),
+        i AS (SELECT sum(CAST(grade AS DOUBLE)
+                         / ln(CAST(pos AS DOUBLE) + 1.0)) AS idcg FROM ideal),
+        f AS (SELECT min(pos) AS fp FROM ranked WHERE grade > 0)
+        SELECT round((SELECT dcg FROM d), 6) AS dcg10,
+               round((SELECT idcg FROM i), 6) AS idcg10,
+               round(CASE WHEN (SELECT idcg FROM i) > 0
+                 THEN (SELECT dcg FROM d) / (SELECT idcg FROM i) END, 6)
+                 AS ndcg10,
+               round(coalesce(CAST(1.0 AS DOUBLE)
+                              / CAST((SELECT fp FROM f) AS DOUBLE),
+                              CAST(0.0 AS DOUBLE)), 6) AS mrr""")),
   )
 }

@@ -602,6 +602,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q190: markov eval — transitions checkpointed, model rides a broadcast") {
+    val plan = planOf("q190_markov_eval")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 0, s"expected 0 parquet scans post-checkpoint, got $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q191: NDCG top-10s are TakeOrdered off the checkpointed scores") {
+    val plan = planOf("q191_ndcg")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
