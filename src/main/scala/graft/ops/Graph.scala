@@ -232,4 +232,43 @@ object Graph {
     }
     walk
   }
+
+  /** Bounded-round multi-source CHEAPEST paths (Bellman-Ford relaxation
+    * over integer edge weights) — [[bfsHops]] with a cost axis: after
+    * round k, `dist(node)` is the exact minimum total weight over all
+    * paths of at most k edges from ANY seed (min across sources, the
+    * same multi-source semantics as bfsHops). Integer weights keep every
+    * relaxation exact — no FP accumulation across rounds.
+    *
+    * Unlike BFS, a node can RE-ENTER the frontier when a longer-hop path
+    * undercuts an earlier cost, so there is no visited anti-join; state
+    * per round is one (node → best dist) frame, O(vertices), collapsed
+    * by a min-aggregate. Each round is ONE vertex-keyed join plus ONE
+    * min-agg shuffle; both the bidirectional edge frame and each dist
+    * frame are `localCheckpoint`ed (the [[pageRank]] lineage rule —
+    * without the pins the plan doubles per round).
+    *
+    * Output: (node, dist) for every node within `maxHops` of a seed.
+    */
+  def cheapestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val bi = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint(eager = true)
+
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to maxHops) {
+      val relaxed = bi.join(dist, bi("src") === dist("node"))
+        .select(bi("dst").as("node"), (dist("dist") + bi("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+    }
+    dist
+  }
 }

@@ -411,7 +411,7 @@ object Catalog {
       CatalogAnalytics.entries ++ CatalogTraining.entries ++
       CatalogScaleOps.entries ++ CatalogCorpusOps.entries ++
       CatalogInfra.entries ++ CatalogRoundtrip.entries ++
-      CatalogGraphMining.entries): _*)
+      CatalogGraphMining.entries ++ CatalogModelEval.entries): _*)
 
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -1,0 +1,420 @@
+package graft.queries
+
+import graft.ops.Graph
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Catalog._
+
+/** Round-9 fourth wave: forecasting / policy-evaluation / model-selection
+  * operators (q192-q197) — EWMA smoothing, weighted shortest paths,
+  * Benford's-law auditing, inverse-propensity off-policy evaluation,
+  * multivariate ridge regression, and k-fold cross-validation. Every
+  * double that crosses the oracle boundary is either derived from exact
+  * integer sums by a FIXED sequence of IEEE ops (the q177/q181 recipe) or
+  * snapped to an integer grid before any unordered aggregation (the q197
+  * residual trick).
+  *
+  * One slice of the query catalog. Entry ORDER is load-bearing:
+  * [[Catalog.all]] is a ListMap concatenated slice-by-slice, and
+  * oracle_sql.json iterates it in insertion order.
+  */
+private[queries] object CatalogModelEval {
+
+  /** q192's smoothing weights: EWMA with alpha=1/2 truncated at lag 3 —
+    * numerator weights 8/4/2/1 over the last four observations, one
+    * division by 15. All-integer numerator ⇒ no FP order anywhere.
+    */
+  private val EwmaDen = 15.0
+
+  /** q193's per-edge cost: strong co-purchase ties are cheap —
+    * `1000 / support` in INTEGER division, exact in both engines.
+    */
+  private val PathWeightNum = 1000L
+  private val PathSeedMod = 97
+  private val PathHops = 3
+
+  /** q194's Benford expectations, RENDERED FROM SCALA (the q176 damping
+    * rule): `log10(1+1/d)` is transcendental, so the oracle must receive
+    * the JVM's exact double, not recompute its own.
+    */
+  private val BenfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** q195's target policy: the arm recommended per user (hash-segmented)
+    * and the uniform logging propensity over the 5 event types.
+    */
+  private val IpsArmFrac = 0.5 // hash fraction routed to the purchase arm
+  private val IpsInvProp = 5.0 // 1 / (uniform logging propensity 0.2)
+
+  /** q196's ridge penalty (integer — added to the exact diagonal moments
+    * BEFORE any double conversion, so regularization is exact too).
+    */
+  private val RidgeLambda = 10000L
+
+  /** q197's fold count. */
+  private val KFolds = 5
+
+  def entries: Seq[(String, QueryDef)] = Seq(
+
+    // Per-user EWMA forecast over the event-value series — the smoothing
+    // primitive of every metric-anomaly pipeline. alpha=1/2 truncated at
+    // lag 3: the numerator 8y+4y1+2y2+y3 is an exact integer-cents sum
+    // over a FIXED lag list (never a frame aggregate, so no FP order and
+    // no engine-specific window-sum association); one division by 15
+    // lands the only double. Emitted per user: the forecast at the LAST
+    // observation with a full lag window (row_number desc over the same
+    // total order the lags use). Shape at scale: one user-keyed window
+    // (lags + row_number share the single sort), one filter — no
+    // self-joins, no global window.
+    "q192_ewma_forecast" -> QueryDef(
+      fn = (s, d) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val y = cents(col("value"))
+        val base = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), y.as("__y"))
+          .withColumn("__y1", lag(col("__y"), 1).over(ord))
+          .withColumn("__y2", lag(col("__y"), 2).over(ord))
+          .withColumn("__y3", lag(col("__y"), 3).over(ord))
+          .withColumn("__rnd",
+            row_number().over(Window.partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+        base.filter(col("__y3").isNotNull && col("__rnd") === 1)
+          .select(col("user_id"),
+            round((col("__y") * 8 + col("__y1") * 4 + col("__y2") * 2
+              + col("__y3")).cast("double") / EwmaDen / 100.0, 6)
+              .as("ewma_value"))
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT user_id,
+                          ${centsSql("value")} AS y,
+                          lag(${centsSql("value")}, 1) OVER w AS y1,
+                          lag(${centsSql("value")}, 2) OVER w AS y2,
+                          lag(${centsSql("value")}, 3) OVER w AS y3,
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rnd
+                   FROM events WHERE value IS NOT NULL
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id,
+               round(CAST(y * 8 + y1 * 4 + y2 * 2 + y3 AS DOUBLE)
+                     / $EwmaDen / 100.0, 6) AS ewma_value
+        FROM b WHERE y3 IS NOT NULL AND rnd = 1
+        ORDER BY user_id""")),
+
+    // Bounded-hop WEIGHTED shortest paths (multi-source Bellman-Ford)
+    // over the part co-purchase graph — q180's BFS with a cost axis:
+    // support-derived integer edge weights (strong ties cheap), seeds =
+    // nodes ≡ 0 (mod 97), 3 relaxation rounds. Integer weights keep all
+    // relaxation arithmetic exact; the oracle unrolls the recurrence as
+    // CTEs (d_k = min over d_{k-1} and one-edge extensions). Scale
+    // shape: per round ONE vertex-keyed join + ONE min-agg — state is
+    // O(vertices), every frame localCheckpointed (Graph.cheapestPaths).
+    "q193_cheapest_path" -> QueryDef(
+      fn = (s, d) => {
+        val edges = graft.ops.Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", 2L)
+          // integer weight floor(1000/support) — Column./ is DOUBLE
+          // division, so floor explicitly (support > 0 ⇒ floor = `//`)
+          .select(col("item_a").as("src"), col("item_b").as("dst"),
+            floor(lit(PathWeightNum) / col("support")).cast("long").as("w"))
+        val nodes = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.filter(col("node") % PathSeedMod === 0)
+        Graph.cheapestPaths(edges, "src", "dst", "w", seeds, "node", PathHops)
+          .orderBy("node")
+      },
+      oracle = Some {
+        val rounds = (1 to PathHops).map { k =>
+          s"""d$k AS (SELECT node, min(dd) AS dist FROM (
+                 SELECT node, dist AS dd FROM d${k - 1}
+                 UNION ALL
+                 SELECT bi.dst, d${k - 1}.dist + bi.w
+                 FROM bi JOIN d${k - 1} ON bi.src = d${k - 1}.node)
+               GROUP BY node)"""
+        }.mkString(",\n")
+        s"""
+        WITH po AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        e AS (SELECT a.i AS s, b.i AS dd, count(*) AS support
+              FROM po a JOIN po b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+        ew AS (SELECT s, dd AS d, $PathWeightNum // support AS w FROM e),
+        bi AS (SELECT s AS src, d AS dst, w FROM ew
+               UNION ALL SELECT d, s, w FROM ew),
+        nodes AS (SELECT DISTINCT src AS node FROM bi),
+        d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+               WHERE node % $PathSeedMod = 0),
+        $rounds
+        SELECT node, dist FROM d$PathHops ORDER BY node"""
+      }),
+
+    // Benford's-law first-digit audit of order totals — the classic
+    // fabricated-numbers screen, run as a data-quality gate. Counts per
+    // leading digit are exact; the expected shares log10(1+1/d) are
+    // Scala-rendered doubles (the q176 rule: never let the oracle
+    // recompute a transcendental); each digit's chi-square contribution
+    // is an identical fixed-order double expression in both engines.
+    // Emitting the 9 per-digit rows (not a summed statistic) keeps the
+    // result aggregation-order-free AND more useful — the offending
+    // digit is visible. One scan, one 9-group agg, one 1-row broadcast.
+    "q194_benford_audit" -> QueryDef(
+      fn = (s, d) => {
+        val digit = substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int")
+        val counts = t(s, d, "orders").filter(col("o_totalprice") >= 1.0)
+          .select(digit.as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val total = counts.agg(sum(col("n_obs")).as("__total"))
+        val pExpr = BenfordP.foldLeft(lit(null).cast("double")) {
+          case (acc, (dg, p)) => when(col("digit") === dg, lit(p)).otherwise(acc)
+        }
+        val expected = col("__total").cast("double") * col("__p")
+        counts.crossJoin(broadcast(total))
+          .withColumn("__p", pExpr)
+          .select(col("digit"), col("n_obs"),
+            round(col("n_obs").cast("double") / col("__total").cast("double"), 6)
+              .as("observed_share"),
+            round(col("__p"), 6).as("benford_share"),
+            round((col("n_obs").cast("double") - expected)
+              * (col("n_obs").cast("double") - expected) / expected, 6)
+              .as("chi2_contrib"))
+          .orderBy("digit")
+      },
+      oracle = Some {
+        val pCase = BenfordP.map { case (dg, p) => s"WHEN $dg THEN CAST($p AS DOUBLE)" }
+          .mkString(" ")
+        s"""
+        WITH c AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit,
+                          count(*) AS n_obs
+                   FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+        t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM c),
+        p AS (SELECT digit, n_obs, total,
+                     CASE digit $pCase END AS bp
+              FROM c CROSS JOIN t)
+        SELECT digit, n_obs,
+               round(CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                 AS observed_share,
+               round(bp, 6) AS benford_share,
+               round((CAST(n_obs AS DOUBLE) - CAST(total AS DOUBLE) * bp)
+                     * (CAST(n_obs AS DOUBLE) - CAST(total AS DOUBLE) * bp)
+                     / (CAST(total AS DOUBLE) * bp), 6) AS chi2_contrib
+        FROM p ORDER BY digit"""
+      }),
+
+    // Off-policy evaluation by inverse propensity scoring — "what value
+    // would the target policy have earned?" answered from logs alone,
+    // the counterfactual readout every recommender pipeline ships. The
+    // logged actions are treated as a uniform logging policy (propensity
+    // 1/5 per event type); the target policy deterministically
+    // recommends 'purchase' to the hash-segmented half of users and
+    // 'view' to the rest. IPS = mean of value·1{a=π(u)}/p; SNIPS
+    // renormalizes by the matched mass. Numerators/denominators are
+    // exact integer-cent sums (matched indicators are 0/1 longs); the
+    // two divisions land the only doubles. One scan, one 3-row agg.
+    "q195_ips_policy_eval" -> QueryDef(
+      fn = (s, d) => {
+        val y = cents(col("value"))
+        val arm = when(graft.ops.Sampling.inSplit(col("user_id"), IpsArmFrac),
+          "purchase").otherwise("view")
+        val matched = (col("event_type") === col("__arm")).cast("long")
+        val base = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_type"), y.as("__y"), arm.as("__arm"))
+          .select(col("__arm"), matched.as("__m"), col("__y"))
+        val perArm = base.groupBy(col("__arm").as("arm"))
+          .agg(count(lit(1)).as("n_logged"), sum(col("__m")).as("n_matched"),
+            sum(col("__m") * col("__y")).as("__s"))
+        val overall = base
+          .agg(count(lit(1)).as("n_logged"), sum(col("__m")).as("n_matched"),
+            sum(col("__m") * col("__y")).as("__s"))
+          .select(lit("*").as("arm"), col("n_logged"), col("n_matched"), col("__s"))
+        perArm.unionByName(overall)
+          .select(col("arm"), col("n_logged"), col("n_matched"),
+            round(col("__s").cast("double") * IpsInvProp
+              / col("n_logged").cast("double") / 100.0, 6).as("ips_value"),
+            round(col("__s").cast("double")
+              / col("n_matched").cast("double") / 100.0, 6).as("snips_value"))
+          .orderBy("arm")
+      },
+      oracle = Some {
+        val armCond = s"substring(md5(CAST(user_id AS VARCHAR)), 1, 8) " +
+          s"< '${graft.ops.Sampling.thresholdHex(IpsArmFrac)}'"
+        s"""
+        WITH b AS (SELECT CASE WHEN $armCond THEN 'purchase' ELSE 'view' END AS arm,
+                          CASE WHEN event_type =
+                            (CASE WHEN $armCond THEN 'purchase' ELSE 'view' END)
+                            THEN 1 ELSE 0 END AS m,
+                          ${centsSql("value")} AS y
+                   FROM events WHERE value IS NOT NULL),
+        g AS (SELECT arm, count(*) AS n_logged,
+                     CAST(sum(m) AS BIGINT) AS n_matched,
+                     CAST(sum(m * y) AS BIGINT) AS s
+              FROM b GROUP BY arm
+              UNION ALL
+              SELECT '*', count(*), CAST(sum(m) AS BIGINT),
+                     CAST(sum(m * y) AS BIGINT) FROM b)
+        SELECT arm, n_logged, n_matched,
+               round(CAST(s AS DOUBLE) * $IpsInvProp
+                     / CAST(n_logged AS DOUBLE) / 100.0, 6) AS ips_value,
+               round(CAST(s AS DOUBLE)
+                     / CAST(n_matched AS DOUBLE) / 100.0, 6) AS snips_value
+        FROM g ORDER BY arm"""
+      }),
+
+    // Two-feature ridge regression by exact normal equations — q177's
+    // per-group OLS extended to a multivariate solve: predict line-item
+    // price (cents) from quantity and discount (integer percent). All
+    // nine moments are exact long sums (max |Σx1·y| ≈ 3e14 at sf0.1 —
+    // 30000x inside long range); the ridge penalty adds to the diagonal
+    // while still integer; the 3x3 Cramer solve is a fixed cofactor
+    // expansion over exact-valued doubles, spelled IDENTICALLY in both
+    // engines — bit-equal results, rounded 6dp. ONE corpus scan, one
+    // 1-row aggregate; the solve is driver-free scalar arithmetic in
+    // the plan.
+    "q196_ridge_regression" -> QueryDef(
+      fn = (s, d) => {
+        val x1 = col("l_quantity").cast("long")
+        val x2 = cents(col("l_discount"))
+        val y = cents(col("l_extendedprice"))
+        val m = t(s, d, "lineitem")
+          .select(x1.as("__x1"), x2.as("__x2"), y.as("__y"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("__x1")).as("__s1"), sum(col("__x2")).as("__s2"),
+            sum(col("__x1") * col("__x1")).as("__s11"),
+            sum(col("__x1") * col("__x2")).as("__s12"),
+            sum(col("__x2") * col("__x2")).as("__s22"),
+            sum(col("__y")).as("__sy"),
+            sum(col("__x1") * col("__y")).as("__s1y"),
+            sum(col("__x2") * col("__y")).as("__s2y"))
+        // A = [[n,s1,s2],[s1,s11+L,s12],[s2,s12,s22+L]], b = [sy,s1y,s2y];
+        // Cramer with the SAME cofactor spelling as the SQL below.
+        val a11 = col("n").cast("double")
+        val a12 = col("__s1").cast("double")
+        val a13 = col("__s2").cast("double")
+        val a22 = (col("__s11") + RidgeLambda).cast("double")
+        val a23 = col("__s12").cast("double")
+        val a33 = (col("__s22") + RidgeLambda).cast("double")
+        val b1 = col("__sy").cast("double")
+        val b2 = col("__s1y").cast("double")
+        val b3 = col("__s2y").cast("double")
+        def det3(m11: org.apache.spark.sql.Column, m12: org.apache.spark.sql.Column,
+            m13: org.apache.spark.sql.Column, m21: org.apache.spark.sql.Column,
+            m22: org.apache.spark.sql.Column, m23: org.apache.spark.sql.Column,
+            m31: org.apache.spark.sql.Column, m32: org.apache.spark.sql.Column,
+            m33: org.apache.spark.sql.Column) =
+          m11 * (m22 * m33 - m23 * m32) - m12 * (m21 * m33 - m23 * m31) +
+            m13 * (m21 * m32 - m22 * m31)
+        val det = det3(a11, a12, a13, a12, a22, a23, a13, a23, a33)
+        val d0 = det3(b1, a12, a13, b2, a22, a23, b3, a23, a33)
+        val d1 = det3(a11, b1, a13, a12, b2, a23, a13, b3, a33)
+        val d2 = det3(a11, a12, b1, a12, a22, b2, a13, a23, b3)
+        m.select(col("n"),
+          round(d0 / det / 100.0, 6).as("intercept"),
+          round(d1 / det / 100.0, 6).as("coef_quantity"),
+          round(d2 / det / 100.0, 6).as("coef_discount_pct"))
+      },
+      oracle = Some(s"""
+        WITH m AS (SELECT count(*) AS n,
+                          CAST(sum(x1) AS BIGINT) AS s1,
+                          CAST(sum(x2) AS BIGINT) AS s2,
+                          CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                          CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                          CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                          CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                          CAST(sum(x2 * y) AS BIGINT) AS s2y
+                   FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                                ${centsSql("l_discount")} AS x2,
+                                ${centsSql("l_extendedprice")} AS y
+                         FROM lineitem)),
+        a AS (SELECT n,
+                     CAST(n AS DOUBLE) AS a11, CAST(s1 AS DOUBLE) AS a12,
+                     CAST(s2 AS DOUBLE) AS a13,
+                     CAST(s11 + $RidgeLambda AS DOUBLE) AS a22,
+                     CAST(s12 AS DOUBLE) AS a23,
+                     CAST(s22 + $RidgeLambda AS DOUBLE) AS a33,
+                     CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
+                     CAST(s2y AS DOUBLE) AS b3
+              FROM m),
+        f AS (SELECT n,
+                     a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+                       + a13 * (a12 * a23 - a22 * a13) AS det,
+                     b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+                       + a13 * (b2 * a23 - a22 * b3) AS d0,
+                     a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13)
+                       + a13 * (a12 * b3 - b2 * a13) AS d1,
+                     a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13)
+                       + b1 * (a12 * a23 - a22 * a13) AS d2
+              FROM a)
+        SELECT n, round(d0 / det / 100.0, 6) AS intercept,
+               round(d1 / det / 100.0, 6) AS coef_quantity,
+               round(d2 / det / 100.0, 6) AS coef_discount_pct
+        FROM f""")),
+
+    // K-fold cross-validated category-mean regressor with exact per-fold
+    // MAE — the model-selection loop (q182's leave-one-out sibling) run
+    // entirely in-engine. Folds are md5-hash assignments of l_orderkey
+    // (q58 machinery, join-free); each fold's predictor is the
+    // out-of-fold category mean held as an exact rational (sum, count);
+    // the per-row |residual| is ONE fixed-order double expression
+    // SNAPPED to a 1e-4 grid (floor(x·1e4 + 0.5) → long) so the
+    // cross-row MAE sum is exact-integer and aggregation-order-free in
+    // both engines. Shape at scale: one (category, fold) agg, a
+    // broadcast of ≤ |cats|·K train-stat rows back onto the corpus, one
+    // per-fold agg — the corpus never shuffles.
+    "q197_kfold_cv" -> QueryDef(
+      fn = (s, d) => {
+        val y = cents(col("l_extendedprice"))
+        val foldCol = (conv(substring(md5(col("l_orderkey").cast("string")), 1, 8),
+          16, 10).cast("long") % KFolds).cast("int")
+        val base = t(s, d, "lineitem")
+          .select(concat(col("l_returnflag"), col("l_linestatus")).as("__cat"),
+            foldCol.as("fold"), y.as("__y"))
+        val cf = base.groupBy("__cat", "fold")
+          .agg(count(lit(1)).as("__n_cf"), sum(col("__y")).as("__s_cf"))
+        val c = cf.groupBy("__cat")
+          .agg(sum(col("__n_cf")).as("__n_c"), sum(col("__s_cf")).as("__s_c"))
+        val train = cf.join(c, "__cat")
+          .select(col("__cat"), col("fold"),
+            (col("__n_c") - col("__n_cf")).as("__n_tr"),
+            (col("__s_c") - col("__s_cf")).as("__s_tr"))
+        val resid = abs(col("__y").cast("double")
+          - col("__s_tr").cast("double") / col("__n_tr").cast("double"))
+        val scaled = floor(resid * 10000.0 + 0.5).cast("long")
+        base.join(broadcast(train), Seq("__cat", "fold"))
+          .select(col("fold"), scaled.as("__r"))
+          .groupBy("fold")
+          .agg(count(lit(1)).as("n_test"), sum(col("__r")).as("__sr"))
+          .select(col("fold"), col("n_test"),
+            round(col("__sr").cast("double")
+              / col("n_test").cast("double") / 1000000.0, 6).as("mae"))
+          .orderBy("fold")
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT l_returnflag || l_linestatus AS cat,
+                          CAST(CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+                            1, 8)) AS BIGINT) % $KFolds AS INT) AS fold,
+                          ${centsSql("l_extendedprice")} AS y
+                   FROM lineitem),
+        cf AS (SELECT cat, fold, count(*) AS n_cf,
+                      CAST(sum(y) AS BIGINT) AS s_cf
+               FROM b GROUP BY 1, 2),
+        c AS (SELECT cat, CAST(sum(n_cf) AS BIGINT) AS n_c,
+                     CAST(sum(s_cf) AS BIGINT) AS s_c
+              FROM cf GROUP BY 1),
+        tr AS (SELECT cf.cat, cf.fold, c.n_c - cf.n_cf AS n_tr,
+                      c.s_c - cf.s_cf AS s_tr
+               FROM cf JOIN c ON cf.cat = c.cat),
+        r AS (SELECT b.fold,
+                     CAST(floor(abs(CAST(b.y AS DOUBLE)
+                       - CAST(tr.s_tr AS DOUBLE) / CAST(tr.n_tr AS DOUBLE))
+                       * 10000.0 + 0.5) AS BIGINT) AS sr
+              FROM b JOIN tr ON b.cat = tr.cat AND b.fold = tr.fold)
+        SELECT fold, count(*) AS n_test,
+               round(CAST(sum(sr) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mae
+        FROM r GROUP BY fold ORDER BY fold""")),
+  )
+}

@@ -153,6 +153,37 @@ class BasketsGraphSpec extends AnyFunSuite {
       == Map(3L -> 0, 2L -> 1, 1L -> 2))
   }
 
+  // ---- Graph.cheapestPaths ----------------------------------------------
+
+  private def cheap(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      maxHops: Int) = {
+    val e = edges.toDF("src", "dst", "w")
+    Graph.cheapestPaths(e, "src", "dst", "w", seeds.toDF("node"), "node", maxHops)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  test("cheapestPaths: a longer-hop path undercuts the direct edge") {
+    // 1 -10-> 3 direct, but 1 -1-> 2 -1-> 3 costs 2
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L))
+    assert(cheap(g, Seq(1L), 1) == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    assert(cheap(g, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("cheapestPaths takes the min over multiple seeds and is undirected") {
+    val path = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L))
+    assert(cheap(path, Seq(1L, 4L), 2)
+      == Map(1L -> 0L, 2L -> 5L, 3L -> 5L, 4L -> 0L))
+  }
+
+  test("cheapestPaths maxHops=0 returns the seeds at cost 0") {
+    assert(cheap(Seq((1L, 2L, 7L)), Seq(2L), 0) == Map(2L -> 0L))
+  }
+
+  test("cheapestPaths never crosses into a disconnected component") {
+    val g = Seq((1L, 2L, 1L), (10L, 11L, 1L))
+    assert(cheap(g, Seq(1L), 4) == Map(1L -> 0L, 2L -> 1L))
+  }
+
   // ---- Graph.hashWalks --------------------------------------------------
 
   test("hashWalks: step 0 is the seed, every step moves to a real neighbor") {
