@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.{TextFunctions => TF2}
 import graft.ops.Graph
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -416,5 +417,304 @@ private[queries] object CatalogModelEval {
                round(CAST(sum(sr) AS DOUBLE)
                      / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mae
         FROM r GROUP BY fold ORDER BY fold""")),
+
+    // Seasonal (hour-of-day) baseline + anomaly census — the metric-
+    // monitoring primitive q93's GLOBAL z-score cannot express: each
+    // event is judged against its OWN (type, hour) bucket, so a value
+    // that is normal at peak hours flags at 3am. Bucket moments are
+    // exact integer-cent sums; mean/std are fixed-order doubles; the
+    // 3-sigma comparison is guarded (n>1 AND std>0) so NaN semantics
+    // never differ between engines. Shape: one (type,hour) agg, the
+    // ≤120-row stats broadcast back, one census agg — the corpus
+    // shuffles once (map-side partial agg both passes).
+    "q198_seasonal_anomaly" -> QueryDef(
+      fn = (s, d) => {
+        val y = cents(col("value"))
+        val base = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), hour(col("ts")).cast("int").as("hr"),
+            y.as("__y"))
+        val stats = base.groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s1"),
+            sum(col("__y") * col("__y")).as("__s2"))
+        val mean = col("__s1").cast("double") / col("__n").cast("double")
+        val stdv = sqrt((col("__n") * col("__s2") - col("__s1") * col("__s1")).cast("double")
+          / (col("__n") * (col("__n") - 1)).cast("double"))
+        val flagged = base.join(broadcast(stats), Seq("event_type", "hr"))
+          .select(col("event_type"), col("hr"), col("__n"),
+            col("__s1"), col("__s2"),
+            when(col("__n") > 1 && stdv > 0.0
+              && abs(col("__y").cast("double") - mean) > lit(3.0) * stdv, 1L)
+              .otherwise(0L).as("__a"))
+        flagged.groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("__s1")).cast("double")
+              / min(col("__n")).cast("double") / 100.0, 6).as("mean_value"),
+            sum(col("__a")).as("n_anomalies"))
+          .orderBy("event_type", "hr")
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+                          ${centsSql("value")} AS y
+                   FROM events WHERE value IS NOT NULL),
+        st AS (SELECT event_type, hr, count(*) AS n,
+                      CAST(sum(y) AS BIGINT) AS s1,
+                      CAST(sum(y * y) AS BIGINT) AS s2
+               FROM b GROUP BY 1, 2),
+        f AS (SELECT b.event_type, b.hr, st.n, st.s1,
+                     CASE WHEN st.n > 1
+                            AND sqrt(CAST(st.n * st.s2 - st.s1 * st.s1 AS DOUBLE)
+                                     / CAST(st.n * (st.n - 1) AS DOUBLE)) > 0.0
+                            AND abs(CAST(b.y AS DOUBLE)
+                                    - CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE))
+                                > 3.0 * sqrt(CAST(st.n * st.s2 - st.s1 * st.s1 AS DOUBLE)
+                                             / CAST(st.n * (st.n - 1) AS DOUBLE))
+                          THEN 1 ELSE 0 END AS a
+              FROM b JOIN st ON b.event_type = st.event_type AND b.hr = st.hr)
+        SELECT event_type, hr, count(*) AS n,
+               round(CAST(min(s1) AS DOUBLE) / CAST(min(n) AS DOUBLE) / 100.0, 6)
+                 AS mean_value,
+               CAST(sum(a) AS BIGINT) AS n_anomalies
+        FROM f GROUP BY event_type, hr ORDER BY event_type, hr""")),
+
+    // Blocked entity resolution over the part catalog — the record-
+    // linkage shape (blocking key → in-block pairwise verify) that
+    // q122's adjacent-pair edit distance only gestures at. Scale
+    // discipline: pairs are enumerated over DISTINCT entities
+    // (name, size) — bounded by the attribute vocabulary, NOT the row
+    // count — with per-entity row counts carried along; raw rows never
+    // self-join. Blocks are (noun, size); the match predicate is
+    // levenshtein over the adjectives (integer, both engines).
+    "q199_entity_resolution" -> QueryDef(
+      fn = (s, d) => {
+        val ents = t(s, d, "part")
+          .groupBy(col("p_name"), col("p_size").cast("int").as("p_size"))
+          .agg(count(lit(1)).as("__cnt"))
+          .select(col("p_name"), col("p_size"), col("__cnt"),
+            substring_index(col("p_name"), " ", 1).as("__adj"),
+            substring_index(col("p_name"), " ", -1).as("__noun"))
+        val a = ents.select(col("__noun"), col("p_size"),
+          col("p_name").as("name_a"), col("__adj").as("__adj_a"),
+          col("__cnt").as("n_a"))
+        val b = ents.select(col("__noun"), col("p_size"),
+          col("p_name").as("name_b"), col("__adj").as("__adj_b"),
+          col("__cnt").as("n_b"))
+        a.join(b, Seq("__noun", "p_size"))
+          .filter(col("name_a") < col("name_b"))
+          .filter(levenshtein(col("__adj_a"), col("__adj_b")) <= 2)
+          .select(col("p_size"), col("name_a"), col("name_b"),
+            levenshtein(col("__adj_a"), col("__adj_b")).cast("long").as("edit_dist"),
+            col("n_a"), col("n_b"))
+          .orderBy("p_size", "name_a", "name_b")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT p_name, CAST(p_size AS INT) AS p_size,
+                          count(*) AS cnt,
+                          split_part(p_name, ' ', 1) AS adj,
+                          split_part(p_name, ' ', 2) AS noun
+                   FROM part GROUP BY 1, 2)
+        SELECT a.p_size, a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.adj, b.adj) AS BIGINT) AS edit_dist,
+               a.cnt AS n_a, b.cnt AS n_b
+        FROM e a JOIN e b ON a.noun = b.noun AND a.p_size = b.p_size
+                         AND a.p_name < b.p_name
+        WHERE levenshtein(a.adj, b.adj) <= 2
+        ORDER BY 1, 2, 3""")),
+
+    // Vocabulary coverage / OOV-rate per source — the tokenizer-fit
+    // readout a training pipeline checks before committing a vocab:
+    // top-16 corpus vocabulary (TakeOrdered, count-then-token total
+    // order — 16 because the synthetic corpus holds only ~31 distinct
+    // tokens; a production run would use 32k-ish and the same plan),
+    // then each source's share of tokens falling outside it. The
+    // corpus explodes once and never shuffles row-wise: the vocab is
+    // broadcast back and both counters are one map-side agg.
+    "q200_vocab_oov" -> QueryDef(
+      fn = (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"), explode(TF2.tokens(col("text"))).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("__n"))
+          .orderBy(desc("__n"), asc("token")).limit(16)
+          .select(col("token"), lit(1L).as("__in_vocab"))
+        val marked = toks.join(broadcast(vocab), Seq("token"), "left")
+          .select(col("source"),
+            (lit(1L) - coalesce(col("__in_vocab"), lit(0L))).as("__oov"))
+        val perSource = marked.groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("__oov")).as("n_oov"))
+        val overall = marked
+          .agg(count(lit(1)).as("n_tokens"), sum(col("__oov")).as("n_oov"))
+          .select(lit("*").as("source"), col("n_tokens"), col("n_oov"))
+        perSource.unionByName(overall)
+          .select(col("source"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+              .as("oov_rate"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT source, unnest($toksSql) AS token FROM documents),
+        vocab AS (SELECT token FROM (
+                    SELECT token, count(*) AS n FROM toks GROUP BY token
+                    ORDER BY n DESC, token LIMIT 16)),
+        m AS (SELECT source,
+                     CASE WHEN token IN (SELECT token FROM vocab)
+                          THEN 0 ELSE 1 END AS oov
+              FROM toks),
+        g AS (SELECT source, count(*) AS n_tokens,
+                     CAST(sum(oov) AS BIGINT) AS n_oov
+              FROM m GROUP BY source
+              UNION ALL
+              SELECT '*', count(*), CAST(sum(oov) AS BIGINT) FROM m)
+        SELECT source, n_tokens, n_oov,
+               round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                 AS oov_rate
+        FROM g ORDER BY source""")),
+
+    // Inter-arrival profile per event type: the recency/cadence readout
+    // (session gap tuning, freshness SLAs). Gaps are EXACT integer
+    // microseconds between a user's consecutive events (one user-keyed
+    // window); per-type p50/p90 ride the pinned percentile ≡
+    // quantile_cont integer-interpolation parity (q54/q123). At 100 TB
+    // the swap-in is approx_percentile, same plan shape.
+    "q201_interarrival" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = t(s, d, "events")
+          .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+          .withColumn("__gap",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("__gap").isNotNull)
+        gaps.groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            round(expr("percentile(__gap, 0.5)") / 1000000.0, 6).as("p50_gap_s"),
+            round(expr("percentile(__gap, 0.9)") / 1000000.0, 6).as("p90_gap_s"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT event_type,
+                          epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                   FROM events)
+        SELECT event_type, count(*) AS n_gaps,
+               round(quantile_cont(gap, 0.5) / 1000000.0, 6) AS p50_gap_s,
+               round(quantile_cont(gap, 0.9) / 1000000.0, 6) AS p90_gap_s
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // Rate-spike (burst) detection: per-minute event counts per type,
+    // judged against that type's own per-minute distribution — q198's
+    // sibling on the RATE axis (counts, not values; time buckets, not
+    // seasonal buckets). All moments are exact integer sums over minute
+    // counts; the top burst minute is a deterministic in-type argmax
+    // (count desc, minute asc). State is O(types x minutes) — the
+    // corpus aggregates away in the first pass.
+    "q202_burst_detection" -> QueryDef(
+      fn = (s, d) => {
+        val cnt = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("__m"))
+          .agg(count(lit(1)).as("__c"))
+          .localCheckpoint(eager = true) // stats + argmax + census share it
+        val stats = cnt.groupBy("event_type")
+          .agg(count(lit(1)).as("n_minutes"), sum(col("__c")).as("__s1"),
+            sum(col("__c") * col("__c")).as("__s2"))
+        val mean = col("__s1").cast("double") / col("n_minutes").cast("double")
+        val stdv = sqrt((col("n_minutes") * col("__s2") - col("__s1") * col("__s1")).cast("double")
+          / (col("n_minutes") * (col("n_minutes") - 1)).cast("double"))
+        val top = cnt.withColumn("__rn",
+            row_number().over(Window.partitionBy(col("event_type"))
+              .orderBy(col("__c").desc, col("__m").asc)))
+          .filter(col("__rn") === 1)
+          .select(col("event_type"), col("__m").as("peak_minute"),
+            col("__c").as("peak_count"))
+        val bursts = cnt.join(broadcast(stats), "event_type")
+          .select(col("event_type"),
+            when(col("n_minutes") > 1 && stdv > 0.0
+              && col("__c").cast("double") > mean + lit(3.0) * stdv, 1L)
+              .otherwise(0L).as("__b"))
+          .groupBy("event_type").agg(sum(col("__b")).as("n_bursts"))
+        stats.join(bursts, "event_type").join(top, "event_type")
+          .select(col("event_type"), col("n_minutes"),
+            round(mean, 6).as("mean_per_minute"), col("n_bursts"),
+            col("peak_minute"), col("peak_count"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT event_type, date_trunc('minute', ts) AS m,
+                          count(*) AS cc
+                   FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type, count(*) AS n_minutes,
+                      CAST(sum(cc) AS BIGINT) AS s1,
+                      CAST(sum(cc * cc) AS BIGINT) AS s2
+               FROM c GROUP BY 1),
+        tp AS (SELECT event_type, m AS peak_minute, cc AS peak_count
+               FROM (SELECT event_type, m, cc,
+                            row_number() OVER (PARTITION BY event_type
+                              ORDER BY cc DESC, m ASC) AS rn
+                     FROM c) WHERE rn = 1),
+        bu AS (SELECT c.event_type,
+                      CAST(sum(CASE WHEN st.n_minutes > 1
+                        AND sqrt(CAST(st.n_minutes * st.s2 - st.s1 * st.s1 AS DOUBLE)
+                                 / CAST(st.n_minutes * (st.n_minutes - 1) AS DOUBLE)) > 0.0
+                        AND CAST(c.cc AS DOUBLE)
+                            > CAST(st.s1 AS DOUBLE) / CAST(st.n_minutes AS DOUBLE)
+                              + 3.0 * sqrt(CAST(st.n_minutes * st.s2 - st.s1 * st.s1 AS DOUBLE)
+                                           / CAST(st.n_minutes * (st.n_minutes - 1) AS DOUBLE))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts
+               FROM c JOIN st ON c.event_type = st.event_type
+               GROUP BY c.event_type)
+        SELECT st.event_type, st.n_minutes,
+               round(CAST(st.s1 AS DOUBLE) / CAST(st.n_minutes AS DOUBLE), 6)
+                 AS mean_per_minute,
+               bu.n_bursts, tp.peak_minute, tp.peak_count
+        FROM st JOIN bu ON st.event_type = bu.event_type
+                JOIN tp ON st.event_type = tp.event_type
+        ORDER BY 1""")),
+
+    // Inter-annotator agreement (Cohen's kappa) between the ground-truth
+    // lang column and the marker-based langId heuristic — q188's
+    // confusion matrix collapsed to the chance-corrected scalar every
+    // labeling pipeline reports. kappa = (N*agree - sum_c nt_c*np_c) /
+    // (N^2 - sum_c nt_c*np_c): EXACT integers until the one division
+    // (the per-class product sum is an integer aggregate — order-free).
+    // At 100 TB the longs become decimal(38,0); shape is unchanged.
+    "q203_cohens_kappa" -> QueryDef(
+      fn = (s, d) => {
+        val cm = t(s, d, "documents")
+          .select(col("lang"), TF2.langId(col("text")).as("__guess"))
+          .groupBy("lang", "__guess").agg(count(lit(1)).as("__n"))
+          .localCheckpoint(eager = true) // 3 small readers, one scan
+        val nTrue = cm.groupBy("lang").agg(sum(col("__n")).as("__nt"))
+        val nPred = cm.groupBy("__guess").agg(sum(col("__n")).as("__np"))
+        val peNum = nTrue.join(nPred, nTrue("lang") === nPred("__guess"))
+          .agg(coalesce(sum(col("__nt") * col("__np")), lit(0L)).as("__pe_num"))
+        val totals = cm.agg(sum(col("__n")).as("__nn"),
+          sum(when(col("lang") === col("__guess"), col("__n"))
+            .otherwise(0L)).as("__agree"))
+        totals.crossJoin(broadcast(peNum))
+          .select(col("__nn").as("n"), col("__agree").as("n_agree"),
+            round(col("__agree").cast("double") / col("__nn").cast("double"), 6)
+              .as("po"),
+            round(col("__pe_num").cast("double")
+              / (col("__nn") * col("__nn")).cast("double"), 6).as("pe"),
+            round((col("__nn") * col("__agree") - col("__pe_num")).cast("double")
+              / (col("__nn") * col("__nn") - col("__pe_num")).cast("double"), 6)
+              .as("kappa"))
+      },
+      oracle = Some(s"""
+        WITH cm AS (SELECT lang, lang_guess AS g, count(*) AS n
+                    FROM ($langIdSql) GROUP BY 1, 2),
+        nt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS ntc FROM cm GROUP BY 1),
+        np AS (SELECT g, CAST(sum(n) AS BIGINT) AS npc FROM cm GROUP BY 1),
+        pe AS (SELECT coalesce(CAST(sum(nt.ntc * np.npc) AS BIGINT), 0) AS pe_num
+               FROM nt JOIN np ON nt.lang = np.g),
+        tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                      CAST(sum(CASE WHEN lang = g THEN n ELSE 0 END) AS BIGINT)
+                        AS agree
+               FROM cm)
+        SELECT nn AS n, agree AS n_agree,
+               round(CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS po,
+               round(CAST(pe_num AS DOUBLE) / CAST(nn * nn AS DOUBLE), 6) AS pe,
+               round(CAST(nn * agree - pe_num AS DOUBLE)
+                     / CAST(nn * nn - pe_num AS DOUBLE), 6) AS kappa
+        FROM tt CROSS JOIN pe""")),
   )
 }
