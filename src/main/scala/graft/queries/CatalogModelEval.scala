@@ -716,5 +716,377 @@ private[queries] object CatalogModelEval {
                round(CAST(nn * agree - pe_num AS DOUBLE)
                      / CAST(nn * nn - pe_num AS DOUBLE), 6) AS kappa
         FROM tt CROSS JOIN pe""")),
+
+    // Curation attrition funnel — the per-rule survivor waterfall every
+    // corpus-curation report leads with (q63 emits the survivors; THIS
+    // explains where the rest went). All five rule flags are computed
+    // in ONE scan as cumulative booleans (each stage ANDs its
+    // predecessors — a doc failing min_len never reaches the lang
+    // test), aggregated as conditional counts plus one distinct-
+    // fingerprint count for the final dedup stage; the 1-row aggregate
+    // unpivots into the 6-stage report via stack(). Rule formulas are
+    // the SHARED Scala/SQL quality-langId-repetition helpers, so the
+    // funnel cannot drift from q21/q22/q154.
+    "q204_curation_funnel" -> QueryDef(
+      fn = (s, d) => {
+        val toks = TF2.tokenCount(col("text"))
+        val gs = TF2.shingles(col("text"), 3)
+        val rep = lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs)
+        val f1 = toks >= 20
+        val f2 = f1 && TF2.langId(col("text")) === "en"
+        val f3 = f2 && TF2.qualityScore(col("text"), TF2.langMarkers("en")) >= 0.6
+        val f4 = f3 && rep < 0.01
+        val agg = t(s, d, "documents")
+          .select(col("text"), TF2.fingerprint(col("text")).as("__fp"),
+            f1.as("__f1"), f2.as("__f2"), f3.as("__f3"), f4.as("__f4"))
+          .agg(count(lit(1)).as("n0"),
+            sum(when(col("__f1"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("__f2"), 1L).otherwise(0L)).as("n2"),
+            sum(when(col("__f3"), 1L).otherwise(0L)).as("n3"),
+            sum(when(col("__f4"), 1L).otherwise(0L)).as("n4"),
+            countDistinct(when(col("__f4"), col("__fp"))).as("n5"))
+        agg.selectExpr(
+          """stack(6,
+               0, 'total',        n0,
+               1, 'min_len_20',   n1,
+               2, 'lang_en',      n2,
+               3, 'quality_0_6',  n3,
+               4, 'low_repeat',   n4,
+               5, 'exact_dedup',  n5) AS (stage, rule, n_docs)""")
+          .select(col("stage").cast("int").as("stage"), col("rule"),
+            col("n_docs"))
+          .orderBy("stage")
+      },
+      oracle = Some {
+        val langs = graft.functions.TextFunctions.langMarkers.toSeq.sortBy(_._1)
+        val scores = langs.map { case (l, ws) => s"${hitCountSql(ws)} AS s_$l" }.mkString(", ")
+        val best = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val cases = langs.map { case (l, _) => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'" }.mkString(" ")
+        s"""
+        WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        q AS (SELECT doc_id, $qualityExprSql AS quality FROM ($qualityInnerSql)),
+        lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess
+                 FROM (SELECT doc_id, $scores, $best AS best FROM base)),
+        rep AS (SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN 1.0 -
+                         CAST(len(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                           AS DOUBLE)
+                         / len(list_transform(generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       END AS rep_ratio
+                FROM base),
+        f AS (SELECT base.doc_id,
+                     md5(array_to_string(base.toks, ' ')) AS fp,
+                     len(base.toks) >= 20 AS f1,
+                     len(base.toks) >= 20 AND lang.lang_guess = 'en' AS f2,
+                     len(base.toks) >= 20 AND lang.lang_guess = 'en'
+                       AND q.quality >= 0.6 AS f3,
+                     len(base.toks) >= 20 AND lang.lang_guess = 'en'
+                       AND q.quality >= 0.6
+                       AND rep.rep_ratio < 0.01 AS f4
+              FROM base JOIN q ON base.doc_id = q.doc_id
+                        JOIN lang ON base.doc_id = lang.doc_id
+                        JOIN rep ON base.doc_id = rep.doc_id),
+        a AS (SELECT count(*) AS n0,
+                     CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                     CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                     CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+                     CAST(count(DISTINCT CASE WHEN f4 THEN fp END) AS BIGINT) AS n5
+              FROM f)
+        SELECT CAST(0 AS INT) AS stage, 'total' AS rule, n0 AS n_docs FROM a
+        UNION ALL SELECT 1, 'min_len_20', n1 FROM a
+        UNION ALL SELECT 2, 'lang_en', n2 FROM a
+        UNION ALL SELECT 3, 'quality_0_6', n3 FROM a
+        UNION ALL SELECT 4, 'low_repeat', n4 FROM a
+        UNION ALL SELECT 5, 'exact_dedup', n5 FROM a
+        ORDER BY stage"""
+      }),
+
+    // Pairwise audience overlap — the distinct-user Jaccard between
+    // every pair of event-type HIGH-SPEND audiences (users whose total
+    // value for that type exceeds the type's per-user median — the "do
+    // my premium segments overlap" readout before mixing cohorts; raw
+    // participation is uninformative on this corpus, every user does
+    // every type). EXACT set arithmetic: per-(type,user) cent totals
+    // aggregate once, the median rides the pinned percentile ≡
+    // quantile_cont integer parity (q54/q123), audiences anti-cut by a
+    // broadcast 5-row threshold, and the pair join is per-user (fanout
+    // bounded by |types|^2 = 25, never row x row).
+    "q205_audience_overlap" -> QueryDef(
+      fn = (s, d) => {
+        val spend = t(s, d, "events").filter(col("value").isNotNull)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(cents(col("value"))).as("__sp"))
+          .localCheckpoint(eager = true) // median + audience cut share it
+        val med = spend.groupBy("event_type")
+          .agg(expr("percentile(__sp, 0.5)").as("__med"))
+        val ut = spend.join(broadcast(med), "event_type")
+          .filter(col("__sp").cast("double") > col("__med"))
+          .select(col("event_type"), col("user_id"))
+          .localCheckpoint(eager = true) // pair join + sizes share it
+        val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("__sz"))
+        val a = ut.select(col("event_type").as("type_a"), col("user_id"))
+        val b = ut.select(col("event_type").as("type_b"), col("user_id"))
+        val both = a.join(b, "user_id")
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+        both
+          .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+            .withColumnRenamed("__sz", "n_a")), "type_a")
+          .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+            .withColumnRenamed("__sz", "n_b")), "type_b")
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            round(col("n_both").cast("double")
+              / (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy("type_a", "type_b")
+      },
+      oracle = Some(s"""
+        WITH sp AS (SELECT event_type, user_id,
+                           CAST(sum(${centsSql("value")}) AS BIGINT) AS spend
+                    FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        md AS (SELECT event_type, quantile_cont(spend, 0.5) AS med
+               FROM sp GROUP BY 1),
+        ut AS (SELECT sp.event_type, sp.user_id
+               FROM sp JOIN md ON sp.event_type = md.event_type
+               WHERE CAST(sp.spend AS DOUBLE) > md.med),
+        sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        bo AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      count(*) AS n_both
+               FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                  AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+        SELECT bo.type_a, bo.type_b,
+               sa.n AS n_a, sb.n AS n_b, bo.n_both,
+               round(CAST(bo.n_both AS DOUBLE)
+                     / CAST(sa.n + sb.n - bo.n_both AS DOUBLE), 6) AS jaccard
+        FROM bo JOIN sz sa ON bo.type_a = sa.event_type
+                JOIN sz sb ON bo.type_b = sb.event_type
+        ORDER BY 1, 2""")),
+
+    // Corpus datasheet — the per-source summary card (docs, tokens,
+    // mean quality, language mix, duplicate rate) a dataset release
+    // ships ("datasheets for datasets"). ONE pass over the corpus;
+    // mean quality rides the 1e-4 SNAP (per-doc quality is the shared
+    // 4dp-rounded double — identical in both engines — scaled to an
+    // exact long BEFORE the cross-row sum, so no FP association), the
+    // rest is exact counting. Output is O(sources).
+    "q206_corpus_datasheet" -> QueryDef(
+      fn = (s, d) => {
+        val q = TF2.qualityScore(col("text"), TF2.langMarkers("en"))
+        val base = t(s, d, "documents")
+          .select(col("source"),
+            TF2.tokenCount(col("text")).as("__tk"),
+            floor(q * 10000.0 + 0.5).cast("long").as("__q4"),
+            (TF2.langId(col("text")) === "en").cast("long").as("__en"),
+            TF2.fingerprint(col("text")).as("__fp"))
+        def report(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+          .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"),
+            sum(col("__q4")).as("__sq"), sum(col("__en")).as("__ne"),
+            countDistinct(col("__fp")).as("__nfp"))
+        val per = report(base.groupBy("source"))
+        val all = report(base.groupBy()).select(lit("*").as("source"),
+          col("n_docs"), col("n_tokens"), col("__sq"), col("__ne"), col("__nfp"))
+        per.unionByName(all)
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("__sq").cast("double")
+              / col("n_docs").cast("double") / 10000.0, 6).as("mean_quality"),
+            round(col("__ne").cast("double") / col("n_docs").cast("double"), 6)
+              .as("share_en"),
+            round(lit(1.0) - col("__nfp").cast("double")
+              / col("n_docs").cast("double"), 6).as("dup_rate"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        val langs = graft.functions.TextFunctions.langMarkers.toSeq.sortBy(_._1)
+        val scores = langs.map { case (l, ws) => s"${hitCountSql(ws)} AS s_$l" }.mkString(", ")
+        val best = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val cases = langs.map { case (l, _) => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'" }.mkString(" ")
+        s"""
+        WITH base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+        q AS (SELECT doc_id, $qualityExprSql AS quality FROM ($qualityInnerSql)),
+        lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess
+                 FROM (SELECT doc_id, $scores, $best AS best FROM base)),
+        r AS (SELECT base.source, len(base.toks) AS tk,
+                     CAST(floor(q.quality * 10000.0 + 0.5) AS BIGINT) AS q4,
+                     CASE WHEN lang.lang_guess = 'en' THEN 1 ELSE 0 END AS en,
+                     md5(array_to_string(base.toks, ' ')) AS fp
+              FROM base JOIN q ON base.doc_id = q.doc_id
+                        JOIN lang ON base.doc_id = lang.doc_id),
+        g AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(tk) AS BIGINT) AS n_tokens,
+                     CAST(sum(q4) AS BIGINT) AS sq,
+                     CAST(sum(en) AS BIGINT) AS ne,
+                     CAST(count(DISTINCT fp) AS BIGINT) AS nfp
+              FROM r GROUP BY source
+              UNION ALL
+              SELECT '*', count(*), CAST(sum(tk) AS BIGINT),
+                     CAST(sum(q4) AS BIGINT), CAST(sum(en) AS BIGINT),
+                     CAST(count(DISTINCT fp) AS BIGINT)
+              FROM r)
+        SELECT source, n_docs, n_tokens,
+               round(CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE) / 10000.0, 6)
+                 AS mean_quality,
+               round(CAST(ne AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS share_en,
+               round(1.0 - CAST(nfp AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                 AS dup_rate
+        FROM g ORDER BY source"""
+      }),
+
+    // Item-item cosine similarity from co-occurrence (the classic
+    // item-based collaborative-filtering score): q174's raw pair
+    // support NORMALIZED by item popularity — cos(i,j) = co-baskets /
+    // sqrt(baskets_i * baskets_j) — so ubiquitous items stop dominating.
+    // Everything is exact integers until the one sqrt+division (fixed
+    // order, identical both engines); top-20 is a TakeOrdered with
+    // full id tie-break. Item sizes broadcast onto the bounded pair
+    // frame; baskets never self-join beyond the Apriori-pruned q174 op.
+    "q207_item_cosine" -> QueryDef(
+      fn = (s, d) => {
+        val po = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+          .localCheckpoint(eager = true) // pairs + item sizes share it
+        val sizes = po.groupBy("i").agg(count(lit(1)).as("__n"))
+        val pairs = graft.ops.Baskets.frequentItemPairs(po, "b", "i", 2L)
+        pairs
+          .join(broadcast(sizes.select(col("i").as("item_a"), col("__n").as("n_a"))),
+            "item_a")
+          .join(broadcast(sizes.select(col("i").as("item_b"), col("__n").as("n_b"))),
+            "item_b")
+          .select(col("item_a"), col("item_b"), col("support"),
+            col("n_a"), col("n_b"),
+            round(col("support").cast("double")
+              / sqrt((col("n_a") * col("n_b")).cast("double")), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH po AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        sz AS (SELECT i, count(*) AS n FROM po GROUP BY 1),
+        e AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS support
+              FROM po a JOIN po b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT e.item_a, e.item_b, e.support, sa.n AS n_a, sb.n AS n_b,
+               round(CAST(e.support AS DOUBLE)
+                     / sqrt(CAST(sa.n * sb.n AS DOUBLE)), 6) AS cosine
+        FROM e JOIN sz sa ON e.item_a = sa.i
+               JOIN sz sb ON e.item_b = sb.i
+        ORDER BY cosine DESC, item_a, item_b LIMIT 20""")),
+
+    // Weight-of-evidence feature binning — the credit-scoring /
+    // feature-engineering encode (quantile bins -> per-bin ln(pos
+    // share / neg share)). Bins are exact quartiles of the INTEGER
+    // quantity axis (pinned percentile ≡ quantile_cont parity, one
+    // 1-row broadcast); the WOE of each bin is ln() OF AN EXACT
+    // INTEGER RATIONAL (pos_b·neg_tot)/(neg_b·pos_tot) — the q169
+    // bit-replayable-transcendental rule — and the IV contribution is
+    // emitted PER BIN (no cross-bin double sum). One scan + one
+    // 4-group agg.
+    "q208_woe_binning" -> QueryDef(
+      fn = (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("__q"),
+            (col("l_returnflag") === "R").cast("long").as("__pos"))
+          .localCheckpoint(eager = true) // quartiles + binning share it
+        val qs = li.agg(
+          expr("percentile(__q, 0.25)").as("__q1"),
+          expr("percentile(__q, 0.5)").as("__q2"),
+          expr("percentile(__q, 0.75)").as("__q3"))
+        val binned = li.crossJoin(broadcast(qs))
+          .select(when(col("__q").cast("double") <= col("__q1"), 0)
+            .when(col("__q").cast("double") <= col("__q2"), 1)
+            .when(col("__q").cast("double") <= col("__q3"), 2)
+            .otherwise(3).cast("int").as("bin"), col("__pos"))
+        val perBin = binned.groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("__pos")).as("n_pos"))
+          .withColumn("n_neg", col("n") - col("n_pos"))
+        val tot = perBin.agg(sum(col("n_pos")).as("__pt"),
+          sum(col("n_neg")).as("__nt"))
+        perBin.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+            round(log((col("n_pos") * col("__nt")).cast("double")
+              / (col("n_neg") * col("__pt")).cast("double")), 6).as("woe"),
+            round((col("n_pos").cast("double") / col("__pt").cast("double")
+              - col("n_neg").cast("double") / col("__nt").cast("double"))
+              * log((col("n_pos") * col("__nt")).cast("double")
+                / (col("n_neg") * col("__pt")).cast("double")), 6)
+              .as("iv_contrib"))
+          .orderBy("bin")
+      },
+      oracle = Some("""
+        WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+                    FROM lineitem),
+        qs AS (SELECT quantile_cont(q, 0.25) AS q1, quantile_cont(q, 0.5) AS q2,
+                      quantile_cont(q, 0.75) AS q3 FROM li),
+        b AS (SELECT CASE WHEN CAST(q AS DOUBLE) <= qs.q1 THEN 0
+                          WHEN CAST(q AS DOUBLE) <= qs.q2 THEN 1
+                          WHEN CAST(q AS DOUBLE) <= qs.q3 THEN 2
+                          ELSE 3 END AS bin, pos
+              FROM li CROSS JOIN qs),
+        pb AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+                      count(*) - CAST(sum(pos) AS BIGINT) AS n_neg
+               FROM b GROUP BY bin),
+        tt AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pt,
+                      CAST(sum(n_neg) AS BIGINT) AS nt FROM pb)
+        SELECT CAST(bin AS INT) AS bin, n, n_pos, n_neg,
+               round(ln(CAST(n_pos * tt.nt AS DOUBLE)
+                        / CAST(n_neg * tt.pt AS DOUBLE)), 6) AS woe,
+               round((CAST(n_pos AS DOUBLE) / CAST(tt.pt AS DOUBLE)
+                      - CAST(n_neg AS DOUBLE) / CAST(tt.nt AS DOUBLE))
+                     * ln(CAST(n_pos * tt.nt AS DOUBLE)
+                          / CAST(n_neg * tt.pt AS DOUBLE)), 6) AS iv_contrib
+        FROM pb CROSS JOIN tt ORDER BY bin""")),
+
+    // CUSUM change-point detection over the daily revenue series — the
+    // "did the metric shift and WHEN" monitor. The cumulative deviation
+    // is kept EXACT by scaling: C_k = D·Σ_{i≤k} s_i − k·S_tot (all
+    // integer cents — same argmax as the rational mean-deviation
+    // cusum); the peak day is a deterministic argmax (|C| desc, day
+    // asc). The corpus aggregates to O(days) in pass one; the cumsum
+    // window rides the tiny day frame.
+    "q209_cusum_changepoint" -> QueryDef(
+      fn = (s, d) => {
+        val daily = t(s, d, "events").filter(col("value").isNotNull)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(cents(col("value"))).as("__s"))
+          .localCheckpoint(eager = true) // totals + cumsum share it
+        val tot = daily.agg(count(lit(1)).as("__dd"), sum(col("__s")).as("__st"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withC = daily.crossJoin(broadcast(tot))
+          .withColumn("__k", count(lit(1)).over(w))
+          .withColumn("cusum_scaled",
+            col("__dd") * sum(col("__s")).over(w) - col("__k") * col("__st"))
+        val peak = withC
+          .select(max(abs(col("cusum_scaled"))).as("__peak"))
+        withC.crossJoin(broadcast(peak))
+          .select(col("day"),
+            round(col("__s").cast("double") / 100.0, 2).as("day_revenue"),
+            col("cusum_scaled"),
+            (abs(col("cusum_scaled")) === col("__peak")).as("is_changepoint"))
+          .orderBy("day")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(sum(${centsSql("value")}) AS BIGINT) AS s
+                       FROM events WHERE value IS NOT NULL GROUP BY 1),
+        tot AS (SELECT count(*) AS dd, CAST(sum(s) AS BIGINT) AS st FROM daily),
+        c AS (SELECT day, s,
+                     tot.dd * CAST(sum(s) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT)
+                       - (row_number() OVER (ORDER BY day)) * tot.st
+                       AS cusum_scaled
+              FROM daily CROSS JOIN tot),
+        pk AS (SELECT max(abs(cusum_scaled)) AS peak FROM c)
+        SELECT day, round(CAST(s AS DOUBLE) / 100.0, 2) AS day_revenue,
+               cusum_scaled,
+               abs(cusum_scaled) = pk.peak AS is_changepoint
+        FROM c CROSS JOIN pk ORDER BY day""")),
   )
 }
