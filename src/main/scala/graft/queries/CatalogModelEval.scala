@@ -227,9 +227,12 @@ private[queries] object CatalogModelEval {
         val perArm = base.groupBy(col("__arm").as("arm"))
           .agg(count(lit(1)).as("n_logged"), sum(col("__m")).as("n_matched"),
             sum(col("__m") * col("__y")).as("__s"))
-        val overall = base
-          .agg(count(lit(1)).as("n_logged"), sum(col("__m")).as("n_matched"),
-            sum(col("__m") * col("__y")).as("__s"))
+          .localCheckpoint(eager = true) // 2 rows; union + overall share it
+        // the overall row re-aggregates the 2-row per-arm frame (exact
+        // long sums compose) — ONE corpus scan, not two
+        val overall = perArm
+          .agg(sum(col("n_logged")).as("n_logged"),
+            sum(col("n_matched")).as("n_matched"), sum(col("__s")).as("__s"))
           .select(lit("*").as("arm"), col("n_logged"), col("n_matched"), col("__s"))
         perArm.unionByName(overall)
           .select(col("arm"), col("n_logged"), col("n_matched"),
@@ -375,6 +378,7 @@ private[queries] object CatalogModelEval {
             foldCol.as("fold"), y.as("__y"))
         val cf = base.groupBy("__cat", "fold")
           .agg(count(lit(1)).as("__n_cf"), sum(col("__y")).as("__s_cf"))
+          .localCheckpoint(eager = true) // cats x folds rows; feeds c AND train
         val c = cf.groupBy("__cat")
           .agg(sum(col("__n_cf")).as("__n_c"), sum(col("__s_cf")).as("__s_c"))
         val train = cf.join(c, "__cat")
@@ -540,8 +544,11 @@ private[queries] object CatalogModelEval {
             (lit(1L) - coalesce(col("__in_vocab"), lit(0L))).as("__oov"))
         val perSource = marked.groupBy("source")
           .agg(count(lit(1)).as("n_tokens"), sum(col("__oov")).as("n_oov"))
-        val overall = marked
-          .agg(count(lit(1)).as("n_tokens"), sum(col("__oov")).as("n_oov"))
+          .localCheckpoint(eager = true) // O(sources); union + overall share it
+        // overall = re-aggregated per-source counts (exact longs
+        // compose) — the corpus explodes/joins ONCE, not twice
+        val overall = perSource
+          .agg(sum(col("n_tokens")).as("n_tokens"), sum(col("n_oov")).as("n_oov"))
           .select(lit("*").as("source"), col("n_tokens"), col("n_oov"))
         perSource.unionByName(overall)
           .select(col("source"), col("n_tokens"), col("n_oov"),
@@ -884,6 +891,11 @@ private[queries] object CatalogModelEval {
             floor(q * 10000.0 + 0.5).cast("long").as("__q4"),
             (TF2.langId(col("text")) === "en").cast("long").as("__en"),
             TF2.fingerprint(col("text")).as("__fp"))
+          // the '*' row needs a GLOBAL distinct-fingerprint count (not
+          // composable from per-source distincts when dupes cross
+          // sources), so two aggregation passes are inherent — pin the
+          // text pipeline so quality/langId/fingerprint run ONCE
+          .localCheckpoint(eager = true)
         def report(g: org.apache.spark.sql.RelationalGroupedDataset) = g
           .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"),
             sum(col("__q4")).as("__sq"), sum(col("__en")).as("__ne"),

@@ -618,6 +618,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q196: ridge regression is ONE scan + ONE partial aggregate, no joins") {
+    val plan = planOf("q196_ridge_regression")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q204: the five-rule funnel is ONE corpus scan") {
+    val plan = planOf("q204_curation_funnel")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q195/q200: the overall row re-aggregates the per-group frame (one corpus pass)") {
+    Seq("q195_ips_policy_eval" -> 1, "q200_vocab_oov" -> 2).foreach {
+      case (q, maxScans) =>
+        val plan = planOf(q)
+        val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+        assert(scans <= maxScans, s"$q: expected <= $maxScans scans, got $scans:\n$plan")
+    }
+  }
+
+  test("q197: k-fold train stats ride a broadcast back onto the corpus") {
+    val plan = planOf("q197_kfold_cv")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans <= 2, s"expected <= 2 scans (cf pass + join pass), got $scans:\n$plan")
+  }
+
+  test("q193/q207/q209: checkpointed iteratives end with no parquet rescans") {
+    Seq("q193_cheapest_path", "q207_item_cosine", "q209_cusum_changepoint")
+      .foreach { q =>
+        val plan = planOf(q)
+        val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+        assert(scans == 0, s"$q: expected 0 parquet scans post-checkpoint, got $scans:\n$plan")
+        assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      }
+  }
+
+  test("q192: lags and the last-row pick share one user-keyed exchange") {
+    val plan = planOf("q192_ewma_forecast")
+    val exchanges = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    // one hashpartitioning(user_id) feeding both window sorts + the
+    // output range sort — a re-exchange between the windows would be 3+
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
