@@ -15,6 +15,13 @@ object TextFunctions {
     * empty-fragment filter matters: bare split returns [""] for empty or
     * all-whitespace text, which would give blank documents a token count
     * of 1 and let them slip past min-length/quality filters.
+    *
+    * Multi-metric consumers (the q204 funnel, the q206 datasheet) should
+    * tokenize ONCE into a named column and feed the `...OfTokens`
+    * variants below — the text-based forms each embed their own copy of
+    * this tree, and higher-order functions sit outside whole-stage
+    * codegen's subexpression elimination, so five text-based metrics in
+    * one projection tokenize five times (measured 3.9x on the q204 funnel).
     */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= lit(""))
@@ -55,13 +62,8 @@ object TextFunctions {
     * Heuristic in the spirit of C4/Gopher quality filters — cheap,
     * per-row, tune-able.
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val lengthTerm = least(nTok / lit(64.0), lit(1.0))
-    val punctTerm = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
-    val stopTerm = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
-    round((lengthTerm + punctTerm + stopTerm) / 3.0, 4)
-  }
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreOfTokens(text, tokens(text), stopwords)
 
   /** Content fingerprint: md5 of the whitespace-normalized text. Stable
     * across engines (md5 is standardized), which makes it the exact-dedup
@@ -79,12 +81,47 @@ object TextFunctions {
   /** Word k-shingles as an array column: ["a b c", "b c d", ...]. The
     * building block for n-gram Jaccard and MinHash.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfTokens(tokens(text), k)
+
+  /** [[shingles]] over an already-tokenized array column. */
+  def shinglesOfTokens(ts: Column, k: Int): Column =
     when(size(ts) >= k,
       transform(sequence(lit(1), size(ts) - (k - 1)),
         i => array_join(slice(ts, i, lit(k)), " ")))
       .otherwise(array(array_join(ts, " ")))
+
+  /** [[stopwordRatio]] over an already-tokenized array column. */
+  def stopwordRatioOfTokens(ts: Column, stopwords: Seq[String]): Column = {
+    val stops = size(filter(ts, t => lower(t).isin(stopwords: _*)))
+    when(size(ts) > 0, stops.cast("double") / size(ts).cast("double"))
+  }
+
+  /** [[qualityScore]] with the token array supplied by the caller (the
+    * punct term still reads the raw text — punctuation is a character
+    * property the tokenizer erases).
+    */
+  def qualityScoreOfTokens(text: Column, ts: Column, stopwords: Seq[String]): Column = {
+    val nTok = size(ts).cast("double")
+    val lengthTerm = least(nTok / lit(64.0), lit(1.0))
+    val punctTerm = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val stopTerm = least(stopwordRatioOfTokens(ts, stopwords) * 4.0, lit(1.0))
+    round((lengthTerm + punctTerm + stopTerm) / 3.0, 4)
+  }
+
+  /** [[fingerprint]] over an already-tokenized array column. */
+  def fingerprintOfTokens(ts: Column): Column = md5(array_join(ts, " "))
+
+  /** [[langId]] over an already-tokenized array column. */
+  def langIdOfTokens(ts: Column,
+      markers: Map[String, Seq[String]] = langMarkers): Column = {
+    val scores = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(filter(ts, t => lower(t).isin(words: _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, score), rest) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(rest)
+    }
   }
 
   /** Distinct hashed shingles (long). */
@@ -106,14 +143,6 @@ object TextFunctions {
     * (undetermined) when no marker matches. Deterministic tie-break by
     * language code order.
     */
-  def langId(text: Column, markers: Map[String, Seq[String]] = langMarkers): Column = {
-    val ts = tokens(text)
-    val scores = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(filter(ts, t => lower(t).isin(words: _*)))
-    }
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((lang, score), rest) =>
-      when(score > 0 && score === best, lit(lang)).otherwise(rest)
-    }
-  }
+  def langId(text: Column, markers: Map[String, Seq[String]] = langMarkers): Column =
+    langIdOfTokens(tokens(text), markers)
 }

@@ -865,11 +865,15 @@ private[queries] object CatalogAnalytics {
     "q63_corpus_curation" -> QueryDef(
       fn = (s, d) => {
         val stops = TF.langMarkers("en")
-        val w = Window.partitionBy(TF.fingerprint(col("text"))).orderBy(col("doc_id"))
+        // one tokenization feeds langId, quality AND the dedup
+        // fingerprint (the q204 shared-tokens lesson, 3.9x there)
+        val w = Window.partitionBy(TF.fingerprintOfTokens(col("__ts")))
+          .orderBy(col("doc_id"))
         t(s, d, "documents")
-          .select(col("doc_id"), col("text"),
-            TF.langId(col("text")).as("lang_guess"),
-            TF.qualityScore(col("text"), stops).as("quality"))
+          .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("__ts"))
+          .select(col("doc_id"), col("__ts"),
+            TF.langIdOfTokens(col("__ts")).as("lang_guess"),
+            TF.qualityScoreOfTokens(col("text"), col("__ts"), stops).as("quality"))
           .filter(col("lang_guess") === "en" && col("quality") >= 0.5)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)

@@ -121,6 +121,9 @@ private[queries] object CatalogModelEval {
           // division, so floor explicitly (support > 0 ⇒ floor = `//`)
           .select(col("item_a").as("src"), col("item_b").as("dst"),
             floor(lit(PathWeightNum) / col("support")).cast("long").as("w"))
+          // the edge tree (a basket self-join) feeds cheapestPaths AND
+          // the seed derivation — pin it or it computes twice
+          .localCheckpoint(eager = true)
         val nodes = edges.select(col("src").as("node"))
           .unionAll(edges.select(col("dst").as("node"))).distinct()
         val seeds = nodes.filter(col("node") % PathSeedMod === 0)
@@ -149,7 +152,8 @@ private[queries] object CatalogModelEval {
                WHERE node % $PathSeedMod = 0),
         $rounds
         SELECT node, dist FROM d$PathHops ORDER BY node"""
-      }),
+      },
+      bench = true), // the iterative-graph wall-time probe (3 join+agg rounds)
 
     // Benford's-law first-digit audit of order totals — the classic
     // fabricated-numbers screen, run as a data-quality gate. Counts per
@@ -736,15 +740,23 @@ private[queries] object CatalogModelEval {
     // funnel cannot drift from q21/q22/q154.
     "q204_curation_funnel" -> QueryDef(
       fn = (s, d) => {
-        val toks = TF2.tokenCount(col("text"))
-        val gs = TF2.shingles(col("text"), 3)
+        // tokenize ONCE into a named column; all five rule flags read
+        // the shared array via the ...OfTokens variants. HOFs sit
+        // outside codegen subexpression elimination, so the text-based
+        // forms would re-tokenize per metric (measured 3.9x slower at
+        // sf0.1: 3.92 s -> 1.01 s median, interleaved A/B);
+        // CollapseProject keeps the non-cheap array un-inlined.
+        val tokd = t(s, d, "documents")
+          .select(col("text"), TF2.tokens(col("text")).as("__ts"))
+        val gs = TF2.shinglesOfTokens(col("__ts"), 3)
         val rep = lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs)
-        val f1 = toks >= 20
-        val f2 = f1 && TF2.langId(col("text")) === "en"
-        val f3 = f2 && TF2.qualityScore(col("text"), TF2.langMarkers("en")) >= 0.6
+        val f1 = size(col("__ts")).cast("long") >= 20
+        val f2 = f1 && TF2.langIdOfTokens(col("__ts")) === "en"
+        val f3 = f2 && TF2.qualityScoreOfTokens(col("text"), col("__ts"),
+          TF2.langMarkers("en")) >= 0.6
         val f4 = f3 && rep < 0.01
-        val agg = t(s, d, "documents")
-          .select(col("text"), TF2.fingerprint(col("text")).as("__fp"),
+        val agg = tokd
+          .select(TF2.fingerprintOfTokens(col("__ts")).as("__fp"),
             f1.as("__f1"), f2.as("__f2"), f3.as("__f3"), f4.as("__f4"))
           .agg(count(lit(1)).as("n0"),
             sum(when(col("__f1"), 1L).otherwise(0L)).as("n1"),
@@ -810,7 +822,8 @@ private[queries] object CatalogModelEval {
         UNION ALL SELECT 4, 'low_repeat', n4 FROM a
         UNION ALL SELECT 5, 'exact_dedup', n5 FROM a
         ORDER BY stage"""
-      }),
+      },
+      bench = true), // the full-text-pipeline-in-one-scan wall-time probe
 
     // Pairwise audience overlap — the distinct-user Jaccard between
     // every pair of event-type HIGH-SPEND audiences (users whose total
@@ -884,13 +897,17 @@ private[queries] object CatalogModelEval {
     // rest is exact counting. Output is O(sources).
     "q206_corpus_datasheet" -> QueryDef(
       fn = (s, d) => {
-        val q = TF2.qualityScore(col("text"), TF2.langMarkers("en"))
+        // shared token column (the q204 lesson): quality, langId,
+        // token count and fingerprint all read ONE tokenization
+        val q = TF2.qualityScoreOfTokens(col("text"), col("__ts"),
+          TF2.langMarkers("en"))
         val base = t(s, d, "documents")
+          .select(col("source"), col("text"), TF2.tokens(col("text")).as("__ts"))
           .select(col("source"),
-            TF2.tokenCount(col("text")).as("__tk"),
+            size(col("__ts")).cast("long").as("__tk"),
             floor(q * 10000.0 + 0.5).cast("long").as("__q4"),
-            (TF2.langId(col("text")) === "en").cast("long").as("__en"),
-            TF2.fingerprint(col("text")).as("__fp"))
+            (TF2.langIdOfTokens(col("__ts")) === "en").cast("long").as("__en"),
+            TF2.fingerprintOfTokens(col("__ts")).as("__fp"))
           // the '*' row needs a GLOBAL distinct-fingerprint count (not
           // composable from per-source distincts when dupes cross
           // sources), so two aggregation passes are inherent — pin the
