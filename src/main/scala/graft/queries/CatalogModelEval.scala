@@ -1117,5 +1117,162 @@ private[queries] object CatalogModelEval {
                cusum_scaled,
                abs(cusum_scaled) = pk.peak AS is_changepoint
         FROM c CROSS JOIN pk ORDER BY day""")),
+
+    // In-engine BPE TOKENIZER TRAINING (3 merge iterations) — the
+    // tokenizer-fit loop q108 only counts one level of: per iteration,
+    // count all adjacent token pairs corpus-wide, adopt the most
+    // frequent (count desc, pair asc — deterministic), and REWRITE the
+    // corpus with the merged token. The merge is boundary-exact via the
+    // double-space trick: tokens rendered '  '-separated, the pattern
+    // ' a  b ' consumes ONE space each side and the replacement
+    // ' a_b ' restores them, so back-to-back merge sites (x a b a b x)
+    // both fire while overlapping sites (a a a) merge leftmost-only —
+    // true BPE semantics with plain literal replace(), identical
+    // engine-portable scan order, no UDF. Counting is adjacent-position
+    // (overlapping) — the standard BPE counting step. Each iteration =
+    // one explode+agg (TakeOrdered(1) pick broadcast back) + one
+    // map-side rewrite, corpus localCheckpointed per round (the
+    // iterative lineage rule). Output: the 3 adopted merges.
+    "q210_bpe_train" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        // literal (non-regex) replace everywhere: corpus tokens feed the
+        // patterns, so regex metacharacter injection must be impossible
+        def lrep(src: org.apache.spark.sql.Column, find: org.apache.spark.sql.Column,
+            to: org.apache.spark.sql.Column) = call_function("replace", src, find, to)
+        var cur: DataFrame = t(s, d, "documents")
+          .select(col("doc_id"),
+            array_join(TF2.tokens(col("text")), " ").as("__t"))
+          .localCheckpoint(eager = true)
+        var merges: DataFrame = null
+        for (k <- 1 to 3) {
+          val ts = split(col("__t"), " ")
+          val pairs = cur
+            .filter(size(split(col("__t"), " ")) >= 2)
+            .select(explode(transform(sequence(lit(1), size(ts) - 1),
+              i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
+              .as("__pair"))
+          val top = pairs.groupBy("__pair").agg(count(lit(1)).as("__c"))
+            .orderBy(col("__c").desc, col("__pair").asc).limit(1)
+            .select(col("__pair"), col("__c"),
+              lrep(col("__pair"), lit(" "), lit("_")).as("__merged"))
+            .localCheckpoint(eager = true) // merge rewrite + report share it
+          val m = top.select(lit(k).as("iteration"),
+            col("__pair").as("merged_pair"), col("__c").as("occurrences"))
+          merges = if (merges == null) m else merges.unionAll(m)
+          cur = cur.crossJoin(broadcast(top))
+            .select(col("doc_id"),
+              trim(lrep(
+                lrep(
+                  concat(lit(" "), lrep(col("__t"), lit(" "), lit("  ")), lit(" ")),
+                  concat(lit(" "), lrep(col("__pair"), lit(" "), lit("  ")), lit(" ")),
+                  concat(lit(" "), col("__merged"), lit(" "))),
+                lit("  "), lit(" "))).as("__t"))
+            .localCheckpoint(eager = true)
+        }
+        merges.orderBy("iteration")
+      },
+      oracle = Some {
+        val levels = (1 to 3).map { k =>
+          s"""p$k AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                 i -> ts[i] || ' ' || ts[i+1])) AS pair
+               FROM (SELECT string_split(t, ' ') AS ts FROM t${k - 1})
+               WHERE len(ts) >= 2),
+          m$k AS (SELECT pair, count(*) AS c, replace(pair, ' ', '_') AS merged
+                  FROM p$k GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
+          t$k AS (SELECT doc_id,
+                         trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ',
+                           ' ' || (SELECT replace(pair, ' ', '  ') FROM m$k) || ' ',
+                           ' ' || (SELECT merged FROM m$k) || ' '), '  ', ' ')) AS t
+                  FROM t${k - 1})"""
+        }.mkString(",\n")
+        s"""
+        WITH t0 AS (SELECT doc_id, array_to_string($toksSql, ' ') AS t
+                    FROM documents),
+        $levels
+        SELECT 1 AS iteration, pair AS merged_pair,
+               CAST(c AS BIGINT) AS occurrences FROM m1
+        UNION ALL SELECT 2, pair, CAST(c AS BIGINT) FROM m2
+        UNION ALL SELECT 3, pair, CAST(c AS BIGINT) FROM m3
+        ORDER BY iteration"""
+      }),
+
+    // RFM segmentation — the classic customer-scoring pass (recency /
+    // frequency / monetary quartile codes, segment census). All three
+    // axes are exact integers (days-since-corpus-max, counts, cents);
+    // quartile boundaries ride the pinned percentile ≡ quantile_cont
+    // parity and arrive as ONE 1-row broadcast; the segment code is
+    // pure integer arithmetic. One corpus agg + one census agg.
+    "q211_rfm_segments" -> QueryDef(
+      fn = (s, d) => {
+        val perUser = t(s, d, "events").filter(col("value").isNotNull)
+          .groupBy("user_id")
+          .agg(max(unix_micros(col("ts"))).as("__last"),
+            count(lit(1)).as("__f"), sum(cents(col("value"))).as("__m"))
+          .localCheckpoint(eager = true) // quartiles + coding share it
+        val gmax = perUser.agg(max(col("__last")).as("__gmax"))
+        val withR = perUser.crossJoin(broadcast(gmax))
+          .select(col("user_id"),
+            floor((col("__gmax") - col("__last")).cast("double") / 86400000000.0)
+              .cast("long").as("__r"),
+            col("__f"), col("__m"))
+          .localCheckpoint(eager = true)
+        val qs = withR.agg(
+          expr("percentile(__r, 0.25)").as("r1"), expr("percentile(__r, 0.5)").as("r2"),
+          expr("percentile(__r, 0.75)").as("r3"),
+          expr("percentile(__f, 0.25)").as("f1"), expr("percentile(__f, 0.5)").as("f2"),
+          expr("percentile(__f, 0.75)").as("f3"),
+          expr("percentile(__m, 0.25)").as("m1"), expr("percentile(__m, 0.5)").as("m2"),
+          expr("percentile(__m, 0.75)").as("m3"))
+        def code(c: org.apache.spark.sql.Column, q1: String, q2: String, q3: String) =
+          when(c.cast("double") <= col(q1), 1)
+            .when(c.cast("double") <= col(q2), 2)
+            .when(c.cast("double") <= col(q3), 3).otherwise(4)
+        // recency: LOWER days = better = higher code (5 - ascending code)
+        val rCode = lit(5) - code(col("__r"), "r1", "r2", "r3")
+        withR.crossJoin(broadcast(qs))
+          .select((rCode * 100 + code(col("__f"), "f1", "f2", "f3") * 10
+            + code(col("__m"), "m1", "m2", "m3")).cast("int").as("segment"),
+            col("__m"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_users"),
+            round(sum(col("__m")).cast("double") / 100.0, 2).as("total_monetary"))
+          .orderBy("segment")
+      },
+      oracle = Some(s"""
+        WITH pu AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+                           count(*) AS f,
+                           CAST(sum(${centsSql("value")}) AS BIGINT) AS m
+                    FROM events WHERE value IS NOT NULL GROUP BY 1),
+        gm AS (SELECT max(last_us) AS gmax FROM pu),
+        wr AS (SELECT user_id,
+                      CAST(floor(CAST(gm.gmax - pu.last_us AS DOUBLE)
+                                 / 86400000000.0) AS BIGINT) AS r,
+                      f, m
+               FROM pu CROSS JOIN gm),
+        qs AS (SELECT quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2,
+                      quantile_cont(r, 0.75) AS r3,
+                      quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+                      quantile_cont(f, 0.75) AS f3,
+                      quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+                      quantile_cont(m, 0.75) AS m3
+               FROM wr),
+        sc AS (SELECT (5 - (CASE WHEN CAST(r AS DOUBLE) <= qs.r1 THEN 1
+                                 WHEN CAST(r AS DOUBLE) <= qs.r2 THEN 2
+                                 WHEN CAST(r AS DOUBLE) <= qs.r3 THEN 3
+                                 ELSE 4 END)) * 100
+                      + (CASE WHEN CAST(f AS DOUBLE) <= qs.f1 THEN 1
+                              WHEN CAST(f AS DOUBLE) <= qs.f2 THEN 2
+                              WHEN CAST(f AS DOUBLE) <= qs.f3 THEN 3
+                              ELSE 4 END) * 10
+                      + (CASE WHEN CAST(m AS DOUBLE) <= qs.m1 THEN 1
+                              WHEN CAST(m AS DOUBLE) <= qs.m2 THEN 2
+                              WHEN CAST(m AS DOUBLE) <= qs.m3 THEN 3
+                              ELSE 4 END) AS segment,
+                      m
+               FROM wr CROSS JOIN qs)
+        SELECT CAST(segment AS INT) AS segment, count(*) AS n_users,
+               round(CAST(sum(m) AS DOUBLE) / 100.0, 2) AS total_monetary
+        FROM sc GROUP BY segment ORDER BY segment""")),
   )
 }
