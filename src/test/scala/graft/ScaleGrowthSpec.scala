@@ -35,7 +35,10 @@ class ScaleGrowthSpec extends AnyFunSuite {
   private val factors = Seq(1, 4, 16)
   private val queries = Seq("q101_mask_contaminated", "q124_sparse_topk",
     "q26_minhash_dedup", "q151_rank_family", "q170_setsim_join",
-    "q173_paragraph_dedup", "q175_triangle_census")
+    "q173_paragraph_dedup", "q175_triangle_census",
+    // session-4 heavies: iterative Bellman-Ford, the one-scan text
+    // funnel, and the co-occurrence pair family (quadratic hazard class)
+    "q193_cheapest_path", "q204_curation_funnel", "q207_item_cosine")
 
   /** Per-replica token suffix: replicas share NO grams/tokens, so
     * similarity/dedup work grows linearly in the factor (each replica is
