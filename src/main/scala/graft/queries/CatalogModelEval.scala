@@ -1274,5 +1274,56 @@ private[queries] object CatalogModelEval {
         SELECT CAST(segment AS INT) AS segment, count(*) AS n_users,
                round(CAST(sum(m) AS DOUBLE) / 100.0, 2) AS total_monetary
         FROM sc GROUP BY segment ORDER BY segment""")),
+
+    // Spark 4 `transformWithState` — the successor arbitrary-state
+    // streaming API (typed per-key state handles + TTL + timers, RocksDB
+    // state store): live per-user running totals maintained in a
+    // ValueState across micro-batches. The staged events are split into
+    // TWO files and fed one-per-trigger, so the state GENUINELY crosses
+    // batch boundaries (a single batch would never read state back);
+    // the memory sink runs in update mode, so the final per-user row is
+    // the max-(n, spend) struct — totals are monotone. Both
+    // accumulators are exact longs ⇒ stream/batch parity is exact, and
+    // the oracle is the plain batch groupBy twin. Conf is scoped to a
+    // cloned session (the q158 rule).
+    "q212_stream_running_state" -> QueryDef(
+      fn = (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-tws-src")
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), cents(col("value")).as("cents"))
+          .repartition(2)
+          .write.mode("overwrite").parquet(dir.toString)
+        val sess = s.newSession()
+        sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import sess.implicits._
+        val footer = sess.read.parquet(dir.toString).schema
+        val stream = sess.readStream.schema(footer)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+          .as[graft.streaming.UserSpend]
+        val out = stream.groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.RunningTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        sess.streams.active.filter(q => Option(q.name).contains("q212_mem"))
+          .foreach(_.stop())
+        val q = out.toDF().writeStream.format("memory").queryName("q212_mem")
+          .outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+        dropStagedTree(dir)
+        sess.table("q212_mem")
+          .groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("spend_cents"))).as("__t"))
+          .select(col("user_id"), col("__t.n_events").as("n_events"),
+            round(col("__t.spend_cents").cast("double") / 100.0, 2).as("spend"))
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        SELECT user_id, count(*) AS n_events,
+               round(CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0, 2)
+                 AS spend
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")),
   )
 }

@@ -154,4 +154,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.forall(_.getString(2) == "calibrated"))
     } finally q.stop()
   }
+
+  test("transformWithState carries ValueState across micro-batches") {
+    // two parquet files fed one-per-trigger; user 7 appears in both, so
+    // the update stream must emit (7, 1, 100) for batch 1 and then
+    // (7, 2, 300) for batch 2 — the second row PROVES the processor read
+    // batch-1 state back from the store (a stateless rerun would emit
+    // (7, 1, 200)).
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-tws-spec")
+    Seq(UserSpend(7L, 100L), UserSpend(8L, 50L)).toDF()
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq(UserSpend(7L, 200L)).toDF()
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val footer = sess.read.parquet(s"$dir/*").schema
+    val stream = sess.readStream.schema(footer)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*").as[UserSpend]
+    val out = stream.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val q = out.toDF().writeStream.format("memory").queryName("tws_spec")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val rows = sess.table("tws_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val user7 = rows.filter(_._1 == 7L)
+      assert(user7.contains((7L, 2L, 300L)),
+        s"state did not survive the batch boundary: $rows")
+      assert(rows.contains((8L, 1L, 50L)), rows.toString)
+      // both per-batch emissions present (update mode appends each)
+      assert(user7.size == 2, user7.toString)
+    } finally q.stop()
+  }
 }
