@@ -233,6 +233,48 @@ object Graph {
     walk
   }
 
+  /** Deterministic semi-synchronous LABEL PROPAGATION (community
+    * detection beyond connectivity — CC asks "reachable?", LPA asks
+    * "densely attached?"): every node starts labeled with its own id;
+    * each round, a node adopts the MOST FREQUENT label among its
+    * neighbors' previous-round labels, ties broken by SMALLEST label —
+    * the deterministic variant of Raghavan et al.'s LPA (the classic
+    * random tie-break is not replayable by any oracle). Fixed `rounds`
+    * iterations, no convergence test.
+    *
+    * Scale shape: per round ONE vertex-keyed join (neighbor labels) +
+    * ONE (node, label) count agg + ONE per-node argmax window — state
+    * is O(vertices), labels frame localCheckpointed per round (the
+    * [[pageRank]] lineage rule). The window partitions by node (high
+    * cardinality — never a SinglePartition).
+    *
+    * Output: (node, label) after the final round.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val bi = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = bi.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val nb = bi.join(labels, bi("src") === labels("node"))
+        .select(bi("dst").as("node"), labels("label"))
+      val counts = nb.groupBy("node", "label")
+        .agg(count(lit(1)).as("__c"))
+      val pick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("__c").desc, col("label").asc)
+      labels = counts
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(pick))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
   /** Bounded-round multi-source CHEAPEST paths (Bellman-Ford relaxation
     * over integer edge weights) — [[bfsHops]] with a cost axis: after
     * round k, `dist(node)` is the exact minimum total weight over all

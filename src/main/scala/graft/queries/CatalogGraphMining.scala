@@ -849,6 +849,46 @@ private[queries] object CatalogGraphMining {
     // is intra, so Q = 1 - sum_c(d_c^2) / (4 m^2) — BOTH terms exact
     // integers until one division (no per-component double sum, no FP
     // association). Top-10 components by size + the global Q.
+    // Deterministic label-propagation communities (LPA, 3 synchronous
+    // rounds, most-frequent-neighbor-label with smallest-label
+    // tie-break — the replayable variant of the classic random
+    // tie-break). CC (q189) answers reachability; LPA answers DENSE
+    // attachment — a bridge edge joins components but rarely flips a
+    // community. Labels are exact integers; the oracle unrolls all
+    // three rounds (neighbor join -> count -> per-node argmax). Census
+    // output is O(labels).
+    "q213_label_propagation" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PairMinSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+        Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+          .groupBy("label").agg(count(lit(1)).as("n_members"))
+          .orderBy("label")
+      },
+      oracle = Some {
+        val rounds = (1 to 3).map { k =>
+          s"""c$k AS (SELECT bi.dst AS node, l${k - 1}.label, count(*) AS c
+                 FROM bi JOIN l${k - 1} ON bi.src = l${k - 1}.node
+                 GROUP BY 1, 2),
+              l$k AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        row_number() OVER (PARTITION BY node
+                          ORDER BY c DESC, label ASC) AS rn
+                 FROM c$k) WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""
+        WITH ${edgesSqlCte("l_partkey", PairMinSupport)},
+        bi AS (SELECT s AS src, d AS dst FROM e
+               UNION ALL SELECT d, s FROM e),
+        l0 AS (SELECT node, node AS label
+               FROM (SELECT DISTINCT src AS node FROM bi)),
+        $rounds
+        SELECT label, count(*) AS n_members FROM l3
+        GROUP BY label ORDER BY label"""
+      }),
+
     "q189_component_modularity" -> QueryDef(
       fn = (s, d) => {
         val edges = Baskets.frequentItemPairs(

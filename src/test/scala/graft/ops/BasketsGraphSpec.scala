@@ -184,6 +184,26 @@ class BasketsGraphSpec extends AnyFunSuite {
     assert(cheap(g, Seq(1L), 4) == Map(1L -> 0L, 2L -> 1L))
   }
 
+  // ---- Graph.labelPropagation --------------------------------------------
+
+  test("labelPropagation splits a barbell into its two triangles") {
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3-4; hand-run
+    // of the 3 synchronous min-tie-break rounds lands {1,2,3}->1 and
+    // {4,5,6}->3 (the bridge never outvotes the triangle)
+    val barbell = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val out = Graph.labelPropagation(barbell.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation rounds=0 is the identity labeling") {
+    val out = Graph.labelPropagation(Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+  }
+
   // ---- Graph.hashWalks --------------------------------------------------
 
   test("hashWalks: step 0 is the seed, every step moves to a real neighbor") {
