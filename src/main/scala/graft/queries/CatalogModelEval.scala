@@ -1325,5 +1325,141 @@ private[queries] object CatalogModelEval {
                  AS spend
         FROM events WHERE value IS NOT NULL
         GROUP BY user_id ORDER BY user_id""")),
+
+    // Perceptual average-hash near-dup detection (the media-dedup
+    // algorithm family: aHash -> banded blocking -> Hamming verify) run
+    // engine-portably over the normalized text bytes standing in for
+    // decoded pixels: 32 evenly spaced character codes, each bit =
+    // "code*32 > sum(codes)" (EXACT integer compare — no FP mean),
+    // packed into a 32-bit hash; candidates block on four 8-bit bands
+    // (a pair must agree on >= 1 band — Hamming <= 3 guarantees it by
+    // pigeonhole), verified with bit_count(xor) <= 3. Injected
+    // one-character-edit twins make the result non-vacuous at every sf
+    // (same length ⇒ sampling positions unchanged ⇒ Hamming <= 2).
+    // ASCII-only (lang='en') keeps Spark ascii() ≡ DuckDB ord().
+    "q214_media_ahash" -> QueryDef(
+      fn = (s, d) => {
+        val base0 = t(s, d, "documents").filter(col("lang") === "en")
+          .select(col("doc_id"),
+            array_join(TF2.tokens(col("text")), " ").as("__n"))
+        val twins = base0.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat(lit("z"), substring(col("__n"), 2, 1000000)).as("__n"))
+        val base = base0.unionAll(twins).filter(length(col("__n")) >= 32)
+        // sampling stride: /32.0 is a power-of-two division — EXACT for
+        // these int magnitudes, so floor ≡ DuckDB's integer `// 32`
+        val codes = transform(sequence(lit(1), lit(32)),
+          i => ascii(substring(col("__n"),
+            (lit(1) + floor(((i - 1) * length(col("__n"))).cast("double") / 32.0))
+              .cast("int"),
+            lit(1))).cast("long"))
+        // bit weights as exact powers of two in DOUBLE (sums of distinct
+        // 2^i < 2^32 are exact); shiftleft() takes only a literal count
+        val hash = aggregate(
+          zip_with(col("__codes"), sequence(lit(0), lit(31)),
+            (c, i) => when(c * 32 > col("__sum"), pow(lit(2.0), i.cast("double")))
+              .otherwise(lit(0.0))),
+          lit(0.0), (acc, x) => acc + x).cast("long")
+        val hashed = base
+          .select(col("doc_id"), codes.as("__codes"))
+          .select(col("doc_id"), col("__codes"),
+            aggregate(col("__codes"), lit(0L), (a, x) => a + x).as("__sum"))
+          .select(col("doc_id"), hash.as("__h"))
+          .localCheckpoint(eager = true) // banding + verify share it
+        val banded = hashed.select(col("doc_id"), col("__h"),
+          explode(sequence(lit(0), lit(3))).as("__b"))
+          .select(col("doc_id"), col("__h"), col("__b"),
+            // h / 2^(8b) truncated = >> (h is non-negative, 2^k exact)
+            (col("__h").cast("double") / pow(lit(2.0), (col("__b") * 8).cast("double")))
+              .cast("long").bitwiseAND(255L).as("__bv"))
+        val a = banded.select(col("__b"), col("__bv"),
+          col("doc_id").as("id_a"), col("__h").as("__ha"))
+        val b = banded.select(col("__b"), col("__bv"),
+          col("doc_id").as("id_b"), col("__h").as("__hb"))
+        a.join(b, Seq("__b", "__bv"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long")
+              .as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        WITH b0 AS (SELECT doc_id, array_to_string($toksSql, ' ') AS n
+                    FROM documents WHERE lang = 'en'),
+        tw AS (SELECT doc_id + 700000 AS doc_id,
+                      'z' || substr(n, 2) AS n
+               FROM b0 WHERE doc_id % 20 = 0),
+        base AS (SELECT * FROM (SELECT * FROM b0 UNION ALL SELECT * FROM tw)
+                 WHERE length(n) >= 32),
+        cs AS (SELECT doc_id,
+                      list_transform(generate_series(1, 32),
+                        i -> CAST(ord(substr(n,
+                          CAST(1 + ((i - 1) * length(n)) // 32 AS INT), 1))
+                          AS BIGINT)) AS codes
+               FROM base),
+        hs AS (SELECT doc_id,
+                      list_sum(list_transform(generate_series(1, 32),
+                        i -> CASE WHEN codes[i] * 32 > list_sum(codes)
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS h
+               FROM cs),
+        bd AS (SELECT doc_id, h, b, (h >> (8 * b)) & 255 AS bv
+               FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+                 FROM bd a JOIN bd b ON a.b = b.b AND a.bv = b.bv
+                                    AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM cand
+        WHERE hamming <= 3 ORDER BY id_a, id_b""")),
+
+    // Deterministic bootstrap confidence interval for the mean — the
+    // uncertainty-quantification pass (hash-resampled replicas instead
+    // of an RNG, so every engine replays the identical resample):
+    // 16 Poisson-ish integer weights w = md5(id, b) mod 4 per row and
+    // replica, replica means from EXACT long sums, the CI from the
+    // pinned percentile parity over the 16-value mean list. The corpus
+    // expands 16x MAP-SIDE (explode of a literal sequence — no
+    // shuffle) and aggregates straight down to 16 rows.
+    "q215_bootstrap_ci" -> QueryDef(
+      fn = (s, d) => {
+        val w = (conv(substring(md5(concat(col("event_id").cast("string"),
+          lit("_"), col("__b").cast("string"))), 1, 2), 16, 10)
+          .cast("long") % 4).as("__w")
+        val reps = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_id"), cents(col("value")).as("__y"),
+            explode(sequence(lit(1), lit(16))).as("__b"))
+          .select(col("__b"), col("__y"), w)
+        val perRep = reps.groupBy("__b")
+          .agg(sum(col("__w")).as("__n"), sum(col("__w") * col("__y")).as("__s"))
+          .select(col("__b"),
+            (col("__s").cast("double") / col("__n").cast("double")).as("__m"))
+        val point = t(s, d, "events").filter(col("value").isNotNull)
+          .agg(count(lit(1)).as("n"),
+            round(avg(cents(col("value"))).cast("double") / 100.0, 6)
+              .as("mean_value"))
+        point.crossJoin(broadcast(perRep.agg(
+          round(expr("percentile(__m, 0.05)") / 100.0, 6).as("boot_lo"),
+          round(expr("percentile(__m, 0.95)") / 100.0, 6).as("boot_hi"))))
+      },
+      oracle = Some(s"""
+        WITH reps AS (SELECT b, ${centsSql("value")} AS y,
+                             CAST(('0x' || substring(md5(concat(
+                               CAST(event_id AS VARCHAR), '_',
+                               CAST(b AS VARCHAR))), 1, 2)) AS BIGINT) % 4 AS w
+                      FROM events CROSS JOIN
+                        (SELECT unnest(generate_series(1, 16)) AS b)
+                      WHERE value IS NOT NULL),
+        pr AS (SELECT b, CAST(sum(w * y) AS DOUBLE)
+                         / CAST(sum(w) AS DOUBLE) AS m
+               FROM reps GROUP BY b),
+        pt AS (SELECT count(*) AS n,
+                      round(avg(${centsSql("value")}) / 100.0, 6) AS mean_value
+               FROM events WHERE value IS NOT NULL),
+        ci AS (SELECT round(quantile_cont(m, 0.05) / 100.0, 6) AS boot_lo,
+                      round(quantile_cont(m, 0.95) / 100.0, 6) AS boot_hi
+               FROM pr)
+        SELECT n, mean_value, boot_lo, boot_hi FROM pt CROSS JOIN ci""")),
   )
 }
