@@ -1461,5 +1461,89 @@ private[queries] object CatalogModelEval {
                       round(quantile_cont(m, 0.95) / 100.0, 6) AS boot_hi
                FROM pr)
         SELECT n, mean_value, boot_lo, boot_hi FROM pt CROSS JOIN ci""")),
+
+    // EXACT sliding-window distinct ("rolling 7-day reach") — the
+    // hardest of the rolling metrics: distinct does NOT decompose over
+    // window panes, so the naive per-day recount scans the window 7x.
+    // The contribution-interval trick makes it ONE bounded pass: each
+    // (type, user, active-day) row CONTRIBUTES to report days
+    // day..day+6 (a 7-wide explode of a literal sequence — map-side),
+    // dedup (type, user, report_day), count. State never exceeds
+    // |distinct triples| x 7. The oracle is the direct correlated
+    // recount — the two formulations must agree exactly.
+    "q216_rolling_reach" -> QueryDef(
+      fn = (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("event_type"), col("user_id"),
+            to_date(date_trunc("day", col("ts"))).as("__day"))
+          .distinct()
+          .localCheckpoint(eager = true) // contribution + days-list share it
+        val days = ud.select(col("event_type"), col("__day").as("day")).distinct()
+        val covered = ud
+          .select(col("event_type"), col("user_id"),
+            explode(sequence(col("__day"), date_add(col("__day"), 6))).as("day"))
+          .distinct()
+        covered.join(days, Seq("event_type", "day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("reach7"))
+          // DATE arithmetic internally; TIMESTAMP at the boundary (the
+          // comparator normalizes datetimes, not raw dates)
+          .select(col("event_type"), col("day").cast("timestamp").as("day"),
+            col("reach7"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some("""
+        WITH ud AS (SELECT DISTINCT event_type, user_id,
+                           CAST(date_trunc('day', ts) AS DATE) AS day
+                    FROM events),
+        days AS (SELECT DISTINCT event_type, day FROM ud)
+        SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day,
+               (SELECT count(DISTINCT u.user_id) FROM ud u
+                WHERE u.event_type = d.event_type
+                  AND u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS reach7
+        FROM days d ORDER BY 1, 2""")),
+
+    // Top-k-with-others rollup — the reporting contract behind every
+    // "top 2 suppliers + everything else" chart: per nation, the two
+    // highest-revenue suppliers keep their identity, the tail collapses
+    // into ONE 'other' bucket whose revenue is exact (cents compose).
+    // One grouped agg, one bounded per-nation window, one re-agg —
+    // the fact table shuffles once.
+    "q217_topk_others" -> QueryDef(
+      fn = (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("nation"), col("l_suppkey").as("supp"))
+          .agg(sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))).as("__rc"))
+        val ranked = rev.withColumn("__rn",
+          row_number().over(Window.partitionBy(col("nation"))
+            .orderBy(col("__rc").desc, col("supp").asc)))
+        ranked
+          .select(col("nation"),
+            when(col("__rn") <= 2, concat(lit("supplier_"), col("supp")))
+              .otherwise("other").as("member"),
+            col("__rc"))
+          .groupBy("nation", "member")
+          .agg(round(sum(col("__rc")).cast("double") / 10000.0, 2).as("revenue"))
+          .orderBy("nation", "member")
+      },
+      oracle = Some(s"""
+        WITH rev AS (SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+                            CAST(sum(${centsSql("l_extendedprice")}
+                              * (100 - ${centsSql("l_discount")})) AS BIGINT) AS rc
+                     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     GROUP BY 1, 2),
+        rk AS (SELECT nation, supp, rc,
+                      row_number() OVER (PARTITION BY nation
+                        ORDER BY rc DESC, supp ASC) AS rn
+               FROM rev)
+        SELECT nation,
+               CASE WHEN rn <= 2 THEN 'supplier_' || CAST(supp AS VARCHAR)
+                    ELSE 'other' END AS member,
+               round(CAST(sum(rc) AS DOUBLE) / 10000.0, 2) AS revenue
+        FROM rk GROUP BY 1, 2 ORDER BY 1, 2""")),
   )
 }
