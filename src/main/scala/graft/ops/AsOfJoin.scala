@@ -32,10 +32,19 @@ object AsOfJoin {
     * @param tolerance  optional max age of the matched right row; older
     *                   matches become null (like `ASOF ... TOLERANCE`)
     * @param rightTieBreak extra ordering among right rows sharing the same
-    *                   (key, ts) — the LAST row under this order wins.
-    *                   Without it the winner among exact-ts ties is
-    *                   whatever the shuffle delivered (same as DuckDB's
-    *                   ASOF JOIN, but nondeterministic run-to-run).
+    *                   (key, ts) — the LAST row under this order wins for
+    *                   backward, the FIRST for forward. Without it the
+    *                   winner among exact-ts ties is whatever the shuffle
+    *                   delivered (same as DuckDB's ASOF JOIN, but
+    *                   nondeterministic run-to-run).
+    * @param direction  "backward" (default: most recent right row with
+    *                   rightTs <= leftTs), "forward" (earliest right row
+    *                   with rightTs >= leftTs — the "next quote/price
+    *                   update" shape), or "nearest" (whichever side is
+    *                   closer in time; exact ties prefer backward, like
+    *                   pandas merge_asof). Same single-shuffle plan in
+    *                   every mode — nearest adds one more window SORT over
+    *                   the same exchange, never a second shuffle.
     */
   def asof(
       left: DataFrame,
@@ -45,7 +54,10 @@ object AsOfJoin {
       rightTs: String,
       rightCols: Seq[String],
       tolerance: Option[Column] = None,
-      rightTieBreak: Seq[Column] = Nil): DataFrame = {
+      rightTieBreak: Seq[Column] = Nil,
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
     require(!rightCols.exists(leftCols.contains),
       "rightCols must not collide with left columns")
@@ -62,13 +74,6 @@ object AsOfJoin {
       .unionByName(
         taggedRight.select((leftCols ++ rightCols ++ Seq("__ts", "__side")).map(col): _*))
 
-    // right rows sort before left rows at the same instant → <= semantics;
-    // tie-break columns are null on left rows, so they only order right
-    // rows among themselves
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__ts") +: col("__side") +: rightTieBreak: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
     // carry ALL right columns in ONE struct: per-column last(..ignoreNulls)
     // windows would stitch values from DIFFERENT right rows whenever the
     // matched row holds a null in one carried column (and age-check against
@@ -77,18 +82,61 @@ object AsOfJoin {
     // matched row — nulls included.
     val rightStruct = when(col("__side") === 0,
       struct(col("__ts").as("__match_ts") +: rightCols.map(col): _*))
-    val filled = unioned.withColumn("__r", last(rightStruct, ignoreNulls = true).over(w))
 
-    val matchTs = col("__r.__match_ts")
-    val withinTolerance = tolerance match {
-      case Some(tol) => matchTs.isNotNull && col("__ts") - matchTs <= tol
+    // backward: right rows sort BEFORE left at the same instant (side 0
+    // first) and the LAST non-null struct up to the current row wins —
+    // <= semantics. forward: left sorts before right at the same instant
+    // (side desc) and the FIRST non-null struct from the current row on
+    // wins — >= semantics. Both ride the SAME hash exchange; only the
+    // within-partition sort differs.
+    def backFill = last(rightStruct, ignoreNulls = true).over(
+      Window.partitionBy(on.map(col): _*)
+        .orderBy(col("__ts") +: col("__side") +: rightTieBreak: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    def fwdFill = first(rightStruct, ignoreNulls = true).over(
+      Window.partitionBy(on.map(col): _*)
+        .orderBy(col("__ts") +: col("__side").desc +: rightTieBreak: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+
+    def age(matchTs: Column): Column = direction match {
+      case "forward" => matchTs - col("__ts")
+      case _         => col("__ts") - matchTs
+    }
+    def within(matchTs: Column, delta: Column): Column = tolerance match {
+      case Some(tol) => matchTs.isNotNull && delta <= tol
       case None      => matchTs.isNotNull
     }
+
+    val filled = direction match {
+      case "backward" => unioned.withColumn("__r", backFill)
+      case "forward"  => unioned.withColumn("__r", fwdFill)
+      case "nearest"  =>
+        // both candidates, then per-row choice: the closer one within
+        // tolerance; exact distance ties and both-valid-equal prefer
+        // backward (pandas merge_asof convention)
+        val both = unioned.withColumn("__rb", backFill).withColumn("__rf", fwdFill)
+        val bOk = within(col("__rb.__match_ts"), col("__ts") - col("__rb.__match_ts"))
+        val fOk = within(col("__rf.__match_ts"), col("__rf.__match_ts") - col("__ts"))
+        both.withColumn("__r",
+          when(bOk && fOk,
+            when(col("__ts") - col("__rb.__match_ts")
+              <= col("__rf.__match_ts") - col("__ts"), col("__rb"))
+              .otherwise(col("__rf")))
+            .when(bOk, col("__rb"))
+            .when(fOk, col("__rf"))
+            .otherwise(lit(null)))
+          .drop("__rb", "__rf")
+    }
+
+    val matchTs = col("__r.__match_ts")
+    val ok =
+      if (direction == "nearest") matchTs.isNotNull // tolerance already applied
+      else within(matchTs, age(matchTs))
 
     filled
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightCols.map(rc => when(withinTolerance, col(s"__r.$rc")).otherwise(lit(null)).as(rc)) :+
-        when(withinTolerance, matchTs).otherwise(lit(null)).as("asof_ts")): _*)
+        rightCols.map(rc => when(ok, col(s"__r.$rc")).otherwise(lit(null)).as(rc)) :+
+        when(ok, matchTs).otherwise(lit(null)).as("asof_ts")): _*)
   }
 }

@@ -1545,5 +1545,65 @@ private[queries] object CatalogModelEval {
                     ELSE 'other' END AS member,
                round(CAST(sum(rc) AS DOUBLE) / 10000.0, 2) AS revenue
         FROM rk GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // FORWARD as-of join — "time to next purchase after each click": the
+    // attribution/conversion-lag shape backward as-of (q43) cannot
+    // express. AsOfJoin.direction="forward" finds the EARLIEST purchase
+    // at or after each click (3-day tolerance, deterministic min-cents
+    // tie-break at the matched instant), same single-shuffle union-tag-
+    // window plan as backward. Gap sums are exact integer micros; the
+    // oracle replays the semantics as a correlated min() — the two
+    // formulations must agree row-for-row.
+    "q218_asof_forward" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purch = ev.filter(col("event_type") === "purchase"
+            && col("value").isNotNull)
+          .select(col("user_id"), col("ts").as("p_ts"),
+            cents(col("value")).as("p_cents"))
+        val joined = graft.ops.AsOfJoin.asof(clicks, purch, Seq("user_id"),
+          "ts", "p_ts", Seq("p_cents"),
+          tolerance = Some(expr("INTERVAL 3 DAYS")),
+          rightTieBreak = Seq(col("p_cents")), direction = "forward")
+        joined.groupBy("user_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("asof_ts")).as("n_converted"),
+            // floor-snap, not round(): the engines' round() tie-break
+            // semantics differ (HALF_UP vs half-even) and this average
+            // actually straddles a 1e-6 boundary at sf0.1
+            (floor(sum(unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+              .cast("double") / count(col("asof_ts")).cast("double")
+              + 0.5) / 1000000.0).as("avg_gap_s"),
+            round(sum(col("p_cents")).cast("double") / 100.0, 2)
+              .as("sum_next_value"))
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts AS pts, ${centsSql("value")} AS pc
+              FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        m AS (SELECT c.event_id, c.user_id, c.ts,
+                     (SELECT min(p.pts) FROM p
+                      WHERE p.user_id = c.user_id AND p.pts >= c.ts) AS mts
+              FROM c),
+        v AS (SELECT event_id, user_id, ts,
+                     CASE WHEN mts IS NOT NULL
+                            AND epoch_us(mts) - epoch_us(ts) <= 259200000000
+                          THEN mts END AS vts
+              FROM m),
+        e AS (SELECT v.*, CASE WHEN vts IS NOT NULL THEN
+                     (SELECT min(p.pc) FROM p
+                      WHERE p.user_id = v.user_id AND p.pts = v.vts) END AS pc
+              FROM v)
+        SELECT user_id, count(*) AS n_clicks,
+               count(vts) AS n_converted,
+               floor(CAST(sum(epoch_us(vts) - epoch_us(ts)) AS DOUBLE)
+                     / CAST(count(vts) AS DOUBLE) + 0.5) / 1000000.0
+                 AS avg_gap_s,
+               round(CAST(sum(pc) AS DOUBLE) / 100.0, 2) AS sum_next_value
+        FROM e GROUP BY user_id ORDER BY user_id""")),
   )
 }
