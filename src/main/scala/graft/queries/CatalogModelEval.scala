@@ -1605,5 +1605,98 @@ private[queries] object CatalogModelEval {
                  AS avg_gap_s,
                round(CAST(sum(pc) AS DOUBLE) / 100.0, 2) AS sum_next_value
         FROM e GROUP BY user_id ORDER BY user_id""")),
+
+    // CAPSTONE training-data build — the full corpus-to-shards pipeline
+    // in ONE query: quality/language filter (q204's shared rules) ->
+    // exact-dedup canonical pick -> leakage-safe 90/10 hash split KEYED
+    // BY FINGERPRINT (duplicate content can never straddle splits) ->
+    // concat-and-chunk sequence packing of the train split
+    // (Pack.packSequences: two-phase prefix sum, no single-reducer
+    // window). The manifest reports per split: docs, tokens, packed
+    // sequences, and boundary-spanning docs — every number exact
+    // integers, and the packing numbers derive from Pack's PER-DOC
+    // outputs (seq_id, offset), not a closed form, so the operator
+    // itself is what the oracle checks.
+    "q219_training_data_build" -> QueryDef(
+      fn = (s, d) => {
+        val tokd = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), TF2.tokens(col("text")).as("__ts"))
+        val scored = tokd.select(col("doc_id"),
+          size(col("__ts")).cast("long").as("__tk"),
+          TF2.langIdOfTokens(col("__ts")).as("__lang"),
+          TF2.qualityScoreOfTokens(col("text"), col("__ts"),
+            TF2.langMarkers("en")).as("__q"),
+          TF2.fingerprintOfTokens(col("__ts")).as("__fp"))
+        val kept = scored.filter(col("__tk") >= 20 && col("__lang") === "en"
+          && col("__q") >= 0.6)
+        val canon = kept.withColumn("__rn",
+            row_number().over(Window.partitionBy(col("__fp"))
+              .orderBy(col("doc_id"))))
+          .filter(col("__rn") === 1)
+          .withColumn("split",
+            when(graft.ops.Sampling.inSplit(col("__fp"), 0.9), "train")
+              .otherwise("eval"))
+          .localCheckpoint(eager = true) // packing + both census passes
+        val packed = graft.ops.Pack.packSequences(
+          canon.filter(col("split") === "train")
+            .select(col("doc_id"), col("__tk")),
+          "doc_id", "__tk", budget = 256L)
+        // sequence count from the END offset (a long tail doc spans past
+        // its start sequence — max(seq_id)+1 would undercount)
+        val trainPack = packed.agg(
+          (max(expr("(seq_id * 256 + offset_in_seq + __tk - 1) div 256")) + 1)
+            .as("n_sequences"),
+          sum(when(col("offset_in_seq") + col("__tk") > 256L, 1L).otherwise(0L))
+            .as("n_spanning"))
+        val census = canon.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"))
+        census.crossJoin(broadcast(trainPack))
+          .select(col("split"), col("n_docs"), col("n_tokens"),
+            when(col("split") === "train", col("n_sequences")).as("n_sequences"),
+            when(col("split") === "train", col("n_spanning")).as("n_spanning"))
+          .orderBy("split")
+      },
+      oracle = Some {
+        val langs = graft.functions.TextFunctions.langMarkers.toSeq.sortBy(_._1)
+        val scores = langs.map { case (l, ws) => s"${hitCountSql(ws)} AS s_$l" }.mkString(", ")
+        val best = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val cases = langs.map { case (l, _) => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'" }.mkString(" ")
+        val trainCond = s"substring(md5(fp), 1, 8) " +
+          s"< '${graft.ops.Sampling.thresholdHex(0.9)}'"
+        s"""
+        WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        q AS (SELECT doc_id, $qualityExprSql AS quality FROM ($qualityInnerSql)),
+        lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess
+                 FROM (SELECT doc_id, $scores, $best AS best FROM base)),
+        kept AS (SELECT base.doc_id, len(base.toks) AS tk,
+                        md5(array_to_string(base.toks, ' ')) AS fp
+                 FROM base JOIN q ON base.doc_id = q.doc_id
+                           JOIN lang ON base.doc_id = lang.doc_id
+                 WHERE len(base.toks) >= 20 AND lang.lang_guess = 'en'
+                   AND q.quality >= 0.6),
+        canon AS (SELECT doc_id, tk, fp,
+                         CASE WHEN $trainCond THEN 'train' ELSE 'eval' END
+                           AS split
+                  FROM (SELECT doc_id, tk, fp, row_number() OVER
+                          (PARTITION BY fp ORDER BY doc_id) AS rn
+                        FROM kept) WHERE rn = 1),
+        tr AS (SELECT doc_id, tk,
+                      CAST(coalesce(sum(tk) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start
+               FROM canon WHERE split = 'train'),
+        pk AS (SELECT CAST(max(start + tk - 1) // 256 + 1 AS BIGINT)
+                        AS n_sequences,
+                      CAST(sum(CASE WHEN start // 256 <> (start + tk - 1) // 256
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+               FROM tr),
+        cs AS (SELECT split, count(*) AS n_docs,
+                      CAST(sum(tk) AS BIGINT) AS n_tokens
+               FROM canon GROUP BY split)
+        SELECT split, n_docs, n_tokens,
+               CASE WHEN split = 'train' THEN pk.n_sequences END AS n_sequences,
+               CASE WHEN split = 'train' THEN pk.n_spanning END AS n_spanning
+        FROM cs CROSS JOIN pk ORDER BY split"""
+      }),
   )
 }
