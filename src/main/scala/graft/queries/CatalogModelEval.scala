@@ -1698,5 +1698,74 @@ private[queries] object CatalogModelEval {
                CASE WHEN split = 'train' THEN pk.n_spanning END AS n_spanning
         FROM cs CROSS JOIN pk ORDER BY split"""
       }),
+
+    // Lorenz curve + exact Gini coefficient of per-user spend — the
+    // concentration/inequality readout ("do 10% of users drive 50% of
+    // revenue?"). Ranks and deciles come from the DISTRIBUTED exact
+    // ranking machinery (Ranking.globalRowNumber / ntileExact — range
+    // partition + driver offsets, never a single-reducer window); Gini
+    // via the rank formula G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) with
+    // every sum an exact long. Output: 10 Lorenz deciles (share +
+    // cumulative share) with the Gini broadcast onto each row.
+    "q220_lorenz_gini" -> QueryDef(
+      fn = (s, d) => {
+        val spend = t(s, d, "events").filter(col("value").isNotNull)
+          .groupBy("user_id").agg(sum(cents(col("value"))).as("__x"))
+        val sort = Seq(col("__x").asc, col("user_id").asc)
+        val ranked = graft.ops.Ranking.globalRowNumber(spend, sort, out = "__i")
+        val deciled = graft.ops.Ranking.ntileExact(ranked, 10, sort,
+          out = "decile")
+        val gini = ranked.agg(count(lit(1)).as("__n"),
+            sum(col("__x")).as("__t"), sum(col("__i") * col("__x")).as("__ix"))
+          .select(round((lit(2.0) * col("__ix").cast("double")
+            - (col("__n") + 1).cast("double") * col("__t").cast("double"))
+            / (col("__n").cast("double") * col("__t").cast("double")), 6)
+            .as("gini"), col("__t"))
+        val byDecile = deciled.groupBy("decile")
+          .agg(count(lit(1)).as("n_users"), sum(col("__x")).as("__dx"))
+        val cum = byDecile.crossJoin(broadcast(gini))
+          .withColumn("__cx", sum(col("__dx")).over(
+            Window.orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        cum.select(col("decile").cast("int").as("decile"), col("n_users"),
+            round(col("__dx").cast("double") / 100.0, 2).as("spend"),
+            round(col("__dx").cast("double") / col("__t").cast("double"), 6)
+              .as("spend_share"),
+            round(col("__cx").cast("double") / col("__t").cast("double"), 6)
+              .as("cum_share"),
+            col("gini"))
+          .orderBy("decile")
+      },
+      oracle = Some(s"""
+        WITH sp AS (SELECT user_id,
+                           CAST(sum(${centsSql("value")}) AS BIGINT) AS x
+                    FROM events WHERE value IS NOT NULL GROUP BY 1),
+        rk AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+                      ntile(10) OVER (ORDER BY x, user_id) AS decile
+               FROM sp),
+        g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS t,
+                     CAST(sum(i * x) AS BIGINT) AS ix
+              FROM rk),
+        gv AS (SELECT round((2.0 * CAST(ix AS DOUBLE)
+                        - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini,
+                      t
+               FROM g),
+        bd AS (SELECT decile, count(*) AS n_users,
+                      CAST(sum(x) AS BIGINT) AS dx
+               FROM rk GROUP BY decile),
+        cm AS (SELECT decile, n_users, dx,
+                      CAST(sum(dx) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cx
+               FROM bd)
+        SELECT CAST(cm.decile AS INT) AS decile, cm.n_users,
+               round(CAST(cm.dx AS DOUBLE) / 100.0, 2) AS spend,
+               round(CAST(cm.dx AS DOUBLE) / CAST(gv.t AS DOUBLE), 6)
+                 AS spend_share,
+               round(CAST(cm.cx AS DOUBLE) / CAST(gv.t AS DOUBLE), 6)
+                 AS cum_share,
+               gv.gini
+        FROM cm CROSS JOIN gv ORDER BY decile""")),
   )
 }
