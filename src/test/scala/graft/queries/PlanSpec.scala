@@ -669,6 +669,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("q210/q213/q216/q219/q220: checkpointed pipelines end clean (0 rescans)") {
+    // every SinglePartition surviving in q219/q220 sits on a bounded
+    // frame (1-row pack manifest, 10-row decile window) — the corpus
+    // itself aggregated away before the checkpoint
+    Seq("q210_bpe_train", "q213_label_propagation", "q216_rolling_reach",
+      "q219_training_data_build", "q220_lorenz_gini").foreach { q =>
+      val plan = planOf(q)
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 0, s"$q: expected 0 parquet scans post-checkpoint, got $scans:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+    }
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
