@@ -1767,5 +1767,77 @@ private[queries] object CatalogModelEval {
                  AS cum_share,
                gv.gini
         FROM cm CROSS JOIN gv ORDER BY decile""")),
+
+    // Tukey-fence (IQR) outlier census — the third classic robust-
+    // outlier rule beside the z-score (q93) and MAD (q123) families:
+    // per event type, fences at Q1 − 1.5·IQR and Q3 + 1.5·IQR over
+    // integer cents (pinned percentile parity — quartiles of ints
+    // interpolate on exact .25 fractions, bit-equal across engines),
+    // exact outlier counts per side. One grouped percentile pass, one
+    // broadcast join back, one census agg.
+    "q221_iqr_outliers" -> QueryDef(
+      fn = (s, d) => {
+        val c = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), cents(col("value")).as("__y"))
+        val qs = c.groupBy("event_type")
+          .agg(expr("percentile(__y, 0.25)").as("__q1"),
+            expr("percentile(__y, 0.75)").as("__q3"))
+        val lo = col("__q1") - lit(1.5) * (col("__q3") - col("__q1"))
+        val hi = col("__q3") + lit(1.5) * (col("__q3") - col("__q1"))
+        c.join(broadcast(qs), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(min(lo) / 100.0, 6).as("fence_lo"),
+            round(min(hi) / 100.0, 6).as("fence_hi"),
+            sum(when(col("__y").cast("double") < lo, 1L).otherwise(0L))
+              .as("n_below"),
+            sum(when(col("__y").cast("double") > hi, 1L).otherwise(0L))
+              .as("n_above"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT event_type, ${centsSql("value")} AS y
+                   FROM events WHERE value IS NOT NULL),
+        qs AS (SELECT event_type, quantile_cont(y, 0.25) AS q1,
+                      quantile_cont(y, 0.75) AS q3
+               FROM c GROUP BY 1)
+        SELECT c.event_type, count(*) AS n,
+               round(min(qs.q1 - 1.5 * (qs.q3 - qs.q1)) / 100.0, 6) AS fence_lo,
+               round(min(qs.q3 + 1.5 * (qs.q3 - qs.q1)) / 100.0, 6) AS fence_hi,
+               CAST(sum(CASE WHEN CAST(y AS DOUBLE)
+                      < qs.q1 - 1.5 * (qs.q3 - qs.q1) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_below,
+               CAST(sum(CASE WHEN CAST(y AS DOUBLE)
+                      > qs.q3 + 1.5 * (qs.q3 - qs.q1) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_above
+        FROM c JOIN qs ON c.event_type = qs.event_type
+        GROUP BY c.event_type ORDER BY c.event_type""")),
+
+    // 2-D histogram (heatmap binning) — the OLAP density grid behind
+    // every quantity-vs-discount scatter summary: both axes are exact
+    // integers (quantity 1..50 in 10-wide bins, discount cents 0..10 in
+    // 2-wide bins), counts and per-cell exact mean price. One grouped
+    // agg, O(grid) output — the map-reduce-friendliest viz op there is.
+    "q222_histogram2d" -> QueryDef(
+      fn = (s, d) => {
+        val qbin = (floor((col("l_quantity").cast("long") - 1)
+          .cast("double") / 10.0)).cast("int")
+        val dbin = (floor(cents(col("l_discount")).cast("double") / 2.0)).cast("int")
+        t(s, d, "lineitem")
+          .select(qbin.as("q_bin"), dbin.as("d_bin"),
+            cents(col("l_extendedprice")).as("__p"))
+          .groupBy("q_bin", "d_bin")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("__p")).cast("double")
+              / count(lit(1)).cast("double") / 100.0, 4).as("mean_price"))
+          .orderBy("q_bin", "d_bin")
+      },
+      oracle = Some(s"""
+        SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS INT) AS q_bin,
+               CAST(${centsSql("l_discount")} // 2 AS INT) AS d_bin,
+               count(*) AS n,
+               round(CAST(sum(${centsSql("l_extendedprice")}) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 100.0, 4) AS mean_price
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
   )
 }
