@@ -1839,5 +1839,80 @@ private[queries] object CatalogModelEval {
                round(CAST(sum(${centsSql("l_extendedprice")}) AS DOUBLE)
                      / CAST(count(*) AS DOUBLE) / 100.0, 4) AS mean_price
         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Session entry/exit matrix + bounce rate — the landing/exit-page
+    // analysis (here: event types) every product-analytics suite ships.
+    // Sessions are the q40 gap rule but with a TIE-SAFE total order
+    // (ts, event_id — entry/exit picks are order-sensitive where session
+    // sums are not); entry/exit via two row_number windows sharing the
+    // (user, session) partition; bounce = single-event session. Census
+    // output is O(types²); shares derive from the checkpointed census
+    // so the corpus aggregates once.
+    "q223_session_entry_exit" -> QueryDef(
+      fn = (s, d) => {
+        val wo = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(wo)
+        val isNew = when(prev.isNull
+          || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L)
+        val sess = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("__sid", sum(isNew).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wAsc = Window.partitionBy(col("user_id"), col("__sid"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wDesc = Window.partitionBy(col("user_id"), col("__sid"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val perSession = sess
+          .withColumn("__r1", row_number().over(wAsc))
+          .withColumn("__r2", row_number().over(wDesc))
+          .groupBy("user_id", "__sid")
+          .agg(max(when(col("__r1") === 1, col("event_type"))).as("entry_type"),
+            max(when(col("__r2") === 1, col("event_type"))).as("exit_type"),
+            count(lit(1)).as("__n"))
+        val census = perSession.groupBy("entry_type", "exit_type")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_bounce"))
+          .localCheckpoint(eager = true) // share total + rows
+        val total = census.agg(sum(col("n_sessions")).as("__t"))
+        census.crossJoin(broadcast(total))
+          .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+            col("n_bounce"),
+            round(col("n_sessions").cast("double") / col("__t").cast("double"), 6)
+              .as("session_share"))
+          .orderBy("entry_type", "exit_type")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, ts, event_id, event_type,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS is_new
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (SELECT user_id, ts, event_id, event_type,
+                        sum(is_new) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                          AS sid
+                 FROM e),
+        ps AS (SELECT user_id, sid,
+                      max(CASE WHEN r1 = 1 THEN event_type END) AS entry_type,
+                      max(CASE WHEN r2 = 1 THEN event_type END) AS exit_type,
+                      count(*) AS n
+               FROM (SELECT *,
+                       row_number() OVER (PARTITION BY user_id, sid
+                         ORDER BY ts ASC, event_id ASC) AS r1,
+                       row_number() OVER (PARTITION BY user_id, sid
+                         ORDER BY ts DESC, event_id DESC) AS r2
+                     FROM sess)
+               GROUP BY 1, 2),
+        cs AS (SELECT entry_type, exit_type, count(*) AS n_sessions,
+                      CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_bounce
+               FROM ps GROUP BY 1, 2),
+        tt AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS t FROM cs)
+        SELECT entry_type, exit_type, n_sessions, n_bounce,
+               round(CAST(n_sessions AS DOUBLE) / CAST(tt.t AS DOUBLE), 6)
+                 AS session_share
+        FROM cs CROSS JOIN tt ORDER BY 1, 2""")),
   )
 }
