@@ -7,14 +7,25 @@ import org.apache.spark.sql.functions._
 
 import Catalog._
 
-/** Round-9 fourth wave: forecasting / policy-evaluation / model-selection
-  * operators (q192-q197) — EWMA smoothing, weighted shortest paths,
-  * Benford's-law auditing, inverse-propensity off-policy evaluation,
-  * multivariate ridge regression, and k-fold cross-validation. Every
-  * double that crosses the oracle boundary is either derived from exact
-  * integer sums by a FIXED sequence of IEEE ops (the q177/q181 recipe) or
-  * snapped to an integer grid before any unordered aggregation (the q197
-  * residual trick).
+/** Round-9 session-4 slice (q192-q223): model evaluation, forecasting,
+  * policy evaluation, data quality, and reporting operators — EWMA
+  * smoothing, weighted shortest paths, Benford auditing, IPS/SNIPS
+  * off-policy evaluation, ridge regression by exact normal equations,
+  * k-fold CV, seasonal/burst/IQR anomaly families, blocked entity
+  * resolution, vocab OOV, inter-arrival percentiles, Cohen's kappa,
+  * curation funnel, audience overlap, corpus datasheet, item-item
+  * cosine, WOE binning, CUSUM change-points, BPE tokenizer training,
+  * RFM segments, transformWithState streaming, perceptual aHash
+  * near-dup, bootstrap CIs, rolling reach, top-k-with-others, forward
+  * as-of, the training-data-build capstone, Lorenz/Gini, 2-D
+  * histograms, and session entry/exit analysis.
+  *
+  * Every double that crosses the oracle boundary is either derived from
+  * exact integer sums by a FIXED sequence of IEEE ops (the q177/q181
+  * recipe), snapped to an integer grid before any unordered aggregation
+  * (the q197 residual trick), or — for transcendentals — an ln/log10 of
+  * an exact integer rational or a Scala-rendered constant (the
+  * q169/q176 rules).
   *
   * One slice of the query catalog. Entry ORDER is load-bearing:
   * [[Catalog.all]] is a ListMap concatenated slice-by-slice, and
