@@ -30,6 +30,11 @@ object SparkEntry {
       name -> q.oracle.get.stripMargin.trim.replaceAll("\\s+", " ")
     }
 
-  /** Headline benchmark subset (see Bench). */
+  /** Headline benchmark subset (see Bench) — batch queries only. */
   def benchQueries: Seq[String] = Catalog.benchNames
+
+  /** Streaming-harness bench subset, timed on its own line so micro-batch
+    * latency never masks batch regressions (see Bench).
+    */
+  def benchStreamingQueries: Seq[String] = Catalog.benchStreamingNames
 }

@@ -36,7 +36,11 @@ object AsOfJoin {
     *                   backward, the FIRST for forward. Without it the
     *                   winner among exact-ts ties is whatever the shuffle
     *                   delivered (same as DuckDB's ASOF JOIN, but
-    *                   nondeterministic run-to-run).
+    *                   nondeterministic run-to-run). Under
+    *                   direction="nearest" each candidate side keeps its
+    *                   own convention: when the backward side wins the
+    *                   tie you get the LAST row under this order, when
+    *                   the forward side wins you get the FIRST.
     * @param direction  "backward" (default: most recent right row with
     *                   rightTs <= leftTs), "forward" (earliest right row
     *                   with rightTs >= leftTs — the "next quote/price

@@ -112,6 +112,40 @@ object Multimodal {
       } yield (w, h, 1)
     }
 
+    /** Binary Netpbm (P5 gray / P6 RGB) pixel region: parses the full
+      * header (width, height, maxval, then exactly ONE whitespace byte)
+      * and returns (width, height, offsetOfFirstPixelByte). None for
+      * other containers, maxval > 255 (two-byte samples), or a header
+      * that doesn't cover the declared pixel count. This is the REAL
+      * decode path for aHash-style pixel features: the bytes at the
+      * returned offset are the image, not a stand-in.
+      */
+    private[ops] def ppmPixelRegion(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 7 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+      if (!Character.isWhitespace(b(2))) return None
+      var i = 2
+      def nextInt(): Option[Int] = {
+        while (i < b.length && (Character.isWhitespace(b(i)) || b(i) == '#')) {
+          if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else i += 1
+        }
+        val start = i
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i == start || i - start > 9 ||
+            (i < b.length && !Character.isWhitespace(b(i)))) None
+        else Some(new String(b, start, i - start, "US-ASCII").toInt)
+      }
+      val channels = if (b(1) == '5') 1 else 3
+      for {
+        w <- nextInt(); h <- nextInt(); maxval <- nextInt()
+        if sane(w) && sane(h) && maxval >= 1 && maxval <= 255
+        // spec: exactly one whitespace byte separates maxval from pixels
+        off = i + 1
+        if i < b.length && Character.isWhitespace(b(i)) &&
+          off + w.toLong * h * channels <= b.length
+      } yield (w, h, off)
+    }
+
     /** RIFF/WAVE: scans the chunk list for fmt + data; returns
       * (channels, sample_rate, data_bytes / block_align).
       */
@@ -182,6 +216,42 @@ object Multimodal {
         val checksum = r.payload.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h, frames, checksum)
       }
+    }
+  }
+
+  /** aHash input for one payload: `n` evenly stride-sampled unsigned byte
+    * values (position `(i*len)/n`, the 1-indexed `1 + ((i-1)*len)//n`
+    * stride q214's oracle replays). Rows typed `kind="image"` decode the
+    * REAL container first — binary Netpbm pixels via
+    * [[HeaderCodec.ppmPixelRegion]] — and sample the decoded pixel bytes;
+    * unparseable images and every other kind sample the raw payload (the
+    * text-fixture fallback). Dispatch is on the typed `kind` metadata, not
+    * a sniff, so a text payload that happens to start with "P5 " can never
+    * be misread as an image.
+    */
+  private[graft] def sampleCodesOne(kind: String, payload: Array[Byte], n: Int): Array[Long] = {
+    val bytes =
+      if (kind == "image")
+        HeaderCodec.ppmPixelRegion(payload) match {
+          case Some((w, h, off)) =>
+            val channels = if (payload(1) == '5') 1 else 3
+            java.util.Arrays.copyOfRange(payload, off, off + w * h * channels)
+          case None => payload
+        }
+      else payload
+    val len = bytes.length.toLong
+    Array.tabulate(n)(i => (bytes(((i.toLong * len) / n).toInt) & 0xff).toLong)
+  }
+
+  /** Per-media aHash codes: decode + stride-sample in one `mapPartitions`
+    * pass (same shape as [[extractFeatures]] — per-partition codec init,
+    * no shuffle). Payloads must be non-empty.
+    */
+  final case class MediaCodes(media_id: Long, codes: Array[Long])
+  def sampleCodes(media: Dataset[MediaRow], n: Int = 32): Dataset[MediaCodes] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => MediaCodes(r.media_id, sampleCodesOne(r.kind, r.payload, n)))
     }
   }
 

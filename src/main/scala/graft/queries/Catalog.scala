@@ -37,7 +37,11 @@ object Catalog {
   final case class QueryDef(
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String],
-      bench: Boolean = false)
+      bench: Boolean = false,
+      // streaming harness queries (staged copy + processAllAvailable) are
+      // benched on their own line so their fixed micro-batch latency never
+      // masks drift in the batch queries (r9 verdict #3)
+      streaming: Boolean = false)
 
   private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -415,5 +419,8 @@ object Catalog {
 
 
   /** Names of the headline benchmark queries, in catalog order. */
-  def benchNames: Seq[String] = all.collect { case (n, q) if q.bench => n }.toSeq
+  def benchNames: Seq[String] =
+    all.collect { case (n, q) if q.bench && !q.streaming => n }.toSeq
+  def benchStreamingNames: Seq[String] =
+    all.collect { case (n, q) if q.bench && q.streaming => n }.toSeq
 }

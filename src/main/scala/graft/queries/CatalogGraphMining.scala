@@ -625,7 +625,8 @@ private[queries] object CatalogGraphMining {
         SELECT event_type, count(*) AS n_events,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
                true AS approx_ok
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      bench = true, streaming = true),
 
     // Deterministic random walks (the node2vec/DeepWalk sampling core):
     // 3-step walks from the seed set over the part co-purchase graph,
@@ -839,16 +840,6 @@ private[queries] object CatalogGraphMining {
         FROM j ORDER BY class"""
       }),
 
-    // Component census + exact modularity of the part co-purchase graph.
-    // Two things are under test: (1) the iterative min-label
-    // ConnectedComponents op against an ORGANIC graph with a recursive-
-    // CTE oracle — q46/q95 gate it only on constructed clusters where
-    // the answer is known by id arithmetic; here DuckDB recomputes the
-    // labels by actual transitive closure; (2) Newman modularity of the
-    // partition, in its closed exact form: for a CC partition every edge
-    // is intra, so Q = 1 - sum_c(d_c^2) / (4 m^2) — BOTH terms exact
-    // integers until one division (no per-component double sum, no FP
-    // association). Top-10 components by size + the global Q.
     // Deterministic label-propagation communities (LPA, 3 synchronous
     // rounds, most-frequent-neighbor-label with smallest-label
     // tie-break — the replayable variant of the classic random
@@ -889,6 +880,16 @@ private[queries] object CatalogGraphMining {
         GROUP BY label ORDER BY label"""
       }),
 
+    // Component census + exact modularity of the part co-purchase graph.
+    // Two things are under test: (1) the iterative min-label
+    // ConnectedComponents op against an ORGANIC graph with a recursive-
+    // CTE oracle — q46/q95 gate it only on constructed clusters where
+    // the answer is known by id arithmetic; here DuckDB recomputes the
+    // labels by actual transitive closure; (2) Newman modularity of the
+    // partition, in its closed exact form: for a CC partition every edge
+    // is intra, so Q = 1 - sum_c(d_c^2) / (4 m^2) — BOTH terms exact
+    // integers until one division (no per-component double sum, no FP
+    // association). Top-10 components by size + the global Q.
     "q189_component_modularity" -> QueryDef(
       fn = (s, d) => {
         val edges = Baskets.frequentItemPairs(

@@ -67,6 +67,10 @@ private[queries] object CatalogModelEval {
   /** q197's fold count. */
   private val KFolds = 5
 
+  // q219 packing budget — single source for the packSequences call, the
+  // end-offset sequence count, the spanning test, and the oracle SQL.
+  private val PackBudget = 256L
+
   def entries: Seq[(String, QueryDef)] = Seq(
 
     // Per-user EWMA forecast over the event-value series — the smoothing
@@ -1335,21 +1339,29 @@ private[queries] object CatalogModelEval {
                round(CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0, 2)
                  AS spend
         FROM events WHERE value IS NOT NULL
-        GROUP BY user_id ORDER BY user_id""")),
+        GROUP BY user_id ORDER BY user_id"""),
+      bench = true, streaming = true),
 
     // Perceptual average-hash near-dup detection (the media-dedup
-    // algorithm family: aHash -> banded blocking -> Hamming verify) run
-    // engine-portably over the normalized text bytes standing in for
-    // decoded pixels: 32 evenly spaced character codes, each bit =
-    // "code*32 > sum(codes)" (EXACT integer compare — no FP mean),
-    // packed into a 32-bit hash; candidates block on four 8-bit bands
-    // (a pair must agree on >= 1 band — Hamming <= 3 guarantees it by
-    // pigeonhole), verified with bit_count(xor) <= 3. Injected
-    // one-character-edit twins make the result non-vacuous at every sf
-    // (same length ⇒ sampling positions unchanged ⇒ Hamming <= 2).
-    // ASCII-only (lang='en') keeps Spark ascii() ≡ DuckDB ord().
+    // algorithm family: decode -> aHash -> banded blocking -> Hamming
+    // verify). Half the corpus ships as REAL binary Netpbm (P5) images —
+    // built from the normalized text's 32 stride-sampled character codes
+    // as pixel bytes — and is container-DECODED back to pixels by
+    // Multimodal.sampleCodes (header parse + pixel-region slice in a
+    // mapPartitions pass); the other half ships raw text bytes and takes
+    // the stride-sampling fallback. Both routes land on the same 32
+    // evenly spaced codes, so one DuckDB oracle replays generator ==
+    // encode->decode->sample. Each hash bit = "code*32 > sum(codes)"
+    // (EXACT integer compare — no FP mean) packed into a 32-bit hash;
+    // candidates block on four 8-bit bands (a pair must agree on >= 1
+    // band — Hamming <= 3 guarantees it by pigeonhole), verified with
+    // bit_count(xor) <= 3. Injected one-character-edit twins make the
+    // result non-vacuous at every sf (same length ⇒ sampling positions
+    // unchanged ⇒ Hamming <= 2). ASCII-only (lang='en') keeps the
+    // byte/char-code identity and Spark ascii() ≡ DuckDB ord().
     "q214_media_ahash" -> QueryDef(
       fn = (s, d) => {
+        import s.implicits._
         val base0 = t(s, d, "documents").filter(col("lang") === "en")
           .select(col("doc_id"),
             array_join(TF2.tokens(col("text")), " ").as("__n"))
@@ -1359,11 +1371,20 @@ private[queries] object CatalogModelEval {
         val base = base0.unionAll(twins).filter(length(col("__n")) >= 32)
         // sampling stride: /32.0 is a power-of-two division — EXACT for
         // these int magnitudes, so floor ≡ DuckDB's integer `// 32`
-        val codes = transform(sequence(lit(1), lit(32)),
-          i => ascii(substring(col("__n"),
+        val sampledChars = array_join(transform(sequence(lit(1), lit(32)),
+          i => substring(col("__n"),
             (lit(1) + floor(((i - 1) * length(col("__n"))).cast("double") / 32.0))
               .cast("int"),
-            lit(1))).cast("long"))
+            lit(1))), "")
+        // even docs: a REAL 32x1 grayscale P5 container (pixels = the
+        // sampled codes); odd docs: raw text bytes -> fallback sampling
+        val media = base.select(col("doc_id").as("media_id"),
+            when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("text"))
+              .as("kind"),
+            when(col("doc_id") % 2 === 0,
+              encode(concat(lit("P5\n32 1\n255\n"), sampledChars), "UTF-8"))
+              .otherwise(encode(col("__n"), "UTF-8")).as("payload"))
+          .as[graft.ops.Multimodal.MediaRow]
         // bit weights as exact powers of two in DOUBLE (sums of distinct
         // 2^i < 2^32 are exact); shiftleft() takes only a literal count
         val hash = aggregate(
@@ -1371,8 +1392,8 @@ private[queries] object CatalogModelEval {
             (c, i) => when(c * 32 > col("__sum"), pow(lit(2.0), i.cast("double")))
               .otherwise(lit(0.0))),
           lit(0.0), (acc, x) => acc + x).cast("long")
-        val hashed = base
-          .select(col("doc_id"), codes.as("__codes"))
+        val hashed = graft.ops.Multimodal.sampleCodes(media)
+          .toDF("doc_id", "__codes")
           .select(col("doc_id"), col("__codes"),
             aggregate(col("__codes"), lit(0L), (a, x) => a + x).as("__sum"))
           .select(col("doc_id"), hash.as("__h"))
@@ -1651,13 +1672,13 @@ private[queries] object CatalogModelEval {
         val packed = graft.ops.Pack.packSequences(
           canon.filter(col("split") === "train")
             .select(col("doc_id"), col("__tk")),
-          "doc_id", "__tk", budget = 256L)
+          "doc_id", "__tk", budget = PackBudget)
         // sequence count from the END offset (a long tail doc spans past
         // its start sequence — max(seq_id)+1 would undercount)
         val trainPack = packed.agg(
-          (max(expr("(seq_id * 256 + offset_in_seq + __tk - 1) div 256")) + 1)
+          (max(expr(s"(seq_id * $PackBudget + offset_in_seq + __tk - 1) div $PackBudget")) + 1)
             .as("n_sequences"),
-          sum(when(col("offset_in_seq") + col("__tk") > 256L, 1L).otherwise(0L))
+          sum(when(col("offset_in_seq") + col("__tk") > PackBudget, 1L).otherwise(0L))
             .as("n_spanning"))
         val census = canon.groupBy("split")
           .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"))
@@ -1696,9 +1717,10 @@ private[queries] object CatalogModelEval {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                         0) AS BIGINT) AS start
                FROM canon WHERE split = 'train'),
-        pk AS (SELECT CAST(max(start + tk - 1) // 256 + 1 AS BIGINT)
+        pk AS (SELECT CAST(max(start + tk - 1) // $PackBudget + 1 AS BIGINT)
                         AS n_sequences,
-                      CAST(sum(CASE WHEN start // 256 <> (start + tk - 1) // 256
+                      CAST(sum(CASE WHEN start // $PackBudget
+                                    <> (start + tk - 1) // $PackBudget
                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
                FROM tr),
         cs AS (SELECT split, count(*) AS n_docs,

@@ -469,7 +469,7 @@ private[queries] object CatalogScaleOps {
                   FROM events)))
         GROUP BY user_id, sid
         ORDER BY user_id, session_start"""),
-      bench = true),
+      bench = true, streaming = true),
 
     // Sketch-based distinct counting under an error-bound oracle gate.
     // At 100 TB, count(DISTINCT user) per group is a full shuffle of

@@ -368,9 +368,9 @@ private[queries] object CatalogTraining {
                      CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS pri
                    FROM documents),
         c AS (SELECT doc_id, lang, n_tokens,
-                coalesce(sum(n_tokens) OVER (
+                CAST(coalesce(sum(n_tokens) OVER (
                   ORDER BY pri ASC, n_tokens DESC, doc_id ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                   AS cum_tokens
               FROM t)
         SELECT doc_id, lang, n_tokens, cum_tokens FROM c

@@ -38,14 +38,31 @@ class ScaleGrowthSpec extends AnyFunSuite {
     "q173_paragraph_dedup", "q175_triangle_census",
     // session-4 heavies: iterative Bellman-Ford, the one-scan text
     // funnel, and the co-occurrence pair family (quadratic hazard class)
-    "q193_cheapest_path", "q204_curation_funnel", "q207_item_cosine")
+    "q193_cheapest_path", "q204_curation_funnel", "q207_item_cosine",
+    // round-9 capstones (r9 verdict #6): many-op compositions — the
+    // 7-wide contribution explode, the full training-data build, and
+    // the double-window session matrix — exactly where a proportional
+    // cap or partition-sensitive tie would hide
+    "q216_rolling_reach", "q219_training_data_build",
+    "q223_session_entry_exit")
 
-  /** Per-replica token suffix: replicas share NO grams/tokens, so
-    * similarity/dedup work grows linearly in the factor (each replica is
-    * its own self-contained corpus of the base's internal structure).
+  /** Per-replica token suffix: replicas share (almost) no grams/tokens,
+    * so similarity/dedup work grows linearly in the factor (each replica
+    * is its own self-contained corpus of the base's internal structure).
+    * Language-marker words are kept VERBATIM so the filter stages of the
+    * capstones (q219's lang-id + stopword quality gate) still pass a
+    * representative fraction at every replica — a marker suffix would
+    * turn every replica 'und' and let the heavy tail run on zero rows.
+    * Marker-only shingles are therefore shared across replicas; that is
+    * the realistic stopword-heavy-hitter case the gram-keyed ops must
+    * absorb anyway.
     */
+  private val markerWords: Seq[String] =
+    TF.langMarkers.values.flatten.map(_.toLowerCase).toSeq.distinct
   private def perturbText(c: org.apache.spark.sql.Column, i: Int) =
-    array_join(transform(TF.tokens(c), t => concat(t, lit(s"_r$i"))), " ")
+    array_join(transform(TF.tokens(c),
+      t => when(lower(t).isin(markerWords: _*), t)
+        .otherwise(concat(t, lit(s"_r$i")))), " ")
 
   /** Write documents+lineitem replicated `factor`x under a temp sf-dir
     * shaped like the driver's (one `<table>.parquet` per table).
@@ -76,6 +93,18 @@ class ScaleGrowthSpec extends AnyFunSuite {
         (col("l_suppkey") + lit(i * maxSk)).as("l_suppkey")))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // events: shift user/event ids per replica (user cardinality grows
+    // with the data, so per-user windows/sessions stay bounded — shared
+    // users would deepen each window superlinearly and false-fail)
+    val ev = Tables.events(spark, baseSf)
+    val maxUid = ev.agg(max("user_id")).head.getLong(0) + 1
+    val maxEid = ev.agg(max("event_id")).head.getLong(0) + 1
+    (0 until factor).map(i => ev.select(
+        (col("event_id") + lit(i * maxEid)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * maxUid)).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 

@@ -309,6 +309,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.HeaderCodec.parsePpm("Plain text file".getBytes).isEmpty)
   }
 
+  test("ppmPixelRegion locates the real pixel bytes of binary Netpbm payloads") {
+    val pix = Array.tabulate[Byte](6)(i => (i + 10).toByte)
+    val p5 = "P5\n3 2\n255\n".getBytes ++ pix
+    val region = Multimodal.HeaderCodec.ppmPixelRegion(p5)
+    assert(region == Some((3, 2, 11)))
+    val (_, _, off) = region.get
+    assert(p5.slice(off, off + 6).sameElements(pix))
+    // P6 needs w*h*3 bytes — a truncated payload must not claim a region
+    assert(Multimodal.HeaderCodec.ppmPixelRegion(
+      "P6\n3 2\n255\n".getBytes ++ pix).isEmpty)
+    // 2-byte samples (maxval > 255) are out of scope
+    assert(Multimodal.HeaderCodec.ppmPixelRegion(
+      "P5\n1 1\n65535\n".getBytes ++ Array[Byte](0, 1)).isEmpty)
+    // ASCII variants (P3) have no binary pixel region
+    assert(Multimodal.HeaderCodec.ppmPixelRegion("P3\n1 1\n255\n9".getBytes).isEmpty)
+  }
+
+  test("sampleCodes decodes real P5 pixels for image rows and stride-samples text") {
+    // 32 pixel bytes 100..131 wrapped in a REAL container: decode must
+    // surface exactly those values, not the header bytes
+    val pix = Array.tabulate[Byte](32)(i => (100 + i).toByte)
+    val img = "P5\n32 1\n255\n".getBytes ++ pix
+    val txt = Array.tabulate[Byte](64)(i => (32 + i).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", img),
+      Multimodal.MediaRow(2L, "text", txt),
+      // an image-typed payload that is NOT a container falls back to raw
+      Multimodal.MediaRow(3L, "image", txt)).toDS()
+    val out = Multimodal.sampleCodes(media, 32).collect()
+      .map(r => r.media_id -> r.codes).toMap
+    assert(out(1L).sameElements(Array.tabulate(32)(i => (100 + i).toLong)))
+    // stride over 64 raw bytes: position (i*64)/32 = every 2nd byte
+    assert(out(2L).sameElements(Array.tabulate(32)(i => (32 + 2 * i).toLong)))
+    assert(out(3L).sameElements(out(2L)))
+  }
+
   test("HeaderCodec parses PNG IHDR dimensions and rejects near-misses") {
     def pngBytes(w: Int, h: Int): Array[Byte] = {
       def be(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,

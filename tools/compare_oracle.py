@@ -54,6 +54,16 @@ for name, sql in sorted(oracle.items()):
     bad = None
     for c in got.columns:
         a, b = got[c], want[c]
+        # Type-strict gate (r9 verdict #2): the driver's hash is dtype-sensitive,
+        # so an integer Spark column vs a float oracle column (e.g. DuckDB's
+        # HUGEINT sum materializing as float64) must fail HERE, not at the driver.
+        ka = a.dtype.kind if hasattr(a.dtype, "kind") else "O"
+        kb = b.dtype.kind if hasattr(b.dtype, "kind") else "O"
+        cls = lambda k: {"i": "int", "u": "int", "f": "float", "b": "bool",
+                         "M": "datetime", "m": "timedelta"}.get(k, "object")
+        if cls(ka) != cls(kb):
+            bad = f"col {c} dtype class differs: spark {a.dtype} ({cls(ka)}) vs oracle {b.dtype} ({cls(kb)})"
+            break
         if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
             af = a.astype(float).to_numpy()
             bf = b.astype(float).to_numpy()
