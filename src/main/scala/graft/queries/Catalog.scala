@@ -415,7 +415,8 @@ object Catalog {
       CatalogAnalytics.entries ++ CatalogTraining.entries ++
       CatalogScaleOps.entries ++ CatalogCorpusOps.entries ++
       CatalogInfra.entries ++ CatalogRoundtrip.entries ++
-      CatalogGraphMining.entries ++ CatalogModelEval.entries): _*)
+      CatalogGraphMining.entries ++ CatalogModelEval.entries ++
+      CatalogCuration.entries): _*)
 
 
   /** Names of the headline benchmark queries, in catalog order. */

@@ -25,15 +25,26 @@ private[queries] object CatalogAnalytics {
     // ===== multi-join analytics (flagship) =====
 
     "q31_region_revenue" -> QueryDef(
+      // Revenue cents are pre-aggregated PER ORDER below the join: the
+      // lineitem->orders exchange then carries |orders| rows instead of
+      // |lineitem| (~4x fewer at every sf), and n_orders becomes a plain
+      // count of the pre-agg rows instead of a countDistinct EXPAND
+      // (x2 row multiplication) over the joined fact. Same exact-cents
+      // result; at 100 TB this is the difference between shuffling the
+      // fact table once at order grain vs lineitem grain + an expand.
       fn = (s, d) => t(s, d, "lineitem")
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("__rc"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          exactRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          (sum(col("__rc")).cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy("r_name"),
       oracle = Some(s"""
         SELECT r_name,
