@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.{TextFunctions => TF}
 import graft.ops.{Ranking, Sampling}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Catalog._
@@ -21,6 +22,19 @@ private[queries] object CatalogCuration {
   /** q226: power-iteration vector scale (components in [-1000, 1000]). */
   private val ItScale = 1000L
   private val Dim = 64
+
+  /** q227: touch channels = every event type except the conversion. */
+  private val AttributionChannels: Seq[String] =
+    eventTypes.filterNot(_ == "purchase").sorted
+  /** q227: synchronous value-iteration rounds (both engines unroll). */
+  private val MarkovRounds = 6
+
+  /** q228: GPT-2-style pre-tokenizer — maximal runs of word chars OR of
+    * non-word-non-space chars. Explicit classes only (no lookbehind, no
+    * \\W/\\s shorthands), so Java regex and RE2 read it identically; the
+    * same literal is embedded in the Spark expr and the DuckDB oracle.
+    */
+  private val SubwordRegex = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r\\f]+"
 
   def entries: Seq[(String, QueryDef)] = Seq(
 
@@ -230,5 +244,264 @@ private[queries] object CatalogCuration {
         SELECT CAST(v1.i AS BIGINT) AS idx, v1.v AS v1, v2.v AS v2, v3.v AS v3
         FROM v1 JOIN v2 USING (i) JOIN v3 USING (i) ORDER BY idx"""
       }),
+
+    // Markov-chain attribution by REMOVAL EFFECT — the principled
+    // upgrade over q113's last-touch: build the first-order journey
+    // chain (START -> touches -> CONV on first purchase / NULL), then
+    // for each channel compare absorption-in-CONV probability with that
+    // channel knocked out (its incoming transitions routed to NULL).
+    // Absorption probabilities come from 6 synchronous value-iteration
+    // rounds computed ENTIRELY in integers: transition probabilities
+    // stay as count/total rationals and each round is
+    // p'(s) = floor(sum_t c(s,t) * p(t) / n(s)) on a 1e-6 grid, so the
+    // driver's BigInt loop and the oracle's unrolled SQL agree exactly.
+    // Scale: the corpus sees one user-keyed window pass; the driver
+    // holds only the <= |states|^2 transition-count matrix (bounded,
+    // like q226's moment matrix).
+    "q227_markov_attribution" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wDesc = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val firstP = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(min(struct(col("ts"), col("event_id"))).as("__p"))
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .join(firstP, Seq("user_id"), "left")
+          .filter(col("__p").isNull ||
+            struct(col("ts"), col("event_id")) < col("__p"))
+        val seqd = touches
+          .withColumn("__prev", lag(col("event_type"), 1).over(w))
+          .withColumn("__rnd", row_number().over(wDesc))
+        val mid = seqd.select(coalesce(col("__prev"), lit("START")).as("src"),
+          col("event_type").as("dst"))
+        val lastT = seqd.filter(col("__rnd") === 1)
+          .select(col("event_type").as("src"),
+            when(col("__p").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+              .as("dst"))
+        val noTouch = firstP
+          .join(touches.select("user_id").distinct(), Seq("user_id"), "left_anti")
+          .select(lit("START").as("src"), lit("CONV").as("dst"))
+        // bounded driver pull: <= (|channels|+1)^2 transition counts
+        val trans = mid.unionAll(lastT).unionAll(noTouch)
+          .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val states = "START" +: AttributionChannels
+        val outs = states.map(st =>
+          st -> trans.collect { case ((s2, t2), c) if s2 == st => t2 -> c }.toSeq)
+          .toMap
+        def absorb(removed: Option[String]): Long = {
+          var p = states.map(_ -> BigInt(0)).toMap
+          for (_ <- 1 to MarkovRounds) {
+            val prev = p
+            p = states.map { st =>
+              val o = outs(st)
+              val n = o.map(_._2).sum
+              if (n == 0L) st -> BigInt(0)
+              else {
+                val num = o.map { case (t2, c) =>
+                  val pv: BigInt = t2 match {
+                    case "CONV"                       => BigInt(1000000)
+                    case "NULL"                       => BigInt(0)
+                    case x if removed.contains(x)     => BigInt(0)
+                    case x                            => prev.getOrElse(x, BigInt(0))
+                  }
+                  BigInt(c) * pv
+                }.sum
+                st -> num / BigInt(n)
+              }
+            }.toMap
+          }
+          p("START").toLong
+        }
+        val full = absorb(None)
+        import s.implicits._
+        AttributionChannels.map { c =>
+          val rem = absorb(Some(c))
+          (c, full, rem, full - rem)
+        }.toDF("channel", "p_full_e6", "p_removed_e6", "removal_e6")
+          .orderBy("channel")
+      },
+      oracle = Some {
+        def chain(tag: String, removedCase: String): String =
+          (1 to MarkovRounds).map { k =>
+            s"""p_${tag}_$k AS (SELECT tc.src AS s,
+                  CAST(sum(tc.c * CASE WHEN tc.dst = 'CONV' THEN 1000000
+                                       WHEN tc.dst = 'NULL' THEN 0
+                                       $removedCase
+                                       ELSE coalesce(pp.p, 0) END)
+                       // max(tc.n) AS BIGINT) AS p
+                FROM tc LEFT JOIN p_${tag}_${k - 1} pp ON tc.dst = pp.s
+                GROUP BY tc.src)"""
+          }.mkString(",\n")
+        val zero = (st: String) =>
+          s"p_${st}_0 AS (SELECT DISTINCT src AS s, CAST(0 AS BIGINT) AS p FROM tc)"
+        val chains = (zero("full") + ",\n" + chain("full", "")) +: AttributionChannels.map(c =>
+          zero(c) + ",\n" + chain(c, s"WHEN tc.dst = '$c' THEN 0"))
+        val removedSel = AttributionChannels.map(c =>
+          s"WHEN '$c' THEN (SELECT p FROM p_${c}_$MarkovRounds WHERE s = 'START')")
+          .mkString(" ")
+        s"""
+        WITH fp AS (SELECT user_id, ts AS pts, event_id AS pid
+                    FROM (SELECT user_id, ts, event_id,
+                            row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+                          FROM events WHERE event_type = 'purchase')
+                    WHERE rn = 1),
+        tch AS (SELECT e.user_id, e.ts, e.event_id, e.event_type, fp.pts
+                FROM events e LEFT JOIN fp USING (user_id)
+                WHERE e.event_type <> 'purchase'
+                  AND (fp.pts IS NULL
+                       OR (e.ts, e.event_id) < (fp.pts, fp.pid))),
+        sq AS (SELECT user_id, event_type, pts,
+                      lag(event_type) OVER w AS prev,
+                      row_number() OVER w2 AS rnd
+               FROM tch
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                      w2 AS (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC)),
+        allt AS (SELECT coalesce(prev, 'START') AS src, event_type AS dst
+                 FROM sq
+                 UNION ALL
+                 SELECT event_type AS src,
+                        CASE WHEN pts IS NOT NULL THEN 'CONV'
+                             ELSE 'NULL' END AS dst
+                 FROM sq WHERE rnd = 1
+                 UNION ALL
+                 SELECT 'START', 'CONV' FROM fp
+                 WHERE user_id NOT IN (SELECT DISTINCT user_id FROM tch)),
+        tc AS (SELECT src, dst, count(*) AS c,
+                      sum(count(*)) OVER (PARTITION BY src) AS n
+               FROM allt GROUP BY src, dst),
+        ${chains.mkString(",\n")}
+        SELECT ch.channel,
+               (SELECT p FROM p_full_$MarkovRounds WHERE s = 'START')
+                 AS p_full_e6,
+               CASE ch.channel $removedSel END AS p_removed_e6,
+               (SELECT p FROM p_full_$MarkovRounds WHERE s = 'START')
+                 - CASE ch.channel $removedSel END AS removal_e6
+        FROM (VALUES ${AttributionChannels.map(c => s"('$c')").mkString(", ")})
+             ch(channel)
+        ORDER BY ch.channel"""
+      }),
+
+    // Tokenizer fertility per language — subword-to-word ratio, the
+    // standard "how many BPE pieces per whitespace token does this
+    // language cost" readout that drives per-language token budgeting.
+    // Subwords use a GPT-2-style pre-tokenization both engines can run
+    // verbatim (maximal runs of word chars or of non-word-non-space
+    // chars — an explicit-class regex, no lookbehind, so RE2 and Java
+    // agree). Ratios are exact: total counts are longs and fertility is
+    // an integer floor-division on a 1e-6 grid. One scan, one tiny agg.
+    "q228_tokenizer_fertility" -> QueryDef(
+      fn = (s, d) => {
+        val sub = size(expr(
+          s"regexp_extract_all(text, '$SubwordRegex', 0)")).cast("long")
+        t(s, d, "documents")
+          .select(col("lang"), TF.tokenCount(col("text")).as("__tk"),
+            sub.as("__sw"))
+          .filter(col("__tk") > 0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__tk")).as("n_tokens"),
+            sum(col("__sw")).as("n_subwords"))
+          .withColumn("fertility_e6",
+            expr("(n_subwords * 1000000L) div n_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT lang,
+                      CAST(len($toksSql) AS BIGINT) AS tk,
+                      CAST(len(regexp_extract_all(text, '$SubwordRegex'))
+                           AS BIGINT) AS sw
+                    FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(tk) AS BIGINT) AS n_tokens,
+               CAST(sum(sw) AS BIGINT) AS n_subwords,
+               CAST((sum(sw) * 1000000) // sum(tk) AS BIGINT) AS fertility_e6
+        FROM sc WHERE tk > 0
+        GROUP BY lang ORDER BY lang""")),
+
+    // Character-level Shannon entropy per document — the gibberish /
+    // mojibake / base64-blob detector of text curation. Category counts
+    // (26 lowercased letters + one OTHER bucket) come from the exact
+    // length-minus-replace trick; each category's log-probability is
+    // snapped to the integer 1e-6 grid immediately (the q224 rule), so
+    // the per-doc weighted sum is an order-free integer and
+    // entropy_e6 = floor(-sum(c_i * L_i) / n). Pure codegen'd per-row
+    // expressions — no shuffle at all until the final ORDER BY.
+    "q229_char_entropy" -> QueryDef(
+      fn = (s, d) => {
+        val lt = lower(col("text"))
+        val n = length(lt).cast("long")
+        val letters = ('a' to 'z').map(_.toString)
+        val cnts = letters.map(ch =>
+          (length(lt) - length(regexp_replace(lt, ch, ""))).cast("long"))
+        val other = n - cnts.reduce(_ + _)
+        def term(c: org.apache.spark.sql.Column) =
+          when(c > 0, c * floor(log(c.cast("double") / n.cast("double"))
+            * 1000000.0 + 0.5).cast("long")).otherwise(0L)
+        val sumTerms = (cnts.map(term) :+ term(other)).reduce(_ + _)
+        t(s, d, "documents")
+          .select(col("doc_id"), n.as("n_chars"), (-sumTerms).as("__s"))
+          .filter(col("n_chars") > 0)
+          .withColumn("entropy_e6", expr("__s div n_chars"))
+          .select(col("doc_id"), col("n_chars"), col("entropy_e6"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val letters = ('a' to 'z').map(_.toString)
+        val cnts = letters.map(ch =>
+          s"CAST(length(lt) - length(replace(lt, '$ch', '')) AS BIGINT)")
+        val cntCols = cnts.zipWithIndex
+          .map { case (e, i) => s"$e AS c$i" }.mkString(", ")
+        val otherExpr = s"n - (${(0 until letters.size).map(i => s"c$i")
+          .mkString(" + ")})"
+        val term = (c: String) =>
+          s"""CASE WHEN $c > 0 THEN $c * CAST(floor(ln(CAST($c AS DOUBLE)
+                / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+              ELSE 0 END"""
+        val sumTerms = ((0 until letters.size).map(i => term(s"c$i"))
+          :+ term("oth")).mkString(" + ")
+        s"""
+        WITH b AS (SELECT doc_id, lower(text) AS lt,
+                          CAST(length(lower(text)) AS BIGINT) AS n
+                   FROM documents),
+        c AS (SELECT doc_id, n, $cntCols FROM b),
+        o AS (SELECT doc_id, n, ${(0 until letters.size).map(i => s"c$i")
+          .mkString(", ")}, $otherExpr AS oth FROM c)
+        SELECT doc_id, n AS n_chars,
+               CAST((-($sumTerms)) // n AS BIGINT) AS entropy_e6
+        FROM o WHERE n > 0 ORDER BY doc_id"""
+      }),
+
+    // Inter-source (language) exact-duplicate census — the dataset-
+    // mixing diagnostic "how much of source A is literally inside
+    // source B": fingerprint groups reduced to their distinct language
+    // sets, exploded to unordered language pairs, counted. The diagonal
+    // (la = lb) is each source's own fingerprint-group count, so shares
+    // are computable downstream. One uniform fingerprint-keyed shuffle;
+    // the pair fanout per group is bounded by |langs|^2.
+    "q230_dup_matrix" -> QueryDef(
+      fn = (s, d) => {
+        val fp = t(s, d, "documents")
+          .select(TF.fingerprint(col("text")).as("__fp"), col("lang"))
+          .distinct()
+        val e1 = fp.select(col("__fp").as("fa"), col("lang").as("la"))
+        val e2 = fp.select(col("__fp").as("fb"), col("lang").as("lb"))
+        e1.join(e2, col("fa") === col("fb") && col("la") <= col("lb"))
+          .groupBy("la", "lb").agg(count(lit(1)).as("n_fps"))
+          .orderBy("la", "lb")
+      },
+      oracle = Some(s"""
+        WITH f AS (SELECT DISTINCT md5(array_to_string($toksSql, ' ')) AS fp,
+                          lang
+                   FROM documents)
+        SELECT a.lang AS la, b.lang AS lb, count(*) AS n_fps
+        FROM f a JOIN f b ON a.fp = b.fp AND a.lang <= b.lang
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
   )
 }

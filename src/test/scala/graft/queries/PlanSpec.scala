@@ -683,6 +683,55 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q224/q225: curation-wave checkpointed pipelines end clean") {
+    // q224: the tokenize+explode pass is checkpointed for its three
+    // consumers (bigram counts, history counts, scoring) — the final
+    // plan must not rescan parquet; the only nested-loop join is the
+    // 1-row vocab broadcast. q225: same for the score table; the global
+    // quantile table must come back as a broadcast hash join (1001-row
+    // bucket spine), never a shuffle of the corpus against it.
+    Seq("q224_perplexity_filter", "q225_quantile_normalize").foreach { q =>
+      val plan = planOf(q)
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 0, s"$q: expected 0 parquet scans post-checkpoint, got $scans:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+    assert(planOf("q225_quantile_normalize").contains("BroadcastHashJoin"))
+  }
+
+  test("q226/q227: bounded driver steps end as local results, corpus work pre-collected") {
+    // both queries aggregate the corpus down to a bounded matrix
+    // (d^2 moments / |states|^2 transitions) BEFORE the driver loop —
+    // the returned frame is a pure LocalTableScan with zero distributed
+    // work left behind
+    Seq("q226_power_iteration", "q227_markov_attribution").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("LocalTableScan"), s"$q:\n$plan")
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 0, s"$q: driver-resident result must not rescan:\n$plan")
+    }
+  }
+
+  test("q228/q229: single-scan text metrics stay map-side") {
+    // q228: one documents scan into a partial-agged groupBy(lang);
+    // q229: pure per-row expressions — the ONLY exchange is the final
+    // range sort, and nothing shuffles the corpus by a high-cardinality
+    // key
+    val p228 = planOf("q228_tokenizer_fertility")
+    assert(p228.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 1, p228)
+    assert(p228.contains("partial_count") || p228.contains("partial_sum"), p228)
+    val p229 = planOf("q229_char_entropy")
+    assert(p229.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 1, p229)
+    val exchanges = p229.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, s"expected <= 1 exchange (final sort), got $exchanges:\n$p229")
+  }
+
+  test("q230: the fingerprint self-join is an equi-join, never a cartesian") {
+    val plan = planOf("q230_dup_matrix")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
