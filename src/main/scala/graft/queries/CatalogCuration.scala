@@ -173,28 +173,27 @@ private[queries] object CatalogCuration {
     // second-moment matrix — the spectral step under PCA whitening /
     // anisotropy audits of an embedding corpus. Components scale to
     // integer 1e-6 units (the cents trick), so the d x d moment matrix
-    // is a SUM OF EXACT LONGS built map-side (per-row upper-triangle
-    // expansion, partial-agged straight down to d(d+1)/2 = 2080 groups —
-    // no per-vector shuffle); three power iterations then run on the
-    // driver over the bounded O(d^2) matrix (the IvfIndex-centroids
-    // precedent) in BigInt, renormalizing each round to a signed
-    // integer 1e-3 grid (sign * floor(|u|*1000 / max|u|) — floor-on-
-    // nonnegative ≡ truncation, so BigInt `/` and DuckDB `//` agree).
-    // Every number in every round is an exact integer => the unrolled
-    // DuckDB oracle reproduces all three iteration vectors bit-for-bit.
+    // is a SUM OF EXACT LONGS accumulated per partition by Gram
+    // (MLlib's computeGramianMatrix shape: each partition folds into
+    // ONE d(d+1)/2 long array, only partitions x 2080 partial rows
+    // shuffle — a 2080x-per-row explode never materializes); three
+    // power iterations then run on the driver over the bounded O(d^2)
+    // matrix (the IvfIndex-centroids precedent) in BigInt,
+    // renormalizing each round to a signed integer 1e-3 grid
+    // (sign * floor(|u|*1000 / max|u|) — floor-on-nonnegative ≡
+    // truncation, so BigInt `/` and DuckDB `//` agree). Every number in
+    // every round is an exact integer => the unrolled DuckDB oracle
+    // reproduces all three iteration vectors bit-for-bit.
     "q226_power_iteration" -> QueryDef(
       fn = (s, d) => {
         val scaled = (x: org.apache.spark.sql.Column) =>
           (x.cast("double") * VecScale + signum(x.cast("double")) * 0.5).cast("long")
         val arr = t(s, d, "embeddings").select(
           transform(col("embedding"), x => scaled(x)).as("__sx"))
-        val pairsCol = flatten(transform(sequence(lit(0), lit(Dim - 1)), i =>
-          transform(sequence(i, lit(Dim - 1)), j =>
-            struct(i.as("i"), j.as("j"),
-              (get(col("__sx"), i) * get(col("__sx"), j)).as("p")))))
-        val cov = arr.select(explode(pairsCol).as("e"))
-          .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-          .agg(sum(col("e.p")).as("m"))
+        val cov = {
+          import s.implicits._
+          graft.ops.Gram.upperGramian(arr.as[Seq[Long]], Dim)
+        }
         // bounded driver step: d(d+1)/2 = 2080 rows, O(d^2) like the
         // IvfIndex centroid pull — never corpus-sized
         val upper = cov.collect().map(r =>
