@@ -50,6 +50,32 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the `k`
+    * MOST similar corpus rows carrying a DIFFERENT label — the
+    * highest-loss negatives a triplet/InfoNCE trainer wants. Same scale
+    * shape as [[bruteForceTopK]] (anchors broadcast, corpus un-shuffled,
+    * per-anchor top-k window); the label inequality is just one more
+    * codegen'd filter on the streamed side. Output:
+    * (anchor_id, anchor_label, neg_id, cosine, rank).
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("anchor_label"), col(vecCol).as("a_vec"))
+    val c = corpus.select(col(idCol).as("neg_id"),
+      col(labelCol).as("c_label"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neg_id"))
+    c.crossJoin(broadcast(a))
+      .filter(col("c_label") =!= col("anchor_label"))
+      .withColumn("cosine", VF.cosine(col("a_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   /** LSH-bucketed ANN: corpus rows land in one hyperplane bucket; each
     * query probes its own bucket plus all single-bit flips (multiprobe),
     * then exact cosine ranks the candidates. Recall is tunable via

@@ -36,6 +36,13 @@ private[queries] object CatalogCuration {
     */
   private val SubwordRegex = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r\\f]+"
 
+  /** q233: nested scaling-law rungs (fractions of the corpus). */
+  private val LadderFracs = Seq(0.1, 0.2, 0.4, 0.8)
+
+  /** q232: MMR selection — candidate pool size and selections per query. */
+  private val MmrPool = 10
+  private val MmrK = 5
+
   def entries: Seq[(String, QueryDef)] = Seq(
 
     // Bigram-LM perplexity filtering — the KenLM-style quality gate of
@@ -502,5 +509,283 @@ private[queries] object CatalogCuration {
         SELECT a.lang AS la, b.lang AS lb, count(*) AS n_fps
         FROM f a JOIN f b ON a.fp = b.fp AND a.lang <= b.lang
         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Hard-negative mining for contrastive training — per anchor, the 3
+    // MOST similar vectors with a DIFFERENT label (the highest-loss
+    // negatives a triplet/InfoNCE trainer wants). Same 100 TB shape as
+    // q25's brute-force kNN: the 4% anchor set is broadcast, the corpus
+    // streams un-shuffled through one codegen'd cosine + label filter,
+    // and the only shuffle is the per-anchor top-k window.
+    "q231_hard_negatives" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.ops.Similarity.hardNegatives(
+            emb.filter(col("vec_id") % 25 === 0), emb, k = 3)
+          .orderBy("anchor_id", "rank")
+      },
+      oracle = Some(s"""
+        SELECT anchor_id, anchor_label, neg_id, round(cosine, 6) AS cosine,
+               CAST(rn AS BIGINT) AS rank
+        FROM (
+          SELECT anchor_id, anchor_label, neg_id, cosine,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY cosine DESC, neg_id) AS rn
+          FROM (
+            SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                   c.vec_id AS neg_id,
+                   ${cosineSql("a.embedding", "c.embedding")} AS cosine
+            FROM embeddings a JOIN embeddings c ON a.label <> c.label
+            WHERE a.vec_id % 25 = 0))
+        WHERE rn <= 3 ORDER BY anchor_id, rank""")),
+
+    // Maximal Marginal Relevance (MMR) diverse top-k — the
+    // redundancy-aware selection behind RAG context packing and eval-set
+    // picking: greedily take argmax of 0.5*relevance - 0.5*(max
+    // similarity to anything already selected). The greedy argmax runs
+    // over SNAPPED integer scores (floor((rel - msim)*5e5 + 0.5)), so
+    // every round's winner is an integer comparison both engines settle
+    // identically — no FP argmax ties. The candidate pool (top-10 by
+    // relevance) and its 10x10 pairwise-similarity table are bounded
+    // per query and checkpointed once; the 5 greedy rounds are unrolled
+    // joins over those bounded frames (never the corpus), mirroring the
+    // oracle's 5 unrolled CTE rounds.
+    "q232_mmr_select" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val scored = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+          .crossJoin(broadcast(q)).filter(col("cid") =!= col("qid"))
+          .withColumn("rel", graft.functions.VectorFunctions
+            .cosine(col("qv"), col("cv")))
+        val wq = Window.partitionBy("qid").orderBy(col("rel").desc, col("cid"))
+        val cand = scored.withColumn("__rn", row_number().over(wq))
+          .filter(col("__rn") <= MmrPool)
+          .select(col("qid"), col("cid"), col("rel"), col("cv"))
+          .localCheckpoint(eager = true) // pool + pair sims + 5 rounds
+        val ps = cand.select(col("qid"), col("cid").as("a"), col("cv").as("av"))
+          .join(cand.select(col("qid"), col("cid").as("b"), col("cv").as("bv")),
+            Seq("qid"))
+          .filter(col("a") =!= col("b"))
+          .select(col("qid"), col("a"), col("b"),
+            graft.functions.VectorFunctions.cosine(col("av"), col("bv")).as("sim"))
+          .localCheckpoint(eager = true)
+        val base = cand.select("qid", "cid", "rel")
+        val wSel = Window.partitionBy("qid")
+          .orderBy(col("score_e6").desc, col("cid"))
+        var sel: org.apache.spark.sql.DataFrame = null
+        for (r <- 1 to MmrK) {
+          val rem =
+            if (sel == null) base
+            else base.join(sel.select(col("qid"), col("sel_id").as("cid")),
+              Seq("qid", "cid"), "left_anti")
+          val withMsim =
+            if (sel == null) rem.withColumn("msim", lit(0.0))
+            else {
+              val simToSel = ps
+                .join(sel.select(col("qid"), col("sel_id").as("b")), Seq("qid", "b"))
+                .groupBy(col("qid"), col("a").as("cid"))
+                .agg(max(col("sim")).as("msim"))
+              rem.join(simToSel, Seq("qid", "cid"), "left")
+                .withColumn("msim", coalesce(col("msim"), lit(0.0)))
+            }
+          val next = withMsim
+            .withColumn("score_e6",
+              floor((col("rel") - col("msim")) * 500000.0 + 0.5).cast("long"))
+            .withColumn("__r", row_number().over(wSel))
+            .filter(col("__r") === 1)
+            .select(col("qid"), lit(r.toLong).as("sel_round"),
+              col("cid").as("sel_id"), col("score_e6"))
+          sel = if (sel == null) next else sel.unionAll(next)
+        }
+        sel.select(col("qid").as("query_id"), col("sel_round"),
+            col("sel_id"), col("score_e6"))
+          .orderBy("query_id", "sel_round")
+      },
+      oracle = Some {
+        def selsUpTo(k: Int): String =
+          (1 until k).map(i => s"SELECT qid, sel_id FROM sel$i")
+            .mkString(" UNION ALL ")
+        val rounds = (2 to MmrK).map { k =>
+          s"""sel$k AS (
+               SELECT qid, cid AS sel_id, CAST($k AS BIGINT) AS sel_round,
+                      score_e6
+               FROM (
+                 SELECT r.qid, r.cid, r.score_e6,
+                        row_number() OVER (PARTITION BY r.qid
+                          ORDER BY r.score_e6 DESC, r.cid) AS rn
+                 FROM (
+                   SELECT cand.qid, cand.cid,
+                          CAST(floor((cand.rel - coalesce(ms.msim, 0.0))
+                               * 500000.0 + 0.5) AS BIGINT) AS score_e6
+                   FROM cand
+                   LEFT JOIN (SELECT ps.qid, ps.a AS cid, max(ps.sim) AS msim
+                              FROM ps JOIN (${selsUpTo(k)}) s
+                                ON ps.qid = s.qid AND ps.b = s.sel_id
+                              GROUP BY 1, 2) ms
+                     ON cand.qid = ms.qid AND cand.cid = ms.cid
+                   WHERE NOT EXISTS (SELECT 1 FROM (${selsUpTo(k)}) s2
+                                     WHERE s2.qid = cand.qid
+                                       AND s2.sel_id = cand.cid)) r)
+               WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                   WHERE vec_id < 8),
+        sc AS (SELECT q.qid, c.vec_id AS cid,
+                      ${cosineSql("q.qv", "c.embedding")} AS rel
+               FROM q JOIN embeddings c ON c.vec_id <> q.qid),
+        cand0 AS (SELECT qid, cid, rel FROM (
+                    SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+                      ORDER BY rel DESC, cid) AS rn FROM sc)
+                  WHERE rn <= $MmrPool),
+        ce AS (SELECT cand0.qid, cand0.cid, cand0.rel, e.embedding
+               FROM cand0 JOIN embeddings e ON cand0.cid = e.vec_id),
+        cand AS (SELECT qid, cid, rel FROM ce),
+        ps AS (SELECT a.qid, a.cid AS a, b.cid AS b,
+                      ${cosineSql("a.embedding", "b.embedding")} AS sim
+               FROM ce a JOIN ce b ON a.qid = b.qid AND a.cid <> b.cid),
+        sel1 AS (SELECT qid, cid AS sel_id, CAST(1 AS BIGINT) AS sel_round,
+                        score_e6
+                 FROM (
+                   SELECT qid, cid,
+                          CAST(floor((rel - 0.0) * 500000.0 + 0.5) AS BIGINT)
+                            AS score_e6,
+                          row_number() OVER (PARTITION BY qid ORDER BY
+                            CAST(floor((rel - 0.0) * 500000.0 + 0.5) AS BIGINT)
+                              DESC, cid) AS rn
+                   FROM cand)
+                 WHERE rn = 1),
+        $rounds
+        SELECT qid AS query_id, sel_round, sel_id, score_e6
+        FROM (${(1 to MmrK).map(i => s"SELECT * FROM sel$i")
+          .mkString(" UNION ALL ")})
+        ORDER BY query_id, sel_round"""
+      }),
+
+    // Nested data ladder for scaling-law runs — the 10/20/40/80% rungs
+    // every "train on subsets of increasing size" study needs, NESTED by
+    // construction (same md5 order, increasing threshold) so each rung
+    // strictly contains the previous. One scan assigns each doc its
+    // smallest rung; cumulative doc/token counts ride a 4-row window.
+    "q233_data_ladder" -> QueryDef(
+      fn = (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+        val rung = LadderFracs.foldRight(lit(null).cast("int")) { (f, rest) =>
+          when(h < lit(Sampling.thresholdHex(f)), lit((f * 1000).toInt))
+            .otherwise(rest)
+        }
+        val perRung = t(s, d, "documents")
+          .select(rung.as("frac_pm"), TF.tokenCount(col("text")).as("__tk"))
+          .filter(col("frac_pm").isNotNull)
+          .groupBy("frac_pm")
+          .agg(count(lit(1)).as("__d"), sum(col("__tk")).as("__t"))
+        // bounded 4-row cumulative window (one row per rung)
+        val w = Window.orderBy("frac_pm")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perRung
+          .select(col("frac_pm").cast("long").as("frac_pm"),
+            sum(col("__d")).over(w).as("n_docs"),
+            sum(col("__t")).over(w).as("n_tokens"))
+          .orderBy("frac_pm")
+      },
+      oracle = Some {
+        val cases = LadderFracs.map(f =>
+          s"WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) " +
+            s"< '${Sampling.thresholdHex(f)}' THEN ${(f * 1000).toInt}")
+          .mkString(" ")
+        s"""
+        WITH r AS (SELECT CASE $cases END AS frac_pm,
+                          CAST(len($toksSql) AS BIGINT) AS tk
+                   FROM documents),
+        pr AS (SELECT frac_pm, count(*) AS d, sum(tk) AS t
+               FROM r WHERE frac_pm IS NOT NULL GROUP BY frac_pm)
+        SELECT CAST(frac_pm AS BIGINT) AS frac_pm,
+               CAST(sum(d) OVER win AS BIGINT) AS n_docs,
+               CAST(sum(t) OVER win AS BIGINT) AS n_tokens
+        FROM pr
+        WINDOW win AS (ORDER BY frac_pm ROWS UNBOUNDED PRECEDING)
+        ORDER BY frac_pm"""
+      }),
+
+    // Per-document n-gram NOVELTY against the train split — the inverse
+    // of decontamination: how much of a held-out doc's 3-gram set is
+    // absent from the training corpus (memorization-risk / freshness
+    // proxy). Distinct grams per doc, one distinct train-gram set, one
+    // uniform gram-keyed left-semi join; the ratio stays on the integer
+    // 1e-6 grid.
+    "q234_ngram_novelty" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("__ts"))
+          .filter(size(col("__ts")) >= 3)
+          .withColumn("__train", Sampling.inSplit(col("doc_id"), 0.9))
+        val grams = docs.select(col("doc_id"), col("__train"),
+            explode(array_distinct(TF.shinglesOfTokens(col("__ts"), 3)))
+              .as("__g"))
+          .localCheckpoint(eager = true) // train set + eval counts share it
+        val trainG = grams.filter(col("__train")).select("__g").distinct()
+        val evalG = grams.filter(!col("__train"))
+        val seen = evalG.join(trainG, Seq("__g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("__seen"))
+        evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+          .join(seen, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("__seen"), lit(0L)).as("n_seen"))
+          .withColumn("novelty_e6",
+            expr("((n_grams - n_seen) * 1000000L) div n_grams"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT doc_id, ts,
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          < '${Sampling.thresholdHex(0.9)}' AS is_train
+                      FROM (SELECT doc_id, $toksSql AS ts FROM documents)
+                      WHERE len(ts) >= 3),
+        g AS (SELECT doc_id, is_train, unnest(list_distinct(
+                list_transform(generate_series(1, len(ts) - 2),
+                  i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))) AS gr
+              FROM base),
+        tg AS (SELECT DISTINCT gr FROM g WHERE is_train),
+        ev AS (SELECT doc_id, count(*) AS n_grams,
+                      CAST(sum(CASE WHEN gr IN (SELECT gr FROM tg)
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+               FROM g WHERE NOT is_train GROUP BY doc_id)
+        SELECT doc_id, n_grams, n_seen,
+               CAST(((n_grams - n_seen) * 1000000) // n_grams AS BIGINT)
+                 AS novelty_e6
+        FROM ev ORDER BY doc_id""")),
+
+    // Soft-dedup sampling weights — instead of dropping duplicates,
+    // weight every doc 1/|its exact-dup cluster| so each distinct text
+    // contributes unit mass (the duplication-aware sampling used when
+    // dedup would lose too much volume). Cluster sizes are GLOBAL (a
+    // text duplicated across languages splits its mass across them);
+    // the per-language census reports raw docs, owned clusters, and the
+    // effective (weighted) size on the integer 1e-6 grid. One uniform
+    // fingerprint shuffle; everything else exact-integer aggs.
+    "q235_soft_dedup_weights" -> QueryDef(
+      fn = (s, d) => {
+        val fp = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TF.fingerprint(col("text")).as("__fp"))
+        val cs = fp.groupBy("__fp").agg(count(lit(1)).as("__csize"))
+        fp.join(cs, Seq("__fp"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("__fp")).as("n_clusters"),
+            sum(expr("1000000L div __csize")).as("eff_docs_e6"))
+          .orderBy("lang")
+      },
+      oracle = Some(s"""
+        WITH f AS (SELECT doc_id, lang,
+                          md5(array_to_string($toksSql, ' ')) AS fp
+                   FROM documents),
+        cs AS (SELECT fp, count(*) AS csize FROM f GROUP BY fp)
+        SELECT lang, count(*) AS n_docs,
+               CAST(count(DISTINCT f.fp) AS BIGINT) AS n_clusters,
+               CAST(sum(1000000 // csize) AS BIGINT) AS eff_docs_e6
+        FROM f JOIN cs ON f.fp = cs.fp
+        GROUP BY lang ORDER BY lang""")),
   )
 }

@@ -732,6 +732,35 @@ class PlanSpec extends AnyFunSuite {
       plan)
   }
 
+  test("q231: hard negatives broadcast the anchors, corpus never shuffles pre-topk") {
+    val plan = planOf("q231_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // anchors x corpus stream
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans <= 2, s"expected <= 2 embedding scans, got $scans:\n$plan")
+  }
+
+  test("q232: the 5 greedy MMR rounds never rescan the corpus") {
+    // the candidate pool and its pairwise-sim table are checkpointed
+    // once; all five unrolled rounds join those bounded frames
+    val plan = planOf("q232_mmr_select")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 0, s"expected 0 parquet scans post-checkpoint, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q233/q234/q235: curation metrics stay single-scan / checkpoint-clean") {
+    val p233 = planOf("q233_data_ladder")
+    assert(p233.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 1, p233)
+    assert(p233.contains("partial_count") || p233.contains("partial_sum"), p233)
+    val p234 = planOf("q234_ngram_novelty")
+    assert(p234.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 0, p234)
+    assert(!p234.contains("CartesianProduct"), p234)
+    val p235 = planOf("q235_soft_dedup_weights")
+    assert(p235.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) <= 2, p235)
+    assert(!p235.contains("CartesianProduct"), p235)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
