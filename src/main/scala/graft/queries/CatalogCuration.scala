@@ -596,7 +596,12 @@ private[queries] object CatalogCuration {
             .filter(col("__r") === 1)
             .select(col("qid"), lit(r.toLong).as("sel_round"),
               col("cid").as("sel_id"), col("score_e6"))
-          sel = if (sel == null) next else sel.unionAll(next)
+          // lineage cut per round (the iterative-loop rule): without it
+          // round k's left_anti + sim join re-embeds every previous
+          // round's subtree and the physical plan doubles per round
+          // (measured 10k plan lines at k=5); the frame is 8*k rows
+          sel = (if (sel == null) next else sel.unionAll(next))
+            .localCheckpoint(eager = true)
         }
         sel.select(col("qid").as("query_id"), col("sel_round"),
             col("sel_id"), col("score_e6"))
