@@ -113,7 +113,8 @@ private[queries] object CatalogCuration {
         SELECT doc_id, count(*) AS n_bigrams,
                CAST(sum(nll) AS BIGINT) AS nll_e6,
                CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_e6
-        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+      bench = true), // the LM-scoring family's wall-time probe
 
     // Cross-source quantile normalization — map every document's
     // WITHIN-SOURCE (lang) score rank onto the GLOBAL empirical score
@@ -249,7 +250,8 @@ private[queries] object CatalogCuration {
         $iters
         SELECT CAST(v1.i AS BIGINT) AS idx, v1.v AS v1, v2.v AS v2, v3.v AS v3
         FROM v1 JOIN v2 USING (i) JOIN v3 USING (i) ORDER BY idx"""
-      }),
+      },
+      bench = true), // the Gramian-accumulation wall-time probe
 
     // Markov-chain attribution by REMOVAL EFFECT — the principled
     // upgrade over q113's last-touch: build the first-order journey
@@ -792,5 +794,83 @@ private[queries] object CatalogCuration {
                CAST(sum(1000000 // csize) AS BIGINT) AS eff_docs_e6
         FROM f JOIN cs ON f.fp = cs.fp
         GROUP BY lang ORDER BY lang""")),
+
+    // Token-budget allocation across sources with caps — the mixing
+    // planner's core arithmetic: give each language a share of a global
+    // budget (half the corpus) proportional to supply, cap at supply,
+    // then redistribute the leftover to unsaturated sources in a second
+    // proportional round. Every step is exact integer floor arithmetic
+    // over the BOUNDED per-language frame (the corpus contributes one
+    // token-count scan); both rounds unroll identically in the oracle.
+    "q236_budget_allocation" -> QueryDef(
+      fn = (s, d) => {
+        val supply = t(s, d, "documents")
+          .groupBy("lang").agg(sum(TF.tokenCount(col("text"))).as("supply"))
+          .localCheckpoint(eager = true) // bounded |langs| frame, 4 consumers
+        val tot = supply.agg(sum(col("supply")).as("__total"))
+        val r1 = supply.crossJoin(broadcast(tot))
+          .withColumn("__budget", expr("__total div 2"))
+          .withColumn("alloc_r1",
+            least(col("supply"), expr("(__budget * supply) div __total")))
+        val left = r1.agg((max(col("__budget"))
+          - sum(col("alloc_r1"))).as("__left"))
+        val unsat = r1.filter(col("alloc_r1") < col("supply"))
+          .agg(sum(col("supply")).as("__su"))
+        r1.crossJoin(broadcast(left)).crossJoin(broadcast(unsat))
+          .withColumn("alloc_r2",
+            col("alloc_r1") + when(col("alloc_r1") < col("supply")
+                && col("__su") > 0,
+              least(col("supply") - col("alloc_r1"),
+                expr("(__left * supply) div __su"))).otherwise(0L))
+          .select(col("lang"), col("supply"), col("alloc_r1"), col("alloc_r2"))
+          .orderBy("lang")
+      },
+      oracle = Some(s"""
+        WITH sup AS (SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS supply
+                     FROM documents GROUP BY lang),
+        tt AS (SELECT CAST(sum(supply) AS BIGINT) AS total,
+                      CAST(sum(supply) // 2 AS BIGINT) AS budget
+               FROM sup),
+        r1 AS (SELECT lang, supply,
+                      least(supply,
+                        CAST((tt.budget * supply) // tt.total AS BIGINT))
+                        AS alloc_r1
+               FROM sup CROSS JOIN tt),
+        lv AS (SELECT CAST((SELECT budget FROM tt) - sum(alloc_r1) AS BIGINT)
+                        AS leftv
+               FROM r1),
+        us AS (SELECT CAST(coalesce(sum(supply), 0) AS BIGINT) AS su
+               FROM r1 WHERE alloc_r1 < supply)
+        SELECT lang, supply, alloc_r1,
+               alloc_r1 + CASE WHEN alloc_r1 < supply AND us.su > 0
+                 THEN least(supply - alloc_r1,
+                            CAST((lv.leftv * supply) // us.su AS BIGINT))
+                 ELSE 0 END AS alloc_r2
+        FROM r1 CROSS JOIN lv CROSS JOIN us
+        ORDER BY lang""")),
+
+    // Streaming dedup with BOUNDED state — q60's dropDuplicates keeps
+    // every key forever (the unbounded-state scale-killer);
+    // dropDuplicatesWithinWatermark is the production path: state
+    // expires once the watermark passes a key's event time. The fixture
+    // span sits inside the 30-day delay, so within-watermark dedup ==
+    // global dedup and the batch oracle is exact; production sets the
+    // delay to its real dedup horizon and state stays O(keys-in-window).
+    "q237_stream_dedup_ttl" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        val stream = stagedEventsStream(s, dir)
+          .withWatermark("ts", "30 days")
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+        val agg = stream.groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"))
+        val table = runToMemoryTable(s, agg, "q237_mem")
+        dropStaged(dir)
+        table.orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
   )
 }

@@ -44,7 +44,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // the double-window session matrix — exactly where a proportional
     // cap or partition-sensitive tie would hide
     "q216_rolling_reach", "q219_training_data_build",
-    "q223_session_entry_exit")
+    "q223_session_entry_exit",
+    // round-10 wave heavies: the bigram-LM gram-keyed join family and
+    // the gram-novelty semi-join (both in the quadratic hazard class if
+    // a count table ever keyed on something corpus-proportional)
+    "q224_perplexity_filter", "q234_ngram_novelty")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
