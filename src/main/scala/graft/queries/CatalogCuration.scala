@@ -872,5 +872,167 @@ private[queries] object CatalogCuration {
       oracle = Some("""
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Clustering-quality readout: per-label mean silhouette over SQUARED
+    // distances to exact-integer centroids — "are the labels actually
+    // separated in embedding space" before anyone trains on them.
+    // Components scale to a 1e-3 integer grid; centroids are floor-mean
+    // integers; every squared distance is an exact long (zip_with +
+    // aggregate, codegen'd); s = (b2 - a2)/max(a2, b2) lands on the 1e-6
+    // grid via SIGN-HANDLED floor division (Spark `div` truncates where
+    // DuckDB `//` floors — they agree only on nonnegatives, the q226
+    // rule). Scale: one posexplode pass builds the bounded
+    // |labels| x 64 centroid table, which broadcasts back; the corpus
+    // sees one scan + a |labels|-wide broadcast fanout.
+    "q238_silhouette" -> QueryDef(
+      fn = (s, d) => {
+        val sx = transform(col("embedding"), x =>
+          (x.cast("double") * 1000.0 + signum(x.cast("double")) * 0.5)
+            .cast("long"))
+        val vecs = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            sx.as("__sx"))
+          .localCheckpoint(eager = true) // centroid build + distance pass
+        val cent = vecs
+          .select(col("label"), posexplode(col("__sx")).as(Seq("__i", "__v")))
+          .groupBy("label", "__i")
+          .agg(expr("sum(__v) div count(1)").as("__c"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("__i"), col("__c"))))
+            .as("__cs"))
+          .select(col("label").as("clabel"),
+            transform(col("__cs"), e => e.getField("__c")).as("__cv"))
+        val d2 = aggregate(
+          zip_with(col("__sx"), col("__cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        val dists = vecs.crossJoin(broadcast(cent)).withColumn("__d2", d2)
+        val perVec = dists.groupBy("vec_id", "label")
+          .agg(max(when(col("label") === col("clabel"), col("__d2"))).as("__a2"),
+            min(when(col("label") =!= col("clabel"), col("__d2"))).as("__b2"))
+        val num = (col("__b2") - col("__a2")) * 1000000L
+        val den = greatest(col("__a2"), col("__b2"))
+        val sE6 = when(den > 0,
+          when(num >= 0, expr("((__b2 - __a2) * 1000000L) div greatest(__a2, __b2)"))
+            .otherwise(-expr("((__a2 - __b2) * 1000000L) div greatest(__a2, __b2)")))
+          .otherwise(lit(0L))
+        val perVecS = perVec.select(col("label"), sE6.as("__s"))
+        perVecS.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("__s")).as("__ss"))
+          .select(col("label"), col("n_vecs"),
+            when(col("__ss") >= 0, expr("__ss div n_vecs"))
+              .otherwise(-expr("(-__ss) div n_vecs")).as("mean_sil_e6"))
+          .orderBy("label")
+      },
+      oracle = Some("""
+        WITH px AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      unnest(generate_series(1, len(embedding))) AS i,
+                      CAST(round(unnest(embedding) * 1000.0) AS BIGINT) AS x
+                    FROM embeddings),
+        cent AS (SELECT label AS clabel, i,
+                        CAST(sum(x) // count(*) AS BIGINT) AS c
+                 FROM px GROUP BY label, i),
+        dd AS (SELECT px.vec_id, px.label, cent.clabel,
+                      CAST(sum((px.x - cent.c) * (px.x - cent.c)) AS BIGINT)
+                        AS d2
+               FROM px JOIN cent ON px.i = cent.i
+               GROUP BY px.vec_id, px.label, cent.clabel),
+        ab AS (SELECT vec_id, label,
+                      max(CASE WHEN label = clabel THEN d2 END) AS a2,
+                      min(CASE WHEN label <> clabel THEN d2 END) AS b2
+               FROM dd GROUP BY vec_id, label),
+        sv AS (SELECT label,
+                      CASE WHEN greatest(a2, b2) = 0 THEN 0
+                           WHEN b2 >= a2
+                             THEN CAST(((b2 - a2) * 1000000) // greatest(a2, b2)
+                                       AS BIGINT)
+                           ELSE -CAST(((a2 - b2) * 1000000) // greatest(a2, b2)
+                                      AS BIGINT) END AS s
+               FROM ab)
+        SELECT label, count(*) AS n_vecs,
+               CASE WHEN sum(s) >= 0
+                    THEN CAST(sum(s) // count(*) AS BIGINT)
+                    ELSE -CAST((-sum(s)) // count(*) AS BIGINT) END
+                 AS mean_sil_e6
+        FROM sv GROUP BY label ORDER BY label""")),
+
+    // Stream-STATIC dimension join — the standard streaming-enrichment
+    // shape (each micro-batch hash-joins against a static relation; no
+    // state, no watermark needed). The static side here is a per-user
+    // profile built batch-side from the same events table (past-event
+    // count deciles); the stream enriches each event with its user's
+    // profile bucket and counts per bucket. Stream/batch parity is
+    // exact-integer.
+    "q239_stream_static_join" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        val profile = t(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("__n"))
+          .select(col("user_id"), expr("__n div 10").as("bucket"))
+        val stream = stagedEventsStream(s, dir)
+          .select(col("user_id"))
+          .join(profile, Seq("user_id")) // static side: micro-batch hash join
+        val agg = stream.groupBy("bucket")
+          .agg(count(lit(1)).as("n_events"))
+        val table = runToMemoryTable(s, agg, "q239_mem")
+        dropStaged(dir)
+        table.orderBy("bucket")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT user_id, count(*) // 10 AS bucket
+                   FROM events GROUP BY user_id)
+        SELECT CAST(p.bucket AS BIGINT) AS bucket, count(*) AS n_events
+        FROM events e JOIN p ON e.user_id = p.user_id
+        GROUP BY p.bucket ORDER BY bucket""")),
+
+    // Per-language style metrics — the casing/digit/sentence-shape
+    // signals of boilerplate and OCR-junk detection: ALL-CAPS ratio,
+    // digit ratio (both over exact length-minus-strip counts), and
+    // sentences per doc (terminator-run count). One scan, a bounded
+    // per-language agg, every ratio on the integer 1e-6 grid.
+    "q240_style_metrics" -> QueryDef(
+      fn = (s, d) => {
+        def strip(c: org.apache.spark.sql.Column, cls: String) =
+          (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+        t(s, d, "documents")
+          .select(col("lang"),
+            strip(col("text"), "[A-Z]").as("__up"),
+            strip(col("text"), "[A-Za-z]").as("__let"),
+            strip(col("text"), "[0-9]").as("__dig"),
+            length(col("text")).cast("long").as("__len"),
+            size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")
+              .as("__sent"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("__up")).as("__sup"),
+            sum(col("__let")).as("__slet"), sum(col("__dig")).as("__sdig"),
+            sum(col("__len")).as("__slen"), sum(col("__sent")).as("__ssent"))
+          .select(col("lang"), col("n_docs"),
+            expr("(__sup * 1000000L) div greatest(__slet, 1L)").as("upper_e6"),
+            expr("(__sdig * 1000000L) div greatest(__slen, 1L)").as("digit_e6"),
+            expr("(__ssent * 1000000L) div n_docs").as("sent_per_doc_e6"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH m AS (SELECT lang,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                          AS BIGINT) AS up,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                          AS BIGINT) AS let,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '[0-9]', '', 'g'))
+                          AS BIGINT) AS dig,
+                     CAST(length(text) AS BIGINT) AS len,
+                     CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                       AS sent
+                   FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST((sum(up) * 1000000) // greatest(sum(let), 1) AS BIGINT)
+                 AS upper_e6,
+               CAST((sum(dig) * 1000000) // greatest(sum(len), 1) AS BIGINT)
+                 AS digit_e6,
+               CAST((sum(sent) * 1000000) // count(*) AS BIGINT)
+                 AS sent_per_doc_e6
+        FROM m GROUP BY lang ORDER BY lang""")),
   )
 }
