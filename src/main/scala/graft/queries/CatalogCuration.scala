@@ -1034,5 +1034,151 @@ private[queries] object CatalogCuration {
                CAST((sum(sent) * 1000000) // count(*) AS BIGINT)
                  AS sent_per_doc_e6
         FROM m GROUP BY lang ORDER BY lang""")),
+
+    // Incremental aggregate maintenance — the "don't rescan history"
+    // systems pattern: yesterday's events stay as a keyed partial-
+    // aggregate state; today's slice aggregates alone and MERGES in
+    // (ops/IncrementalAgg: one full-outer hash join, null-safe
+    // count/sum adds + max combine). The oracle is the full batch
+    // aggregate over everything — merge(state(A), state(B)) must equal
+    // state(A ∪ B) exactly, which integer cents make bit-checkable.
+    "q241_incremental_agg" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts"), cents(col("value")).as("__c"))
+        // fixture span is 2024-01: the cut puts ~2/3 in state, ~1/3 in
+        // the delta, so both sides of the merge are non-vacuous
+        val cut = to_timestamp(lit("2024-01-20 00:00:00"))
+        def aggOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id").agg(count(lit(1)).as("n_events"),
+            sum(col("__c")).as("spend_cents"), max(col("ts")).as("last_ts"))
+        val state = aggOf(ev.filter(col("ts") < cut))
+        val delta = aggOf(ev.filter(col("ts") >= cut))
+        graft.ops.IncrementalAgg.merge(state, delta, Seq("user_id"),
+            sums = Seq("n_events", "spend_cents"), maxes = Seq("last_ts"))
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(${centsSql("value")}) AS BIGINT) AS spend_cents,
+               max(ts) AS last_ts
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // Kaplan-Meier time-to-conversion survival with RIGHT-CENSORING —
+    // the principled funnel-latency curve: the "event" is a user's
+    // FIRST purchase (duration = days since their first activity);
+    // users who never purchase are censored at the observation end
+    // instead of being dropped (the bias plain conversion-rate math
+    // carries). Survival is reported in the LOG domain on the integer
+    // 1e-6 grid — each death step contributes snap(ln((n-d)/n)) of
+    // exact integer counts, so the running product becomes an
+    // order-free integer running SUM over the bounded distinct-duration
+    // frame. Death durations where every remaining user converts
+    // (n = d) terminate the curve and are excluded (log 0). One
+    // user-keyed agg + one bounded-frame window.
+    "q242_kaplan_meier" -> QueryDef(
+      fn = (s, d) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("__day"),
+            col("event_type"))
+        val mx = days.agg(max(col("__day")).as("__mx"))
+        val ud = days.groupBy("user_id")
+          .agg(min(col("__day")).as("__f"),
+            min(when(col("event_type") === "purchase", col("__day")))
+              .as("__p"))
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("__p").isNotNull, datediff(col("__p"), col("__f")))
+              .otherwise(datediff(col("__mx"), col("__f")))
+              .cast("long").as("dur"),
+            col("__p").isNotNull.as("__death"))
+        val byDur = ud.groupBy("dur")
+          .agg(sum(when(col("__death"), 1L).otherwise(0L)).as("n_deaths"),
+            count(lit(1)).as("__all"))
+        // bounded frame: one row per distinct lifetime-in-days
+        val w = Window.orderBy("dur")
+        val wCum = w.rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+        val total = ud.agg(count(lit(1)).as("__n"))
+        byDur.crossJoin(broadcast(total))
+          .withColumn("n_risk",
+            col("__n") - coalesce(sum(col("__all")).over(wCum), lit(0L)))
+          .withColumn("__term", floor(log(
+            (col("n_risk") - col("n_deaths")).cast("double")
+              / col("n_risk").cast("double")) * 1000000.0 + 0.5).cast("long"))
+          .filter(col("n_deaths") > 0 && col("n_deaths") < col("n_risk"))
+          .withColumn("log_surv_e6", sum(col("__term")).over(wRun))
+          .select(col("dur"), col("n_risk"), col("n_deaths"),
+            col("log_surv_e6"))
+          .orderBy("dur")
+      },
+      oracle = Some("""
+        WITH days AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type
+                      FROM events),
+        mx AS (SELECT max(day) AS mx FROM days),
+        ud0 AS (SELECT user_id, min(day) AS f,
+                       min(CASE WHEN event_type = 'purchase' THEN day END)
+                         AS p
+                FROM days GROUP BY user_id),
+        ud AS (SELECT CASE WHEN p IS NOT NULL
+                        THEN CAST(date_diff('day', f, p) AS BIGINT)
+                        ELSE CAST(date_diff('day', f, (SELECT mx FROM mx))
+                                  AS BIGINT) END AS dur,
+                      p IS NOT NULL AS death
+               FROM ud0),
+        bd AS (SELECT dur,
+                      CAST(sum(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_deaths,
+                      count(*) AS n_all
+               FROM ud GROUP BY dur),
+        nr AS (SELECT dur, n_deaths,
+                      (SELECT count(*) FROM ud)
+                        - coalesce(sum(n_all) OVER (ORDER BY dur
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS n_risk
+               FROM bd),
+        st AS (SELECT dur, n_risk, n_deaths,
+                      CAST(floor(ln(CAST(n_risk - n_deaths AS DOUBLE)
+                                    / CAST(n_risk AS DOUBLE))
+                                 * 1000000.0 + 0.5) AS BIGINT) AS term
+               FROM nr WHERE n_deaths > 0 AND n_deaths < n_risk)
+        SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, n_deaths,
+               CAST(sum(term) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS log_surv_e6
+        FROM st ORDER BY dur""")),
+
+    // k-anonymity audit — the governance readout before sharing event
+    // data: bucket rows by quasi-identifier (type, hour-of-day, coarse
+    // spend band), count equivalence classes below k=5, and the rows
+    // exposed in them. Pure exact-integer aggregation: one grouped
+    // count + one per-type rollup.
+    "q243_k_anonymity" -> QueryDef(
+      fn = (s, d) => {
+        val qid = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), hour(col("ts")).as("__h"),
+            cents(col("value")).as("__c"))
+          .withColumn("__band", expr("__c div 1000"))
+        qid.groupBy("event_type", "__h", "__band")
+          .agg(count(lit(1)).as("__n"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("__n") < 5, 1L).otherwise(0L)).as("risky_groups"),
+            sum(when(col("__n") < 5, col("__n")).otherwise(0L))
+              .as("risky_rows"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT event_type, hour(ts) AS h,
+                          ${centsSql("value")} // 1000 AS band,
+                          count(*) AS n
+                   FROM events WHERE value IS NOT NULL
+                   GROUP BY 1, 2, 3)
+        SELECT event_type, count(*) AS n_groups,
+               CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS risky_groups,
+               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                 AS risky_rows
+        FROM q GROUP BY event_type ORDER BY event_type""")),
   )
 }
