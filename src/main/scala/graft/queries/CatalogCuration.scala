@@ -1180,5 +1180,256 @@ private[queries] object CatalogCuration {
                CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
                  AS risky_rows
         FROM q GROUP BY event_type ORDER BY event_type""")),
+
+    // Split-conformal prediction intervals per event type — the
+    // distribution-free uncertainty wrapper: fit the "model" (per-type
+    // mean as an integer floor of exact cents) on the calibration half,
+    // take the 0.9 quantile of absolute residuals as the interval
+    // half-width (pinned percentile()/quantile_cont parity), then
+    // measure EMPIRICAL COVERAGE on the held-out half — conformal
+    // theory says ~90%, and the oracle checks the exact count.
+    // Residuals are exact integers; coverage rides the 1e-6 grid.
+    "q244_conformal" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), cents(col("value")).as("__c"),
+            Sampling.inSplit(col("user_id"), 0.5).as("__cal"))
+          .localCheckpoint(eager = true) // model fit + qhat + coverage
+        val model = ev.filter(col("__cal")).groupBy("event_type")
+          .agg(expr("sum(__c) div count(1)").as("__mean"))
+        val resid = ev.join(broadcast(model), Seq("event_type"))
+          .withColumn("__r", abs(col("__c") - col("__mean")))
+        val qhat = resid.filter(col("__cal")).groupBy("event_type")
+          .agg(expr("percentile(__r, 0.9)").as("__qhat"))
+        resid.filter(!col("__cal"))
+          .join(broadcast(qhat), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("__r").cast("double") <= col("__qhat"), 1L)
+              .otherwise(0L)).as("n_covered"),
+            round(max(col("__qhat")) / 100.0, 4).as("half_width"))
+          .withColumn("coverage_e6",
+            expr("(n_covered * 1000000L) div n_eval"))
+          .select(col("event_type"), col("n_eval"), col("n_covered"),
+            col("half_width"), col("coverage_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT event_type, ${centsSql("value")} AS c,
+                      substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                        < '${Sampling.thresholdHex(0.5)}' AS cal
+                    FROM events WHERE value IS NOT NULL),
+        m AS (SELECT event_type, CAST(sum(c) // count(*) AS BIGINT) AS mean
+              FROM ev WHERE cal GROUP BY event_type),
+        r AS (SELECT ev.event_type, ev.cal, abs(ev.c - m.mean) AS res
+              FROM ev JOIN m ON ev.event_type = m.event_type),
+        q AS (SELECT event_type, quantile_cont(res, 0.9) AS qhat
+              FROM r WHERE cal GROUP BY event_type),
+        cov AS (SELECT r.event_type, count(*) AS n_eval,
+                       CAST(sum(CASE WHEN CAST(res AS DOUBLE) <= q.qhat
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_covered,
+                       round(max(q.qhat) / 100.0, 4) AS half_width
+                FROM r JOIN q ON r.event_type = q.event_type
+                WHERE NOT r.cal GROUP BY r.event_type)
+        SELECT event_type, n_eval, n_covered, half_width,
+               CAST((n_covered * 1000000) // n_eval AS BIGINT)
+                 AS coverage_e6
+        FROM cov ORDER BY event_type""")),
+
+    // Propensity-score matching (ATT, with replacement) — the causal
+    // sibling of q195's IPS: treated users (did a signup) each match
+    // the nearest control by an integer propensity proxy (total event
+    // count) inside a caliper block (score div 5), deterministic
+    // (min |diff|, then min control id). Everything is exact integers:
+    // match distance, matched outcomes, and the ATT in cents. Scale:
+    // one user-keyed agg; matching is an equi-join on the bounded
+    // caliper block, never user x user.
+    "q245_propensity_match" -> QueryDef(
+      fn = (s, d) => {
+        val u = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("__n"),
+            sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+              .as("__sg"),
+            sum(when(col("event_type") === "purchase"
+                && col("value").isNotNull, cents(col("value")))
+              .otherwise(0L)).as("__out"))
+          .select(col("user_id"), col("__n"), (col("__sg") > 0).as("__t"),
+            col("__out"), expr("__n div 5").as("__blk"))
+          .localCheckpoint(eager = true) // treated + control sides
+        val treated = u.filter(col("__t"))
+          .select(col("user_id").as("tid"), col("__n").as("tn"),
+            col("__out").as("tout"), col("__blk"))
+        val control = u.filter(!col("__t"))
+          .select(col("user_id").as("cid"), col("__n").as("cn"),
+            col("__out").as("cout"), col("__blk"))
+        val w = Window.partitionBy("tid")
+          .orderBy(abs(col("tn") - col("cn")).asc, col("cid").asc)
+        val matched = treated.join(control, Seq("__blk"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+        matched.agg(
+            count(lit(1)).as("n_matched"),
+            sum(col("tout")).as("treated_cents"),
+            sum(col("cout")).as("control_cents"))
+          .crossJoin(broadcast(treated.agg(count(lit(1)).as("n_treated"))))
+          .select(col("n_treated"), col("n_matched"),
+            col("treated_cents"), col("control_cents"),
+            expr("""(treated_cents * 100L) div n_matched
+                    - (control_cents * 100L) div n_matched""").as("att_e2"))
+      },
+      oracle = Some(s"""
+        WITH u AS (SELECT user_id, count(*) AS n,
+                          sum(CASE WHEN event_type = 'signup'
+                              THEN 1 ELSE 0 END) > 0 AS t,
+                          CAST(sum(CASE WHEN event_type = 'purchase'
+                                        AND value IS NOT NULL
+                                   THEN ${centsSql("value")} ELSE 0 END)
+                               AS BIGINT) AS outc,
+                          count(*) // 5 AS blk
+                   FROM events GROUP BY user_id),
+        tr AS (SELECT user_id AS tid, n AS tn, outc AS tout, blk
+               FROM u WHERE t),
+        ct AS (SELECT user_id AS cid, n AS cn, outc AS cout, blk
+               FROM u WHERE NOT t),
+        mt AS (SELECT tid, tout, cout FROM (
+                 SELECT tr.tid, tr.tout, ct.cout,
+                        row_number() OVER (PARTITION BY tr.tid
+                          ORDER BY abs(tr.tn - ct.cn) ASC, ct.cid ASC) AS rn
+                 FROM tr JOIN ct ON tr.blk = ct.blk)
+               WHERE rn = 1)
+        SELECT (SELECT count(*) FROM tr) AS n_treated,
+               count(*) AS n_matched,
+               CAST(sum(tout) AS BIGINT) AS treated_cents,
+               CAST(sum(cout) AS BIGINT) AS control_cents,
+               CAST((sum(tout) * 100) // count(*)
+                    - (sum(cout) * 100) // count(*) AS BIGINT) AS att_e2
+        FROM mt""")),
+
+    // Difference-in-differences — the 2x2 causal workhorse: signup
+    // users vs never-signup users, purchase spend in the first half of
+    // the month vs the second. Per-cell exact totals plus floored
+    // integer means; the summary row carries the DiD of the means.
+    // One scan, one user-keyed agg, bounded 2x2 frame.
+    "q246_diff_in_diff" -> QueryDef(
+      fn = (s, d) => {
+        val cut = to_date(lit("2024-01-16"))
+        val ev = t(s, d, "events")
+        val grp = ev.groupBy("user_id")
+          .agg((sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+            > 0L).as("__t"))
+        val spend = ev.filter(col("event_type") === "purchase"
+            && col("value").isNotNull)
+          .select(col("user_id"),
+            when(to_date(col("ts")) < cut, "pre").otherwise("post")
+              .as("period"),
+            cents(col("value")).as("__c"))
+          .join(grp, Seq("user_id"))
+          .groupBy(when(col("__t"), "signup").otherwise("control")
+            .as("cohort"), col("period"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            sum(col("__c")).as("total_cents"))
+          .withColumn("mean_e4",
+            expr("(total_cents * 10000L) div n_users"))
+          .localCheckpoint(eager = true) // cells + the DiD summary row
+        val cell = (c: String, p: String) =>
+          max(when(col("cohort") === c && col("period") === p,
+            col("mean_e4")))
+        val did = spend.agg(
+          (cell("signup", "post") - cell("signup", "pre")
+            - (cell("control", "post") - cell("control", "pre")))
+            .as("mean_e4"))
+          .select(lit("did").as("cohort"), lit("*").as("period"),
+            lit(0L).as("n_users"), lit(0L).as("total_cents"),
+            col("mean_e4"))
+        spend.unionByName(did).orderBy("cohort", "period")
+      },
+      oracle = Some(s"""
+        WITH grp AS (SELECT user_id,
+                            sum(CASE WHEN event_type = 'signup'
+                                THEN 1 ELSE 0 END) > 0 AS t
+                     FROM events GROUP BY user_id),
+        cells AS (SELECT CASE WHEN grp.t THEN 'signup' ELSE 'control' END
+                           AS cohort,
+                         CASE WHEN CAST(e.ts AS DATE) < DATE '2024-01-16'
+                              THEN 'pre' ELSE 'post' END AS period,
+                         CAST(count(DISTINCT e.user_id) AS BIGINT)
+                           AS n_users,
+                         CAST(sum(${centsSql("value")}) AS BIGINT)
+                           AS total_cents
+                  FROM events e JOIN grp ON e.user_id = grp.user_id
+                  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+                  GROUP BY 1, 2),
+        cm AS (SELECT cohort, period, n_users, total_cents,
+                      CAST((total_cents * 10000) // n_users AS BIGINT)
+                        AS mean_e4
+               FROM cells),
+        did AS (SELECT 'did' AS cohort, '*' AS period,
+                       CAST(0 AS BIGINT) AS n_users,
+                       CAST(0 AS BIGINT) AS total_cents,
+                       (SELECT mean_e4 FROM cm WHERE cohort = 'signup'
+                          AND period = 'post')
+                       - (SELECT mean_e4 FROM cm WHERE cohort = 'signup'
+                            AND period = 'pre')
+                       - ((SELECT mean_e4 FROM cm WHERE cohort = 'control'
+                             AND period = 'post')
+                          - (SELECT mean_e4 FROM cm WHERE cohort = 'control'
+                               AND period = 'pre')) AS mean_e4)
+        SELECT * FROM cm UNION ALL SELECT * FROM did
+        ORDER BY cohort, period""")),
+
+    // Cohort LTV curves — cumulative per-user spend by cohort age, the
+    // revenue twin of q99's retention matrix: users cohorted by
+    // first-event week, spend accumulated week over week, normalized
+    // per cohort member on the integer 1e-2 grid. Cumulative sums ride
+    // the bounded (cohort x age-week) frame.
+    "q247_ltv_curve" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("__day"),
+            col("event_type"), col("value"))
+        val coh = ev.groupBy("user_id")
+          .agg(min(expr("date_trunc('week', __day)")).as("__cw"))
+        val spend = ev.filter(col("event_type") === "purchase"
+            && col("value").isNotNull)
+          .join(coh, Seq("user_id"))
+          .groupBy(col("__cw").cast("date").as("cohort_week"),
+            floor(datediff(col("__day"), col("__cw").cast("date")) / 7)
+              .cast("long").as("age_week"))
+          .agg(sum(cents(col("value"))).as("__cents"))
+        val size = coh.groupBy(col("__cw").cast("date").as("cohort_week"))
+          .agg(count(lit(1)).as("cohort_size"))
+        val w = Window.partitionBy("cohort_week").orderBy("age_week")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spend.join(size, Seq("cohort_week"))
+          .withColumn("__cum", sum(col("__cents")).over(w))
+          .select(col("cohort_week").cast("timestamp").as("cohort_week"),
+            col("age_week"), col("cohort_size"),
+            expr("(__cum * 100L) div cohort_size").as("ltv_e2"))
+          .orderBy("cohort_week", "age_week")
+      },
+      oracle = Some(s"""
+        WITH coh AS (SELECT user_id,
+                       min(date_trunc('week', CAST(ts AS DATE))) AS cw
+                     FROM events GROUP BY user_id),
+        sp AS (SELECT CAST(coh.cw AS DATE) AS cohort_week,
+                      CAST(date_diff('day', CAST(coh.cw AS DATE),
+                                     CAST(e.ts AS DATE)) // 7 AS BIGINT)
+                        AS age_week,
+                      CAST(sum(${centsSql("value")}) AS BIGINT) AS c
+               FROM events e JOIN coh ON e.user_id = coh.user_id
+               WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+               GROUP BY 1, 2),
+        sz AS (SELECT CAST(cw AS DATE) AS cohort_week,
+                      count(*) AS cohort_size
+               FROM coh GROUP BY 1)
+        SELECT CAST(sp.cohort_week AS TIMESTAMP) AS cohort_week,
+               sp.age_week, sz.cohort_size,
+               CAST((sum(sp.c) OVER (PARTITION BY sp.cohort_week
+                       ORDER BY sp.age_week ROWS UNBOUNDED PRECEDING)
+                     * 100) // sz.cohort_size AS BIGINT) AS ltv_e2
+        FROM sp JOIN sz ON sp.cohort_week = sz.cohort_week
+        ORDER BY cohort_week, age_week""")),
   )
 }
