@@ -1431,5 +1431,92 @@ private[queries] object CatalogCuration {
                      * 100) // sz.cohort_size AS BIGINT) AS ltv_e2
         FROM sp JOIN sz ON sp.cohort_week = sz.cohort_week
         ORDER BY cohort_week, age_week""")),
+
+    // CAPSTONE feature-store build — one query materializes a per-user
+    // ML feature vector the way a production feature pipeline would:
+    // activity counts, 30-minute-gap session count (q40's rule),
+    // type/day cardinalities, exact purchase spend, purchase share on
+    // the 1e-6 grid, and hour-of-day entropy (q229's snapped-log rule —
+    // 24 bounded buckets per user, so the weighted sum is an order-free
+    // integer). Three user-keyed aggregates reuse ONE hash exchange
+    // key; everything joins back on user_id.
+    "q248_user_features" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .localCheckpoint(eager = true) // three aggregate consumers
+        val base = ev.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          sum(when(col("event_type") === "purchase"
+              && col("value").isNotNull, cents(col("value")))
+            .otherwise(0L)).as("spend_cents"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("__np"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = ev
+          .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull
+              || col("ts") > lag(col("ts"), 1).over(w)
+                + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+          .groupBy("user_id").agg(sum(col("__new")).as("n_sessions"))
+        val hourEnt = ev
+          .groupBy(col("user_id"), hour(col("ts")).as("__h"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__n",
+            sum(col("__c")).over(Window.partitionBy("user_id")))
+          .withColumn("__t", col("__c") * floor(log(col("__c").cast("double")
+            / col("__n").cast("double")) * 1000000.0 + 0.5).cast("long"))
+          .groupBy("user_id")
+          .agg(max(col("__n")).as("__n"), sum(col("__t")).as("__s"))
+          .select(col("user_id"), expr("(-__s) div __n").as("hour_entropy_e6"))
+        base.join(sess, Seq("user_id")).join(hourEnt, Seq("user_id"))
+          .select(col("user_id"), col("n_events"), col("n_sessions"),
+            col("n_types"), col("active_days"), col("spend_cents"),
+            expr("(__np * 1000000L) div n_events").as("purchase_share_e6"),
+            col("hour_entropy_e6"))
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT user_id, count(*) AS n_events,
+                        CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                          AS active_days,
+                        CAST(sum(CASE WHEN event_type = 'purchase'
+                                      AND value IS NOT NULL
+                                 THEN ${centsSql("value")} ELSE 0 END)
+                             AS BIGINT) AS spend_cents,
+                        CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS np
+                      FROM events GROUP BY user_id),
+        sess AS (SELECT user_id, CAST(sum(isnew) AS BIGINT) AS n_sessions
+                 FROM (SELECT user_id,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END AS isnew
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+                 GROUP BY user_id),
+        hc AS (SELECT user_id, hour(ts) AS h, count(*) AS c
+               FROM events GROUP BY 1, 2),
+        hn AS (SELECT user_id, c,
+                      sum(c) OVER (PARTITION BY user_id) AS n
+               FROM hc),
+        he AS (SELECT user_id,
+                      CAST((-sum(c * CAST(floor(ln(CAST(c AS DOUBLE)
+                          / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS BIGINT))) // max(n) AS BIGINT)
+                        AS hour_entropy_e6
+               FROM hn GROUP BY user_id)
+        SELECT base.user_id, base.n_events, sess.n_sessions, base.n_types,
+               base.active_days, base.spend_cents,
+               CAST((base.np * 1000000) // base.n_events AS BIGINT)
+                 AS purchase_share_e6,
+               he.hour_entropy_e6
+        FROM base JOIN sess ON base.user_id = sess.user_id
+                  JOIN he ON base.user_id = he.user_id
+        ORDER BY base.user_id""")),
   )
 }

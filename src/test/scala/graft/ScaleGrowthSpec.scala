@@ -48,7 +48,13 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // round-10 wave heavies: the bigram-LM gram-keyed join family and
     // the gram-novelty semi-join (both in the quadratic hazard class if
     // a count table ever keyed on something corpus-proportional)
-    "q224_perplexity_filter", "q234_ngram_novelty")
+    "q224_perplexity_filter", "q234_ngram_novelty",
+    // embedding family LINEAR paths: per-partition Gramian fold and the
+    // centroid-broadcast silhouette (brute-force ops like q25/q231 are
+    // O(anchors x corpus) BY DESIGN — the documented exact baselines —
+    // and are deliberately not audited here; LSH/IVF are their scale
+    // paths)
+    "q226_power_iteration", "q238_silhouette")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
@@ -109,6 +115,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
         col("event_type"), col("value"), col("props")))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // embeddings: ids shift per replica; vectors and labels ride along
+    // unchanged (the audited ops — Gramian, silhouette — do no dedup,
+    // so replica-identical vectors don't collapse any work)
+    val em = Tables.load(spark, baseSf, "embeddings")
+    val maxVid = em.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until factor).map(i => em.select(
+        (col("vec_id") + lit(i * maxVid)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }
 
