@@ -1518,5 +1518,172 @@ private[queries] object CatalogCuration {
         FROM base JOIN sess ON base.user_id = sess.user_id
                   JOIN he ON base.user_id = he.user_id
         ORDER BY base.user_id""")),
+
+    // Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    // (dense + sparse, or here two dense scorers: cosine and raw dot
+    // product, which disagree exactly when vector norms differ). Ranks
+    // are integers; each ranker's contribution snaps as
+    // 1000000 // (60 + rank), so the fused score is an exact integer
+    // sum and the final top-5 argmax has no FP ties. Scale shape:
+    // queries broadcast, corpus streamed once per scorer, per-query
+    // rank windows — q25's kNN pattern twice plus one integer agg.
+    "q249_rrf_fusion" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val VFn = graft.functions.VectorFunctions
+        val scored = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+          .crossJoin(broadcast(q)).filter(col("cid") =!= col("qid"))
+          .withColumn("__cos", VFn.cosine(col("qv"), col("cv")))
+          .withColumn("__dot", VFn.dot(col("qv"), col("cv")))
+          .localCheckpoint(eager = true) // both rank windows share it
+        val wc = Window.partitionBy("qid").orderBy(col("__cos").desc, col("cid"))
+        val wd = Window.partitionBy("qid").orderBy(col("__dot").desc, col("cid"))
+        val fused = scored
+          .withColumn("__rc", row_number().over(wc))
+          .withColumn("__rd", row_number().over(wd))
+          .withColumn("rrf_e6", expr("1000000L div (60 + __rc)")
+            + expr("1000000L div (60 + __rd)"))
+        val wf = Window.partitionBy("qid")
+          .orderBy(col("rrf_e6").desc, col("cid"))
+        fused.withColumn("__rank", row_number().over(wf))
+          .filter(col("__rank") <= 5)
+          .select(col("qid").as("query_id"), col("__rank").cast("long")
+            .as("rank"), col("cid").as("neighbor_id"), col("rrf_e6"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some {
+        val dotSql = "list_sum(list_transform(list_zip(q.qv, c.embedding), " +
+          "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                   WHERE vec_id < 8),
+        sc AS (SELECT q.qid, c.vec_id AS cid,
+                      ${cosineSql("q.qv", "c.embedding")} AS cos,
+                      $dotSql AS dot
+               FROM q JOIN embeddings c ON c.vec_id <> q.qid),
+        rk AS (SELECT qid, cid,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, cid) AS rc,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY dot DESC, cid) AS rd
+               FROM sc),
+        fu AS (SELECT qid, cid,
+                      CAST(1000000 // (60 + rc) + 1000000 // (60 + rd)
+                           AS BIGINT) AS rrf_e6
+               FROM rk)
+        SELECT qid AS query_id,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf_e6 DESC, cid) AS BIGINT) AS rank,
+               cid AS neighbor_id, rrf_e6
+        FROM fu
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank"""
+      }),
+
+    // CAPSTONE multimodal dataset build — q219's pipeline for MEDIA:
+    // build VARIABLE-geometry real P5 containers (width 32..63, pixels
+    // stride-sampled from the normalized text, exact id-shifted twins
+    // injected), container-DECODE them back (Multimodal.sampleCodes:
+    // header parse + pixel-region slice + 32-way stride resample),
+    // aHash each, dedup exact-hash groups to the min id, and pack the
+    // survivors' BYTE LENGTHS (12-byte header + width, so 44..75
+    // variable) into 512-byte shards via the distributed prefix sum.
+    // The generator stride floor(((j-1)*L)/w) runs in doubles on the
+    // Spark side and as integer // in the oracle: with w <= 63 a
+    // non-integer rational is >= 1/63 from any integer, far beyond
+    // double rounding error, so the floors agree exactly. One manifest
+    // row: every count derives from the REAL decode path.
+    "q250_media_build" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val base0 = t(s, d, "documents").filter(col("lang") === "en")
+          .select(col("doc_id"),
+            array_join(TF.tokens(col("text")), " ").as("__n"))
+        val twins = base0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 800000).as("doc_id"), col("__n"))
+        val base = base0.unionAll(twins).filter(length(col("__n")) >= 64)
+        // 800000 ≡ 0 (mod 32): twins inherit their original's width, so
+        // an exact text copy yields an exact container copy
+        val wD = (pmod(col("doc_id"), lit(32)) + 32)
+        val pix = array_join(transform(sequence(lit(1), wD.cast("int")),
+          j => substring(col("__n"),
+            (lit(1) + floor(((j - 1) * length(col("__n"))).cast("double")
+              / wD.cast("double"))).cast("int"), lit(1))), "")
+        val media = base.select(col("doc_id").as("media_id"),
+            lit("image").as("kind"),
+            encode(concat(lit("P5\n"), wD.cast("string"), lit(" 1\n255\n"),
+              pix), "UTF-8").as("payload"))
+          .as[graft.ops.Multimodal.MediaRow]
+        val hash = aggregate(
+          zip_with(col("__codes"), sequence(lit(0), lit(31)),
+            (c, i) => when(c * 32 > col("__sum"), pow(lit(2.0), i.cast("double")))
+              .otherwise(lit(0.0))),
+          lit(0.0), (acc, x) => acc + x).cast("long")
+        val hashed = graft.ops.Multimodal.sampleCodes(media)
+          .toDF("media_id", "__codes")
+          .select(col("media_id"), col("__codes"),
+            aggregate(col("__codes"), lit(0L), (a, x) => a + x).as("__sum"))
+          .select(col("media_id"), hash.as("__h"))
+          .localCheckpoint(eager = true) // census + dedup share it
+        val kept = hashed.groupBy("__h").agg(min(col("media_id")).as("media_id"))
+          .select(col("media_id"),
+            (pmod(col("media_id"), lit(32)) + 32 + 12).cast("long").as("__bl"))
+        val packed = graft.ops.Pack.packSequences(kept, "media_id", "__bl",
+          budget = 512L)
+        val packStats = packed.agg(
+          (max(expr("(seq_id * 512 + offset_in_seq + __bl - 1) div 512")) + 1)
+            .as("n_shards"),
+          sum(when(col("offset_in_seq") + col("__bl") > 512L, 1L)
+            .otherwise(0L)).as("n_spanning"))
+        hashed.agg(count(lit(1)).as("n_media"),
+            countDistinct(col("__h")).as("n_kept"))
+          .crossJoin(broadcast(packStats))
+      },
+      oracle = Some(s"""
+        WITH b0 AS (SELECT doc_id, array_to_string($toksSql, ' ') AS n
+                    FROM documents WHERE lang = 'en'),
+        base AS (SELECT * FROM (SELECT doc_id, n FROM b0
+                                UNION ALL
+                                SELECT doc_id + 800000 AS doc_id, n
+                                FROM b0 WHERE doc_id % 10 = 0)
+                 WHERE length(n) >= 64),
+        wd AS (SELECT doc_id, n, doc_id % 32 + 32 AS w FROM base),
+        px AS (SELECT doc_id, w,
+                 list_transform(generate_series(1, w),
+                   j -> CAST(ord(substr(n,
+                     CAST(1 + ((j - 1) * length(n)) // w AS INT), 1))
+                     AS BIGINT)) AS pix
+               FROM wd),
+        cs AS (SELECT doc_id, w,
+                 list_transform(generate_series(1, 32),
+                   i -> pix[CAST((i - 1) * w // 32 + 1 AS INT)]) AS codes
+               FROM px),
+        hs AS (SELECT doc_id, w,
+                 list_sum(list_transform(generate_series(1, 32),
+                   i -> CASE WHEN codes[i] * 32 > list_sum(codes)
+                        THEN CAST(1 AS BIGINT) << (i - 1)
+                        ELSE CAST(0 AS BIGINT) END)) AS h
+               FROM cs),
+        kp AS (SELECT min(doc_id) AS doc_id FROM hs GROUP BY h),
+        kl AS (SELECT doc_id,
+                      CAST(doc_id % 32 + 32 + 12 AS BIGINT) AS bl
+               FROM kp),
+        cum AS (SELECT doc_id, bl,
+                  CAST(sum(bl) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - bl AS start
+                FROM kl),
+        pk AS (SELECT CAST(max(start + bl - 1) // 512 + 1 AS BIGINT)
+                        AS n_shards,
+                      CAST(sum(CASE WHEN start // 512
+                                    <> (start + bl - 1) // 512
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+               FROM cum)
+        SELECT (SELECT count(*) FROM hs) AS n_media,
+               (SELECT count(*) FROM kp) AS n_kept,
+               pk.n_shards, pk.n_spanning
+        FROM pk""")),
   )
 }
