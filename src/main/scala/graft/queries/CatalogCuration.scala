@@ -1238,13 +1238,16 @@ private[queries] object CatalogCuration {
         FROM cov ORDER BY event_type""")),
 
     // Propensity-score matching (ATT, with replacement) — the causal
-    // sibling of q195's IPS: treated users (did a signup) each match
-    // the nearest control by an integer propensity proxy (total event
-    // count) inside a caliper block (score div 5), deterministic
-    // (min |diff|, then min control id). Everything is exact integers:
-    // match distance, matched outcomes, and the ATT in cents. Scale:
-    // one user-keyed agg; matching is an equi-join on the bounded
-    // caliper block, never user x user.
+    // sibling of q195's IPS: treated users (HIGH signup exposure — >= 14
+    // signup events, one above the cross-sf per-user median, so both
+    // arms are populated at every scale; a ">= 1 signup" treatment is
+    // vacuous here because every synthetic user signs up eventually)
+    // each match the nearest control by an integer propensity proxy
+    // (total event count) inside a caliper block (score div 5),
+    // deterministic (min |diff|, then min control id). Everything is
+    // exact integers: match distance, matched outcomes, and the ATT in
+    // cents. Scale: one user-keyed agg; matching is an equi-join on the
+    // bounded caliper block, never user x user.
     "q245_propensity_match" -> QueryDef(
       fn = (s, d) => {
         val u = t(s, d, "events")
@@ -1255,7 +1258,7 @@ private[queries] object CatalogCuration {
             sum(when(col("event_type") === "purchase"
                 && col("value").isNotNull, cents(col("value")))
               .otherwise(0L)).as("__out"))
-          .select(col("user_id"), col("__n"), (col("__sg") > 0).as("__t"),
+          .select(col("user_id"), col("__n"), (col("__sg") >= 14L).as("__t"),
             col("__out"), expr("__n div 5").as("__blk"))
           .localCheckpoint(eager = true) // treated + control sides
         val treated = u.filter(col("__t"))
@@ -1282,7 +1285,7 @@ private[queries] object CatalogCuration {
       oracle = Some(s"""
         WITH u AS (SELECT user_id, count(*) AS n,
                           sum(CASE WHEN event_type = 'signup'
-                              THEN 1 ELSE 0 END) > 0 AS t,
+                              THEN 1 ELSE 0 END) >= 14 AS t,
                           CAST(sum(CASE WHEN event_type = 'purchase'
                                         AND value IS NOT NULL
                                    THEN ${centsSql("value")} ELSE 0 END)
@@ -1307,18 +1310,19 @@ private[queries] object CatalogCuration {
                     - (sum(cout) * 100) // count(*) AS BIGINT) AS att_e2
         FROM mt""")),
 
-    // Difference-in-differences — the 2x2 causal workhorse: signup
-    // users vs never-signup users, purchase spend in the first half of
-    // the month vs the second. Per-cell exact totals plus floored
-    // integer means; the summary row carries the DiD of the means.
-    // One scan, one user-keyed agg, bounded 2x2 frame.
+    // Difference-in-differences — the 2x2 causal workhorse:
+    // high-signup-exposure users (>= 14, the q245 threshold — both arms
+    // populated at every sf) vs the rest, purchase spend in the first
+    // half of the month vs the second. Per-cell exact totals plus
+    // floored integer means; the summary row carries the DiD of the
+    // means. One scan, one user-keyed agg, bounded 2x2 frame.
     "q246_diff_in_diff" -> QueryDef(
       fn = (s, d) => {
         val cut = to_date(lit("2024-01-16"))
         val ev = t(s, d, "events")
         val grp = ev.groupBy("user_id")
           .agg((sum(when(col("event_type") === "signup", 1L).otherwise(0L))
-            > 0L).as("__t"))
+            >= 14L).as("__t"))
         val spend = ev.filter(col("event_type") === "purchase"
             && col("value").isNotNull)
           .select(col("user_id"),
@@ -1348,7 +1352,7 @@ private[queries] object CatalogCuration {
       oracle = Some(s"""
         WITH grp AS (SELECT user_id,
                             sum(CASE WHEN event_type = 'signup'
-                                THEN 1 ELSE 0 END) > 0 AS t
+                                THEN 1 ELSE 0 END) >= 14 AS t
                      FROM events GROUP BY user_id),
         cells AS (SELECT CASE WHEN grp.t THEN 'signup' ELSE 'control' END
                            AS cohort,
