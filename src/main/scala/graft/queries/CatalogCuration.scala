@@ -43,6 +43,30 @@ private[queries] object CatalogCuration {
   private val MmrPool = 10
   private val MmrK = 5
 
+  /** q230/q235: cross-language duplicate injection — docs with
+    * doc_id % 7 == 0 are copied (id + 900000) under a ROTATED language
+    * tag, so inter-source duplicate cells and multi-doc fingerprint
+    * clusters exist at every sf (the raw synthetic corpus has neither
+    * at sf <= 0.01 — without this the dup matrix is all-diagonal and
+    * every soft-dedup weight is exactly 1, both hollow).
+    */
+  private val LangRotation: Seq[(String, String)] =
+    Seq("de" -> "es", "en" -> "de", "es" -> "fr", "fr" -> "zh", "zh" -> "en")
+  private def rotatedLang(c: org.apache.spark.sql.Column) =
+    coalesce(LangRotation.foldRight(lit(null).cast("string")) {
+      case ((from, to), rest) => when(c === from, lit(to)).otherwise(rest)
+    }, c)
+  private val rotatedLangSql: String =
+    "CASE " + LangRotation.map { case (f, t2) =>
+      s"WHEN lang = '$f' THEN '$t2'" }.mkString(" ") + " ELSE lang END"
+
+  /** q242: the survival event is the first BIG purchase (value >= this);
+    * ~half the users never have one at every sf, so the right-censored
+    * branch is genuinely exercised (a plain first-purchase event censors
+    * nobody — every synthetic user purchases within days).
+    */
+  private val BigPurchase = 150.0
+
   def entries: Seq[(String, QueryDef)] = Seq(
 
     // Bigram-LM perplexity filtering — the KenLM-style quality gate of
@@ -495,7 +519,12 @@ private[queries] object CatalogCuration {
     // the pair fanout per group is bounded by |langs|^2.
     "q230_dup_matrix" -> QueryDef(
       fn = (s, d) => {
-        val fp = t(s, d, "documents")
+        val base = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("text"))
+        val rotated = base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000).as("doc_id"),
+            rotatedLang(col("lang")).as("lang"), col("text"))
+        val fp = base.unionAll(rotated)
           .select(TF.fingerprint(col("text")).as("__fp"), col("lang"))
           .distinct()
         val e1 = fp.select(col("__fp").as("fa"), col("lang").as("la"))
@@ -505,9 +534,13 @@ private[queries] object CatalogCuration {
           .orderBy("la", "lb")
       },
       oracle = Some(s"""
-        WITH f AS (SELECT DISTINCT md5(array_to_string($toksSql, ' ')) AS fp,
-                          lang
-                   FROM documents)
+        WITH t0 AS (SELECT lang, text FROM documents
+                    UNION ALL
+                    SELECT $rotatedLangSql AS lang, text
+                    FROM documents WHERE doc_id % 7 = 0),
+        f AS (SELECT DISTINCT md5(array_to_string($toksSql, ' ')) AS fp,
+                     lang
+              FROM t0)
         SELECT a.lang AS la, b.lang AS lb, count(*) AS n_fps
         FROM f a JOIN f b ON a.fp = b.fp AND a.lang <= b.lang
         GROUP BY 1, 2 ORDER BY 1, 2""")),
@@ -773,7 +806,12 @@ private[queries] object CatalogCuration {
     // fingerprint shuffle; everything else exact-integer aggs.
     "q235_soft_dedup_weights" -> QueryDef(
       fn = (s, d) => {
-        val fp = t(s, d, "documents")
+        val base = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("text"))
+        val rotated = base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000).as("doc_id"),
+            rotatedLang(col("lang")).as("lang"), col("text"))
+        val fp = base.unionAll(rotated)
           .select(col("doc_id"), col("lang"),
             TF.fingerprint(col("text")).as("__fp"))
         val cs = fp.groupBy("__fp").agg(count(lit(1)).as("__csize"))
@@ -785,9 +823,13 @@ private[queries] object CatalogCuration {
           .orderBy("lang")
       },
       oracle = Some(s"""
-        WITH f AS (SELECT doc_id, lang,
-                          md5(array_to_string($toksSql, ' ')) AS fp
-                   FROM documents),
+        WITH t0 AS (SELECT lang, text FROM documents
+                    UNION ALL
+                    SELECT $rotatedLangSql AS lang, text
+                    FROM documents WHERE doc_id % 7 = 0),
+        f AS (SELECT lang,
+                     md5(array_to_string($toksSql, ' ')) AS fp
+              FROM t0),
         cs AS (SELECT fp, count(*) AS csize FROM f GROUP BY fp)
         SELECT lang, count(*) AS n_docs,
                CAST(count(DISTINCT f.fp) AS BIGINT) AS n_clusters,
@@ -1067,25 +1109,28 @@ private[queries] object CatalogCuration {
 
     // Kaplan-Meier time-to-conversion survival with RIGHT-CENSORING —
     // the principled funnel-latency curve: the "event" is a user's
-    // FIRST purchase (duration = days since their first activity);
-    // users who never purchase are censored at the observation end
-    // instead of being dropped (the bias plain conversion-rate math
-    // carries). Survival is reported in the LOG domain on the integer
-    // 1e-6 grid — each death step contributes snap(ln((n-d)/n)) of
-    // exact integer counts, so the running product becomes an
-    // order-free integer running SUM over the bounded distinct-duration
-    // frame. Death durations where every remaining user converts
-    // (n = d) terminate the curve and are excluded (log 0). One
-    // user-keyed agg + one bounded-frame window.
+    // first BIG purchase (value >= 150 — about half the users never
+    // have one at any sf, so the censored branch genuinely fires; a
+    // plain first-purchase event censors nobody because every synthetic
+    // user purchases within days); non-converters are censored at the
+    // observation end instead of being dropped (the bias plain
+    // conversion-rate math carries). Survival is reported in the LOG
+    // domain on the integer 1e-6 grid — each death step contributes
+    // snap(ln((n-d)/n)) of exact integer counts, so the running product
+    // becomes an order-free integer running SUM over the bounded
+    // distinct-duration frame. Death durations where every remaining
+    // user converts (n = d) terminate the curve and are excluded
+    // (log 0). One user-keyed agg + one bounded-frame window.
     "q242_kaplan_meier" -> QueryDef(
       fn = (s, d) => {
         val days = t(s, d, "events")
           .select(col("user_id"), to_date(col("ts")).as("__day"),
-            col("event_type"))
+            col("event_type"), col("value"))
         val mx = days.agg(max(col("__day")).as("__mx"))
         val ud = days.groupBy("user_id")
           .agg(min(col("__day")).as("__f"),
-            min(when(col("event_type") === "purchase", col("__day")))
+            min(when(col("event_type") === "purchase"
+                && col("value") >= BigPurchase, col("__day")))
               .as("__p"))
           .crossJoin(broadcast(mx))
           .select(
@@ -1114,12 +1159,13 @@ private[queries] object CatalogCuration {
           .orderBy("dur")
       },
       oracle = Some("""
-        WITH days AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type
+        WITH days AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                             value
                       FROM events),
         mx AS (SELECT max(day) AS mx FROM days),
         ud0 AS (SELECT user_id, min(day) AS f,
-                       min(CASE WHEN event_type = 'purchase' THEN day END)
-                         AS p
+                       min(CASE WHEN event_type = 'purchase'
+                                AND value >= 150.0 THEN day END) AS p
                 FROM days GROUP BY user_id),
         ud AS (SELECT CASE WHEN p IS NOT NULL
                         THEN CAST(date_diff('day', f, p) AS BIGINT)

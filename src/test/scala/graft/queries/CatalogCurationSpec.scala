@@ -88,6 +88,25 @@ class CatalogCurationSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("q230/q235: the injected cross-language duplicates actually fire") {
+    // without the rotation injection the matrix is all-diagonal and
+    // every soft-dedup weight is exactly 1 at sf <= 0.01 — both hollow
+    val offDiag = run("q230_dup_matrix")
+      .filter(col("la") =!= col("lb")).count()
+    assert(offDiag > 0, "no cross-language duplicate cells")
+    val weighted = run("q235_soft_dedup_weights")
+      .filter(col("eff_docs_e6") < col("n_docs") * 1000000L).count()
+    assert(weighted > 0, "no language carries a sub-unit dedup weight")
+  }
+
+  test("q242: the censored branch fires (deaths strictly fewer than users)") {
+    val deaths = run("q242_kaplan_meier").agg(sum("n_deaths")).head.getLong(0)
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(deaths > 0 && deaths < users,
+      s"deaths=$deaths of $users users — censoring never fired")
+  }
+
   test("q242: log-survival is non-increasing and at-risk counts shrink") {
     val rows = run("q242_kaplan_meier").orderBy("dur").collect()
     assert(rows.nonEmpty)
