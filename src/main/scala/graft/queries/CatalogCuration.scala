@@ -429,12 +429,21 @@ private[queries] object CatalogCuration {
     // agree). Ratios are exact: total counts are longs and fertility is
     // an integer floor-division on a 1e-6 grid. One scan, one tiny agg.
     "q228_tokenizer_fertility" -> QueryDef(
+      // The raw synthetic corpus carries ZERO punctuation, so subwords
+      // == tokens and every fertility reads exactly 1.0 — hollow. A
+      // deterministic punctuation-bearing tail (" doc-<id>.v<id%7>!") is
+      // appended per doc (the q46 injection pattern): it adds 2
+      // whitespace tokens but 7-8 subword pieces, so fertilities move
+      // off 1.0 and differ per language with doc/token mix.
       fn = (s, d) => {
+        val aug = concat(col("text"), lit(" doc-"), col("doc_id"),
+          lit(".v"), pmod(col("doc_id"), lit(7)), lit("!"))
         val sub = size(expr(
-          s"regexp_extract_all(text, '$SubwordRegex', 0)")).cast("long")
+          s"regexp_extract_all(__t, '$SubwordRegex', 0)")).cast("long")
         t(s, d, "documents")
-          .select(col("lang"), TF.tokenCount(col("text")).as("__tk"),
-            sub.as("__sw"))
+          .select(col("lang"), aug.as("__t"))
+          .select(col("lang"),
+            TF.tokenCount(col("__t")).as("__tk"), sub.as("__sw"))
           .filter(col("__tk") > 0)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
@@ -445,11 +454,15 @@ private[queries] object CatalogCuration {
           .orderBy("lang")
       },
       oracle = Some(s"""
-        WITH sc AS (SELECT lang,
+        WITH au AS (SELECT lang,
+                      concat(text, ' doc-', CAST(doc_id AS VARCHAR), '.v',
+                             CAST(doc_id % 7 AS VARCHAR), '!') AS text
+                    FROM documents),
+        sc AS (SELECT lang,
                       CAST(len($toksSql) AS BIGINT) AS tk,
                       CAST(len(regexp_extract_all(text, '$SubwordRegex'))
                            AS BIGINT) AS sw
-                    FROM documents)
+               FROM au)
         SELECT lang, count(*) AS n_docs,
                CAST(sum(tk) AS BIGINT) AS n_tokens,
                CAST(sum(sw) AS BIGINT) AS n_subwords,
@@ -1569,27 +1582,40 @@ private[queries] object CatalogCuration {
                   JOIN he ON base.user_id = he.user_id
         ORDER BY base.user_id""")),
 
-    // Reciprocal-rank fusion — the standard hybrid-retrieval combiner
-    // (dense + sparse, or here two dense scorers: cosine and raw dot
-    // product, which disagree exactly when vector norms differ). Ranks
-    // are integers; each ranker's contribution snaps as
+    // Reciprocal-rank fusion — the standard hybrid-retrieval combiner:
+    // the full-precision cosine ranker fused with an INT8-QUANTIZED dot
+    // ranker (per-vector symmetric max-abs quantization, the coarse
+    // first-stage scorer of real ANN serving stacks; on this corpus the
+    // two disagree inside the top-10 for every query, where a raw-dot
+    // second ranker would be IDENTICAL to cosine — the embeddings are
+    // unit-norm). The quantized dot is an exact integer (|q| <= 127,
+    // 64 dims), ranks are integers, and each contribution snaps as
     // 1000000 // (60 + rank), so the fused score is an exact integer
     // sum and the final top-5 argmax has no FP ties. Scale shape:
-    // queries broadcast, corpus streamed once per scorer, per-query
-    // rank windows — q25's kNN pattern twice plus one integer agg.
+    // queries broadcast, corpus streamed once, per-query rank windows —
+    // q25's kNN pattern plus one integer agg.
     "q249_rrf_fusion" -> QueryDef(
       fn = (s, d) => {
         val emb = t(s, d, "embeddings")
-        val q = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         val VFn = graft.functions.VectorFunctions
-        val scored = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val quant = (v: org.apache.spark.sql.Column) => {
+          val ma = array_max(transform(v, x => abs(x.cast("double"))))
+          transform(v, x => (x.cast("double") * 127.0 / ma
+            + signum(x.cast("double")) * 0.5).cast("long"))
+        }
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            quant(col("embedding")).as("__qq"))
+        val scored = emb.select(col("vec_id").as("cid"),
+            col("embedding").as("cv"), quant(col("embedding")).as("__qc"))
           .crossJoin(broadcast(q)).filter(col("cid") =!= col("qid"))
           .withColumn("__cos", VFn.cosine(col("qv"), col("cv")))
-          .withColumn("__dot", VFn.dot(col("qv"), col("cv")))
+          .withColumn("__qd", aggregate(
+            zip_with(col("__qq"), col("__qc"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
           .localCheckpoint(eager = true) // both rank windows share it
         val wc = Window.partitionBy("qid").orderBy(col("__cos").desc, col("cid"))
-        val wd = Window.partitionBy("qid").orderBy(col("__dot").desc, col("cid"))
+        val wd = Window.partitionBy("qid").orderBy(col("__qd").desc, col("cid"))
         val fused = scored
           .withColumn("__rc", row_number().over(wc))
           .withColumn("__rd", row_number().over(wd))
@@ -1604,20 +1630,27 @@ private[queries] object CatalogCuration {
           .orderBy("query_id", "rank")
       },
       oracle = Some {
-        val dotSql = "list_sum(list_transform(list_zip(q.qv, c.embedding), " +
-          "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        val quantSql = (v: String) =>
+          s"""list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 127.0
+               / list_max(list_transform($v,
+                   y -> abs(CAST(y AS DOUBLE))))) AS BIGINT))"""
         s"""
-        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-                   WHERE vec_id < 8),
-        sc AS (SELECT q.qid, c.vec_id AS cid,
-                      ${cosineSql("q.qv", "c.embedding")} AS cos,
-                      $dotSql AS dot
-               FROM q JOIN embeddings c ON c.vec_id <> q.qid),
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                          ${quantSql("embedding")} AS qq
+                   FROM embeddings WHERE vec_id < 8),
+        cc AS (SELECT vec_id AS cid, embedding AS cv,
+                      ${quantSql("embedding")} AS qc
+               FROM embeddings),
+        sc AS (SELECT q.qid, cc.cid,
+                      ${cosineSql("q.qv", "cc.cv")} AS cos,
+                      list_sum(list_transform(list_zip(q.qq, cc.qc),
+                        p -> p[1] * p[2])) AS qd
+               FROM q JOIN cc ON cc.cid <> q.qid),
         rk AS (SELECT qid, cid,
                       row_number() OVER (PARTITION BY qid
                         ORDER BY cos DESC, cid) AS rc,
                       row_number() OVER (PARTITION BY qid
-                        ORDER BY dot DESC, cid) AS rd
+                        ORDER BY qd DESC, cid) AS rd
                FROM sc),
         fu AS (SELECT qid, cid,
                       CAST(1000000 // (60 + rc) + 1000000 // (60 + rd)

@@ -156,6 +156,18 @@ class CatalogCurationSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q228/q249: the injected structure makes the metrics non-degenerate") {
+    // fertility: the punctuation tail must push every language off 1.0
+    val flat = run("q228_tokenizer_fertility")
+      .filter(col("fertility_e6") === 1000000L).count()
+    assert(flat == 0, "a language still reads fertility exactly 1.0")
+    // fusion: if the int8 ranker agreed with cosine everywhere, rrf
+    // would take only the 5 values 2*1e6/(60+r); disagreement widens it
+    val distinct = run("q249_rrf_fusion")
+      .select("rrf_e6").distinct().count()
+    assert(distinct > 5, "the two rankers never disagreed in the top-5")
+  }
+
   test("q250: the media manifest composes (kept <= media, shards cover kept bytes)") {
     val r = run("q250_media_build").head
     val (nMedia, nKept, nShards) = (r.getLong(0), r.getLong(1), r.getLong(2))
