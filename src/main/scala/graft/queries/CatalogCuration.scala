@@ -1665,6 +1665,91 @@ private[queries] object CatalogCuration {
         ORDER BY query_id, rank"""
       }),
 
+    // Time-weighted average value (TWAP) per user — the metric family
+    // where a plain mean is WRONG because observations arrive
+    // irregularly: each value holds until the next event, so it weighs
+    // by its holding duration in ms. Products value_cents x dt_ms are
+    // exact longs (<= 1e5 x 2.6e9 ~ 2.6e14), the last observation of a
+    // user carries no interval (no close-out quote), and the TWAP lands
+    // on the exact integer cents grid via sign-free floor division.
+    // One user-keyed window + one agg.
+    "q251_twap" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            cents(col("value")).as("__c"))
+          .withColumn("__dt",
+            (unix_millis(lead(col("ts"), 1).over(w)) - unix_millis(col("ts"))))
+          .filter(col("__dt").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("__dt")).as("held_ms"),
+            sum(col("__c") * col("__dt")).as("__vw"))
+          .withColumn("twap_cents", expr("__vw div held_ms"))
+          .select(col("user_id"), col("n_intervals"), col("held_ms"),
+            col("twap_cents"))
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT user_id, ts, event_id, ${centsSql("value")} AS c
+                   FROM events WHERE value IS NOT NULL),
+        iv AS (SELECT user_id, c,
+                      epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id)) - epoch_ms(ts) AS dt
+               FROM v)
+        SELECT user_id, count(*) AS n_intervals,
+               CAST(sum(dt) AS BIGINT) AS held_ms,
+               CAST(sum(c * dt) // sum(dt) AS BIGINT) AS twap_cents
+        FROM iv WHERE dt IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // OHLC bars — the canonical downsampling of an irregular value
+    // stream into per-(type, day) candles: open/close by the total
+    // (ts, event_id) order, high/low exact, volume as count. first/last
+    // ride max-by-struct aggregates (no window over the raw stream —
+    // one grouped agg, exact cents out).
+    "q252_ohlc_bars" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("ts"), col("event_id"), cents(col("value")).as("__c"))
+        ev.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n_ticks"),
+            min(struct(col("ts"), col("event_id"), col("__c"))).as("__o"),
+            max(struct(col("ts"), col("event_id"), col("__c"))).as("__cl"),
+            max(col("__c")).as("__hi"), min(col("__c")).as("__lo"))
+          .select(col("event_type"), col("day").cast("timestamp").as("day"),
+            col("n_ticks"),
+            round(col("__o.__c").cast("double") / 100.0, 2).as("open"),
+            round(col("__hi").cast("double") / 100.0, 2).as("high"),
+            round(col("__lo").cast("double") / 100.0, 2).as("low"),
+            round(col("__cl.__c").cast("double") / 100.0, 2).as("close"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                          ${centsSql("value")} AS c
+                   FROM events WHERE value IS NOT NULL),
+        r AS (SELECT event_type, day, c,
+                     row_number() OVER w AS rn_a,
+                     row_number() OVER w2 AS rn_d
+              FROM v
+              WINDOW w AS (PARTITION BY event_type, day
+                           ORDER BY ts, event_id),
+                     w2 AS (PARTITION BY event_type, day
+                            ORDER BY ts DESC, event_id DESC))
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+               count(*) AS n_ticks,
+               round(CAST(max(CASE WHEN rn_a = 1 THEN c END) AS DOUBLE)
+                     / 100.0, 2) AS open,
+               round(CAST(max(c) AS DOUBLE) / 100.0, 2) AS high,
+               round(CAST(min(c) AS DOUBLE) / 100.0, 2) AS low,
+               round(CAST(max(CASE WHEN rn_d = 1 THEN c END) AS DOUBLE)
+                     / 100.0, 2) AS close
+        FROM r GROUP BY event_type, day
+        ORDER BY event_type, day""")),
+
     // CAPSTONE multimodal dataset build — q219's pipeline for MEDIA:
     // build VARIABLE-geometry real P5 containers (width 32..63, pixels
     // stride-sampled from the normalized text, exact id-shifted twins
