@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grid-bucketed geospatial operators over integer micro-degree
+  * coordinates — the station/sensor geometry the reference's OpenAQ
+  * domain carries on every location (`/locations` coordinates,
+  * extract_api.py's nested `coordinates.latitude/longitude`), expressed
+  * as scale-safe Spark joins.
+  *
+  * Coordinates are **integer micro-degrees** (degree * 1e6, `long`)
+  * end-to-end: distance math stays in exact 64-bit integer arithmetic
+  * (squared planar distance of two points < 2^53 for any on-Earth pair),
+  * so results are bit-identical across engines — no transcendental
+  * (haversine sin/cos) whose last-ULP rounding differs between libm
+  * implementations can straddle a comparison. For city-scale nearest-
+  * neighbor ranking, planar squared distance is monotone in true
+  * distance; callers needing metres convert AFTER the ranking.
+  *
+  * Scale shape (100 TB of points):
+  *  - [[cellOf]] maps a point to a square grid cell (integer division) —
+  *    a plain codegen'd projection, no shuffle;
+  *  - [[nearestInGrid]] joins probes to candidates via the probe's 3x3
+  *    neighborhood of cells: the probe side explodes by a FIXED factor 9
+  *    (array literal, no cartesian), the join is a hash equi-join on the
+  *    cell key, and the per-probe candidate set is bounded by grid
+  *    density — never all-pairs. Pick the cell edge >= the max expected
+  *    match radius; probes with no candidate in the 3x3 window fall out
+  *    (the caller widens the grid, not the join).
+  */
+object Geo {
+
+  /** Grid-cell coordinates (cy, cx) of an integer micro-degree point:
+    * floored division by the cell edge. Inputs must be non-negative-
+    * shifted or the caller accepts floor-toward-negative-infinity
+    * semantics of `floor(a / b)` on doubles; graft keeps fixture
+    * coordinates positive so plain integer division is exact in both
+    * engines (Spark `div` and DuckDB `//` truncate identically for
+    * non-negative operands).
+    */
+  def cellOf(latE6: Column, lonE6: Column, cellE6: Long): (Column, Column) =
+    ((latE6 / cellE6).cast("long"), (lonE6 / cellE6).cast("long"))
+
+  /** Exact squared planar distance in micro-degrees (long, exact). */
+  def dist2(latA: Column, lonA: Column, latB: Column, lonB: Column): Column =
+    (latA - latB) * (latA - latB) + (lonA - lonB) * (lonA - lonB)
+
+  /** Nearest-candidate join: for every probe row, the single closest
+    * candidate row found within the probe's 3x3 grid neighborhood, by
+    * exact squared micro-degree distance with a total
+    * (dist2, candidate id) tie-break.
+    *
+    * `probes` must carry (`idCol`, `latCol`, `lonCol`); `candidates`
+    * carries (`candIdCol`, `candLatCol`, `candLonCol`). Output:
+    * (idCol, candIdCol, dist2) — probes whose neighborhood holds no
+    * candidate are absent.
+    *
+    * Plan: probes explode x9 (their own cell + 8 neighbors), one hash
+    * equi-join on (cy, cx) against candidates keyed by their home cell,
+    * one (probe-keyed) window min — two exchanges total, each keyed
+    * uniformly by grid cell / probe id.
+    */
+  def nearestInGrid(probes: DataFrame, idCol: String, latCol: String,
+      lonCol: String, candidates: DataFrame, candIdCol: String,
+      candLatCol: String, candLonCol: String, cellE6: Long): DataFrame = {
+    require(cellE6 >= 1, s"cellE6 must be >= 1: $cellE6")
+    val (pcy, pcx) = cellOf(col(latCol), col(lonCol), cellE6)
+    val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
+      struct(lit(dy.toLong).as("dy"), lit(dx.toLong).as("dx")))): _*)
+    val probed = probes
+      .select(col(idCol), col(latCol), col(lonCol),
+        pcy.as("__pcy"), pcx.as("__pcx"))
+      .withColumn("__o", explode(offsets))
+      .select(col(idCol), col(latCol), col(lonCol),
+        (col("__pcy") + col("__o.dy")).as("__cy"),
+        (col("__pcx") + col("__o.dx")).as("__cx"))
+    val (ccy, ccx) = cellOf(col(candLatCol), col(candLonCol), cellE6)
+    val cands = candidates.select(col(candIdCol), col(candLatCol),
+      col(candLonCol), ccy.as("__cy"), ccx.as("__cx"))
+    val joined = probed.join(cands, Seq("__cy", "__cx"))
+      .select(col(idCol), col(candIdCol),
+        dist2(col(latCol), col(lonCol), col(candLatCol), col(candLonCol))
+          .as("dist2"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist2").asc, col(candIdCol).asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -313,4 +313,101 @@ object Graph {
     }
     dist
   }
+
+  /** Bounded-round k-core peel: iteratively remove every vertex whose
+    * degree in the SURVIVING subgraph is < k, `rounds` times. After
+    * enough rounds this is exactly the k-core (the maximal subgraph with
+    * min degree >= k); with a fixed round count the result is still a
+    * well-defined deterministic refinement — the same bounded-iteration
+    * convention as [[pageRank]]/[[cheapestPaths]]/[[labelPropagation]],
+    * chosen so a SQL oracle can unroll the identical recurrence (a
+    * fixpoint loop has no SQL twin). Callers pick `rounds` >= the
+    * graph's expected peel depth; each extra round past convergence is a
+    * cheap no-op scan of the already-stable core.
+    *
+    * Each round is ONE degree aggregation plus TWO semi-joins of the
+    * edge list against the surviving-vertex frame (both equi-joins on a
+    * vertex key; the survivor side is O(vertices) and AQE-broadcastable
+    * when the core collapses). The edge frame is `localCheckpoint`ed per
+    * round — the iterative-Spark lineage rule.
+    *
+    * Output: (node, core_deg) for every vertex still alive after the
+    * final peel, with its residual degree (>= k once converged).
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    var deg = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_deg"))
+    for (_ <- 1 to rounds) {
+      val survivors = deg.filter(col("core_deg") >= k)
+        .select(col("v")).localCheckpoint(eager = true)
+      e = e.join(survivors.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(survivors.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(eager = true)
+      deg = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("core_deg"))
+    }
+    deg.select(col("v").as("node"), col("core_deg"))
+  }
+
+  /** Common-neighbor link prediction: for every NON-adjacent unordered
+    * vertex pair sharing at least one neighbor, the number of common
+    * neighbors and the Jaccard coefficient
+    * `cn / (deg(a) + deg(b) - cn)` — the classic "who should be
+    * connected next" score.
+    *
+    * Wedge pairs are enumerated at their CENTER (the shared neighbor),
+    * so per-center fanout is C(deg, 2) — a power-law hub would emit
+    * deg^2 pairs, which no orientation trick can bound here because the
+    * center is fixed by the semantics. The scale control is `maxDeg`:
+    * centers with degree > maxDeg are excluded from wedge generation
+    * (the standard stop-node rule — a hub everyone touches carries no
+    * link-prediction signal, exactly like a stopword in similarity
+    * search). Degrees in the score remain the TRUE degrees; only the
+    * evidence enumeration is capped, and the cap is part of the operator
+    * contract (the oracle applies the same rule).
+    *
+    * Output: (node_a, node_b, cn, jaccard[6dp]) for the `topK` pairs by
+    * (cn desc, node_a, node_b) — bounded via TakeOrderedAndProject.
+    */
+  def commonNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDeg: Long, topK: Int): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2: $maxDeg")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    val bi = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    val deg = bi.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+
+    // wedges centered at low-degree vertices only
+    val centers = deg.filter(col("deg") <= maxDeg).select(col("v").as("src"))
+    val arms = bi.join(centers, Seq("src"), "left_semi")
+    val pairs = arms.select(col("src").as("c"), col("dst").as("a"))
+      .join(arms.select(col("src").as("c"), col("dst").as("b")), Seq("c"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+
+    // drop already-adjacent pairs (edge list is canonical src < dst)
+    val nonAdj = pairs.join(
+      e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"),
+      "left_anti")
+    nonAdj
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("cn"),
+        round(col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("cn").desc, col("node_a"), col("node_b"))
+      .limit(topK)
+  }
 }

@@ -416,7 +416,8 @@ object Catalog {
       CatalogScaleOps.entries ++ CatalogCorpusOps.entries ++
       CatalogInfra.entries ++ CatalogRoundtrip.entries ++
       CatalogGraphMining.entries ++ CatalogModelEval.entries ++
-      CatalogCuration.entries): _*)
+      CatalogCuration.entries ++ CatalogGeoWave.entries ++
+      CatalogStatTests.entries): _*)
 
 
   /** Names of the headline benchmark queries, in catalog order. */

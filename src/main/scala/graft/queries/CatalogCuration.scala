@@ -824,12 +824,16 @@ private[queries] object CatalogCuration {
         val rotated = base.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 900000).as("doc_id"),
             rotatedLang(col("lang")).as("lang"), col("text"))
+        // cluster size via a window over the fingerprint key, NOT a
+        // groupBy+self-join — the join form duplicates the whole union
+        // subtree (4 corpus scans); the window reads the stream once on
+        // the same __fp exchange (PlanSpec pins the scan count)
         val fp = base.unionAll(rotated)
           .select(col("doc_id"), col("lang"),
             TF.fingerprint(col("text")).as("__fp"))
-        val cs = fp.groupBy("__fp").agg(count(lit(1)).as("__csize"))
-        fp.join(cs, Seq("__fp"))
-          .groupBy("lang")
+          .withColumn("__csize",
+            count(lit(1)).over(Window.partitionBy("__fp")))
+        fp.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             countDistinct(col("__fp")).as("n_clusters"),
             sum(expr("1000000L div __csize")).as("eff_docs_e6"))

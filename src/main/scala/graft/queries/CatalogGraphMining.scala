@@ -122,7 +122,7 @@ private[queries] object CatalogGraphMining {
     * semantic: pairs at support s imply items at support >= s, so the
     * oracle states the plain definition.
     */
-  private def edgesSqlCte(itemCol: String, minSup: Long): String =
+  private[queries] def edgesSqlCte(itemCol: String, minSup: Long): String =
     s"""po AS (SELECT DISTINCT l_orderkey AS b, $itemCol AS i FROM lineitem),
         e AS (SELECT a.i AS s, b.i AS d, count(*) AS support
               FROM po a JOIN po b ON a.b = b.b AND a.i < b.i

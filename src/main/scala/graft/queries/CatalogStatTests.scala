@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Catalog._
+
+/** Round-10 third wave (q261+): classical statistical tests as
+  * distributed exact-integer aggregations — Mann-Whitney U (the
+  * nonparametric twin of q181's t-test), chi-square independence, PSI
+  * population drift (the monitoring twin of q150's JS divergence), and
+  * information gain (feature-selection entropy).
+  *
+  * Cross-engine discipline, same as the model-eval family: every count,
+  * rank sum, and tie correction is an exact 64-bit integer; doubles
+  * enter only in final FIXED-ORDER formulas whose terms are spelled
+  * identically in the Column expressions and the oracle SQL (generated
+  * from the same Scala constants) — plus `sqrt`/`ln`, which at 6-dp
+  * rounding cannot straddle (IEEE sqrt is correctly rounded; libm ln
+  * differs at most 1 ulp against term magnitudes ~1e0).
+  *
+  * One slice of the query catalog; entry ORDER is load-bearing (see
+  * [[CatalogTraining]]).
+  */
+private[queries] object CatalogStatTests {
+
+  /** q261: treatments, each tested against the 'view' control. */
+  private val MwTreatments = Seq("click", "error", "purchase", "signup")
+
+  /** q262/q263's value-bucket geometry: 5 cent buckets with edges that
+    * track events.value's exponential-ish shape (10/25/50/100 dollars),
+    * so every bucket is populated at every sf (fixed-width 100s left
+    * the tail bucket EMPTY at sf0.001 — a 0/0 chi-square cell). The
+    * bucket list is explicit so the per-row chi-square / PSI term sums
+    * unroll in a FIXED left-to-right order in both engines (a
+    * dynamic-bucket groupBy would sum doubles in partition order).
+    */
+  private val ValueBuckets = 0 until 5
+  private val BucketEdges = Seq(1000L, 2500L, 5000L, 10000L)
+  private def bucketCol: Column = {
+    val c = expr(centsCol("value"))
+    BucketEdges.zipWithIndex.foldRight(lit(BucketEdges.size.toLong)) {
+      case ((edge, i), rest) => when(c < edge, i.toLong).otherwise(rest)
+    }
+  }
+  private def centsCol(c: String) = s"CAST($c * 100 + 0.5 AS LONG)"
+  private def bucketSql: String = {
+    val arms = BucketEdges.zipWithIndex
+      .map { case (e, i) => s"WHEN c < $e THEN $i" }.mkString(" ")
+    s"(CASE $arms ELSE ${BucketEdges.size} END)"
+  }
+  private val bucketCentsSql = "CAST(round(value * 100) AS BIGINT)"
+
+  /** q263's reference/current split day + Laplace smoothing constant. */
+  private val PsiSplitDay = 16
+  /** q264's category lists + length-bucket geometry (shared with the
+    * oracle; langMarkers' key set is the corpus's closed lang set).
+    */
+  private val IgLangs = Seq("de", "en", "es", "fr", "zh")
+  private val IgLenBuckets = 0 until 4
+  private val IgLenDiv = 400L
+  private val IgCharBar = 800L
+
+  def entries: Seq[(String, QueryDef)] = Seq(
+
+    // Mann-Whitney U (Wilcoxon rank-sum) with tie correction: each
+    // treatment event type against the 'view' control, over the exact
+    // integer-cent value axis. Rank sums stay integer by working in
+    // DOUBLED average ranks (2*avgRank = 2*cumBefore + tieSize + 1);
+    // the normal-approximation z enters doubles only in the final
+    // fixed-order formula. Control rows fan out by the FIXED treatment
+    // count (explode x4); everything else is one (pair, value) groupBy
+    // plus one pair-keyed window — no per-pair rescan.
+    "q261_mann_whitney" -> QueryDef(
+      fn = (s, d) => {
+        val pairs = array(MwTreatments.map(lit): _*)
+        val tagged = t(s, d, "events")
+          .filter(col("event_type").isin(MwTreatments :+ "view": _*))
+          .select(col("event_type"), expr(centsCol("value")).as("v"))
+          .select(explode(when(col("event_type") === "view", pairs)
+            .otherwise(array(col("event_type")))).as("pair"),
+            when(col("event_type") =!= "view", 1L).otherwise(0L).as("grp"),
+            col("v"))
+        val byValue = tagged.groupBy("pair", "v")
+          .agg(sum(col("grp")).as("n1v"),
+            sum(lit(1L) - col("grp")).as("n0v"))
+        val w = Window.partitionBy("pair").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withCum = byValue.withColumn("cum",
+          coalesce(sum(col("n1v") + col("n0v")).over(w), lit(0L)))
+        val agg = withCum.groupBy("pair").agg(
+          sum(col("n1v")).as("n1"), sum(col("n0v")).as("n2"),
+          sum(col("n1v") * (lit(2L) * col("cum") + col("n1v") + col("n0v")
+            + lit(1L))).as("r1x2"),
+          sum((col("n1v") + col("n0v")) * (col("n1v") + col("n0v"))
+            * (col("n1v") + col("n0v")) - (col("n1v") + col("n0v")))
+            .as("tsum"))
+        val u1 = (col("r1x2") - col("n1") * (col("n1") + 1L)).cast("double") / 2.0
+        val mu = (col("n1") * col("n2")).cast("double") / 2.0
+        val nn = col("n1") + col("n2")
+        val variance = (col("n1") * col("n2")).cast("double") / 12.0 *
+          ((nn + 1L).cast("double") -
+            col("tsum").cast("double") / (nn.cast("double") * (nn - 1L).cast("double")))
+        // the test is undefined without both samples (an absent
+        // treatment otherwise divides by sqrt(0) — ANSI throws)
+        agg.filter(col("n1") > 0L && col("n2") > 0L)
+          .select(col("pair"), col("n1"), col("n2"), u1.as("u1"),
+            round((u1 - mu) / sqrt(variance), 6).as("z"))
+          .orderBy("pair")
+      },
+      oracle = Some(s"""
+        WITH p AS (SELECT tp FROM (VALUES ${MwTreatments.map(t0 => s"('$t0')").mkString(", ")}) v(tp)),
+        s AS (SELECT p.tp AS pair,
+                     CASE WHEN e.event_type = p.tp THEN 1 ELSE 0 END AS grp,
+                     CAST(round(e.value * 100) AS BIGINT) AS v
+              FROM events e JOIN p
+                ON e.event_type = p.tp OR e.event_type = 'view'),
+        g AS (SELECT pair, v, CAST(sum(grp) AS BIGINT) AS n1v,
+                     CAST(sum(1 - grp) AS BIGINT) AS n0v
+              FROM s GROUP BY pair, v),
+        c AS (SELECT pair, n1v, n0v,
+                     coalesce(sum(n1v + n0v) OVER (PARTITION BY pair ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum
+              FROM g),
+        a AS (SELECT pair, CAST(sum(n1v) AS BIGINT) AS n1,
+                     CAST(sum(n0v) AS BIGINT) AS n2,
+                     CAST(sum(n1v * (2 * cum + n1v + n0v + 1)) AS BIGINT)
+                       AS r1x2,
+                     CAST(sum((n1v + n0v) * (n1v + n0v) * (n1v + n0v)
+                       - (n1v + n0v)) AS BIGINT) AS tsum
+              FROM c GROUP BY pair)
+        SELECT pair, n1, n2,
+               CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+               round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                      - CAST(n1 * n2 AS DOUBLE) / 2.0)
+                     / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                            * (CAST(n1 + n2 + 1 AS DOUBLE)
+                               - CAST(tsum AS DOUBLE)
+                                 / (CAST(n1 + n2 AS DOUBLE)
+                                    * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z
+        FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY pair""")),
+
+    // Chi-square independence of event_type x value-bucket, reported as
+    // per-row contributions: for each event type, the FIXED-ORDER sum
+    // over the five explicit bucket terms (N*n_ij vs r_i*c_j) — the
+    // groupings are exact integer counts, the expected-count divisions
+    // are the only doubles, and no cross-row double sum exists (the
+    // per-row report IS the deterministic decomposition; total chi2 =
+    // sum of the rows, df = (5-1)*(5-1)).
+    "q262_chi_square" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), bucketCol.as("b"))
+        val rowAggCols = count(lit(1)).as("n_i") +:
+          ValueBuckets.map(j =>
+            sum(when(col("b") === j.toLong, 1L).otherwise(0L)).as(s"n_$j"))
+        val rows = ev.groupBy("event_type")
+          .agg(rowAggCols.head, rowAggCols.tail: _*)
+        val colAggCols = count(lit(1)).as("n_tot") +:
+          ValueBuckets.map(j =>
+            sum(when(col("b") === j.toLong, 1L).otherwise(0L)).as(s"c_$j"))
+        val colsTot = ev.agg(colAggCols.head, colAggCols.tail: _*)
+        val term: Int => Column = j => {
+          val e = (col("n_i") * col(s"c_$j")).cast("double") / col("n_tot").cast("double")
+          (col(s"n_$j").cast("double") - e) * (col(s"n_$j").cast("double") - e) / e
+        }
+        rows.crossJoin(broadcast(colsTot))
+          .select(col("event_type"), col("n_i"),
+            round(ValueBuckets.map(term).reduceLeft(_ + _), 6).as("chi2_part"))
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        val termSql = ValueBuckets.map { j =>
+          val e = s"(CAST(n_i * c_$j AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+          s"(CAST(n_$j AS DOUBLE) - $e) * (CAST(n_$j AS DOUBLE) - $e) / $e"
+        }.mkString(" + ")
+        val rowAggs = ValueBuckets.map(j =>
+          s"CAST(sum(CASE WHEN b = $j THEN 1 ELSE 0 END) AS BIGINT) AS n_$j")
+          .mkString(", ")
+        val colAggs = ValueBuckets.map(j =>
+          s"CAST(sum(CASE WHEN b = $j THEN 1 ELSE 0 END) AS BIGINT) AS c_$j")
+          .mkString(", ")
+        s"""
+        WITH ev AS (SELECT event_type, $bucketSql AS b
+                    FROM (SELECT event_type, $bucketCentsSql AS c FROM events)),
+        r AS (SELECT event_type, count(*) AS n_i, $rowAggs
+              FROM ev GROUP BY event_type),
+        ct AS (SELECT count(*) AS n_tot, $colAggs FROM ev)
+        SELECT event_type, n_i, round($termSql, 6) AS chi2_part
+        FROM r CROSS JOIN ct ORDER BY event_type"""
+      }),
+
+    // Population stability index per event type: the cent-bucket
+    // distribution of the first half of the month (reference) against
+    // the second (current), Laplace-smoothed so empty buckets stay
+    // defined — the standard drift monitor next to q150's JS divergence.
+    // Counts are exact integers; the five (p-q)*ln(p/q) terms unroll
+    // explicitly in fixed order.
+    "q263_psi_drift" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          (dayofmonth(col("ts")) < PsiSplitDay).as("is_ref"), bucketCol.as("b"))
+        val psiAggCols =
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref") +:
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur") +:
+            ValueBuckets.flatMap(j => Seq(
+              sum(when(col("is_ref") && col("b") === j.toLong, 1L).otherwise(0L))
+                .as(s"r_$j"),
+              sum(when(!col("is_ref") && col("b") === j.toLong, 1L).otherwise(0L))
+                .as(s"c_$j")))
+        val g = ev.groupBy("event_type")
+          .agg(psiAggCols.head, psiAggCols.tail: _*)
+        val term: Int => Column = j => {
+          val p = (col(s"r_$j") + 1L).cast("double") / (col("n_ref") + 5L).cast("double")
+          val q = (col(s"c_$j") + 1L).cast("double") / (col("n_cur") + 5L).cast("double")
+          (p - q) * log(p / q)
+        }
+        g.select(col("event_type"), col("n_ref"), col("n_cur"),
+            round(ValueBuckets.map(term).reduceLeft(_ + _), 6).as("psi"))
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        val termSql = ValueBuckets.map { j =>
+          val p = s"(CAST(r_$j + 1 AS DOUBLE) / CAST(n_ref + 5 AS DOUBLE))"
+          val q = s"(CAST(c_$j + 1 AS DOUBLE) / CAST(n_cur + 5 AS DOUBLE))"
+          s"($p - $q) * ln($p / $q)"
+        }.mkString(" + ")
+        val aggs = ValueBuckets.flatMap(j => Seq(
+          s"CAST(sum(CASE WHEN is_ref AND b = $j THEN 1 ELSE 0 END) AS BIGINT) AS r_$j",
+          s"CAST(sum(CASE WHEN NOT is_ref AND b = $j THEN 1 ELSE 0 END) AS BIGINT) AS c_$j"))
+          .mkString(", ")
+        s"""
+        WITH ev AS (SELECT event_type,
+                           (CAST(strftime(ts, '%d') AS BIGINT) < $PsiSplitDay)
+                             AS is_ref,
+                           $bucketSql AS b
+                    FROM (SELECT event_type, ts, $bucketCentsSql AS c
+                          FROM events)),
+        g AS (SELECT event_type,
+                     CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ref,
+                     CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cur,
+                     $aggs
+              FROM ev GROUP BY event_type)
+        SELECT event_type, n_ref, n_cur, round($termSql, 6) AS psi
+        FROM g ORDER BY event_type"""
+      }),
+
+    // Information gain (in nats) of two document features for the
+    // "long document" target (n_chars >= 800): IG = H(Y) - H(Y|X),
+    // every probability an exact integer ratio, every entropy an
+    // explicit fixed-order sum over the CLOSED category list (langs;
+    // length buckets), zero-probability terms dropped by the same CASE
+    // in both engines. The feature-selection primitive of a curation
+    // pipeline's "which metadata predicts quality" audit.
+    "q264_info_gain" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents").select(col("lang"),
+          least(expr(s"n_chars div $IgLenDiv"), lit(3L)).as("lb"),
+          (col("n_chars") >= IgCharBar).as("y"))
+
+        def plogp(num: Column, den: Column): Column = {
+          val p = num.cast("double") / den.cast("double")
+          when(num > 0L, -p * log(p)).otherwise(0.0)
+        }
+        // H(Y | X = cat) weighted by n_cat/N, for one category column
+        def condTerm(catN: Column, catY: Column, total: Column): Column =
+          when(catN > 0L,
+            catN.cast("double") / total.cast("double") *
+              (plogp(catY, catN) + plogp(catN - catY, catN))).otherwise(0.0)
+
+        def igFor(name: String, catCol: String, cats: Seq[Column]): DataFrame = {
+          val aggs =
+            count(lit(1)).as("n") +:
+              sum(when(col("y"), 1L).otherwise(0L)).as("ny") +:
+              cats.zipWithIndex.flatMap { case (c, i) => Seq(
+                sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"xn_$i"),
+                sum(when(col(catCol) === c && col("y"), 1L).otherwise(0L))
+                  .as(s"xy_$i")) }
+          val g = docs.agg(aggs.head, aggs.tail: _*)
+          val hy = plogp(col("ny"), col("n")) + plogp(col("n") - col("ny"), col("n"))
+          val hyx = cats.indices.map(i =>
+            condTerm(col(s"xn_$i"), col(s"xy_$i"), col("n"))).reduceLeft(_ + _)
+          g.select(lit(name).as("feature"), col("n"),
+            round(hy, 6).as("h_y"), round(hy - hyx, 6).as("info_gain"))
+        }
+        igFor("lang", "lang", IgLangs.map(lit(_)))
+          .unionAll(igFor("len_bucket", "lb", IgLenBuckets.map(i => lit(i.toLong))))
+          .orderBy("feature")
+      },
+      oracle = Some {
+        def plogpSql(num: String, den: String) =
+          s"CASE WHEN $num > 0 THEN -(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) ELSE 0.0 END"
+        def blockSql(name: String, cats: Seq[String], catExpr: String): String = {
+          val aggs = cats.zipWithIndex.flatMap { case (c, i) => Seq(
+            s"CAST(sum(CASE WHEN $catExpr = $c THEN 1 ELSE 0 END) AS BIGINT) AS xn_$i",
+            s"CAST(sum(CASE WHEN $catExpr = $c AND y THEN 1 ELSE 0 END) AS BIGINT) AS xy_$i") }
+            .mkString(", ")
+          val hy = s"(${plogpSql("ny", "n")} + ${plogpSql("n - ny", "n")})"
+          val cond = cats.indices.map { i =>
+            s"""CASE WHEN xn_$i > 0 THEN CAST(xn_$i AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (${plogpSql(s"xy_$i", s"xn_$i")} + ${plogpSql(s"xn_$i - xy_$i", s"xn_$i")})
+                 ELSE 0.0 END"""
+          }.mkString(" + ")
+          s"""SELECT '$name' AS feature, n, round($hy, 6) AS h_y,
+                 round($hy - ($cond), 6) AS info_gain
+              FROM (SELECT count(*) AS n,
+                      CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+                      $aggs FROM docs)"""
+        }
+        val langCats = IgLangs.map(l => s"'$l'")
+        val lbCats = IgLenBuckets.map(_.toString)
+        s"""
+        WITH docs AS (SELECT lang, least(n_chars // $IgLenDiv, 3) AS lb,
+                             (n_chars >= $IgCharBar) AS y FROM documents)
+        ${blockSql("lang", langCats, "lang")}
+        UNION ALL
+        ${blockSql("len_bucket", lbCats, "lb")}
+        ORDER BY feature"""
+      }),
+  )
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{GraftSpark, SparkEntry}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Formula-level checks of the statistical-test wave (q261-q264) that
+  * the oracle equality cannot see: a hand-computed Mann-Whitney fixture
+  * (the oracle only proves both engines agree, not that the agreed
+  * number IS the U statistic) and the entropy identities of q264.
+  */
+class CatalogStatTestsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q261: hand-computed U and z on a 3-vs-3 fixture with ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mw")
+    try {
+      // click: 1.00 2.00 3.00 / view: 2.00 3.00 4.00 (two tied pairs)
+      val rows = Seq(
+        (1L, "click", 1.00), (2L, "click", 2.00), (3L, "click", 3.00),
+        (4L, "view", 2.00), (5L, "view", 3.00), (6L, "view", 4.00))
+      rows.map { case (id, et, v) =>
+        (id, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), id, et, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q261_mann_whitney")(spark, dir.toString)
+        .collect().map(r => r.getAs[String]("pair") ->
+          ((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+            r.getAs[Double]("u1"), r.getAs[Double]("z")))).toMap
+      // by hand: avg ranks 1, 2.5, 4.5 -> R1 = 8, U1 = 8 - 6 = 2;
+      // ties T = 2*(2^3-2) = 12; mu = 4.5;
+      // var = 9/12 * (7 - 12/30) = 4.95; z = -2.5/sqrt(4.95)
+      val expZ = BigDecimal(-2.5 / math.sqrt(4.95))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got("click") == ((3L, 3L, 2.0, expZ)))
+      // the other three treatments have no rows -> absent
+      assert(got.keySet == Set("click"))
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("q262: per-row contributions are non-negative and finite") {
+    val rows = SparkEntry.queries("q262_chi_square")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("chi2_part")
+      assert(c >= 0.0 && !c.isNaN && !c.isInfinite, r.toString)
+    }
+  }
+
+  test("q263: PSI is symmetric-positive and zero for identical splits") {
+    val rows = SparkEntry.queries("q263_psi_drift")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(psi >= 0.0 && psi < 1.0, r.toString) // same generator both halves
+    }
+  }
+
+  test("q264: entropy identities — perfect predictor and 0 <= IG <= H(Y)") {
+    val rows = SparkEntry.queries("q264_info_gain")(spark, sf)
+      .collect().map(r => r.getAs[String]("feature") ->
+        ((r.getAs[Double]("h_y"), r.getAs[Double]("info_gain")))).toMap
+    // len_bucket is a DESIGNED perfect predictor: the y bar (800 chars)
+    // sits exactly on a bucket edge (2 * 400), so H(Y|X) = 0 and
+    // IG = H(Y) — a pinnable fixture anchor, not an accident
+    val (hyL, igL) = rows("len_bucket")
+    assert(igL == hyL, s"len_bucket should be a perfect predictor: $rows")
+    val (hy, ig) = rows("lang")
+    assert(ig >= 0.0 && ig <= hy, s"lang IG out of [0, H(Y)]: $rows")
+  }
+}
