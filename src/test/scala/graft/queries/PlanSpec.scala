@@ -761,6 +761,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!p235.contains("CartesianProduct"), p235)
   }
 
+  test("q253/q256: iterative graph queries end post-checkpoint (0 parquet rescans)") {
+    val p253 = planOf("q253_kcore")
+    assert(p253.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 0, p253)
+    assert(!p253.contains("CartesianProduct"), p253)
+    val p256 = planOf("q256_common_neighbors")
+    assert(p256.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 0, p256)
+    assert(!p256.contains("CartesianProduct") && !p256.contains("BroadcastNestedLoopJoin"),
+      p256)
+    // the top-k contract: bounded output via TakeOrderedAndProject, not a
+    // global sort exchange
+    assert(p256.contains("TakeOrderedAndProject"), p256)
+  }
+
+  test("q254/q255: geo grid joins stay equi-joins on the cell key, never all-pairs") {
+    Seq("q254_geo_grid", "q255_geo_nn").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$plan")
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans <= 2, s"$q: expected <= 2 scans, got $scans:\n$plan")
+    }
+  }
+
+  test("q257/q260/q261/q263: sequence/stat queries stay single-scan with partial aggs") {
+    Seq("q257_run_length", "q260_prefix_autocomplete", "q261_mann_whitney",
+        "q263_psi_drift").foreach { q =>
+      val plan = planOf(q)
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 1, s"$q: expected 1 scan, got $scans:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
+  test("q259: point-in-time lookup is the as-of shape, no interval nested loop") {
+    val plan = planOf("q259_pit_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
+  test("q262/q264: contingency totals ride bounded broadcasts, never a cartesian") {
+    Seq("q262_chi_square", "q264_info_gain").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans <= 2, s"$q: expected <= 2 scans, got $scans:\n$plan")
+    }
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
