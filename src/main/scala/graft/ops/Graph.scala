@@ -357,6 +357,49 @@ object Graph {
     deg.select(col("v").as("node"), col("core_deg"))
   }
 
+  /** Per-landmark BFS distances: [[bfsHops]] generalized so each landmark
+    * keeps its OWN distance field — the state is keyed by
+    * (landmark, node) instead of node, which is exactly what
+    * landmark-based centrality / distance-oracle sketches need
+    * (harmonic centrality from a bounded landmark set is the standard
+    * 100 TB stand-in for all-pairs closeness, which is quadratic and
+    * off the table). Fixed `maxHops` rounds — the unrollable-recurrence
+    * convention shared with [[bfsHops]]/[[kCorePeel]].
+    *
+    * Scale shape: the frontier carries the landmark id as part of the
+    * key, so each round is still ONE adjacency equi-join + one anti-join
+    * on the visited set; state is O(landmarks x reached nodes), bounded
+    * by design because the landmark set is small (caller picks it).
+    * Frames are `localCheckpoint`ed per round (lineage rule).
+    *
+    * Output: (lm, node, dist), dist in [0, maxHops], minimal per pair.
+    */
+  def landmarkDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      landmarks: DataFrame, lmCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val bi = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+
+    var frontier = landmarks.select(col(lmCol).as("lm")).distinct()
+      .select(col("lm"), col("lm").as("node"))
+      .localCheckpoint(eager = true)
+    var visited = frontier.select(col("lm"), col("node"), lit(0).as("dist"))
+      .localCheckpoint(eager = true)
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = bi.join(frontier, bi("src") === frontier("node"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+        .join(visited.select("lm", "node"), Seq("lm", "node"), "left_anti")
+        .localCheckpoint(eager = true)
+      visited = visited
+        .unionAll(frontier.select(col("lm"), col("node"), lit(hop).as("dist")))
+        .localCheckpoint(eager = true)
+    }
+    visited
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent unordered
     * vertex pair sharing at least one neighbor, the number of common
     * neighbors and the Jaccard coefficient

@@ -63,6 +63,18 @@ private[queries] object CatalogGeoWave {
   private val MinTokLen = 5
   private val TopCompletions = 3
 
+  /** q267's landmark geometry: a FIXED 8-landmark set (smallest node
+    * ids), 3 BFS rounds — both scale-independent constants.
+    */
+  private val LandmarkK = 8
+  private val LandmarkHops = 3
+
+  /** q268's phrase-query geometry: the global top-3 bigrams probed, top
+    * 5 docs reported per phrase.
+    */
+  private val PhraseQueryCount = 3
+  private val PhraseTopDocs = 5
+
   def entries: Seq[(String, QueryDef)] = Seq(
 
     // Bounded-round k-core peel of the part co-purchase graph: after 4
@@ -396,5 +408,110 @@ private[queries] object CatalogGeoWave {
                  completion, n
           FROM g) WHERE rank <= $TopCompletions
         ORDER BY prefix, rank""")),
+
+    // Landmark harmonic centrality over the part co-purchase graph: BFS
+    // distances from a FIXED-SIZE landmark set (the 8 smallest node ids
+    // — constant at every scale, unlike a modulo rule whose landmark
+    // count grows with the graph), centrality = sum over landmarks of
+    // 1e6 div dist on the exact integer grid. The 100 TB story: exact
+    // all-pairs closeness is quadratic and off the table; bounded
+    // landmark sets are the standard estimator, and the per-landmark
+    // state rides the SAME frontier loop as q180 with the landmark id
+    // folded into the key (state O(landmarks x nodes) by construction).
+    "q267_harmonic_centrality" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PartEdgeSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+        val nodes = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node"))).distinct()
+        val lms = nodes.orderBy("node").limit(LandmarkK)
+        Graph.landmarkDistances(edges, "src", "dst", lms, "node", LandmarkHops)
+          .filter(col("dist") >= 1)
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_reached"),
+            sum(expr("1000000L div dist")).as("h_e6"))
+          .orderBy("node")
+      },
+      oracle = Some {
+        // every round CTE is MATERIALIZED — f_r and v_r are referenced
+        // multiply and DuckDB's default inlining would re-derive the
+        // basket self-join exponentially (the q253 lesson)
+        val rounds = (1 to LandmarkHops).map { k =>
+          s"""f$k AS MATERIALIZED (
+                 SELECT DISTINCT f.lm, bi.dst AS node
+                 FROM bi JOIN f${k - 1} f ON bi.src = f.node
+                 WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} v
+                                   WHERE v.lm = f.lm AND v.node = bi.dst)),
+              v$k AS MATERIALIZED (
+                 SELECT * FROM v${k - 1}
+                 UNION ALL SELECT lm, node, $k AS dist FROM f$k)"""
+        }.mkString(",\n")
+        s"""
+        WITH ${CatalogGraphMining.edgesSqlCte("l_partkey", PartEdgeSupport)},
+        bi AS MATERIALIZED (SELECT s AS src, d AS dst FROM e
+               UNION ALL SELECT d, s FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM bi),
+        lms AS MATERIALIZED (SELECT node AS lm FROM nodes ORDER BY node
+                             LIMIT $LandmarkK),
+        f0 AS MATERIALIZED (SELECT lm, lm AS node FROM lms),
+        v0 AS MATERIALIZED (SELECT lm, node, 0 AS dist FROM f0),
+        $rounds
+        SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(1000000 // dist) AS BIGINT) AS h_e6
+        FROM v$LandmarkHops WHERE dist >= 1
+        GROUP BY node ORDER BY node"""
+      }),
+
+    // Positional phrase search: the corpus is tokenized ONCE into a
+    // positional postings index (doc, pos, term); token adjacency is an
+    // equi-join on (doc, pos+1) — the inverted-index verb q124's
+    // term-level top-k stops short of. The per-doc bigram count frame is
+    // checkpointed and serves BOTH phrase discovery (global top-3
+    // bigrams) and the per-doc ranking probe — one corpus pass total,
+    // zero rescans. Counts are exact integers; ordering is total
+    // (freq desc, then phrase / doc id).
+    "q268_phrase_search" -> QueryDef(
+      fn = (s, d) => {
+        val postings = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "term")))
+        val nxt = postings.select(col("doc_id").as("doc2"),
+          col("pos").as("pos2"), col("term").as("w2"))
+        val adjCounts = postings
+          .join(nxt, col("doc2") === col("doc_id") &&
+            col("pos2") === col("pos") + 1)
+          .select(col("doc_id"), col("term").as("w1"), col("w2"))
+          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_occ"))
+          .withColumn("phrase", concat(col("w1"), lit(" "), col("w2")))
+          .localCheckpoint(eager = true) // the positional bigram index
+        val top3 = adjCounts.groupBy("phrase")
+          .agg(sum(col("n_occ")).as("total_occ"))
+          .orderBy(col("total_occ").desc, col("phrase"))
+          .limit(PhraseQueryCount)
+        val w = Window.partitionBy("phrase").orderBy(col("n_occ").desc, col("doc_id"))
+        adjCounts.join(broadcast(top3.select("phrase")), Seq("phrase"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= PhraseTopDocs)
+          .select("phrase", "rank", "doc_id", "n_occ")
+          .orderBy("phrase", "rank")
+      },
+      oracle = Some(s"""
+        WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS phrase
+               FROM tk WHERE len(toks) >= 2),
+        bc AS (SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_occ
+               FROM bg GROUP BY 1, 2),
+        top3 AS (SELECT phrase, CAST(sum(n_occ) AS BIGINT) AS total_occ
+                 FROM bc GROUP BY phrase
+                 ORDER BY total_occ DESC, phrase LIMIT $PhraseQueryCount),
+        r AS (SELECT b.phrase, b.doc_id, b.n_occ,
+                     CAST(row_number() OVER (PARTITION BY b.phrase
+                       ORDER BY b.n_occ DESC, b.doc_id) AS BIGINT) AS rank
+              FROM bc b JOIN top3 t ON b.phrase = t.phrase)
+        SELECT phrase, rank, doc_id, n_occ FROM r
+        WHERE rank <= $PhraseTopDocs ORDER BY phrase, rank""")),
   )
 }

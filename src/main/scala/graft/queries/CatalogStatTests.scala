@@ -9,8 +9,11 @@ import Catalog._
 /** Round-10 third wave (q261+): classical statistical tests as
   * distributed exact-integer aggregations — Mann-Whitney U (the
   * nonparametric twin of q181's t-test), chi-square independence, PSI
-  * population drift (the monitoring twin of q150's JS divergence), and
-  * information gain (feature-selection entropy).
+  * population drift (the monitoring twin of q150's JS divergence),
+  * information gain (feature-selection entropy), two-sample
+  * Kolmogorov-Smirnov (integer-numerator D), lag-k autocorrelation
+  * (scale-cancelled integer centering), exact weighted median, and the
+  * Theil inequality index (snapped-log integer sum).
   *
   * Cross-engine discipline, same as the model-eval family: every count,
   * rank sum, and tie correction is an exact 64-bit integer; doubles
@@ -61,6 +64,9 @@ private[queries] object CatalogStatTests {
   private val IgLenBuckets = 0 until 4
   private val IgLenDiv = 400L
   private val IgCharBar = 800L
+
+  /** q266: largest calendar-day lag probed by the ACF. */
+  private val AcfMaxLag = 7
 
   def entries: Seq[(String, QueryDef)] = Seq(
 
@@ -321,5 +327,227 @@ private[queries] object CatalogStatTests {
         ${blockSql("len_bucket", lbCats, "lb")}
         ORDER BY feature"""
       }),
+
+    // Two-sample Kolmogorov-Smirnov: each treatment's value distribution
+    // against the 'view' control, q261's explode-pair shape on the same
+    // exact cent axis. The D statistic stays EXACT INTEGER all the way
+    // to the last division: D = max|c1*n2 - c2*n1| / (n1*n2), where the
+    // cumulative counts ride one pair-keyed window — cross-engine FP
+    // drift is impossible in the argmax (the classic KS failure mode of
+    // comparing running double ratios). The scaled statistic
+    // sqrt(n1*n2/(n1+n2))*D enters doubles only in the final formula.
+    "q265_ks_test" -> QueryDef(
+      fn = (s, d) => {
+        val pairs = array(MwTreatments.map(lit): _*)
+        val tagged = t(s, d, "events")
+          .filter(col("event_type").isin(MwTreatments :+ "view": _*))
+          .select(col("event_type"), expr(centsCol("value")).as("v"))
+          .select(explode(when(col("event_type") === "view", pairs)
+            .otherwise(array(col("event_type")))).as("pair"),
+            when(col("event_type") =!= "view", 1L).otherwise(0L).as("grp"),
+            col("v"))
+        val byValue = tagged.groupBy("pair", "v")
+          .agg(sum(col("grp")).as("n1v"),
+            sum(lit(1L) - col("grp")).as("n0v"))
+        val wCum = Window.partitionBy("pair").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("pair")
+        val cum = byValue
+          .withColumn("c1", sum(col("n1v")).over(wCum))
+          .withColumn("c0", sum(col("n0v")).over(wCum))
+          .withColumn("n1", sum(col("n1v")).over(wAll))
+          .withColumn("n2", sum(col("n0v")).over(wAll))
+        val agg = cum.groupBy("pair").agg(
+          max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("c1") * col("n2") - col("c0") * col("n1"))).as("dnum"))
+        val dd = col("dnum").cast("double") /
+          (col("n1") * col("n2")).cast("double")
+        agg.filter(col("n1") > 0L && col("n2") > 0L)
+          .select(col("pair"), col("n1"), col("n2"),
+            round(dd, 6).as("d"),
+            round(dd * sqrt((col("n1") * col("n2")).cast("double") /
+              (col("n1") + col("n2")).cast("double")), 6).as("ks_scaled"))
+          .orderBy("pair")
+      },
+      oracle = Some(s"""
+        WITH p AS (SELECT tp FROM (VALUES ${MwTreatments.map(t0 => s"('$t0')").mkString(", ")}) v(tp)),
+        s AS (SELECT p.tp AS pair,
+                     CASE WHEN e.event_type = p.tp THEN 1 ELSE 0 END AS grp,
+                     CAST(round(e.value * 100) AS BIGINT) AS v
+              FROM events e JOIN p
+                ON e.event_type = p.tp OR e.event_type = 'view'),
+        g AS (SELECT pair, v, CAST(sum(grp) AS BIGINT) AS n1v,
+                     CAST(sum(1 - grp) AS BIGINT) AS n0v
+              FROM s GROUP BY pair, v),
+        c AS (SELECT pair, n1v, n0v,
+                     sum(n1v) OVER (PARTITION BY pair ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+                     sum(n0v) OVER (PARTITION BY pair ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+                     sum(n1v) OVER (PARTITION BY pair) AS n1,
+                     sum(n0v) OVER (PARTITION BY pair) AS n2
+              FROM g),
+        a AS (SELECT pair, CAST(max(n1) AS BIGINT) AS n1,
+                     CAST(max(n2) AS BIGINT) AS n2,
+                     CAST(max(abs(c1 * n2 - c0 * n1)) AS BIGINT) AS dnum
+              FROM c GROUP BY pair)
+        SELECT pair, n1, n2,
+               round(CAST(dnum AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS d,
+               round(CAST(dnum AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+                     * sqrt(CAST(n1 * n2 AS DOUBLE)
+                            / CAST(n1 + n2 AS DOUBLE)), 6) AS ks_scaled
+        FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY pair""")),
+
+    // Lag-k autocorrelation (k = 1..$AcfMaxLag) of each event type's
+    // daily-count series — the periodicity detector of a monitoring
+    // stack. Exactness trick: center WITHOUT dividing — y_t =
+    // ndays*n_t - S is an exact integer multiple of the centered value,
+    // and the n^2 scale factor cancels in the ACF ratio, so numerator
+    // and denominator are exact integer sums and the single division is
+    // the last op. CALENDAR lag (join on day+k, not row offset) so a
+    // missing day never silently shifts the series. The daily frame is
+    // bounded (types x 31) — every join after the one corpus agg is
+    // broadcast-sized.
+    "q266_acf" -> QueryDef(
+      fn = (s, d) => {
+        val g = t(s, d, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).cast("long").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        val tot = g.groupBy("event_type")
+          .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"))
+        val y = g.join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("day"),
+            (col("nd") * col("n") - col("s")).as("y"))
+          .localCheckpoint(eager = true) // bounded: types x 31 rows
+        val den = y.groupBy("event_type").agg(sum(col("y") * col("y")).as("den"))
+        val a = y.select(col("event_type"), col("day"), col("y").as("ya"))
+          .withColumn("lag", explode(sequence(lit(1L), lit(AcfMaxLag.toLong))))
+          .withColumn("bday", col("day") + col("lag"))
+        val b = y.select(col("event_type"), col("day").as("bday"),
+          col("y").as("yb"))
+        val num = a.join(b, Seq("event_type", "bday"))
+          .groupBy("event_type", "lag")
+          .agg(sum(col("ya") * col("yb")).as("num"), count(lit(1)).as("n_pairs"))
+        num.join(den, Seq("event_type"))
+          .filter(col("den") > 0L)
+          .select(col("event_type"), col("lag"), col("n_pairs"),
+            round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
+          .orderBy("event_type", "lag")
+      },
+      oracle = Some(s"""
+        WITH g AS (SELECT event_type, CAST(strftime(ts, '%d') AS BIGINT) AS day,
+                          count(*) AS n
+                   FROM events GROUP BY event_type, day),
+        tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(n) AS BIGINT) AS s
+                FROM g GROUP BY event_type),
+        y AS (SELECT g.event_type, g.day, nd * n - s AS y
+              FROM g JOIN tot ON g.event_type = tot.event_type),
+        den AS (SELECT event_type, CAST(sum(y * y) AS BIGINT) AS den
+                FROM y GROUP BY event_type),
+        lags AS (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag),
+        num AS (SELECT a.event_type, l.lag,
+                       CAST(sum(a.y * b.y) AS BIGINT) AS num,
+                       count(*) AS n_pairs
+                FROM y a CROSS JOIN lags l
+                JOIN y b ON b.event_type = a.event_type
+                        AND b.day = a.day + l.lag
+                GROUP BY a.event_type, l.lag)
+        SELECT n.event_type, n.lag, n.n_pairs,
+               round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
+        FROM num n JOIN den d ON n.event_type = d.event_type
+        WHERE d.den > 0 ORDER BY n.event_type, n.lag""")),
+
+    // Weighted median (exact, nearest-rank): per return flag, the
+    // smallest price whose cumulative quantity weight reaches half the
+    // total — all integer cents and integer weights, one grouped agg +
+    // one key-partitioned window, no sampling and no interpolation. The
+    // weighted twin of q258's winsorized cut.
+    "q269_weighted_median" -> QueryDef(
+      fn = (s, d) => {
+        val g = t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            expr(centsCol("l_extendedprice")).as("v"),
+            col("l_quantity").cast("long").as("w"))
+          .groupBy("l_returnflag", "v").agg(sum(col("w")).as("wv"))
+        val wCum = Window.partitionBy("l_returnflag").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("l_returnflag")
+        g.withColumn("cum", sum(col("wv")).over(wCum))
+          .withColumn("tot", sum(col("wv")).over(wAll))
+          .filter(col("cum") * 2L >= col("tot"))
+          .groupBy("l_returnflag")
+          .agg(max(col("tot")).as("total_weight"), min(col("v")).as("median_cents"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some(s"""
+        WITH g AS (SELECT l_returnflag,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+                   FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT l_returnflag, v, wv,
+                     sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(wv) OVER (PARTITION BY l_returnflag) AS tot
+              FROM g)
+        SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_weight,
+               CAST(min(v) AS BIGINT) AS median_cents
+        FROM c WHERE cum * 2 >= tot
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Theil inequality index of per-user spend within each event type —
+    // the "is this data source dominated by a few heavy users" fairness
+    // audit, decomposable unlike Gini (q220 covers that one globally).
+    // T = (1/n) sum (x_i/mu) ln(x_i/mu): the ratio r_i = x_i*n/S is an
+    // exact-integer-over-integer double, each row's r*ln(r) is SNAPPED
+    // to the 1e-6 grid (the q242/q248 rule) so the cross-row sum is an
+    // order-free integer sum; x=0 users contribute the exact limit 0.
+    "q270_theil_index" -> QueryDef(
+      fn = (s, d) => {
+        val ut = t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("user_id"),
+            expr(centsCol("value")).as("c"))
+          .groupBy("event_type", "user_id").agg(sum(col("c")).as("x"))
+        val tot = ut.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        val r = (col("x") * col("n")).cast("double") / col("s").cast("double")
+        val termE6 = when(col("x") > 0L,
+          floor(r * log(r) * lit(1000000.0) + lit(0.5)).cast("long"))
+          .otherwise(0L)
+        ut.join(broadcast(tot), Seq("event_type"))
+          .filter(col("s") > 0L)
+          .select(col("event_type"), col("n"), termE6.as("t_e6"))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n_users"), sum(col("t_e6")).as("se6"))
+          .select(col("event_type"), col("n_users"),
+            round(col("se6").cast("double") / 1000000.0 /
+              col("n_users").cast("double"), 6).as("theil"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH ut AS (SELECT event_type, user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                             AS x
+                    FROM events WHERE value IS NOT NULL
+                    GROUP BY event_type, user_id),
+        tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS s
+                FROM ut GROUP BY event_type),
+        j AS (SELECT ut.event_type, n,
+                     CASE WHEN x > 0 THEN
+                       CAST(floor((CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE))
+                         * ln(CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE))
+                         * 1000000.0 + 0.5) AS BIGINT)
+                     ELSE 0 END AS t_e6
+              FROM ut JOIN tot ON ut.event_type = tot.event_type
+              WHERE s > 0),
+        g AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+                     CAST(sum(t_e6) AS BIGINT) AS se6
+              FROM j GROUP BY event_type)
+        SELECT event_type, n_users,
+               round(CAST(se6 AS DOUBLE) / 1000000.0
+                     / CAST(n_users AS DOUBLE), 6) AS theil
+        FROM g ORDER BY event_type""")),
   )
 }

@@ -62,6 +62,32 @@ class GeoGraphWaveSpec extends AnyFunSuite {
     assert(capped.count() == 0) // hub (deg 5) excluded as a center
   }
 
+  // --- landmarkDistances -------------------------------------------------
+
+  test("landmarkDistances keeps per-landmark distances on a path graph") {
+    // path 1-2-3-4-5, landmarks {1, 5}: each landmark gets its OWN
+    // distance field (bfsHops would collapse them into min-over-seeds)
+    val edges = (1L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val lms = Seq(1L, 5L).toDF("node")
+    val got = Graph.landmarkDistances(edges, "src", "dst", lms, "node", maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 1L)) == 0 && got((1L, 2L)) == 1 &&
+      got((1L, 3L)) == 2 && got((1L, 4L)) == 3)
+    assert(got((5L, 5L)) == 0 && got((5L, 4L)) == 1 &&
+      got((5L, 3L)) == 2 && got((5L, 2L)) == 3)
+    // hop bound respected: node 5 is 4 hops from landmark 1 -> absent
+    assert(!got.contains((1L, 5L)) && !got.contains((5L, 1L)))
+  }
+
+  test("landmarkDistances records the SHORTEST distance on a cycle") {
+    // 6-cycle, landmark {0}: the far node (3) is 3 hops both ways
+    val edges = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val got = Graph.landmarkDistances(edges, "src", "dst",
+        Seq(0L).toDF("node"), "node", maxHops = 3)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 5L -> 1, 2L -> 2, 4L -> 2, 3L -> 3))
+  }
+
   // --- Geo ---------------------------------------------------------------
 
   test("nearestInGrid picks the true nearest within the 3x3 neighborhood") {

@@ -62,6 +62,82 @@ class CatalogStatTestsSpec extends AnyFunSuite {
     }
   }
 
+  test("q265: hand-computed KS D on the 3-vs-3 fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ks")
+    try {
+      // same fixture as the q261 test: click 1,2,3 / view 2,3,4.
+      // merged-axis ECDF gaps are all 1/3 -> D = 1/3, and the integer
+      // numerator max|c1*n2 - c0*n1| = 3 over n1*n2 = 9
+      val rows = Seq(
+        (1L, "click", 1.00), (2L, "click", 2.00), (3L, "click", 3.00),
+        (4L, "view", 2.00), (5L, "view", 3.00), (6L, "view", 4.00))
+      rows.map { case (id, et, v) =>
+        (id, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), id, et, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q265_ks_test")(spark, dir.toString)
+        .collect().map(r => r.getAs[String]("pair") ->
+          ((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+            r.getAs[Double]("d"), r.getAs[Double]("ks_scaled")))).toMap
+      val expD = BigDecimal(1.0 / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expKs = BigDecimal(1.0 / 3.0 * math.sqrt(1.5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got("click") == ((3L, 3L, expD, expKs)))
+      assert(got.keySet == Set("click"))
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("q266: ACF is bounded by Cauchy-Schwarz and covers every probed lag") {
+    val rows = SparkEntry.queries("q266_acf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 && a <= 1.0 && !a.isNaN, r.toString)
+      val lag = r.getAs[Long]("lag")
+      assert(lag >= 1L && lag <= 7L, r.toString)
+    }
+    // the sf0.001 events fixture spans a full month: all 7 lags present
+    // for every type
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (et, rs) =>
+      assert(rs.map(_.getAs[Long]("lag")).toSet == (1L to 7L).toSet, et)
+    }
+  }
+
+  test("q270: Theil is nonnegative (to snap tolerance) and zero for equal spends") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q270_theil_index")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val th = r.getAs[Double]("theil")
+      // Jensen gives T >= 0 exactly; the 1e-6 per-row snap can undershoot
+      // by at most 0.5e-6 * n / (1e6 * n)
+      assert(th >= -1e-5 && !th.isNaN, r.toString)
+    }
+    // equal-spend fixture: every user identical -> each term ln(1) = 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-theil")
+    try {
+      (1L to 4L).map { id =>
+        (id, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), id, "view", 5.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val eq = SparkEntry.queries("q270_theil_index")(spark, dir.toString).collect()
+      assert(eq.length == 1 && eq.head.getAs[Double]("theil") == 0.0, eq.toSeq)
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("q264: entropy identities — perfect predictor and 0 <= IG <= H(Y)") {
     val rows = SparkEntry.queries("q264_info_gain")(spark, sf)
       .collect().map(r => r.getAs[String]("feature") ->
