@@ -509,13 +509,19 @@ private[queries] object CatalogStatTests {
           .select(col("event_type"), col("user_id"),
             expr(centsCol("value")).as("c"))
           .groupBy("event_type", "user_id").agg(sum(col("c")).as("x"))
-        val tot = ut.groupBy("event_type")
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        // group totals via a window over the SAME frame, not a
+        // groupBy+self-join — the join form scans events twice (the q224
+        // lesson); the window costs one extra type-keyed exchange on the
+        // already-reduced per-user frame
+        val wt = Window.partitionBy("event_type")
+        val withTot = ut
+          .withColumn("n", count(lit(1)).over(wt))
+          .withColumn("s", sum(col("x")).over(wt))
         val r = (col("x") * col("n")).cast("double") / col("s").cast("double")
         val termE6 = when(col("x") > 0L,
           floor(r * log(r) * lit(1000000.0) + lit(0.5)).cast("long"))
           .otherwise(0L)
-        ut.join(broadcast(tot), Seq("event_type"))
+        withTot
           .filter(col("s") > 0L)
           .select(col("event_type"), col("n"), termE6.as("t_e6"))
           .groupBy("event_type")

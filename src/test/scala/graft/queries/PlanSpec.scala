@@ -810,6 +810,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q265/q269/q270: stat-wave queries stay single-scan (totals ride windows)") {
+    Seq("q265_ks_test", "q269_weighted_median", "q270_theil_index").foreach { q =>
+      val plan = planOf(q)
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 1, s"$q: expected 1 scan, got $scans:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
+  test("q266/q267/q268: checkpointed/iterative frames end with 0 parquet rescans") {
+    Seq("q266_acf", "q267_harmonic_centrality", "q268_phrase_search").foreach { q =>
+      val plan = planOf(q)
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 0, s"$q: expected 0 scans, got $scans:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
