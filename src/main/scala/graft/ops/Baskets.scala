@@ -69,4 +69,54 @@ object Baskets {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  /** Frequent item TRIPLES — the next rung of the Apriori ladder:
+    * (item_a, item_b, item_c) with `a < b < c`, support = distinct
+    * baskets containing all three, `support >= minSupport`.
+    *
+    * The cubic per-basket fanout is fenced by the FULL Apriori argument,
+    * not just the single-item prune: the (a, b) wedge is semi-joined
+    * against the FREQUENT PAIR set before it is extended by a third arm,
+    * so candidate generation is bounded by |frequent pairs| x basket
+    * width instead of width^3. (The final support filter alone already
+    * guarantees correctness — every sub-pair of a frequent triple is at
+    * least as frequent — the semi-join is purely the fanout fence, which
+    * is the whole point of Apriori.) All joins are basket-keyed
+    * equi-joins; map-side partial aggregation collapses the triple key.
+    */
+  def frequentItemTriples(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long,
+      maxBasketSize: Int = 0): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val pairs = frequentItemPairs(df, basketCol, itemCol, minSupport, maxBasketSize)
+      .select("item_a", "item_b")
+      .localCheckpoint(eager = true) // reused as prune set AND item filter
+    val pairItems = pairs.select(col("item_a").as("__i"))
+      .unionAll(pairs.select(col("item_b").as("__i"))).distinct()
+
+    val po = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+      .join(pairItems, Seq("__i"), "left_semi")
+    val fenced =
+      if (maxBasketSize <= 0) po
+      else {
+        val small = po.groupBy("__b")
+          .agg(count(lit(1)).as("__sz"))
+          .filter(col("__sz") <= maxBasketSize)
+          .select("__b")
+        po.join(small, Seq("__b"), "left_semi")
+      }
+
+    val a = fenced.select(col("__b").as("__ba"), col("__i").as("item_a"))
+    val b = fenced.select(col("__b").as("__bb"), col("__i").as("item_b"))
+    val c = fenced.select(col("__b").as("__bc"), col("__i").as("item_c"))
+    val ab = a.join(b, col("__ba") === col("__bb") && col("item_a") < col("item_b"))
+      .join(pairs, Seq("item_a", "item_b"), "left_semi") // Apriori fence
+    ab.join(c, col("__ba") === col("__bc") && col("item_b") < col("item_c"))
+      .groupBy("item_a", "item_b", "item_c")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

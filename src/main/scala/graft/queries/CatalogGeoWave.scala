@@ -75,6 +75,14 @@ private[queries] object CatalogGeoWave {
   private val PhraseQueryCount = 3
   private val PhraseTopDocs = 5
 
+  /** q271's basket geometry: items are part FAMILIES (key mod 50) so the
+    * C(50,3) triple space stays densely sampled at every sf; support 3
+    * keeps the frequent set non-vacuous at sf0.001 and bounded (<=
+    * C(50,3) rows) at every larger sf.
+    */
+  private val TripleItemMod = 50L
+  private val TripleMinSupport = 3L
+
   def entries: Seq[(String, QueryDef)] = Seq(
 
     // Bounded-round k-core peel of the part co-purchase graph: after 4
@@ -513,5 +521,80 @@ private[queries] object CatalogGeoWave {
               FROM bc b JOIN top3 t ON b.phrase = t.phrase)
         SELECT phrase, rank, doc_id, n_occ FROM r
         WHERE rank <= $PhraseTopDocs ORDER BY phrase, rank""")),
+
+    // Frequent item TRIPLES (the Apriori rung above q174's pairs), over
+    // part FAMILIES (l_partkey mod 50) so the triple space is dense at
+    // every sf — raw part ids make frequent triples a birthday-paradox
+    // accident that vanishes as the catalog grows (the vacuous-fixture
+    // trap). The (a,b) wedge is semi-joined against the frequent-pair
+    // set BEFORE the third arm extends it — candidate fanout bounded by
+    // |frequent pairs| x basket width, the actual Apriori argument; the
+    // support filter alone already makes the result correct, so the
+    // oracle states the plain 3-way definition.
+    "q271_frequent_triples" -> QueryDef(
+      fn = (s, d) => {
+        val fams = t(s, d, "lineitem")
+          .select(col("l_orderkey"), (col("l_partkey") % TripleItemMod).as("fam"))
+        Baskets.frequentItemTriples(fams, "l_orderkey", "fam", TripleMinSupport)
+          .orderBy("item_a", "item_b", "item_c")
+      },
+      oracle = Some(s"""
+        WITH po AS (SELECT DISTINCT l_orderkey AS b,
+                           l_partkey % $TripleItemMod AS i
+                    FROM lineitem)
+        SELECT a.i AS item_a, b.i AS item_b, c.i AS item_c,
+               CAST(count(*) AS BIGINT) AS support
+        FROM po a
+        JOIN po b ON a.b = b.b AND a.i < b.i
+        JOIN po c ON a.b = c.b AND b.i < c.i
+        GROUP BY 1, 2, 3 HAVING count(*) >= $TripleMinSupport
+        ORDER BY item_a, item_b, item_c""")),
+
+    // Degree assortativity of the part co-purchase graph (Newman's r):
+    // do high-degree parts co-occur with high-degree parts? Pearson of
+    // endpoint degrees over the DIRECTED edge list (both orientations,
+    // so the x/y moments coincide) — every moment is an exact integer
+    // sum (S1, S2, S12, M) and r = (M*S12 - S1^2)/(M*S2 - S1^2) is ONE
+    // final double division. ANSI arithmetic would throw long overflow
+    // long before the statistic loses meaning (production at web scale
+    // would lift the moments to DECIMAL(38,0) — documented trade).
+    "q273_assortativity" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PartEdgeSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+          .localCheckpoint(eager = true) // feeds bi, deg
+        val bi = edges.unionAll(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = bi.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+        val m = bi
+          .join(deg.select(col("v").as("src"), col("deg").as("da")), Seq("src"))
+          .join(deg.select(col("v").as("dst"), col("deg").as("db")), Seq("dst"))
+          .agg(count(lit(1)).as("m"), sum(col("da")).as("s1"),
+            sum(col("da") * col("da")).as("s2"),
+            sum(col("da") * col("db")).as("s12"))
+        m.select(col("m").as("n_directed_edges"),
+            round((col("m") * col("s12") - col("s1") * col("s1")).cast("double") /
+              (col("m") * col("s2") - col("s1") * col("s1")).cast("double"), 6)
+              .as("assortativity"))
+      },
+      oracle = Some(s"""
+        WITH ${CatalogGraphMining.edgesSqlCte("l_partkey", PartEdgeSupport)},
+        bi AS (SELECT s AS src, d AS dst FROM e
+               UNION ALL SELECT d, s FROM e),
+        deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+                FROM bi GROUP BY src),
+        j AS (SELECT a.deg AS da, b.deg AS db
+              FROM bi JOIN deg a ON bi.src = a.v JOIN deg b ON bi.dst = b.v),
+        mo AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                      CAST(sum(da) AS BIGINT) AS s1,
+                      CAST(sum(da * da) AS BIGINT) AS s2,
+                      CAST(sum(da * db) AS BIGINT) AS s12
+               FROM j)
+        SELECT m AS n_directed_edges,
+               round(CAST(m * s12 - s1 * s1 AS DOUBLE)
+                     / CAST(m * s2 - s1 * s1 AS DOUBLE), 6) AS assortativity
+        FROM mo""")),
   )
 }

@@ -68,6 +68,9 @@ private[queries] object CatalogStatTests {
   /** q266: largest calendar-day lag probed by the ACF. */
   private val AcfMaxLag = 7
 
+  /** q274: corpus-prefix rungs (percent of docs, doc_id order). */
+  private val HeapsRungs = Seq(10, 25, 50, 100)
+
   def entries: Seq[(String, QueryDef)] = Seq(
 
     // Mann-Whitney U (Wilcoxon rank-sum) with tie correction: each
@@ -555,5 +558,130 @@ private[queries] object CatalogStatTests {
                round(CAST(se6 AS DOUBLE) / 1000000.0
                      / CAST(n_users AS DOUBLE), 6) AS theil
         FROM g ORDER BY event_type""")),
+
+    // Median absolute deviation (the robust scale estimate q93's
+    // stddev-based z-scores lack): per event type, nearest-rank median m of the
+    // cent values, then the nearest-rank median of |v - m| — both picks
+    // by the SAME integer rule (smallest value whose doubled cumulative
+    // count reaches the total), zero interpolation. The per-(type,
+    // value) histogram is reduced ONCE and checkpointed — it is bounded
+    // by the value domain, not the row count — and both median passes
+    // run on it.
+    "q272_mad" -> QueryDef(
+      fn = (s, d) => {
+        val hist = t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), expr(centsCol("value")).as("v"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = true) // bounded: value domain x types
+        val wCum = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val med = hist
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("tot", sum(col("cnt")).over(wAll))
+          .filter(col("cum") * 2L >= col("tot"))
+          .groupBy("event_type")
+          .agg(max(col("tot")).as("n"), min(col("v")).as("med"))
+        val dev = hist.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), abs(col("v") - col("med")).as("dv"),
+            col("cnt"))
+          .groupBy("event_type", "dv").agg(sum(col("cnt")).as("cnt"))
+        val wCumD = Window.partitionBy("event_type").orderBy("dv")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mad = dev
+          .withColumn("cum", sum(col("cnt")).over(wCumD))
+          .withColumn("tot", sum(col("cnt")).over(wAll))
+          .filter(col("cum") * 2L >= col("tot"))
+          .groupBy("event_type").agg(min(col("dv")).as("mad_cents"))
+        med.join(mad, Seq("event_type"))
+          .select(col("event_type"), col("n"), col("med").as("median_cents"),
+            col("mad_cents"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH hist AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM events WHERE value IS NOT NULL
+                      GROUP BY event_type, v),
+        c1 AS (SELECT event_type, v, cnt,
+                      sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                      sum(cnt) OVER (PARTITION BY event_type) AS tot
+               FROM hist),
+        med AS (SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+                       CAST(min(v) AS BIGINT) AS med
+                FROM c1 WHERE cum * 2 >= tot GROUP BY event_type),
+        dev AS (SELECT h.event_type, abs(h.v - m.med) AS dv,
+                       CAST(sum(h.cnt) AS BIGINT) AS cnt
+                FROM hist h JOIN med m ON h.event_type = m.event_type
+                GROUP BY 1, 2),
+        c2 AS (SELECT event_type, dv, cnt,
+                      sum(cnt) OVER (PARTITION BY event_type ORDER BY dv
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                      sum(cnt) OVER (PARTITION BY event_type) AS tot
+               FROM dev),
+        mad AS (SELECT event_type, CAST(min(dv) AS BIGINT) AS mad_cents
+                FROM c2 WHERE cum * 2 >= tot GROUP BY event_type)
+        SELECT m.event_type, m.n, m.med AS median_cents, d.mad_cents
+        FROM med m JOIN mad d ON m.event_type = d.event_type
+        ORDER BY m.event_type""")),
+
+    // Heaps'-law vocabulary growth curve: distinct token TRIGRAMS in the
+    // first 10/25/50/100% of the corpus (doc_id order). Trigrams, not
+    // unigrams: the synthetic corpus draws from a ~31-word lexicon, so
+    // the unigram curve saturates inside the first rung (a flat fixture
+    // proves nothing); the trigram space keeps growing through 100%
+    // (2.4k -> 16.2k at sf0.01) — the actual Heaps shape. The scalable
+    // trick: cumulative-distinct never re-scans prefixes — each gram's
+    // FIRST document rank is computed once (min over one global
+    // doc-rank, via the two-phase Ranking op, no single-reducer window)
+    // and every rung is then a count of first-ranks under its cutoff —
+    // one pass, four counters. The cutoffs use the total the rank scan
+    // already computed.
+    "q274_heaps_curve" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val (ranked, n) = graft.ops.Ranking.globalRowNumberWithTotal(
+          docs, Seq(col("doc_id")), out = "rn")
+        val TFx = graft.functions.TextFunctions
+        val first = ranked
+          .withColumn("toks", TFx.tokens(col("text")))
+          .filter(size(col("toks")) >= 3) // under 3 tokens: no trigrams
+          .select(col("rn"),
+            explode(TFx.shinglesOfTokens(col("toks"), 3)).as("tok"))
+          .groupBy("tok").agg(min(col("rn")).as("first_rn"))
+        val aggs = HeapsRungs.map { pct =>
+          val cutoff = n * pct / 100 // driver-side long div, same as SQL //
+          sum(when(col("first_rn") <= cutoff, 1L).otherwise(0L)).as(s"v_$pct")
+        }
+        val one = first.agg(aggs.head, aggs.tail: _*)
+        val rows = HeapsRungs.map { pct =>
+          struct(lit(pct.toLong).as("pct"), lit(n * pct / 100).as("n_docs"),
+            col(s"v_$pct").as("vocab"))
+        }
+        one.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.pct"), col("r.n_docs"), col("r.vocab"))
+          .orderBy("pct")
+      },
+      oracle = Some(s"""
+        WITH d AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn, text
+                   FROM documents),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        tk AS (SELECT rn, $toksSql AS toks FROM d),
+        f AS (SELECT tok, CAST(min(rn) AS BIGINT) AS first_rn
+              FROM (SELECT rn,
+                           unnest(list_transform(range(1, len(toks) - 1),
+                             i -> concat(toks[i], ' ', toks[i + 1], ' ',
+                                         toks[i + 2]))) AS tok
+                    FROM tk WHERE len(toks) >= 3)
+              GROUP BY tok),
+        rungs AS (SELECT CAST(unnest([${HeapsRungs.mkString(", ")}]) AS BIGINT)
+                    AS pct)
+        SELECT r.pct, CAST(n.n * r.pct // 100 AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN f.first_rn <= n.n * r.pct // 100
+                             THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+        FROM rungs r CROSS JOIN n CROSS JOIN f
+        GROUP BY r.pct, n.n ORDER BY r.pct""")),
   )
 }

@@ -54,7 +54,12 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // O(anchors x corpus) BY DESIGN — the documented exact baselines —
     // and are deliberately not audited here; LSH/IVF are their scale
     // paths)
-    "q226_power_iteration", "q238_silhouette")
+    "q226_power_iteration", "q238_silhouette",
+    // round-10 geo/graph/stat wave heavies: the positional-postings
+    // self-join (posting-list fanout hazard), the wedge-at-center link
+    // prediction (hub fanout is the designed hazard its maxDeg cap
+    // bounds), and the iterative k-core peel
+    "q268_phrase_search", "q256_common_neighbors", "q253_kcore")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica

@@ -10,6 +10,37 @@ class BasketsGraphSpec extends AnyFunSuite {
 
   // ---- Baskets ----------------------------------------------------------
 
+  test("frequentItemTriples counts distinct-basket support with a<b<c order") {
+    // {1,2,3} x3 baskets, {1,2,4} x1, {1,2} x1: triple (1,2,3) support 3;
+    // (1,2,4) support 1 drops at minSupport=2
+    val rows = Seq(10L, 11L, 12L).flatMap(b => Seq((b, 1L), (b, 2L), (b, 3L))) ++
+      Seq((13L, 1L), (13L, 2L), (13L, 4L), (14L, 1L), (14L, 2L))
+    val out = Baskets.frequentItemTriples(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((1L, 2L, 3L, 3L)))
+  }
+
+  test("frequentItemTriples apriori fence does not change the answer") {
+    // random-ish baskets: the fenced result must equal the plain 3-way
+    // definition computed per-basket in Scala
+    val rows = (0L until 40L).flatMap { b =>
+      val items = Seq(b % 5, (b * 7 + 1) % 5, (b * 11 + 2) % 5, (b * 13 + 3) % 5)
+      items.map(b -> _)
+    }
+    val expected = rows.groupBy(_._1).values
+      .flatMap { bs =>
+        val is = bs.map(_._2).distinct.sorted
+        for (a <- is; b <- is if a < b; c <- is if b < c) yield (a, b, c)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 3L)
+    val got = Baskets.frequentItemTriples(rows.toDF("b", "i"), "b", "i", 3L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == expected)
+  }
+
   test("frequentItemPairs counts distinct-basket support with a<b order") {
     // baskets: {1,2,3}, {1,2}, {2,3}, {1,2 with item 2 repeated}
     val df = Seq(

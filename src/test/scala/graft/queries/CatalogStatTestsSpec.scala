@@ -138,6 +138,43 @@ class CatalogStatTestsSpec extends AnyFunSuite {
     }
   }
 
+  test("q272: hand-computed MAD on an asymmetric 5-value fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad")
+    try {
+      // values 1,2,3,7,20 -> median 3 (nearest-rank); |v-3| = 2,1,0,4,17
+      // -> MAD = 2 (cents: x100)
+      val rows = Seq(1.0, 2.0, 3.0, 7.0, 20.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+          i.toLong, "view", v, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q272_mad")(spark, dir.toString).collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert((r.getAs[Long]("n"), r.getAs[Long]("median_cents"),
+        r.getAs[Long]("mad_cents")) == ((5L, 300L, 200L)), r.toString)
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("q274: the vocabulary curve is nondecreasing and genuinely grows") {
+    val rows = SparkEntry.queries("q274_heaps_curve")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("pct"))
+    assert(rows.map(_.getAs[Long]("pct")).toSeq == Seq(10L, 25L, 50L, 100L))
+    val vocab = rows.map(_.getAs[Long]("vocab"))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b }, vocab.toSeq)
+    // the anti-degeneracy pin: a saturated lexicon would flatline; the
+    // trigram space must at least double from the 10% rung to the full
+    // corpus
+    assert(vocab.last >= vocab.head * 2, vocab.toSeq)
+  }
+
   test("q264: entropy identities — perfect predictor and 0 <= IG <= H(Y)") {
     val rows = SparkEntry.queries("q264_info_gain")(spark, sf)
       .collect().map(r => r.getAs[String]("feature") ->
