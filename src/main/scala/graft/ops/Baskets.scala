@@ -99,7 +99,7 @@ object Baskets {
 
     val po = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
       .join(pairItems, Seq("__i"), "left_semi")
-    val fenced =
+    val fenced0 =
       if (maxBasketSize <= 0) po
       else {
         val small = po.groupBy("__b")
@@ -108,6 +108,11 @@ object Baskets {
           .select("__b")
         po.join(small, Seq("__b"), "left_semi")
       }
+    // the three join arms reference this frame — pin it so the source
+    // scan + distinct + prune run ONCE, not once per arm (self-joins
+    // replicate the subtree in the static plan; static ReusedExchange
+    // does not apply across the differing aliases)
+    val fenced = fenced0.localCheckpoint(eager = true)
 
     val a = fenced.select(col("__b").as("__ba"), col("__i").as("item_a"))
     val b = fenced.select(col("__b").as("__bb"), col("__i").as("item_b"))

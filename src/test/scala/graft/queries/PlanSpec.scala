@@ -829,6 +829,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q271-q274: apriori/robust-stat wave — no cartesians, bounded scan counts") {
+    // q271/q273/q274 end post-checkpoint (Baskets pins the basket frame;
+    // the rank scan ran eagerly); q272's histogram is checkpointed
+    Seq("q271_frequent_triples", "q272_mad", "q273_assortativity",
+        "q274_heaps_curve").foreach { q =>
+      val plan = planOf(q)
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 0, s"$q: expected 0 scans post-checkpoint, got $scans:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
