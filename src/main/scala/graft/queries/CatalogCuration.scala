@@ -43,6 +43,19 @@ private[queries] object CatalogCuration {
   private val MmrPool = 10
   private val MmrK = 5
 
+  /** q275: reweighting step size, short-doc bar, and the total token
+    * budget the new weights reallocate.
+    */
+  private val ReweightEta = 4.0
+  private val ReweightCharBar = 250L
+  private val ReweightBudget = 1000000L
+
+  /** q276: repeat-ratio flag bar (1%) on the 1e-6 grid — the corpus's
+    * repetition tail is thin (27/500 docs above 1% at sf0.01), so a
+    * "20% like production" bar would leave the flag path hollow.
+    */
+  private val RepetitionBarE6 = 10000L
+
   /** q230/q235: cross-language duplicate injection — docs with
     * doc_id % 7 == 0 are copied (id + 900000) under a ROTATED language
     * tag, so inter-source duplicate cells and multi-doc fingerprint
@@ -1857,5 +1870,94 @@ private[queries] object CatalogCuration {
                (SELECT count(*) FROM kp) AS n_kept,
                pk.n_shards, pk.n_spanning
         FROM pk""")),
+
+    // Exponentiated-gradient domain reweighting — the DoReMi-style
+    // mixing step: each language's mixture weight is multiplied by
+    // exp(eta * excess_loss) and renormalized, turning a per-domain
+    // quality deficit into the next sampling distribution (q58/q236
+    // apply such weights; this query PRODUCES them). Exactness shape:
+    // the loss is an exact integer ratio (short-doc fraction), each
+    // exp() is snapped to the 1e-6 integer grid BEFORE the normalizing
+    // sum — so the denominator is an order-free integer sum and the
+    // weights are exact rationals rounded once. The reallocated token
+    // budget (1e6 total) uses pure integer floor division. One corpus
+    // scan; everything after is a 5-row frame and a 1-row broadcast.
+    "q275_mixture_reweight" -> QueryDef(
+      fn = (s, d) => {
+        val g = t(s, d, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_chars") < ReweightCharBar, 1L).otherwise(0L))
+              .as("n_short"))
+        val loss = col("n_short").cast("double") / col("n").cast("double")
+        val withExp = g.withColumn("exp6",
+          floor(exp(lit(ReweightEta) * loss) * lit(1000000.0) + lit(0.5))
+            .cast("long"))
+        val tot = withExp.agg(sum(col("exp6")).as("sum_exp6"))
+        withExp.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n"), col("n_short"),
+            round(col("exp6").cast("double") / col("sum_exp6").cast("double"), 6)
+              .as("w_new"),
+            expr(s"CAST($ReweightBudget AS BIGINT) * exp6 div sum_exp6")
+              .as("budget_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some(s"""
+        WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(CASE WHEN n_chars < $ReweightCharBar
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+                   FROM documents GROUP BY lang),
+        e AS (SELECT lang, n, n_short,
+                     CAST(floor(exp($ReweightEta * (CAST(n_short AS DOUBLE)
+                       / CAST(n AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+                       AS exp6
+              FROM g),
+        tot AS (SELECT CAST(sum(exp6) AS BIGINT) AS sum_exp6 FROM e)
+        SELECT lang, n, n_short,
+               round(CAST(exp6 AS DOUBLE) / CAST(sum_exp6 AS DOUBLE), 6)
+                 AS w_new,
+               CAST($ReweightBudget AS BIGINT) * exp6 // sum_exp6
+                 AS budget_tokens
+        FROM e CROSS JOIN tot ORDER BY lang""")),
+
+    // Intra-document repetition score — the "loop detector" of a quality
+    // pipeline (templated/spammy text repeats its own trigrams): per
+    // doc, total vs DISTINCT token trigrams and the repeat ratio on the
+    // 1e-6 integer grid, flagged over 1% (the corpus tail). Entirely per-row array
+    // arithmetic (no shuffle before the output sort): size vs
+    // size(array_distinct) in Spark, len vs len(list_distinct) in
+    // DuckDB. Docs under 3 tokens have no trigrams and are excluded
+    // (the q-family gram convention).
+    "q276_repetition_score" -> QueryDef(
+      fn = (s, d) => {
+        val toks = TF.tokens(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), toks.as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), col("lang"),
+            TF.shinglesOfTokens(col("toks"), 3).as("grams"))
+          .select(col("doc_id"), col("lang"),
+            size(col("grams")).cast("long").as("n_grams"),
+            size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+          .withColumn("rep_e6",
+            expr("(n_grams - n_distinct) * 1000000L div n_grams"))
+          .withColumn("flagged", col("rep_e6") > RepetitionBarE6)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH tk AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        g AS (SELECT doc_id, lang,
+                     list_transform(range(1, len(toks) - 1),
+                       i -> concat(toks[i], ' ', toks[i + 1], ' ',
+                                   toks[i + 2])) AS grams
+              FROM tk WHERE len(toks) >= 3),
+        c AS (SELECT doc_id, lang, CAST(len(grams) AS BIGINT) AS n_grams,
+                     CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+              FROM g)
+        SELECT doc_id, lang, n_grams, n_distinct,
+               (n_grams - n_distinct) * 1000000 // n_grams AS rep_e6,
+               ((n_grams - n_distinct) * 1000000 // n_grams)
+                 > $RepetitionBarE6 AS flagged
+        FROM c ORDER BY doc_id""")),
   )
 }

@@ -62,8 +62,8 @@ private[queries] object CatalogStatTests {
     */
   private val IgLangs = Seq("de", "en", "es", "fr", "zh")
   private val IgLenBuckets = 0 until 4
-  private val IgLenDiv = 400L
-  private val IgCharBar = 800L
+  private val IgLenDiv = 150L
+  private val IgCharBar = 300L
 
   /** q266: largest calendar-day lag probed by the ACF. */
   private val AcfMaxLag = 7

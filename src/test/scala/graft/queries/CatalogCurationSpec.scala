@@ -177,4 +177,36 @@ class CatalogCurationSpec extends AnyFunSuite {
     assert(nShards >= (nKept * 44) / 512,
       "too few shards for the minimum byte volume")
   }
+
+  test("q275: weights sum to ~1, follow the losses, and are NOT uniform") {
+    val rows = SparkEntry.queries("q275_mixture_reweight")(spark, sf).collect()
+    assert(rows.length == 5)
+    val ws = rows.map(r => r.getAs[String]("lang") -> r.getAs[Double]("w_new")).toMap
+    assert(math.abs(ws.values.sum - 1.0) < 1e-4, ws.toString)
+    // anti-degeneracy pin: a loss bar outside the n_chars range made
+    // every weight exactly 0.2 (all-short corpus); the bar now splits
+    assert(ws.values.toSet.size > 1, s"uniform weights — degenerate bar: $ws")
+    // monotone in loss: higher short-doc rate -> higher weight
+    val loss = rows.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("n_short").toDouble / r.getAs[Long]("n"))).toMap
+    val byLoss = ws.keys.toSeq.sortBy(loss)
+    assert(byLoss.map(ws).zip(byLoss.tail.map(ws)).forall { case (a, b) => a <= b },
+      s"weights not monotone in loss: $loss $ws")
+    val budgets = rows.map(_.getAs[Long]("budget_tokens"))
+    assert(budgets.sum <= 1000000L && budgets.sum >= 999990L, budgets.toSeq)
+  }
+
+  test("q276: the repetition flag fires on the corpus tail but not everywhere") {
+    val rows = SparkEntry.queries("q276_repetition_score")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val flagged = rows.count(_.getAs[Boolean]("flagged"))
+    assert(flagged > 0, "flag path hollow — no doc crosses the bar")
+    assert(flagged < rows.length, "every doc flagged — bar degenerate")
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"))
+      assert(d >= 1L && d <= n, r.toString)
+      val rep = r.getAs[Long]("rep_e6")
+      assert(rep == (n - d) * 1000000L / n, r.toString)
+    }
+  }
 }

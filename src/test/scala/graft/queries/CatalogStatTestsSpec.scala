@@ -179,12 +179,16 @@ class CatalogStatTestsSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q264_info_gain")(spark, sf)
       .collect().map(r => r.getAs[String]("feature") ->
         ((r.getAs[Double]("h_y"), r.getAs[Double]("info_gain")))).toMap
-    // len_bucket is a DESIGNED perfect predictor: the y bar (800 chars)
-    // sits exactly on a bucket edge (2 * 400), so H(Y|X) = 0 and
+    // len_bucket is a DESIGNED perfect predictor: the y bar (300 chars)
+    // sits exactly on a bucket edge (2 * 150), so H(Y|X) = 0 and
     // IG = H(Y) — a pinnable fixture anchor, not an accident
     val (hyL, igL) = rows("len_bucket")
     assert(igL == hyL, s"len_bucket should be a perfect predictor: $rows")
     val (hy, ig) = rows("lang")
     assert(ig >= 0.0 && ig <= hy, s"lang IG out of [0, H(Y)]: $rows")
+    // anti-degeneracy pin: the target must actually split the corpus —
+    // H(Y) = 0 made every identity above vacuously true (the original
+    // 800-char bar sat above the fixture's max n_chars of 553)
+    assert(hy > 0.5, s"H(Y) degenerate: $rows")
   }
 }
