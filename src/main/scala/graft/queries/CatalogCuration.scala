@@ -1893,6 +1893,9 @@ private[queries] object CatalogCuration {
         val withExp = g.withColumn("exp6",
           floor(exp(lit(ReweightEta) * loss) * lit(1000000.0) + lit(0.5))
             .cast("long"))
+          // 5-row frame, referenced by the normalizing agg AND the final
+          // projection — pin it so the corpus scan runs once
+          .localCheckpoint(eager = true)
         val tot = withExp.agg(sum(col("exp6")).as("sum_exp6"))
         withExp.crossJoin(broadcast(tot))
           .select(col("lang"), col("n"), col("n_short"),

@@ -842,6 +842,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q275/q276: reweighting ends post-checkpoint; repetition scoring is map-only") {
+    val p275 = planOf("q275_mixture_reweight")
+    assert(p275.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 0, p275)
+    assert(!p275.contains("CartesianProduct"), p275)
+    val p276 = planOf("q276_repetition_score")
+    val scans = p276.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, p276)
+    // per-row array arithmetic: the only exchange is the output sort
+    val exchanges = p276.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, p276)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
