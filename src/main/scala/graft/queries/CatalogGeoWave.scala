@@ -56,11 +56,16 @@ private[queries] object CatalogGeoWave {
   private val CnMaxDeg = 40L
   private val CnTopK = 100
 
-  /** q260's prefix geometry: completions for 4-char stems of 5+-char
-    * tokens, top 3 per stem.
+  /** q260's prefix geometry: completions for 1-char stems of 3+-char
+    * tokens, top 3 per stem. One-char stems are NOT a toy choice here:
+    * the synthetic lexicon is ~31 words and every >=2-char prefix is
+    * UNIQUE to its token, which left the per-stem top-k window with
+    * nothing to rank (rank was constantly 1 — a hollow ranking path);
+    * at 1 char, 7 of 19 stems carry multiple completions and ranks 1-3
+    * all fire.
     */
-  private val PrefixLen = 4
-  private val MinTokLen = 5
+  private val PrefixLen = 1
+  private val MinTokLen = 3
   private val TopCompletions = 3
 
   /** q267's landmark geometry: a FIXED 8-landmark set (smallest node

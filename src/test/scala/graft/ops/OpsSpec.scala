@@ -95,6 +95,41 @@ class DedupSpec extends AnyFunSuite {
     assert(self == 1.0)
   }
 
+  test("simhash blocking surfaces a TRUE near pair (0 < hamming <= maxDistance)") {
+    // the catalog's q27 slice gates only the exact-copy pairs (hamming 0,
+    // the SQL-provable subset) — this pins the path the oracle can't see:
+    // a NONZERO-hamming pair surviving the 16-bit blocking. green->fat
+    // was found by scanning one-token variants: its signature differs
+    // from base by exactly 2 bits (green->dark, the shared nearDup,
+    // lands past maxDistance=3 and is correctly NOT a candidate).
+    val nearBits = Seq((1L, base), (5L, base.replace("green", "fat")))
+      .toDF("doc_id", "text")
+    val cands = Dedup.simhashCandidates(nearBits, "doc_id", "text", maxDistance = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(cands.contains((1L, 5L)), cands.toString)
+    val h = cands((1L, 5L))
+    assert(h >= 1 && h <= 3, cands.toString)
+  }
+
+  test("embedding LSH surfaces a near-but-not-identical pair (minCosine < cos < 1)") {
+    // q29's catalog slice gates exact copies (cosine 1.0) — pin the
+    // band the oracle can't see: a perturbed vector inside the cosine
+    // bar but NOT identical
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.05f
+    val vecs = Seq((1L, base), (2L, near),
+      (3L, Array.tabulate(8)(i => -1.0f - i))).toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      minCosine = 0.98, numPlanes = 6, dim = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(dups.contains((1L, 2L)), dups.toString)
+    val c = dups((1L, 2L))
+    assert(c >= 0.98 && c < 1.0, dups.toString)
+  }
+
   test("embeddingNearDup finds copies via hyperplane buckets") {
     val vecs = Seq(
       (1L, Array.tabulate(8)(i => i.toFloat / 10)),
