@@ -127,7 +127,8 @@ private[queries] object CatalogGeoWave {
           SELECT s AS v FROM e$CorePeelRounds
           UNION ALL SELECT d FROM e$CorePeelRounds)
         GROUP BY v ORDER BY node"""
-      }),
+      },
+      bench = true), // the iterative-peel wall-time probe
 
     // Grid-cell density map over the station fixture: per 0.1-degree
     // cell, station count, exact-cents balance total, and the 3x3
@@ -525,7 +526,8 @@ private[queries] object CatalogGeoWave {
                        ORDER BY b.n_occ DESC, b.doc_id) AS BIGINT) AS rank
               FROM bc b JOIN top3 t ON b.phrase = t.phrase)
         SELECT phrase, rank, doc_id, n_occ FROM r
-        WHERE rank <= $PhraseTopDocs ORDER BY phrase, rank""")),
+        WHERE rank <= $PhraseTopDocs ORDER BY phrase, rank"""),
+      bench = true), // the positional-postings wall-time probe
 
     // Frequent item TRIPLES (the Apriori rung above q174's pairs), over
     // part FAMILIES (l_partkey mod 50) so the triple space is dense at

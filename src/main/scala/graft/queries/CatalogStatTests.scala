@@ -71,6 +71,9 @@ private[queries] object CatalogStatTests {
   /** q274: corpus-prefix rungs (percent of docs, doc_id order). */
   private val HeapsRungs = Seq(10, 25, 50, 100)
 
+  /** q279: every Nth event carries a late correction (value doubled). */
+  private val BitemporalEvery = 13L
+
   def entries: Seq[(String, QueryDef)] = Seq(
 
     // Mann-Whitney U (Wilcoxon rank-sum) with tie correction: each
@@ -149,7 +152,8 @@ private[queries] object CatalogStatTests {
                                - CAST(tsum AS DOUBLE)
                                  / (CAST(n1 + n2 AS DOUBLE)
                                     * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z
-        FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY pair""")),
+        FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY pair"""),
+      bench = true), // the rank-test wall-time probe
 
     // Chi-square independence of event_type x value-bucket, reported as
     // per-row contributions: for each event type, the FIXED-ORDER sum
@@ -683,5 +687,131 @@ private[queries] object CatalogStatTests {
                              THEN 1 ELSE 0 END) AS BIGINT) AS vocab
         FROM rungs r CROSS JOIN n CROSS JOIN f
         GROUP BY r.pct, n.n ORDER BY r.pct""")),
+
+    // Share-of-parent hierarchy readout (the drill-down every BI layer
+    // renders): order revenue per nation with its share of the region
+    // and the region's share of the grand total — exact cents sums, the
+    // two share divisions are the only doubles. ONE fact aggregation
+    // (orders -> customer hash join, nation/region dims broadcast);
+    // region and global totals are re-aggregated from the bounded
+    // 25-nation frame, never from the facts again.
+    "q277_share_of_parent" -> QueryDef(
+      fn = (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val nat = t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val reg = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        val byNation = t(s, d, "orders")
+          .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(sum(col("c")).as("rev_cents"))
+          .localCheckpoint(eager = true) // bounded: 25 nations
+        val byRegion = byNation.groupBy("region")
+          .agg(sum(col("rev_cents")).as("region_cents"))
+        val total = byNation.agg(sum(col("rev_cents")).as("total_cents"))
+        byNation.join(broadcast(byRegion), Seq("region"))
+          .crossJoin(broadcast(total))
+          .select(col("region"), col("nation"), col("rev_cents"),
+            round(col("rev_cents").cast("double") /
+              col("region_cents").cast("double"), 6).as("share_of_region"),
+            round(col("region_cents").cast("double") /
+              col("total_cents").cast("double"), 6).as("region_share_of_total"))
+          .orderBy("region", "nation")
+      },
+      oracle = Some(s"""
+        WITH bn AS (SELECT r.r_name AS region, n.n_name AS nation,
+                           CAST(sum(${centsSql("o.o_totalprice")}) AS BIGINT)
+                             AS rev_cents
+                    FROM orders o
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+                    GROUP BY 1, 2),
+        br AS (SELECT region, CAST(sum(rev_cents) AS BIGINT) AS region_cents
+               FROM bn GROUP BY region),
+        tt AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM bn)
+        SELECT bn.region, bn.nation, bn.rev_cents,
+               round(CAST(bn.rev_cents AS DOUBLE)
+                     / CAST(br.region_cents AS DOUBLE), 6) AS share_of_region,
+               round(CAST(br.region_cents AS DOUBLE)
+                     / CAST(tt.total_cents AS DOUBLE), 6)
+                 AS region_share_of_total
+        FROM bn JOIN br ON bn.region = br.region CROSS JOIN tt
+        ORDER BY bn.region, bn.nation""")),
+
+    // Second-order sequential pattern mining: support of event-type
+    // TRIGRAMS over each user's (ts, event_id)-ordered stream — the rung
+    // above q190's Markov transition (bigram) counts; "view->click->
+    // purchase outnumbers view->click->view" is the kind of signal a
+    // funnel model starts from. Two leads ride ONE user-keyed sort;
+    // support is a bounded (|types|^3) aggregate; top-20 via
+    // TakeOrderedAndProject.
+    "q278_event_trigrams" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t2").isNotNull && col("t3").isNotNull)
+          .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+            col("t3").as("step3"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("step1"), col("step2"), col("step3"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH s AS (SELECT event_type AS step1,
+                          lead(event_type, 1) OVER w AS step2,
+                          lead(event_type, 2) OVER w AS step3
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS support
+        FROM s WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY support DESC, step1, step2, step3 LIMIT 20""")),
+
+    // Bitemporal restatement readout: corrections (a derived fixture —
+    // every 13th event gets its value doubled by a correction that
+    // ARRIVES on transaction day 20) replayed against two knowledge
+    // instants. "What we believed on day 15" excludes the late
+    // corrections; "what we believe now" applies them; the per-type
+    // restatement is the difference — the valid-time/transaction-time
+    // split every finance warehouse audit asks for. Pure conditional
+    // exact-cent aggregation, one scan.
+    "q279_bitemporal_replay" -> QueryDef(
+      fn = (s, d) => {
+        val corrected = col("event_id") % BitemporalEvery === 0L
+        val c = expr(centsCol("value"))
+        t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy("event_type")
+          .agg(
+            sum(when(corrected, 1L).otherwise(0L)).as("n_corrected"),
+            sum(c).as("believed_day15_cents"),
+            sum(when(corrected, c * 2L).otherwise(c)).as("believed_now_cents"))
+          .withColumn("restatement_cents",
+            col("believed_now_cents") - col("believed_day15_cents"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        SELECT event_type,
+               CAST(sum(CASE WHEN event_id % $BitemporalEvery = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected,
+               CAST(sum($bucketCentsSql) AS BIGINT) AS believed_day15_cents,
+               CAST(sum(CASE WHEN event_id % $BitemporalEvery = 0
+                        THEN $bucketCentsSql * 2
+                        ELSE $bucketCentsSql END) AS BIGINT)
+                 AS believed_now_cents,
+               CAST(sum(CASE WHEN event_id % $BitemporalEvery = 0
+                        THEN $bucketCentsSql * 2
+                        ELSE $bucketCentsSql END)
+                    - sum($bucketCentsSql) AS BIGINT) AS restatement_cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
   )
 }
