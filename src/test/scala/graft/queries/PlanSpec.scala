@@ -854,6 +854,24 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, p276)
   }
 
+  test("q277-q279: hierarchy/sequence/bitemporal wave plan shapes") {
+    // q277: parent totals come from the checkpointed 25-nation frame, so
+    // the final plan has no fact scans; only the intentional 1-row
+    // totals cross remains
+    val p277 = planOf("q277_share_of_parent")
+    assert(p277.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 0, p277)
+    assert(!p277.contains("CartesianProduct"), p277)
+    // q278: one scan, one user-keyed sort, bounded agg, top-20 via
+    // TakeOrderedAndProject (never a global sort exchange)
+    val p278 = planOf("q278_event_trigrams")
+    assert(p278.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 1, p278)
+    assert(p278.contains("TakeOrderedAndProject"), p278)
+    // q279: single-scan conditional aggregation with map-side partials
+    val p279 = planOf("q279_bitemporal_replay")
+    assert(p279.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 1, p279)
+    assert(p279.contains("partial_sum"), p279)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
