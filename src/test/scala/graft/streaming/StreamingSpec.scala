@@ -123,6 +123,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(appendDir).count() == 8) // at-least-once by design
   }
 
+  test("restart from checkpoint: dedup state survives and no batch is reprocessed") {
+    // the property none of the single-query tests cover: a SECOND
+    // StreamingQuery started on the SAME checkpoint must (a) restore the
+    // dropDuplicates state store — a key seen before the stop is still a
+    // duplicate after it — and (b) not re-emit phase-1 batches (the
+    // file-source offsets committed in the checkpoint are honored).
+    val inDir = Files.createTempDirectory("graft-restart-in").toFile
+    val outDir = Files.createTempDirectory("graft-restart-out").toFile.getAbsolutePath + "/mart"
+    val ckpt = Files.createTempDirectory("graft-restart-ck").toFile.getAbsolutePath
+
+    def startQuery() = StreamingIngest.writeMart(
+      StreamingIngest.dedupedStream(
+        StreamingIngest.readRawStream(spark, inDir.getAbsolutePath)),
+      outDir, ckpt, exactlyOnce = true).start()
+
+    writeBatch(inDir, "b1.json", Seq(
+      """{"location_id":18,"datetime":"2024-01-15T10:00:00Z","parameter":"pm25","value":45.5}""",
+      """{"location_id":18,"datetime":"2024-01-15T10:05:00Z","parameter":"pm25","value":47.0}"""))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // phase 2 after the stop: one replay of a phase-1 key, one new key
+    writeBatch(inDir, "b2.json", Seq(
+      """{"location_id":18,"datetime":"2024-01-15T10:00:00Z","parameter":"pm25","value":45.5}""",
+      """{"location_id":18,"datetime":"2024-01-15T10:10:00Z","parameter":"pm25","value":50.0}"""))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir)
+    // 3 rows total: phase-1 rows exactly once (not reprocessed), the
+    // replayed key dropped by the RESTORED state, the new key appended
+    assert(out.count() == 3, out.collect().mkString(", "))
+    assert(out.select("location_id", "datetime", "parameter").distinct().count() == 3)
+  }
+
   test("stream-stream interval join matches only rows within the time bound") {
     val measDir = Files.createTempDirectory("graft-ssj-l").toFile
     val statusDir = Files.createTempDirectory("graft-ssj-r").toFile
