@@ -799,5 +799,50 @@ private[queries] object CatalogScaleOps {
                      / CAST(na + nb - inter AS DOUBLE), 9) AS jaccard
         FROM p WHERE inter * 5 >= (na + nb - inter) * 4
         ORDER BY id_l, id_r""")),
+
+    // The NEAR band of the set-similarity join: q170's corpus yields
+    // only jaccard-1.0 (exact copy) matches at its threshold — the
+    // prefix filter's interesting case, a pair that overlaps PARTIALLY
+    // yet clears the bar, was never oracle-gated (found by the round-10
+    // constant-column audit). Injection: each sampled doc gets BOTH an
+    // exact twin (+100000) and a one-token-APPENDED twin (+200000, a
+    // unique 'zzq<id>' token whose trigram set keeps every original
+    // shingle and adds one — jaccard n/(n+1), strictly inside [0.6, 1)),
+    // so is_near carries both values and the SAME jaccardSelfJoin
+    // machinery must discover exact AND partial overlaps through the
+    // rare-first prefix filter.
+    "q280_setsim_near_band" -> QueryDef(
+      fn = (s, d) => {
+        val sub = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        val exact = sub.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val near = sub.select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzq"), col("doc_id").cast("string")).as("text"))
+        val dbl = sub.select(col("doc_id"), col("text")).unionAll(exact).unionAll(near)
+        graft.ops.SetSimJoin.jaccardSelfJoin(dbl, "doc_id", "text", 3, 5)
+          .withColumn("is_near", col("jaccard") < 1.0)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        dbl AS (SELECT doc_id AS id, text FROM sub
+                UNION ALL SELECT doc_id + 100000, text FROM sub
+                UNION ALL
+                SELECT doc_id + 200000,
+                       concat(text, ' zzq', CAST(doc_id AS VARCHAR)) FROM sub),
+        sh AS (SELECT id,
+                      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+               FROM (SELECT id, $toksSql AS toks FROM dbl)),
+        p AS (SELECT a.id AS id_a, b.id AS id_b,
+                     len(list_intersect(a.s, b.s)) AS inter,
+                     len(a.s) AS na, len(b.s) AS nb
+              FROM sh a JOIN sh b ON a.id < b.id)
+        SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE)
+                     / CAST(na + nb - inter AS DOUBLE), 9) AS jaccard,
+               (round(CAST(inter AS DOUBLE)
+                      / CAST(na + nb - inter AS DOUBLE), 9) < 1.0) AS is_near
+        FROM p WHERE inter * 5 >= (na + nb - inter) * 3
+        ORDER BY id_a, id_b""")),
   )
 }
