@@ -813,5 +813,158 @@ private[queries] object CatalogStatTests {
                     - sum($bucketCentsSql) AS BIGINT) AS restatement_cents
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
+
+    // Referential-integrity audit — the constraint checks a lakehouse
+    // runs because parquet won't: orphaned foreign keys (lineitem ->
+    // orders, orders -> customer) via LEFT ANTI join counts, plus
+    // primary-key uniqueness on both parents. The anti-joins are
+    // key-only (the probe side projects ONE column before the
+    // exchange). Two scenarios, so BOTH branches are oracle-gated: the
+    // 'clean' row reports the healthy zeros, and a 'perturbed' twin
+    // (every 97th order dropped, every 101st customer dropped, every
+    // 300th customer key duplicated) proves ALL THREE detectors count
+    // what they claim — a clean-only audit is indistinguishable from a
+    // broken one. The oracle states the perturbed customer SET, not a
+    // predicate rewrite: custkey 0 divides by both 101 and 300, so it
+    // is dropped AND re-added — an EXISTS on '% 101 <> 0' alone would
+    // miscount it as an orphan.
+    "q281_referential_audit" -> QueryDef(
+      fn = (s, d) => {
+        // BOTH scenarios fused into one pass per relation pair: each
+        // probe side left-joins its parent's KEY frame carrying the
+        // perturbation flags, and the clean/perturbed counts are
+        // conditional sums over the same joined stream — a per-scenario
+        // audit loop would scan lineitem once per scenario (the 100 TB
+        // sin); this shape scans each table exactly once.
+        val li = t(s, d, "lineitem").select(col("l_orderkey"))
+        val ord0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val cust0 = t(s, d, "customer").select(col("c_custkey"))
+
+        // customer perturbation flags: dropped (%101), duplicated (%300);
+        // present-in-perturbed = kept OR re-added (custkey 0 is both)
+        val custFlag = cust0.select(col("c_custkey"),
+          ((col("c_custkey") % 101 =!= 0L) ||
+            (col("c_custkey") % 300 === 0L)).as("c_pert"))
+        val ordDropped = col("o_orderkey") % 97 === 0L
+
+        val liAudit = li
+          .join(ord0.select(col("o_orderkey"), ordDropped.as("o_drop")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+              .as("orphan_lineitems_clean"),
+            sum(when(col("o_orderkey").isNull || col("o_drop"), 1L)
+              .otherwise(0L)).as("orphan_lineitems_pert"))
+        val ordAudit = ord0
+          .join(custFlag, col("o_custkey") === col("c_custkey"), "left")
+          .agg(
+            sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+              .as("orphan_orders_clean"),
+            sum(when(!ordDropped &&
+              (col("c_custkey").isNull || !col("c_pert")), 1L)
+              .otherwise(0L)).as("orphan_orders_pert"))
+        // perturbed copies per key = (kept ? 1 : 0) + (re-added ? 1 : 0)
+        val dupAudit = cust0.groupBy("c_custkey").agg(count(lit(1)).as("n"))
+          .agg(
+            sum(when(col("n") > 1L, 1L).otherwise(0L)).as("dup_custkeys_clean"),
+            sum(when(
+              col("n") * (when(col("c_custkey") % 101 =!= 0L, 1L).otherwise(0L)
+                + when(col("c_custkey") % 300 === 0L, 1L).otherwise(0L)) > 1L,
+              1L).otherwise(0L)).as("dup_custkeys_pert"))
+
+        val one = liAudit.crossJoin(broadcast(ordAudit))
+          .crossJoin(broadcast(dupAudit))
+        val rows = Seq("clean", "pert").map { sc =>
+          val tag = if (sc == "clean") "clean" else "perturbed"
+          struct(lit(tag).as("scenario"),
+            col(s"orphan_lineitems_$sc").as("orphan_lineitems"),
+            col(s"orphan_orders_$sc").as("orphan_orders"),
+            col(s"dup_custkeys_$sc").as("dup_custkeys"))
+        }
+        one.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.scenario"), col("r.orphan_lineitems"),
+            col("r.orphan_orders"), col("r.dup_custkeys"))
+          .orderBy("scenario")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT 'clean' AS scenario,
+            (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+              AS orphan_lineitems,
+            (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+              AS orphan_orders,
+            (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                                   GROUP BY c_custkey HAVING count(*) > 1))
+              AS dup_custkeys),
+        p AS (
+          SELECT 'perturbed' AS scenario,
+            (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey
+                                 AND o.o_orderkey % 97 <> 0))
+              AS orphan_lineitems,
+            (SELECT count(*) FROM orders o
+             WHERE o.o_orderkey % 97 <> 0
+               AND NOT EXISTS (
+                 SELECT 1 FROM (
+                   SELECT c_custkey FROM customer WHERE c_custkey % 101 <> 0
+                   UNION ALL SELECT c_custkey FROM customer
+                   WHERE c_custkey % 300 = 0) pc
+                 WHERE pc.c_custkey = o.o_custkey))
+              AS orphan_orders,
+            (SELECT count(*) FROM (
+               SELECT c_custkey FROM (
+                 SELECT c_custkey FROM customer WHERE c_custkey % 101 <> 0
+                 UNION ALL SELECT c_custkey FROM customer
+                 WHERE c_custkey % 300 = 0)
+               GROUP BY c_custkey HAVING count(*) > 1))
+              AS dup_custkeys)
+        SELECT * FROM a UNION ALL SELECT * FROM p ORDER BY scenario""")),
+
+    // Daily percentile bands (the P50/P90/P99-per-day observability
+    // readout): exact nearest-rank picks over the per-(type, day) cent
+    // histogram — three cut levels from ONE cumulative window pass, no
+    // interpolation, no sampling. The same doubled-cumulative integer
+    // rule as q269/q272, generalized to multiple quantiles: pick the
+    // smallest v with cum*100 >= q*total for q in {50, 90, 99}.
+    "q282_daily_percentile_bands" -> QueryDef(
+      fn = (s, d) => {
+        val hist = t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), dayofmonth(col("ts")).cast("long").as("day"),
+            expr(centsCol("value")).as("v"))
+          .groupBy("event_type", "day", "v").agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy("event_type", "day").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type", "day")
+        val c = hist
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("tot", sum(col("cnt")).over(wAll))
+        def cut(q: Int) =
+          min(when(col("cum") * 100L >= col("tot") * q.toLong, col("v"))).as(s"p$q")
+        c.groupBy("event_type", "day")
+          .agg(max(col("tot")).as("n"), cut(50), cut(90), cut(99))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(s"""
+        WITH hist AS (SELECT event_type,
+                             CAST(strftime(ts, '%d') AS BIGINT) AS day,
+                             $bucketCentsSql AS v, count(*) AS cnt
+                      FROM events WHERE value IS NOT NULL
+                      GROUP BY 1, 2, 3),
+        c AS (SELECT event_type, day, v, cnt,
+                     sum(cnt) OVER (PARTITION BY event_type, day ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type, day) AS tot
+              FROM hist)
+        SELECT event_type, day, CAST(max(tot) AS BIGINT) AS n,
+               CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN v END) AS BIGINT) AS p50,
+               CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
+               CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
+        FROM c GROUP BY event_type, day ORDER BY event_type, day""")),
   )
 }

@@ -872,6 +872,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p279.contains("partial_sum"), p279)
   }
 
+  test("q281: fused audit scans the fact table once for both scenarios") {
+    val plan = planOf("q281_referential_audit")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    // lineitem x1 + orders x2 + customer x2 — the per-scenario loop form
+    // was 12; the regression this pins is a scenario re-scan of lineitem
+    assert(scans <= 5, s"expected <= 5 scans, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q282: percentile bands are single-scan with one cumulative window pass") {
+    val plan = planOf("q282_daily_percentile_bands")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
