@@ -59,7 +59,10 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // self-join (posting-list fanout hazard), the wedge-at-center link
     // prediction (hub fanout is the designed hazard its maxDeg cap
     // bounds), and the iterative k-core peel
-    "q268_phrase_search", "q256_common_neighbors", "q253_kcore")
+    "q268_phrase_search", "q256_common_neighbors", "q253_kcore",
+    // the Apriori triple rung: per-basket fanout is the cubic hazard its
+    // pair-set semi-join fence exists to bound
+    "q271_frequent_triples")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
