@@ -61,4 +61,38 @@ object WeightedSample {
         col("__target") < col("__cum") + col("__w"))
       .select(col("draw_id"), col(idCol), col("__w").as("weight"))
   }
+
+  /** Draw `k` DISTINCT rows, P proportional to `weightCol`, by A-Res
+    * (Efraimidis-Spirakis reservoir keys): each row gets
+    * key = ln(u) / w with u the row's md5-derived uniform, and the k
+    * LARGEST keys win — equivalent to ranking u^(1/w), the standard
+    * weighted-sampling-without-replacement scheme. The complement of
+    * [[sampleWithReplacement]]: no cumulative structure, no prefix sum —
+    * one map-side key computation + TakeOrdered(k), which is the whole
+    * point at scale (the reservoir is the top-k heap, never a shuffle of
+    * the corpus).
+    *
+    * Determinism discipline: u = (h + 1) / 2^32 is an exact rational of
+    * the 32-bit md5 prefix, and the key is SNAPPED to the 1e-9 grid
+    * (floor) before ranking, ties broken by id — the selection boundary
+    * is an integer comparison, so engines can only disagree if their
+    * libm `ln` results straddle a 1e-9 cell edge (error analysis: ulp of
+    * ln(u) <= 2.4e-15, scaled flip probability ~1e-7 per row).
+    *
+    * Output: (<idCol>, weight, key_e9), the k winners by
+    * (key_e9 desc, id).
+    */
+  def sampleWithoutReplacement(df: DataFrame, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val base = df
+      .select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") > 0L)
+    val h = expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    val keyE9 = floor(log(u) / col("weight").cast("double") * lit(1e9)).cast("long")
+    base.withColumn("key_e9", keyE9)
+      .orderBy(col("key_e9").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -74,6 +74,9 @@ private[queries] object CatalogStatTests {
   /** q279: every Nth event carries a late correction (value doubled). */
   private val BitemporalEvery = 13L
 
+  /** q283: reservoir size for the A-Res weighted sample. */
+  private val AresK = 50
+
   def entries: Seq[(String, QueryDef)] = Seq(
 
     // Mann-Whitney U (Wilcoxon rank-sum) with tie correction: each
@@ -966,5 +969,33 @@ private[queries] object CatalogStatTests {
                CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
                CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
         FROM c GROUP BY event_type, day ORDER BY event_type, day""")),
+
+    // Weighted sampling WITHOUT replacement (A-Res reservoir keys) — the
+    // distinct-row complement of q161's cumulative-inversion draws:
+    // 50 docs proportional to length, selected by the k largest
+    // ln(u)/w keys snapped to the 1e-9 integer grid (the selection
+    // boundary is an integer comparison; see
+    // [[graft.ops.WeightedSample.sampleWithoutReplacement]]). Map-side
+    // key computation + TakeOrdered — no prefix sum, no corpus shuffle.
+    "q283_weighted_reservoir" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        graft.ops.WeightedSample
+          .sampleWithoutReplacement(docs, "doc_id", "n_chars", AresK)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("weight"), col("key_e9"))
+          .orderBy(col("key_e9").desc, col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT doc_id, lang, n_chars AS weight,
+                          CAST(floor(ln((CAST(('0x' ||
+                              substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 1) / 4294967296.0)
+                            / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT)
+                            AS key_e9
+                   FROM documents WHERE n_chars > 0)
+        SELECT doc_id, lang, weight, key_e9 FROM b
+        ORDER BY key_e9 DESC, doc_id LIMIT $AresK""")),
   )
 }

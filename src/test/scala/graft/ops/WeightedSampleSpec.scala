@@ -59,4 +59,27 @@ class WeightedSampleSpec extends AnyFunSuite {
         Seq((1L, 0L)).toDF("doc_id", "w"), "doc_id", "w", k = 3)
     }
   }
+
+  test("A-Res without replacement: distinct winners, weight bias, zero-w excluded") {
+    val pop = ((1L to 200L).map(i => (i, 10L)) ++
+      (201L to 220L).map(i => (i, 10000L)) ++ Seq((999L, 0L)))
+      .toDF("doc_id", "w")
+    val got = WeightedSample.sampleWithoutReplacement(pop, "doc_id", "w", k = 40)
+      .collect().map(r => r.getAs[Long]("doc_id"))
+    // winners are DISTINCT rows (the defining without-replacement property)
+    assert(got.length == 40 && got.toSet.size == 40)
+    assert(!got.contains(999L)) // zero weight can never win
+    // 1000x-weight rows (20 of them) should dominate the reservoir:
+    // each heavy key is ln(u)/10000 (near 0), each light key ln(u)/10 —
+    // a light row only beats a heavy one with u extremely close to 1
+    val heavy = got.count(_ >= 201L)
+    assert(heavy >= 15, s"expected the heavy rows to dominate, got $heavy/20")
+  }
+
+  test("A-Res k >= population returns every positive-weight row") {
+    val pop = Seq((1L, 5L), (2L, 1L), (3L, 0L)).toDF("doc_id", "w")
+    val got = WeightedSample.sampleWithoutReplacement(pop, "doc_id", "w", k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(1L, 2L))
+  }
 }
