@@ -888,6 +888,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
   }
 
+  test("q283: the reservoir is a TakeOrdered heap, never a corpus shuffle") {
+    val plan = planOf("q283_weighted_reservoir")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // no exchange before the top-k: the key computation is map-side
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans <= 2, s"expected <= 2 scans (keys + lang join), got $scans:\n$plan")
+  }
+
   test("q178: BM25 never shuffles the corpus — stats ride a 1-row broadcast") {
     val plan = planOf("q178_bm25")
     // per-doc tf/dl are map-side; the only join is the broadcast stats
