@@ -1,5 +1,6 @@
 package graft
 
+import graft.queries.Catalog
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
@@ -125,12 +126,28 @@ object Bench {
     }
     // Streaming-harness queries (staged copy + processAllAvailable rounds)
     // run on their OWN line: their fixed micro-batch latency dominated the
-    // r9 total (q160 = 18.6%) and masked drift in the batch queries. Warm
-    // + 2 samples — the harness cost is staging-dominated, low-jitter.
+    // r9 total (q160 = 18.6%) and masked drift in the batch queries.
+    // Round-10 lesson: the line carried ONE opaque median per query, so
+    // when the driver read q160 at 20.35 s (vs a 5.63 s r9 median) nothing
+    // in the artifact could say which phase owned the delta. Now each
+    // streaming query reports mins + raw samples (like the batch line) AND
+    // a staging split: `StagingClock` accumulates the harness-only file
+    // copy/delete time inside each sample, so `streaming_staging` medians
+    // separate "the temp-dir copy was slow" from "the stream ran slow".
+    // Warm + 3 samples (r10 ran warm + 2 — too thin for a median).
+    def timeStreamingOnce(name: String): (Double, Double) = {
+      Catalog.StagingClock.drainSeconds() // clear batch-phase residue
+      val total = timeOnce(name)
+      val staging = Catalog.StagingClock.drainSeconds()
+      (total, staging)
+    }
     val streaming = SparkEntry.benchStreamingQueries.map { name =>
-      val warm = timeOnce(name)
-      val ss = if (warm < 0) Seq(-1.0) else Seq.fill(2)(timeOnce(name))
-      (name, median(ss), if (ss.exists(_ < 0)) -1.0 else ss.min, ss)
+      val (warm, _) = timeStreamingOnce(name)
+      val pairs = if (warm < 0) Seq((-1.0, 0.0))
+                  else Seq.fill(3)(timeStreamingOnce(name))
+      val ss = pairs.map(_._1)
+      val staging = pairs.map(_._2)
+      (name, median(ss), if (ss.exists(_ < 0)) -1.0 else ss.min, ss, staging)
     }
     def field(f: ((String, Double, Double, Seq[Double])) => String) =
       results.map(f).mkString("{", ",", "}")
@@ -155,17 +172,36 @@ object Bench {
         Some(s""","prev":{"file":"$fname","n_common":${common.size},"common_prev":$pv,"common_cur":$cur,"delta_pct":${math.round(pct * 10) / 10.0}}""")
       }
     }.getOrElse("")
-    val streamQs = streaming.map { case (k, med, _, _) => "\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val streamTotal = streaming.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    def streamField5(f: ((String, Double, Double, Seq[Double], Seq[Double])) => String) =
+      streaming.map(f).mkString("{", ",", "}")
+    val streamQs = streamField5 { case (k, med, _, _, _) => "\"" + k + "\":" + med }
+    val streamMins = streamField5 { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
+    val streamSamples = streamField5 { case (k, _, _, ss, _) =>
+      "\"" + k + "\":" + ss.mkString("[", ",", "]") }
+    val streamStaging = streamField5 { case (k, _, _, _, st) =>
+      "\"" + k + "\":" + median(st) }
+    val streamStagingSamples = streamField5 { case (k, _, _, _, st) =>
+      "\"" + k + "\":" + st.mkString("[", ",", "]") }
+    // mirror the batch contract (r10 advice): a warmup failure must land
+    // in an explicit failed array, not hide as a -1.0 median that quietly
+    // improves streaming_total
+    val streamFailed = streaming.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
+    val streamFailedField =
+      if (streamFailed.isEmpty) "" else s""","streaming_failed":${streamFailed.mkString("[", ",", "]")}"""
+    val streamTotal = streaming.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    // samples stay off the stdout line (tail-capture budget, see below)
+    // but mins + staging medians ride it: they are the two statistics the
+    // r10 q160 flag needed and they cost ~40 bytes per streaming query
     val streamField = if (streaming.isEmpty) ""
-      else s""","streaming":$streamQs,"streaming_total":$streamTotal"""
+      else s""","streaming":$streamQs,"streaming_mins":$streamMins,"streaming_staging":$streamStaging$streamFailedField,"streaming_total":$streamTotal"""
+    val streamFullField = if (streaming.isEmpty) ""
+      else s""","streaming":$streamQs,"streaming_mins":$streamMins,"streaming_samples":$streamSamples,"streaming_staging":$streamStaging,"streaming_staging_samples":$streamStagingSamples$streamFailedField,"streaming_total":$streamTotal"""
     // stdout line stays SLIM: round 7's line (with the raw sample arrays
     // inline) outgrew the driver's tail-capture window and arrived
     // truncated → "parsed": null for the whole round. Samples go only to
     // the side file; the line keeps queries + mins + failed + prev.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins$failedField$prevField$streamField,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"samples":$samples$failedField$prevField$streamField,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"samples":$samples$failedField$prevField$streamFullField,"sf":"$sfDir"}"""
     // belt: persist to a file for consumers that can't parse sbt stdout
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))

@@ -38,20 +38,8 @@ case class ShingleHashes32(child: Expression, k: Int)
       s"shingle_hashes requires array<string>, got ${other.simpleString}")
   }
 
-  private val space = UTF8String.fromString(" ")
-
-  private def windowHash(tokens: ArrayData, start: Int, len: Int): Long = {
-    // array_join semantics: null elements are skipped, including their
-    // delimiter
-    val parts = new java.util.ArrayList[UTF8String](len)
-    var i = start
-    while (i < start + len) {
-      if (!tokens.isNullAt(i)) parts.add(tokens.getUTF8String(i))
-      i += 1
-    }
-    val joined = UTF8String.concatWs(space, parts.toArray(new Array[UTF8String](parts.size())): _*)
-    XxHash64Function.hash(joined, StringType, 42L)
-  }
+  private def windowHash(tokens: ArrayData, start: Int, len: Int): Long =
+    ShingleHashing.windowHash(tokens, start, len)
 
   override def nullSafeEval(input: Any): Any = {
     val tokens = input.asInstanceOf[ArrayData]
@@ -79,6 +67,74 @@ case class ShingleHashes32(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL window hashes: for every k-token window, the full 64-bit
+  * xxhash64 (seed 42) of the space-joined window, emitted IN POSITION
+  * ORDER with no dedup — element i is the hash of the window starting at
+  * token i, so `posexplode` recovers (position, hash) pairs directly.
+  * This is the [[graft.ops.ExactSubstr]] primitive: the Lee et al. 2022
+  * exact-substring dedup needs every window OCCURRENCE (a repeated
+  * >=L-token substring is exactly a run of repeated L-windows), where
+  * [[ShingleHashes32]]'s first-seen dedup + 32-bit mask serve MinHash
+  * set semantics instead.
+  *
+  * Unlike the shingle form, fewer than k tokens yield an EMPTY array
+  * (no window of length k exists — degrading to a whole-text hash would
+  * fabricate a short "duplicate" the substring semantics exclude).
+  * A null input array is null; null tokens inside a window are skipped
+  * the way `array_join` skips them.
+  */
+case class WindowHashes64(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"window size must be positive: $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"window_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    val n = tokens.numElements()
+    if (n < k) new GenericArrayData(Array.empty[Long])
+    else {
+      val arr = new Array[Long](n - k + 1)
+      var i = 0
+      while (i <= n - k) {
+        arr(i) = ShingleHashing.windowHash(tokens, i, k)
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes64 =
+    copy(child = newChild)
+}
+
+private[expressions] object ShingleHashing {
+  private val space = UTF8String.fromString(" ")
+
+  /** xxhash64 (seed 42) of the space-joined window, `array_join`
+    * semantics for nulls — shared by [[ShingleHashes32]] and
+    * [[WindowHashes64]] so the two surfaces cannot drift.
+    */
+  def windowHash(tokens: ArrayData, start: Int, len: Int): Long = {
+    val parts = new java.util.ArrayList[UTF8String](len)
+    var i = start
+    while (i < start + len) {
+      if (!tokens.isNullAt(i)) parts.add(tokens.getUTF8String(i))
+      i += 1
+    }
+    val joined = UTF8String.concatWs(space, parts.toArray(new Array[UTF8String](parts.size())): _*)
+    XxHash64Function.hash(joined, StringType, 42L)
+  }
+}
+
 object ShingleExpressions {
 
   /** Column form: distinct masked 32-bit shingle hashes of a token array
@@ -89,6 +145,18 @@ object ShingleExpressions {
     org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, exprs => ShingleHashes32(exprs.head, k), "built-in")
+    }
+    org.apache.spark.sql.functions.call_function(name, tokens)
+  }
+
+  /** Column form: positional 64-bit window hashes (one per k-window,
+    * position order, no dedup) — see [[WindowHashes64]].
+    */
+  def windowHashes64(tokens: Column, k: Int): Column = {
+    val name = s"window_hashes64_$k"
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => WindowHashes64(exprs.head, k), "built-in")
     }
     org.apache.spark.sql.functions.call_function(name, tokens)
   }

@@ -33,15 +33,18 @@ import org.apache.spark.sql.functions._
 object Geo {
 
   /** Grid-cell coordinates (cy, cx) of an integer micro-degree point:
-    * floored division by the cell edge. Inputs must be non-negative-
-    * shifted or the caller accepts floor-toward-negative-infinity
-    * semantics of `floor(a / b)` on doubles; graft keeps fixture
-    * coordinates positive so plain integer division is exact in both
-    * engines (Spark `div` and DuckDB `//` truncate identically for
-    * non-negative operands).
+    * FLOORED division by the cell edge, exact for the full signed range
+    * (r10 advice — the previous double-divide + cast truncated toward
+    * zero, giving every negative coordinate band a double-width cell 0
+    * and disagreeing with DuckDB's flooring `//`). `a - pmod(a, b)` is
+    * an exact multiple of b computed in 64-bit integer space, and the
+    * quotient of two exact longs < 2^53 is an exact integer double, so
+    * the cast is lossless: floor semantics with no FP-boundary hazard.
     */
-  def cellOf(latE6: Column, lonE6: Column, cellE6: Long): (Column, Column) =
-    ((latE6 / cellE6).cast("long"), (lonE6 / cellE6).cast("long"))
+  def cellOf(latE6: Column, lonE6: Column, cellE6: Long): (Column, Column) = {
+    def fdiv(a: Column) = ((a - pmod(a, lit(cellE6))) / cellE6).cast("long")
+    (fdiv(latE6), fdiv(lonE6))
+  }
 
   /** Exact squared planar distance in micro-degrees (long, exact). */
   def dist2(latA: Column, lonA: Column, latB: Column, lonB: Column): Column =

@@ -439,9 +439,14 @@ object Graph {
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cn"))
 
-    // drop already-adjacent pairs (edge list is canonical src < dst)
+    // drop already-adjacent pairs. Candidate pairs are emitted with
+    // a < b, so the adjacency side is canonicalized with least/greatest
+    // rather than assumed pre-canonical — an uncanonicalized (or
+    // mixed-orientation) edge list would otherwise leak adjacent pairs
+    // through a one-orientation anti-join as "predictions" (r10 advice)
     val nonAdj = pairs.join(
-      e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"),
+      e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")), Seq("a", "b"),
       "left_anti")
     nonAdj
       .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), Seq("a"))

@@ -943,7 +943,8 @@ private[queries] object CatalogCuration {
       },
       oracle = Some("""
         SELECT event_type, count(DISTINCT user_id) AS n_users
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      bench = true, streaming = true), // TTL-dedup state-shape probe (r10 verdict #7)
 
     // Clustering-quality readout: per-label mean silhouette over SQUARED
     // distances to exact-integer centroids — "are the labels actually
@@ -1054,7 +1055,8 @@ private[queries] object CatalogCuration {
                    FROM events GROUP BY user_id)
         SELECT CAST(p.bucket AS BIGINT) AS bucket, count(*) AS n_events
         FROM events e JOIN p ON e.user_id = p.user_id
-        GROUP BY p.bucket ORDER BY bucket""")),
+        GROUP BY p.bucket ORDER BY bucket"""),
+      bench = true, streaming = true), // stream-static-join state-shape probe (r10 verdict #7)
 
     // Per-language style metrics — the casing/digit/sentence-shape
     // signals of boilerplate and OCR-junk detection: ALL-CAPS ratio,

@@ -47,7 +47,12 @@ private[queries] object CatalogStatTests {
       case ((edge, i), rest) => when(c < edge, i.toLong).otherwise(rest)
     }
   }
-  private def centsCol(c: String) = s"CAST($c * 100 + 0.5 AS LONG)"
+  // SQL-string twin of Catalog.cents: signum-handled half-away-from-zero
+  // so negative values round like the oracles' round(v * 100) instead of
+  // truncating one cent high (r10 advice — latent here only because
+  // events.value is strictly positive in the fixture, but the helper
+  // must not bake that fixture fact into its semantics)
+  private def centsCol(c: String) = s"CAST($c * 100 + signum($c) * 0.5 AS LONG)"
   private def bucketSql: String = {
     val arms = BucketEdges.zipWithIndex
       .map { case (e, i) => s"WHEN c < $e THEN $i" }.mkString(" ")

@@ -53,6 +53,16 @@ class GeoGraphWaveSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
   }
 
+  test("commonNeighbors drops adjacent pairs even on uncanonicalized edges") {
+    // same square, but two edges arrive dst<src: the adjacency anti-join
+    // must canonicalize with least/greatest or (2,3) and (1,4) would
+    // leak back as "predictions" (r10 advice)
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.commonNeighbors(edges, "src", "dst", maxDeg = 10, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((1L, 3L), (2L, 4L)))
+  }
+
   test("commonNeighbors hub cap drops evidence routed through stop nodes") {
     // star: hub 100 touches 1..5; spokes share ONLY the hub as neighbor
     val edges = (1L to 5L).map(i => (i, 100L)).toDF("src", "dst")
@@ -89,6 +99,18 @@ class GeoGraphWaveSpec extends AnyFunSuite {
   }
 
   // --- Geo ---------------------------------------------------------------
+
+  test("cellOf floors negative coordinates (no double-width cell 0)") {
+    // -1..-100000 must land in cell -1, not share cell 0 with 0..99999
+    // (truncation toward zero would — r10 advice); exact multiples stay
+    // on their own boundary
+    val pts = Seq((-1L, -100000L), (-100001L, 0L), (99999L, 100000L))
+      .toDF("lat", "lon")
+    val (cy, cx) = Geo.cellOf(col("lat"), col("lon"), 100000L)
+    val got = pts.select(cy.as("cy"), cx.as("cx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((-1L, -1L), (-2L, 0L), (0L, 1L)))
+  }
 
   test("nearestInGrid picks the true nearest within the 3x3 neighborhood") {
     val probes = Seq((1L, 1000000L, 1000000L)).toDF("pid", "plat", "plon")
