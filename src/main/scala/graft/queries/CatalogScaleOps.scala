@@ -844,5 +844,71 @@ private[queries] object CatalogScaleOps {
                       / CAST(na + nb - inter AS DOUBLE), 9) < 1.0) AS is_near
         FROM p WHERE inter * 5 >= (na + nb - inter) * 3
         ORDER BY id_a, id_b""")),
+
+    // Substring-GRAIN exact dedup — Lee et al. 2022's ExactSubstr
+    // (arXiv:2107.06499), the canonical training-data dedup: every token
+    // span of length >= 20 occurring >= 2 times corpus-wide, reported as
+    // maximal per-doc [start, end) token intervals. This is the grain
+    // q20 (whole doc), q173 (fixed segment) and q70 (n-gram census)
+    // cannot reach: a boilerplate run EMBEDDED mid-document. Plumbing:
+    // one codegen-adjacent pass emits per-position 20-window hashes
+    // (O(tokens) rows, not the O(tokens x 20) gram sweep), a hash-keyed
+    // count prunes to candidates, survivors re-slice their REAL window
+    // text for an exact verify (hash-collision-proof, which is also what
+    // lets DuckDB replay the whole algorithm string-side), and one
+    // doc-keyed window merges covered starts into maximal spans.
+    // Injection (hollow-output discipline): docs with doc_id % 25 == 3
+    // and >= 30 tokens get a twin (+300000) sharing tokens [5, 29) —
+    // a 24-token run wrapped in per-doc-unique filler — so spans
+    // provably fire in BOTH the twin and its source at multiple offsets;
+    // the oracle replays the full algorithm, so any ORGANIC >= 20-token
+    // repeat agrees too instead of breaking an analytic answer.
+    "q284_exact_substr_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val src = base.filter(col("doc_id") % 25 === 3 && size(col("toks")) >= 30)
+        val twins = src.select((col("doc_id") + 300000).as("doc_id"),
+          concat(
+            array(concat(lit("hdr"), col("doc_id").cast("string"))),
+            slice(col("toks"), 6, 24),
+            array(concat(lit("tl"), col("doc_id").cast("string")))).as("toks"))
+        graft.ops.ExactSubstr.duplicateSpans(
+            base.unionAll(twins), "doc_id", "toks", minLen = 20)
+          .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+            col("span_end").cast("long").as("span_end"))
+          .orderBy("doc_id", "span_start")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        src AS (SELECT * FROM base WHERE doc_id % 25 = 3 AND len(toks) >= 30),
+        corpus AS (SELECT doc_id, toks FROM base
+                   UNION ALL
+                   SELECT doc_id + 300000,
+                          list_concat(list_concat(
+                            ['hdr' || CAST(doc_id AS VARCHAR)], toks[6:29]),
+                            ['tl' || CAST(doc_id AS VARCHAR)])
+                   FROM src),
+        w0 AS (SELECT doc_id,
+                      unnest(list_transform(
+                        generate_series(1, greatest(len(toks) - 19, 0)),
+                        i -> {'pos': i - 1,
+                              'win': array_to_string(toks[i:i+19], ' ')})) AS s
+               FROM corpus),
+        w AS (SELECT doc_id, s.pos AS pos, s.win AS win FROM w0),
+        dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        c AS (SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM dup)),
+        i1 AS (SELECT doc_id, pos,
+                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+               FROM c),
+        i2 AS (SELECT doc_id, pos,
+                      sum(CASE WHEN prev IS NULL OR pos - prev > 20
+                          THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS isl
+               FROM i1)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 20 AS BIGINT) AS span_end
+        FROM i2 GROUP BY doc_id, isl ORDER BY doc_id, span_start""")),
   )
 }

@@ -62,7 +62,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     "q268_phrase_search", "q256_common_neighbors", "q253_kcore",
     // the Apriori triple rung: per-basket fanout is the cubic hazard its
     // pair-set semi-join fence exists to bound
-    "q271_frequent_triples")
+    "q271_frequent_triples",
+    // round-11: substring-grain dedup — the hazard class is the window
+    // hash explode (one row per token position) and the candidate
+    // verify re-slice; both must stay linear in corpus tokens
+    "q284_exact_substr_dedup")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
