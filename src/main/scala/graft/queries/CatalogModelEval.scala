@@ -33,6 +33,31 @@ import Catalog._
   */
 private[queries] object CatalogModelEval {
 
+  /** The q210/q285 BPE-training replay chain: t0 (the tokenized corpus)
+    * plus, per round k, the pair census p_k, the adopted merge m_k, and
+    * the rewritten corpus t_k — one CTE body shared by the TRAIN oracle
+    * (reads m1..mK) and the ENCODE oracle (reads t0 vs tK), so the two
+    * sides cannot drift.
+    */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val levels = (1 to rounds).map { k =>
+      s"""p$k AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+             i -> ts[i] || ' ' || ts[i+1])) AS pair
+           FROM (SELECT string_split(t, ' ') AS ts FROM t${k - 1})
+           WHERE len(ts) >= 2),
+      m$k AS (SELECT pair, count(*) AS c, replace(pair, ' ', '_') AS merged
+              FROM p$k GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
+      t$k AS (SELECT doc_id,
+                     trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '  ') FROM m$k) || ' ',
+                       ' ' || (SELECT merged FROM m$k) || ' '), '  ', ' ')) AS t
+              FROM t${k - 1})"""
+    }.mkString(",\n")
+    s"""t0 AS (SELECT doc_id, array_to_string($toksSql, ' ') AS t
+                    FROM documents),
+        $levels"""
+  }
+
   /** q192's smoothing weights: EWMA with alpha=1/2 truncated at lag 3 —
     * numerator weights 8/4/2/1 over the last four observations, one
     * division by 15. All-integer numerator ⇒ no FP order anywhere.
@@ -1150,67 +1175,72 @@ private[queries] object CatalogModelEval {
     // iterative lineage rule). Output: the 3 adopted merges.
     "q210_bpe_train" -> QueryDef(
       fn = (s, d) => {
-        import org.apache.spark.sql.DataFrame
-        // literal (non-regex) replace everywhere: corpus tokens feed the
-        // patterns, so regex metacharacter injection must be impossible
-        def lrep(src: org.apache.spark.sql.Column, find: org.apache.spark.sql.Column,
-            to: org.apache.spark.sql.Column) = call_function("replace", src, find, to)
-        var cur: DataFrame = t(s, d, "documents")
-          .select(col("doc_id"),
-            array_join(TF2.tokens(col("text")), " ").as("__t"))
-          .localCheckpoint(eager = true)
-        var merges: DataFrame = null
-        for (k <- 1 to 3) {
-          val ts = split(col("__t"), " ")
-          val pairs = cur
-            .filter(size(split(col("__t"), " ")) >= 2)
-            .select(explode(transform(sequence(lit(1), size(ts) - 1),
-              i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
-              .as("__pair"))
-          val top = pairs.groupBy("__pair").agg(count(lit(1)).as("__c"))
-            .orderBy(col("__c").desc, col("__pair").asc).limit(1)
-            .select(col("__pair"), col("__c"),
-              lrep(col("__pair"), lit(" "), lit("_")).as("__merged"))
-            .localCheckpoint(eager = true) // merge rewrite + report share it
-          val m = top.select(lit(k).as("iteration"),
-            col("__pair").as("merged_pair"), col("__c").as("occurrences"))
-          merges = if (merges == null) m else merges.unionAll(m)
-          cur = cur.crossJoin(broadcast(top))
-            .select(col("doc_id"),
-              trim(lrep(
-                lrep(
-                  concat(lit(" "), lrep(col("__t"), lit(" "), lit("  ")), lit(" ")),
-                  concat(lit(" "), lrep(col("__pair"), lit(" "), lit("  ")), lit(" ")),
-                  concat(lit(" "), col("__merged"), lit(" "))),
-                lit("  "), lit(" "))).as("__t"))
-            .localCheckpoint(eager = true)
-        }
-        merges.orderBy("iteration")
+        // the loop lives in ops/Bpe.scala since round 11 (q285 encodes
+        // with the merges this trains) — byte-identical semantics
+        graft.ops.Bpe.train(
+            t(s, d, "documents").select(col("doc_id"),
+              array_join(TF2.tokens(col("text")), " ").as("__t")),
+            "doc_id", "__t", rounds = 3)
+          .orderBy("iteration")
       },
-      oracle = Some {
-        val levels = (1 to 3).map { k =>
-          s"""p$k AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
-                 i -> ts[i] || ' ' || ts[i+1])) AS pair
-               FROM (SELECT string_split(t, ' ') AS ts FROM t${k - 1})
-               WHERE len(ts) >= 2),
-          m$k AS (SELECT pair, count(*) AS c, replace(pair, ' ', '_') AS merged
-                  FROM p$k GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
-          t$k AS (SELECT doc_id,
-                         trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ',
-                           ' ' || (SELECT replace(pair, ' ', '  ') FROM m$k) || ' ',
-                           ' ' || (SELECT merged FROM m$k) || ' '), '  ', ' ')) AS t
-                  FROM t${k - 1})"""
-        }.mkString(",\n")
-        s"""
-        WITH t0 AS (SELECT doc_id, array_to_string($toksSql, ' ') AS t
-                    FROM documents),
-        $levels
+      oracle = Some(s"""
+        WITH ${bpeTrainCtes(3)}
         SELECT 1 AS iteration, pair AS merged_pair,
                CAST(c AS BIGINT) AS occurrences FROM m1
         UNION ALL SELECT 2, pair, CAST(c AS BIGINT) FROM m2
         UNION ALL SELECT 3, pair, CAST(c AS BIGINT) FROM m3
-        ORDER BY iteration"""
-      }),
+        ORDER BY iteration""")),
+
+    // BPE ENCODE with the trained merges table — the consumer q210 was
+    // missing: training adopts merges, but nothing applied a merges
+    // table to tokenize a corpus (every token count in the mixing
+    // family q164/q236/q233 would use the encoder in production). The
+    // merges come from the SAME 3-round training and are collected to
+    // the driver (bounded: one row per round — a vocab budget, never
+    // corpus-sized), then compile into a literal replace chain applied
+    // to the ORIGINAL corpus in one map-side projection — zero shuffles
+    // for the encode itself. encode(t0, train(t0)) == the training
+    // loop's final corpus by construction, which is exactly what the
+    // oracle's unrolled CTE replay (shared with q210 via bpeTrainCtes,
+    // so the two cannot drift) checks: per-doc token counts before and
+    // after, plus the integer-grid compression ratio.
+    "q285_bpe_encode" -> QueryDef(
+      fn = (s, d) => {
+        val corpus = t(s, d, "documents")
+          .select(col("doc_id"),
+            array_join(TF2.tokens(col("text")), " ").as("__t"))
+          .localCheckpoint(eager = true) // train and encode share it
+        val merges = graft.ops.Bpe.train(corpus, "doc_id", "__t", rounds = 3)
+          .orderBy("iteration")
+          .collect().map(_.getString(1)).toSeq // bounded: 1 row per round
+        corpus
+          .select(col("doc_id"), col("__t"),
+            graft.ops.Bpe.encodeCol(col("__t"), merges).as("__e"))
+          .select(col("doc_id"),
+            when(col("__t") === "", lit(0L))
+              .otherwise(size(split(col("__t"), " ")).cast("long"))
+              .as("n_tokens_before"),
+            when(col("__e") === "", lit(0L))
+              .otherwise(size(split(col("__e"), " ")).cast("long"))
+              .as("n_tokens_after"))
+          .withColumn("compression_e6",
+            expr("(n_tokens_after * 1000000L) div greatest(n_tokens_before, 1L)"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH ${bpeTrainCtes(3)},
+        cnt AS (SELECT t0.doc_id,
+                       CAST(CASE WHEN t0.t = '' THEN 0
+                            ELSE len(string_split(t0.t, ' ')) END AS BIGINT)
+                         AS n_tokens_before,
+                       CAST(CASE WHEN t3.t = '' THEN 0
+                            ELSE len(string_split(t3.t, ' ')) END AS BIGINT)
+                         AS n_tokens_after
+                FROM t0 JOIN t3 ON t0.doc_id = t3.doc_id)
+        SELECT doc_id, n_tokens_before, n_tokens_after,
+               CAST(n_tokens_after * 1000000 // greatest(n_tokens_before, 1)
+                 AS BIGINT) AS compression_e6
+        FROM cnt ORDER BY doc_id""")),
 
     // RFM segmentation — the classic customer-scoring pass (recency /
     // frequency / monetary quartile codes, segment census). All three
