@@ -362,6 +362,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  // ------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-CLUSTER
+    * semantic dedup — k-means the corpus, call any within-cluster pair
+    * with cosine >= `minCosine` a semantic duplicate, keep one member
+    * per duplicate component. Catches paraphrases and boilerplate
+    * rewrites that share no n-grams (invisible to MinHash/SimHash) while
+    * never comparing across clusters — the paper's trick for avoiding a
+    * corpus-wide pair pass.
+    *
+    * Composition of the existing parts: [[IvfIndex.train]]'s
+    * deterministic Lloyd's (only the k x dim centroid matrix reaches the
+    * driver), [[IvfIndex.index]]'s codegen'd assignment, one
+    * cluster-keyed equi-join for the pair pass (a hash join, never a
+    * cartesian — PlanSpec pins it), [[keepCanonical]]'s
+    * CC + smallest-id survivor. Output manifest, one row per surviving
+    * component: (kept_id, n_members), n_members = 1 for singletons.
+    *
+    * Scale: the within-cluster pass is quadratic in CLUSTER size by
+    * design — SemDeDup's own contract is that k grows with the corpus
+    * (the paper runs ~50k clusters on LAION) so per-cluster lists stay
+    * bounded; the shuffle key is the cluster id, uniform under a healthy
+    * quantizer. Cosine is the codegen'd [[VF.cosine]]; identical vectors
+    * provably share a cluster (same deterministic assignment expression)
+    * and score exactly 1.0, which is what makes an injected-twin oracle
+    * possible.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosine: Double, iterations: Int = 3): DataFrame = {
+    val model = IvfIndex.train(corpus, idCol, vecCol, k, iterations)
+    val indexed = IvfIndex.index(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", model)
+      .localCheckpoint(eager = true) // pair pass probes it twice
+    val a = indexed.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = indexed.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    val edges = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VF.cosine(col("v_a"), col("v_b")) >= minCosine)
+      .select("id_a", "id_b")
+    keepCanonical(corpus.select(col(idCol), lit(0L).as("__q")),
+        edges, idCol, "__q")
+      .select(col("kept_id"), col("n_members"))
+  }
+
   // ----------------------------------------------- canonical doc per cluster
 
   /** Canonical-document selection: given duplicate-pair edges (from any

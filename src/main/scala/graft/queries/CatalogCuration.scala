@@ -1964,5 +1964,35 @@ private[queries] object CatalogCuration {
                ((n_grams - n_distinct) * 1000000 // n_grams)
                  > $RepetitionBarE6 AS flagged
         FROM c ORDER BY doc_id""")),
+
+    // SemDeDup capstone (r10 verdict #4) — the embedding-CLUSTER
+    // semantic dedup of Abbas et al. 2023, composed from the existing
+    // parts: IvfIndex k-means (deterministic Lloyd's, centroid matrix
+    // only on the driver) -> within-cluster cosine pair pass (a
+    // cluster-keyed HASH join, PlanSpec pins no-cartesian) ->
+    // keepCanonical CC + smallest-id survivor. Injection: every
+    // vec_id % 5 == 0 gains an exact twin (+100000) — identical vectors
+    // provably share a cluster (same deterministic assignment
+    // expression) and score cosine exactly 1.0, so the manifest is
+    // analytic: sources keep their twin (n_members 2), everything else
+    // is a singleton. The organic corpus can't interfere: its max
+    // pairwise cosine is ~0.60 at sf0.1 (measured) vs the 0.95 bar, and
+    // the twin-band spec pins a PERTURBED near twin (cosine just under
+    // 1) surviving the same pipeline — the slice SQL cannot state.
+    "q286_semantic_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val twins = emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        graft.ops.Dedup.semanticDedup(
+            emb.unionAll(twins), "vec_id", "embedding",
+            k = 8, minCosine = 0.95)
+          .orderBy("kept_id")
+      },
+      oracle = Some("""
+        SELECT vec_id AS kept_id,
+               CAST(CASE WHEN vec_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+                 AS n_members
+        FROM embeddings ORDER BY kept_id""")),
   )
 }

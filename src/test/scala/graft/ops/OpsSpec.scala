@@ -130,6 +130,30 @@ class DedupSpec extends AnyFunSuite {
     assert(c >= 0.98 && c < 1.0, dups.toString)
   }
 
+  test("semanticDedup prunes a PERTURBED near twin (the band q286's oracle can't see)") {
+    // q286's catalog slice gates exact copies (cosine exactly 1.0, same
+    // cluster provably) — pin the semantic band: a perturbed twin whose
+    // cosine sits just under 1 must land in its source's k-means cluster
+    // and collapse into one component, while a dissimilar vector stays a
+    // singleton. 6 well-separated base vectors keep Lloyd's stable.
+    val bases = Seq.tabulate(6)(b =>
+      (b.toLong, Array.tabulate(8)(i => if (i == b) 10.0f else 0.1f * i)))
+    val near = bases.head._2.clone(); near(7) = near(7) + 0.2f
+    val vecs = (bases :+ (100L, near))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 3, minCosine = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 2L, got.toString)      // source keeps its near twin
+    assert(!got.contains(100L), got.toString) // twin pruned
+    assert((1L to 5L).forall(got.get(_).contains(1L)), got.toString)
+    // and the pair is genuinely NEAR, not exact: its cosine < 1
+    val c = graft.functions.VectorFunctions
+    val cos = Seq((bases.head._2, near)).toDF("a", "b")
+      .select(c.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(cos >= 0.95 && cos < 1.0, cos.toString)
+  }
+
   test("embeddingNearDup finds copies via hyperplane buckets") {
     val vecs = Seq(
       (1L, Array.tabulate(8)(i => i.toFloat / 10)),

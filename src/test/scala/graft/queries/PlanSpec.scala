@@ -194,6 +194,26 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
   }
 
+  test("q284: substring-dedup candidate passes are equi-joins, never nested loops") {
+    val plan = planOf("q284_exact_substr_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q285: BPE encode adds no join or aggregate after the merges collect") {
+    // the encode itself must stay a pure map-side projection — the
+    // replace chain compiled from the collected merges; only the final
+    // ORDER BY may exchange
+    val plan = planOf("q285_bpe_encode")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"), plan)
+  }
+
+  test("q286: SemDeDup's within-cluster pair pass is a hash join, never a cartesian") {
+    val plan = planOf("q286_semantic_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q98: funnel joins are all equi-joins on the user key") {
     val plan = planOf("q98_funnel_steps")
     assert(!plan.contains("CartesianProduct") &&
