@@ -186,6 +186,69 @@ class ScaleGrowthSpec extends AnyFunSuite {
     }
   }
 
+  // --- 64x spill probe (opt-in: SPARK_GRAFT_GROWTH64=1) -----------------
+  //
+  // The standing 1x/4x/16x audit never spills at sf0.001-derived sizes,
+  // so it can't see memory-SHAPE problems (an operator whose per-task
+  // buffer grows with the corpus passes the exponent check right up to
+  // the OOM). This probe (r10 verdict #5) replays the five heaviest at
+  // 4x and 64x with the SQL spill thresholds forced low — every window /
+  // sort-merge buffer past 4096 rows goes through UnsafeExternalSorter's
+  // real spill path — and records the exponent plus the measured spill
+  // bytes (task-metrics listener). Opt-in because the 64x stage is ~40MB
+  // of parquet and minutes of wall time: run it once per round and
+  // record the numbers in NOTES.md; it is not a per-commit gate.
+  test("64x spill probe: heaviest five stay near-linear under forced spill") {
+    assume(sys.env.contains("SPARK_GRAFT_GROWTH64"),
+      "opt-in probe: set SPARK_GRAFT_GROWTH64=1")
+    val heavies = Seq("q101_mask_contaminated", "q253_kcore",
+      "q175_triangle_census", "q193_cheapest_path", "q173_paragraph_dedup")
+    val spillConfs = Seq(
+      "spark.sql.windowExec.buffer.spill.threshold",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+    val saved = spillConfs.map(k => k -> spark.conf.getOption(k))
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    val probeFactors = Seq(4, 64)
+    val dirs = probeFactors.map(f => f -> stage(f)).toMap
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spillConfs.foreach(k => spark.conf.set(k, "4096"))
+      heavies.foreach { q =>
+        timeOnce(q, dirs(4)) // warm
+        val rows = probeFactors.map { f =>
+          spilled.set(0L)
+          val t = timeOnce(q, dirs(f))
+          // listener events drain asynchronously after the job returns
+          // (the bus API is private[spark]; a beat is enough in local mode
+          // and this is a measurement probe, not a correctness gate)
+          Thread.sleep(1000)
+          (f, t, spilled.get())
+        }
+        val e = fitExponent(rows.map { case (f, t, _) => (f, t) })
+        info(f"$q: exponent(4->64) $e%.2f  " + rows.map { case (f, t, s) =>
+          f"x$f=$t%.2fs spill=${s / 1024 / 1024}MB" }.mkString("  "))
+        assert(e < 1.6,
+          f"$q grows superlinearly under forced spill: $e%.2f")
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      dirs.values.foreach { d =>
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(d)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("the tripwire actually fires on a quadratic workload (self-test)") {
     // an all-pairs join over n rows: t ~ n^2. The fit must land well
     // above the 1.6 bound at these same sizes, proving the assert has
