@@ -880,7 +880,55 @@ private[queries] object CatalogScaleOps {
           .orderBy("doc_id", "span_start")
       },
       oracle = Some(s"""
-        WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        WITH $exactSubstrCtes
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 20 AS BIGINT) AS span_end
+        FROM i2 GROUP BY doc_id, isl ORDER BY doc_id, span_start""")),
+
+    // The removal ACTION of q284, oracle-gated: per-doc token accounting
+    // after every duplicated span is cut (all copies — the canonical
+    // ExactSubstr tool's behavior). Merged spans are disjoint by
+    // construction, so clean = total - sum(span lengths), which is what
+    // the oracle recomputes from the shared CTE chain; the Spark side
+    // counts the ACTUAL filtered array, so a reassembly bug (off-by-one
+    // bounds, unfiltered position) diverges from the arithmetic.
+    "q287_exact_substr_removal" -> QueryDef(
+      fn = (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val src = base.filter(col("doc_id") % 25 === 3 && size(col("toks")) >= 30)
+        val twins = src.select((col("doc_id") + 300000).as("doc_id"),
+          concat(
+            array(concat(lit("hdr"), col("doc_id").cast("string"))),
+            slice(col("toks"), 6, 24),
+            array(concat(lit("tl"), col("doc_id").cast("string")))).as("toks"))
+        val corpus = base.unionAll(twins)
+          .localCheckpoint(eager = true) // removal + before-count share it
+        graft.ops.ExactSubstr.removeDuplicateSpans(
+            corpus, "doc_id", "toks", minLen = 20)
+          .join(corpus, Seq("doc_id"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(col("clean_toks")).cast("long").as("n_clean"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $exactSubstrCtes,
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+                  FROM i2 GROUP BY doc_id, isl),
+        cov AS (SELECT doc_id, sum(e - s) AS covered FROM spans GROUP BY doc_id)
+        SELECT c2.doc_id, CAST(len(c2.toks) AS BIGINT) AS n_tokens,
+               CAST(len(c2.toks) - coalesce(cov.covered, 0) AS BIGINT) AS n_clean
+        FROM corpus c2 LEFT JOIN cov USING (doc_id) ORDER BY doc_id""")),
+  )
+
+  /** q284/q287's shared replay chain: the injected corpus, every
+    * 20-window occurrence, duplicated windows, covered starts, and the
+    * gaps-and-islands grouping (i2) — one CTE body for the span query
+    * AND the removal query so the two oracles cannot drift.
+    */
+  private val exactSubstrCtes: String = s"""
+        base AS (SELECT doc_id, $toksSql AS toks FROM documents),
         src AS (SELECT * FROM base WHERE doc_id % 25 = 3 AND len(toks) >= 30),
         corpus AS (SELECT doc_id, toks FROM base
                    UNION ALL
@@ -906,9 +954,5 @@ private[queries] object CatalogScaleOps {
                           THEN 1 ELSE 0 END)
                         OVER (PARTITION BY doc_id ORDER BY pos
                               ROWS UNBOUNDED PRECEDING) AS isl
-               FROM i1)
-        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-               CAST(max(pos) + 20 AS BIGINT) AS span_end
-        FROM i2 GROUP BY doc_id, isl ORDER BY doc_id, span_start""")),
-  )
+               FROM i1)"""
 }

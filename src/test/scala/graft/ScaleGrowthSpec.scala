@@ -219,6 +219,22 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       spillConfs.foreach(k => spark.conf.set(k, "4096"))
+      // SELF-TEST first: a deliberate single-key window over 200k rows
+      // must blow past the 4096-row buffer and report spill bytes —
+      // proving the threshold + listener plumbing actually fires, so a
+      // zero-spill reading on the heavies below means "no per-key frame
+      // ever exceeded 4096 rows at 64x" (bounded state), not "the
+      // tripwire was dead"
+      spilled.set(0L)
+      spark.range(200000L)
+        .selectExpr("1 AS k", "id")
+        .selectExpr("k", "id", "sum(id) OVER (PARTITION BY k ORDER BY id) AS s")
+        .write.format("noop").mode("overwrite").save()
+      Thread.sleep(1000)
+      val selfSpill = spilled.get()
+      info(f"spill self-test: single-key 200k-row window spilled ${selfSpill / 1024 / 1024}MB")
+      assert(selfSpill > 0, "spill tripwire is dead: the synthetic " +
+        "single-key window reported zero spill — threshold or listener broken")
       heavies.foreach { q =>
         timeOnce(q, dirs(4)) // warm
         val rows = probeFactors.map { f =>
