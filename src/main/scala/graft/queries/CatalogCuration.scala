@@ -1994,5 +1994,84 @@ private[queries] object CatalogCuration {
                CAST(CASE WHEN vec_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
                  AS n_members
         FROM embeddings ORDER BY kept_id""")),
+
+    // k-ANONYMITY audit — the privacy-side curation verb the PII family
+    // (q65 redaction, q75 chunking) doesn't cover: a released corpus is
+    // k-anonymous on a quasi-identifier tuple iff every QI group holds
+    // >= k rows; groups below k are re-identification risks and get
+    // suppressed or generalized. QI here = (lang, source) at k = 5 —
+    // calibrated against the fixture so BOTH branches fire at
+    // sf0.001/0.01 (51/48 and 55/42 under/over; at sf0.1 every group
+    // clears 5 and the all-anonymous readout is the correct answer).
+    // One partial-agg shuffle on the bounded QI key; flags + the
+    // would-be-suppressed row count are exact integers.
+    "q288_k_anonymity" -> QueryDef(
+      fn = (s, d) => {
+        t(s, d, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"))
+          .select(col("lang"), col("source"), col("n_docs"),
+            (col("n_docs") >= KAnonymityBar).as("k_anonymous"),
+            when(col("n_docs") < KAnonymityBar, col("n_docs")).otherwise(0L)
+              .as("suppressed_docs"))
+          .orderBy("lang", "source")
+      },
+      oracle = Some(s"""
+        SELECT lang, source, count(*) AS n_docs,
+               count(*) >= $KAnonymityBar AS k_anonymous,
+               CAST(CASE WHEN count(*) < $KAnonymityBar THEN count(*)
+                    ELSE 0 END AS BIGINT) AS suppressed_docs
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // TEMPERATURE-scaled source mixing (the mC4/XLM-R multilingual
+    // rebalance: sample shares proportional to p^alpha, alpha < 1
+    // flattening the source distribution so head sources stop drowning
+    // the tail). alpha = 1/2 EXACTLY: sqrt is IEEE-correctly-rounded in
+    // both engines (unlike pow), so w = sqrt(p) is bit-identical with
+    // no snap-boundary hazard; w then lands on the 1e-6 integer grid
+    // BEFORE the normalizing sum (the q275 rule — integer sums are
+    // order-free) and the 100k-token budget allocates by integer
+    // floor division. One corpus scan -> bounded per-source frame.
+    "q289_temperature_mix" -> QueryDef(
+      fn = (s, d) => {
+        val perSrc = t(s, d, "documents")
+          .select(col("source"), TF.tokenCount(col("text")).as("__tk"))
+          .groupBy("source").agg(sum(col("__tk")).as("n_tokens"))
+          .localCheckpoint(eager = true) // totals + weights share it
+        val tot = perSrc.agg(sum(col("n_tokens")).as("__tot"))
+        val weighted = perSrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            expr("n_tokens * 1000000L div __tot").as("p_e6"),
+            (sqrt(col("n_tokens").cast("double") / col("__tot").cast("double"))
+              * 1000000.0 + 0.5).cast("long").as("w_e6"))
+          .localCheckpoint(eager = true) // weight sum + allocation share it
+        val wtot = weighted.agg(sum(col("w_e6")).as("__wt"))
+        weighted.crossJoin(broadcast(wtot))
+          .select(col("source"), col("n_tokens"), col("p_e6"),
+            expr(s"w_e6 * ${TemperatureBudget}L div __wt").as("alloc_tokens"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH src AS (SELECT source,
+                            CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM src),
+        w AS (SELECT source, n_tokens,
+                     n_tokens * 1000000 // tot.t AS p_e6,
+                     CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS w_e6
+              FROM src CROSS JOIN tot),
+        wt AS (SELECT CAST(sum(w_e6) AS BIGINT) AS s FROM w)
+        SELECT source, n_tokens, p_e6,
+               w_e6 * $TemperatureBudget // wt.s AS alloc_tokens
+        FROM w CROSS JOIN wt ORDER BY source""")),
   )
+
+  /** q288's k bar — calibrated so both the anonymous and the at-risk
+    * branch fire on the sf0.001/0.01 fixtures (see the query comment).
+    */
+  private val KAnonymityBar = 5L
+
+  /** q289's token budget to allocate across sources. */
+  private val TemperatureBudget = 100000L
 }

@@ -196,6 +196,33 @@ class CatalogCurationSpec extends AnyFunSuite {
     assert(budgets.sum <= 1000000L && budgets.sum >= 999990L, budgets.toSeq)
   }
 
+  test("q288: both k-anonymity branches fire on the fixture") {
+    val rows = SparkEntry.queries("q288_k_anonymity")(spark, sf).collect()
+    val anon = rows.count(_.getAs[Boolean]("k_anonymous"))
+    assert(anon > 0, "no group clears k — bar degenerate high")
+    assert(anon < rows.length, "every group anonymous — bar degenerate low")
+    rows.foreach { r =>
+      val (n, sup) = (r.getAs[Long]("n_docs"), r.getAs[Long]("suppressed_docs"))
+      assert(if (r.getAs[Boolean]("k_anonymous")) sup == 0L else sup == n, r.toString)
+    }
+  }
+
+  test("q289: temperature mixing genuinely flattens the source distribution") {
+    val rows = SparkEntry.queries("q289_temperature_mix")(spark, sf).collect()
+    assert(rows.length > 1)
+    val p = rows.map(_.getAs[Long]("p_e6"))
+    val a = rows.map(_.getAs[Long]("alloc_tokens"))
+    // non-degenerate: raw shares differ, so the sqrt must be doing work
+    assert(p.toSet.size > 1, "uniform raw shares — flattening untestable")
+    // alpha = 1/2 compresses RELATIVE spread: max/min of allocations is
+    // strictly inside max/min of raw shares
+    val pr = p.max.toDouble / p.min
+    val ar = a.max.toDouble / a.min
+    assert(ar < pr, s"allocation not flatter than raw: $ar vs $pr")
+    // floor-division allocations never overshoot the budget
+    assert(a.sum <= 100000L && a.sum >= 100000L - rows.length, a.toSeq.toString)
+  }
+
   test("q276: the repetition flag fires on the corpus tail but not everywhere") {
     val rows = SparkEntry.queries("q276_repetition_score")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -214,6 +214,12 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q287: span removal stays equi-join + per-row positional filter") {
+    val plan = planOf("q287_exact_substr_removal")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q98: funnel joins are all equi-joins on the user key") {
     val plan = planOf("q98_funnel_steps")
     assert(!plan.contains("CartesianProduct") &&
