@@ -38,6 +38,17 @@ private[queries] object CatalogModelEval {
     * the rewritten corpus t_k — one CTE body shared by the TRAIN oracle
     * (reads m1..mK) and the ENCODE oracle (reads t0 vs tK), so the two
     * sides cannot drift.
+    *
+    * The merge replace is applied TWICE in the doubled-space domain
+    * before the collapse: a second application is a provable no-op on a
+    * correct first pass (the pattern needs a DOUBLE-space internal gap,
+    * which replacement sites never re-create), but it repairs the
+    * round-11 DuckDB 1.0.0 anomaly where the vectorized replace missed
+    * the second site of a space-sharing chain ("a the a the") in
+    * exactly 1 of 5000 docs at sf0.1 — the SAME expression over the
+    * SAME string returned both answers within one query, so this is an
+    * engine evaluation quirk, not a semantics gap (Java, Python, and
+    * DuckDB-on-literal all merge both sites; NOTES round-11).
     */
   private def bpeTrainCtes(rounds: Int): String = {
     val levels = (1 to rounds).map { k =>
@@ -48,7 +59,10 @@ private[queries] object CatalogModelEval {
       m$k AS (SELECT pair, count(*) AS c, replace(pair, ' ', '_') AS merged
               FROM p$k GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
       t$k AS (SELECT doc_id,
-                     trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ',
+                     trim(replace(replace(replace(
+                         ' ' || replace(t, ' ', '  ') || ' ',
+                         ' ' || (SELECT replace(pair, ' ', '  ') FROM m$k) || ' ',
+                         ' ' || (SELECT merged FROM m$k) || ' '),
                        ' ' || (SELECT replace(pair, ' ', '  ') FROM m$k) || ' ',
                        ' ' || (SELECT merged FROM m$k) || ' '), '  ', ' ')) AS t
               FROM t${k - 1})"""
