@@ -1989,6 +1989,7 @@ private[queries] object CatalogCuration {
             k = 8, minCosine = 0.95)
           .orderBy("kept_id")
       },
+      bench = true, // the kmeans + cluster-pair-join wall-time probe
       oracle = Some("""
         SELECT vec_id AS kept_id,
                CAST(CASE WHEN vec_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)

@@ -879,6 +879,7 @@ private[queries] object CatalogScaleOps {
             col("span_end").cast("long").as("span_end"))
           .orderBy("doc_id", "span_start")
       },
+      bench = true, // the window-hash-explode wall-time probe
       oracle = Some(s"""
         WITH $exactSubstrCtes
         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
