@@ -603,5 +603,100 @@ private[queries] object CatalogGeoWave {
                round(CAST(m * s12 - s1 * s1 AS DOUBLE)
                      / CAST(m * s2 - s1 * s1 AS DOUBLE), 6) AS assortativity
         FROM mo""")),
+
+    // EPA-NowCast-style recency-weighted rolling mean — the reference's
+    // own DOMAIN verb (air-quality dashboards report NowCast, not plain
+    // rolling means): over the last 6 hourly means, weight hour-delta d
+    // by w^d where w = min/max of the window CLAMPED at 1/2 (volatile
+    // signal -> steep decay, stable -> near-uniform; EPA's rule at
+    // 6-hour grain). Engineered fully EXACT: hourly means are
+    // floor-divided integer cents, w lands on the 1e-2 grid as an
+    // integer ratio, the weight ladder w2^d * 100^(5-d) is an all-long
+    // CASE (bounded by 6e4 * 1e10 * 6 ~ 4e15 << 2^63), and the final
+    // NowCast is one integer floor division — zero FP anywhere, so the
+    // cell is bit-identical across engines with no snap. Shape: one
+    // corpus agg -> FIXED 6x probe explode -> hash equi-join on
+    // (type, hour) -> two bounded-frame aggs; the pair frame is
+    // checkpointed once for the min/max pass and the weighted pass.
+    "q290_nowcast" -> QueryDef(
+      fn = (s, d) => {
+        val hourly = t(s, d, "events").filter(col("value").isNotNull)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+          .agg(sum(cents(col("value"))).as("__s"), count(lit(1)).as("__n"))
+          .withColumn("__c", expr("__s div __n"))
+          .withColumn("__h", expr("unix_micros(hour_ts) div 3600000000L"))
+          .localCheckpoint(eager = true) // probe side + past side share it
+        val pairs = hourly
+          .select(col("event_type"), col("hour_ts"), col("__h"),
+            explode(sequence(lit(0L), lit(5L))).as("__d"))
+          .select(col("event_type"), col("hour_ts"), col("__h"),
+            col("__d"), (col("__h") - col("__d")).as("__hp"))
+          .join(hourly.select(col("event_type"), col("__h").as("__hp"),
+            col("__c")), Seq("event_type", "__hp"))
+          .localCheckpoint(eager = true) // min/max pass + weighted pass
+        val g1 = pairs.groupBy("event_type", "hour_ts")
+          .agg(min(col("__c")).as("__min"), max(col("__c")).as("__max"),
+            count(lit(1)).as("n_hours"))
+          .withColumn("__w2",
+            greatest(lit(50L), expr("__min * 100L div greatest(__max, 1L)")))
+        val ladder = """CASE __d
+            WHEN 0 THEN 10000000000L
+            WHEN 1 THEN __w2 * 100000000L
+            WHEN 2 THEN __w2 * __w2 * 1000000L
+            WHEN 3 THEN __w2 * __w2 * __w2 * 10000L
+            WHEN 4 THEN __w2 * __w2 * __w2 * __w2 * 100L
+            ELSE __w2 * __w2 * __w2 * __w2 * __w2 END"""
+        pairs.join(g1, Seq("event_type", "hour_ts"))
+          .groupBy(col("event_type"), col("hour_ts"),
+            col("n_hours"), col("__w2"))
+          .agg(sum(expr(s"__c * ($ladder)")).as("__num"),
+            sum(expr(ladder)).as("__den"))
+          .select(col("event_type"), col("hour_ts"), col("n_hours"),
+            col("__w2").as("w_e2"),
+            expr("__num div __den").as("nowcast_cents"))
+          .orderBy("event_type", "hour_ts")
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   // count(*) AS c,
+                 epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type, date_trunc('hour', ts)),
+        pairs AS (
+          SELECT cur.event_type, cur.hour_ts, d.d AS d, past.c
+          FROM hourly cur
+          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS d) d
+          JOIN hourly past ON past.event_type = cur.event_type
+                          AND past.h = cur.h - d.d),
+        g1 AS (
+          SELECT event_type, hour_ts, min(c) AS mn, max(c) AS mx,
+                 count(*) AS n_hours,
+                 greatest(50, min(c) * 100 // greatest(max(c), 1)) AS w2
+          FROM pairs GROUP BY event_type, hour_ts),
+        wsum AS (
+          SELECT p.event_type, p.hour_ts, g1.n_hours, g1.w2,
+                 CAST(sum(p.c * (CASE p.d
+                   WHEN 0 THEN 10000000000
+                   WHEN 1 THEN g1.w2 * 100000000
+                   WHEN 2 THEN g1.w2 * g1.w2 * 1000000
+                   WHEN 3 THEN g1.w2 * g1.w2 * g1.w2 * 10000
+                   WHEN 4 THEN g1.w2 * g1.w2 * g1.w2 * g1.w2 * 100
+                   ELSE g1.w2 * g1.w2 * g1.w2 * g1.w2 * g1.w2 END))
+                   AS BIGINT) AS num,
+                 CAST(sum(CASE p.d
+                   WHEN 0 THEN 10000000000
+                   WHEN 1 THEN g1.w2 * 100000000
+                   WHEN 2 THEN g1.w2 * g1.w2 * 1000000
+                   WHEN 3 THEN g1.w2 * g1.w2 * g1.w2 * 10000
+                   WHEN 4 THEN g1.w2 * g1.w2 * g1.w2 * g1.w2 * 100
+                   ELSE g1.w2 * g1.w2 * g1.w2 * g1.w2 * g1.w2 END)
+                   AS BIGINT) AS den
+          FROM pairs p JOIN g1 USING (event_type, hour_ts)
+          GROUP BY p.event_type, p.hour_ts, g1.n_hours, g1.w2)
+        SELECT event_type, hour_ts, CAST(n_hours AS BIGINT) AS n_hours,
+               CAST(w2 AS BIGINT) AS w_e2, num // den AS nowcast_cents
+        FROM wsum ORDER BY event_type, hour_ts""")),
   )
 }
