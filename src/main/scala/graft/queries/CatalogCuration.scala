@@ -2066,7 +2066,52 @@ private[queries] object CatalogCuration {
         SELECT source, n_tokens, p_e6,
                w_e6 * $TemperatureBudget // wt.s AS alloc_tokens
         FROM w CROSS JOIN wt ORDER BY source""")),
+
+    // Differentially-private count release (epsilon-DP Laplace
+    // mechanism) — the privacy family's RELEASE verb next to q288's
+    // k-anonymity AUDIT: per-type event counts plus Laplace(b = 1/eps)
+    // noise via the inverse CDF, noise = -b * sign(u - 1/2) *
+    // ln(1 - 2|u - 1/2|). Deterministic and replayable: u is the
+    // q283-style md5 rational (h + 0.5) / 2^32 — strictly inside (0,1)
+    // so the log argument never hits 0 — and the noise lands on the
+    // 1e-6 grid via floor-snap (ln is the one libm call; the q275
+    // snap-before-use rule). The true count rides along for the gate —
+    // a real release would drop it.
+    "q293_dp_release" -> QueryDef(
+      fn = (s, d) => {
+        val b = 1e6 / DpEpsilonE6.toDouble // Laplace scale 1/eps
+        t(s, d, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+          .withColumn("__u", expr(
+            "(CAST(conv(substring(md5(event_type), 1, 8), 16, 10) AS DOUBLE)"
+              + " + 0.5) / 4294967296.0"))
+          .withColumn("noise_e6", floor(
+            lit(-b) * signum(col("__u") - 0.5)
+              * log(lit(1.0) - lit(2.0) * abs(col("__u") - 0.5))
+              * 1e6 + 0.5).cast("long"))
+          .select(col("event_type"), col("n_true"), col("noise_e6"),
+            (col("n_true") * 1000000L + col("noise_e6")).as("released_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT event_type, count(*) AS n_true FROM events
+                   GROUP BY event_type),
+        u AS (SELECT event_type, n_true,
+                     (CAST(('0x' || substring(md5(event_type), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0 AS u
+              FROM c),
+        z AS (SELECT event_type, CAST(n_true AS BIGINT) AS n_true,
+                     CAST(floor(-(1000000.0 / $DpEpsilonE6)
+                       * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))
+                       * 1000000 + 0.5) AS BIGINT) AS noise_e6
+              FROM u)
+        SELECT event_type, n_true, noise_e6,
+               n_true * 1000000 + noise_e6 AS released_e6
+        FROM z ORDER BY event_type""")),
   )
+
+  /** q293's epsilon on the 1e-6 grid (eps = 0.5 -> Laplace scale 2). */
+  private val DpEpsilonE6 = 500000L
 
   /** q288's k bar — calibrated so both the anonymous and the at-risk
     * branch fire on the sf0.001/0.01 fixtures (see the query comment).

@@ -1002,5 +1002,184 @@ private[queries] object CatalogStatTests {
                    FROM documents WHERE n_chars > 0)
         SELECT doc_id, lang, weight, key_e9 FROM b
         ORDER BY key_e9 DESC, doc_id LIMIT $AresK""")),
+
+    // Benford first-digit audit — the classic fabricated-data /
+    // corrupted-feed screen: the leading digit of naturally-occurring
+    // amounts follows log10(1 + 1/d), and a synthetic or truncated feed
+    // drifts. Observed shares are exact integer ratios on the 1e-6
+    // grid; the NINE expected constants are generated ONCE in Scala
+    // (math.log10) and embedded verbatim in BOTH engines — no runtime
+    // log anywhere, so the cell is bit-identical with no snap hazard.
+    // A closed 1..9 digit spine keeps absent digits as explicit zeros.
+    "q291_benford_audit" -> QueryDef(
+      fn = (s, d) => {
+        val c = expr(centsCol("value"))
+        val counts = t(s, d, "events")
+          .filter(col("value").isNotNull && c >= 1L)
+          .select(substring(c.cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("__n"))
+        val spine = s.range(1, 10).select(col("id").as("digit"))
+        val expCase = BenfordE6.zipWithIndex.foldLeft(lit(0L)) {
+          case (acc, (e, i)) => when(col("digit") === (i + 1).toLong, e).otherwise(acc)
+        }
+        val joined = spine.join(counts, Seq("digit"), "left")
+          .select(col("digit"), coalesce(col("__n"), lit(0L)).as("n"))
+          .localCheckpoint(eager = true) // total + shares share it
+        val tot = joined.agg(sum(col("n")).as("__t"))
+        joined.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("n * 1000000L div __t").as("obs_e6"),
+            expCase.as("exp_e6"))
+          .withColumn("dev_e6", abs(col("obs_e6") - col("exp_e6")))
+          .orderBy("digit")
+      },
+      oracle = Some {
+        val arms = BenfordE6.zipWithIndex
+          .map { case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ")
+        s"""
+        WITH c AS (SELECT $bucketCentsSql AS v FROM events
+                   WHERE value IS NOT NULL AND $bucketCentsSql >= 1),
+        k AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit, count(*) AS n
+              FROM c GROUP BY 1),
+        sp AS (SELECT unnest(generate_series(1, 9)) AS digit),
+        j AS (SELECT sp.digit, COALESCE(k.n, 0) AS n
+              FROM sp LEFT JOIN k USING (digit)),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM j)
+        SELECT digit, CAST(n AS BIGINT) AS n,
+               n * 1000000 // t.t AS obs_e6,
+               CAST(CASE digit $arms ELSE 0 END AS BIGINT) AS exp_e6,
+               abs(n * 1000000 // t.t
+                   - (CASE digit $arms ELSE 0 END)) AS dev_e6
+        FROM j CROSS JOIN t ORDER BY digit"""
+      }),
+
+    // Inter-event burstiness (Goh-Barabasi B = (sigma - mu)/(sigma +
+    // mu) of the gap distribution, -1 = metronome, 0 = Poisson, -> 1 =
+    // bursty) — the arrival-process diagnostic next to q266's ACF
+    // (periodicity) and q92's rolling volume. Gaps are exact integer
+    // SECONDS from one (type)-keyed lag window; S1/S2 are exact long
+    // sums (bounded: gap <= month ~ 2.6e6 s, S2 <= 1e5 * 6.8e12 <<
+    // 2^63); the variance numerator n*S2 - S1^2 lifts to DECIMAL(38,0)
+    // for the two final products only (the q78 rule); sqrt and one
+    // division are the only doubles, in fixed order, rounded at 6dp.
+    "q292_burstiness" -> QueryDef(
+      fn = (s, d) => {
+        t(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("__us"))
+          .withColumn("__gap",
+            expr("(__us - lag(__us, 1) OVER (PARTITION BY event_type " +
+              "ORDER BY __us, event_id)) div 1000000L"))
+          .filter(col("__gap").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("__n"), sum(col("__gap")).as("__s1"),
+            sum(col("__gap") * col("__gap")).as("__s2"))
+          .filter(col("__n") >= 2L)
+          .select(col("event_type"), col("__n").as("n_gaps"),
+            // floor-snap at 6dp (the new-formula rule: round() tie
+            // semantics differ between engines; B can be negative and
+            // floor(x*1e6+0.5) is round-half-up for both signs)
+            expr("""floor((
+              (sqrt(CAST(CAST(__n AS DECIMAL(38,0)) * __s2
+                         - CAST(__s1 AS DECIMAL(38,0)) * __s1 AS DOUBLE)) / __n
+               - CAST(__s1 AS DOUBLE) / __n)
+              / (sqrt(CAST(CAST(__n AS DECIMAL(38,0)) * __s2
+                           - CAST(__s1 AS DECIMAL(38,0)) * __s1 AS DOUBLE)) / __n
+                 + CAST(__s1 AS DOUBLE) / __n)) * 1e6 + 0.5) / 1e6""")
+              .as("burstiness"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT event_type,
+                          (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                             (PARTITION BY event_type
+                              ORDER BY epoch_us(ts), event_id)) // 1000000
+                            AS gap
+                   FROM events),
+        m AS (SELECT event_type, count(*) AS n,
+                     CAST(sum(gap) AS BIGINT) AS s1,
+                     CAST(sum(gap * gap) AS BIGINT) AS s2
+              FROM g WHERE gap IS NOT NULL GROUP BY event_type
+              HAVING count(*) >= 2)
+        SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+               floor(((sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+                                - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)) / n
+                      - CAST(s1 AS DOUBLE) / n)
+                     / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+                                  - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)) / n
+                        + CAST(s1 AS DOUBLE) / n)) * 1e6 + 0.5) / 1e6
+                 AS burstiness
+        FROM m ORDER BY event_type""")),
+
+    // Winsorization — the robust-preprocessing ACTION on top of q282's
+    // percentile READOUT: clip each event's cents to the per-type
+    // [P5, P95] nearest-rank bounds and report the clipped counts plus
+    // the winsorized mean. Bounds ride the q269/q282 doubled-cumulative
+    // integer rule (no interpolation, no FP); the clipped mean is an
+    // exact floor-divided cent. One histogram agg + one cumulative
+    // window over the bounded (type, cents) frame, then one broadcast
+    // join back to apply the clip.
+    "q294_winsorize" -> QueryDef(
+      fn = (s, d) => {
+        val c = expr(centsCol("value"))
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), c.as("__c"))
+          .localCheckpoint(eager = true) // histogram + clip share it
+        val hist = ev.groupBy("event_type", "__c")
+          .agg(count(lit(1)).as("__k"))
+        val w = Window.partitionBy("event_type").orderBy(col("__c"))
+        val bounds = hist
+          .withColumn("__cum", sum(col("__k")).over(w))
+          .withColumn("__tot",
+            sum(col("__k")).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(min(when(col("__cum") * 100 >= col("__tot") * 5, col("__c")))
+            .as("__lo"),
+            min(when(col("__cum") * 100 >= col("__tot") * 95, col("__c")))
+              .as("__hi"))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("__c") < col("__lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when(col("__c") > col("__hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+            min(col("__lo")).as("p5_cents"), min(col("__hi")).as("p95_cents"),
+            sum(greatest(col("__lo"), least(col("__hi"), col("__c")))).as("__ws"))
+          .select(col("event_type"), col("n"), col("n_clip_lo"),
+            col("n_clip_hi"), col("p5_cents"), col("p95_cents"),
+            expr("__ws div n").as("wmean_cents"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT event_type, $bucketCentsSql AS c FROM events
+                   WHERE value IS NOT NULL),
+        h AS (SELECT event_type, c, count(*) AS k FROM e GROUP BY 1, 2),
+        cw AS (SELECT event_type, c, k,
+                      sum(k) OVER (PARTITION BY event_type ORDER BY c
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(k) OVER (PARTITION BY event_type) AS tot
+               FROM h),
+        b AS (SELECT event_type,
+                     CAST(min(CASE WHEN cum * 100 >= tot * 5 THEN c END)
+                       AS BIGINT) AS lo,
+                     CAST(min(CASE WHEN cum * 100 >= tot * 95 THEN c END)
+                       AS BIGINT) AS hi
+              FROM cw GROUP BY event_type)
+        SELECT e.event_type, count(*) AS n,
+               CAST(sum(CASE WHEN e.c < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clip_lo,
+               CAST(sum(CASE WHEN e.c > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clip_hi,
+               b.lo AS p5_cents, b.hi AS p95_cents,
+               CAST(sum(greatest(b.lo, least(b.hi, e.c))) AS BIGINT)
+                 // count(*) AS wmean_cents
+        FROM e JOIN b USING (event_type)
+        GROUP BY e.event_type, b.lo, b.hi ORDER BY event_type""")),
   )
+
+  /** q291's expected Benford shares on the 1e-6 grid — generated from
+    * math.log10 ONCE here and embedded verbatim in both engines.
+    */
+  private val BenfordE6: Seq[Long] =
+    (1 to 9).map(dd => math.floor(math.log10(1.0 + 1.0 / dd) * 1e6 + 0.5).toLong)
 }
