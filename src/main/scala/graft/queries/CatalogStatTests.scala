@@ -1175,6 +1175,68 @@ private[queries] object CatalogStatTests {
                  // count(*) AS wmean_cents
         FROM e JOIN b USING (event_type)
         GROUP BY e.event_type, b.lo, b.hi ORDER BY event_type""")),
+
+    // Multi-touch attribution — the marketing-analytics verb above
+    // q98's funnel: every purchase credits its user's touches in the
+    // 7-day lookback under THREE models at once (first-touch,
+    // last-touch, linear), reported per touch type. Linear credit is
+    // exact on the 1e-6 grid: 1e6 div n per touch with the remainder
+    // assigned to the LAST touch, so every converted credit sums to
+    // exactly 1e6 and the per-type totals are exact integers. Ordering
+    // ties break on (ts, event_id) — total in both engines. Shape: one
+    // user-keyed hash equi-join (fanout bounded by a user's 7-day
+    // activity — the as-of/range-join argument), one per-conversion
+    // window (state bounded the same way), one bounded agg.
+    "q295_attribution" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("__us"))
+          .localCheckpoint(eager = true) // conversion + touch sides share it
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("__cid"), col("user_id"),
+            col("__us").as("__cts"))
+        val touch = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_type"),
+            col("__us").as("__tts"), col("event_id").as("__tid"))
+        val w = Window.partitionBy("__cid").orderBy(col("__tts"), col("__tid"))
+        conv.join(touch, Seq("user_id"))
+          .filter(col("__tts") < col("__cts")
+            && col("__tts") >= col("__cts") - AttributionWindowUs)
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy("__cid")))
+          .groupBy("event_type")
+          .agg(sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_first"),
+            sum(when(col("__rn") === col("__n"), 1L).otherwise(0L)).as("n_last"),
+            sum(expr("1000000L div __n")
+              + when(col("__rn") === col("__n"),
+                  lit(1000000L) - col("__n") * expr("1000000L div __n"))
+                .otherwise(0L)).as("linear_credit_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH conv AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS cts
+                      FROM events WHERE event_type = 'purchase'),
+        touch AS (SELECT event_id AS tid, user_id, event_type,
+                         epoch_us(ts) AS tts
+                  FROM events WHERE event_type <> 'purchase'),
+        p AS (SELECT c.cid, t.event_type, t.tts, t.tid
+              FROM conv c JOIN touch t ON c.user_id = t.user_id
+              WHERE t.tts < c.cts AND t.tts >= c.cts - $AttributionWindowUs),
+        rk AS (SELECT cid, event_type,
+                      row_number() OVER (PARTITION BY cid
+                                         ORDER BY tts, tid) AS rn,
+                      count(*) OVER (PARTITION BY cid) AS n
+               FROM p)
+        SELECT event_type,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_first,
+               CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_last,
+               CAST(sum(1000000 // n + CASE WHEN rn = n
+                        THEN 1000000 - n * (1000000 // n) ELSE 0 END)
+                 AS BIGINT) AS linear_credit_e6
+        FROM rk GROUP BY event_type ORDER BY event_type""")),
   )
 
   /** q291's expected Benford shares on the 1e-6 grid — generated from
@@ -1182,4 +1244,7 @@ private[queries] object CatalogStatTests {
     */
   private val BenfordE6: Seq[Long] =
     (1 to 9).map(dd => math.floor(math.log10(1.0 + 1.0 / dd) * 1e6 + 0.5).toLong)
+
+  /** q295's lookback window: touches within 7 days before a conversion. */
+  private val AttributionWindowUs = 604800000000L
 }
