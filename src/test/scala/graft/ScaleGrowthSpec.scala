@@ -66,7 +66,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // round-11: substring-grain dedup — the hazard class is the window
     // hash explode (one row per token position) and the candidate
     // verify re-slice; both must stay linear in corpus tokens
-    "q284_exact_substr_dedup")
+    "q284_exact_substr_dedup",
+    // round-11: attribution — the conversion x touch join is the
+    // per-user-window fanout hazard; per-replica user shift keeps
+    // per-user activity constant, so healthy growth is linear
+    "q295_attribution")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica

@@ -175,6 +175,38 @@ class CatalogStatTestsSpec extends AnyFunSuite {
     assert(vocab.last >= vocab.head * 2, vocab.toSeq)
   }
 
+  test("q291: Benford expectations sum to ~1 and observed shares are a distribution") {
+    val rows = SparkEntry.queries("q291_benford_audit")(spark, sf).collect()
+    assert(rows.length == 9)
+    val exp = rows.map(_.getAs[Long]("exp_e6"))
+    // the nine Scala-generated constants must total 1e6 up to rounding
+    assert(math.abs(exp.sum - 1000000L) <= 5, exp.toSeq.toString)
+    val obs = rows.map(_.getAs[Long]("obs_e6"))
+    assert(obs.sum <= 1000000L && obs.sum >= 1000000L - 9, obs.toSeq.toString)
+    // anti-degeneracy: the corpus actually has deviation signal
+    assert(rows.map(_.getAs[Long]("dev_e6")).max > 0)
+  }
+
+  test("q292: burstiness is inside (-1, 1) and the gap moments are sane") {
+    val rows = SparkEntry.queries("q292_burstiness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b > -1.0 && b < 1.0, r.toString) // sigma, mu > 0 on real gaps
+    }
+  }
+
+  test("q295: every converted purchase's linear credit sums to exactly 1e6") {
+    val rows = SparkEntry.queries("q295_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totFirst = rows.map(_.getAs[Long]("n_first")).sum
+    val totLast = rows.map(_.getAs[Long]("n_last")).sum
+    val totLin = rows.map(_.getAs[Long]("linear_credit_e6")).sum
+    // one first, one last, exactly 1e6 credit per converted purchase
+    assert(totFirst == totLast, s"$totFirst vs $totLast")
+    assert(totLin == totFirst * 1000000L, s"$totLin vs ${totFirst}e6")
+  }
+
   test("q264: entropy identities — perfect predictor and 0 <= IG <= H(Y)") {
     val rows = SparkEntry.queries("q264_info_gain")(spark, sf)
       .collect().map(r => r.getAs[String]("feature") ->
