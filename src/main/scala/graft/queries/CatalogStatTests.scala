@@ -1237,7 +1237,115 @@ private[queries] object CatalogStatTests {
                         THEN 1000000 - n * (1000000 // n) ELSE 0 END)
                  AS BIGINT) AS linear_credit_e6
         FROM rk GROUP BY event_type ORDER BY event_type""")),
+
+    // Incremental JOIN maintenance — the IVM delta rule completing
+    // q241's incremental AGGREGATE maintenance: with standing snapshots
+    // O, C and inserted deltas dO, dC, the new join rows are EXACTLY
+    // dO><C  UNION ALL  O><dC  UNION ALL  dO><dC — the maintained view
+    // never recomputes O><C. At scale that is the whole point: the
+    // delta sides are day-sized and broadcastable while the snapshots
+    // are 100 TB; a missed term (the classic dO><dC omission) or a
+    // double-count is exactly what the full-recompute oracle catches.
+    // Splits are deterministic key slices (custkey % 9, orderkey % 7);
+    // the readout aggregates maintained = J + dJ per market segment in
+    // exact cents so any wrong row count or join multiplicity flips a
+    // cell.
+    "q296_incremental_join" -> QueryDef(
+      fn = (s, d) => {
+        val cAll = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val oAll = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("__p"))
+        val c0 = cAll.filter(col("c_custkey") % 9 =!= 0)
+        val dC = cAll.filter(col("c_custkey") % 9 === 0)
+        val o0 = oAll.filter(col("o_orderkey") % 7 =!= 0)
+        val dO = oAll.filter(col("o_orderkey") % 7 === 0)
+        def j(o: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+          o.join(c, col("o_custkey") === col("c_custkey"))
+            .select(col("c_mktsegment"), col("__p"))
+        // maintained view = standing join + the three delta terms
+        val maintained = j(o0, c0)
+          .unionAll(j(dO, c0))
+          .unionAll(j(o0, dC))
+          .unionAll(j(dO, dC))
+        maintained.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("__p")).as("sum_cents"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some(s"""
+        SELECT c_mktsegment, count(*) AS n_rows,
+               CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Rule-based suffix stemming census — the cheap normalization rung
+    // below lemmatization (and beside q74's NFC): strip the FIRST
+    // applicable of ing/ed/s with minimum-stem guards, report the
+    // vocabulary compression and the top stems. The rule list is ONE
+    // Scala constant rendered into both the Column when-chain and the
+    // oracle CASE, so the two engines cannot drift. Pure map-side
+    // per-token work + two bounded aggs.
+    // Injection (hollow-output discipline — the constant-column audit
+    // caught n_forms == 1 everywhere on the first cut): the synthetic
+    // 31-word lexicon carries NO inflected variants, so every 40th doc
+    // gains a fixed inflection ribbon (joins/joined/joining, ...) whose
+    // stems collapse 3-4 distinct forms onto base words the corpus
+    // already contains — the collapsing branch is now oracle-gated.
+    "q297_stem_census" -> QueryDef(
+      fn = (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(when(col("doc_id") % 40 === 1,
+            concat(col("text"), lit(StemRibbon))).otherwise(col("text"))
+            .as("text"))
+          .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("__t"))
+        val stemmed = tok.select(stemCol(col("__t")).as("__s"), col("__t"))
+          .localCheckpoint(eager = true) // census + compression share it
+        val census = stemmed.groupBy("__s")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("__t")).as("n_forms"))
+        census.orderBy(col("n_tokens").desc, col("__s"))
+          .limit(20)
+          .select(col("__s").as("stem"), col("n_tokens"), col("n_forms"))
+      },
+      oracle = Some(s"""
+        WITH aug AS (SELECT CASE WHEN doc_id % 40 = 1
+                            THEN text || '$StemRibbon' ELSE text END AS text
+                     FROM documents),
+        tok AS (SELECT unnest($toksSql) AS t
+                FROM (SELECT lower(text) AS text FROM aug)),
+        st AS (SELECT $stemSql AS s, t FROM tok),
+        c AS (SELECT s, count(*) AS n_tokens,
+                     count(DISTINCT t) AS n_forms
+              FROM st GROUP BY s)
+        SELECT s AS stem, n_tokens, n_forms
+        FROM c ORDER BY n_tokens DESC, s LIMIT 20""")),
   )
+
+  /** q297's suffix rules, FIRST applicable wins: (suffix, min token
+    * length to strip). One constant feeding the Column chain and the
+    * oracle CASE.
+    */
+  private val StemRules: Seq[(String, Int)] =
+    Seq(("ing", 6), ("ed", 5), ("s", 4))
+
+  /** q297's injected inflection ribbon (see the query comment). */
+  private val StemRibbon =
+    " joins joined joining sorts sorted sorting filters filtered filtering"
+
+  private def stemCol(t: Column): Column =
+    StemRules.foldRight(t) { case ((suf, minLen), rest) =>
+      when(t.endsWith(suf) && length(t) >= minLen,
+        expr(s"substring(__t, 1, length(__t) - ${suf.length})"))
+        .otherwise(rest)
+    }
+
+  private def stemSql: String =
+    StemRules.foldRight("t") { case ((suf, minLen), rest) =>
+      s"""CASE WHEN t LIKE '%$suf' AND length(t) >= $minLen
+          THEN substring(t, 1, length(t) - ${suf.length}) ELSE $rest END"""
+    }
 
   /** q291's expected Benford shares on the 1e-6 grid — generated from
     * math.log10 ONCE here and embedded verbatim in both engines.

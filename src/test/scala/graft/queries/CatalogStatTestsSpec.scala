@@ -207,6 +207,25 @@ class CatalogStatTestsSpec extends AnyFunSuite {
     assert(totLin == totFirst * 1000000L, s"$totLin vs ${totFirst}e6")
   }
 
+  test("q297: the stemmer genuinely collapses injected inflected forms") {
+    val rows = SparkEntry.queries("q297_stem_census")(spark, sf).collect()
+    // anti-degeneracy pin (first cut had n_forms == 1 everywhere: the
+    // synthetic lexicon carries no inflections; the ribbon injects them)
+    val maxForms = rows.map(_.getAs[Long]("n_forms")).max
+    assert(maxForms >= 3, s"stemmer never collapsed forms: max $maxForms")
+    assert(rows.exists(_.getAs[Long]("n_forms") == 1L), "every stem collapsed — suspicious")
+  }
+
+  test("q296: the delta-term union reproduces the full join (spot identity)") {
+    val rows = SparkEntry.queries("q296_incremental_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the oracle equality is the real gate; here pin shape sanity:
+    // every segment has rows and positive revenue
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") > 0L && r.getAs[Long]("sum_cents") > 0L, r.toString)
+    }
+  }
+
   test("q264: entropy identities — perfect predictor and 0 <= IG <= H(Y)") {
     val rows = SparkEntry.queries("q264_info_gain")(spark, sf)
       .collect().map(r => r.getAs[String]("feature") ->
