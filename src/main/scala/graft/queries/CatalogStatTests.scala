@@ -1321,6 +1321,83 @@ private[queries] object CatalogStatTests {
               FROM st GROUP BY s)
         SELECT s AS stem, n_tokens, n_forms
         FROM c ORDER BY n_tokens DESC, s LIMIT 20""")),
+
+    // HLL set algebra — audience-overlap estimation by
+    // inclusion-exclusion over mergeable distinct sketches, the verb on
+    // top of q179's HLL rollups: |A n B| ~ apx(A) + apx(B) - apx(A u B),
+    // the standard way to answer "how much do these segments overlap"
+    // without materializing either set. Audiences are high-engagement
+    // segments (per-type event count > AudienceBar — the raw user grain
+    // is degenerate on this fixture). Emitted as the GUARANTEE plus the
+    // exact answer (q30's pattern): the oracle recomputes exact
+    // intersections and asserts every inclusion-exclusion estimate
+    // lands inside 20% + 3 absolute. Three sketches compound errors
+    // PROPORTIONAL TO THE SET SIZES, not the (smaller) intersection —
+    // at sf0.1 the default 5% rsd broke the bound (|A|~750 vs
+    // inter~310) — so the sketches run at rsd 0.01 (bigger registers,
+    // the right trade for a guarantee stated against the
+    // intersection); the +3 floors the tiny-set regime.
+    // Shape: audiences are one partial-agg pass; the pair fanout is a
+    // bounded 10-row broadcast; every sketch is mergeable state.
+    "q298_audience_overlap" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val au = t(s, d, "events")
+          .groupBy("event_type", "user_id").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > AudienceBar)
+          .select(col("event_type"), col("user_id"))
+          .localCheckpoint(eager = true) // sizes + unions + exact share it
+        val pairsSpine = eventTypes.combinations(2)
+          .map { case Seq(a, b) => (a, b) }.toSeq
+          .toDF("type_a", "type_b")
+        val sizes = au.groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("__apx"))
+        val unions = au.join(broadcast(pairsSpine),
+            col("event_type") === col("type_a")
+              || col("event_type") === col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("__apxu"))
+        val exact = au.select(col("event_type").as("type_a"), col("user_id"))
+          .join(au.select(col("event_type").as("type_b"), col("user_id")),
+            Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("__ex"))
+        // every join back to the spine is LEFT + coalesce-0: an audience
+        // that empties at some sf must yield (0, TRUE) rows, not drop
+        // the pair (the first cut's inner joins vanished the whole
+        // spine under a miscalibrated bar)
+        pairsSpine
+          .join(sizes.select(col("event_type").as("type_a"),
+            col("__apx").as("__a")), Seq("type_a"), "left")
+          .join(sizes.select(col("event_type").as("type_b"),
+            col("__apx").as("__b")), Seq("type_b"), "left")
+          .join(unions, Seq("type_a", "type_b"), "left")
+          .join(exact, Seq("type_a", "type_b"), "left")
+          .select(col("type_a"), col("type_b"),
+            coalesce(col("__ex"), lit(0L)).as("exact_overlap"),
+            (abs(coalesce(col("__a"), lit(0L)) + coalesce(col("__b"), lit(0L))
+              - coalesce(col("__apxu"), lit(0L))
+              - coalesce(col("__ex"), lit(0L)))
+              <= coalesce(col("__ex"), lit(0L)) / lit(5L) + lit(3L))
+              .as("approx_ok"))
+          .orderBy("type_a", "type_b")
+      },
+      oracle = Some(s"""
+        WITH au AS (SELECT event_type, user_id FROM events
+                    GROUP BY event_type, user_id
+                    HAVING count(*) > $AudienceBar),
+        sp AS (${eventTypes.combinations(2).map { case Seq(a, b) =>
+          s"SELECT '$a' AS type_a, '$b' AS type_b" }.mkString(" UNION ALL ")}),
+        ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      count(*) AS ex
+               FROM au a JOIN au b ON a.user_id = b.user_id
+                                  AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+        SELECT sp.type_a, sp.type_b,
+               CAST(COALESCE(ex.ex, 0) AS BIGINT) AS exact_overlap,
+               TRUE AS approx_ok
+        FROM sp LEFT JOIN ex USING (type_a, type_b)
+        ORDER BY type_a, type_b""")),
   )
 
   /** q297's suffix rules, FIRST applicable wins: (suffix, min token
@@ -1333,6 +1410,16 @@ private[queries] object CatalogStatTests {
   /** q297's injected inflection ribbon (see the query comment). */
   private val StemRibbon =
     " joins joined joining sorts sorted sorting filters filtered filtering"
+
+  /** q298's engagement bar: per-user-per-type event counts are ~
+    * Binomial(events/user, 1/5) ~ 13.3 +- 3.3 at EVERY sf (events
+    * scale with users, ~67 events/user), so a bar AT the mean splits
+    * membership and audience overlaps vary genuinely — the raw user
+    * grain is degenerate (every user does every type; see NOTES
+    * round-11, and the first cut's bar of 133 was calibrated off the
+    * wrong corpus size and emptied every audience).
+    */
+  private val AudienceBar = 13L
 
   private def stemCol(t: Column): Column =
     StemRules.foldRight(t) { case ((suf, minLen), rest) =>
