@@ -2108,6 +2108,59 @@ private[queries] object CatalogCuration {
         SELECT event_type, n_true, noise_e6,
                n_true * 1000000 + noise_e6 AS released_e6
         FROM z ORDER BY event_type""")),
+
+    // Round-11 CURATION REPORT CARD capstone — the per-source readout a
+    // data steward actually ships: document volume, how many docs carry
+    // an ORGANIC >= 20-token duplicated substring (the q284 machinery
+    // on the raw corpus — no injection; organic repeats vary 1-4 per
+    // source at sf0.01), and how many docs sit in re-identification-risk
+    // (lang, source) cells below the q288 k bar. Composes the round's
+    // ops in one bounded frame; the oracle replays both components.
+    "q300_curation_report" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            TF.tokens(col("text")).as("toks"))
+          .localCheckpoint(eager = true) // spans + k-anon + census share it
+        val dupDocs = graft.ops.ExactSubstr
+          .duplicateSpans(docs, "doc_id", "toks", minLen = 20)
+          .select("doc_id").distinct()
+        val atRisk = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") < KAnonymityBar)
+          .select("lang", "source")
+        docs
+          .join(dupDocs.withColumn("__dup", lit(1L)), Seq("doc_id"), "left")
+          .join(atRisk.withColumn("__risk", lit(1L)),
+            Seq("lang", "source"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("__dup"), lit(0L))).as("n_dup_span_docs"),
+            sum(coalesce(col("__risk"), lit(0L))).as("n_at_risk_docs"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT doc_id, lang, source, $toksSql AS toks
+                      FROM documents),
+        w0 AS (SELECT doc_id,
+                      unnest(list_transform(
+                        generate_series(1, greatest(len(toks) - 19, 0)),
+                        i -> array_to_string(toks[i:i+19], ' '))) AS win
+               FROM base),
+        dup AS (SELECT win FROM w0 GROUP BY win HAVING count(*) >= 2),
+        dd AS (SELECT DISTINCT doc_id FROM w0
+               WHERE win IN (SELECT win FROM dup)),
+        risk AS (SELECT lang, source FROM base
+                 GROUP BY lang, source HAVING count(*) < $KAnonymityBar)
+        SELECT b.source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup_span_docs,
+               CAST(sum(CASE WHEN r.lang IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_at_risk_docs
+        FROM base b
+        LEFT JOIN dd ON b.doc_id = dd.doc_id
+        LEFT JOIN risk r ON b.lang = r.lang AND b.source = r.source
+        GROUP BY b.source ORDER BY b.source""")),
   )
 
   /** q293's epsilon on the 1e-6 grid (eps = 0.5 -> Laplace scale 2). */

@@ -1398,6 +1398,45 @@ private[queries] object CatalogStatTests {
                TRUE AS approx_ok
         FROM sp LEFT JOIN ex USING (type_a, type_b)
         ORDER BY type_a, type_b""")),
+
+    // Day-of-week seasonality profile — the BI rhythm readout beside
+    // q266's ACF (which detects periodicity; this PROFILES it): per
+    // type, each weekday's exact integer share of traffic plus the peak
+    // flag (max count, smallest-dow tie-break). Alignment pin: Spark's
+    // dayofweek is 1(Sun)..7, DuckDB's 0(Sun)..6 — the Spark side
+    // shifts by 1 so both emit 0 = Sunday. One partial-agg pass to the
+    // bounded (5 x 7) frame; the peak rank is a window over 7 rows.
+    "q299_dow_profile" -> QueryDef(
+      fn = (s, d) => {
+        val byDow = t(s, d, "events")
+          .groupBy(col("event_type"),
+            (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type")
+        val rk = Window.partitionBy("event_type")
+          .orderBy(col("n").desc, col("dow").asc)
+        byDow
+          .withColumn("__tot", sum(col("n")).over(w))
+          .withColumn("__rk", row_number().over(rk))
+          .select(col("event_type"), col("dow"), col("n"),
+            expr("n * 1000000L div __tot").as("share_e6"),
+            (col("__rk") === 1).as("is_peak"))
+          .orderBy("event_type", "dow")
+      },
+      oracle = Some("""
+        WITH b AS (SELECT event_type,
+                          CAST(dayofweek(ts) AS BIGINT) AS dow,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, dow, n,
+                     sum(n) OVER (PARTITION BY event_type) AS tot,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY n DESC, dow ASC) AS rk
+              FROM b)
+        SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+               CAST(n * 1000000 // tot AS BIGINT) AS share_e6,
+               rk = 1 AS is_peak
+        FROM r ORDER BY event_type, dow""")),
   )
 
   /** q297's suffix rules, FIRST applicable wins: (suffix, min token
