@@ -440,7 +440,7 @@ object Catalog {
       CatalogInfra.entries ++ CatalogRoundtrip.entries ++
       CatalogGraphMining.entries ++ CatalogModelEval.entries ++
       CatalogCuration.entries ++ CatalogGeoWave.entries ++
-      CatalogStatTests.entries): _*)
+      CatalogStatTests.entries ++ CatalogSelection.entries): _*)
 
 
   /** Names of the headline benchmark queries, in catalog order. */

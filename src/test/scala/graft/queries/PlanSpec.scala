@@ -933,4 +933,58 @@ class PlanSpec extends AnyFunSuite {
     val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
     assert(scans <= 2, s"expected <= 2 scans (docs + stats), got $scans:\n$plan")
   }
+
+  test("q301: k-center rounds are eager — the final plan scans no parquet") {
+    // all k distributed argmax passes ran eagerly against the
+    // localCheckpointed embedding frame; the emitted 8-row result must
+    // not drag the scan lineage behind it (the q176/q180/q193 pattern)
+    val plan = planOf("q301_kcenter_coreset")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 0, s"expected 0 scans in the post-iteration plan:\n$plan")
+  }
+
+  test("q302: label audit joins are broadcast; no corpus cartesian beyond q25's") {
+    val plan = planOf("q302_knn_label_audit")
+    // bruteForceTopK's intentional query-side broadcast cross is the ONLY
+    // nested-loop join; the two label joins must be broadcast hash joins
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q303: forget cascade is equi-joins only; counts partial-aggregate") {
+    val plan = planOf("q303_forget_sweep")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q304: decay scoring is one scan + grouped agg + 1-row totals broadcast") {
+    val plan = planOf("q304_decayed_counts")
+    // the totals cross is the intentional 1-row broadcast (q178 pattern);
+    // the grouped frame is checkpointed so the totals never re-scan events
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 0, s"expected 0 scans in the post-checkpoint plan, got $scans:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
+  test("q305: survivorship shuffles on (cluster, attr) keys, never nested loops") {
+    val plan = planOf("q305_golden_record")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q306: item-CF passes are equi-joins; champion cap bounds the fanout") {
+    val plan = planOf("q306_item_cf_recs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q308: sequential-pair join is user-keyed equi, never a cartesian") {
+    val plan = planOf("q308_seq_pairs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }
