@@ -35,11 +35,18 @@ object Geo {
   /** Grid-cell coordinates (cy, cx) of an integer micro-degree point:
     * FLOORED division by the cell edge, exact for the full signed range
     * (r10 advice — the previous double-divide + cast truncated toward
-    * zero, giving every negative coordinate band a double-width cell 0
-    * and disagreeing with DuckDB's flooring `//`). `a - pmod(a, b)` is
-    * an exact multiple of b computed in 64-bit integer space, and the
-    * quotient of two exact longs < 2^53 is an exact integer double, so
-    * the cast is lossless: floor semantics with no FP-boundary hazard.
+    * zero, giving every negative coordinate band a double-width cell 0).
+    * `a - pmod(a, b)` is an exact multiple of b computed in 64-bit
+    * integer space, and the quotient of two exact longs < 2^53 is an
+    * exact integer double, so the cast is lossless: floor semantics with
+    * no FP-boundary hazard.
+    *
+    * Oracle-parity caveat (MEASURED, round 11): DuckDB 1.0's BIGINT `//`
+    * TRUNCATES toward zero (-7 // 2 = -3) — flooring is its DOUBLE
+    * behavior — so a DuckDB twin of this function must spell floor
+    * explicitly for signed inputs, e.g. `(a - ((a % b + b) % b)) // b`.
+    * The catalog's geo fixtures derive strictly non-negative coordinates
+    * (trunc == floor there), so their `//` oracles are exact as written.
     */
   def cellOf(latE6: Column, lonE6: Column, cellE6: Long): (Column, Column) = {
     def fdiv(a: Column) = ((a - pmod(a, lit(cellE6))) / cellE6).cast("long")

@@ -357,6 +357,74 @@ object Graph {
     deg.select(col("v").as("node"), col("core_deg"))
   }
 
+  /** Bounded-round k-truss peel — the EDGE-grain sibling of [[kCorePeel]]:
+    * iteratively remove every edge whose triangle support (number of
+    * triangles it participates in, i.e. common neighbors of its
+    * endpoints) in the surviving subgraph is < k-2, `rounds` times, then
+    * measure the final support once more. After enough rounds this is
+    * exactly the k-truss; with a fixed round count it is a well-defined
+    * deterministic refinement (the unrollable-recurrence convention of
+    * [[kCorePeel]], so a SQL oracle can replay the identical loop).
+    *
+    * Each round enumerates every surviving triangle ONCE via the
+    * degree-oriented wedge join of [[triangleCensus]] (Schank
+    * orientation: wedge fanout bounded by the lower-degree endpoint),
+    * explodes each triangle to its 3 canonical edges, counts support per
+    * edge, and keeps edges with support >= k-2. All joins are equi-joins;
+    * per-round frames are `localCheckpoint`ed (lineage rule). The
+    * zero-support edges vanish from the count frame and are dropped by an
+    * inner join — correct for k >= 3 where they cannot survive.
+    *
+    * Expects CANONICAL edges (src < dst, deduped, no self-loops) — pair
+    * miners like `Baskets.frequentItemPairs` emit exactly that.
+    *
+    * Output: (src, dst, support) for edges alive after the final peel,
+    * with support measured in the surviving subgraph.
+    */
+  def kTrussPeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+
+    // support per canonical edge of `e`, via single-count triangle
+    // enumeration (each triangle contributes exactly 3 edge rows)
+    def support(e: DataFrame): DataFrame = {
+      val deg = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val withDeg = e
+        .join(deg.select(col("v").as("src"), col("deg").as("dsrc")), Seq("src"))
+        .join(deg.select(col("v").as("dst"), col("deg").as("ddst")), Seq("dst"))
+      val oriented = withDeg.select(
+        when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
+          struct(col("src").as("u"), col("dst").as("w")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("w"))).as("o"))
+        .select(col("o.u").as("u"), col("o.w").as("w"))
+        .localCheckpoint(eager = true) // three consumers below
+      val e1 = oriented.select(col("u"), col("w").as("v1"))
+      val e2 = oriented.select(col("u"), col("w").as("v2"))
+      val closing = oriented.select(
+        least(col("u"), col("w")).as("v1"), greatest(col("u"), col("w")).as("v2"))
+      val tris = e1.join(e2, Seq("u")).filter(col("v1") < col("v2"))
+        .join(closing, Seq("v1", "v2"), "left_semi") // (u, v1, v2) triangles
+      tris.select(least(col("u"), col("v1")).as("src"),
+          greatest(col("u"), col("v1")).as("dst"))
+        .unionAll(tris.select(least(col("u"), col("v2")).as("src"),
+          greatest(col("u"), col("v2")).as("dst")))
+        .unionAll(tris.select(col("v1").as("src"), col("v2").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+    }
+
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      e = e.join(support(e).filter(col("support") >= k - 2),
+          Seq("src", "dst"), "left_semi")
+        .localCheckpoint(eager = true)
+    }
+    e.join(support(e), Seq("src", "dst")) // final measurement, inner: k>=3
+  }
+
   /** Per-landmark BFS distances: [[bfsHops]] generalized so each landmark
     * keeps its OWN distance field — the state is keyed by
     * (landmark, node) instead of node, which is exactly what

@@ -440,7 +440,8 @@ object Catalog {
       CatalogInfra.entries ++ CatalogRoundtrip.entries ++
       CatalogGraphMining.entries ++ CatalogModelEval.entries ++
       CatalogCuration.entries ++ CatalogGeoWave.entries ++
-      CatalogStatTests.entries ++ CatalogSelection.entries): _*)
+      CatalogStatTests.entries ++ CatalogSelection.entries ++
+      CatalogInsight.entries): _*)
 
 
   /** Names of the headline benchmark queries, in catalog order. */

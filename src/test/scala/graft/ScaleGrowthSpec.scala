@@ -70,7 +70,14 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // round-11: attribution — the conversion x touch join is the
     // per-user-window fanout hazard; per-replica user shift keeps
     // per-user activity constant, so healthy growth is linear
-    "q295_attribution")
+    "q295_attribution",
+    // round-11 wave 4/5 heavies: the item-CF capstone (candidate-pair
+    // shuffle + 20x champion scoring fanout — the quadratic hazard its
+    // Apriori prune and cap exist to bound), the time-bounded event
+    // self-join (per-user window fanout), and the iterative k-truss
+    // peel (wedge fanout per round; per-replica custkey shifts keep
+    // replica blocks disjoint, so triangle work grows linearly)
+    "q306_item_cf_recs", "q308_seq_pairs", "q310_ktruss")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
@@ -109,7 +116,10 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // argument, applied to graph keys)
     val li = Tables.lineitem(spark, baseSf)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey", "l_suppkey")
-    val maxOk = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    // ONE orderkey shift shared by lineitem AND orders so the
+    // orders><lineitem join (q306) stays consistent within each replica
+    val ord = Tables.load(spark, baseSf, "orders").select("o_orderkey", "o_custkey")
+    val maxOk = ord.agg(max("o_orderkey")).head.getLong(0) + 1
     val maxPk = li.agg(max("l_partkey")).head.getLong(0) + 1
     val maxSk = li.agg(max("l_suppkey")).head.getLong(0) + 1
     (0 until factor).map(i => li.select(
@@ -119,6 +129,18 @@ class ScaleGrowthSpec extends AnyFunSuite {
         (col("l_suppkey") + lit(i * maxSk)).as("l_suppkey")))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // orders: same orderkey shift as lineitem; custkey shift rounded up
+    // to a TrussBlock multiple so replica block-graphs (q310) stay
+    // disjoint — a straddling block would couple replicas superlinearly
+    val maxCk = {
+      val raw = ord.agg(max("o_custkey")).head.getLong(0) + 1
+      ((raw / 30) + 2) * 30
+    }
+    (0 until factor).map(i => ord.select(
+        (col("o_orderkey") + lit(i * maxOk)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * maxCk)).as("o_custkey")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     // events: shift user/event ids per replica (user cardinality grows
     // with the data, so per-user windows/sessions stay bounded — shared
     // users would deepen each window superlinearly and false-fail)

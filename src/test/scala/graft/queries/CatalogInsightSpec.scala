@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{GraftSpark, SparkEntry}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the mining/evaluation wave (q309+): oracle equality
+  * proves both engines agree — these pin the properties that make the
+  * agreed numbers the OPERATOR's numbers: rule directionality, truss
+  * peel convergence, the Shapley efficiency axiom, the JL distortion
+  * regime, Bradley-Terry bookkeeping, FD verdict branches, seasonal
+  * non-vacuity, and spectrum sanity.
+  */
+class CatalogInsightSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q309: rules are directional and both lift branches fire") {
+    val rows = SparkEntry.queries("q309_assoc_rules")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val conf = r.getAs[Long]("conf_e6")
+      assert(conf >= 0L && conf <= 1000000L, r.toString)
+      assert((r.getAs[Long]("lift_e6") > 1000000L) == r.getAs[Boolean]("is_lifted"))
+    }
+    // directionality is real: some rule pair has asymmetric confidence
+    val conf = rows.map(r => (r.getAs[Long]("antecedent"),
+      r.getAs[Long]("consequent")) -> r.getAs[Long]("conf_e6")).toMap
+    assert(conf.exists { case ((a, c), v) => conf.get((c, a)).exists(_ != v) })
+    assert(rows.exists(_.getAs[Boolean]("is_lifted")))
+    assert(rows.exists(!_.getAs[Boolean]("is_lifted")))
+  }
+
+  test("q310: truss peel converged — every surviving edge has support >= k-2") {
+    // measured peel depth at sf0.001 is 3 filter rounds; rounds=6 gives
+    // convergence headroom HERE (at sf0.1 the contract is the documented
+    // fixed-round refinement, same as kCorePeel)
+    val rows = SparkEntry.queries("q310_ktruss")(spark, sf).collect()
+    assert(rows.nonEmpty, "peel emptied the graph — k too high for the fixture")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("support") >= 3L, r.toString) // TrussK - 2
+      assert(r.getAs[Long]("src") < r.getAs[Long]("dst"), r.toString)
+    }
+    // the peel genuinely removed edges (the quotient graphs were
+    // near-complete and hollow here — this is the anti-degeneracy pin)
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey AS u", "(o_custkey div 30) * 30 + o_orderkey % 30 AS v")
+      .where("u <> v")
+      .selectExpr("least(u, v) AS s", "greatest(u, v) AS d").distinct().count()
+    assert(rows.length < raw, s"nothing peeled: ${rows.length} of $raw")
+  }
+
+  test("q311: Shapley efficiency — marginals sum to 24x the attributable mass") {
+    val rows = SparkEntry.queries("q311_shapley_attribution")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("channel")).sorted.toSeq
+      == Seq("click", "error", "signup", "view"))
+    val tot = rows.map(_.getAs[Long]("phi_x24")).sum
+    assert(tot % 24L == 0L, s"efficiency broken: $tot not a 24-multiple")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("phi_x24") >= 0L, r.toString) // v monotone => phi >= 0
+      assert(r.getAs[Long]("n_touched") > 0L, r.toString)
+    }
+    // 24 * (attributable conversions) = total phi; attributable = purchases
+    // whose 7-day lookback saw at least one non-purchase touch
+    val shareSum = rows.map(_.getAs[Long]("phi_share_e6")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+  }
+
+  test("q312: projection distortion sits in the JL regime, not at zero") {
+    val rows = SparkEntry.queries("q312_jl_projection")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cos_full")) <= 1.000001, r.toString)
+      assert(math.abs(r.getAs[Double]("cos_proj")) <= 1.000001, r.toString)
+    }
+    val errs = rows.map(_.getAs[Long]("abs_err_e6"))
+    val mean = errs.sum.toDouble / errs.length
+    // 16-dim Rademacher projection: mean |cos err| ~ 1/sqrt(16) scale;
+    // zero would mean the projection is a no-op, > 0.5 would mean noise
+    assert(mean > 10000.0, s"suspiciously exact: mean err $mean")
+    assert(mean < 500000.0, s"projection useless: mean err $mean")
+    assert(errs.distinct.length > 1)
+  }
+
+  test("q313: Bradley-Terry bookkeeping and normalization hold") {
+    val rows = SparkEntry.queries("q313_bradley_terry")(spark, sf).collect()
+    assert(rows.length == 20) // the fixture's 20 sources
+    // each decisive game appears in exactly two directed rows
+    assert(rows.map(_.getAs[Long]("n_wins")).sum * 2 == rows.map(_.getAs[Long]("n_games")).sum)
+    // ratings normalized to mean 1 (snap slack)
+    val s = rows.map(_.getAs[Double]("rating")).sum
+    assert(math.abs(s - 20.0) < 0.01, s"rating sum $s")
+    // ranks dense 1..20, aligned with rating order
+    assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to 20L).toSeq)
+    val byRank = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("rating"))
+    byRank.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    // a leaderboard with all-equal ratings is hollow
+    assert(byRank.head > byRank.last)
+  }
+
+  test("q314: both FD verdict branches fire and the arithmetic is consistent") {
+    val rows = SparkEntry.queries("q314_fd_audit")(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_violating_groups") <= r.getAs[Long]("n_groups"))
+      assert((r.getAs[Long]("n_violating_groups") == 0L) == r.getAs[Boolean]("holds"))
+      if (r.getAs[Long]("n_violating_groups") > 0)
+        assert(r.getAs[Long]("n_violating_rows") > r.getAs[Long]("n_violating_groups"))
+    }
+    assert(rows.exists(_.getAs[Boolean]("holds")))
+    assert(rows.exists(!_.getAs[Boolean]("holds")))
+  }
+
+  test("q315: a full dow spine per type and real seasonal signal") {
+    val rows = SparkEntry.queries("q315_seasonal_decompose")(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("dow")).sorted.toSeq == (0L to 6L).toSeq)
+      rs.foreach(r => assert(r.getAs[Long]("n_days") >= 2, r.toString))
+    }
+    // detrended seasonal index must move — a constant-zero column would
+    // mean the detrend swallowed the signal (hollow-output discipline)
+    assert(rows.map(_.getAs[Long]("seasonal_e6")).exists(v => math.abs(v) > 1000L))
+  }
+
+  test("q316: spectrum sanity — hapaxes exist and Chao1 dominates observed richness") {
+    val rows = SparkEntry.queries("q316_good_turing")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("f1") > 0L, r.toString)
+      assert(r.getAs[Long]("f2") > 0L, r.toString)
+      assert(r.getAs[Long]("v_distinct") <= r.getAs[Long]("n_bigrams"))
+      val p0 = r.getAs[Long]("p0_e6")
+      assert(p0 > 0L && p0 < 1000000L, r.toString)
+      assert(r.getAs[Long]("chao1_e6") >= r.getAs[Long]("v_distinct") * 1000000L)
+    }
+  }
+}

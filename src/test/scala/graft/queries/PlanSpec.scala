@@ -987,4 +987,62 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("q309: rule metrics ride broadcast support joins, never nested loops") {
+    val plan = planOf("q309_assoc_rules")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q310: truss rounds are eager — final measurement reads no parquet") {
+    // the 6 peel rounds ran against localCheckpointed frames; the final
+    // support pass joins checkpointed edges only (kCorePeel pattern)
+    val plan = planOf("q310_ktruss")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 0, s"expected 0 scans post-peel, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q311/q313: lattice and leaderboard math ride bounded driver frames") {
+    // the corpus work (mask join / rank join) ran eagerly at collect
+    // time; the emitted frames are 4 and 20 rows with no scan lineage
+    Seq("q311_shapley_attribution", "q313_bradley_terry").foreach { q =>
+      val plan = planOf(q)
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 0, s"$q: expected 0 scans, got $scans:\n$plan")
+    }
+  }
+
+  test("q312: projection is map-side; one pair equi-join, no cartesian") {
+    val plan = planOf("q312_jl_projection")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 2, s"expected 2 embedding scans, got $scans:\n$plan")
+  }
+
+  test("q314: one aggregation per declared FD — exactly 8 scans, no joins") {
+    val plan = planOf("q314_fd_audit")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 8, s"expected 8 scans (one per FD), got $scans:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q315: decomposition is one scan + one bounded window + partials") {
+    val plan = planOf("q315_seasonal_decompose")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q316: spectrum is one scan + one explode; aggs are partial") {
+    val plan = planOf("q316_good_turing")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    val gens = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Generate"))
+    assert(gens == 1, s"expected 1 Generate, got $gens:\n$plan")
+    assert(plan.contains("partial_count"), plan)
+  }
 }
