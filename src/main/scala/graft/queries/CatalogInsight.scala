@@ -124,8 +124,35 @@ private[queries] object CatalogInsight {
   private val StatIters = 8
   private val AbsorbIters = 16
 
-  /** q324's Hill estimator order-statistic count (top-k tail). */
+  /** q323's Hill estimator order-statistic count (top-k tail). */
   private val HillK = 100
+
+  /** Shared by q321/q322: the user-sequence transition-count CTEs. */
+  private def transitionsSql: String =
+    """sq AS (SELECT event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+         FROM events),
+       tr AS (SELECT prev, event_type AS cur, count(*) AS n
+              FROM sq WHERE prev IS NOT NULL GROUP BY 1, 2),
+       rs AS (SELECT prev, CAST(sum(n) AS BIGINT) AS rn FROM tr GROUP BY 1)"""
+
+  /** Driver twin of [[transitionsSql]]: (prev, cur) -> n plus row sums,
+    * from one window pass + a bounded (|types|^2) collect.
+    */
+  private def collectTransitions(s: SparkSession, d: String): (Map[(String, String), Long], Map[String, Long]) = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // bounded: <= |types|^2 rows
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rs = tr.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    (tr, rs)
+  }
 
   // ---- q310 shared SQL: the block-interaction edge list ----------------
   private def trussEdgesSql: String =
@@ -663,5 +690,410 @@ private[queries] object CatalogInsight {
                     THEN v_distinct * 1000000 + f1 * f1 * 1000000 // (2 * f2)
                END AS chao1_e6
         FROM f ORDER BY source""")),
+
+    // Isotonic regression via the max-min closed form (the pooled
+    // result PAVA converges to: fit_b = max_{a<=b} min_{c>=b}
+    // rate(a..c)) over a 20-bucket calibration table of a synthetic
+    // classifier — predicted probability doc_id%100, outcome an
+    // md5-rational draw against it, so the raw bucket rates track the
+    // diagonal with deterministic noise and the pooling branch provably
+    // fires. The corpus work is one scan + one 20-row agg; the max-min
+    // runs on the bounded bucket frame via range joins (intentional
+    // bounded 20x20 nested loops, the q25 class), and min/max over
+    // identically-computed doubles is order-free — no sequential-sum
+    // contract needed.
+    "q317_isotonic_calibration" -> QueryDef(
+      fn = (s, d) => {
+        val sc = t(s, d, "documents").select(
+          (col("doc_id") % 100).as("__s"),
+          when((conv(substring(md5(concat(col("doc_id").cast("string"), lit("iso"))), 1, 8),
+            16, 10).cast("long") % 100) < (col("doc_id") % 100), 1L).otherwise(0L).as("__y"))
+        val g = sc.groupBy((col("__s") / lit(100 / IsoBuckets)).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+          .localCheckpoint(eager = true) // bounded 20 rows; 4 consumers
+        val rng = g.select(col("bin").as("__a")).join(g.select(col("bin").as("__c")),
+            col("__a") <= col("__c")) // bounded 20x20 cross, intentional
+          .join(g.select(col("bin").as("__m"), col("n").as("__n"), col("pos").as("__p")),
+            col("__m") >= col("__a") && col("__m") <= col("__c"))
+          .groupBy("__a", "__c")
+          .agg((sum(col("__p")).cast("double") / sum(col("__n")).cast("double")).as("__r"))
+        val fit = g.select(col("bin"))
+          .join(rng, col("__a") <= col("bin") && col("__c") >= col("bin"))
+          .groupBy("bin", "__a").agg(min(col("__r")).as("__mn"))
+          .groupBy("bin").agg(max(col("__mn")).as("__fit"))
+        g.join(fit, "bin")
+          .select(col("bin"), col("n"), col("pos"),
+            (floor(col("pos").cast("double") / col("n").cast("double") * 1000000 + 0.5)
+              / 1000000.0).as("rate_raw"),
+            (floor(col("__fit") * 1000000 + 0.5) / 1000000.0).as("rate_iso"))
+          .orderBy("bin")
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT doc_id % 100 AS s,
+               CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'iso'), 1, 8))
+                         AS BIGINT) % 100 < doc_id % 100 THEN 1 ELSE 0 END AS y
+             FROM documents),
+        g AS (SELECT s // ${100 / IsoBuckets} AS bin, count(*) AS n, sum(y) AS pos
+              FROM sc GROUP BY 1),
+        rng AS (SELECT a.bin AS ba, c.bin AS bc,
+                       CAST(sum(m.pos) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS r
+                FROM g a JOIN g c ON a.bin <= c.bin
+                         JOIN g m ON m.bin BETWEEN a.bin AND c.bin
+                GROUP BY 1, 2),
+        mn AS (SELECT b.bin, rng.ba, min(rng.r) AS v
+               FROM g b JOIN rng ON rng.ba <= b.bin AND rng.bc >= b.bin
+               GROUP BY 1, 2),
+        fit AS (SELECT bin, max(v) AS f FROM mn GROUP BY 1)
+        SELECT g.bin, CAST(g.n AS BIGINT) AS n, CAST(g.pos AS BIGINT) AS pos,
+               floor(CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000.0 AS rate_raw,
+               floor(fit.f * 1000000 + 0.5) / 1000000.0 AS rate_iso
+        FROM g JOIN fit USING (bin) ORDER BY bin""")),
+
+    // Capture-recapture population estimation (Lincoln-Petersen +
+    // Chapman) — the data-quality verb for "how many entities does this
+    // feed actually have": two deterministic md5-gated samples of the
+    // customer table, overlap-based estimates of the known total, and
+    // exact error columns (every number a 64-bit integer; the known
+    // truth makes the estimator's bias AUDITABLE, which no real survey
+    // gets). One scan, one aggregation.
+    "q318_capture_recapture" -> QueryDef(
+      fn = (s, d) => {
+        def gate(salt: String, bar: Long): Column =
+          (conv(substring(md5(concat(col("c_custkey").cast("string"), lit(salt))), 1, 8),
+            16, 10).cast("long") % 1000) < bar
+        t(s, d, "customer")
+          .select(gate("cap1", Cap1Permille).as("__s1"), gate("cap2", Cap2Permille).as("__s2"))
+          .agg(count(lit(1)).as("n_true"),
+            count(when(col("__s1"), 1)).as("n1"),
+            count(when(col("__s2"), 1)).as("n2"),
+            count(when(col("__s1") && col("__s2"), 1)).as("m"))
+          .select(col("n_true"), col("n1"), col("n2"), col("m"),
+            expr("n1 * n2 div m").as("est_lp"),
+            expr("(n1 + 1L) * (n2 + 1L) div (m + 1L) - 1L").as("est_chapman"),
+            (expr("n1 * n2 div m") - col("n_true")).as("err_lp"),
+            (expr("(n1 + 1L) * (n2 + 1L) div (m + 1L) - 1L") - col("n_true"))
+              .as("err_chapman"))
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT
+          CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'cap1'), 1, 8))
+               AS BIGINT) % 1000 < $Cap1Permille AS s1,
+          CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'cap2'), 1, 8))
+               AS BIGINT) % 1000 < $Cap2Permille AS s2
+          FROM customer),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+                     CAST(count(*) FILTER (s1) AS BIGINT) AS n1,
+                     CAST(count(*) FILTER (s2) AS BIGINT) AS n2,
+                     CAST(count(*) FILTER (s1 AND s2) AS BIGINT) AS m
+              FROM c)
+        SELECT n_true, n1, n2, m,
+               CAST(n1 * n2 // m AS BIGINT) AS est_lp,
+               CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS est_chapman,
+               CAST(n1 * n2 // m - n_true AS BIGINT) AS err_lp,
+               CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true AS BIGINT) AS err_chapman
+        FROM a""")),
+
+    // Dunning log-likelihood keyness (the corpus-linguistics keyword
+    // extractor): per source, the top-3 OVER-represented tokens vs the
+    // rest of the corpus by the G2 statistic 2*(a ln(a/Ea) + b ln(b/Eb)).
+    // The over-representation filter is an exact integer cross-multiply
+    // (a*N > ta*na — no FP at the branch); G2 itself is one fixed-order
+    // double formula per (source, token) cell, floor-snapped to e6, and
+    // the ranking compares SNAPPED integers with a token tie-break, so
+    // rank order is engine-exact. Cell frame bounded by
+    // |sources| x |vocabulary|.
+    "q319_dunning_keyness" -> QueryDef(
+      fn = (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+        val cnt = tk.groupBy("source", "tok").agg(count(lit(1)).as("a"))
+          .localCheckpoint(eager = true) // three marginal consumers
+        val stot = cnt.groupBy("source").agg(sum(col("a")).as("na"))
+        val ttot = cnt.groupBy("tok").agg(sum(col("a")).as("ta"))
+        val tot = cnt.agg(sum(col("a")).as("nn"))
+        val cells = cnt.join(broadcast(stot), "source").join(broadcast(ttot), "tok")
+          .crossJoin(broadcast(tot))
+          .filter(col("a") * col("nn") > col("ta") * col("na")) // overused, exact
+        val termA = col("a").cast("double") *
+          log(col("a").cast("double") * col("nn").cast("double")
+            / (col("na").cast("double") * col("ta").cast("double")))
+        val b = col("ta") - col("a")
+        val termB = when(b > 0, b.cast("double")
+          * log(b.cast("double") * col("nn").cast("double")
+            / ((col("nn") - col("na")).cast("double") * col("ta").cast("double"))))
+          .otherwise(lit(0.0))
+        val scored = cells.select(col("source"), col("tok"), col("a"),
+          floor((termA + termB) * lit(2.0) * 1000000 + 0.5).cast("long").as("g2_e6"))
+        scored
+          .withColumn("rnk", row_number().over(Window.partitionBy("source")
+            .orderBy(col("g2_e6").desc, col("tok").asc)).cast("long"))
+          .filter(col("rnk") <= KeynessTopK)
+          .select(col("source"), col("rnk"), col("tok").as("token"),
+            col("a").as("n_in_source"), col("g2_e6"))
+          .orderBy("source", "rnk")
+      },
+      oracle = Some(s"""
+        WITH t0 AS (SELECT source, $toksSql AS toks FROM documents),
+        tk AS (SELECT source, unnest(toks) AS tok FROM t0),
+        cnt AS (SELECT source, tok, count(*) AS a FROM tk GROUP BY 1, 2),
+        stot AS (SELECT source, CAST(sum(a) AS BIGINT) AS na FROM cnt GROUP BY 1),
+        ttot AS (SELECT tok, CAST(sum(a) AS BIGINT) AS ta FROM cnt GROUP BY 1),
+        tot AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM cnt),
+        cells AS (SELECT c.source, c.tok, c.a, s.na, t.ta, tot.nn
+                  FROM cnt c JOIN stot s USING (source) JOIN ttot t USING (tok), tot
+                  WHERE c.a * tot.nn > t.ta * s.na),
+        sc AS (SELECT source, tok, a,
+                 CAST(floor((CAST(a AS DOUBLE)
+                        * ln(CAST(a AS DOUBLE) * CAST(nn AS DOUBLE)
+                             / (CAST(na AS DOUBLE) * CAST(ta AS DOUBLE)))
+                      + CASE WHEN ta - a > 0
+                             THEN CAST(ta - a AS DOUBLE)
+                               * ln(CAST(ta - a AS DOUBLE) * CAST(nn AS DOUBLE)
+                                    / (CAST(nn - na AS DOUBLE) * CAST(ta AS DOUBLE)))
+                             ELSE 0.0 END) * 2.0 * 1000000 + 0.5) AS BIGINT) AS g2_e6
+               FROM cells),
+        rk AS (SELECT source, tok, a, g2_e6,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY g2_e6 DESC, tok ASC) AS rnk
+               FROM sc)
+        SELECT source, CAST(rnk AS BIGINT) AS rnk, tok AS token,
+               CAST(a AS BIGINT) AS n_in_source, g2_e6
+        FROM rk WHERE rnk <= $KeynessTopK ORDER BY source, rnk""")),
+
+    // Time-respecting adoption cascade over first-purchase events: per
+    // part family, the seed adopters (global first order date), wave 1
+    // (first adoption within 7 days AFTER the seed date) and wave 2
+    // (within 7 days after a wave-1 adoption, excluding earlier waves) —
+    // the temporal-graph reachability verb where edges only point
+    // forward in time. Every join is family-keyed equi + range
+    // predicate; waves are per-family bounded; no transitive closure.
+    "q320_adoption_cascade" -> QueryDef(
+      fn = (s, d) => {
+        val fa = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("cust"), (col("l_partkey") % RuleItemMod).as("fam"))
+          .agg(min(col("o_orderdate")).as("d0"))
+          .localCheckpoint(eager = true) // seeds + both waves share it
+        val seed = fa.groupBy("fam").agg(min(col("d0")).as("__sd"))
+        val l1 = fa.join(broadcast(seed), "fam")
+          .filter(col("d0") > col("__sd")
+            && col("d0") <= col("__sd") + expr(s"INTERVAL $CascadeDays DAYS"))
+          .select(col("fam"), col("cust"), col("d0"))
+          .localCheckpoint(eager = true) // wave-2 join + counts
+        val l2 = fa.select(col("fam"), col("cust"), col("d0"))
+          .join(l1.select(col("fam"), col("cust").as("__pc"), col("d0").as("__pd")), Seq("fam"))
+          .filter(col("d0") > col("__pd")
+            && col("d0") <= col("__pd") + expr(s"INTERVAL $CascadeDays DAYS"))
+          .join(l1.select(col("fam"), col("cust")), Seq("fam", "cust"), "left_anti")
+          .select(col("fam"), col("cust")).distinct()
+        val nAll = fa.groupBy("fam").agg(count(lit(1)).as("n_adopters"))
+        val nSeed = fa.join(broadcast(seed), "fam").filter(col("d0") === col("__sd"))
+          .groupBy("fam").agg(count(lit(1)).as("n_seed"))
+        val n1 = l1.groupBy("fam").agg(count(lit(1)).as("n_wave1"))
+        val n2 = l2.groupBy("fam").agg(count(lit(1)).as("n_wave2"))
+        nAll.join(nSeed, Seq("fam"), "left")
+          .join(n1, Seq("fam"), "left").join(n2, Seq("fam"), "left")
+          .select(col("fam").as("family"), col("n_adopters"),
+            coalesce(col("n_seed"), lit(0L)).as("n_seed"),
+            coalesce(col("n_wave1"), lit(0L)).as("n_wave1"),
+            coalesce(col("n_wave2"), lit(0L)).as("n_wave2"))
+          .orderBy("family")
+      },
+      oracle = Some(s"""
+        WITH fa AS (SELECT o_custkey AS cust, l_partkey % $RuleItemMod AS fam,
+                           min(o_orderdate) AS d0
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    GROUP BY 1, 2),
+        seed AS (SELECT fam, min(d0) AS sd FROM fa GROUP BY 1),
+        l1 AS (SELECT fa.fam, fa.cust, fa.d0 FROM fa JOIN seed USING (fam)
+               WHERE fa.d0 > seed.sd AND fa.d0 <= seed.sd + INTERVAL $CascadeDays DAY),
+        l2 AS (SELECT DISTINCT fa.fam, fa.cust
+               FROM fa JOIN l1 ON fa.fam = l1.fam
+               WHERE fa.d0 > l1.d0 AND fa.d0 <= l1.d0 + INTERVAL $CascadeDays DAY
+                 AND NOT EXISTS (SELECT 1 FROM l1 x
+                                 WHERE x.fam = fa.fam AND x.cust = fa.cust))
+        SELECT fa.fam AS family, CAST(count(*) AS BIGINT) AS n_adopters,
+               CAST(count(*) FILTER (fa.d0 = seed.sd) AS BIGINT) AS n_seed,
+               CAST(coalesce((SELECT count(*) FROM l1 WHERE l1.fam = fa.fam), 0)
+                    AS BIGINT) AS n_wave1,
+               CAST(coalesce((SELECT count(*) FROM l2 WHERE l2.fam = fa.fam), 0)
+                    AS BIGINT) AS n_wave2
+        FROM fa JOIN seed USING (fam)
+        GROUP BY fa.fam, seed.sd ORDER BY family""")),
+
+    // Stationary distribution of the event-type Markov chain via 8
+    // power-iteration rounds from uniform — where a user's session MIX
+    // settles, vs q299's raw empirical shares (emitted beside it as the
+    // exact-integer comparison column). The corpus work is ONE lag
+    // window + a |types|^2 transition count; the iteration runs on the
+    // collected bounded matrix with ascending-prev sequential FP sums,
+    // replayed exactly by the oracle's unrolled CTE chain
+    // (list_sum(list(... ORDER BY prev)) — the q313 contract).
+    "q321_markov_stationary" -> QueryDef(
+      fn = (s, d) => {
+        val (tr, rs) = collectTransitions(s, d)
+        val types = eventTypes.sorted
+        var p: Map[String, Double] = types.map(_ -> 0.2).toMap
+        for (_ <- 1 to StatIters) {
+          p = types.map { j =>
+            // ascending-prev fold over EXISTING transition cells only —
+            // the oracle's list(...) set and order
+            j -> types.foldLeft(0.0) { (acc, i) =>
+              tr.get((i, j)) match {
+                case Some(n) => acc + p(i) * (n.toDouble / rs(i))
+                case None => acc
+              }
+            }
+          }.toMap
+        }
+        val emp = t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("__c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val totEv = emp.values.sum
+        val rows = types.map { ty =>
+          Row(ty, math.floor(p(ty) * 1000000 + 0.5) / 1000000.0,
+            emp(ty) * 1000000L / totEv)
+        }
+        val schema = StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("stationary", DoubleType, nullable = false),
+          StructField("empirical_e6", LongType, nullable = false)))
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        val iters = (0 until StatIters).map { r =>
+          s"""p${r + 1} AS MATERIALIZED (
+                SELECT tr.cur AS i,
+                       list_sum(list(pp.p * (CAST(tr.n AS DOUBLE) / rs.rn)
+                                     ORDER BY tr.prev)) AS p
+                FROM tr JOIN p$r pp ON pp.i = tr.prev
+                        JOIN rs ON rs.prev = tr.prev
+                GROUP BY tr.cur)"""
+        }.mkString(",\n")
+        s"""
+        WITH $transitionsSql,
+        p0 AS (SELECT DISTINCT event_type AS i, 0.2 AS p FROM events),
+        $iters,
+        emp AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM events)
+        SELECT p$StatIters.i AS event_type,
+               floor(p$StatIters.p * 1000000 + 0.5) / 1000000.0 AS stationary,
+               CAST(emp.c * 1000000 // tot.n AS BIGINT) AS empirical_e6
+        FROM p$StatIters JOIN emp ON emp.event_type = p$StatIters.i, tot
+        ORDER BY event_type"""
+      }),
+
+    // Expected steps to absorption (time-to-purchase): purchase is the
+    // absorbing state; for each other type, E[steps] from the truncated
+    // Neumann recurrence x <- 1 + Q x (16 rounds, x0 = 0 — the
+    // fixed-iteration convention, documented as a LOWER bound that has
+    // converged to 6dp on the fixture). p_direct (one-step absorption
+    // probability) rides as an exact e6 integer. Same bounded transition
+    // matrix as q321; same sequential-FP oracle contract.
+    "q322_expected_absorption" -> QueryDef(
+      fn = (s, d) => {
+        val (tr, rs) = collectTransitions(s, d)
+        val types = eventTypes.sorted.filter(_ != "purchase")
+        var x: Map[String, Double] = types.map(_ -> 0.0).toMap
+        for (_ <- 1 to AbsorbIters) {
+          x = types.map { i =>
+            i -> (1.0 + types.foldLeft(0.0) { (acc, j) =>
+              tr.get((i, j)) match {
+                case Some(n) => acc + (n.toDouble / rs(i)) * x(j)
+                case None => acc
+              }
+            })
+          }.toMap
+        }
+        val rows = types.map { ty =>
+          Row(ty, tr.getOrElse((ty, "purchase"), 0L) * 1000000L / rs(ty),
+            math.floor(x(ty) * 1000000 + 0.5) / 1000000.0)
+        }
+        val schema = StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("p_direct_e6", LongType, nullable = false),
+          StructField("expected_steps", DoubleType, nullable = false)))
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        val iters = (0 until AbsorbIters).map { r =>
+          s"""x${r + 1} AS MATERIALIZED (
+                SELECT ty.i, 1.0 + coalesce(sm.v, 0.0) AS x
+                FROM ty LEFT JOIN (
+                  SELECT q.i, list_sum(list(q.p * xx.x ORDER BY q.j)) AS v
+                  FROM q JOIN x$r xx ON xx.i = q.j GROUP BY q.i) sm
+                ON sm.i = ty.i)"""
+        }.mkString(",\n")
+        s"""
+        WITH $transitionsSql,
+        q AS (SELECT tr.prev AS i, tr.cur AS j,
+                     CAST(tr.n AS DOUBLE) / rs.rn AS p
+              FROM tr JOIN rs USING (prev)
+              WHERE tr.prev <> 'purchase' AND tr.cur <> 'purchase'),
+        ty AS (SELECT DISTINCT prev AS i FROM tr WHERE prev <> 'purchase'),
+        x0 AS (SELECT i, 0.0 AS x FROM ty),
+        $iters,
+        pd AS (SELECT ty.i,
+                      CAST(coalesce((SELECT tr.n FROM tr
+                                     WHERE tr.prev = ty.i AND tr.cur = 'purchase'), 0)
+                           * 1000000 // rs.rn AS BIGINT) AS p_direct_e6
+               FROM ty JOIN rs ON rs.prev = ty.i)
+        SELECT x$AbsorbIters.i AS event_type, pd.p_direct_e6,
+               floor(x$AbsorbIters.x * 1000000 + 0.5) / 1000000.0 AS expected_steps
+        FROM x$AbsorbIters JOIN pd ON pd.i = x$AbsorbIters.i
+        ORDER BY event_type"""
+      }),
+
+    // Hill tail-index estimator over the per-type value distribution —
+    // the heavy-tail diagnostic beside the q221/q123 outlier fences
+    // (alpha ~ how Pareto the spend tail is; low alpha = whale-driven):
+    // top-(k+1) order statistics by exact cents (total (cents, event_id)
+    // tie-break), alpha = k / sum ln(x_i / x_{k+1}) with the log terms
+    // summed in rank order on BOTH engines (functions.aggregate over the
+    // rank-sorted array vs list_sum(list ORDER BY rk)). One scan, one
+    // per-type top-k window on a bounded frame.
+    "q323_hill_tail_index" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"), col("event_id"),
+          cents(col("value")).as("__c"))
+        val top = ev.withColumn("rk", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("__c").desc, col("event_id").asc)))
+          .filter(col("rk") <= HillK + 1)
+          .localCheckpoint(eager = true) // bounded |types| x (k+1)
+        val xk = top.filter(col("rk") === HillK + 1)
+          .select(col("event_type"), col("__c").as("xk_cents"))
+        val terms = top.filter(col("rk") <= HillK)
+          .join(broadcast(xk), "event_type")
+          .select(col("event_type"), col("xk_cents"), col("rk"),
+            log(col("__c").cast("double") / col("xk_cents").cast("double")).as("__t"))
+        terms.groupBy("event_type", "xk_cents")
+          .agg(aggregate(
+            transform(array_sort(collect_list(struct(col("rk"), col("__t")))),
+              x => x.getField("__t")),
+            lit(0.0), (acc, v) => acc + v).as("__sum"))
+          .select(col("event_type"), col("xk_cents"),
+            (floor(lit(HillK.toDouble) / col("__sum") * 1000000 + 0.5) / 1000000.0)
+              .as("hill_alpha"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT event_type, event_id, ${centsSql("value")} AS c
+                    FROM events),
+        rk AS (SELECT event_type, c,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY c DESC, event_id ASC) AS rk
+               FROM ev),
+        xk AS (SELECT event_type, c AS xkc FROM rk WHERE rk = ${HillK + 1}),
+        tm AS (SELECT r.event_type, xk.xkc, r.rk,
+                      ln(CAST(r.c AS DOUBLE) / CAST(xk.xkc AS DOUBLE)) AS t
+               FROM rk r JOIN xk USING (event_type) WHERE r.rk <= $HillK),
+        sm AS (SELECT event_type, xkc,
+                      list_sum(list(t ORDER BY rk)) AS s
+               FROM tm GROUP BY 1, 2)
+        SELECT event_type, CAST(xkc AS BIGINT) AS xk_cents,
+               floor($HillK.0 / s * 1000000 + 0.5) / 1000000.0 AS hill_alpha
+        FROM sm ORDER BY event_type""")),
   )
 }

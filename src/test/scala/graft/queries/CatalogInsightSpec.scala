@@ -122,6 +122,98 @@ class CatalogInsightSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("seasonal_e6")).exists(v => math.abs(v) > 1000L))
   }
 
+  test("q317: isotonic fit is monotone and the pooling branch fired") {
+    val rows = SparkEntry.queries("q317_isotonic_calibration")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(rows.length == 20)
+    val iso = rows.map(_.getAs[Double]("rate_iso"))
+    iso.sliding(2).foreach { case Array(a, b) => assert(b >= a, iso.toSeq.toString) }
+    iso.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // the synthetic classifier's md5 noise guarantees raw-rate violations,
+    // so PAVA must actually pool somewhere — identity fit = hollow
+    val raw = rows.map(_.getAs[Double]("rate_raw"))
+    assert(iso.zip(raw).exists { case (i, r) => math.abs(i - r) > 1e-9 })
+    // and the fit still tracks the signal (not pooled to one flat level)
+    assert(iso.distinct.length > 5)
+  }
+
+  test("q318: capture-recapture estimators bracket sanely") {
+    val r = SparkEntry.queries("q318_capture_recapture")(spark, sf).head()
+    assert(r.getAs[Long]("m") > 0L)
+    assert(r.getAs[Long]("n1") < r.getAs[Long]("n_true"))
+    // Chapman's +1 smoothing can only shrink the LP ratio estimate
+    assert(r.getAs[Long]("est_chapman") <= r.getAs[Long]("est_lp"))
+    // both estimates land within 50% of the known truth (the whole point
+    // of estimating a KNOWN population is that bias is auditable)
+    val t = r.getAs[Long]("n_true")
+    Seq("est_lp", "est_chapman").foreach { c =>
+      assert(math.abs(r.getAs[Long](c) - t) < t / 2, r.toString)
+    }
+  }
+
+  test("q319: keyness picks distinct over-represented keywords per source") {
+    val rows = SparkEntry.queries("q319_dunning_keyness")(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.size == 20)
+    bySrc.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to rs.length).toSeq)
+      rs.foreach(r => assert(r.getAs[Long]("g2_e6") > 0L, r.toString))
+    }
+    // sources must not all share one keyword — keyness is per-source signal
+    val top1 = bySrc.values.map(_.minBy(_.getAs[Long]("rnk")).getAs[String]("token")).toSeq
+    assert(top1.distinct.length > 3, top1.toString)
+  }
+
+  test("q320: cascade waves are disjoint slices of the adopter base") {
+    val rows = SparkEntry.queries("q320_adoption_cascade")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_seed") >= 1L, r.toString)
+      assert(r.getAs[Long]("n_seed") + r.getAs[Long]("n_wave1")
+        + r.getAs[Long]("n_wave2") <= r.getAs[Long]("n_adopters"), r.toString)
+    }
+    assert(rows.exists(_.getAs[Long]("n_wave1") > 0L))
+    assert(rows.exists(_.getAs[Long]("n_wave2") > 0L))
+  }
+
+  test("q321: stationary distribution is a probability vector near the mix") {
+    val rows = SparkEntry.queries("q321_markov_stationary")(spark, sf).collect()
+    assert(rows.length == 5)
+    val s = rows.map(_.getAs[Double]("stationary")).sum
+    assert(math.abs(s - 1.0) < 1e-4, s"stationary sums to $s")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("stationary") > 0.0)
+      // the chain is estimated FROM the sequence, so its fixed point
+      // must sit near the empirical mix (gross divergence = a bug in
+      // the transition build), without being pinned equal
+      assert(math.abs(r.getAs[Double]("stationary")
+        - r.getAs[Long]("empirical_e6") / 1e6) < 0.05, r.toString)
+    }
+  }
+
+  test("q322: absorption expectations are finite, >1, and consistent with p_direct") {
+    val rows = SparkEntry.queries("q322_expected_absorption")(spark, sf).collect()
+    assert(rows.length == 4) // the non-purchase types
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_direct_e6")
+      assert(p > 0L && p < 1000000L, r.toString)
+      val x = r.getAs[Double]("expected_steps")
+      // at least one step; bounded well under the 16-round truncation
+      // horizon (a value pressed against it would mean non-convergence)
+      assert(x > 1.0 && x < 15.0, r.toString)
+    }
+  }
+
+  test("q323: Hill alphas are positive, finite, and tail-derived") {
+    val rows = SparkEntry.queries("q323_hill_tail_index")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("xk_cents") > 0L)
+      val a = r.getAs[Double]("hill_alpha")
+      assert(a > 0.1 && a < 100.0, r.toString)
+    }
+  }
+
   test("q316: spectrum sanity — hapaxes exist and Chao1 dominates observed richness") {
     val rows = SparkEntry.queries("q316_good_turing")(spark, sf).collect()
     assert(rows.length == 20)

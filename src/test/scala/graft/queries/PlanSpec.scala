@@ -1037,6 +1037,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q317-q323: insight wave plan shapes") {
+    // q317/q319/q320/q323: the corpus stage lands in a localCheckpoint
+    // (20-bucket / cell-count / first-adoption / top-k frames) — the
+    // emitted plan must not drag scan lineage; q321/q322 are bounded
+    // driver emits. The bounded 20x20 range joins of q317 are the
+    // intentional q25-class nested loops, asserted bounded by the
+    // checkpoint, not forbidden.
+    Seq("q317_isotonic_calibration", "q319_dunning_keyness",
+      "q320_adoption_cascade", "q321_markov_stationary",
+      "q322_expected_absorption", "q323_hill_tail_index").foreach { q =>
+      val plan = planOf(q)
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 0, s"$q: expected 0 scans post-checkpoint, got $scans:\n$plan")
+    }
+    // q318 is the one single-pass scan query of the wave
+    val p318 = planOf("q318_capture_recapture")
+    val scans318 = p318.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans318 == 1, s"expected 1 customer scan, got $scans318:\n$p318")
+    assert(p318.contains("partial_count"), p318)
+    // q320's wave joins must stay family-keyed equi, never a cartesian
+    assert(!planOf("q320_adoption_cascade").contains("CartesianProduct"))
+  }
+
   test("q316: spectrum is one scan + one explode; aggs are partial") {
     val plan = planOf("q316_good_turing")
     val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
