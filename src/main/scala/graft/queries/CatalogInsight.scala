@@ -1095,5 +1095,100 @@ private[queries] object CatalogInsight {
         SELECT event_type, CAST(xkc AS BIGINT) AS xk_cents,
                floor($HillK.0 / s * 1000000 + 0.5) / 1000000.0 AS hill_alpha
         FROM sm ORDER BY event_type""")),
+
+    // Streaming LATE-DATA accounting — the watermark-semantics surface
+    // none of the other streaming entries isolates: three time-sliced
+    // files fed one-per-trigger, with a deterministic LATE RIBBON
+    // (event_id % 101 == 0 arrives one slice after its event-time slice),
+    // an hourly windowed count under a 30-minute watermark in APPEND
+    // mode. The emitted table is therefore shaped by BOTH watermark
+    // rules: late rows whose window already closed are dropped, and
+    // windows not yet passed by the final watermark are never emitted.
+    // The oracle replays the exact micro-batch semantics in SQL (batch
+    // k's watermark = max event time over slices < k, minus the delay —
+    // deterministic because mtime ordering pins the batch sequence), so
+    // oracle equality here PROVES the engine's late-drop and
+    // append-emission rules, not just an aggregate.
+    "q324_stream_late_data" -> QueryDef(
+      fn = (s, d) => {
+        import java.nio.file.Files
+        val ev = t(s, d, "events")
+        val ms = unix_millis(col("ts"))
+        val b = ev.agg(min(ms), max(ms)).head // bounded scalar
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+        val natural = when(ms <= cuts(0), 0).when(ms <= cuts(1), 1).otherwise(2)
+        // the ribbon arrives in the LAST slice regardless of event time:
+        // two slices late for the oldest third, one for the middle —
+        // late enough that the drop branch provably fires under the
+        // MEASURED one-batch-lagged watermark (see oracle comment)
+        val slice = when(col("event_id") % 101 === 0, lit(2)).otherwise(natural)
+        val dir = Files.createTempDirectory("graft-late-stream")
+        (0 to 2).foreach { i =>
+          val tmp = Files.createTempDirectory(s"graft-late-slice$i")
+          ev.withColumn("__k", slice).filter(col("__k") === i).drop("__k")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = {
+            val l = Files.list(tmp)
+            try l.filter(f => f.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get
+            finally l.close()
+          }
+          val dst = dir.resolve(f"slice$i%02d.parquet")
+          Files.move(part, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          dropStagedTree(tmp)
+        }
+        val footer = s.read.parquet(dir.toString).schema
+        val stream = graft.Tables.normalizeTs(
+          s.readStream.schema(footer).option("maxFilesPerTrigger", 1)
+            .parquet(dir.toString))
+        val agg = stream.withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        s.streams.active.filter(q => Option(q.name).contains("q324_mem"))
+          .foreach(_.stop())
+        val q = agg.writeStream.format("memory").queryName("q324_mem")
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        dropStagedTree(dir)
+        s.table("q324_mem")
+          .select(col("window.start").as("hour"), col("event_type"), col("n"))
+          .orderBy("hour", "event_type")
+      },
+      // MEASURED micro-batch watermark semantics (the experiment that
+      // pinned this is in NOTES, round-11 wave 6): the watermark applied
+      // while processing batch k derives from event-time stats through
+      // batch k-2 — ONE BATCH LAGGED relative to the naive reading
+      // (update happens after a batch commits, i.e. after the next
+      // batch was planned). So batch 0 and 1 run at watermark 0 and
+      // only batch 2's rows face a late filter (from batch-0 stats);
+      // final emission uses the post-last-batch watermark (max of ALL
+      // event time - delay), which the closing no-data micro-batch
+      // applies. Three candidate rules were replayed against the live
+      // result: no-drop diverged by 64 groups, the naive rule by 67,
+      // the lagged rule matches cell-exactly.
+      oracle = Some("""
+        WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi
+                   FROM events),
+        c AS (SELECT lo + (hi - lo) // 3 AS c0, lo + 2 * (hi - lo) // 3 AS c1 FROM b),
+        sl AS (SELECT event_id, event_type, ts, epoch_ms(ts) AS ems,
+                      CASE WHEN event_id % 101 = 0 THEN 2
+                           WHEN epoch_ms(ts) <= c.c0 THEN 0
+                           WHEN epoch_ms(ts) <= c.c1 THEN 1 ELSE 2 END AS k
+               FROM events, c),
+        wm AS (SELECT (SELECT max(ems) FROM sl WHERE k <= 0) - 1800000 AS w1,
+                      (SELECT max(ems) FROM sl) - 1800000 AS wf),
+        kept AS (SELECT sl.event_type, date_trunc('hour', sl.ts) AS h
+                 FROM sl, wm
+                 WHERE sl.k <= 1
+                    OR epoch_ms(date_trunc('hour', sl.ts)) + 3600000 > wm.w1)
+        SELECT h AS hour, event_type, count(*) AS n
+        FROM kept, wm
+        WHERE epoch_ms(h) + 3600000 <= wm.wf
+        GROUP BY 1, 2 ORDER BY hour, event_type"""),
+      bench = true, streaming = true), // append-mode watermark state-shape probe
   )
 }

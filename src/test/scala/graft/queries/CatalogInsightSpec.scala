@@ -214,6 +214,43 @@ class CatalogInsightSpec extends AnyFunSuite {
     }
   }
 
+  test("q324: both watermark effects fire — late drops AND held-back tail windows") {
+    import org.apache.spark.sql.functions._
+    val emitted = SparkEntry.queries("q324_stream_late_data")(spark, sf).collect()
+    assert(emitted.nonEmpty)
+    // Tables.load, not a raw read: the driver's ts encoding varies
+    // (TsEncodingSpec gotcha) and unix_millis rejects TIMESTAMP_NTZ
+    val ev = graft.Tables.load(spark, sf, "events")
+    val wfMs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0) - 1800000L
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("bn"),
+        count(when(col("event_id") % 101 === 0, 1)).as("ribbon"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // the final watermark holds back the tail: some batch windows never emit
+    assert(emitted.length < batch.size, s"${emitted.length} vs ${batch.size}")
+    val emap = emitted.map(r =>
+      (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    // account over all EMISSION-ELIGIBLE batch groups (window closed by
+    // the final watermark): a group may shrink — or vanish entirely when
+    // every row in it was a dropped ribbon row (the sparse-sf shape)
+    var dropped = 0L; var keptOfRibbon = 0L
+    batch.foreach { case (key, (bn, ribbon)) =>
+      if (key._1.getTime + 3600000L <= wfMs) {
+        val n = emap.getOrElse(key, 0L)
+        assert(n <= bn, s"emitted more than exists: $key $n vs $bn")
+        assert(n >= bn - ribbon, s"dropped a non-ribbon row: $key $n of $bn")
+        dropped += bn - n
+        keptOfRibbon += ribbon - (bn - n)
+      }
+    }
+    // the late-drop branch fired (old ribbon rows fell to the watermark)...
+    assert(dropped > 0L, "no late row was dropped — the ribbon is not late enough")
+    // ...but not vacuously: recent ribbon rows landed in still-open windows
+    assert(keptOfRibbon > 0L, "every ribbon row dropped — the accept branch is dead")
+  }
+
   test("q316: spectrum sanity — hapaxes exist and Chao1 dominates observed richness") {
     val rows = SparkEntry.queries("q316_good_turing")(spark, sf).collect()
     assert(rows.length == 20)
