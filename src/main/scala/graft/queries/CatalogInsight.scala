@@ -1190,5 +1190,249 @@ private[queries] object CatalogInsight {
         WHERE epoch_ms(h) + 3600000 <= wm.wf
         GROUP BY 1, 2 ORDER BY hour, event_type"""),
       bench = true, streaming = true), // append-mode watermark state-shape probe
+
+    // Mann-Kendall trend test + Sen's slope over per-type daily counts —
+    // the nonparametric monotone-trend verb beside q209's CUSUM
+    // (changepoint) and q292's burstiness (cadence): S = sum of pairwise
+    // sign() (exact int), tie-corrected Var(S) kept as its exact x18
+    // integer numerator, z one fixed-order double formula, Sen's slope
+    // the lower-median pairwise slope picked by a TOTAL (slope, i, j)
+    // order so both engines choose the same element. The pair frame is
+    // C(days, 2) per type — bounded by the calendar, not the row count.
+    "q325_mann_kendall" -> QueryDef(
+      fn = (s, d) => {
+        val real = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), datediff(col("__day"), lit("2024-01-01")).as("__i"),
+            col("n"))
+        // injected ramp series: the organic traffic is stationary by
+        // construction (every real type correctly reads 'none'), so two
+        // synthetic monotone series over the SAME calendar make the
+        // increasing/decreasing verdicts provably fire (the q280/q297
+        // injection discipline)
+        val days = real.select(col("__i")).distinct()
+        val ramps = days.select(lit("trend_up").as("event_type"), col("__i"),
+            (lit(40L) + col("__i").cast("long") * 3).as("n"))
+          .unionAll(days.select(lit("trend_down").as("event_type"), col("__i"),
+            (lit(160L) - col("__i").cast("long") * 3).as("n")))
+        val daily = real.unionAll(ramps)
+          .localCheckpoint(eager = true) // bounded (|types|+2) x |days|
+        val pairs = daily.select(col("event_type"), col("__i").as("__ia"), col("n").as("__na"))
+          .join(daily.select(col("event_type"), col("__i").as("__ib"), col("n").as("__nb")),
+            Seq("event_type"))
+          .filter(col("__ia") < col("__ib"))
+          .localCheckpoint(eager = true) // S + slope median share it
+        val sStat = pairs.groupBy("event_type")
+          .agg(sum(signum(col("__nb") - col("__na")).cast("long")).as("s_stat"),
+            count(lit(1)).as("__npairs"))
+        val ties = daily.groupBy(col("event_type"), col("n"))
+          .agg(count(lit(1)).as("__t"))
+          .groupBy("event_type")
+          .agg(sum(col("__t") * (col("__t") - 1) * (lit(2L) * col("__t") + 5)).as("__tie18"),
+            sum(col("__t")).as("n_days"))
+        val slopes = pairs.select(col("event_type"),
+          ((col("__nb") - col("__na")).cast("double")
+            / (col("__ib") - col("__ia")).cast("double")).as("__sl"),
+          col("__ia"), col("__ib"))
+        val med = slopes
+          .withColumn("__rk", row_number().over(Window.partitionBy("event_type")
+            .orderBy(col("__sl").asc, col("__ia").asc, col("__ib").asc)))
+          .join(broadcast(sStat.select(col("event_type"), col("__npairs"))), "event_type")
+          .filter(col("__rk") === (col("__npairs") + 1) / 2)
+          .select(col("event_type"), col("__sl").as("sen_slope_raw"))
+        sStat.join(ties, "event_type").join(med, "event_type")
+          .withColumn("var18",
+            col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+              - col("__tie18"))
+          .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
+            (floor((col("s_stat") - signum(col("s_stat"))).cast("double")
+              / sqrt(col("var18").cast("double") / 18.0) * 1000000 + 0.5) / 1000000.0)
+              .as("z"),
+            (floor(col("sen_slope_raw") * 1000000 + 0.5) / 1000000.0).as("sen_slope"))
+          .withColumn("trend", when(col("z") > 1.96, "increasing")
+            .when(col("z") < -1.96, "decreasing").otherwise("none"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH real_ AS (SELECT event_type,
+                              datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS i,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+        days AS (SELECT DISTINCT i FROM real_),
+        daily AS (SELECT * FROM real_
+                  UNION ALL SELECT 'trend_up', i, 40 + i * 3 FROM days
+                  UNION ALL SELECT 'trend_down', i, 160 - i * 3 FROM days),
+        pr AS (SELECT a.event_type, a.i AS ia, b.i AS ib, a.n AS na, b.n AS nb
+               FROM daily a JOIN daily b
+                 ON a.event_type = b.event_type AND a.i < b.i),
+        st AS (SELECT event_type,
+                      CAST(sum(CASE WHEN nb > na THEN 1 WHEN nb < na THEN -1 ELSE 0 END)
+                           AS BIGINT) AS s_stat,
+                      count(*) AS np
+               FROM pr GROUP BY 1),
+        tie AS (SELECT event_type,
+                       CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+                       CAST(sum(t) AS BIGINT) AS n_days
+                FROM (SELECT event_type, n, count(*) AS t FROM daily GROUP BY 1, 2)
+                GROUP BY 1),
+        sl AS (SELECT event_type, CAST(nb - na AS DOUBLE) / CAST(ib - ia AS DOUBLE) AS sl,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY CAST(nb - na AS DOUBLE)
+                                                  / CAST(ib - ia AS DOUBLE) ASC,
+                                                  ia ASC, ib ASC) AS rk
+               FROM pr),
+        med AS (SELECT sl.event_type, sl.sl FROM sl JOIN st USING (event_type)
+                WHERE sl.rk = (st.np + 1) // 2),
+        o AS (SELECT st.event_type, tie.n_days, st.s_stat,
+                     tie.n_days * (tie.n_days - 1) * (2 * tie.n_days + 5) - tie.tie18 AS var18,
+                     med.sl
+              FROM st JOIN tie USING (event_type) JOIN med USING (event_type))
+        SELECT event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+               floor(CAST(s_stat - sign(s_stat) AS DOUBLE)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000 + 0.5) / 1000000.0 AS z,
+               floor(sl * 1000000 + 0.5) / 1000000.0 AS sen_slope,
+               CASE WHEN floor(CAST(s_stat - sign(s_stat) AS DOUBLE)
+                          / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000 + 0.5) / 1000000.0 > 1.96
+                    THEN 'increasing'
+                    WHEN floor(CAST(s_stat - sign(s_stat) AS DOUBLE)
+                          / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000 + 0.5) / 1000000.0 < -1.96
+                    THEN 'decreasing' ELSE 'none' END AS trend
+        FROM o ORDER BY event_type""")),
+
+    // Zipf rank-frequency slope over the corpus bigram spectrum (the
+    // rank-axis sibling of q274's Heaps growth curve and q316's
+    // frequency-of-frequencies): OLS of ln(freq) on ln(rank) across the
+    // top-200 ranks. Cross-row FP sums are made ORDER-FREE by the
+    // established snap-then-sum rule: every per-rank term (x, y, xy, xx)
+    // is floor-snapped to the 1e-9 grid and summed as exact longs; the
+    // two final slope products are lifted to DECIMAL(38,0) (the
+    // q78/q292 overflow rule) before ONE double division.
+    "q326_zipf_slope" -> QueryDef(
+      fn = (s, d) => {
+        val toks = TF.tokens(col("text"))
+        val bigrams = zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        val freq = t(s, d, "documents")
+          .select(explode(bigrams).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("__f"))
+        // top-200 via TakeOrderedAndProject (never a SinglePartition window
+        // over the corpus-sized vocabulary); the rank window then runs on
+        // the checkpointed 200-row frame — bounded by the constant
+        val ranked = freq.orderBy(col("__f").desc, col("bigram").asc).limit(200)
+          .localCheckpoint(eager = true)
+          .withColumn("__rk", row_number().over(
+            Window.orderBy(col("__f").desc, col("bigram").asc)))
+        def snap9(c: Column): Column = floor(c * 1e9 + 0.5).cast("long")
+        val terms = ranked.select(
+          snap9(log(col("__rk").cast("double"))).as("__x"),
+          snap9(log(col("__f").cast("double"))).as("__y"),
+          snap9(log(col("__rk").cast("double")) * log(col("__f").cast("double"))).as("__xy"),
+          snap9(log(col("__rk").cast("double")) * log(col("__rk").cast("double"))).as("__xx"))
+        // SCALE ALIGNMENT (caught by inspection — both engines agreed on
+        // the wrong number): sxy/sxx are e9-scaled but sx*sy / sx*sx are
+        // e18-scaled, so the n*sxy terms must be lifted by another 1e9
+        // (through DECIMAL — the product tops 1e24) before the subtraction;
+        // the mixed-scale draft returned slope = +mean(y)/mean(x) and an
+        // intercept of exactly 0, the give-away signature
+        val slopeCol = (
+          (col("__n") * col("__sxy")).cast("decimal(38,0)") * lit(1000000000L)
+            - col("__sx").cast("decimal(38,0)") * col("__sy")).cast("double") /
+          ((col("__n") * col("__sxx")).cast("decimal(38,0)") * lit(1000000000L)
+            - col("__sx").cast("decimal(38,0)") * col("__sx")).cast("double")
+        terms.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+            sum(col("__y")).as("__sy"), sum(col("__xy")).as("__sxy"),
+            sum(col("__xx")).as("__sxx"))
+          .select(col("__n").as("n_ranks"),
+            (floor(slopeCol * 1000000 + 0.5) / 1000000.0).as("zipf_slope"),
+            (floor((col("__sy").cast("double") - slopeCol * col("__sx").cast("double"))
+              / col("__n").cast("double") / 1e9 * 1000000 + 0.5) / 1000000.0)
+              .as("intercept"))
+      },
+      oracle = Some(s"""
+        WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        tk AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS pos FROM t0),
+        bg AS (SELECT a.tok || ' ' || b.tok AS bigram
+               FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        freq AS (SELECT bigram, count(*) AS f FROM bg GROUP BY 1),
+        rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, bigram ASC) AS r
+               FROM freq QUALIFY r <= 200),
+        tm AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS x,
+                      CAST(floor(ln(CAST(f AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS y,
+                      CAST(floor(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)) * 1e9 + 0.5)
+                           AS BIGINT) AS xy,
+                      CAST(floor(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) * 1e9 + 0.5)
+                           AS BIGINT) AS xx
+               FROM rk),
+        sm AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                      sum(xy) AS sxy, sum(xx) AS sxx
+               FROM tm)
+        SELECT n AS n_ranks,
+               floor(CAST(CAST(n * sxy AS DECIMAL(38,0)) * 1000000000
+                          - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                     / CAST(CAST(n * sxx AS DECIMAL(38,0)) * 1000000000
+                          - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000.0 AS zipf_slope,
+               floor((CAST(sy AS DOUBLE)
+                      - CAST(CAST(n * sxy AS DECIMAL(38,0)) * 1000000000
+                             - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                        / CAST(CAST(n * sxx AS DECIMAL(38,0)) * 1000000000
+                             - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 1e9 * 1000000 + 0.5) / 1000000.0 AS intercept
+        FROM sm""")),
+
+    // ABC / Pareto-class inventory census: parts ranked by exact-cents
+    // revenue, inclusive cumulative share via the distributed two-phase
+    // prefix sum (range partition + O(buckets) driver offsets — NEVER a
+    // single-partition window), class cut at 80% / 95% by integer
+    // cross-multiply (no FP at the boundary). The per-item class labels
+    // collapse to a 3-row census carrying item counts, exact revenue and
+    // e6 shares — the q220 Lorenz/Gini readout's actionable sibling.
+    "q327_abc_classes" -> QueryDef(
+      fn = (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("__r")) // cents x discount-cents grid, exact
+        val (cum, total) = graft.ops.PrefixSum.exclusiveWithTotal(
+          rev, Seq(col("__r").desc, col("l_partkey").asc), col("__r"), "__cum")
+        val classed = cum.select(col("l_partkey"), col("__r"),
+          (col("__cum") + col("__r")).as("__incl"))
+          .withColumn("abc_class",
+            when((col("__incl") * 5) <= lit(total) * 4, "A")
+              .when((col("__incl") * 20) <= lit(total) * 19, "B")
+              .otherwise("C"))
+        classed.groupBy("abc_class")
+          .agg(count(lit(1)).as("n_items"), sum(col("__r")).as("revenue_grid"))
+          .select(col("abc_class"), col("n_items"), col("revenue_grid"),
+            // the cents x percent grid makes revenue_grid * 1e6 overflow a
+            // long at sf >= 0.01 — lift through DECIMAL(38,0) (q78 rule);
+            // `div` on decimals is still integral division in Spark
+            expr(s"CAST(CAST(revenue_grid AS DECIMAL(38,0)) * 1000000 div ${total}L AS BIGINT)")
+              .as("revenue_share_e6"))
+          .orderBy("abc_class")
+      },
+      oracle = Some(s"""
+        WITH rev AS (SELECT l_partkey,
+                            sum(${centsSql("l_extendedprice")}
+                                * (100 - ${centsSql("l_discount")})) AS r
+                     FROM lineitem GROUP BY 1),
+        tot AS (SELECT sum(r) AS t FROM rev),
+        cum AS (SELECT l_partkey, r,
+                       sum(r) OVER (ORDER BY r DESC, l_partkey ASC) AS incl
+                FROM rev),
+        cl AS (SELECT l_partkey, r,
+                      CASE WHEN incl * 5 <= tot.t * 4 THEN 'A'
+                           WHEN incl * 20 <= tot.t * 19 THEN 'B'
+                           ELSE 'C' END AS abc_class
+               FROM cum, tot)
+        SELECT abc_class, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(r) AS BIGINT) AS revenue_grid,
+               CAST(CAST(sum(r) AS HUGEINT) * 1000000 // tot.t AS BIGINT) AS revenue_share_e6
+        FROM cl, tot GROUP BY abc_class, tot.t ORDER BY abc_class""")),
   )
 }

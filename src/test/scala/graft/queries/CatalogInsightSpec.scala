@@ -251,6 +251,49 @@ class CatalogInsightSpec extends AnyFunSuite {
     assert(keptOfRibbon > 0L, "every ribbon row dropped — the accept branch is dead")
   }
 
+  test("q325: all three trend verdicts fire; ramps read their exact slope") {
+    val rows = SparkEntry.queries("q325_mann_kendall")(spark, sf).collect()
+    val byType = rows.map(r => r.getAs[String]("event_type") -> r).toMap
+    // injected monotone ramps: perfect S = +-C(30,2), Sen slope exactly +-3
+    assert(byType("trend_up").getAs[String]("trend") == "increasing")
+    assert(byType("trend_up").getAs[Double]("sen_slope") == 3.0)
+    assert(byType("trend_down").getAs[String]("trend") == "decreasing")
+    assert(byType("trend_down").getAs[Double]("sen_slope") == -3.0)
+    val n = byType("trend_up").getAs[Long]("n_days")
+    assert(byType("trend_up").getAs[Long]("s_stat") == n * (n - 1) / 2)
+    // organic traffic is stationary by construction — but at sf0.001 the
+    // daily counts are ~7/day and one series can cross |z| > 1.96 by
+    // chance, so the pin is "mostly none", not "all none"
+    val organic = rows.filter(r => !r.getAs[String]("event_type").startsWith("trend_"))
+    assert(organic.count(_.getAs[String]("trend") == "none") >= organic.length - 1)
+    rows.foreach(r => assert(r.getAs[Long]("var18") > 0L))
+  }
+
+  test("q326: Zipf fit slopes DOWN with a sane intercept") {
+    val r = SparkEntry.queries("q326_zipf_slope")(spark, sf).head()
+    assert(r.getAs[Long]("n_ranks") == 200L)
+    val slope = r.getAs[Double]("zipf_slope")
+    // rank-frequency fits slope downward; the mixed-scale draft of this
+    // formula returned +mean(y)/mean(x) and intercept exactly 0 — both
+    // engines AGREED on the wrong number, which is why this pin exists
+    assert(slope < 0.0, s"slope $slope is not decreasing")
+    val icept = r.getAs[Double]("intercept")
+    assert(icept > 0.0 && icept < 20.0, s"intercept $icept")
+    assert(icept != 0.0)
+  }
+
+  test("q327: ABC classes partition items and respect the cumulative cuts") {
+    val rows = SparkEntry.queries("q327_abc_classes")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("abc_class")).sorted.toSeq == Seq("A", "B", "C"))
+    val share = rows.map(r => r.getAs[String]("abc_class") -> r.getAs[Long]("revenue_share_e6")).toMap
+    // A holds at most 80% + one item's worth; C holds the 5% tail + slack
+    assert(share("A") <= 800000L + 100000L, share.toString)
+    assert(share("A") > share("B") && share("B") > share("C"), share.toString)
+    assert(share.values.sum <= 1000000L && share.values.sum > 1000000L - 3)
+    val items = rows.map(r => r.getAs[String]("abc_class") -> r.getAs[Long]("n_items")).toMap
+    assert(items.values.forall(_ > 0L), items.toString)
+  }
+
   test("q316: spectrum sanity — hapaxes exist and Chao1 dominates observed richness") {
     val rows = SparkEntry.queries("q316_good_turing")(spark, sf).collect()
     assert(rows.length == 20)

@@ -1060,6 +1060,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!planOf("q320_adoption_cascade").contains("CartesianProduct"))
   }
 
+  test("q325-q327: trend/zipf/abc wave plan shapes") {
+    // q325's pair frame and q327's classed frame ride checkpoints/pins —
+    // no scan lineage in the emitted plan; q326 is one scan + one
+    // bounded 200-row window
+    Seq("q325_mann_kendall", "q327_abc_classes").foreach { q =>
+      val plan = planOf(q)
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 0, s"$q: expected 0 scans, got $scans:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+    // q326: the top-200 cut runs as TakeOrdered pre-checkpoint (never a
+    // SinglePartition window over the corpus vocabulary); the emitted
+    // plan is the bounded 200-row tail
+    val p326 = planOf("q326_zipf_slope")
+    val scans326 = p326.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans326 == 0, s"expected 0 scans post-checkpoint, got $scans326:\n$p326")
+  }
+
   test("q316: spectrum is one scan + one explode; aggs are partial") {
     val plan = planOf("q316_good_turing")
     val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
