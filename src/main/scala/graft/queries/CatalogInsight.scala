@@ -1434,5 +1434,327 @@ private[queries] object CatalogInsight {
                CAST(sum(r) AS BIGINT) AS revenue_grid,
                CAST(CAST(sum(r) AS HUGEINT) * 1000000 // tot.t AS BIGINT) AS revenue_share_e6
         FROM cl, tot GROUP BY abc_class, tot.t ORDER BY abc_class""")),
+
+    // Davies-Bouldin clustering-validity index (the pairwise-scatter
+    // sibling of q238's silhouette): clusters = labels, vectors on the
+    // e3 integer grid (exact squared distances), per-cluster scatter
+    // S_i = mean member-to-centroid distance with every sqrt SNAPPED to
+    // the e6 grid before the cross-row sum (order-free, the q270 rule),
+    // pair ratio R_ij = (S_i + S_j) / M_ij all-integer on the bounded
+    // labels^2 frame, DB = mean over clusters of the worst ratio. One
+    // corpus scan (centroid build + distance pass ride a checkpoint).
+    "q328_davies_bouldin" -> QueryDef(
+      fn = (s, d) => {
+        val sx = transform(col("embedding"), x =>
+          (x.cast("double") * 1000.0 + signum(x.cast("double")) * 0.5).cast("long"))
+        val vecs = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"), sx.as("__sx"))
+          .localCheckpoint(eager = true)
+        val cent = vecs
+          .select(col("label"), posexplode(col("__sx")).as(Seq("__i", "__v")))
+          .groupBy("label", "__i")
+          .agg(expr("sum(__v) div count(1)").as("__c"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("__i"), col("__c")))).as("__cs"))
+          .select(col("label").as("clabel"),
+            transform(col("__cs"), e => e.getField("__c")).as("__cv"))
+          .localCheckpoint(eager = true) // member pass + pair pass
+        def d2(a: Column, b: Column): Column = aggregate(
+          zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+        val scat = vecs.join(broadcast(cent), col("label") === col("clabel"))
+          .select(col("label"),
+            floor(sqrt(d2(col("__sx"), col("__cv")).cast("double")) * 1000000 + 0.5)
+              .cast("long").as("__dist_e6"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"),
+            expr("sum(__dist_e6) div count(1)").as("s_e6"))
+          .localCheckpoint(eager = true) // bounded |labels| rows
+        val pairs = cent.select(col("clabel").as("__la"), col("__cv").as("__ca"))
+          .join(cent.select(col("clabel").as("__lb"), col("__cv").as("__cb")),
+            col("__la") =!= col("__lb"))
+          .select(col("__la"), col("__lb"),
+            floor(sqrt(d2(col("__ca"), col("__cb")).cast("double")) * 1000000 + 0.5)
+              .cast("long").as("__m_e6"))
+        val r = pairs
+          .join(broadcast(scat.select(col("label").as("__la"), col("s_e6").as("__si"))), "__la")
+          .join(broadcast(scat.select(col("label").as("__lb"), col("s_e6").as("__sj"))), "__lb")
+          .select(col("__la").as("label"), col("__lb"),
+            expr("(__si + __sj) * 1000000L div __m_e6").as("__r_e6"))
+        val worst = r
+          .withColumn("__rk", row_number().over(Window.partitionBy("label")
+            .orderBy(col("__r_e6").desc, col("__lb").asc)))
+          .filter(col("__rk") === 1)
+          .select(col("label"), col("__lb").as("worst_peer"), col("__r_e6").as("r_max_e6"))
+        val db = worst.agg(expr("sum(r_max_e6) div count(1)").as("__db"))
+        scat.join(worst, "label").crossJoin(broadcast(db))
+          .select(col("label"), col("n_members"), col("s_e6"),
+            col("worst_peer"), col("r_max_e6"), col("__db").as("db_index_e6"))
+          .orderBy("label")
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          list_transform(embedding, x ->
+                            CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS sx
+                   FROM embeddings),
+        ex AS (SELECT label, unnest(sx) AS xv,
+                      generate_subscripts(sx, 1) AS i FROM v),
+        ce AS (SELECT label, i, sum(xv) // count(*) AS c FROM ex GROUP BY 1, 2),
+        cv AS (SELECT label AS clabel, list(c ORDER BY i) AS cvec FROM ce GROUP BY 1),
+        sc AS (SELECT v.label, count(*) AS n_members,
+                      sum(CAST(floor(sqrt(CAST(list_sum(list_transform(
+                            list_zip(v.sx, cv.cvec),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT))
+                        // count(*) AS s_e6
+               FROM v JOIN cv ON v.label = cv.clabel
+               GROUP BY v.label),
+        pr AS (SELECT a.clabel AS la, b.clabel AS lb,
+                      CAST(floor(sqrt(CAST(list_sum(list_transform(
+                            list_zip(a.cvec, b.cvec),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) AS m_e6
+               FROM cv a JOIN cv b ON a.clabel <> b.clabel),
+        rr AS (SELECT pr.la AS label, pr.lb,
+                      (si.s_e6 + sj.s_e6) * 1000000 // pr.m_e6 AS r_e6
+               FROM pr JOIN sc si ON si.label = pr.la
+                       JOIN sc sj ON sj.label = pr.lb),
+        wr AS (SELECT label, lb AS worst_peer, r_e6 AS r_max_e6,
+                      row_number() OVER (PARTITION BY label
+                                         ORDER BY r_e6 DESC, lb ASC) AS rk
+               FROM rr),
+        db AS (SELECT sum(r_max_e6) // count(*) AS dbv FROM wr WHERE rk = 1)
+        SELECT sc.label, CAST(sc.n_members AS BIGINT) AS n_members,
+               CAST(sc.s_e6 AS BIGINT) AS s_e6, wr.worst_peer,
+               CAST(wr.r_max_e6 AS BIGINT) AS r_max_e6,
+               CAST(db.dbv AS BIGINT) AS db_index_e6
+        FROM sc JOIN wr ON wr.label = sc.label AND wr.rk = 1, db
+        ORDER BY sc.label""")),
+
+    // Holt's linear (double-exponential) smoothing with a 7-day-ahead
+    // forecast — the trend-carrying upgrade of q192's EWMA (which is a
+    // 4-term truncation; THIS runs the full recurrence): per type over
+    // the daily counts, l <- 0.2 y + 0.8 (l + b), b <- 0.1 (l - l') +
+    // 0.9 b, seeded l_1 = y_1 / b_1 = 0. The recurrence is FIXED-LENGTH
+    // unrolled (31 steps with carry on missing days) so the oracle
+    // replays the identical FP sequence step by step — the kCorePeel
+    // convention applied to state-space smoothing.
+    "q329_holt_linear" -> QueryDef(
+      fn = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+            .orderBy("__day")))
+          .select(col("event_type"), col("rn"), col("n"))
+          .collect() // bounded |types| x |days|
+        val byType = daily.groupBy(_.getString(0))
+        val rows = byType.toSeq.sortBy(_._1).map { case (ty, rs) =>
+          val ys = rs.sortBy(_.getInt(1)).map(_.getLong(2).toDouble)
+          var l = ys.head
+          var b = 0.0
+          // fixed 31-step unroll with carry — identical to the oracle's
+          // CTE chain (steps past this type's last day carry state)
+          for (t0 <- 2 to 31) {
+            if (t0 <= ys.length) {
+              val lNew = 0.2 * ys(t0 - 1) + 0.8 * (l + b)
+              b = 0.1 * (lNew - l) + 0.9 * b
+              l = lNew
+            }
+          }
+          Row(ty, ys.length.toLong,
+            math.floor(l * 1000000 + 0.5) / 1000000.0,
+            math.floor(b * 1000000 + 0.5) / 1000000.0,
+            math.floor((l + 7.0 * b) * 1000000 + 0.5) / 1000000.0)
+        }
+        val schema = StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("n_days", LongType, nullable = false),
+          StructField("level", DoubleType, nullable = false),
+          StructField("trend", DoubleType, nullable = false),
+          StructField("forecast_7d", DoubleType, nullable = false)))
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        val steps = (2 to 31).map { t0 =>
+          s"""h$t0 AS MATERIALIZED (
+                SELECT h.event_type,
+                       CASE WHEN y.n IS NULL THEN h.l
+                            ELSE 0.2 * CAST(y.n AS DOUBLE) + 0.8 * (h.l + h.b) END AS l,
+                       CASE WHEN y.n IS NULL THEN h.b
+                            ELSE 0.1 * ((0.2 * CAST(y.n AS DOUBLE) + 0.8 * (h.l + h.b)) - h.l)
+                                 + 0.9 * h.b END AS b
+                FROM h${t0 - 1} h LEFT JOIN daily y
+                  ON y.event_type = h.event_type AND y.rn = $t0)"""
+        }.mkString(",\n")
+        s"""
+        WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+        daily AS (SELECT event_type, n,
+                         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+                  FROM d0),
+        nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1),
+        h1 AS (SELECT event_type, CAST(n AS DOUBLE) AS l, 0.0 AS b
+               FROM daily WHERE rn = 1),
+        $steps
+        SELECT h.event_type, nd.n_days,
+               floor(h.l * 1000000 + 0.5) / 1000000.0 AS level,
+               floor(h.b * 1000000 + 0.5) / 1000000.0 AS trend,
+               floor((h.l + 7.0 * h.b) * 1000000 + 0.5) / 1000000.0 AS forecast_7d
+        FROM h31 h JOIN nd USING (event_type) ORDER BY event_type"""
+      }),
+
+    // Huffman code lengths over the corpus token distribution — the
+    // optimal-coding benchmark every tokenizer/compression decision is
+    // measured against (vocab is 31 at every sf, so the 30 greedy merges
+    // unroll to a CONSTANT oracle chain): repeatedly merge the two
+    // lightest nodes (total (weight, min-leaf-label) order), each merge
+    // deepening every leaf under it by 1. The corpus work is one token
+    // count; the greedy runs on the collected bounded vocabulary (the
+    // transition-matrix precedent), replayed step-by-step by the oracle.
+    "q330_huffman_lengths" -> QueryDef(
+      fn = (s, d) => {
+        val freq = t(s, d, "documents")
+          .select(explode(TF.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+          .collect() // bounded: the 31-token vocabulary
+          .map(r => r.getString(0) -> r.getLong(1))
+        // greedy merge on (weight, min-leaf-label); depth[token] += 1
+        // whenever its subtree is merged — total order both engines
+        var nodes = freq.map { case (t0, f) => (f, t0, Set(t0)) }.toVector
+        val depth = scala.collection.mutable.Map(freq.map(_._1 -> 0L): _*)
+        while (nodes.length > 1) {
+          val sorted = nodes.sortBy(n => (n._1, n._2))
+          val (a, b) = (sorted(0), sorted(1))
+          (a._3 ++ b._3).foreach(t0 => depth(t0) += 1L)
+          nodes = sorted.drop(2) :+
+            ((a._1 + b._1, if (a._2 < b._2) a._2 else b._2, a._3 ++ b._3))
+        }
+        val rows = freq.sortBy(_._1).map { case (t0, f) => Row(t0, f, depth(t0)) }
+        val schema = StructType(Seq(
+          StructField("token", StringType, nullable = false),
+          StructField("freq", LongType, nullable = false),
+          StructField("code_len", LongType, nullable = false)))
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+          .orderBy("token")
+      },
+      oracle = Some {
+        val steps = (1 to 30).map { k =>
+          s"""s$k AS MATERIALIZED (
+                SELECT min(CASE WHEN rk = 1 THEN lbl END) AS l1,
+                       min(CASE WHEN rk = 2 THEN lbl END) AS l2,
+                       min(CASE WHEN rk = 1 THEN w END) AS w1,
+                       min(CASE WHEN rk = 2 THEN w END) AS w2
+                FROM (SELECT w, lbl,
+                             row_number() OVER (ORDER BY w, lbl) AS rk
+                      FROM n${k - 1}) WHERE rk <= 2),
+              n$k AS MATERIALIZED (
+                SELECT w, lbl FROM n${k - 1}, s$k
+                WHERE lbl <> s$k.l1 AND lbl <> s$k.l2
+                UNION ALL
+                SELECT w1 + w2, least(l1, l2) FROM s$k),
+              d$k AS MATERIALIZED (
+                SELECT token, f,
+                       CASE WHEN root = s$k.l1 OR root = s$k.l2
+                            THEN len + 1 ELSE len END AS len,
+                       CASE WHEN root = s$k.l1 OR root = s$k.l2
+                            THEN least(s$k.l1, s$k.l2) ELSE root END AS root
+                FROM d${k - 1}, s$k)"""
+        }.mkString(",\n")
+        s"""
+        WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+        fr AS (SELECT token, count(*) AS f FROM tk GROUP BY 1),
+        n0 AS (SELECT f AS w, token AS lbl FROM fr),
+        d0 AS (SELECT token, f, 0 AS len, token AS root FROM fr),
+        $steps
+        SELECT token, CAST(f AS BIGINT) AS freq, CAST(len AS BIGINT) AS code_len
+        FROM d30 ORDER BY token"""
+      }),
+
+    // Critical-path analysis (CPM longest path) over a deterministic
+    // task DAG: nodes = the 50 part families, task duration = the
+    // family's lineitem count, precedence edges f -> f+1/f+2/f+3 (a
+    // forward-only lattice, so the DAG is given in topological order and
+    // the DP is an exact-integer 50-step chain — unrolled verbatim in
+    // the oracle). Output: per task its duration, earliest finish
+    // (longest path INTO it), and whether it sits on a/the global
+    // critical path (backtracked from the argmax — exact integers, so
+    // the flag is engine-stable).
+    "q331_critical_path" -> QueryDef(
+      fn = (s, d) => {
+        val dur = t(s, d, "lineitem")
+          .groupBy((col("l_partkey") % RuleItemMod).as("fam"))
+          .agg(count(lit(1)).as("dur"))
+          .collect() // bounded: the 50 families
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val n = RuleItemMod.toInt
+        val finish = Array.fill(n)(0L)
+        for (f <- 0 until n) {
+          val best = (2 to 3).map(f - _).filter(_ >= 0).map(finish).foldLeft(0L)(math.max)
+          finish(f) = dur.getOrElse(f.toLong, 0L) + best
+        }
+        // backtrack the lexicographically-smallest critical path from the
+        // smallest argmax end node (total order -> engine-stable flag)
+        val endNode = finish.zipWithIndex.maxBy { case (v, i) => (v, -i) }._2
+        val critical = Array.fill(n)(false)
+        var cur = endNode
+        critical(cur) = true
+        while (finish(cur) != dur.getOrElse(cur.toLong, 0L)) {
+          val target = finish(cur) - dur.getOrElse(cur.toLong, 0L)
+          cur = (2 to 3).map(cur - _).filter(_ >= 0)
+            .filter(p => finish(p) == target).min
+          critical(cur) = true
+        }
+        val rows = (0 until n).map { f =>
+          Row(f.toLong, dur.getOrElse(f.toLong, 0L), finish(f), critical(f))
+        }
+        val schema = StructType(Seq(
+          StructField("family", LongType, nullable = false),
+          StructField("duration", LongType, nullable = false),
+          StructField("earliest_finish", LongType, nullable = false),
+          StructField("on_critical_path", org.apache.spark.sql.types.BooleanType,
+            nullable = false)))
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+          .orderBy("family")
+      },
+      oracle = Some {
+        val n = RuleItemMod.toInt
+        val chain = (0 until n).map { f =>
+          val preds = (2 to 3).map(f - _).filter(_ >= 0)
+          val best = if (preds.isEmpty) "0"
+            else s"greatest(${preds.map(p => s"(SELECT v FROM l$p)").mkString(", ")}, 0)"
+          s"""l$f AS MATERIALIZED (
+                SELECT coalesce((SELECT dur FROM d WHERE fam = $f), 0) + $best AS v)"""
+        }.mkString(",\n")
+        val finishUnion = (0 until n).map(f =>
+          s"SELECT CAST($f AS BIGINT) AS family, (SELECT v FROM l$f) AS earliest_finish")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH d AS (SELECT l_partkey % $RuleItemMod AS fam, count(*) AS dur
+                   FROM lineitem GROUP BY 1),
+        $chain,
+        fin AS ($finishUnion),
+        base AS (SELECT f.family, coalesce(d.dur, 0) AS duration, f.earliest_finish
+                 FROM fin f LEFT JOIN d ON d.fam = f.family),
+        endn AS (SELECT family FROM base
+                 ORDER BY earliest_finish DESC, family ASC LIMIT 1),
+        crit AS (
+          WITH RECURSIVE walk(family) AS (
+            SELECT family FROM endn
+            UNION
+            SELECT (SELECT p.family FROM base p, base c
+                    WHERE c.family = walk.family
+                      AND p.family IN (c.family - 2, c.family - 3)
+                      AND p.earliest_finish = c.earliest_finish - c.duration
+                    ORDER BY p.family ASC LIMIT 1)
+            FROM walk
+            WHERE (SELECT c.earliest_finish - c.duration FROM base c
+                   WHERE c.family = walk.family) > 0)
+          SELECT family FROM walk WHERE family IS NOT NULL)
+        SELECT b.family, b.duration, b.earliest_finish,
+               b.family IN (SELECT family FROM crit) AS on_critical_path
+        FROM base b ORDER BY family"""
+      }),
   )
 }

@@ -294,6 +294,72 @@ class CatalogInsightSpec extends AnyFunSuite {
     assert(items.values.forall(_ > 0L), items.toString)
   }
 
+  test("q328: Davies-Bouldin bookkeeping — DB is the mean worst ratio") {
+    val rows = SparkEntry.queries("q328_davies_bouldin")(spark, sf).collect()
+    assert(rows.length == 10) // the label fixture
+    val db = rows.head.getAs[Long]("db_index_e6")
+    assert(rows.forall(_.getAs[Long]("db_index_e6") == db)) // global, repeated
+    assert(db == rows.map(_.getAs[Long]("r_max_e6")).sum / rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("s_e6") > 0L)
+      assert(r.getAs[Long]("worst_peer") != r.getAs[Long]("label"))
+      // weakly-separated label clusters: every ratio > 1 (scatter beats
+      // separation) — the fixture truth a well-clustered corpus would flip
+      assert(r.getAs[Long]("r_max_e6") > 1000000L, r.toString)
+    }
+  }
+
+  test("q329: Holt state is self-consistent and level tracks the daily mean") {
+    val rows = SparkEntry.queries("q329_holt_linear")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val l = r.getAs[Double]("level"); val b = r.getAs[Double]("trend")
+      val f = r.getAs[Double]("forecast_7d")
+      // identity up to three independent e6 floor-snaps (each +-1e-6/2,
+      // and 7*b amplifies trend's snap by 7 -> slack 5e-6)
+      assert(math.abs(f - (l + 7.0 * b)) < 5e-6, r.toString)
+      assert(l > 0.0, r.toString)
+    }
+    // levels sit near the per-type daily mean (~events/type/days)
+    val ev = graft.Tables.load(spark, sf, "events").count().toDouble
+    val mean = ev / 5.0 / 30.0
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("level") - mean) < mean,
+      s"level far from daily-mean scale: $r vs $mean"))
+  }
+
+  test("q330: Huffman lengths satisfy Kraft with equality and beat entropy + 1") {
+    val rows = SparkEntry.queries("q330_huffman_lengths")(spark, sf).collect()
+    assert(rows.length == 31) // the fixed lexicon
+    // a Huffman code is complete: Kraft sum is exactly 1
+    val kraft = rows.map(r => math.pow(0.5, r.getAs[Long]("code_len").toDouble)).sum
+    assert(math.abs(kraft - 1.0) < 1e-12, s"Kraft sum $kraft")
+    val n = rows.map(_.getAs[Long]("freq")).sum.toDouble
+    val entropy = rows.map { r =>
+      val p = r.getAs[Long]("freq") / n
+      -p * math.log(p) / math.log(2.0)
+    }.sum
+    val avgLen = rows.map(r => r.getAs[Long]("freq") * r.getAs[Long]("code_len")).sum / n
+    assert(avgLen >= entropy - 1e-9, s"beat the entropy bound?! $avgLen < $entropy")
+    assert(avgLen < entropy + 1.0, s"not optimal: $avgLen vs $entropy")
+  }
+
+  test("q331: CPM recurrence replays exactly and the critical flag splits") {
+    val rows = SparkEntry.queries("q331_critical_path")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("family"))
+    assert(rows.length == 50)
+    val fin = rows.map(_.getAs[Long]("earliest_finish"))
+    val dur = rows.map(_.getAs[Long]("duration"))
+    (0 until 50).foreach { f =>
+      val best = Seq(f - 2, f - 3).filter(_ >= 0).map(fin).foldLeft(0L)(math.max)
+      assert(fin(f) == dur(f) + best, s"family $f: ${fin(f)} != ${dur(f)} + $best")
+    }
+    val flags = rows.map(_.getAs[Boolean]("on_critical_path"))
+    assert(flags.exists(identity) && flags.exists(!_), "flag did not split")
+    // the path ends at the global max finish
+    val endIdx = fin.zipWithIndex.maxBy { case (v, i) => (v, -i) }._2
+    assert(flags(endIdx))
+  }
+
   test("q316: spectrum sanity — hapaxes exist and Chao1 dominates observed richness") {
     val rows = SparkEntry.queries("q316_good_turing")(spark, sf).collect()
     assert(rows.length == 20)

@@ -1078,6 +1078,18 @@ class PlanSpec extends AnyFunSuite {
     assert(scans326 == 0, s"expected 0 scans post-checkpoint, got $scans326:\n$p326")
   }
 
+  test("q328-q331: validity/smoothing/coding/CPM wave plan shapes") {
+    // q328's scatter/pair passes ride checkpoints; q329/q330/q331 are
+    // bounded driver emits (the corpus work ran at collect time)
+    Seq("q328_davies_bouldin", "q329_holt_linear",
+      "q330_huffman_lengths", "q331_critical_path").foreach { q =>
+      val plan = planOf(q)
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 0, s"$q: expected 0 scans, got $scans:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
   test("q316: spectrum is one scan + one explode; aggs are partial") {
     val plan = planOf("q316_good_turing")
     val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
