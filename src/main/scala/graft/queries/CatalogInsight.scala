@@ -1756,5 +1756,155 @@ private[queries] object CatalogInsight {
                b.family IN (SELECT family FROM crit) AS on_critical_path
         FROM base b ORDER BY family"""
       }),
+
+    // Best-of-n candidate selection (the rejection-sampling verb of
+    // RLHF data builds): candidate groups of 5 (doc_id div 5 — the
+    // source layout doc_id % 20 makes every group span 5 DIFFERENT
+    // sources), winner = highest quality score (e4 integer, the q186
+    // scoring) with doc_id tie-break; the census reports per-source
+    // wins and exact win-mean vs candidate-mean — the selection lift a
+    // best-of-n pipeline is run FOR. One scan, one group argmax window,
+    // one bounded census.
+    "q332_best_of_n" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        val scored = t(s, d, "documents").select(
+          col("doc_id"), col("source"), (col("doc_id") / 5L).cast("long").as("__g"),
+          (TF.qualityScore(col("text"), stops) * 10000 + 0.5).cast("long").as("__s"))
+          .localCheckpoint(eager = true) // winner pass + census share it
+        val winners = scored
+          .withColumn("__rk", row_number().over(Window.partitionBy("__g")
+            .orderBy(col("__s").desc, col("doc_id").asc)))
+          .filter(col("__rk") === 1)
+        val bySrc = scored.groupBy("source")
+          .agg(count(lit(1)).as("n_candidates"), sum(col("__s")).as("__all"))
+        val wins = winners.groupBy("source")
+          .agg(count(lit(1)).as("n_wins"), sum(col("__s")).as("__won"))
+        bySrc.join(wins, Seq("source"), "left")
+          .select(col("source"), col("n_candidates"),
+            coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+            expr("__all div n_candidates").as("mean_all_e4"),
+            when(col("n_wins").isNotNull, expr("__won div n_wins")).as("mean_won_e4"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT d.doc_id, d.source, d.doc_id // 5 AS g,
+                           CAST(round(($qualityExprSql) * 10000) AS BIGINT) AS s
+                    FROM ($qualityInnerSql) q JOIN documents d USING (doc_id)),
+        w AS (SELECT doc_id, source, g, s,
+                     row_number() OVER (PARTITION BY g ORDER BY s DESC, doc_id ASC) AS rk
+              FROM sc),
+        bs AS (SELECT source, count(*) AS n_candidates, sum(s) AS alls
+               FROM sc GROUP BY 1),
+        ws AS (SELECT source, count(*) AS n_wins, sum(s) AS won
+               FROM w WHERE rk = 1 GROUP BY 1)
+        SELECT bs.source, CAST(bs.n_candidates AS BIGINT) AS n_candidates,
+               CAST(coalesce(ws.n_wins, 0) AS BIGINT) AS n_wins,
+               CAST(bs.alls // bs.n_candidates AS BIGINT) AS mean_all_e4,
+               CAST(ws.won // ws.n_wins AS BIGINT) AS mean_won_e4
+        FROM bs LEFT JOIN ws USING (source) ORDER BY source""")),
+
+    // Padding-waste audit of two batching policies (the training-
+    // efficiency readout behind length-sorted batching): fixed batches
+    // of 8 sequences, batch id from the EXACT distributed global row
+    // number (two-phase range partition — never a single-reducer
+    // window) under (a) arrival order and (b) length-sorted order;
+    // waste = sum over batches of (batch max len - len). The sorted
+    // policy's waste is provably <= arrival's (spec-pinned), and the
+    // e6 padding share quantifies the win.
+    "q333_padding_waste" -> QueryDef(
+      fn = (s, d) => {
+        val lens = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokenCount(col("text")).as("len"))
+        def policy(name: String, sort: Seq[Column]): DataFrame = {
+          val rn = graft.ops.Ranking.globalRowNumber(lens, sort, "__rn")
+          rn.select(col("len"), ((col("__rn") - 1) / 8L).cast("long").as("__b"))
+            .groupBy("__b")
+            .agg(count(lit(1)).as("__bn"), max(col("len")).as("__mx"), sum(col("len")).as("__tok"))
+            .agg(count(lit(1)).as("n_batches"), sum(col("__tok")).as("total_tokens"),
+              sum(col("__mx") * col("__bn") - col("__tok")).as("total_padding"))
+            .select(lit(name).as("policy"), col("n_batches"), col("total_tokens"),
+              col("total_padding"),
+              expr("total_padding * 1000000L div (total_padding + total_tokens)")
+                .as("padding_share_e6"))
+        }
+        policy("arrival", Seq(col("doc_id").asc))
+          .unionAll(policy("sorted", Seq(col("len").asc, col("doc_id").asc)))
+          .orderBy("policy")
+      },
+      oracle = Some(s"""
+        WITH lens AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS len
+                      FROM documents),
+        arr AS (SELECT len, (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS b
+                FROM lens),
+        srt AS (SELECT len, (row_number() OVER (ORDER BY len, doc_id) - 1) // 8 AS b
+                FROM lens),
+        ab AS (SELECT b, count(*) AS bn, max(len) AS mx, sum(len) AS tok
+               FROM arr GROUP BY 1),
+        sb AS (SELECT b, count(*) AS bn, max(len) AS mx, sum(len) AS tok
+               FROM srt GROUP BY 1),
+        o AS (
+          SELECT 'arrival' AS policy, CAST(count(*) AS BIGINT) AS n_batches,
+                 CAST(sum(tok) AS BIGINT) AS total_tokens,
+                 CAST(sum(mx * bn - tok) AS BIGINT) AS total_padding
+          FROM ab
+          UNION ALL
+          SELECT 'sorted', CAST(count(*) AS BIGINT), CAST(sum(tok) AS BIGINT),
+                 CAST(sum(mx * bn - tok) AS BIGINT)
+          FROM sb)
+        SELECT policy, n_batches, total_tokens, total_padding,
+               CAST(total_padding * 1000000 // (total_padding + total_tokens)
+                    AS BIGINT) AS padding_share_e6
+        FROM o ORDER BY policy""")),
+
+    // Cross-split leakage AUDIT at embedding grain — the measurement
+    // complement of q171's leak-free split CONSTRUCTION: a naive
+    // md5-hash 80/10/10 split over vec_ids (twins injected at +1e6 get
+    // INDEPENDENT hashes, modeling the duplicate-blind split every
+    // leakage incident starts with), near-duplicate pairs from the
+    // LSH-bucketed detector (identical vectors share every hyperplane
+    // sign — twins can never be missed; organic max cosine is ~0.60,
+    // far under the 0.95 bar), pairs classified by split boundary. The
+    // oracle replays the pair set EXACTLY (injected grain is bounded,
+    // so its pair space is too).
+    "q334_split_leakage" -> QueryDef(
+      fn = (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val twins = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val corpus = base.unionAll(twins).localCheckpoint(eager = true)
+        val split = expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10")
+        val labeled = corpus.select(col("vec_id"),
+          when(split < 8, "train").when(split === 8, "val").otherwise("test").as("__sp"))
+        val pairs = graft.ops.Dedup.embeddingNearDup(corpus, "vec_id", "embedding")
+        pairs
+          .join(labeled.select(col("vec_id").as("id_a"), col("__sp").as("__sa")), "id_a")
+          .join(labeled.select(col("vec_id").as("id_b"), col("__sp").as("__sb")), "id_b")
+          .groupBy(least(col("__sa"), col("__sb")).as("split_a"),
+            greatest(col("__sa"), col("__sb")).as("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("is_leak", col("split_a") =!= col("split_b"))
+          .orderBy("split_a", "split_b")
+      },
+      oracle = Some("""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        lab AS (SELECT vec_id, embedding,
+                       CASE WHEN CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 10 < 8 THEN 'train'
+                            WHEN CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 10 = 8 THEN 'val'
+                            ELSE 'test' END AS sp
+                FROM corpus),
+        pr AS (SELECT a.sp AS sa, b.sp AS sb
+               FROM lab a JOIN lab b
+                 ON a.vec_id < b.vec_id
+                AND a.vec_id % 1000000 = b.vec_id % 1000000
+                AND len(a.embedding) = len(b.embedding))
+        SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+               count(*) AS n_pairs, least(sa, sb) <> greatest(sa, sb) AS is_leak
+        FROM pr GROUP BY 1, 2 ORDER BY split_a, split_b""")),
   )
 }

@@ -360,6 +360,50 @@ class CatalogInsightSpec extends AnyFunSuite {
     assert(flags(endIdx))
   }
 
+  test("q332: best-of-n wins partition the groups and lift the mean") {
+    val rows = SparkEntry.queries("q332_best_of_n")(spark, sf).collect()
+    assert(rows.length == 20)
+    val nDocs = rows.map(_.getAs[Long]("n_candidates")).sum
+    assert(rows.map(_.getAs[Long]("n_wins")).sum == nDocs / 5) // one winner per group
+    // mean of group maxima >= global mean (equal group sizes) — the
+    // selection-lift property best-of-n exists for
+    val allSum = rows.map(r => r.getAs[Long]("mean_all_e4") * r.getAs[Long]("n_candidates")).sum
+    val wonSum = rows.filter(_.getAs[Long]("n_wins") > 0)
+      .map(r => r.getAs[Long]("mean_won_e4") * r.getAs[Long]("n_wins")).sum
+    val wins = rows.map(_.getAs[Long]("n_wins")).sum
+    assert(wonSum.toDouble / wins > allSum.toDouble / nDocs,
+      s"no selection lift: ${wonSum / wins} vs ${allSum / nDocs}")
+  }
+
+  test("q333: sorted batching provably wastes less than arrival order") {
+    val rows = SparkEntry.queries("q333_padding_waste")(spark, sf).collect()
+      .map(r => r.getAs[String]("policy") -> r).toMap
+    assert(rows("arrival").getAs[Long]("total_tokens")
+      == rows("sorted").getAs[Long]("total_tokens"))
+    assert(rows("arrival").getAs[Long]("n_batches")
+      == rows("sorted").getAs[Long]("n_batches"))
+    // sorted-consecutive batching minimizes the sum of batch maxima over
+    // ALL equal-size partitions; on real lengths the gap is strict
+    assert(rows("sorted").getAs[Long]("total_padding")
+      < rows("arrival").getAs[Long]("total_padding"),
+      rows.values.map(_.toString).mkString(" | "))
+  }
+
+  test("q334: the duplicate-blind split provably leaks and the pair count is exact") {
+    val rows = SparkEntry.queries("q334_split_leakage")(spark, sf).collect()
+    val twins = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where("vec_id % 10 = 0").count()
+    // every injected twin pairs with its base exactly once; organic
+    // cosines sit far under the 0.95 bar
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == twins)
+    rows.foreach { r =>
+      assert((r.getAs[String]("split_a") != r.getAs[String]("split_b"))
+        == r.getAs[Boolean]("is_leak"))
+    }
+    assert(rows.exists(_.getAs[Boolean]("is_leak")), "no leak found — audit is dead")
+    assert(rows.exists(!_.getAs[Boolean]("is_leak")))
+  }
+
   test("q316: spectrum sanity — hapaxes exist and Chao1 dominates observed richness") {
     val rows = SparkEntry.queries("q316_good_turing")(spark, sf).collect()
     assert(rows.length == 20)

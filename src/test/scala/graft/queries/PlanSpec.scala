@@ -1090,6 +1090,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q332-q334: selection/batching/leakage wave plan shapes") {
+    // q332 rides a checkpoint (winner pass + census); q333's two
+    // policies each run the two-phase global row number — no
+    // SinglePartition exchange anywhere; q334's pair pass is the
+    // bucketed LSH equi-join, never a cartesian
+    val p332 = planOf("q332_best_of_n")
+    assert(p332.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*")) == 0, p332)
+    // q333: the only SinglePartition exchanges are the FINAL 1-row
+    // policy aggregates (carrying ~numPartitions partial rows — fine at
+    // any scale); the hazard shape is a GLOBAL row_number window, which
+    // the two-phase ranking avoids: every Window must be bucket-keyed
+    val p333 = planOf("q333_padding_waste")
+    assert(p333.contains("partial_sum"), p333)
+    p333.linesIterator.filter(_.trim.startsWith("Arguments: [__bucket").unary_!)
+      .filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("__bucket"), s"global window in q333:\n$l"))
+    val p334 = planOf("q334_split_leakage")
+    assert(!p334.contains("CartesianProduct") &&
+      !p334.contains("BroadcastNestedLoopJoin"), p334)
+  }
+
   test("q316: spectrum is one scan + one explode; aggs are partial") {
     val plan = planOf("q316_good_turing")
     val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
