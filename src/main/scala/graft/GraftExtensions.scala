@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // the whole-operator rung: per-key top-k planned as a partial/final
+    // bounded-heap pair (graft.plans.TopKPerKey) — injected here for
+    // config-driven deployments; the Column API registers the same
+    // strategy per-session idempotently
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

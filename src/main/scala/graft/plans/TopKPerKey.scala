@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftInternal}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Descending, Expression, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension — the (c) rung of the extension
+  * ladder (compose > Expression > LogicalPlan+Strategy+SparkPlan >
+  * mapPartitions): per-key top-k as a FIRST-CLASS operator instead of
+  * the `row_number() OVER (...) <= k` window idiom.
+  *
+  * Why a custom operator earns its keep here: the window form sorts
+  * every group in full (k ignored until the filter), while this plans
+  * like a partial aggregation — a map-side bounded-heap pass per
+  * partition (each emits <= k rows per key it sees), ONE hash exchange
+  * on the keys, and a final bounded-heap pass. Per-task state is
+  * O(keys-in-partition x k) rows; nothing ever materializes a full
+  * per-key sort. The planner sees [[TopKPerKeyNode]]; the strategy
+  * lowers it to the partial/final [[TopKPerKeyExec]] pair and
+  * EnsureRequirements inserts the exchange the final's required
+  * distribution declares — exactly how HashAggregateExec splits.
+  *
+  * Correctness contract: `order` must be a TOTAL order on the rows of
+  * each key (tie-break every ordering column, e.g. end with a unique
+  * id) — the same requirement every deterministic row_number carries.
+  *
+  * Reference framing: the reference engine's per-station "latest k
+  * measurements" reads (OpenAQ-Data-Pipeline-Engineering
+  * `athena_queries.sql` top-N-per-group shapes) are this operator; the
+  * catalog's q335 oracle-pairs it against the window form.
+  */
+object TopKPerKey {
+
+  /** Per-key top-k of `df`: the rows whose rank under `orderCols`
+    * (column, ascending?) within their `keyCols` group is <= k.
+    * Registers the planner strategy on the session idempotently —
+    * [[graft.GraftExtensions]] injects the same strategy for
+    * config-driven deployments.
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[Column],
+      orderCols: Seq[(Column, Boolean)], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "keys and order required")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    val order = orderCols.map { case (c, asc) =>
+      SortOrder(GraftInternal.expr(c), if (asc) Ascending else Descending)
+    }
+    GraftInternal.ofRows(spark,
+      TopKPerKeyNode(keyCols.map(GraftInternal.expr), order, k,
+        df.queryExecution.analyzed))
+  }
+}
+
+/** Logical form: declarative per-key top-k. Output = child output (a
+  * filter-like operator). Resolution rides the generic analyzer rules —
+  * the node exposes its expressions through the constructor, so
+  * `ResolveReferences` binds them like any stock operator's.
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Planner strategy: lower the logical node to the partial/final
+  * physical pair (the HashAggregate split, applied to top-k).
+  */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical per-key bounded-heap top-k. `partial = true` runs map-side
+  * with no distribution requirement (emits <= k rows per key per
+  * partition); the final phase requires [[ClusteredDistribution]] on the
+  * keys, which EnsureRequirements satisfies with one hash exchange.
+  * Heap comparisons use the interpreted row ordering — the operator is
+  * deliberately outside whole-stage codegen (it carries per-key heap
+  * state, the same reason ObjectHashAggregate opts out); the EXPRESSIONS
+  * feeding it still codegen in the child stage.
+  */
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrders = order
+    val kk = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val sortProj = UnsafeProjection.create(sortOrders.map(_.child), childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      // ordering over the projected sort-key row (bound by position)
+      val bound = sortOrders.zipWithIndex.map { case (so, i) =>
+        so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
+      }
+      val rowOrd = new InterpretedOrdering(bound)
+      final class Entry(val sortKey: UnsafeRow, val row: UnsafeRow)
+      // max-heap by sort order: the head is the WORST kept row
+      val cmp = new java.util.Comparator[Entry] {
+        override def compare(a: Entry, b: Entry): Int =
+          -rowOrd.compare(a.sortKey, b.sortKey)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[Entry](kk + 1, cmp)
+          heaps.put(key.copy(), heap)
+        }
+        val sortKey = sortProj(row)
+        if (heap.size() < kk) {
+          heap.add(new Entry(sortKey.copy(), rowProj(row).copy()))
+        } else if (rowOrd.compare(sortKey, heap.peek().sortKey) < 0) {
+          heap.poll()
+          heap.add(new Entry(sortKey.copy(), rowProj(row).copy()))
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        // drain in ASCENDING sort order (deterministic per-key emission)
+        val buf = new Array[Entry](heap.size())
+        var i = heap.size() - 1
+        while (i >= 0) { buf(i) = heap.poll(); i -= 1 }
+        buf.iterator.map(_.row: InternalRow)
+      }
+    }, preservesPartitioning = true)
+  }
+}

@@ -1906,5 +1906,30 @@ private[queries] object CatalogInsight {
         SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
                count(*) AS n_pairs, least(sa, sb) <> greatest(sa, sb) AS is_leak
         FROM pr GROUP BY 1, 2 ORDER BY split_a, split_b""")),
+
+    // The custom WHOLE-OPERATOR path (graft.plans.TopKPerKey): per-type
+    // top-5 events by exact cents — planned as the strategy-lowered
+    // partial/final bounded-heap pair (TopKPerKeyPartial ->  one hash
+    // exchange -> TopKPerKeyFinal; NO Window, no per-group full sort —
+    // PlanSpec-pinned), oracle-paired against the row_number window
+    // form it replaces. The (cents desc, event_id asc) order is total,
+    // the operator's determinism contract.
+    "q335_topk_operator" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"), cents(col("value")).as("value_cents"))
+        graft.plans.TopKPerKey.topKPerKey(ev, Seq(col("event_type")),
+          Seq((col("value_cents"), false), (col("event_id"), true)), 5)
+          .orderBy(col("event_type"), col("value_cents").desc, col("event_id").asc)
+      },
+      oracle = Some(s"""
+        WITH r AS (SELECT event_id, event_type, ${centsSql("value")} AS value_cents,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY ${centsSql("value")} DESC,
+                                                      event_id ASC) AS rk
+                   FROM events)
+        SELECT event_id, event_type, value_cents
+        FROM r WHERE rk <= 5
+        ORDER BY event_type, value_cents DESC, event_id ASC""")),
   )
 }

@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.GraftSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom whole-operator path (logical node -> strategy ->
+  * partial/final physical heaps) proved against the stock window
+  * formulation it replaces, plus the plan-shape contract.
+  */
+class TopKPerKeySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def events = graft.Tables.load(spark, sf, "events")
+    .select(col("event_id"), col("event_type"),
+      (col("value") * 100 + signum(col("value")) * 0.5).cast("long").as("c"))
+
+  test("operator output == window row_number form, cell-exact") {
+    val viaOp = TopKPerKey.topKPerKey(events, Seq(col("event_type")),
+      Seq((col("c"), false), (col("event_id"), true)), 3)
+      .collect().map(_.toString).sorted
+    val w = Window.partitionBy("event_type").orderBy(col("c").desc, col("event_id").asc)
+    val viaWin = events.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 3).drop("__rk")
+      .collect().map(_.toString).sorted
+    assert(viaOp.toSeq == viaWin.toSeq)
+  }
+
+  test("plan lowers to a partial/final pair around exactly one exchange") {
+    val plan = TopKPerKey.topKPerKey(events, Seq(col("event_type")),
+      Seq((col("c"), false), (col("event_id"), true)), 3)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n$plan")
+    assert(!plan.contains("Window"), plan) // the whole point
+  }
+
+  test("k >= group size passes every row through") {
+    val small = events.limit(40).localCheckpoint(true)
+    val out = TopKPerKey.topKPerKey(small, Seq(col("event_type")),
+      Seq((col("c"), true), (col("event_id"), true)), 1000000)
+    assert(out.count() == small.count())
+  }
+
+  test("multi-column keys and ascending order work") {
+    val keyed = events.withColumn("b", col("event_id") % 7)
+    val viaOp = TopKPerKey.topKPerKey(keyed, Seq(col("event_type"), col("b")),
+      Seq((col("c"), true), (col("event_id"), true)), 2)
+      .collect().map(_.toString).sorted
+    val w = Window.partitionBy("event_type", "b")
+      .orderBy(col("c").asc, col("event_id").asc)
+    val viaWin = keyed.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 2).drop("__rk")
+      .collect().map(_.toString).sorted
+    assert(viaOp.toSeq == viaWin.toSeq)
+  }
+}

@@ -1111,6 +1111,16 @@ class PlanSpec extends AnyFunSuite {
       !p334.contains("BroadcastNestedLoopJoin"), p334)
   }
 
+  test("q335: the custom operator plans as partial/final heaps, never a Window") {
+    val plan = planOf("q335_topk_operator")
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    // no per-group full sort anywhere between scan and the final ORDER BY
+    assert(!plan.contains("Window"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+  }
+
   test("q316: spectrum is one scan + one explode; aggs are partial") {
     val plan = planOf("q316_good_turing")
     val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
