@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // config-driven deployments; the Column API registers the same
     // strategy per-session idempotently
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // the optimizer-rule rung: users who write the row_number()<=k
+    // window idiom get the bounded-heap plan for free (narrow match —
+    // see TopKRewriteRule's contract)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

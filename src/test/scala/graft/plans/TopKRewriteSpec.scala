@@ -1,0 +1,74 @@
+package graft.plans
+
+import graft.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The optimizer-rule rung end to end: a session built with
+  * [[GraftExtensions]] silently rewrites the row_number()<=k window
+  * idiom into the bounded-heap operator pair — same rows, no Window in
+  * the executed plan — while out-of-contract shapes are left alone.
+  */
+class TopKRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-topk-rewrite")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+    graft.Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    .select(col("event_id"), col("event_type"),
+      (col("value") * 100 + signum(col("value")) * 0.5).cast("long").as("c"))
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy("event_type").orderBy(col("c").desc, col("event_id").asc)
+    events.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  test("the window idiom is rewritten to the heap pair and rows are identical") {
+    val df = windowTopK(3)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    assert(!plan.contains("Window"), plan)
+    // rows equal the un-extended session's window result
+    val expected = TopKPerKey.topKPerKey(events, Seq(col("event_type")),
+      Seq((col("c"), false), (col("event_id"), true)), 3)
+      .collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted.toSeq == expected.toSeq)
+  }
+
+  test("out-of-contract shapes are NOT rewritten") {
+    // rank column kept in the output -> schema needs the Window
+    val w = Window.partitionBy("event_type").orderBy(col("c").desc, col("event_id").asc)
+    val kept = events.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    assert(kept.queryExecution.executedPlan.toString().contains("Window"))
+    assert(kept.columns.contains("rk"))
+    // rank() (ties share a rank — different semantics) is left alone
+    val ranked = events.withColumn("__rk", rank().over(w))
+      .filter(col("__rk") <= 3).drop("__rk")
+    assert(ranked.queryExecution.executedPlan.toString().contains("Window"))
+  }
+
+  test("strict less-than derives k-1") {
+    val df = {
+      val w = Window.partitionBy("event_type").orderBy(col("c").desc, col("event_id").asc)
+      events.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") < 4).drop("__rk")
+    }
+    assert(!df.queryExecution.executedPlan.toString().contains("Window"))
+    val perType = df.groupBy("event_type").count().collect()
+    assert(perType.forall(_.getLong(1) == 3L), perType.mkString(", "))
+  }
+}
