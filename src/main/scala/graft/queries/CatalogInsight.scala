@@ -1907,29 +1907,55 @@ private[queries] object CatalogInsight {
                count(*) AS n_pairs, least(sa, sb) <> greatest(sa, sb) AS is_leak
         FROM pr GROUP BY 1, 2 ORDER BY split_a, split_b""")),
 
-    // The custom WHOLE-OPERATOR path (graft.plans.TopKPerKey): per-type
-    // top-5 events by exact cents — planned as the strategy-lowered
-    // partial/final bounded-heap pair (TopKPerKeyPartial ->  one hash
-    // exchange -> TopKPerKeyFinal; NO Window, no per-group full sort —
-    // PlanSpec-pinned), oracle-paired against the row_number window
-    // form it replaces. The (cents desc, event_id asc) order is total,
-    // the operator's determinism contract.
+    // The custom WHOLE-OPERATOR path (graft.plans.TopKPerKey): per-USER
+    // top-3 events by exact cents (user grain = thousands of groups, the
+    // workload the heap pair exists for) — planned as the
+    // strategy-lowered partial/final bounded-heap pair
+    // (TopKPerKeyPartial -> one hash exchange -> TopKPerKeyFinal; NO
+    // Window, no per-group full sort — PlanSpec-pinned), oracle-paired
+    // against the row_number window form. q336 is the SAME semantics in
+    // the window form — the interleaved BenchAB baseline (the measured
+    // claim, not an asserted one). The (cents desc, event_id asc) order
+    // is total, the operator's determinism contract.
     "q335_topk_operator" -> QueryDef(
       fn = (s, d) => {
         val ev = t(s, d, "events")
-          .select(col("event_id"), col("event_type"), cents(col("value")).as("value_cents"))
-        graft.plans.TopKPerKey.topKPerKey(ev, Seq(col("event_type")),
-          Seq((col("value_cents"), false), (col("event_id"), true)), 5)
-          .orderBy(col("event_type"), col("value_cents").desc, col("event_id").asc)
+          .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"))
+        graft.plans.TopKPerKey.topKPerKey(ev, Seq(col("user_id")),
+          Seq((col("value_cents"), false), (col("event_id"), true)), 3)
+          .orderBy(col("user_id"), col("value_cents").desc, col("event_id").asc)
       },
       oracle = Some(s"""
-        WITH r AS (SELECT event_id, event_type, ${centsSql("value")} AS value_cents,
-                          row_number() OVER (PARTITION BY event_type
+        WITH r AS (SELECT event_id, user_id, ${centsSql("value")} AS value_cents,
+                          row_number() OVER (PARTITION BY user_id
                                              ORDER BY ${centsSql("value")} DESC,
                                                       event_id ASC) AS rk
                    FROM events)
-        SELECT event_id, event_type, value_cents
-        FROM r WHERE rk <= 5
-        ORDER BY event_type, value_cents DESC, event_id ASC""")),
+        SELECT event_id, user_id, value_cents
+        FROM r WHERE rk <= 3
+        ORDER BY user_id, value_cents DESC, event_id ASC""")),
+
+    // The stock window form of q335, cell-identical BY ORACLE — kept as
+    // a first-class entry so BenchAB can interleave the two in one JVM
+    // (the machine-drift-proof comparison discipline) and so a
+    // regression in EITHER path is caught against the same oracle.
+    "q336_topk_window_twin" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"))
+        ev.withColumn("__rk", row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("value_cents").desc, col("event_id").asc)))
+          .filter(col("__rk") <= 3).drop("__rk")
+          .orderBy(col("user_id"), col("value_cents").desc, col("event_id").asc)
+      },
+      oracle = Some(s"""
+        WITH r AS (SELECT event_id, user_id, ${centsSql("value")} AS value_cents,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ${centsSql("value")} DESC,
+                                                      event_id ASC) AS rk
+                   FROM events)
+        SELECT event_id, user_id, value_cents
+        FROM r WHERE rk <= 3
+        ORDER BY user_id, value_cents DESC, event_id ASC""")),
   )
 }

@@ -77,7 +77,14 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // self-join (per-user window fanout), and the iterative k-truss
     // peel (wedge fanout per round; per-replica custkey shifts keep
     // replica blocks disjoint, so triangle work grows linearly)
-    "q306_item_cf_recs", "q308_seq_pairs", "q310_ktruss")
+    "q306_item_cf_recs", "q308_seq_pairs", "q310_ktruss",
+    // round-11 waves 5-9 heavies: keyness (sources x vocab cell frame
+    // fed by a full token explode), the bigram-spectrum zipf fit, the
+    // double global ranking of the padding audit, the LSH pair pass of
+    // the leakage audit, and the custom heap operator (its map-side
+    // state is keys x k per partition BY DESIGN — linear input scan)
+    "q319_dunning_keyness", "q326_zipf_slope", "q333_padding_waste",
+    "q334_split_leakage", "q335_topk_operator")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
@@ -102,11 +109,15 @@ class ScaleGrowthSpec extends AnyFunSuite {
     */
   private def stage(factor: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-growth-x$factor").toString
-    val docs = Tables.documents(spark, baseSf).select("doc_id", "text")
+    val docs = Tables.documents(spark, baseSf).select("doc_id", "text", "source")
     val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    // sources suffix per replica too (q319's keyness cell frame is
+    // sources x vocab — shared sources would grow its per-source token
+    // marginals instead of its row count)
     (0 until factor).map(i => docs.select(
         (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
-        perturbText(col("text"), i).as("text")))
+        perturbText(col("text"), i).as("text"),
+        concat(col("source"), lit(s"_r$i")).as("source")))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // part/supp keys shift per replica too: each replica is its own
