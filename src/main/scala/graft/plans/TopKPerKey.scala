@@ -84,14 +84,28 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
-/** Physical per-key bounded-heap top-k. `partial = true` runs map-side
-  * with no distribution requirement (emits <= k rows per key per
-  * partition); the final phase requires [[ClusteredDistribution]] on the
-  * keys, which EnsureRequirements satisfies with one hash exchange.
-  * Heap comparisons use the interpreted row ordering — the operator is
-  * deliberately outside whole-stage codegen (it carries per-key heap
-  * state, the same reason ObjectHashAggregate opts out); the EXPRESSIONS
-  * feeding it still codegen in the child stage.
+/** Physical per-key top-k with a different memory story per phase —
+  * the 100 TB shape of the operator:
+  *
+  *  - PARTIAL (map side, no distribution requirement): per-key bounded
+  *    heaps, state O(keys-in-partition x k). High-cardinality keys could
+  *    still blow that bound, so a FLUSH VALVE caps live heaps at
+  *    `spark.graft.topk.maxKeysInFlight` (default 1M): past the cap the
+  *    phase emits everything held and starts fresh — emitting extra
+  *    candidate rows is always CORRECT here (the final phase re-prunes),
+  *    so memory degrades gracefully into shuffle volume instead of OOM.
+  *  - FINAL: requires [[ClusteredDistribution]] on the keys AND
+  *    child ordering (keys, then the top-k order) — EnsureRequirements
+  *    inserts the hash exchange and a sort of the ALREADY k-PRUNED
+  *    stream — then emits the first k rows of each key group with O(1)
+  *    state (the SortAggregate pattern; a hash-of-heaps final could not
+  *    flush without double-emitting a key, so it would carry the same
+  *    unbounded-keys hazard HashAggregate has).
+  *
+  * Heap/stream comparisons use the interpreted row ordering — the
+  * operator is deliberately outside whole-stage codegen (it carries
+  * group state, the same reason ObjectHashAggregate opts out); the
+  * EXPRESSIONS feeding it still codegen in the child stage.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
@@ -100,6 +114,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else keys.map(SortOrder(_, Ascending)) ++ order
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
   override def nodeName: String =
@@ -110,46 +129,88 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val sortOrders = order
     val kk = k
     val childOutput = child.output
-    child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val sortProj = UnsafeProjection.create(sortOrders.map(_.child), childOutput)
-      val rowProj = UnsafeProjection.create(childOutput, childOutput)
-      // ordering over the projected sort-key row (bound by position)
-      val bound = sortOrders.zipWithIndex.map { case (so, i) =>
-        so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
-      }
-      val rowOrd = new InterpretedOrdering(bound)
-      final class Entry(val sortKey: UnsafeRow, val row: UnsafeRow)
-      // max-heap by sort order: the head is the WORST kept row
-      val cmp = new java.util.Comparator[Entry] {
-        override def compare(a: Entry, b: Entry): Int =
-          -rowOrd.compare(a.sortKey, b.sortKey)
-      }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[Entry](kk + 1, cmp)
-          heaps.put(key.copy(), heap)
+    if (partial) {
+      val maxKeysInFlight =
+        conf.getConfString("spark.graft.topk.maxKeysInFlight", "1000000").toInt
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val sortProj = UnsafeProjection.create(sortOrders.map(_.child), childOutput)
+        val rowProj = UnsafeProjection.create(childOutput, childOutput)
+        val bound = sortOrders.zipWithIndex.map { case (so, i) =>
+          so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
         }
-        val sortKey = sortProj(row)
-        if (heap.size() < kk) {
-          heap.add(new Entry(sortKey.copy(), rowProj(row).copy()))
-        } else if (rowOrd.compare(sortKey, heap.peek().sortKey) < 0) {
-          heap.poll()
-          heap.add(new Entry(sortKey.copy(), rowProj(row).copy()))
+        val rowOrd = new InterpretedOrdering(bound)
+        final class Entry(val sortKey: UnsafeRow, val row: UnsafeRow)
+        val cmp = new java.util.Comparator[Entry] {
+          override def compare(a: Entry, b: Entry): Int =
+            -rowOrd.compare(a.sortKey, b.sortKey) // max-heap: head = worst kept
         }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        // drain in ASCENDING sort order (deterministic per-key emission)
-        val buf = new Array[Entry](heap.size())
-        var i = heap.size() - 1
-        while (i >= 0) { buf(i) = heap.poll(); i -= 1 }
-        buf.iterator.map(_.row: InternalRow)
-      }
-    }, preservesPartitioning = true)
+        val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]()
+        import scala.jdk.CollectionConverters._
+        def drain(): Iterator[InternalRow] = {
+          val hs = new java.util.ArrayList(heaps.values())
+          heaps.clear()
+          hs.iterator().asScala.flatMap { heap =>
+            // ascending sort order per key (deterministic emission)
+            val buf = new Array[Entry](heap.size())
+            var i = heap.size() - 1
+            while (i >= 0) { buf(i) = heap.poll(); i -= 1 }
+            buf.iterator.map(_.row: InternalRow)
+          }
+        }
+        def offer(row: InternalRow): Unit = {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[Entry](kk + 1, cmp)
+            heaps.put(key.copy(), heap)
+          }
+          val sortKey = sortProj(row)
+          if (heap.size() < kk) {
+            heap.add(new Entry(sortKey.copy(), rowProj(row).copy()))
+          } else if (rowOrd.compare(sortKey, heap.peek().sortKey) < 0) {
+            heap.poll()
+            heap.add(new Entry(sortKey.copy(), rowProj(row).copy()))
+          }
+        }
+        new Iterator[InternalRow] {
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          private def advance(): Unit = {
+            while (!pending.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+              var flushed = false
+              while (iter.hasNext && !flushed) {
+                offer(iter.next())
+                if (heaps.size() > maxKeysInFlight) { // the flush valve
+                  pending = drain(); flushed = true
+                }
+              }
+              if (!flushed) pending = drain() // input exhausted
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.hasNext }
+          override def next(): InternalRow = { advance(); pending.next() }
+        }
+      }, preservesPartitioning = true)
+    } else {
+      // streaming group-take over the (keys, order)-sorted pruned stream:
+      // O(1) state — current group key + emitted count
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val rowProj = UnsafeProjection.create(childOutput, childOutput)
+        var currentKey: UnsafeRow = null
+        var emitted = 0
+        iter.flatMap { row =>
+          val key = keyProj(row)
+          if (currentKey == null || key != currentKey) {
+            currentKey = key.copy()
+            emitted = 0
+          }
+          if (emitted < kk) {
+            emitted += 1
+            Iterator.single(rowProj(row).copy(): InternalRow)
+          } else Iterator.empty
+        }
+      }, preservesPartitioning = true)
+    }
   }
 }

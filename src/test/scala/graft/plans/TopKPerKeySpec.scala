@@ -14,7 +14,7 @@ class TopKPerKeySpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def events = graft.Tables.load(spark, sf, "events")
-    .select(col("event_id"), col("event_type"),
+    .select(col("event_id"), col("event_type"), col("user_id"),
       (col("value") * 100 + signum(col("value")) * 0.5).cast("long").as("c"))
 
   test("operator output == window row_number form, cell-exact") {
@@ -44,6 +44,33 @@ class TopKPerKeySpec extends AnyFunSuite {
     val out = TopKPerKey.topKPerKey(small, Seq(col("event_type")),
       Seq((col("c"), true), (col("event_id"), true)), 1000000)
     assert(out.count() == small.count())
+  }
+
+  test("the partial flush valve degrades to shuffle volume, never to wrong rows") {
+    // force a pathologically tiny cap: every other input row flushes the
+    // partial state — output must still be cell-exact
+    spark.conf.set("spark.graft.topk.maxKeysInFlight", "2")
+    try {
+      val viaOp = TopKPerKey.topKPerKey(events, Seq(col("user_id")),
+        Seq((col("c"), false), (col("event_id"), true)), 2)
+        .collect().map(_.toString).sorted
+      val w = Window.partitionBy("user_id").orderBy(col("c").desc, col("event_id").asc)
+      val viaWin = events.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 2).drop("__rk")
+        .collect().map(_.toString).sorted
+      assert(viaOp.toSeq == viaWin.toSeq)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInFlight")
+  }
+
+  test("the final phase is a sorted streaming take — Sort below Final, not a hash map") {
+    val plan = TopKPerKey.topKPerKey(events, Seq(col("event_type")),
+      Seq((col("c"), false), (col("event_id"), true)), 3)
+      .queryExecution.executedPlan.toString()
+    // EnsureRequirements satisfies the final's requiredChildOrdering with
+    // a sort of the already k-pruned stream
+    assert(plan.contains("Sort"), plan)
+    assert(plan.indexOf("TopKPerKeyFinal") < plan.indexOf("Sort"), plan)
+    assert(plan.indexOf("Sort") < plan.indexOf("TopKPerKeyPartial"), plan)
   }
 
   test("multi-column keys and ascending order work") {
