@@ -1957,5 +1957,123 @@ private[queries] object CatalogInsight {
         SELECT event_id, user_id, value_cents
         FROM r WHERE rk <= 3
         ORDER BY user_id, value_cents DESC, event_id ASC""")),
+
+    // Streaming UPDATE-mode semantics — the third output mode isolated
+    // (complete: q48-family; append + watermark: q324): a per-type
+    // running count over three mtime-ordered time slices emits, per
+    // micro-batch, the NEW cumulative value of every type TOUCHED in
+    // that batch. The memory sink accumulates the emission history, so
+    // the result table IS the update stream: (type, emission_rank,
+    // cum_count) with one row per (type, batch-where-it-changed). The
+    // oracle replays the rule exactly — cumulative count over slices
+    // <= k, emitted iff the type appears in slice k.
+    "q337_stream_update_mode" -> QueryDef(
+      fn = (s, d) => {
+        import java.nio.file.Files
+        val ev = t(s, d, "events")
+        val ms = unix_millis(col("ts"))
+        val b = ev.agg(min(ms), max(ms)).head
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+        val preds = Seq(ms <= cuts(0), ms > cuts(0) && ms <= cuts(1), ms > cuts(1))
+        val dir = Files.createTempDirectory("graft-update-stream")
+        preds.zipWithIndex.foreach { case (p, i) =>
+          val tmp = Files.createTempDirectory(s"graft-upd-slice$i")
+          ev.filter(p).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = {
+            val l = Files.list(tmp)
+            try l.filter(f => f.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get
+            finally l.close()
+          }
+          val dst = dir.resolve(f"slice$i%02d.parquet")
+          Files.move(part, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          dropStagedTree(tmp)
+        }
+        val footer = s.read.parquet(dir.toString).schema
+        val stream = graft.Tables.normalizeTs(
+          s.readStream.schema(footer).option("maxFilesPerTrigger", 1)
+            .parquet(dir.toString))
+        val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("cum_count"))
+        s.streams.active.filter(q => Option(q.name).contains("q337_mem"))
+          .foreach(_.stop())
+        val q = agg.writeStream.format("memory").queryName("q337_mem")
+          .outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+        dropStagedTree(dir)
+        s.table("q337_mem")
+          .withColumn("emission_rank", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("cum_count").asc)).cast("long"))
+          .select(col("event_type"), col("emission_rank"), col("cum_count"))
+          .orderBy("event_type", "emission_rank")
+      },
+      oracle = Some("""
+        WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi
+                   FROM events),
+        c AS (SELECT lo + (hi - lo) // 3 AS c0, lo + 2 * (hi - lo) // 3 AS c1 FROM b),
+        sl AS (SELECT event_type,
+                      CASE WHEN epoch_ms(ts) <= c.c0 THEN 0
+                           WHEN epoch_ms(ts) <= c.c1 THEN 1 ELSE 2 END AS k
+               FROM events, c),
+        per AS (SELECT event_type, k, count(*) AS n FROM sl GROUP BY 1, 2),
+        em AS (SELECT p.event_type, p.k,
+                      (SELECT sum(x.n) FROM per x
+                       WHERE x.event_type = p.event_type AND x.k <= p.k) AS cum_count
+               FROM per p)
+        SELECT event_type,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY cum_count ASC) AS BIGINT) AS emission_rank,
+               CAST(cum_count AS BIGINT) AS cum_count
+        FROM em ORDER BY event_type, emission_rank"""),
+      streaming = true),
+
+    // View-to-purchase conversion latency: per user the FIRST view and
+    // the first purchase strictly after it; exact integer-second
+    // latencies, P50/P90 by the established doubled-cumulative
+    // nearest-rank rule over the reduced per-user frame, converters vs
+    // non-converters counted. The funnel family (q98 counts steps) gets
+    // its TIME axis.
+    "q338_convert_latency" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(unix_millis(col("ts"))).as("__v"))
+          .localCheckpoint(eager = true)
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_millis(col("ts")).as("__p"))
+          .join(firstView, "user_id")
+          .filter(col("__p") > col("__v"))
+          .groupBy("user_id").agg(min(expr("(__p - __v) div 1000")).as("__lat"))
+          .localCheckpoint(eager = true) // histogram + counts share it
+        val nConv = conv.count()
+        val hist = conv.groupBy("__lat").agg(count(lit(1)).as("__n"))
+        val ranked = hist
+          .withColumn("__cum", sum(col("__n")).over(
+            Window.orderBy("__lat").rowsBetween(Window.unboundedPreceding, 0)))
+        def pick(q: Int): Column =
+          min(when(col("__cum") * 100 >= lit(q) * lit(nConv), col("__lat")))
+        val tot = firstView.count()
+        ranked.agg(pick(50).as("p50_s"), pick(90).as("p90_s"), max(col("__lat")).as("max_s"))
+          .select(lit(tot).as("n_viewers"), lit(nConv).as("n_converted"),
+            col("p50_s"), col("p90_s"), col("max_s"))
+      },
+      oracle = Some("""
+        WITH fv AS (SELECT user_id, min(epoch_ms(ts)) AS v FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        cv AS (SELECT e.user_id, min((epoch_ms(e.ts) - fv.v) // 1000) AS lat
+               FROM events e JOIN fv ON e.user_id = fv.user_id
+               WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > fv.v
+               GROUP BY 1),
+        n AS (SELECT count(*) AS nc FROM cv),
+        h AS (SELECT lat, count(*) AS cnt FROM cv GROUP BY 1),
+        r AS (SELECT lat, sum(cnt) OVER (ORDER BY lat) AS cum FROM h)
+        SELECT (SELECT count(*) FROM fv) AS n_viewers,
+               (SELECT nc FROM n) AS n_converted,
+               (SELECT min(lat) FROM r, n WHERE cum * 100 >= 50 * n.nc) AS p50_s,
+               (SELECT min(lat) FROM r, n WHERE cum * 100 >= 90 * n.nc) AS p90_s,
+               (SELECT max(lat) FROM cv) AS max_s""")),
   )
 }

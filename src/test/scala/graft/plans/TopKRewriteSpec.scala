@@ -14,6 +14,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class TopKRewriteSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = {
+    // getOrCreate RETURNS any existing session and silently DROPS the
+    // builder's extensions (measured: standalone this spec passed, in
+    // the full suite it got GraftSpark's extension-free session and the
+    // rewrite never fired). Clear active/default so the builder builds a
+    // NEW session (sharing the JVM's SparkContext) with the extensions
+    // applied, then restore the shared session as default for the
+    // suites that follow.
+    val base = graft.GraftSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val b = SparkSession.builder()
       .master("local[4]")
       .appName("graft-topk-rewrite")
@@ -23,6 +33,9 @@ class TopKRewriteSpec extends AnyFunSuite {
     graft.Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    assert(s ne base, "extension session was not freshly built")
     s
   }
 

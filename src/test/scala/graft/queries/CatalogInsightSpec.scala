@@ -404,6 +404,36 @@ class CatalogInsightSpec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("is_leak")))
   }
 
+  test("q337: update-mode emissions are per-batch cumulative snapshots") {
+    val rows = SparkEntry.queries("q337_stream_update_mode")(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val batch = graft.Tables.load(spark, sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (ty, rs) =>
+      val cums = rs.sortBy(_.getAs[Long]("emission_rank")).map(_.getAs[Long]("cum_count"))
+      // strictly increasing (update mode only emits on change)...
+      cums.sliding(2).foreach { case Array(a, b) => assert(b > a, cums.toSeq.toString) }
+      // ...and the last emission IS the batch total
+      assert(cums.last == batch(ty), s"$ty: ${cums.last} vs ${batch(ty)}")
+      assert(rs.length <= 3) // at most one emission per micro-batch
+    }
+    // the multi-emission shape actually fired (one row per type would
+    // mean the stream collapsed to a single batch)
+    assert(byType.values.exists(_.length > 1))
+  }
+
+  test("q338: latency percentiles are ordered and converters bounded by viewers") {
+    val r = SparkEntry.queries("q338_convert_latency")(spark, sf).head()
+    assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_viewers"))
+    assert(r.getAs[Long]("n_converted") > 0L)
+    val (p50, p90, mx) = (r.getAs[Long]("p50_s"), r.getAs[Long]("p90_s"), r.getAs[Long]("max_s"))
+    assert(p50 > 0L && p50 <= p90 && p90 <= mx, r.toString)
+    // fixture truth, stated not hidden: every user is active to corpus
+    // end with every type, so every viewer eventually converts
+    assert(r.getAs[Long]("n_converted") == r.getAs[Long]("n_viewers"))
+  }
+
   test("q316: spectrum sanity — hapaxes exist and Chao1 dominates observed richness") {
     val rows = SparkEntry.queries("q316_good_turing")(spark, sf).collect()
     assert(rows.length == 20)

@@ -1121,6 +1121,12 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
   }
 
+  test("q338: latency readout rides the checkpointed per-user frame — 0 scans") {
+    val plan = planOf("q338_convert_latency")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 0, s"expected 0 scans post-checkpoint, got $scans:\n$plan")
+  }
+
   test("q316: spectrum is one scan + one explode; aggs are partial") {
     val plan = planOf("q316_good_turing")
     val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
