@@ -239,10 +239,19 @@ class ScaleGrowthSpec extends AnyFunSuite {
     assume(sys.env.contains("SPARK_GRAFT_GROWTH64"),
       "opt-in probe: set SPARK_GRAFT_GROWTH64=1")
     val heavies = Seq("q101_mask_contaminated", "q253_kcore",
-      "q175_triangle_census", "q193_cheapest_path", "q173_paragraph_dedup")
+      "q175_triangle_census", "q193_cheapest_path", "q173_paragraph_dedup",
+      // round-11 heavies: the CF pair shuffle + champion fanout, the
+      // iterative truss peel, and the custom heap operator (its flush
+      // valve is exactly the memory-shape mechanism this probe exists
+      // to exercise — forced here to a 4096-key cap alongside the
+      // window/join spill thresholds)
+      "q306_item_cf_recs", "q310_ktruss", "q335_topk_operator")
     val spillConfs = Seq(
       "spark.sql.windowExec.buffer.spill.threshold",
-      "spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold",
+      // the custom operator's partial-phase key cap (flush valve):
+      // forced low so q335's map-side heaps flush constantly at 64x
+      "spark.graft.topk.maxKeysInFlight")
     val saved = spillConfs.map(k => k -> spark.conf.getOption(k))
     val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
