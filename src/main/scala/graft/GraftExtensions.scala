@@ -34,9 +34,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // config-driven deployments; the Column API registers the same
     // strategy per-session idempotently
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // the second whole-operator rung: sorted-merge as-of join (each
+    // side shuffled at its own width, O(1) merge state — see
+    // graft.plans.AsOfMergeJoin); the Column API registers the same
+    // strategy per-session idempotently
+    e.injectPlannerStrategy(_ => graft.plans.AsOfMergeJoinStrategy)
     // the optimizer-rule rung: users who write the row_number()<=k
-    // window idiom get the bounded-heap plan for free (narrow match —
-    // see TopKRewriteRule's contract)
+    // window idiom get the bounded-heap plan — OPT-IN via
+    // spark.graft.topk.rewrite.enabled=true (default off: with a
+    // non-total ORDER BY the heap pair may pick a different-but-valid
+    // tie row set than the Window; see TopKRewriteRule's contract)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),

@@ -41,10 +41,12 @@ object Geo {
     * exact integer double, so the cast is lossless: floor semantics with
     * no FP-boundary hazard.
     *
-    * Oracle-parity caveat (MEASURED, round 11): DuckDB 1.0's BIGINT `//`
-    * TRUNCATES toward zero (-7 // 2 = -3) — flooring is its DOUBLE
-    * behavior — so a DuckDB twin of this function must spell floor
-    * explicitly for signed inputs, e.g. `(a - ((a % b + b) % b)) // b`.
+    * Oracle-parity caveat (MEASURED, round 11; comment corrected per
+    * r11 ADVICE): DuckDB 1.0's BIGINT `//` TRUNCATES toward zero
+    * (-7 // 2 = -3), and its DOUBLE/DECIMAL `//` is PLAIN division
+    * (-7.0 // 2 = -3.5 — not floor either) — so a DuckDB twin of this
+    * function must spell floor explicitly for signed inputs, e.g.
+    * `(a - ((a % b + b) % b)) // b` over BIGINT.
     * The catalog's geo fixtures derive strictly non-negative coordinates
     * (trunc == floor there), so their `//` oracles are exact as written.
     */

@@ -378,8 +378,11 @@ object Graph {
     * Expects CANONICAL edges (src < dst, deduped, no self-loops) — pair
     * miners like `Baskets.frequentItemPairs` emit exactly that.
     *
-    * Output: (src, dst, support) for edges alive after the final peel,
-    * with support measured in the surviving subgraph.
+    * Output: (src, dst, support) for ALL edges alive after the final
+    * peel, with support measured in the surviving subgraph — including
+    * support 0 for a survivor with no remaining triangles, which can
+    * exist whenever `rounds` has not converged (r11 ADVICE: the final
+    * measurement is a LEFT join + coalesce, not an inner join).
     */
   def kTrussPeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
@@ -422,7 +425,14 @@ object Graph {
           Seq("src", "dst"), "left_semi")
         .localCheckpoint(eager = true)
     }
-    e.join(support(e), Seq("src", "dst")) // final measurement, inner: k>=3
+    // final measurement as a LEFT join (r11 ADVICE): when `rounds` has
+    // not converged, an edge can survive the last peel yet have ZERO
+    // triangles in the final surviving subgraph — an inner join against
+    // the support frame would silently drop it, contradicting the
+    // "edges alive after the final peel" contract above.
+    e.join(support(e), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
   }
 
   /** Per-landmark BFS distances: [[bfsHops]] generalized so each landmark

@@ -46,9 +46,14 @@ object TopKPerKey {
     require(k >= 1, s"k must be >= 1: $k")
     require(keyCols.nonEmpty && orderCols.nonEmpty, "keys and order required")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    // synchronized: extraStrategies is a read-modify-write of a plain
+    // var — concurrent callers on the same session could lose or double
+    // an append (r11 ADVICE)
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+      }
     }
     val order = orderCols.map { case (c, asc) =>
       SortOrder(GraftInternal.expr(c), if (asc) Ascending else Descending)
@@ -89,11 +94,16 @@ object TopKPerKeyStrategy extends SparkStrategy {
   *
   *  - PARTIAL (map side, no distribution requirement): per-key bounded
   *    heaps, state O(keys-in-partition x k). High-cardinality keys could
-  *    still blow that bound, so a FLUSH VALVE caps live heaps at
-  *    `spark.graft.topk.maxKeysInFlight` (default 1M): past the cap the
-  *    phase emits everything held and starts fresh — emitting extra
-  *    candidate rows is always CORRECT here (the final phase re-prunes),
-  *    so memory degrades gracefully into shuffle volume instead of OOM.
+  *    still blow that bound, so a FLUSH VALVE caps live state on TWO
+  *    axes (r11 ADVICE: a key-count cap alone lets wide rows or large k
+  *    OOM long before 1M keys): `spark.graft.topk.maxKeysInFlight`
+  *    (default 1M) live heaps AND `spark.graft.topk.maxBytesInFlight`
+  *    (default 256 MiB) of retained UnsafeRow bytes, tracked exactly
+  *    from `getSizeInBytes` of every copied key/sort-key/row as entries
+  *    enter and leave the heaps. Past either cap the phase emits
+  *    everything held and starts fresh — emitting extra candidate rows
+  *    is always CORRECT here (the final phase re-prunes), so memory
+  *    degrades gracefully into shuffle volume instead of OOM.
   *  - FINAL: requires [[ClusteredDistribution]] on the keys AND
   *    child ordering (keys, then the top-k order) — EnsureRequirements
   *    inserts the hash exchange and a sort of the ALREADY k-PRUNED
@@ -132,6 +142,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     if (partial) {
       val maxKeysInFlight =
         conf.getConfString("spark.graft.topk.maxKeysInFlight", "1000000").toInt
+      val maxBytesInFlight =
+        conf.getConfString("spark.graft.topk.maxBytesInFlight",
+          (256L << 20).toString).toLong
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val sortProj = UnsafeProjection.create(sortOrders.map(_.child), childOutput)
@@ -140,16 +153,22 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
         }
         val rowOrd = new InterpretedOrdering(bound)
-        final class Entry(val sortKey: UnsafeRow, val row: UnsafeRow)
+        final class Entry(val sortKey: UnsafeRow, val row: UnsafeRow) {
+          def bytes: Long = sortKey.getSizeInBytes.toLong + row.getSizeInBytes
+        }
         val cmp = new java.util.Comparator[Entry] {
           override def compare(a: Entry, b: Entry): Int =
             -rowOrd.compare(a.sortKey, b.sortKey) // max-heap: head = worst kept
         }
         val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]()
+        // retained bytes of every live copied key/sort-key/row — the
+        // second valve axis (a key-count cap alone is byte-blind)
+        var retainedBytes = 0L
         import scala.jdk.CollectionConverters._
         def drain(): Iterator[InternalRow] = {
           val hs = new java.util.ArrayList(heaps.values())
           heaps.clear()
+          retainedBytes = 0L
           hs.iterator().asScala.flatMap { heap =>
             // ascending sort order per key (deterministic emission)
             val buf = new Array[Entry](heap.size())
@@ -163,14 +182,20 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           var heap = heaps.get(key)
           if (heap == null) {
             heap = new java.util.PriorityQueue[Entry](kk + 1, cmp)
-            heaps.put(key.copy(), heap)
+            val keyCopy = key.copy()
+            heaps.put(keyCopy, heap)
+            retainedBytes += keyCopy.getSizeInBytes
           }
           val sortKey = sortProj(row)
           if (heap.size() < kk) {
-            heap.add(new Entry(sortKey.copy(), rowProj(row).copy()))
+            val e = new Entry(sortKey.copy(), rowProj(row).copy())
+            heap.add(e)
+            retainedBytes += e.bytes
           } else if (rowOrd.compare(sortKey, heap.peek().sortKey) < 0) {
-            heap.poll()
-            heap.add(new Entry(sortKey.copy(), rowProj(row).copy()))
+            retainedBytes -= heap.poll().bytes
+            val e = new Entry(sortKey.copy(), rowProj(row).copy())
+            heap.add(e)
+            retainedBytes += e.bytes
           }
         }
         new Iterator[InternalRow] {
@@ -180,7 +205,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
               var flushed = false
               while (iter.hasNext && !flushed) {
                 offer(iter.next())
-                if (heaps.size() > maxKeysInFlight) { // the flush valve
+                if (heaps.size() > maxKeysInFlight ||
+                    retainedBytes > maxBytesInFlight) { // the flush valve
                   pending = drain(); flushed = true
                 }
               }

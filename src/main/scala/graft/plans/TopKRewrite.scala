@@ -29,16 +29,37 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - the parent Project references NOTHING produced by the Window
   *    (the rank column is dropped), so the node's child-output schema
   *    is sufficient.
+  *
+  * OPT-IN ONLY: the rule fires only when
+  * `spark.graft.topk.rewrite.enabled=true` (default FALSE). Tie caveat:
+  * row_number() over an ORDER BY with ties is already nondeterministic
+  * in the Window form, but the heap pair can return a
+  * DIFFERENT-but-equally-valid row set than the Window picked — so
+  * silently enabling the rewrite could change observed results of
+  * existing queries whose ordering is not total. Spark's own
+  * WindowGroupLimit keeps the Window node for exactly this reason; we
+  * require the user to opt in instead (r11 ADVICE).
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
+  /** Conf key gating the rewrite; unset/false = rule is a no-op. */
+  val EnabledKey = "spark.graft.topk.rewrite.enabled"
+
   private object RankFilter {
-    /** (rankAttr, k) from `attr <= k` / `attr < k+1`. */
+    /** (rankAttr, k) from `attr <= k` / `attr < k+1`. Long arms are
+      * bounds-guarded: an out-of-Int-range literal (e.g. rk <=
+      * 4294967297L) must NOT truncate to a tiny k and silently rewrite
+      * to top-1 (r11 ADVICE) — likely unreachable today (row_number is
+      * IntegerType, so coercion wraps the attribute in a Cast that
+      * defeats the `a: Attribute` match), but the guard is free.
+      */
     def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) => Some((a, k))
       case LessThan(a: Attribute, IntegerLiteral(k)) => Some((a, k - 1))
-      case LessThanOrEqual(a: Attribute, Literal(k: Long, _)) => Some((a, k.toInt))
-      case LessThan(a: Attribute, Literal(k: Long, _)) => Some((a, k.toInt - 1))
+      case LessThanOrEqual(a: Attribute, Literal(k: Long, _))
+          if k >= 1 && k <= Int.MaxValue => Some((a, k.toInt))
+      case LessThan(a: Attribute, Literal(k: Long, _))
+          if k >= 2 && k <= Int.MaxValue => Some((a, k.toInt - 1))
       case _ => None
     }
   }
@@ -51,7 +72,9 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
+    else plan.transformUp {
     case p @ Project(projectList,
         Filter(RankFilter(rankAttr, k),
           w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(),

@@ -1034,13 +1034,19 @@ private[queries] object CatalogCuration {
     // profile built batch-side from the same events table (past-event
     // count deciles); the stream enriches each event with its user's
     // profile bucket and counts per bucket. Stream/batch parity is
-    // exact-integer.
+    // exact-integer. The static side is eagerly localCheckpointed
+    // BEFORE the stream starts: Spark re-evaluates an unpersisted
+    // static plan on EVERY micro-batch, so without the pin each batch
+    // would re-scan the events parquet and redo the groupBy — the
+    // r11 verdict traced a 5-7x driver-bench spread to exactly that.
+    // Pinning the dim once is the production stream-static shape.
     "q239_stream_static_join" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
         val profile = t(s, d, "events").groupBy("user_id")
           .agg(count(lit(1)).as("__n"))
           .select(col("user_id"), expr("__n div 10").as("bucket"))
+          .localCheckpoint(eager = true) // build dim ONCE, not per batch
         val stream = stagedEventsStream(s, dir)
           .select(col("user_id"))
           .join(profile, Seq("user_id")) // static side: micro-batch hash join

@@ -24,8 +24,9 @@ import Catalog._
   * integers with integer division over POSITIVE operands wherever
   * possible; the one signed division (q315's seasonal mean) relies on a
   * MEASURED behavior: DuckDB 1.0's BIGINT `//` truncates toward zero on
-  * negative numerators exactly like Spark's `div` (its flooring `//` is
-  * the double overload — see q315's inline note); iterative FP (q313)
+  * negative numerators exactly like Spark's `div` (on DOUBLE/DECIMAL,
+  * DuckDB's `//` is plain division — neither floor nor trunc; corrected
+  * per r11 ADVICE — see q315's inline note); iterative FP (q313)
   * runs the identical
   * sequential-sum order on both sides (Scala ascending fold vs DuckDB
   * `list_sum(list(... ORDER BY ...))`, the [[Catalog.cosineSql]] rule);
@@ -165,11 +166,12 @@ private[queries] object CatalogInsight {
 
   /** q310's oracle: the peel unrolled — each round recomputes per-edge
     * triangle support via the common-neighbor equi-join and keeps
-    * support >= k-2; a final support pass measures the survivors. Every
-    * CTE is MATERIALIZED (iterative CTEs referenced multiple times —
-    * the q253 inlining-blowup rule). Edges with zero triangles vanish
-    * from the count frame in BOTH engines (inner-join semantics, valid
-    * for k >= 3).
+    * support >= k-2; a final support pass measures the survivors via a
+    * LEFT join with coalesce(sup, 0) (r11 ADVICE: under a non-converged
+    * round budget a survivor of the last peel can have zero triangles
+    * in the final subgraph — it must appear with support 0, not
+    * vanish). Every CTE is MATERIALIZED (iterative CTEs referenced
+    * multiple times — the q253 inlining-blowup rule).
     */
   private def ktrussOracleSql: String = {
     def roundSql(r: Int): String =
@@ -187,8 +189,11 @@ private[queries] object CatalogInsight {
     WITH $trussEdgesSql,
     $rounds,
     ${roundSql(TrussRounds)}
-    SELECT s AS src, d AS dst, CAST(sup AS BIGINT) AS support
-    FROM t$TrussRounds ORDER BY src, dst"""
+    SELECT e.s AS src, e.d AS dst,
+           CAST(coalesce(t.sup, 0) AS BIGINT) AS support
+    FROM e$TrussRounds e
+    LEFT JOIN t$TrussRounds t ON t.s = e.s AND t.d = e.d
+    ORDER BY src, dst"""
   }
 
   // ---- q311 shared: generated subset tables ----------------------------
@@ -595,9 +600,9 @@ private[queries] object CatalogInsight {
     // detrend the daily counts with a centered 7-day moving average
     // (full windows only), then average the detrended deviations per
     // day-of-week — the seasonal INDEX q299's raw shares conflate with
-    // trend. Deviations are exact e6 integers (the only signed division,
-    // the per-dow mean, uses the a - pmod(a, b) floor form so Spark's
-    // truncating div can never disagree with DuckDB's flooring //).
+    // trend. Deviations are exact e6 integers (the trend division
+    // `__s7 * 1e6 div 7` has a non-negative numerator, where Spark's
+    // truncating div and DuckDB's truncating BIGINT // agree exactly).
     // One scan, one bounded window, one small agg.
     "q315_seasonal_decompose" -> QueryDef(
       fn = (s, d) => {
@@ -617,9 +622,10 @@ private[queries] object CatalogInsight {
           .agg(count(lit(1)).as("n_days"), sum(col("__dev_e6")).as("sum_dev_e6"))
           .select(col("event_type"), col("dow"), col("n_days"), col("sum_dev_e6"),
             // MEASURED on DuckDB 1.0: BIGINT // truncates toward zero on a
-            // negative numerator (the flooring behavior is double-only), so
-            // Spark's truncating `div` is the correct twin here — the
-            // a - pmod(a, b) floor form was off by one on negative sums
+            // negative numerator (and DOUBLE // is PLAIN division, not
+            // floor — corrected per r11 ADVICE), so Spark's truncating
+            // `div` is the correct twin here — the a - pmod(a, b) floor
+            // form was off by one on negative sums
             expr("sum_dev_e6 div n_days").as("seasonal_e6"))
           .orderBy("event_type", "dow")
       },
@@ -1212,6 +1218,16 @@ private[queries] object CatalogInsight {
         // increasing/decreasing verdicts provably fire (the q280/q297
         // injection discipline)
         val days = real.select(col("__i")).distinct()
+        // pair-frame guard (r11 verdict #7): C(days,2) per type is
+        // calendar-bounded today (sf calendars span ~60 days -> ~2k
+        // pairs/type) but would quietly quadratic on a year-scale
+        // calendar; 1500 days (~1.1M pairs/type) is the documented
+        // ceiling — past it, pre-aggregate to a coarser calendar
+        // (weekly) before the test instead of paying the blowup
+        val nCalendarDays = days.count()
+        require(nCalendarDays <= 1500,
+          s"Mann-Kendall pair frame is C(days,2) per type; $nCalendarDays" +
+            " days exceeds the 1500-day cap — bucket the series first")
         val ramps = days.select(lit("trend_up").as("event_type"), col("__i"),
             (lit(40L) + col("__i").cast("long") * 3).as("n"))
           .unionAll(days.select(lit("trend_down").as("event_type"), col("__i"),
@@ -2075,5 +2091,67 @@ private[queries] object CatalogInsight {
                (SELECT min(lat) FROM r, n WHERE cum * 100 >= 50 * n.nc) AS p50_s,
                (SELECT min(lat) FROM r, n WHERE cum * 100 >= 90 * n.nc) AS p90_s,
                (SELECT max(lat) FROM cv) AS max_s""")),
+
+    // The SECOND custom whole-operator path (graft.plans.AsOfMergeJoin,
+    // r11 verdict #2): backward as-of enrichment planned as a sorted
+    // MERGE exec — each side shuffled at its OWN width, per-task merge
+    // state ONE right row — instead of the union+window composition
+    // that pads both sides to the combined schema and sorts the union
+    // (q43 / q340). The right side is aggregated to unique
+    // (user_id, ts) so exact-ts tie nondeterminism cannot exist in any
+    // engine; DuckDB's native ASOF LEFT JOIN is the oracle. q340 is the
+    // SAME semantics via the union+window form — the interleaved
+    // BenchAB baseline (measured claim, not asserted).
+    "q339_asof_merge_operator" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max(col("value")).as("p_value"))
+        graft.plans.AsOfMergeJoin.asofMerge(clicks, purchases,
+            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+            rightCols = Seq("p_value"))
+          .orderBy("event_id")
+      },
+      bench = true,
+      oracle = Some("""
+        WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                   WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ts, p.ts AS asof_ts, p.p_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        ORDER BY l.event_id""")),
+
+    // The union+window form of q339, cell-identical BY ORACLE — kept
+    // first-class so BenchAB can interleave the two paths in one JVM
+    // (the q335/q336 discipline) and a regression in EITHER surface is
+    // caught against the same oracle.
+    "q340_asof_window_twin" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max(col("value")).as("p_value"))
+        graft.ops.AsOfJoin.asof(clicks, purchases,
+            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+            rightCols = Seq("p_value"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts"), col("p_value"))
+          .orderBy("event_id")
+      },
+      bench = true,
+      oracle = Some("""
+        WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                   WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ts, p.ts AS asof_ts, p.p_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        ORDER BY l.event_id""")),
   )
 }

@@ -62,6 +62,22 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.topk.maxKeysInFlight")
   }
 
+  test("the BYTE valve flushes under a tiny byte cap, rows still cell-exact") {
+    // second valve axis (r11 ADVICE): cap retained bytes, not keys — a
+    // few hundred bytes forces a flush every handful of rows
+    spark.conf.set("spark.graft.topk.maxBytesInFlight", "512")
+    try {
+      val viaOp = TopKPerKey.topKPerKey(events, Seq(col("user_id")),
+        Seq((col("c"), false), (col("event_id"), true)), 2)
+        .collect().map(_.toString).sorted
+      val w = Window.partitionBy("user_id").orderBy(col("c").desc, col("event_id").asc)
+      val viaWin = events.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 2).drop("__rk")
+        .collect().map(_.toString).sorted
+      assert(viaOp.toSeq == viaWin.toSeq)
+    } finally spark.conf.unset("spark.graft.topk.maxBytesInFlight")
+  }
+
   test("the final phase is a sorted streaming take — Sort below Final, not a hash map") {
     val plan = TopKPerKey.topKPerKey(events, Seq(col("event_type")),
       Seq((col("c"), false), (col("event_id"), true)), 3)

@@ -29,6 +29,8 @@ class TopKRewriteSpec extends AnyFunSuite {
       .appName("graft-topk-rewrite")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // the rule is opt-in (default off — tie caveat, r11 ADVICE)
+      .config(TopKRewriteRule.EnabledKey, "true")
       .withExtensions(new GraftExtensions)
     graft.Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
@@ -72,6 +74,15 @@ class TopKRewriteSpec extends AnyFunSuite {
     val ranked = events.withColumn("__rk", rank().over(w))
       .filter(col("__rk") <= 3).drop("__rk")
     assert(ranked.queryExecution.executedPlan.toString().contains("Window"))
+  }
+
+  test("the rule is a no-op unless spark.graft.topk.rewrite.enabled") {
+    spark.conf.set(TopKRewriteRule.EnabledKey, "false")
+    try {
+      val plan = windowTopK(3).queryExecution.executedPlan.toString()
+      assert(plan.contains("Window"), plan)
+      assert(!plan.contains("TopKPerKeyPartial"), plan)
+    } finally spark.conf.set(TopKRewriteRule.EnabledKey, "true")
   }
 
   test("strict less-than derives k-1") {
