@@ -135,19 +135,28 @@ object Bench {
     // copy/delete time inside each sample, so `streaming_staging` medians
     // separate "the temp-dir copy was slow" from "the stream ran slow".
     // Warm + 3 samples (r10 ran warm + 2 — too thin for a median).
-    def timeStreamingOnce(name: String): (Double, Double) = {
+    // r11 verdict #5: per-sample MICRO-BATCH durations ride the side file
+    // (batchId, triggerExecution ms, input rows per batch, drained from
+    // Catalog.ProgressLog after each sample) so a q239/q160-class anomaly
+    // can be attributed to batch 0 vs steady state without a rerun.
+    def timeStreamingOnce(name: String): (Double, Double, String) = {
       Catalog.StagingClock.drainSeconds() // clear batch-phase residue
+      Catalog.ProgressLog.drain() // clear prior-sample residue
       val total = timeOnce(name)
       val staging = Catalog.StagingClock.drainSeconds()
-      (total, staging)
+      val batches = Catalog.ProgressLog.drain()
+        .map(b => s"[${b.batchId},${b.triggerMs},${b.inputRows}]")
+        .mkString("[", ",", "]")
+      (total, staging, batches)
     }
     val streaming = SparkEntry.benchStreamingQueries.map { name =>
-      val (warm, _) = timeStreamingOnce(name)
-      val pairs = if (warm < 0) Seq((-1.0, 0.0))
-                  else Seq.fill(3)(timeStreamingOnce(name))
-      val ss = pairs.map(_._1)
-      val staging = pairs.map(_._2)
-      (name, median(ss), if (ss.exists(_ < 0)) -1.0 else ss.min, ss, staging)
+      val (warm, _, _) = timeStreamingOnce(name)
+      val triples = if (warm < 0) Seq((-1.0, 0.0, "[]"))
+                    else Seq.fill(3)(timeStreamingOnce(name))
+      val ss = triples.map(_._1)
+      val staging = triples.map(_._2)
+      val batches = triples.map(_._3)
+      (name, median(ss), if (ss.exists(_ < 0)) -1.0 else ss.min, ss, staging, batches)
     }
     def field(f: ((String, Double, Double, Seq[Double])) => String) =
       results.map(f).mkString("{", ",", "}")
@@ -172,30 +181,34 @@ object Bench {
         Some(s""","prev":{"file":"$fname","n_common":${common.size},"common_prev":$pv,"common_cur":$cur,"delta_pct":${math.round(pct * 10) / 10.0}}""")
       }
     }.getOrElse("")
-    def streamField5(f: ((String, Double, Double, Seq[Double], Seq[Double])) => String) =
+    def streamField5(f: ((String, Double, Double, Seq[Double], Seq[Double], Seq[String])) => String) =
       streaming.map(f).mkString("{", ",", "}")
-    val streamQs = streamField5 { case (k, med, _, _, _) => "\"" + k + "\":" + med }
-    val streamMins = streamField5 { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
-    val streamSamples = streamField5 { case (k, _, _, ss, _) =>
+    val streamQs = streamField5 { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
+    val streamMins = streamField5 { case (k, _, mn, _, _, _) => "\"" + k + "\":" + mn }
+    val streamSamples = streamField5 { case (k, _, _, ss, _, _) =>
       "\"" + k + "\":" + ss.mkString("[", ",", "]") }
-    val streamStaging = streamField5 { case (k, _, _, _, st) =>
+    val streamStaging = streamField5 { case (k, _, _, _, st, _) =>
       "\"" + k + "\":" + median(st) }
-    val streamStagingSamples = streamField5 { case (k, _, _, _, st) =>
+    val streamStagingSamples = streamField5 { case (k, _, _, _, st, _) =>
       "\"" + k + "\":" + st.mkString("[", ",", "]") }
+    // side-file only (size): per-sample [batchId, triggerMs, inputRows]
+    // arrays — the batch-0-vs-steady-state attribution data
+    val streamBatches = streamField5 { case (k, _, _, _, _, bs) =>
+      "\"" + k + "\":" + bs.mkString("[", ",", "]") }
     // mirror the batch contract (r10 advice): a warmup failure must land
     // in an explicit failed array, not hide as a -1.0 median that quietly
     // improves streaming_total
-    val streamFailed = streaming.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
+    val streamFailed = streaming.collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }
     val streamFailedField =
       if (streamFailed.isEmpty) "" else s""","streaming_failed":${streamFailed.mkString("[", ",", "]")}"""
-    val streamTotal = streaming.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val streamTotal = streaming.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
     // samples stay off the stdout line (tail-capture budget, see below)
     // but mins + staging medians ride it: they are the two statistics the
     // r10 q160 flag needed and they cost ~40 bytes per streaming query
     val streamField = if (streaming.isEmpty) ""
       else s""","streaming":$streamQs,"streaming_mins":$streamMins,"streaming_staging":$streamStaging$streamFailedField,"streaming_total":$streamTotal"""
     val streamFullField = if (streaming.isEmpty) ""
-      else s""","streaming":$streamQs,"streaming_mins":$streamMins,"streaming_samples":$streamSamples,"streaming_staging":$streamStaging,"streaming_staging_samples":$streamStagingSamples$streamFailedField,"streaming_total":$streamTotal"""
+      else s""","streaming":$streamQs,"streaming_mins":$streamMins,"streaming_samples":$streamSamples,"streaming_staging":$streamStaging,"streaming_staging_samples":$streamStagingSamples,"streaming_batches":$streamBatches$streamFailedField,"streaming_total":$streamTotal"""
     // stdout line stays SLIM: round 7's line (with the raw sample arrays
     // inline) outgrew the driver's tail-capture window and arrived
     // truncated → "parsed": null for the whole round. Samples go only to

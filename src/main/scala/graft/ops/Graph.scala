@@ -435,6 +435,92 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** Boruvka minimum-spanning-FOREST over an undirected weighted graph
+    * — the classic spanning-structure verb (r11 verdict #4): every
+    * round each component picks its minimum outgoing edge under the
+    * TOTAL (w, src, dst) order (so ties cannot make the pick ambiguous
+    * in either engine), those edges join the forest, and components
+    * merge by parent-pointer relabeling with `jumps` pointer-jump hops
+    * — the bounded-round unrollable-recurrence convention of
+    * [[kCorePeel]], chosen so a SQL oracle can replay the identical
+    * loop. Component count at least halves per round, so `rounds` =
+    * log2(largest component) converges; a smaller budget still yields
+    * a well-defined deterministic partial forest (every picked edge IS
+    * an MST edge — the cut property needs no convergence).
+    *
+    * Scale shape per round: two vertex-keyed equi-joins to label edge
+    * endpoints, ONE min-struct aggregation keyed by component (the
+    * min-outgoing pick — exactly a map-side-combinable agg), and
+    * O(components)-sized parent frames for the 2-cycle break and the
+    * `jumps` self-joins — every shuffle key-uniform, nothing quadratic,
+    * frames `localCheckpoint`ed per round (lineage rule). Parent
+    * pointers from distinct-weight min-edges form only 2-cycles
+    * (the mutual-minimum pair), which the break collapses to the
+    * smaller id; chains hanging off them are flattened by the jumps.
+    *
+    * Output: (src, dst, w) of the forest edges picked in any round,
+    * canonical (src < dst), deduped.
+    */
+  def boruvkaMst(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, rounds: Int, jumps: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(jumps >= 1, s"jumps must be >= 1: $jumps")
+    // stats-DROPPING checkpoint: the plain localCheckpoint forwards the
+    // source plan's Statistics (Spark 4 LogicalRDD.originStats), and in
+    // this loop every self-join SQUARES the estimate -- after a few
+    // rounds the BigInt exponent overflows and planning dies (measured;
+    // see GraftInternal.localCheckpointNoStats)
+    def cut(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftInternal.localCheckpointNoStats(df)
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .localCheckpoint(eager = true) // e0 is built once; plain cut is fine
+    var comp = e0.select(col("src").as("v"))
+      .unionAll(e0.select(col("dst").as("v")))
+      .distinct().select(col("v"), col("v").as("c"))
+      .localCheckpoint(eager = true)
+    var mst: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val lab = e0
+        .join(comp.select(col("v").as("src"), col("c").as("cs")), Seq("src"))
+        .join(comp.select(col("v").as("dst"), col("c").as("cd")), Seq("dst"))
+        .filter(col("cs") =!= col("cd"))
+      // min outgoing edge per component; struct min = lexicographic
+      // (w, src, dst) — `other` can never decide, (src, dst) is unique
+      val cand = lab.select(col("cs").as("comp"),
+          struct(col("w"), col("src"), col("dst"), col("cd").as("other")).as("pick"))
+        .unionAll(lab.select(col("cd").as("comp"),
+          struct(col("w"), col("src"), col("dst"), col("cs").as("other")).as("pick")))
+      val minPick = cut(cand.groupBy("comp").agg(min(col("pick")).as("pick")))
+        // picked edges + parents share it
+      val picked = minPick.select(col("pick.src").as("src"),
+        col("pick.dst").as("dst"), col("pick.w").as("w")).distinct()
+      mst = cut(if (mst == null) picked else mst.unionAll(picked).distinct())
+      // parent = the other endpoint's component; mutual-minimum
+      // 2-cycles collapse to the smaller id (the Boruvka star root)
+      val parent0 = minPick.select(col("comp").as("c"), col("pick.other").as("p"))
+      var parent = cut(parent0.as("a")
+        .join(parent0.select(col("c").as("p"), col("p").as("pp")).as("b"),
+          Seq("p"), "left")
+        .select(col("c"),
+          when(col("pp") === col("c") && col("c") < col("p"), col("c"))
+            .otherwise(col("p")).as("p")))
+      for (_ <- 1 to jumps) {
+        parent = cut(parent
+          .join(parent.select(col("c").as("p"), col("p").as("gp")),
+            Seq("p"), "left")
+          .select(col("c"), coalesce(col("gp"), col("p")).as("p")))
+      }
+      comp = cut(comp.join(parent, Seq("c"), "left")
+        .select(col("v"), coalesce(col("p"), col("c")).as("c")))
+    }
+    mst
+  }
+
   /** Per-landmark BFS distances: [[bfsHops]] generalized so each landmark
     * keeps its OWN distance field — the state is keyed by
     * (landmark, node) instead of node, which is exactly what

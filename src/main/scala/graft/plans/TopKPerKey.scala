@@ -24,9 +24,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * EnsureRequirements inserts the exchange the final's required
   * distribution declares — exactly how HashAggregateExec splits.
   *
-  * Correctness contract: `order` must be a TOTAL order on the rows of
-  * each key (tie-break every ordering column, e.g. end with a unique
-  * id) — the same requirement every deterministic row_number carries.
+  * THREE tie modes (the rank-like window trio — r11 verdict #3):
+  *  - [[RowNumberMode]]: exactly k rows per key. `order` must be a
+  *    TOTAL order on the rows of each key (tie-break every ordering
+  *    column, e.g. end with a unique id) — the same requirement every
+  *    deterministic row_number carries.
+  *  - [[RankMode]]: rows whose `rank()` is <= k — ties at the boundary
+  *    emit MORE than k rows. The emitted SET is tie-invariant, so no
+  *    total-order requirement.
+  *  - [[DenseRankMode]]: rows among the k smallest DISTINCT order
+  *    values — also tie-invariant.
   *
   * Reference framing: the reference engine's per-station "latest k
   * measurements" reads (OpenAQ-Data-Pipeline-Engineering
@@ -36,13 +43,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 object TopKPerKey {
 
   /** Per-key top-k of `df`: the rows whose rank under `orderCols`
-    * (column, ascending?) within their `keyCols` group is <= k.
-    * Registers the planner strategy on the session idempotently —
-    * [[graft.GraftExtensions]] injects the same strategy for
-    * config-driven deployments.
+    * (column, ascending?) within their `keyCols` group is <= k, with
+    * the rank semantics of `mode`. Registers the planner strategy on
+    * the session idempotently — [[graft.GraftExtensions]] injects the
+    * same strategy for config-driven deployments.
     */
   def topKPerKey(df: DataFrame, keyCols: Seq[Column],
-      orderCols: Seq[(Column, Boolean)], k: Int): DataFrame = {
+      orderCols: Seq[(Column, Boolean)], k: Int,
+      mode: TopKMode = RowNumberMode): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(keyCols.nonEmpty && orderCols.nonEmpty, "keys and order required")
     val spark = df.sparkSession
@@ -60,9 +68,20 @@ object TopKPerKey {
     }
     GraftInternal.ofRows(spark,
       TopKPerKeyNode(keyCols.map(GraftInternal.expr), order, k,
-        df.queryExecution.analyzed))
+        df.queryExecution.analyzed, mode))
   }
 }
+
+/** Rank semantics of the boundary: how ties at the k-th position are
+  * resolved. Serializable — shipped inside the exec to every task.
+  */
+sealed trait TopKMode extends Serializable { def name: String }
+/** Exactly k rows (row_number() <= k); order must be total. */
+case object RowNumberMode extends TopKMode { val name = "row_number" }
+/** rank() <= k; boundary ties all emitted (possibly > k rows). */
+case object RankMode extends TopKMode { val name = "rank" }
+/** k smallest distinct order values (dense_rank() <= k). */
+case object DenseRankMode extends TopKMode { val name = "dense_rank" }
 
 /** Logical form: declarative per-key top-k. Output = child output (a
   * filter-like operator). Resolution rides the generic analyzer rules —
@@ -70,7 +89,8 @@ object TopKPerKey {
   * `ResolveReferences` binds them like any stock operator's.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan,
+    mode: TopKMode = RowNumberMode) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -82,9 +102,9 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
   */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case TopKPerKeyNode(keys, order, k, child, mode) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child), mode)
+      TopKPerKeyExec(keys, order, k, partial = false, partial, mode) :: Nil
     case _ => Nil
   }
 }
@@ -118,7 +138,8 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * EXPRESSIONS feeding it still codegen in the child stage.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, partial: Boolean, child: SparkPlan,
+    mode: TopKMode = RowNumberMode) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -145,6 +166,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val maxBytesInFlight =
         conf.getConfString("spark.graft.topk.maxBytesInFlight",
           (256L << 20).toString).toLong
+      val theMode = mode
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val sortProj = UnsafeProjection.create(sortOrders.map(_.child), childOutput)
@@ -153,64 +175,163 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
         }
         val rowOrd = new InterpretedOrdering(bound)
-        final class Entry(val sortKey: UnsafeRow, val row: UnsafeRow) {
-          def bytes: Long = sortKey.getSizeInBytes.toLong + row.getSizeInBytes
-        }
-        val cmp = new java.util.Comparator[Entry] {
-          override def compare(a: Entry, b: Entry): Int =
-            -rowOrd.compare(a.sortKey, b.sortKey) // max-heap: head = worst kept
-        }
-        val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]()
-        // retained bytes of every live copied key/sort-key/row — the
-        // second valve axis (a key-count cap alone is byte-blind)
-        var retainedBytes = 0L
         import scala.jdk.CollectionConverters._
-        def drain(): Iterator[InternalRow] = {
-          val hs = new java.util.ArrayList(heaps.values())
-          heaps.clear()
-          retainedBytes = 0L
-          hs.iterator().asScala.flatMap { heap =>
-            // ascending sort order per key (deterministic emission)
-            val buf = new Array[Entry](heap.size())
-            var i = heap.size() - 1
-            while (i >= 0) { buf(i) = heap.poll(); i -= 1 }
-            buf.iterator.map(_.row: InternalRow)
+
+        /** Mode-specific per-partition retention: offer rows, drain all. */
+        trait Retention {
+          def offer(row: InternalRow): Unit
+          def drain(): Iterator[InternalRow]
+          def liveKeys: Int
+          def retainedBytes: Long
+          def nonEmpty: Boolean
+        }
+
+        /** row_number: bounded max-heap of exactly k rows per key. */
+        final class HeapRetention extends Retention {
+          final class Entry(val sortKey: UnsafeRow, val row: UnsafeRow) {
+            def bytes: Long = sortKey.getSizeInBytes.toLong + row.getSizeInBytes
+          }
+          private val cmp = new java.util.Comparator[Entry] {
+            override def compare(a: Entry, b: Entry): Int =
+              -rowOrd.compare(a.sortKey, b.sortKey) // max-heap: head = worst kept
+          }
+          private val heaps =
+            new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]()
+          // retained bytes of every live copied key/sort-key/row — the
+          // second valve axis (a key-count cap alone is byte-blind)
+          var retainedBytes = 0L
+          def liveKeys: Int = heaps.size()
+          def nonEmpty: Boolean = !heaps.isEmpty
+          def drain(): Iterator[InternalRow] = {
+            val hs = new java.util.ArrayList(heaps.values())
+            heaps.clear()
+            retainedBytes = 0L
+            hs.iterator().asScala.flatMap { heap =>
+              // ascending sort order per key (deterministic emission)
+              val buf = new Array[Entry](heap.size())
+              var i = heap.size() - 1
+              while (i >= 0) { buf(i) = heap.poll(); i -= 1 }
+              buf.iterator.map(_.row: InternalRow)
+            }
+          }
+          def offer(row: InternalRow): Unit = {
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[Entry](kk + 1, cmp)
+              val keyCopy = key.copy()
+              heaps.put(keyCopy, heap)
+              retainedBytes += keyCopy.getSizeInBytes
+            }
+            val sortKey = sortProj(row)
+            if (heap.size() < kk) {
+              val e = new Entry(sortKey.copy(), rowProj(row).copy())
+              heap.add(e)
+              retainedBytes += e.bytes
+            } else if (rowOrd.compare(sortKey, heap.peek().sortKey) < 0) {
+              retainedBytes -= heap.poll().bytes
+              val e = new Entry(sortKey.copy(), rowProj(row).copy())
+              heap.add(e)
+              retainedBytes += e.bytes
+            }
           }
         }
-        def offer(row: InternalRow): Unit = {
-          val key = keyProj(row)
-          var heap = heaps.get(key)
-          if (heap == null) {
-            heap = new java.util.PriorityQueue[Entry](kk + 1, cmp)
-            val keyCopy = key.copy()
-            heaps.put(keyCopy, heap)
-            retainedBytes += keyCopy.getSizeInBytes
+
+        /** rank / dense_rank: per key, a sort-ordered map of TIE GROUPS.
+          * A group survives under rank iff the row count strictly before
+          * it is < k (so boundary-tied rows are all kept — possibly > k
+          * rows); under dense_rank iff it is among the k smallest
+          * distinct sort keys. Both evict whole tail groups; ties can
+          * inflate a group arbitrarily, which is exactly what the flush
+          * valve's byte axis bounds.
+          */
+        final class RankRetention(dense: Boolean) extends Retention {
+          final class Group {
+            val rows = new scala.collection.mutable.ArrayBuffer[UnsafeRow](4)
+            var bytes = 0L
           }
-          val sortKey = sortProj(row)
-          if (heap.size() < kk) {
-            val e = new Entry(sortKey.copy(), rowProj(row).copy())
-            heap.add(e)
-            retainedBytes += e.bytes
-          } else if (rowOrd.compare(sortKey, heap.peek().sortKey) < 0) {
-            retainedBytes -= heap.poll().bytes
-            val e = new Entry(sortKey.copy(), rowProj(row).copy())
-            heap.add(e)
-            retainedBytes += e.bytes
+          final class TreeState {
+            val tree = new java.util.TreeMap[UnsafeRow, Group](
+              new java.util.Comparator[UnsafeRow] {
+                override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+                  rowOrd.compare(a, b)
+              })
+            var totalRows = 0L
           }
+          private val states = new java.util.HashMap[UnsafeRow, TreeState]()
+          var retainedBytes = 0L
+          def liveKeys: Int = states.size()
+          def nonEmpty: Boolean = !states.isEmpty
+          def drain(): Iterator[InternalRow] = {
+            val ss = new java.util.ArrayList(states.values())
+            states.clear()
+            retainedBytes = 0L
+            ss.iterator().asScala.flatMap(
+              _.tree.values().iterator().asScala.flatMap(_.rows.iterator))
+          }
+          def offer(row: InternalRow): Unit = {
+            val key = keyProj(row)
+            var st = states.get(key)
+            if (st == null) {
+              st = new TreeState
+              val keyCopy = key.copy()
+              states.put(keyCopy, st)
+              retainedBytes += keyCopy.getSizeInBytes
+            }
+            val sortKey = sortProj(row)
+            val last = if (st.tree.isEmpty) null else st.tree.lastKey()
+            // fast skip: a candidate beyond the current max that cannot
+            // rank <= k is never inserted
+            val full =
+              if (dense) st.tree.size() >= kk else st.totalRows >= kk
+            if (last != null && full && rowOrd.compare(sortKey, last) > 0) return
+            var group = st.tree.get(sortKey)
+            if (group == null) {
+              group = new Group
+              val skCopy = sortKey.copy()
+              st.tree.put(skCopy, group)
+              group.bytes += skCopy.getSizeInBytes
+            }
+            val rowCopy = rowProj(row).copy()
+            group.rows += rowCopy
+            group.bytes += rowCopy.getSizeInBytes
+            retainedBytes += rowCopy.getSizeInBytes
+            if (group.rows.size == 1) retainedBytes += group.bytes - rowCopy.getSizeInBytes
+            st.totalRows += 1
+            // evict tail groups that can no longer rank <= k
+            var evicting = true
+            while (evicting && !st.tree.isEmpty) {
+              val tail = st.tree.lastEntry()
+              val evict =
+                if (dense) st.tree.size() > kk
+                else st.totalRows - tail.getValue.rows.size >= kk
+              if (evict) {
+                st.tree.remove(tail.getKey)
+                st.totalRows -= tail.getValue.rows.size
+                retainedBytes -= tail.getValue.bytes
+              } else evicting = false
+            }
+          }
+        }
+
+        val retention: Retention = theMode match {
+          case RowNumberMode => new HeapRetention
+          case RankMode      => new RankRetention(dense = false)
+          case DenseRankMode => new RankRetention(dense = true)
         }
         new Iterator[InternalRow] {
           private var pending: Iterator[InternalRow] = Iterator.empty
           private def advance(): Unit = {
-            while (!pending.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+            while (!pending.hasNext && (iter.hasNext || retention.nonEmpty)) {
               var flushed = false
               while (iter.hasNext && !flushed) {
-                offer(iter.next())
-                if (heaps.size() > maxKeysInFlight ||
-                    retainedBytes > maxBytesInFlight) { // the flush valve
-                  pending = drain(); flushed = true
+                retention.offer(iter.next())
+                if (retention.liveKeys > maxKeysInFlight ||
+                    retention.retainedBytes > maxBytesInFlight) { // the flush valve
+                  pending = retention.drain(); flushed = true
                 }
               }
-              if (!flushed) pending = drain() // input exhausted
+              if (!flushed) pending = retention.drain() // input exhausted
             }
           }
           override def hasNext: Boolean = { advance(); pending.hasNext }
@@ -219,22 +340,46 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       }, preservesPartitioning = true)
     } else {
       // streaming group-take over the (keys, order)-sorted pruned stream:
-      // O(1) state — current group key + emitted count
+      // O(1) state per mode — current group key, plus (rank modes) the
+      // current tie-group's sort key and its starting position
+      val theMode = mode
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val sortProj = UnsafeProjection.create(sortOrders.map(_.child), childOutput)
         val rowProj = UnsafeProjection.create(childOutput, childOutput)
+        val bound = sortOrders.zipWithIndex.map { case (so, i) =>
+          so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
+        }
+        val rowOrd = new InterpretedOrdering(bound)
         var currentKey: UnsafeRow = null
-        var emitted = 0
+        var position = 0L   // rows seen in this key group
+        var rank = 0L       // rank of the current tie group (rank mode)
+        var denseRank = 0L  // distinct sort keys seen (dense mode)
+        var groupSortKey: UnsafeRow = null
         iter.flatMap { row =>
           val key = keyProj(row)
           if (currentKey == null || key != currentKey) {
             currentKey = key.copy()
-            emitted = 0
+            position = 0L; rank = 0L; denseRank = 0L; groupSortKey = null
           }
-          if (emitted < kk) {
-            emitted += 1
-            Iterator.single(rowProj(row).copy(): InternalRow)
-          } else Iterator.empty
+          position += 1
+          val emit = theMode match {
+            case RowNumberMode => position <= kk
+            case RankMode =>
+              val sk = sortProj(row)
+              if (groupSortKey == null || rowOrd.compare(sk, groupSortKey) != 0) {
+                groupSortKey = sk.copy(); rank = position
+              }
+              rank <= kk
+            case DenseRankMode =>
+              val sk = sortProj(row)
+              if (groupSortKey == null || rowOrd.compare(sk, groupSortKey) != 0) {
+                groupSortKey = sk.copy(); denseRank += 1
+              }
+              denseRank <= kk
+          }
+          if (emit) Iterator.single(rowProj(row).copy(): InternalRow)
+          else Iterator.empty
         }
       }, preservesPartitioning = true)
     }

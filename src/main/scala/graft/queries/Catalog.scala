@@ -407,15 +407,42 @@ object Catalog {
     Tables.normalizeTs(s.readStream.schema(footer).parquet(dir.toString))
   }
 
+  /** Per-batch StreamingQueryProgress capture (r11 verdict #5): every
+    * streaming runner records each micro-batch's (query, batchId,
+    * triggerExecution ms, input rows) here before stopping its query;
+    * Bench drains the buffer per SAMPLE into the side file, so a
+    * q239/q160-class bench anomaly can be attributed to batch 0 vs
+    * steady state from the artifact alone, without a rerun.
+    * Harness-only, thread-safe, bounded by Spark's recentProgress
+    * retention (spark.sql.streaming.numRecentProgressUpdates, 100).
+    */
+  object ProgressLog {
+    final case class BatchProgress(query: String, batchId: Long,
+      triggerMs: Long, inputRows: Long)
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[BatchProgress]
+    def record(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      synchronized {
+        q.recentProgress.foreach { p =>
+          buf += BatchProgress(Option(p.name).getOrElse("?"), p.batchId,
+            Option(p.durationMs.get("triggerExecution"))
+              .map(_.longValue).getOrElse(-1L),
+            p.numInputRows)
+        }
+      }
+    def drain(): Seq[BatchProgress] =
+      synchronized { val r = buf.toVector; buf.clear(); r }
+  }
+
   /** Run a streaming frame to a complete-mode memory sink and return the
     * materialized table (stopping any prior query of the same name so the
-    * entry is re-runnable).
+    * entry is re-runnable). Per-batch progress lands in [[ProgressLog]].
     */
   private[queries] def runToMemoryTable(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
     s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     q.processAllAvailable()
+    ProgressLog.record(q)
     q.stop()
     s.table(name)
   }

@@ -1369,6 +1369,7 @@ private[queries] object CatalogModelEval {
         val q = out.toDF().writeStream.format("memory").queryName("q212_mem")
           .outputMode("update").start()
         q.processAllAvailable()
+        Catalog.ProgressLog.record(q)
         q.stop()
         dropStagedTree(dir)
         sess.table("q212_mem")

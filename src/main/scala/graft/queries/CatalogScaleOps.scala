@@ -440,6 +440,7 @@ private[queries] object CatalogScaleOps {
               .withColumn("user_id", lit(-1L))
               .write.mode("append").parquet(dir.toString)
             q.processAllAvailable()
+            Catalog.ProgressLog.record(q)
           } finally q.stop() // a leaked query would hold the staged dir
           s.table("q160_mem")
         } finally dropStagedTree(dir)

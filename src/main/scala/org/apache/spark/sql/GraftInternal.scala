@@ -14,6 +14,29 @@ object GraftInternal {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 
+  /** `localCheckpoint(eager)` that also DROPS the forwarded origin
+    * statistics. Spark 4's `LogicalRDD.fromDataset` copies the source
+    * plan's `Statistics` into the checkpoint node (`originStats`), so in
+    * an ITERATIVE loop the estimates COMPOUND across rounds — every join
+    * multiplies its children's sizeInBytes, a self-join SQUARES it, and
+    * after a few rounds of pointer-jumping the BigInt exponent passes
+    * 2^31 bits and stats computation itself throws "BigInteger would
+    * overflow supported range" (measured: Boruvka at 5 rounds x 4
+    * jumps; planning also slows to minutes computing the giant
+    * numbers). Dropping originStats resets each round to the
+    * conservative default estimate — broadcast decisions fall back to
+    * AQE's runtime sizes, which is what an iterative loop wants anyway.
+    */
+  def localCheckpointNoStats(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(eager = true)
+    // re-wrap the ALREADY-CHECKPOINTED rows in a fresh LogicalRDD built
+    // without originStats (internalCreateDataFrame never forwards any) —
+    // toRdd on the checkpoint is the materialized blocks, no recompute
+    val session = df.sparkSession.asInstanceOf[ClassicSparkSession]
+    session.internalCreateDataFrame(
+      cp.queryExecution.toRdd, cp.schema, isStreaming = false)
+  }
+
   /** Column -> Catalyst expression (Spark 4 moved the old `Column.expr`
     * behind the classic converter). NOTE: `ExpressionUtils.expression`
     * returns a LAZY `ColumnNodeExpression` wrapper that only standard

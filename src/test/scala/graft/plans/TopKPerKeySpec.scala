@@ -89,6 +89,50 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(plan.indexOf("Sort") < plan.indexOf("TopKPerKeyPartial"), plan)
   }
 
+  // coarse bucket => plenty of exact ties, the rank modes' whole point
+  private def bucketed = events.withColumn("b", expr("c div 50").cast("long"))
+
+  test("RankMode == window rank() form, boundary ties all emitted") {
+    val viaOp = TopKPerKey.topKPerKey(bucketed, Seq(col("event_type")),
+      Seq((col("b"), false)), 3, RankMode)
+      .collect().map(_.toString).sorted
+    val w = Window.partitionBy("event_type").orderBy(col("b").desc)
+    val viaWin = bucketed.withColumn("__rk", rank().over(w))
+      .filter(col("__rk") <= 3).drop("__rk")
+      .collect().map(_.toString).sorted
+    assert(viaOp.nonEmpty && viaOp.toSeq == viaWin.toSeq)
+  }
+
+  test("DenseRankMode == window dense_rank() form") {
+    val viaOp = TopKPerKey.topKPerKey(bucketed, Seq(col("event_type")),
+      Seq((col("b"), true)), 2, DenseRankMode)
+      .collect().map(_.toString).sorted
+    val w = Window.partitionBy("event_type").orderBy(col("b").asc)
+    val viaWin = bucketed.withColumn("__rk", dense_rank().over(w))
+      .filter(col("__rk") <= 2).drop("__rk")
+      .collect().map(_.toString).sorted
+    assert(viaOp.nonEmpty && viaOp.toSeq == viaWin.toSeq)
+  }
+
+  test("rank modes stay cell-exact under a forced flush valve") {
+    spark.conf.set("spark.graft.topk.maxKeysInFlight", "2")
+    try {
+      for (
+        (m, wf) <- Seq[(TopKMode, org.apache.spark.sql.Column)](
+          (RankMode, rank().over(Window.partitionBy("user_id").orderBy(col("b").desc))),
+          (DenseRankMode, dense_rank().over(Window.partitionBy("user_id").orderBy(col("b").desc))))
+      ) {
+        val viaOp = TopKPerKey.topKPerKey(bucketed, Seq(col("user_id")),
+          Seq((col("b"), false)), 2, m)
+          .collect().map(_.toString).sorted
+        val viaWin = bucketed.withColumn("__rk", wf)
+          .filter(col("__rk") <= 2).drop("__rk")
+          .collect().map(_.toString).sorted
+        assert(viaOp.toSeq == viaWin.toSeq, s"mode $m")
+      }
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInFlight")
+  }
+
   test("multi-column keys and ascending order work") {
     val keyed = events.withColumn("b", col("event_id") % 7)
     val viaOp = TopKPerKey.topKPerKey(keyed, Seq(col("event_type"), col("b")),

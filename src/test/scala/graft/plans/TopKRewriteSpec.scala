@@ -70,10 +70,36 @@ class TopKRewriteSpec extends AnyFunSuite {
     val kept = events.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
     assert(kept.queryExecution.executedPlan.toString().contains("Window"))
     assert(kept.columns.contains("rk"))
-    // rank() (ties share a rank — different semantics) is left alone
-    val ranked = events.withColumn("__rk", rank().over(w))
-      .filter(col("__rk") <= 3).drop("__rk")
-    assert(ranked.queryExecution.executedPlan.toString().contains("Window"))
+    // percent_rank() (not rank-like-limitable) is left alone
+    val pct = events.withColumn("__rk", percent_rank().over(w))
+      .filter(col("__rk") <= 0.5).drop("__rk")
+    assert(pct.queryExecution.executedPlan.toString().contains("Window"))
+  }
+
+  test("rank() and dense_rank() idioms rewrite with tie semantics intact") {
+    // coarse bucket => exact ties at the boundary, the semantics under test
+    val bucketed = events.withColumn("b", expr("c div 50").cast("long"))
+    val w = Window.partitionBy("event_type").orderBy(col("b").desc)
+    for ((fn, mode) <- Seq(rank() -> RankMode, dense_rank() -> DenseRankMode)) {
+      val df = bucketed.withColumn("__rk", fn.over(w))
+        .filter(col("__rk") <= 3).drop("__rk")
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("TopKPerKeyPartial"), s"$mode:\n$plan")
+      assert(!plan.contains("Window"), s"$mode:\n$plan")
+      // rows equal the un-extended base session's window result
+      val expected = {
+        val base = graft.GraftSpark.spark
+        val ev = graft.Tables.load(base, "/root/testdata/sf0.001", "events")
+          .select(col("event_id"), col("event_type"),
+            (col("value") * 100 + signum(col("value")) * 0.5).cast("long").as("c"))
+          .withColumn("b", expr("c div 50").cast("long"))
+        ev.withColumn("__rk",
+            fn.over(Window.partitionBy("event_type").orderBy(col("b").desc)))
+          .filter(col("__rk") <= 3).drop("__rk")
+          .collect().map(_.toString).sorted
+      }
+      assert(df.collect().map(_.toString).sorted.toSeq == expected.toSeq, s"$mode")
+    }
   }
 
   test("the rule is a no-op unless spark.graft.topk.rewrite.enabled") {
