@@ -144,8 +144,9 @@ object Bench {
       Catalog.ProgressLog.drain() // clear prior-sample residue
       val total = timeOnce(name)
       val staging = Catalog.StagingClock.drainSeconds()
+      // [batchId, triggerExecution ms, input rows, state rows, state bytes]
       val batches = Catalog.ProgressLog.drain()
-        .map(b => s"[${b.batchId},${b.triggerMs},${b.inputRows}]")
+        .map(b => s"[${b.batchId},${b.triggerMs},${b.inputRows},${b.stateRows},${b.stateBytes}]")
         .mkString("[", ",", "]")
       (total, staging, batches)
     }

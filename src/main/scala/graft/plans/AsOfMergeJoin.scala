@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftInternal}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Expression, GenericInternalRow, InterpretedOrdering, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Descending, Expression, GenericInternalRow, InterpretedOrdering, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -56,8 +56,11 @@ object AsOfMergeJoin {
     */
   def asofMerge(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String],
-      rightTieBreak: Seq[(String, Boolean)] = Nil): DataFrame = {
+      rightTieBreak: Seq[(String, Boolean)] = Nil,
+      direction: String = "backward"): DataFrame = {
     require(on.nonEmpty, "at least one equality key required")
+    require(Seq("backward", "forward").contains(direction),
+      s"direction must be backward|forward, got '$direction'")
     require(!rightCols.contains(rightTs), "rightCols must not repeat rightTs")
     require(!(rightCols :+ "asof_ts").exists(left.columns.contains),
       "carried right columns (and asof_ts) must not collide with left")
@@ -96,7 +99,7 @@ object AsOfMergeJoin {
         else org.apache.spark.sql.catalyst.expressions.Descending)
     }
     val node = AsOfMergeJoinNode(leftKeys, rightKeys, lTs, rTs, tie,
-      leftPlan, rightPlan)
+      leftPlan, rightPlan, forward = direction == "forward")
     GraftInternal.ofRows(spark, node).drop(keyAliases: _*)
   }
 }
@@ -108,7 +111,8 @@ object AsOfMergeJoin {
 case class AsOfMergeJoinNode(leftKeys: Seq[Expression],
     rightKeys: Seq[Expression], leftTs: Expression, rightTs: Expression,
     rightTieBreak: Seq[SortOrder],
-    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+    left: LogicalPlan, right: LogicalPlan,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override def maxRows: Option[Long] = left.maxRows
@@ -119,8 +123,9 @@ case class AsOfMergeJoinNode(leftKeys: Seq[Expression],
 
 object AsOfMergeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfMergeJoinNode(lk, rk, lts, rts, tie, l, r) =>
-      AsOfMergeJoinExec(lk, rk, lts, rts, tie, planLater(l), planLater(r)) :: Nil
+    case AsOfMergeJoinNode(lk, rk, lts, rts, tie, l, r, fwd) =>
+      AsOfMergeJoinExec(lk, rk, lts, rts, tie,
+        planLater(l), planLater(r), fwd) :: Nil
     case _ => Nil
   }
 }
@@ -145,19 +150,33 @@ object AsOfMergeJoinStrategy extends SparkStrategy {
 case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
     rightKeys: Seq[Expression], leftTs: Expression, rightTs: Expression,
     rightTieBreak: Seq[SortOrder],
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    forward: Boolean = false) extends BinaryExecNode {
+
+  // FORWARD mode ("earliest right row with rightTs >= leftTs"): the same
+  // forward-only merge over MIRRORED time — both sides sort ts
+  // DESCENDING within the keys, the cursor keeps the last advanced
+  // right row (= the SMALLEST ts still >= left ts), and the tie-break
+  // directions are flipped so the overwrite-last discipline makes the
+  // FIRST row under the caller's tie-break order win (the
+  // AsOfJoin.asof forward convention).
+  private def tsDir = if (forward) Descending else Ascending
+  private def tieForMerge: Seq[SortOrder] =
+    if (!forward) rightTieBreak
+    else rightTieBreak.map(so => SortOrder(so.child,
+      if (so.direction == Ascending) Descending else Ascending))
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
     rightKeys.map(SortOrder(_, Ascending)) ++
-      (SortOrder(rightTs, Ascending) +: rightTieBreak))
+      (SortOrder(rightTs, tsDir) +: tieForMerge))
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir)
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
     copy(left = newLeft, right = newRight)
@@ -166,6 +185,7 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
   protected override def doExecute(): RDD[InternalRow] = {
     val lk = leftKeys; val rk = rightKeys
     val lts = leftTs; val rts = rightTs
+    val fwd = forward
     val leftOutput = left.output; val rightOutput = right.output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val leftKeyProj = UnsafeProjection.create(lk, leftOutput)
@@ -217,7 +237,9 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
           var advancing = true
           while (advancing && nextRight != null) {
             val c = keyOrd.compare(nextRightKey, k)
-            if (c < 0 || (c == 0 && tsOrd.compare(nextRightTs, t) <= 0)) {
+            val tsOk = if (fwd) tsOrd.compare(nextRightTs, t) >= 0
+                       else tsOrd.compare(nextRightTs, t) <= 0
+            if (c < 0 || (c == 0 && tsOk)) {
               if (c == 0) { curMatch = nextRight; curMatchKey = nextRightKey }
               advanceRight()
             } else advancing = false

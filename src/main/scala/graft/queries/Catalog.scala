@@ -418,15 +418,21 @@ object Catalog {
     */
   object ProgressLog {
     final case class BatchProgress(query: String, batchId: Long,
-      triggerMs: Long, inputRows: Long)
+      triggerMs: Long, inputRows: Long, stateRows: Long, stateBytes: Long)
     private val buf = scala.collection.mutable.ArrayBuffer.empty[BatchProgress]
     def record(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
       synchronized {
         q.recentProgress.foreach { p =>
+          // state-store shape per batch (r11 verdict #6): rows + bytes
+          // summed over the batch's state operators — the 64x streaming
+          // probe reads the PEAK of these
+          val ops = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
           buf += BatchProgress(Option(p.name).getOrElse("?"), p.batchId,
             Option(p.durationMs.get("triggerExecution"))
               .map(_.longValue).getOrElse(-1L),
-            p.numInputRows)
+            p.numInputRows,
+            ops.map(_.numRowsTotal).sum,
+            ops.map(_.memoryUsedBytes).sum)
         }
       }
     def drain(): Seq[BatchProgress] =

@@ -2273,6 +2273,35 @@ private[queries] object CatalogInsight {
     // (w, src, dst) order so ties cannot fork the forest. 5 rounds x 4
     // pointer jumps (component count halves per round; the sf graphs
     // converge well inside that). Oracle = the recurrence unrolled.
+    // FORWARD direction of the merge exec — full direction parity with
+    // the union+window form (q218's semantics on the q339 fixture): for
+    // each click, the EARLIEST deduped purchase at or after it. Same
+    // two-exchange merge plan, time axis mirrored (ts sorted DESC inside
+    // the keys, tie-breaks flipped so first-under-order wins). DuckDB's
+    // ASOF LEFT JOIN with l.ts <= r.ts (smallest qualifying right ts) is
+    // the oracle.
+    "q344_asof_merge_forward" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max(col("value")).as("p_value"))
+        graft.plans.AsOfMergeJoin.asofMerge(clicks, purchases,
+            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+            rightCols = Seq("p_value"), direction = "forward")
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                   WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ts, p.ts AS asof_ts, p.p_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts <= p.ts
+        ORDER BY l.event_id""")),
+
     "q343_boruvka_mst" -> QueryDef(
       fn = (s, d) => {
         val partner = (col("o_custkey") - pmod(col("o_custkey"), lit(TrussBlock))

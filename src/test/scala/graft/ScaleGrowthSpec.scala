@@ -311,6 +311,56 @@ class ScaleGrowthSpec extends AnyFunSuite {
     }
   }
 
+  // --- 64x STREAMING state probe (opt-in, same switch) -------------------
+  //
+  // r11 verdict #6: the batch spill probe never exercises the streaming
+  // state stores — q212's RocksDB transformWithState handles and q237's
+  // TTL-dedup store are the one memory shape it can't see. This probe
+  // replays the stateful streaming heavies at 4x and 64x KEYS (stage()
+  // gives every replica disjoint user ids) and reads the PEAK state-store
+  // rows/bytes per run from Catalog.ProgressLog's per-batch capture
+  // (stateOperators.numRowsTotal / memoryUsedBytes). Pass = wall time
+  // near-linear AND peak state rows growing at most ~linearly with the
+  // key factor (watermark/TTL state must scale with LIVE keys, never
+  // with total history). Numbers land in NOTES.md per round.
+  test("64x streaming state probe: stateful heavies stay linear, state bounded") {
+    assume(sys.env.contains("SPARK_GRAFT_GROWTH64"),
+      "opt-in probe: set SPARK_GRAFT_GROWTH64=1")
+    val heavies = Seq("q212_stream_running_state", "q237_stream_dedup_ttl",
+      "q324_stream_late_data")
+    val probeFactors = Seq(4, 64)
+    val dirs = probeFactors.map(f => f -> stage(f)).toMap
+    val log = graft.queries.Catalog.ProgressLog
+    try {
+      heavies.foreach { q =>
+        timeOnce(q, dirs(4)); log.drain() // warm
+        val rows = probeFactors.map { f =>
+          log.drain()
+          val t = timeOnce(q, dirs(f))
+          val batches = log.drain()
+          assert(batches.nonEmpty, s"$q recorded no streaming progress")
+          (f, t, batches.map(_.stateRows).max, batches.map(_.stateBytes).max)
+        }
+        val e = fitExponent(rows.map { case (f, t, _, _) => (f, t) })
+        info(f"$q: exponent(4->64) $e%.2f  " + rows.map { case (f, t, r, b) =>
+          f"x$f=$t%.2fs stateRows=$r stateBytes=${b / 1024}KB" }.mkString("  "))
+        assert(e < 1.6, f"$q wall time grows superlinearly at 64x keys: $e%.2f")
+        val Seq((_, _, r4, _), (_, _, r64, _)) = rows
+        // 64x/4x = 16x keys; allow 2x slack for batch-boundary effects.
+        // A state store scaling with HISTORY instead of live keys would
+        // read far above this (and keep growing with more batches).
+        if (r4 > 0) assert(r64.toDouble / r4 <= 32.0,
+          s"$q peak state rows grew ${r64.toDouble / r4}x for 16x keys — " +
+            "state is not bounded by live keys")
+      }
+    } finally dirs.values.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(d)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("the tripwire actually fires on a quadratic workload (self-test)") {
     // an all-pairs join over n rows: t ~ n^2. The fit must land well
     // above the 1.6 bound at these same sizes, proving the assert has

@@ -94,6 +94,33 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     assert(out(3).isNullAt(out(3).fieldIndex("v"))) // null right ts ignored
   }
 
+  test("FORWARD direction == union+window forward form, cell-exact") {
+    val viaM = AsOfMergeJoin.asofMerge(clicks, purchases,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+        rightCols = Seq("p_value"), direction = "forward")
+      .select("event_id", "p_value", "asof_ts")
+      .collect().map(_.toString).sorted
+    val viaW = graft.ops.AsOfJoin.asof(clicks, purchases,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+        rightCols = Seq("p_value"), direction = "forward")
+      .select("event_id", "p_value", "asof_ts")
+      .collect().map(_.toString).sorted
+    assert(viaM.nonEmpty && viaM.toSeq == viaW.toSeq)
+  }
+
+  test("forward exact-ts ties: FIRST right row under the tie-break wins") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    val l = Seq((1L, "u", ts0)).toDF("id", "k", "ts")
+    val r = Seq(("u", ts0, 5L), ("u", ts0, 2L),
+        ("u", java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), 9L))
+      .toDF("k", "rts", "v")
+    val out = AsOfMergeJoin.asofMerge(l, r, Seq("k"), "ts", "rts", Seq("v"),
+      rightTieBreak = Seq(("v", true)), direction = "forward").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("v") == 2L) // first under v asc at equal ts
+  }
+
   test("multi-column keys merge correctly") {
     val l2 = clicks.withColumn("b", col("event_id") % 3)
     val r2 = purchases.withColumn("b", col("p_ts").cast("long") % 3)
