@@ -2214,11 +2214,14 @@ private[queries] object CatalogInsight {
         ORDER BY l.event_id""")),
 
     // TopKPerKey in RANK mode (r11 verdict #3): rows whose rank() over
-    // a COARSE value bucket is <= 2 per type — the bucket manufactures
-    // exact ties so boundary tie groups (all emitted, > k rows) are the
-    // semantics under test, not an edge case. The emitted row SET is
-    // tie-invariant, so no total-order requirement; DuckDB's rank()
-    // window is the oracle.
+    // a COARSE value bucket is <= 2 per type, ASCENDING — the low
+    // buckets are DENSE, so the boundary tie group fires massively
+    // (hundreds of rows share rank 1; far more than k emitted), making
+    // the tie semantics the tested path, not an edge case. (The DESC
+    // variant emitted exactly k rows per type at sf0.01 — sparse top
+    // buckets, tie path dead; caught by the row-count audit.) The
+    // emitted SET is tie-invariant, so no total-order requirement;
+    // DuckDB's rank() window is the oracle.
     "q341_topk_rank_mode" -> QueryDef(
       fn = (s, d) => {
         val ev = t(s, d, "events")
@@ -2227,18 +2230,18 @@ private[queries] object CatalogInsight {
           .select(col("event_id"), col("event_type"),
             expr("__c div 500").as("bucket"))
         graft.plans.TopKPerKey.topKPerKey(ev, Seq(col("event_type")),
-          Seq((col("bucket"), false)), 2, graft.plans.RankMode)
-          .orderBy(col("event_type"), col("bucket").desc, col("event_id"))
+          Seq((col("bucket"), true)), 2, graft.plans.RankMode)
+          .orderBy(col("event_type"), col("bucket"), col("event_id"))
       },
       oracle = Some(s"""
         WITH b AS (SELECT event_id, event_type,
                           ${centsSql("value")} // 500 AS bucket FROM events),
         r AS (SELECT event_id, event_type, bucket,
                      rank() OVER (PARTITION BY event_type
-                                  ORDER BY bucket DESC) AS rk
+                                  ORDER BY bucket ASC) AS rk
               FROM b)
         SELECT event_id, event_type, bucket FROM r WHERE rk <= 2
-        ORDER BY event_type, bucket DESC, event_id""")),
+        ORDER BY event_type, bucket, event_id""")),
 
     // TopKPerKey in DENSE_RANK mode: the rows carrying the 3 smallest
     // DISTINCT buckets per type — the "k best price levels" shape

@@ -1121,6 +1121,30 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
   }
 
+  test("q339/q344: the as-of merge exec plans per-side exchanges, never a Window") {
+    for (q <- Seq("q339_asof_merge_operator", "q344_asof_merge_forward")) {
+      val plan = planOf(q)
+      assert(plan.contains("AsOfMergeJoin"), s"$q:\n$plan")
+      assert(!plan.contains("Window"), s"$q:\n$plan")
+      // no range-join blowup: never a nested-loop/cartesian form
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 2, s"$q: expected 2 events scans (one per side), got $scans:\n$plan")
+    }
+  }
+
+  test("q341/q342: rank modes still plan as the partial/final pair, never a Window") {
+    for (q <- Seq("q341_topk_rank_mode", "q342_topk_dense_rank_mode")) {
+      val plan = planOf(q)
+      assert(plan.contains("TopKPerKeyPartial"), s"$q:\n$plan")
+      assert(plan.contains("TopKPerKeyFinal"), s"$q:\n$plan")
+      assert(!plan.contains("Window"), s"$q:\n$plan")
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 1, s"$q: expected 1 events scan, got $scans:\n$plan")
+    }
+  }
+
   test("q338: latency readout rides the checkpointed per-user frame — 0 scans") {
     val plan = planOf("q338_convert_latency")
     val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
