@@ -521,6 +521,56 @@ object Graph {
     mst
   }
 
+  /** HITS hubs & authorities over a DIRECTED edge list, fixed
+    * iterations, UNNORMALIZED — which keeps every score an EXACT 64-bit
+    * integer (the classic normalization divides by the score sum each
+    * round purely to stop growth; for a fixed small iteration count the
+    * raw mutual-reinforcement sums carry the identical ranking with no
+    * FP anywhere, so a SQL oracle replays them bit-free):
+    *
+    *   h_0(v) = 1;  a_k(v) = sum over in-edges (u,v) of h_(k-1)(u);
+    *   h_k(u) = sum over out-edges (u,v) of a_k(v).
+    *
+    * Growth bound: scores multiply by ~(max degree)^2 per iteration —
+    * 3 iterations at degree ~1000 stays under 2^63; past that ANSI mode
+    * fails LOUDLY rather than wrapping. Callers with hub-ier graphs
+    * should bump to the normalized variant instead of raising k.
+    *
+    * Each iteration is two vertex-keyed equi-joins + two aggregations,
+    * every shuffle key-uniform; frames are stats-dropping-checkpointed
+    * per round ([[org.apache.spark.sql.GraftInternal.localCheckpointNoStats]]
+    * — the Boruvka lesson).
+    *
+    * Output: (node, hub, auth) for every node of the graph.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    def cut(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftInternal.localCheckpointNoStats(df)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(eager = true)
+    var h = nodes.select(col("node"), lit(1L).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      a = cut(nodes.join(
+          e.join(h.select(col("node").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__a")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__a"), lit(0L)).as("a")))
+      h = cut(nodes.join(
+          e.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("__h")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__h"), lit(0L)).as("h")))
+    }
+    nodes.join(h, Seq("node")).join(a, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   /** Per-landmark BFS distances: [[bfsHops]] generalized so each landmark
     * keeps its OWN distance field — the state is keyed by
     * (landmark, node) instead of node, which is exactly what

@@ -698,5 +698,71 @@ private[queries] object CatalogGeoWave {
         SELECT event_type, hour_ts, CAST(n_hours AS BIGINT) AS n_hours,
                CAST(w2 AS BIGINT) AS w_e2, num // den AS nowcast_cents
         FROM wsum ORDER BY event_type, hour_ts""")),
+
+    // Hop-distance HISTOGRAM + effective diameter-90 from the landmark
+    // set (round 12): the classic hop-plot readout q267's centrality
+    // sums don't expose — per hop, how many (landmark, node) pairs sit
+    // at that distance, the cumulative reach share on the exact 1e-6
+    // grid, and the d90 flag (first hop covering >= 90% of reached
+    // pairs — the standard "effective diameter" estimator, landmark-
+    // approximated because exact all-pairs is quadratic at 100 TB).
+    // Same bounded frontier loop and unrolled oracle as q267.
+    "q347_hop_histogram" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PartEdgeSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+        val nodes = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node"))).distinct()
+        val lms = nodes.orderBy("node").limit(LandmarkK)
+        val hist = Graph.landmarkDistances(edges, "src", "dst", lms, "node",
+            LandmarkHops)
+          .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+          .localCheckpoint(eager = true) // cum window + total share it
+        val total = hist.agg(sum(col("n_pairs"))).head.getLong(0)
+        hist
+          .withColumn("cum_pairs", sum(col("n_pairs")).over(
+            Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("dist").cast("long").as("dist"), col("n_pairs"),
+            col("cum_pairs"),
+            expr(s"cum_pairs * 1000000L div ${total}L").as("cum_share_e6"),
+            (col("cum_pairs") * 10 >= lit(9L) * total).as("reaches_d90"))
+          .orderBy("dist")
+      },
+      oracle = Some {
+        val rounds = (1 to LandmarkHops).map { k =>
+          s"""f$k AS MATERIALIZED (
+                 SELECT DISTINCT f.lm, bi.dst AS node
+                 FROM bi JOIN f${k - 1} f ON bi.src = f.node
+                 WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} v
+                                   WHERE v.lm = f.lm AND v.node = bi.dst)),
+              v$k AS MATERIALIZED (
+                 SELECT * FROM v${k - 1}
+                 UNION ALL SELECT lm, node, $k AS dist FROM f$k)"""
+        }.mkString(",\n")
+        s"""
+        WITH ${CatalogGraphMining.edgesSqlCte("l_partkey", PartEdgeSupport)},
+        bi AS MATERIALIZED (SELECT s AS src, d AS dst FROM e
+               UNION ALL SELECT d, s FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM bi),
+        lms AS MATERIALIZED (SELECT node AS lm FROM nodes ORDER BY node
+                             LIMIT $LandmarkK),
+        f0 AS MATERIALIZED (SELECT lm, lm AS node FROM lms),
+        v0 AS MATERIALIZED (SELECT lm, node, 0 AS dist FROM f0),
+        $rounds,
+        hist AS (SELECT dist, count(*) AS n_pairs FROM v$LandmarkHops
+                 GROUP BY dist),
+        tot AS (SELECT sum(n_pairs) AS t FROM hist),
+        cum AS (SELECT dist, n_pairs,
+                       sum(n_pairs) OVER (ORDER BY dist) AS cum_pairs
+                FROM hist)
+        SELECT CAST(c.dist AS BIGINT) AS dist,
+               CAST(c.n_pairs AS BIGINT) AS n_pairs,
+               CAST(c.cum_pairs AS BIGINT) AS cum_pairs,
+               CAST(c.cum_pairs * 1000000 // tot.t AS BIGINT) AS cum_share_e6,
+               c.cum_pairs * 10 >= 9 * tot.t AS reaches_d90
+        FROM cum c, tot ORDER BY dist"""
+      }),
   )
 }

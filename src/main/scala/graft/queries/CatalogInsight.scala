@@ -253,6 +253,38 @@ private[queries] object CatalogInsight {
     ORDER BY src, dst"""
   }
 
+  // ---- q346 shared: the unrolled HITS recurrence ------------------------
+  private val HitsIters = 3
+
+  /** q346's oracle: integer HITS unrolled — per iteration one
+    * authority pass (in-edge sums of the previous hub vector) and one
+    * hub pass (out-edge sums of the fresh authority vector), every
+    * vector carried over the FULL node set with coalesce(0) so isolated
+    * directions keep exact zeros. MATERIALIZED per the q253 rule.
+    */
+  private def hitsOracleSql: String = {
+    val iters = (1 to HitsIters).map { k =>
+      s"""ha$k AS MATERIALIZED (
+            SELECT n.node, coalesce(sum(h.h), 0) AS a
+            FROM hnodes n LEFT JOIN e0 e ON e.d = n.node
+                          LEFT JOIN hh${k - 1} h ON h.node = e.s
+            GROUP BY n.node),
+          hh$k AS MATERIALIZED (
+            SELECT n.node, coalesce(sum(a.a), 0) AS h
+            FROM hnodes n LEFT JOIN e0 e ON e.s = n.node
+                          LEFT JOIN ha$k a ON a.node = e.d
+            GROUP BY n.node)"""
+    }.mkString(",\n")
+    s"""
+    WITH $trussEdgesSql,
+    hnodes AS MATERIALIZED (SELECT s AS node FROM e0 UNION SELECT d FROM e0),
+    hh0 AS (SELECT node, 1 AS h FROM hnodes),
+    $iters
+    SELECT h.node, CAST(h.h AS BIGINT) AS hub, CAST(a.a AS BIGINT) AS auth
+    FROM hh$HitsIters h JOIN ha$HitsIters a ON a.node = h.node
+    ORDER BY h.node"""
+  }
+
   // ---- q311 shared: generated subset tables ----------------------------
   private def popcount(m: Int): Int = java.lang.Integer.bitCount(m)
   private def fact(n: Int): Long = (1 to n).map(_.toLong).product
@@ -2276,6 +2308,31 @@ private[queries] object CatalogInsight {
     // (w, src, dst) order so ties cannot fork the forest. 5 rounds x 4
     // pointer jumps (component count halves per round; the sf graphs
     // converge well inside that). Oracle = the recurrence unrolled.
+    // The stock window form of q341, cell-identical BY ORACLE — the
+    // BenchAB interleave baseline for the RANK mode (the q336
+    // discipline applied to the tie-semantics variant).
+    "q345_topk_rank_window_twin" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            cents(col("value")).as("__c"))
+          .select(col("event_id"), col("event_type"),
+            expr("__c div 500").as("bucket"))
+        ev.withColumn("__rk", rank().over(Window.partitionBy("event_type")
+            .orderBy(col("bucket").asc)))
+          .filter(col("__rk") <= 2).drop("__rk")
+          .orderBy(col("event_type"), col("bucket"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT event_id, event_type,
+                          ${centsSql("value")} // 500 AS bucket FROM events),
+        r AS (SELECT event_id, event_type, bucket,
+                     rank() OVER (PARTITION BY event_type
+                                  ORDER BY bucket ASC) AS rk
+              FROM b)
+        SELECT event_id, event_type, bucket FROM r WHERE rk <= 2
+        ORDER BY event_type, bucket, event_id""")),
+
     // FORWARD direction of the merge exec — full direction parity with
     // the union+window form (q218's semantics on the q339 fixture): for
     // each click, the EARLIEST deduped purchase at or after it. Same
@@ -2321,5 +2378,28 @@ private[queries] object CatalogInsight {
           .orderBy("src", "dst")
       },
       oracle = Some(boruvkaOracleSql)),
+
+    // HITS hubs & authorities over the block graph DIRECTED by the
+    // canonical (low id -> high id) orientation — the one classic link-
+    // analysis verb PageRank (q176) doesn't cover: mutual reinforcement
+    // splits each node into a pointer role and a pointee role. Fixed 3
+    // iterations, UNNORMALIZED => every score an exact 64-bit integer
+    // (normalization only fights growth; the ranking is identical), so
+    // the oracle replays the recurrence with zero FP. Isolated
+    // directions keep exact zeros via full-node-set coalesce.
+    "q346_hits" -> QueryDef(
+      fn = (s, d) => {
+        val partner = (col("o_custkey") - pmod(col("o_custkey"), lit(TrussBlock))
+          + pmod(col("o_orderkey"), lit(TrussBlock)))
+        val edges = t(s, d, "orders")
+          .select(col("o_custkey").as("u"), partner.as("v"))
+          .filter(col("u") =!= col("v"))
+          .select(least(col("u"), col("v")).as("src"),
+            greatest(col("u"), col("v")).as("dst"))
+          .distinct()
+        Graph.hits(edges, "src", "dst", HitsIters)
+          .orderBy("node")
+      },
+      oracle = Some(hitsOracleSql)),
   )
 }
