@@ -571,6 +571,44 @@ object Graph {
       .select(col("node"), col("h").as("hub"), col("a").as("auth"))
   }
 
+  /** Topological LEVELS of a DAG (Kahn layering / longest-path depth):
+    * level(v) = 0 for sources, else 1 + max level over in-neighbors —
+    * the dependency-scheduling layering (every node's level = length of
+    * the longest path into it). Bounded rounds (the [[kCorePeel]]
+    * unrollable-recurrence convention): after `rounds` >= DAG depth the
+    * fixpoint is exact; a smaller budget yields the deterministic
+    * partial refinement "longest path using <= rounds edges". The
+    * caller guarantees acyclicity (e.g. orient edges low id -> high id);
+    * on a cycle the recurrence simply never converges and the bounded
+    * result is still well-defined.
+    *
+    * Each round is ONE edge-keyed equi-join + one max-aggregation over
+    * the node frame; stats-dropping checkpoints per round.
+    *
+    * Output: (node, level), exact longs.
+    */
+  def dagLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    def cut(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftInternal.localCheckpointNoStats(df)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(eager = true)
+    var lvl = nodes.select(col("node"), lit(0L).as("level"))
+    for (_ <- 1 to rounds) {
+      lvl = cut(nodes.join(
+          e.join(lvl.select(col("node").as("src"), col("level")), Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg((max(col("level")) + 1L).as("__l")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__l"), lit(0L)).as("level")))
+    }
+    lvl
+  }
+
   /** Per-landmark BFS distances: [[bfsHops]] generalized so each landmark
     * keeps its OWN distance field — the state is keyed by
     * (landmark, node) instead of node, which is exactly what

@@ -2167,6 +2167,73 @@ private[queries] object CatalogCuration {
         LEFT JOIN dd ON b.doc_id = dd.doc_id
         LEFT JOIN risk r ON b.lang = r.lang AND b.source = r.source
         GROUP BY b.source ORDER BY b.source""")),
+
+    // GREEDY SET COVER over the 3-gram universe (round 12) — the
+    // coverage-maximizing data-selection verb (pick the k documents
+    // that jointly cover the most distinct n-grams; the classic
+    // submodular-greedy with its (1 - 1/e) guarantee, used to seed
+    // diverse fine-tuning subsets). Each of the 5 unrolled steps counts
+    // UNCOVERED grams per doc (one anti-join + one agg, gram-keyed
+    // uniform shuffle), argmax under the TOTAL (gain desc, doc_id)
+    // order, then folds the winner's grams into the covered set. The
+    // only driver traffic is ONE row per step (the argmax — bounded by
+    // construction, the |types|^2 precedent). Exact longs throughout.
+    "q349_greedy_set_cover" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("__ts"))
+          .filter(size(col("__ts")) >= 3)
+        val grams = docs.select(col("doc_id"),
+            explode(array_distinct(TF.shinglesOfTokens(col("__ts"), 3)))
+              .as("__g"))
+          .localCheckpoint(eager = true) // 5 anti-join rounds share it
+        var covered = grams.select("__g").limit(0)
+          .localCheckpoint(eager = true)
+        val picks = Seq.newBuilder[(Long, Long, Long, Long)]
+        for (step <- 1 to 5) {
+          val uncov = grams.join(covered, Seq("__g"), "left_anti")
+          // ONE-row driver pick per step: the greedy argmax under the
+          // total (gain desc, doc_id asc) order — bounded by construction
+          val best = uncov.groupBy("doc_id").agg(count(lit(1)).as("__gain"))
+            .orderBy(col("__gain").desc, col("doc_id").asc)
+            .limit(1).head()
+          covered = covered
+            .unionAll(grams.filter(col("doc_id") === best.getLong(0))
+              .select("__g"))
+            .distinct().localCheckpoint(eager = true)
+          picks += ((step.toLong, best.getLong(0), best.getLong(1),
+            covered.count()))
+        }
+        import s.implicits._
+        picks.result().toDF("step", "doc_id", "gain", "cum_covered")
+          .orderBy("step")
+      },
+      oracle = Some {
+        val steps = (1 to 5).map { k =>
+          s"""p$k AS MATERIALIZED (
+                SELECT doc_id, count(*) AS gain
+                FROM g WHERE gr NOT IN (SELECT gr FROM c${k - 1})
+                GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+              c$k AS MATERIALIZED (
+                SELECT DISTINCT gr FROM g
+                WHERE doc_id IN (SELECT doc_id FROM p$k)
+                   OR gr IN (SELECT gr FROM c${k - 1}))"""
+        }.mkString(",\n")
+        val out = (1 to 5).map { k =>
+          s"""SELECT $k AS step, doc_id, CAST(gain AS BIGINT) AS gain,
+                     (SELECT count(*) FROM c$k) AS cum_covered FROM p$k"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH base AS (SELECT doc_id, $toksSql AS ts FROM documents),
+        g AS MATERIALIZED (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(generate_series(1, len(ts) - 2),
+              i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))) AS gr
+          FROM base WHERE len(ts) >= 3),
+        c0 AS (SELECT gr FROM g LIMIT 0),
+        $steps
+        SELECT * FROM ($out) ORDER BY step"""
+      }),
   )
 
   /** q293's epsilon on the 1e-6 grid (eps = 0.5 -> Laplace scale 2). */

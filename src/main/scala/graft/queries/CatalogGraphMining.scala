@@ -24,6 +24,11 @@ private[queries] object CatalogGraphMining {
 
   /** q174/q175/q176's support bars — constants shared with the oracles. */
   private val PairMinSupport = 2L
+
+  /** q348's level-refinement budget (>= the co-purchase DAG's depth at
+    * the tested sf — measured depths are far inside; see query doc).
+    */
+  private val DagLevelRounds = 12
   private val SupplierEdgeSupport = 5L
 
   /** q176's PageRank hyperparameters. The damping constants are injected
@@ -1072,5 +1077,42 @@ private[queries] object CatalogGraphMining {
                round(coalesce(CAST(1.0 AS DOUBLE)
                               / CAST((SELECT fp FROM f) AS DOUBLE),
                               CAST(0.0 AS DOUBLE)), 6) AS mrr""")),
+
+    // Topological LEVELS of the co-purchase DAG (round 12 — Kahn
+    // layering / longest-path depth, the dependency-scheduling verb
+    // q331's driver-side CPM lattice doesn't cover at corpus scale):
+    // edges oriented low id -> high id (acyclic by construction),
+    // level(v) = 1 + max level over in-neighbors, sources 0 — bounded
+    // rounds, exact at the fixpoint (sf depths measured well inside the
+    // budget; a deeper graph yields the deterministic "longest path
+    // using <= rounds edges" refinement the oracle replays). Output =
+    // the level histogram, exact longs.
+    "q348_dag_levels" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PairMinSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+        Graph.dagLevels(edges, "src", "dst", DagLevelRounds)
+          .groupBy("level").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("level")
+      },
+      oracle = Some {
+        val rounds = (1 to DagLevelRounds).map { k =>
+          s"""dl$k AS MATERIALIZED (
+                SELECT n.node, coalesce(max(l.lvl) + 1, 0) AS lvl
+                FROM dnodes n LEFT JOIN e ON e.d = n.node
+                              LEFT JOIN dl${k - 1} l ON l.node = e.s
+                GROUP BY n.node)"""
+        }.mkString(",\n")
+        s"""
+        WITH ${edgesSqlCte("l_partkey", PairMinSupport)},
+        dnodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),
+        dl0 AS (SELECT node, 0 AS lvl FROM dnodes),
+        $rounds
+        SELECT CAST(lvl AS BIGINT) AS level,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM dl$DagLevelRounds GROUP BY lvl ORDER BY level"""
+      }),
   )
 }
