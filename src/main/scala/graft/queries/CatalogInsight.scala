@@ -2401,5 +2401,65 @@ private[queries] object CatalogInsight {
           .orderBy("node")
       },
       oracle = Some(hitsOracleSql)),
+
+    // Rolling-origin FORECAST BACKTEST with MASE (round 12) — the
+    // evaluation verb the forecasting family (q92 rolling, q290 NowCast,
+    // q329 Holt) was missing: a seasonal-naive model (predict today =
+    // same weekday last week, m=7) scored over every day with a
+    // 7-days-earlier observation, against the standard MASE denominator
+    // (in-sample MAE of the one-step naive). All error sums are exact
+    // integer counts; MASE lands on the 1e-6 grid via the
+    // cross-multiplied integer form S_s*C_n*1e6 div (S_n*C_s) — no FP
+    // division anywhere. Day alignment is by EXACT calendar offset
+    // (self-joins on day-index - 7 / - 1), so a calendar gap silently
+    // excludes the unmatchable day in BOTH engines instead of letting a
+    // row-lag slip across it.
+    "q350_forecast_backtest" -> QueryDef(
+      fn = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01")).as("__i"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = true) // three alignment joins share it
+        def at(off: Int, as: String) = daily.select(col("event_type"),
+          (col("__i") + off).as("__i"), col("n").as(as))
+        val seasonal = daily.join(at(7, "__f7"), Seq("event_type", "__i"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_fc_days"),
+            sum(abs(col("n") - col("__f7"))).as("s_seasonal"))
+        val naive = daily.join(at(1, "__f1"), Seq("event_type", "__i"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("__c_naive"),
+            sum(abs(col("n") - col("__f1"))).as("__s_naive"))
+        seasonal.join(naive, "event_type")
+          .select(col("event_type"), col("n_fc_days"), col("s_seasonal"),
+            expr("s_seasonal * 1000000L div n_fc_days").as("mae_e6"),
+            expr("s_seasonal * __c_naive * 1000000L div (__s_naive * n_fc_days)")
+              .as("mase_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH daily AS (SELECT event_type,
+                              date_diff('day', DATE '2024-01-01',
+                                        CAST(ts AS DATE)) AS i,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+        ss AS (SELECT a.event_type, count(*) AS c,
+                      sum(abs(a.n - b.n)) AS s
+               FROM daily a JOIN daily b
+                 ON b.event_type = a.event_type AND b.i = a.i - 7
+               GROUP BY 1),
+        nv AS (SELECT a.event_type, count(*) AS c,
+                      sum(abs(a.n - b.n)) AS s
+               FROM daily a JOIN daily b
+                 ON b.event_type = a.event_type AND b.i = a.i - 1
+               GROUP BY 1)
+        SELECT ss.event_type, CAST(ss.c AS BIGINT) AS n_fc_days,
+               CAST(ss.s AS BIGINT) AS s_seasonal,
+               CAST(ss.s * 1000000 // ss.c AS BIGINT) AS mae_e6,
+               CAST(ss.s * nv.c * 1000000 // (nv.s * ss.c) AS BIGINT)
+                 AS mase_e6
+        FROM ss JOIN nv ON nv.event_type = ss.event_type
+        ORDER BY ss.event_type""")),
   )
 }
