@@ -2461,5 +2461,90 @@ private[queries] object CatalogInsight {
                  AS mase_e6
         FROM ss JOIN nv ON nv.event_type = ss.event_type
         ORDER BY ss.event_type""")),
+
+    // WIDE-CARRY as-of pair (round 12) — the scale argument made
+    // measurable: the union+window form pads BOTH sides to the combined
+    // schema, so every carried right column is shipped as a null slot
+    // on every LEFT row through the exchange AND buffered in the window
+    // frame; the merge exec ships each side at its own width. Six
+    // carried columns (vs q339's one) amplify exactly that cost — the
+    // BenchAB paired delta between q351 and q352 is the width-scaling
+    // evidence. Carried columns are deterministic integer derivations
+    // of the deduped purchase row, so the oracle is exact.
+    "q351_asof_merge_wide" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max(cents(col("value"))).as("p_cents"))
+          .select(col("user_id"), col("p_ts"), col("p_cents"),
+            expr("p_cents div 100").as("p_units"),
+            expr("p_cents % 97").as("p_mod"),
+            expr("p_cents * p_cents").as("p_sq"),
+            expr("-p_cents").as("p_neg"),
+            expr("p_cents div 500").as("p_bucket"))
+        graft.plans.AsOfMergeJoin.asofMerge(clicks, purchases,
+            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+            rightCols = Seq("p_cents", "p_units", "p_mod", "p_sq",
+              "p_neg", "p_bucket"))
+          .orderBy("event_id")
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH p0 AS (SELECT user_id, ts, max(${centsSql("value")}) AS p_cents
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        p AS (SELECT user_id, ts, p_cents, p_cents // 100 AS p_units,
+                     p_cents % 97 AS p_mod, p_cents * p_cents AS p_sq,
+                     -p_cents AS p_neg, p_cents // 500 AS p_bucket
+              FROM p0)
+        SELECT l.event_id, l.user_id, l.ts, p.ts AS asof_ts, p.p_cents,
+               p.p_units, p.p_mod, p.p_sq, p.p_neg, p.p_bucket
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        ORDER BY l.event_id""")),
+
+    // The union+window twin of q351 — same six carried columns through
+    // ops.AsOfJoin, cell-identical BY ORACLE; BenchAB interleaves the
+    // two for the width-scaling paired delta.
+    "q352_asof_window_wide_twin" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max(cents(col("value"))).as("p_cents"))
+          .select(col("user_id"), col("p_ts"), col("p_cents"),
+            expr("p_cents div 100").as("p_units"),
+            expr("p_cents % 97").as("p_mod"),
+            expr("p_cents * p_cents").as("p_sq"),
+            expr("-p_cents").as("p_neg"),
+            expr("p_cents div 500").as("p_bucket"))
+        graft.ops.AsOfJoin.asof(clicks, purchases,
+            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+            rightCols = Seq("p_cents", "p_units", "p_mod", "p_sq",
+              "p_neg", "p_bucket"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts"), col("p_cents"), col("p_units"), col("p_mod"),
+            col("p_sq"), col("p_neg"), col("p_bucket"))
+          .orderBy("event_id")
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH p0 AS (SELECT user_id, ts, max(${centsSql("value")}) AS p_cents
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        p AS (SELECT user_id, ts, p_cents, p_cents // 100 AS p_units,
+                     p_cents % 97 AS p_mod, p_cents * p_cents AS p_sq,
+                     -p_cents AS p_neg, p_cents // 500 AS p_bucket
+              FROM p0)
+        SELECT l.event_id, l.user_id, l.ts, p.ts AS asof_ts, p.p_cents,
+               p.p_units, p.p_mod, p.p_sq, p.p_neg, p.p_bucket
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        ORDER BY l.event_id""")),
   )
 }

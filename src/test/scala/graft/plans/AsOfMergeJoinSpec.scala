@@ -121,6 +121,43 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("v") == 2L) // first under v asc at equal ts
   }
 
+  test("merge exec ships FEWER shuffle bytes than the union+window form") {
+    // the structural claim behind the paired wall-clock wins, measured
+    // deterministically: the union form pads BOTH sides to the combined
+    // schema before its one exchange (every left row carries null slots
+    // for every carried right column), while the merge exec exchanges
+    // each side at its own width. Six carried columns amplify the gap.
+    val wide = purchases.select(col("user_id"), col("p_ts"),
+      col("p_value"), (col("p_value") * 2).as("p2"),
+      (col("p_value") * 3).as("p3"), (col("p_value") * 4).as("p4"),
+      (col("p_value") * 5).as("p5"), (col("p_value") * 6).as("p6"))
+    val carry = Seq("p_value", "p2", "p3", "p4", "p5", "p6")
+    val written = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def shuffleBytes(df: => org.apache.spark.sql.DataFrame): Long = {
+      written.set(0L)
+      df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(800) // listener events drain asynchronously
+      written.get()
+    }
+    try {
+      val viaMergeBytes = shuffleBytes(AsOfMergeJoin.asofMerge(
+        clicks, wide, Seq("user_id"), "ts", "p_ts", carry))
+      val viaWindowBytes = shuffleBytes(graft.ops.AsOfJoin.asof(
+        clicks, wide, Seq("user_id"), "ts", "p_ts", carry))
+      info(s"merge=$viaMergeBytes bytes, window=$viaWindowBytes bytes, " +
+        f"ratio=${viaWindowBytes.toDouble / viaMergeBytes}%.2f")
+      assert(viaMergeBytes > 0 && viaWindowBytes > viaMergeBytes,
+        s"expected merge < window shuffle bytes: $viaMergeBytes vs $viaWindowBytes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("multi-column keys merge correctly") {
     val l2 = clicks.withColumn("b", col("event_id") % 3)
     val r2 = purchases.withColumn("b", col("p_ts").cast("long") % 3)
