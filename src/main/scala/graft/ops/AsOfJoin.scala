@@ -1,8 +1,12 @@
 package graft.ops
 
+import graft.functions.expressions.{AsOfIndex, AsOfLookup}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DateType, IntegerType, LongType, MapType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** As-of (point-in-time) join: for every left row, the most recent right
   * row with `rightTs <= leftTs` on the same key — the time-series
@@ -142,5 +146,148 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         rightCols.map(rc => when(ok, col(s"__r.$rc")).otherwise(lit(null)).as(rc)) :+
         when(ok, matchTs).otherwise(lit(null)).as("asof_ts")): _*)
+  }
+
+  private val bcastFnCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Broadcast as-of join — the ZERO-SHUFFLE rung of the as-of ladder for
+    * the dominant production shape: a huge fact side enriched against a
+    * SMALL reference history (price list, sensor calibration, config
+    * timeline). [[asof]] shuffles the union of both sides; the merge exec
+    * ([[graft.plans.AsOfMergeJoin]]) shuffles each side at its own width;
+    * this form shuffles NEITHER — the right side is collected once on
+    * the driver into a per-key sorted [[AsOfIndex]], broadcast, and
+    * probed partition-locally by a native [[AsOfLookup]] expression
+    * inside the left side's existing whole-stage-codegen span. At 100 TB
+    * that is the difference between re-hashing the fact table and a
+    * map-only pass that preserves the scan's pushed filters, pruned
+    * columns, and partitioning.
+    *
+    * Same semantics as [[asof]]/[[AsOfMergeJoin.asofMerge]]: backward =
+    * latest right row with rightTs <= leftTs per key (among exact-ts
+    * ties the LAST under `rightTieBreak` wins), forward = earliest with
+    * rightTs >= leftTs (FIRST under the tie order wins). Null keys or
+    * timestamps on either side never match. Output = left columns ++
+    * asof_ts ++ rightCols (nulls when unmatched) — interchangeable with
+    * the other two surfaces, which is what q353's shared oracle pins.
+    *
+    * Constraints (all checked): the right side must fit the driver —
+    * `maxRightRows`, checked after the collect like Spark's own
+    * BroadcastExchangeExec (a pre-count would cost an extra job per
+    * build); timestamps must be long-backed (timestamp/date/int/long)
+    * and same-typed on both sides; carried columns must be atomic types
+    * (the index serializes driver-built rows).
+    */
+  def asofBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      rightTieBreak: Seq[Column] = Nil,
+      direction: String = "backward",
+      maxRightRows: Long = 4000000L): DataFrame = {
+    require(on.nonEmpty, "at least one equality key required")
+    require(Seq("backward", "forward").contains(direction),
+      s"direction must be backward|forward, got '$direction'")
+    require(!(rightCols :+ "asof_ts").exists(left.columns.contains),
+      "carried right columns (and asof_ts) must not collide with left")
+    require(!rightCols.contains(rightTs) && !rightCols.exists(on.contains) &&
+        !rightCols.contains("asof_ts"),
+      "rightCols must not repeat the key/timestamp columns")
+    val spark = left.sparkSession
+
+    // prune + sort the small side: (keys..., asof_ts, carried..., tie...)
+    // sorted by (keys, ts, tie asc) — the group arrays inherit this order,
+    // so backward's last-of-run / forward's first-of-run tie conventions
+    // fall out of the binary search with no per-probe comparator
+    val tieAliases = rightTieBreak.indices.map(i => s"__asof_tb_$i")
+    val pruned = right
+      .filter(on.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .select(on.map(col) ++ (col(rightTs).as("asof_ts") +: rightCols.map(col)) ++
+        rightTieBreak.zip(tieAliases).map { case (c, a) => c.as(a) }: _*)
+      .orderBy(on.map(col) ++ (col("asof_ts") +: tieAliases.map(col)): _*)
+
+    val schema = pruned.schema
+    val kN = on.length
+    val tsType = schema(kN).dataType
+    require(Seq(TimestampType, TimestampNTZType, DateType, IntegerType, LongType)
+        .contains(tsType),
+      s"asofBroadcast needs a long-backed timestamp, got $tsType")
+    val leftSchema = left.schema
+    on.foreach { c =>
+      val lt = leftSchema(c).dataType
+      val rt = schema(c).dataType
+      require(lt == rt, s"key type mismatch on $c: $lt vs $rt")
+    }
+    require(leftSchema(leftTs).dataType == tsType,
+      s"timestamp type mismatch: ${leftSchema(leftTs).dataType} vs $tsType")
+    val payloadWidth = 1 + rightCols.length
+    val payloadSchema = StructType((kN until kN + payloadWidth).map { j =>
+      val f = schema(j)
+      val nested = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _                                         => false
+      }
+      require(!nested,
+        s"carried column ${f.name} must be an atomic type, got ${f.dataType}")
+      StructField(f.name, f.dataType, nullable = true)
+    })
+
+    // one driver pass over the globally (key, ts, tie)-sorted collect:
+    // catalyst rows straight from the executed plan — no external
+    // conversion, and the payload rows are reused verbatim by the probe.
+    // The row guard runs AFTER the collect (Spark's own
+    // BroadcastExchangeExec convention — a pre-count would cost a whole
+    // extra job on every build just to catch misuse)
+    val rows = pruned.queryExecution.executedPlan.executeCollect()
+    require(rows.length <= maxRightRows,
+      s"asofBroadcast right side has ${rows.length} rows (> $maxRightRows); " +
+        "use AsOfMergeJoin.asofMerge for a large right side")
+    def tsLong(r: InternalRow): Long = tsType match {
+      case DateType | IntegerType => r.getInt(kN).toLong
+      case _                      => r.getLong(kN)
+    }
+    val groups = Map.newBuilder[Seq[Any], AsOfIndex.KeyGroup]
+    var start = 0
+    def keyOf(r: InternalRow): Seq[Any] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Array.tabulate[Any](kN)(i => r.get(i, schema(i).dataType)))
+    def flush(end: Int): Unit = if (end > start) {
+      val ts = new Array[Long](end - start)
+      val payload = new Array[InternalRow](end - start)
+      var i = start
+      while (i < end) {
+        ts(i - start) = tsLong(rows(i))
+        payload(i - start) = new GenericInternalRow(
+          Array.tabulate[Any](payloadWidth)(j =>
+            rows(i).get(kN + j, schema(kN + j).dataType)))
+        i += 1
+      }
+      groups += keyOf(rows(start)) -> AsOfIndex.KeyGroup(ts, payload)
+      start = end
+    }
+    var curKey: Seq[Any] = if (rows.nonEmpty) keyOf(rows(0)) else null
+    var i = 1
+    while (i < rows.length) {
+      val k = keyOf(rows(i))
+      if (k != curKey) { flush(i); curKey = k }
+      i += 1
+    }
+    flush(rows.length)
+
+    val bc = spark.sparkContext.broadcast(new AsOfIndex(groups.result()))
+    // Column construction goes through the function registry (Column's
+    // Expression constructor is sql-private in Spark 4 — the MinHashSig
+    // route); one uniquely-named entry per call, bounded by call count
+    val fname = s"asof_bcast_${bcastFnCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
+      exprs => AsOfLookup(exprs, bc, payloadSchema, direction == "forward"),
+      "built-in")
+    val lookup = call_function(fname, on.map(col) :+ col(leftTs): _*)
+    left.withColumn("__asof", lookup)
+      .select(left.columns.map(col) ++
+        ("asof_ts" +: rightCols).map(f => col("__asof").getField(f).as(f)): _*)
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.ops.{Baskets, Graph}
+import graft.ops.{Baskets, Graph, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2546,5 +2546,364 @@ private[queries] object CatalogInsight {
               WHERE event_type = 'click') l
         ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
         ORDER BY l.event_id""")),
+
+    // The THIRD as-of surface (round 12, sixth wave): the BROADCAST
+    // probe — ops.AsOfJoin.asofBroadcast collects the small right side
+    // into a per-key sorted index, broadcasts it once, and probes it
+    // with a native asof_lookup expression INSIDE the left side's
+    // whole-stage-codegen span. Zero exchanges on the fact side (the
+    // AsOfBroadcastSpec plan pin) — at 100 TB this is map-only
+    // enrichment that keeps the scan's pushed filters and partitioning,
+    // vs the merge exec's two per-side exchanges and the union form's
+    // combined-width exchange. Same semantics as q339/q340; the SAME
+    // DuckDB ASOF oracle pins all three surfaces interchangeable;
+    // BenchAB q353 vs q339 is the measured zero-shuffle delta.
+    "q353_asof_broadcast" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max(col("value")).as("p_value"))
+        graft.ops.AsOfJoin.asofBroadcast(clicks, purchases,
+            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+            rightCols = Seq("p_value"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts"), col("p_value"))
+          .orderBy("event_id")
+      },
+      bench = true,
+      oracle = Some("""
+        WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                   WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ts, p.ts AS asof_ts, p.p_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        ORDER BY l.event_id""")),
+
+    // The broadcast rung on its HOME shape: the full fact table enriched
+    // against a TINY reference timeline (per-type daily max, shifted one
+    // day forward = "yesterday's threshold scores today's events" —
+    // |types| x |days| ≈ 300 rows at any tested sf). q353's pairing
+    // against q339 shares a right side PROPORTIONAL to the left
+    // (~60k groups), where the index build+broadcast fixed cost is the
+    // story; here the right side is calendar-bounded, so the comparison
+    // isolates what the 100 TB deployment cares about: map-only probe vs
+    // shuffling every fact row. q355 is the identical semantics through
+    // the merge exec — BenchAB q354 vs q355 is the measured claim.
+    "q354_asof_broadcast_dim" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val facts = ev.select("event_id", "event_type", "ts")
+        val dim = ev
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("__d"))
+          .agg(max(cents(col("value"))).as("day_max_cents"))
+          .select(col("event_type"),
+            (col("__d") + expr("INTERVAL 1 DAY")).as("d_ts"),
+            col("day_max_cents"))
+        graft.ops.AsOfJoin.asofBroadcast(facts, dim,
+            on = Seq("event_type"), leftTs = "ts", rightTs = "d_ts",
+            rightCols = Seq("day_max_cents"))
+          .orderBy("event_id")
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH dim AS (SELECT event_type,
+                            date_trunc('day', ts) + INTERVAL 1 DAY AS d_ts,
+                            max(${centsSql("value")}) AS day_max_cents
+                     FROM events GROUP BY 1, 2)
+        SELECT l.event_id, l.event_type, l.ts, dim.d_ts AS asof_ts,
+               dim.day_max_cents
+        FROM (SELECT event_id, event_type, ts FROM events) l
+        ASOF LEFT JOIN dim
+          ON l.event_type = dim.event_type AND l.ts >= dim.d_ts
+        ORDER BY l.event_id""")),
+
+    // The merge-exec twin of q354 — same semantics, same oracle text;
+    // its plan shuffles BOTH sides (the fact side included), which is
+    // exactly the cost the broadcast probe avoids.
+    "q355_asof_merge_dim_twin" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val facts = ev.select("event_id", "event_type", "ts")
+        val dim = ev
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("__d"))
+          .agg(max(cents(col("value"))).as("day_max_cents"))
+          .select(col("event_type"),
+            (col("__d") + expr("INTERVAL 1 DAY")).as("d_ts"),
+            col("day_max_cents"))
+        graft.plans.AsOfMergeJoin.asofMerge(facts, dim,
+            on = Seq("event_type"), leftTs = "ts", rightTs = "d_ts",
+            rightCols = Seq("day_max_cents"))
+          .orderBy("event_id")
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH dim AS (SELECT event_type,
+                            date_trunc('day', ts) + INTERVAL 1 DAY AS d_ts,
+                            max(${centsSql("value")}) AS day_max_cents
+                     FROM events GROUP BY 1, 2)
+        SELECT l.event_id, l.event_type, l.ts, dim.d_ts AS asof_ts,
+               dim.day_max_cents
+        FROM (SELECT event_id, event_type, ts FROM events) l
+        ASOF LEFT JOIN dim
+          ON l.event_type = dim.event_type AND l.ts >= dim.d_ts
+        ORDER BY l.event_id""")),
+
+    // Exact 1-D Wasserstein-1 (earth-mover) drift (round 12, seventh
+    // wave) — the TRANSPORT-metric member of the drift family: q150's JS
+    // and q263's PSI are bin-mass divergences (blind to HOW FAR mass
+    // moved, and unstable under empty bins), q265's KS is the sup-norm
+    // (blind to everything but the worst point); W1 = integral of
+    // |F1 - F2| over the support is the standard "how many cent-dollars
+    // of probability mass moved" monitoring verb. Same explode-pair
+    // shape as q265 (each treatment vs the 'view' control), same exact
+    // cent axis: the integrand |c1*n2 - c0*n1| is an exact integer per
+    // grid value, the strip width is lead(v) - v on the same pair-keyed
+    // window, and the sum lifts through DECIMAL(38,0)/HUGEINT (term
+    // magnitude ~n1*n2*gap overflows a long at sf >= 0.1). The single
+    // division is the last op, emitted as the exact integer
+    // floor(S * 1e6 / (n1*n2)) — zero FP anywhere.
+    "q356_wasserstein_drift" -> QueryDef(
+      fn = (s, d) => {
+        val treatments = Seq("click", "error", "purchase", "signup")
+        val pairs = array(treatments.map(lit): _*)
+        val tagged = t(s, d, "events")
+          .filter(col("event_type").isin(treatments :+ "view": _*) &&
+            col("value").isNotNull)
+          .select(col("event_type"), cents(col("value")).as("v"))
+          .select(explode(when(col("event_type") === "view", pairs)
+            .otherwise(array(col("event_type")))).as("pair"),
+            when(col("event_type") =!= "view", 1L).otherwise(0L).as("grp"),
+            col("v"))
+        val byValue = tagged.groupBy("pair", "v")
+          .agg(sum(col("grp")).as("n1v"),
+            sum(lit(1L) - col("grp")).as("n0v"))
+        val wCum = Window.partitionBy("pair").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("pair")
+        val cum = byValue
+          .withColumn("c1", sum(col("n1v")).over(wCum))
+          .withColumn("c0", sum(col("n0v")).over(wCum))
+          .withColumn("n1", sum(col("n1v")).over(wAll))
+          .withColumn("n2", sum(col("n0v")).over(wAll))
+          .withColumn("gap",
+            lead(col("v"), 1).over(Window.partitionBy("pair").orderBy("v"))
+              - col("v"))
+        val agg = cum.filter(col("gap").isNotNull)
+          .groupBy("pair")
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            sum(abs(col("c1") * col("n2") - col("c0") * col("n1"))
+              .cast("decimal(38,0)") * col("gap").cast("decimal(38,0)"))
+              .as("__s"))
+        agg.filter(col("n1") > 0L && col("n2") > 0L)
+          .select(col("pair"), col("n1"), col("n2"),
+            expr("CAST(__s * 1000000 div (n1 * n2) AS BIGINT)")
+              .as("w1_cents_e6"))
+          .orderBy("pair")
+      },
+      oracle = Some(s"""
+        WITH p AS (SELECT tp FROM (VALUES ('click'), ('error'), ('purchase'), ('signup')) v(tp)),
+        s AS (SELECT p.tp AS pair,
+                     CASE WHEN e.event_type = p.tp THEN 1 ELSE 0 END AS grp,
+                     ${centsSql("e.value")} AS v
+              FROM events e JOIN p
+                ON e.event_type = p.tp OR e.event_type = 'view'
+              WHERE e.value IS NOT NULL),
+        g AS (SELECT pair, v, CAST(sum(grp) AS BIGINT) AS n1v,
+                     CAST(sum(1 - grp) AS BIGINT) AS n0v
+              FROM s GROUP BY pair, v),
+        c AS (SELECT pair, n1v, n0v,
+                     sum(n1v) OVER w AS c1, sum(n0v) OVER w AS c0,
+                     sum(n1v) OVER (PARTITION BY pair) AS n1,
+                     sum(n0v) OVER (PARTITION BY pair) AS n2,
+                     lead(v) OVER (PARTITION BY pair ORDER BY v) - v AS gap
+              FROM g
+              WINDOW w AS (PARTITION BY pair ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        a AS (SELECT pair, CAST(max(n1) AS BIGINT) AS n1,
+                     CAST(max(n2) AS BIGINT) AS n2,
+                     sum(CAST(abs(c1 * n2 - c0 * n1) AS HUGEINT) * gap) AS s
+              FROM c WHERE gap IS NOT NULL GROUP BY pair)
+        SELECT pair, n1, n2,
+               CAST(s * 1000000 // (n1 * n2) AS BIGINT) AS w1_cents_e6
+        FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY pair""")),
+
+    // Brier score decomposition (Murphy 1973): reliability / resolution /
+    // uncertainty — the DIAGNOSTIC completion of q187's calibration
+    // readout (ECE says "how far off are the bins"; this splits the full
+    // proper-scoring loss into miscalibration REL, discrimination RES,
+    // and irreducible UNC, with the binned identity BS = REL - RES +
+    // UNC). Same fixture as q186/q187: quality score on the e4 grid as
+    // the forecast, lang=='en' as the outcome, 10 equal-width bins.
+    // Every term is an exact integer: per-bin REL numerator
+    // (ssum - 1e4*pos)^2 and RES numerator (N*pos_b - n_b*P)^2 lift
+    // through DECIMAL(38,0)/HUGEINT, per-bin division by n_b and the
+    // final normalizations are integer floor-divisions spelled
+    // identically in both engines — zero FP in the whole query.
+    "q357_brier_decomposition" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        val scored = t(s, d, "documents").select(
+          (TF.qualityScore(col("text"), stops) * 10000 + 0.5).cast("long").as("__s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("__y"))
+        val binned = scored
+          .withColumn("bin", least(col("__s") / 1000, lit(9L)).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("__n"), sum(col("__s")).as("__ssum"),
+            sum(col("__y")).as("__pos"))
+        val tot = binned.agg(sum(col("__n")).as("__tn"), sum(col("__pos")).as("__tp"))
+        // bounded 10-row frame x 1-row totals: every arithmetic step
+        // below is driver-scale, but stays declarative for the oracle
+        val terms = binned.crossJoin(broadcast(tot))
+          .select(col("__n"), col("__pos"), col("__tn"), col("__tp"),
+            expr("""CAST(__ssum - 10000 * __pos AS DECIMAL(38,0))
+                    * CAST(__ssum - 10000 * __pos AS DECIMAL(38,0))""").as("__rb"),
+            expr("""CAST(__tn * __pos - __n * __tp AS DECIMAL(38,0))
+                    * CAST(__tn * __pos - __n * __tp AS DECIMAL(38,0))""").as("__tb"))
+          .select(col("__tn"), col("__tp"),
+            expr("CAST(__rb * 1000000 div __n AS DECIMAL(38,0))").as("__relterm"),
+            expr("CAST(__tb * 1000000 div __n AS DECIMAL(38,0))").as("__resterm"),
+            expr("""CAST((__rb + CAST(100000000 AS DECIMAL(38,0)) * __pos
+                    * (__n - __pos)) * 1000000 div __n AS DECIMAL(38,0))""")
+              .as("__bsterm"))
+        terms.groupBy("__tn", "__tp")
+          .agg(sum(col("__relterm")).as("__relnum"),
+            sum(col("__resterm")).as("__resnum"),
+            sum(col("__bsterm")).as("__bsnum"))
+          .select(col("__tn").as("n"), col("__tp").as("n_pos"),
+            expr("CAST(__relnum div (CAST(100000000 AS DECIMAL(38,0)) * __tn) AS BIGINT)")
+              .as("rel_e6"),
+            expr("CAST(__resnum div (CAST(__tn AS DECIMAL(38,0)) * __tn * __tn) AS BIGINT)")
+              .as("res_e6"),
+            expr("""CAST(CAST(__tp AS DECIMAL(38,0)) * (__tn - __tp) * 1000000
+                    div (CAST(__tn AS DECIMAL(38,0)) * __tn) AS BIGINT)""")
+              .as("unc_e6"),
+            expr("CAST(__bsnum div (CAST(100000000 AS DECIMAL(38,0)) * __tn) AS BIGINT)")
+              .as("brier_e6"))
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT CAST(round(($qualityExprSql) * 10000) AS BIGINT) AS s,
+                           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM ($qualityInnerSql) q
+                    JOIN documents USING (doc_id)),
+        b AS (SELECT least(s // 1000, 9) AS bin, count(*) AS n,
+                     CAST(sum(s) AS BIGINT) AS ssum,
+                     CAST(sum(y) AS BIGINT) AS pos
+              FROM sc GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(sum(pos) AS BIGINT) AS pp FROM b),
+        x AS (SELECT b.n, b.pos, t.nn, t.pp,
+                     CAST(ssum - 10000 * pos AS HUGEINT)
+                       * CAST(ssum - 10000 * pos AS HUGEINT) AS rb,
+                     CAST(t.nn * b.pos - b.n * t.pp AS HUGEINT)
+                       * CAST(t.nn * b.pos - b.n * t.pp AS HUGEINT) AS tb
+              FROM b, t),
+        y AS (SELECT max(nn) AS nn, max(pp) AS pp,
+                     sum(rb * 1000000 // n) AS relnum,
+                     sum(tb * 1000000 // n) AS resnum,
+                     sum((rb + CAST(100000000 AS HUGEINT) * pos * (n - pos))
+                         * 1000000 // n) AS bsnum
+              FROM x)
+        SELECT nn AS n, pp AS n_pos,
+               CAST(relnum // (CAST(100000000 AS HUGEINT) * nn) AS BIGINT) AS rel_e6,
+               CAST(resnum // (CAST(nn AS HUGEINT) * nn * nn) AS BIGINT) AS res_e6,
+               CAST(CAST(pp AS HUGEINT) * (nn - pp) * 1000000
+                    // (CAST(nn AS HUGEINT) * nn) AS BIGINT) AS unc_e6,
+               CAST(bsnum // (CAST(100000000 AS HUGEINT) * nn) AS BIGINT) AS brier_e6
+        FROM y""")),
+
+    // Reciprocal (mutual) kNN pairs (round 12, eighth wave) — the
+    // symmetric-agreement verb of the similarity family: i and j are a
+    // mutual pair iff each sits in the OTHER's top-k. The standard
+    // high-precision edge set for dedup graphs and retrieval re-ranking
+    // (one-directional kNN is hub-polluted: a generic vector appears in
+    // everyone's top-k without reciprocating). Composition: the exact
+    // brute-force kNN (q25's operator, rank by unrounded cosine with
+    // neighbor-id tie-break) self-joined against its own reversal —
+    // cosine is EXACTLY symmetric (same index-order products and sums),
+    // so the reversed lookup is a pure hash join, no recomputation. At
+    // scale the same reversal join runs over the IVF/LSH candidate
+    // top-k (q30/q44) instead of the brute-force table; the mutual
+    // filter is one extra shuffle on the (a, b) pair key.
+    "q358_reciprocal_knn" -> QueryDef(
+      fn = (s, d) => {
+        val sl = t(s, d, "embeddings").filter(col("vec_id") < 200)
+        val knn = Similarity.bruteForceTopK(sl, sl, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("cosine"))
+          .localCheckpoint(eager = true) // both directions read it
+        val rev = knn.select(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id"))
+        knn.join(rev, Seq("query_id", "neighbor_id"))
+          .filter(col("query_id") < col("neighbor_id"))
+          .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+            col("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        WITH knn AS (
+          SELECT query_id, neighbor_id, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ${cosineSql("q.embedding", "c.embedding")} AS cosine
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 200 AND c.vec_id < 200
+                AND q.vec_id <> c.vec_id))
+          WHERE rn <= 5)
+        SELECT a.query_id AS id_a, a.neighbor_id AS id_b,
+               round(a.cosine, 6) AS cosine
+        FROM knn a JOIN knn b
+          ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+        WHERE a.query_id < a.neighbor_id
+        ORDER BY id_a, id_b""")),
+
+    // Sequential-pattern support at depth 3 (round 12) — the PrefixSpan
+    // closure of the sequence family: q102 sees adjacent transitions,
+    // q278 contiguous trigrams, q308 non-contiguous PAIRS; this is the
+    // non-contiguous ordered TRIPLE (A, then B, then C, all within 6
+    // hours of A, same user) with occurrence and user support. The
+    // extension join is pair-frame x events on the user key with the
+    // range predicate — per-user hash partitions, never a cartesian;
+    // the 6-hour window is what bounds per-user fanout (events per
+    // user per 6 hours, cubed, is small and time-bounded at any sf —
+    // an unbounded triple join would be |user history|^3). 6 hours
+    // rather than q308's 30 minutes: the pair window left every triple
+    // at support exactly 1 at sf0.01 (a constant-column degeneracy);
+    // 6 hours populates all 125 type-triples at support 4-23.
+    "q359_seq_triples" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
+        val a = ev.select(col("user_id"), col("ts").as("__ta"),
+          col("event_type").as("first_type"))
+        val b = ev.select(col("user_id"), col("ts").as("__tb"),
+          col("event_type").as("then_type"))
+        val c = ev.select(col("user_id"), col("ts").as("__tc"),
+          col("event_type").as("third_type"))
+        a.join(b, Seq("user_id"))
+          .filter(col("__tb") > col("__ta")
+            && col("__tb") <= col("__ta") + expr("INTERVAL 6 HOURS"))
+          .join(c, Seq("user_id"))
+          .filter(col("__tc") > col("__tb")
+            && col("__tc") <= col("__ta") + expr("INTERVAL 6 HOURS"))
+          .groupBy("first_type", "then_type", "third_type")
+          .agg(count(lit(1)).as("n_triples"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("first_type", "then_type", "third_type")
+      },
+      oracle = Some("""
+        SELECT a.event_type AS first_type, b.event_type AS then_type,
+               c.event_type AS third_type,
+               count(*) AS n_triples, count(DISTINCT a.user_id) AS n_users
+        FROM events a
+        JOIN events b ON b.user_id = a.user_id AND b.ts > a.ts
+          AND b.ts <= a.ts + INTERVAL 6 HOUR
+        JOIN events c ON c.user_id = a.user_id AND c.ts > b.ts
+          AND c.ts <= a.ts + INTERVAL 6 HOUR
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
   )
 }

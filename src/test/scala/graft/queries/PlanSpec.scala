@@ -1159,4 +1159,27 @@ class PlanSpec extends AnyFunSuite {
     assert(gens == 1, s"expected 1 Generate, got $gens:\n$plan")
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("q353/q354: broadcast as-of probe — zero join exchanges, one fact scan") {
+    // the right side is indexed+broadcast EAGERLY at build time, so the
+    // returned plan is pure probe: scan → filter/project(asof_lookup) →
+    // presentation sort. The ONLY exchange allowed is the final ORDER
+    // BY's range partitioning; an Exchange hash(...) here would mean the
+    // fact side started shuffling again — the exact cost this rung exists
+    // to avoid.
+    for (q <- Seq("q353_asof_broadcast", "q354_asof_broadcast_dim")) {
+      val plan = planOf(q)
+      assert(plan.contains("asof_lookup"), s"$q:\n$plan")
+      assert(!plan.contains("Window") && !plan.contains("AsOfMergeJoin"),
+        s"$q:\n$plan")
+      val exchanges = plan.linesIterator
+        .count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+      assert(exchanges == 1, s"$q: expected only the ORDER BY exchange:\n$plan")
+      assert(plan.contains("rangepartitioning") &&
+        !plan.contains("hashpartitioning"),
+        s"$q: the one exchange must be the presentation sort:\n$plan")
+      val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+      assert(scans == 1, s"$q: expected 1 fact scan, got $scans:\n$plan")
+    }
+  }
 }
