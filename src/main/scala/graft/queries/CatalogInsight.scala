@@ -2905,5 +2905,71 @@ private[queries] object CatalogInsight {
         JOIN events c ON c.user_id = a.user_id AND c.ts > b.ts
           AND c.ts <= a.ts + INTERVAL 6 HOUR
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // Stream-stream LEFT OUTER interval join (round 12, ninth wave) —
+    // the missing join-shape sibling of q136 (inner): unmatched clicks
+    // must eventually emit their null row, and WHEN is watermark
+    // semantics, pinned here BY EXPERIMENT (the q324 discipline). The
+    // matched part equals the batch interval join exactly. The outer
+    // part: an unmatched click emits its null row iff
+    //   click.ts < min(max click ts, max purchase ts)
+    //             - watermark(2h) - within(1h)
+    // — the final global watermark (min over both streams' per-column
+    // maxima minus the delay, applied by the closing no-data batch)
+    // minus the join interval's UPPER bound (a left row cannot be
+    // declared unmatched until the right watermark has passed its
+    // latest possible match time). Three candidate rules replayed
+    // against the live result at sf0.01: threshold wm emits 1940,
+    // wm+1h emits 1942, wm-1h fits the observed 1937/1937 exactly
+    // (202/202 at sf0.001). State on each side stays O(traffic inside
+    // watermark + interval) — at 100 TB/day the eviction rule IS the
+    // memory bound, which is why its exact semantics deserve an oracle.
+    "q360_stream_outer_join" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        try {
+          def src = stagedEventsStream(s, dir)
+          val clicks = src.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts")
+          val purchases = src.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "value")
+          val joined = graft.streaming.StreamingIngest.streamStreamJoin(
+            clicks, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
+            within = "1 hour", watermark = "2 hours", joinType = "left_outer")
+          val q = graft.streaming.StreamingIngest.runToMemory(
+            joined, "q360_mem", outputMode = "append")
+          q.stop()
+        } finally dropStaged(dir)
+        s.table("q360_mem")
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(sum(when(col("r_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+            sum(when(col("r_ts").isNull, 1L).otherwise(0L)).as("n_outer"),
+            exactSum(col("r_value")).as("sum_value"))
+          .orderBy("bucket")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+              WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(us) FROM c), (SELECT max(us) FROM p))
+                      - 7200000000 - 3600000000 AS evict),
+        m AS (SELECT c.user_id, p.value FROM c JOIN p ON c.user_id = p.user_id
+              AND p.us BETWEEN c.us - 3600000000 AND c.us + 3600000000),
+        o AS (SELECT c.user_id FROM c, wm
+              WHERE c.us < wm.evict AND NOT EXISTS (
+                SELECT 1 FROM p WHERE p.user_id = c.user_id
+                  AND p.us BETWEEN c.us - 3600000000 AND c.us + 3600000000))
+        SELECT bucket, CAST(sum(nm) AS BIGINT) AS n_matched,
+               CAST(sum(no) AS BIGINT) AS n_outer,
+               (CAST(sum(CASE WHEN nm = 1
+                  THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
+                / 100.0) AS sum_value
+        FROM (SELECT user_id % 10 AS bucket, 1 AS nm, 0 AS no, value FROM m
+              UNION ALL
+              SELECT user_id % 10 AS bucket, 0 AS nm, 1 AS no, NULL AS value
+              FROM o)
+        GROUP BY bucket ORDER BY bucket"""),
+      streaming = true),
   )
 }

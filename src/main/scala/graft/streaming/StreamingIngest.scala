@@ -103,13 +103,15 @@ object StreamingIngest {
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       within: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
     left.withWatermark(leftTs, watermark)
       .join(r.withWatermark(s"r_$rightTs", watermark),
         col(key) === col(s"r_$key") &&
           col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $within") &&
-          col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $within"))
+          col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $within"),
+        joinType)
   }
 
   /** Synchronous local smoke runner: memory sink + processAllAvailable,
