@@ -262,6 +262,25 @@ private[queries] object CatalogInsight {
     * vector carried over the FULL node set with coalesce(0) so isolated
     * directions keep exact zeros. MATERIALIZED per the q253 rule.
     */
+  /** q361/q362's shared oracle — the exact OVERLAPPING-occurrence count
+    * per blocklist pattern via a position scan (generate_series +
+    * substring equality; list_sum of an empty list is NULL in DuckDB,
+    * hence the coalesce). Shared VERBATIM by the automaton form and the
+    * HOF twin: identical results are the A/B-pair correctness claim.
+    */
+  private def blocklistOracleSql: String = s"""
+    WITH pats AS (SELECT * FROM (VALUES ${cmsProbes.map(p => s"('$p')").mkString(", ")}) p(pat)),
+    h AS (SELECT d.doc_id, p.pat,
+            coalesce(list_sum(list_transform(
+              generate_series(1, greatest(length(d.text) - length(p.pat) + 1, 0)),
+              i -> CASE WHEN substring(d.text, i, length(p.pat)) = p.pat
+                   THEN 1 ELSE 0 END)), 0) AS n
+          FROM documents d, pats p)
+    SELECT pat AS pattern,
+           CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_hits
+    FROM h GROUP BY pat ORDER BY pat"""
+
   private def hitsOracleSql: String = {
     val iters = (1 to HitsIters).map { k =>
       s"""ha$k AS MATERIALIZED (
@@ -2971,5 +2990,69 @@ private[queries] object CatalogInsight {
               FROM o)
         GROUP BY bucket ORDER BY bucket"""),
       streaming = true),
+
+    // Multi-pattern blocklist scan (round 12, tenth wave) — the
+    // safety/PII/contamination sweep verb at its production shape: ONE
+    // pass over each document counting every (overlapping) occurrence
+    // of every blocklist pattern simultaneously, via a byte-level
+    // Aho-Corasick automaton in a native codegen Expression
+    // (expressions/MultiPattern.scala — the (b) extension-ladder rung:
+    // the N-contains form scans the text N times, the HOF form (q362)
+    // interprets a lambda per position x pattern). The probe words are
+    // q94's CMS watchlist, so the sketch family and the exact scan
+    // family share a fixture. Output: per pattern, the documents
+    // containing it and the total occurrence count; oracle replays the
+    // overlapping-count semantics with a position scan.
+    "q361_blocklist_scan" -> QueryDef(
+      fn = (s, d) => {
+        val pats = cmsProbes
+        t(s, d, "documents")
+          .select(graft.functions.expressions.MultiPattern
+            .counts(col("text"), pats).as("__c"))
+          .select(posexplode(col("__c")).as(Seq("__i", "__n")))
+          .groupBy("__i")
+          .agg(sum(col("__n")).as("n_hits"),
+            sum(when(col("__n") > 0, 1L).otherwise(0L)).as("n_docs"))
+          .select(element_at(array(pats.map(lit): _*),
+            col("__i").cast("int") + 1).as("pattern"),
+            col("n_docs"), col("n_hits"))
+          .orderBy("pattern")
+      },
+      bench = true,
+      oracle = Some(blocklistOracleSql)),
+
+    // The higher-order-function twin of q361 — identical semantics
+    // (and the identical oracle text) through `filter(sequence(...))`
+    // position lambdas: one interpreted predicate per position per
+    // pattern, |patterns| passes over each text. First-class so BenchAB
+    // can interleave the two paths in one JVM — the q336/q340 discipline;
+    // the paired delta is the measured cost of leaving multi-pattern
+    // scanning to Catalyst's HOF interpreter instead of the automaton.
+    "q362_blocklist_hof_twin" -> QueryDef(
+      fn = (s, d) => {
+        val pats = cmsProbes
+        def hofCnt(p: String): Column = {
+          val L = p.length
+          when(length(col("text")) >= L,
+            size(filter(sequence(lit(1), length(col("text")) - L + 1),
+              i => col("text").substr(i, lit(L)) === lit(p))))
+            .otherwise(lit(0)).cast("long")
+        }
+        t(s, d, "documents")
+          .select(array(pats.map(hofCnt): _*).as("__c"))
+          .select(posexplode(col("__c")).as(Seq("__i", "__n")))
+          .groupBy("__i")
+          .agg(sum(col("__n")).as("n_hits"),
+            sum(when(col("__n") > 0, 1L).otherwise(0L)).as("n_docs"))
+          .select(element_at(array(pats.map(lit): _*),
+            col("__i").cast("int") + 1).as("pattern"),
+            col("n_docs"), col("n_hits"))
+          .orderBy("pattern")
+      },
+      // deliberately NOT in the nightly bench: the measured BenchAB pair
+      // read 25.7 s vs the automaton's 0.35 s median at sf0.1 (~74x) —
+      // a quarter-minute fixed cost would distort the bench total; the
+      // pairing lives in NOTES.md and is re-runnable on demand
+      oracle = Some(blocklistOracleSql)),
   )
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.GraftSpark
+import graft.functions.expressions.{AhoCorasick, MultiPattern}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Aho-Corasick multi-pattern counter proved against a brute-force
+  * position scan (overlapping occurrences), plus edge cases the automaton
+  * must get right: overlapping self-similar patterns, patterns that are
+  * substrings/suffixes of each other (failure-link inheritance), empty
+  * text, null text, multi-byte UTF-8 neighbors.
+  */
+class MultiPatternSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def brute(text: String, pat: String): Long =
+    (0 to text.length - pat.length)
+      .count(i => text.regionMatches(i, pat, 0, pat.length)).toLong
+
+  test("automaton counts == brute-force overlapping counts on random text") {
+    val rnd = new scala.util.Random(42)
+    val pats = Seq("ab", "aba", "ba", "aab", "b")
+    val ac = new AhoCorasick(pats.map(_.getBytes("UTF-8")))
+    (1 to 200).foreach { _ =>
+      val text = (1 to rnd.nextInt(40)).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      val got = ac.countAll(text.getBytes("UTF-8")).toSeq
+      val want = pats.map(brute(text, _))
+      assert(got == want, s"text=$text")
+    }
+  }
+
+  test("overlapping occurrences all count: 'aa' in 'aaaa' is 3") {
+    val ac = new AhoCorasick(Seq("aa".getBytes("UTF-8")))
+    assert(ac.countAll("aaaa".getBytes("UTF-8")).toSeq == Seq(3L))
+  }
+
+  test("suffix patterns inherit via failure links: 'she'/'he'/'e'") {
+    val ac = new AhoCorasick(Seq("she", "he", "e").map(_.getBytes("UTF-8")))
+    // "she" contains she(1), he(1), e(1)
+    assert(ac.countAll("she".getBytes("UTF-8")).toSeq == Seq(1L, 1L, 1L))
+  }
+
+  test("empty text yields all-zero counts; pattern longer than text yields 0") {
+    val ac = new AhoCorasick(Seq("abc".getBytes("UTF-8")))
+    assert(ac.countAll(Array.emptyByteArray).toSeq == Seq(0L))
+    assert(ac.countAll("ab".getBytes("UTF-8")).toSeq == Seq(0L))
+  }
+
+  test("ASCII patterns never false-positive inside multi-byte UTF-8") {
+    // U+00E9 (e-acute) is 0xC3 0xA9 — neither byte is ASCII 'a' (0x61)
+    val ac = new AhoCorasick(Seq("a".getBytes("UTF-8")))
+    assert(ac.countAll("ééaé".getBytes("UTF-8")).toSeq == Seq(1L))
+  }
+
+  test("Column form: codegen path, null text, alignment with the pattern list") {
+    val pats = Seq("scan", "an", "quack")
+    val df = Seq(Option("scan and scan again"), None, Option("anan"))
+      .toDF("text")
+      .select(MultiPattern.counts(col("text"), pats).as("c"))
+    val rows = df.collect()
+    // "scan and scan again": scan x2; an x3 (sc-an x2 + "and"); quack 0
+    assert(rows(0).getSeq[Long](0) == Seq(2L, 3L, 0L))
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getSeq[Long](0) == Seq(0L, 2L, 0L))
+    // stays inside whole-stage codegen (a parquet-backed frame — local
+    // relations are eagerly collapsed by ConvertToLocalRelation, which
+    // exercises the interpreted eval path instead)
+    val plan = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(MultiPattern.counts(col("text"), pats).as("c"))
+      .queryExecution.executedPlan.toString()
+    val line = plan.linesIterator.find(_.contains("multi_pattern_count"))
+    assert(line.exists(_.contains("*(")), plan)
+  }
+}

@@ -1182,4 +1182,16 @@ class PlanSpec extends AnyFunSuite {
       assert(scans == 1, s"$q: expected 1 fact scan, got $scans:\n$plan")
     }
   }
+
+  test("q361: ONE documents scan, automaton probe in-line, partial aggs") {
+    val plan = planOf("q361_blocklist_scan")
+    assert(plan.contains("multi_pattern_count"), plan)
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    assert(plan.contains("partial_sum"), plan)
+    // text must be the only column read — the scan feeding a
+    // whole-corpus blocklist sweep reading anything else is wasted IO
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("lang"), readSchema)
+  }
 }
