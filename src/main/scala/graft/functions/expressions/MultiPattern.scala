@@ -65,6 +65,7 @@ final class AhoCorasick(patterns: Seq[Array[Byte]]) extends Serializable {
   }
 
   val numPatterns: Int = patterns.length
+  private val patLens: Array[Int] = patterns.map(_.length).toArray
 
   /** Per-pattern overlapping occurrence counts in one pass. */
   def countAll(bytes: Array[Byte]): Array[Long] = {
@@ -81,6 +82,44 @@ final class AhoCorasick(patterns: Seq[Array[Byte]]) extends Serializable {
       i += 1
     }
     counts
+  }
+
+  /** Bytes NOT covered by any occurrence of any pattern — interval-union
+    * redaction (well-defined under arbitrary overlaps, unlike
+    * replace-style leftmost rules). One matching pass marks covered
+    * bytes (work bounded by matches x pattern length), one pass
+    * compacts. ASCII patterns can never split a multi-byte character:
+    * every covered byte is a pattern byte.
+    */
+  def redact(bytes: Array[Byte]): Array[Byte] = {
+    val covered = new Array[Boolean](bytes.length)
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      s = goto_(s)(bytes(i) & 0xFF)
+      val e = emits(s)
+      var j = 0
+      while (j < e.length) {
+        var k = i - patLens(e(j)) + 1
+        while (k <= i) { covered(k) = true; k += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    var n = 0
+    i = 0
+    while (i < bytes.length) { if (!covered(i)) n += 1; i += 1 }
+    if (n == bytes.length) bytes
+    else {
+      val out = new Array[Byte](n)
+      var o = 0
+      i = 0
+      while (i < bytes.length) {
+        if (!covered(i)) { out(o) = bytes(i); o += 1 }
+        i += 1
+      }
+      out
+    }
   }
 }
 
@@ -129,6 +168,48 @@ case class MultiPatternCount(child: Expression, patterns: Seq[String])
   override def prettyName: String = "multi_pattern_count"
 }
 
+/** Text with every byte covered by ANY pattern occurrence removed — the
+  * APPLY sibling of [[MultiPatternCount]] (scan counts, this excises):
+  * blocklist redaction in the same single automaton pass. Interval-UNION
+  * semantics: overlapping and nested matches excise their union, which
+  * is order-independent and therefore oracle-replayable (a leftmost
+  * replace rule would depend on pattern priority).
+  */
+case class MultiPatternRedact(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+
+  require(patterns.nonEmpty, "pattern list must be non-empty")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"multi_pattern_redact requires string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val ac =
+    new AhoCorasick(patterns.map(_.getBytes("UTF-8")))
+
+  def redact(u: UTF8String): UTF8String =
+    UTF8String.fromBytes(ac.redact(u.getBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    redact(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiPatternRedact", this,
+      classOf[MultiPatternRedact].getName)
+    nullSafeCodeGen(ctx, ev, u => s"${ev.value} = $ref.redact($u);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternRedact =
+    copy(child = newChild)
+
+  override def prettyName: String = "multi_pattern_redact"
+}
+
 object MultiPattern {
   private val fnCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -141,6 +222,16 @@ object MultiPattern {
     org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, exprs => MultiPatternCount(exprs.head, patterns), "built-in")
+    }
+    org.apache.spark.sql.functions.call_function(name, text)
+  }
+
+  /** Column form of [[MultiPatternRedact]]. */
+  def redact(text: Column, patterns: Seq[String]): Column = {
+    val name = s"multi_pattern_redact_${fnCounter.incrementAndGet()}"
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => MultiPatternRedact(exprs.head, patterns), "built-in")
     }
     org.apache.spark.sql.functions.call_function(name, text)
   }

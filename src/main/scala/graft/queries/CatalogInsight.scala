@@ -3054,5 +3054,113 @@ private[queries] object CatalogInsight {
       // a quarter-minute fixed cost would distort the bench total; the
       // pairing lives in NOTES.md and is re-runnable on demand
       oracle = Some(blocklistOracleSql)),
+
+    // Blocklist REDACTION (round 12) — the APPLY sibling of q361's scan
+    // (the q284/q287 ExactSubstr discipline: never ship a detector
+    // without its removal action): every byte covered by ANY pattern
+    // occurrence is excised in the same single automaton pass, with
+    // interval-UNION semantics — order-independent under overlapping /
+    // nested matches, unlike a leftmost replace rule whose output
+    // depends on pattern priority, and therefore exactly replayable by
+    // the oracle (per position: covered iff some pattern matches at a
+    // start within reach). ASCII patterns can never split a multi-byte
+    // character (every covered byte is a pattern byte), so char-grain
+    // SQL and byte-grain Scala agree. 300-doc slice: the oracle's
+    // position scan is O(len x patterns) per doc.
+    "q363_blocklist_redact" -> QueryDef(
+      fn = (s, d) => {
+        t(s, d, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text"),
+            graft.functions.expressions.MultiPattern
+              .redact(col("text"), cmsProbes).as("redacted"))
+          .select(col("doc_id"), col("redacted"),
+            (length(col("text")) - length(col("redacted"))).cast("long")
+              .as("n_removed"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val covered = cmsProbes.map { p =>
+          val L = p.length
+          s"""len(list_filter(generate_series(greatest(1, k - ${L - 1}),
+              least(k, length(text) - ${L - 1})),
+              i -> substring(text, i, $L) = '$p')) > 0"""
+        }.mkString("(", " OR ", ")")
+        s"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)
+        SELECT doc_id,
+               array_to_string(list_transform(
+                 list_filter(generate_series(1, length(text)),
+                   k -> NOT $covered),
+                 k -> substring(text, k, 1)), '') AS redacted,
+               CAST(len(list_filter(generate_series(1, length(text)),
+                 k -> $covered)) AS BIGINT) AS n_removed
+        FROM docs ORDER BY doc_id"""
+      }),
+
+    // Stream-stream FULL OUTER interval join (round 12) — completes the
+    // join-shape ladder (q136 inner, q360 left-outer): BOTH sides emit
+    // null rows for unmatched state on watermark expiry. The eviction
+    // rule is SYMMETRIC in the +-1h interval (verified empirically, the
+    // q360 experiment re-run on the right side): an unmatched row on
+    // either side emits iff its event time <
+    // min(max click ts, max purchase ts) - watermark(2h) - 1h (its own
+    // latest possible match time passing the final global watermark).
+    "q364_stream_full_outer" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        try {
+          def src = stagedEventsStream(s, dir)
+          val clicks = src.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts")
+          val purchases = src.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "value")
+          val joined = graft.streaming.StreamingIngest.streamStreamJoin(
+            clicks, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
+            within = "1 hour", watermark = "2 hours", joinType = "full_outer")
+          val q = graft.streaming.StreamingIngest.runToMemory(
+            joined, "q364_mem", outputMode = "append")
+          q.stop()
+        } finally dropStaged(dir)
+        s.table("q364_mem")
+          .groupBy((coalesce(col("user_id"), col("r_user_id")) % 10).as("bucket"))
+          .agg(
+            sum(when(col("ts").isNotNull && col("r_ts").isNotNull, 1L)
+              .otherwise(0L)).as("n_matched"),
+            sum(when(col("r_ts").isNull, 1L).otherwise(0L)).as("n_left_null"),
+            sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_right_null"),
+            exactSum(when(col("ts").isNotNull, col("r_value"))).as("sum_value"))
+          .orderBy("bucket")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+              WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(us) FROM c), (SELECT max(us) FROM p))
+                      - 7200000000 - 3600000000 AS evict),
+        m AS (SELECT c.user_id, p.value FROM c JOIN p ON c.user_id = p.user_id
+              AND p.us BETWEEN c.us - 3600000000 AND c.us + 3600000000),
+        lo AS (SELECT c.user_id FROM c, wm
+               WHERE c.us < wm.evict AND NOT EXISTS (
+                 SELECT 1 FROM p WHERE p.user_id = c.user_id
+                   AND p.us BETWEEN c.us - 3600000000 AND c.us + 3600000000)),
+        ro AS (SELECT p.user_id FROM p, wm
+               WHERE p.us < wm.evict AND NOT EXISTS (
+                 SELECT 1 FROM c WHERE c.user_id = p.user_id
+                   AND c.us BETWEEN p.us - 3600000000 AND p.us + 3600000000))
+        SELECT bucket, CAST(sum(nm) AS BIGINT) AS n_matched,
+               CAST(sum(nl) AS BIGINT) AS n_left_null,
+               CAST(sum(nr) AS BIGINT) AS n_right_null,
+               (CAST(sum(CASE WHEN nm = 1
+                  THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
+                / 100.0) AS sum_value
+        FROM (SELECT user_id % 10 AS bucket, 1 AS nm, 0 AS nl, 0 AS nr, value
+              FROM m
+              UNION ALL
+              SELECT user_id % 10, 0, 1, 0, NULL FROM lo
+              UNION ALL
+              SELECT user_id % 10, 0, 0, 1, NULL FROM ro)
+        GROUP BY bucket ORDER BY bucket"""),
+      streaming = true),
   )
 }

@@ -54,6 +54,44 @@ class MultiPatternSpec extends AnyFunSuite {
     assert(ac.countAll("ééaé".getBytes("UTF-8")).toSeq == Seq(1L))
   }
 
+  private def bruteRedact(text: String, pats: Seq[String]): String = {
+    val covered = Array.fill(text.length)(false)
+    for (p <- pats; i <- 0 to text.length - p.length
+         if text.regionMatches(i, p, 0, p.length); k <- i until i + p.length)
+      covered(k) = true
+    text.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+  }
+
+  test("redact == brute-force interval union on random text") {
+    val rnd = new scala.util.Random(7)
+    val pats = Seq("ab", "aba", "ba", "aab", "b")
+    val ac = new AhoCorasick(pats.map(_.getBytes("UTF-8")))
+    (1 to 200).foreach { _ =>
+      val text = (1 to rnd.nextInt(40)).map(_ =>
+        "abc".charAt(rnd.nextInt(3))).mkString
+      val got = new String(ac.redact(text.getBytes("UTF-8")), "UTF-8")
+      assert(got == bruteRedact(text, pats), s"text=$text")
+    }
+  }
+
+  test("overlapping and nested matches excise their union") {
+    val ac = new AhoCorasick(Seq("aba", "bab").map(_.getBytes("UTF-8")))
+    assert(new String(ac.redact("xababay".getBytes("UTF-8")), "UTF-8") == "xy")
+  }
+
+  test("no matches leaves the text intact; multi-byte neighbors survive") {
+    val ac = new AhoCorasick(Seq("zz".getBytes("UTF-8")))
+    assert(new String(ac.redact("héllo".getBytes("UTF-8")), "UTF-8") == "héllo")
+  }
+
+  test("redact Column form: null passes through, matches are excised") {
+    val df = Seq(Option("a scan here"), None).toDF("text")
+      .select(MultiPattern.redact(col("text"), Seq("scan", "here")).as("r"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "a  ")
+    assert(rows(1).isNullAt(0))
+  }
+
   test("Column form: codegen path, null text, alignment with the pattern list") {
     val pats = Seq("scan", "an", "quack")
     val df = Seq(Option("scan and scan again"), None, Option("anan"))
