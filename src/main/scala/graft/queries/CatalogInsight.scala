@@ -3162,5 +3162,108 @@ private[queries] object CatalogInsight {
               SELECT user_id % 10, 0, 0, 1, NULL FROM ro)
         GROUP BY bucket ORDER BY bucket"""),
       streaming = true),
+
+    // Holt-Winters ADDITIVE seasonal smoothing (round 12) — the seasonal
+    // completion of the forecasting family: q192 EWMA (level only),
+    // q329 Holt (level+trend), q315 decomposes but doesn't forecast,
+    // q350 backtests; this carries level + trend + a 7-slot seasonal
+    // state. Full recurrence (alpha 0.2, beta 0.1, gamma 0.3, m=7),
+    // seeded l = exact-integer-sum(first week)/7, b = 0, s_i = y_i - l;
+    // then FIXED 23-step unroll (t=8..30 — every type has exactly 30
+    // observed days at every sf) with missing-day carry, slot(t) =
+    // ((t-1) mod 7) + 1. The oracle replays the identical FP sequence
+    // via MATERIALIZED per-step CTEs carrying (l, b, s1..s7) — the
+    // q329/kCorePeel convention with VECTOR state. Forecast h=7 lands
+    // on slot 2 (t=37), spelled identically in both engines.
+    "q365_holt_winters" -> QueryDef(
+      fn = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+            .orderBy("__day")))
+          .select(col("event_type"), col("rn"), col("n"))
+          .collect() // bounded |types| x |days|
+        val byType = daily.groupBy(_.getString(0))
+        val rows = byType.toSeq.sortBy(_._1).map { case (ty, rs) =>
+          val ys = rs.sortBy(_.getInt(1)).map(_.getLong(2))
+          require(ys.length >= 7, s"Holt-Winters seed needs 7 days, got ${ys.length}")
+          var l = ys.take(7).sum.toDouble / 7.0 // exact integer sum, one division
+          var b = 0.0
+          val sv = Array.tabulate(7)(i => ys(i).toDouble - l)
+          for (t0 <- 8 to 30) {
+            val slot = (t0 - 1) % 7
+            if (t0 <= ys.length) {
+              val y = ys(t0 - 1).toDouble
+              val lNew = 0.2 * (y - sv(slot)) + 0.8 * (l + b)
+              b = 0.1 * (lNew - l) + 0.9 * b
+              sv(slot) = 0.3 * (y - lNew) + 0.7 * sv(slot)
+              l = lNew
+            }
+          }
+          def snap(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000.0
+          Row(ty, ys.length.toLong, snap(l), snap(b), snap(sv(1)),
+            snap(l + 7.0 * b + sv(1)))
+        }
+        val schema = StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("n_days", LongType, nullable = false),
+          StructField("level", DoubleType, nullable = false),
+          StructField("trend", DoubleType, nullable = false),
+          StructField("s_slot2", DoubleType, nullable = false),
+          StructField("forecast_7d", DoubleType, nullable = false)))
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        def lNewSql(slot: Int) =
+          s"0.2 * (CAST(y.n AS DOUBLE) - h.s$slot) + 0.8 * (h.l + h.b)"
+        val steps = (8 to 30).map { t0 =>
+          val slot = ((t0 - 1) % 7) + 1
+          val sCols = (1 to 7).map { i =>
+            if (i == slot)
+              s"""CASE WHEN y.n IS NULL THEN h.s$i
+                  ELSE 0.3 * (CAST(y.n AS DOUBLE) - (${lNewSql(slot)}))
+                       + 0.7 * h.s$i END AS s$i"""
+            else s"h.s$i AS s$i"
+          }.mkString(", ")
+          s"""h$t0 AS MATERIALIZED (
+                SELECT h.event_type,
+                       CASE WHEN y.n IS NULL THEN h.l
+                            ELSE ${lNewSql(slot)} END AS l,
+                       CASE WHEN y.n IS NULL THEN h.b
+                            ELSE 0.1 * ((${lNewSql(slot)}) - h.l) + 0.9 * h.b
+                       END AS b,
+                       $sCols
+                FROM h${t0 - 1} h LEFT JOIN daily y
+                  ON y.event_type = h.event_type AND y.rn = $t0)"""
+        }.mkString(",\n")
+        val seedS = (1 to 7).map(i => s"CAST(y$i AS DOUBLE) - l AS s$i").mkString(", ")
+        val seedY = (1 to 7).map(i => s"a$i.n AS y$i").mkString(", ")
+        val seedJoin = (2 to 7).map(i =>
+          s"JOIN daily a$i ON a$i.event_type = a1.event_type AND a$i.rn = $i").mkString(" ")
+        s"""
+        WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+        daily AS (SELECT event_type, n,
+                         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+                  FROM d0),
+        nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1),
+        h7 AS (SELECT event_type, l, 0.0 AS b, $seedS
+               FROM (SELECT a1.event_type, $seedY,
+                            CAST(a1.n + a2.n + a3.n + a4.n + a5.n + a6.n + a7.n
+                                 AS DOUBLE) / 7.0 AS l
+                     FROM daily a1 $seedJoin
+                     WHERE a1.rn = 1)),
+        $steps
+        SELECT h.event_type, nd.n_days,
+               floor(h.l * 1000000 + 0.5) / 1000000.0 AS level,
+               floor(h.b * 1000000 + 0.5) / 1000000.0 AS trend,
+               floor(h.s2 * 1000000 + 0.5) / 1000000.0 AS s_slot2,
+               floor((h.l + 7.0 * h.b + h.s2) * 1000000 + 0.5) / 1000000.0
+                 AS forecast_7d
+        FROM h30 h JOIN nd USING (event_type) ORDER BY event_type"""
+      }),
   )
 }
