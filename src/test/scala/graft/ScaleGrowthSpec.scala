@@ -84,7 +84,15 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // the leakage audit, and the custom heap operator (its map-side
     // state is keys x k per partition BY DESIGN — linear input scan)
     "q319_dunning_keyness", "q326_zipf_slope", "q333_padding_waste",
-    "q334_split_leakage", "q335_topk_operator")
+    "q334_split_leakage", "q335_topk_operator",
+    // round-12: the broadcast as-of (hazard = the driver-side index
+    // build growing with the right side — the probe itself is a linear
+    // map pass), the depth-3 sequential-pattern join (per-user
+    // time-window fanout CUBED is the designed hazard its 6h bound
+    // contains; user ids shift per replica so per-user density is
+    // constant), and the Aho-Corasick corpus sweep (one pass per byte —
+    // the exponent pins that the automaton probe really is linear)
+    "q353_asof_broadcast", "q359_seq_triples", "q361_blocklist_scan")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
