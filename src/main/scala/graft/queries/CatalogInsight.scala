@@ -3265,5 +3265,97 @@ private[queries] object CatalogInsight {
                  AS forecast_7d
         FROM h30 h JOIN nd USING (event_type) ORDER BY event_type"""
       }),
+
+    // Feature hashing (the hashing-trick vectorizer, round 12) — the
+    // fixed-width featurizer every large-scale linear/embedding trainer
+    // uses when the vocabulary is unbounded: bucket = md5-derived hash
+    // mod 64, no vocabulary build, collisions are part of the
+    // semantics. Cross-engine hash discipline: both engines parse the
+    // first two md5 hex chars positionally via instr/strpos on the
+    // constant '0123456789abcdef' (no engine-specific hex-parse
+    // builtin), so the bucket function is bit-identical. Output is the
+    // bucket census (total occurrences, distinct tokens = the collision
+    // readout, docs touched); the per-doc sparse vector is the same
+    // groupBy one level finer.
+    "q366_feature_hashing" -> QueryDef(
+      fn = (s, d) => {
+        val hexpos = (i: Int) =>
+          s"(instr('0123456789abcdef', substring(md5(tok), $i, 1)) - 1)"
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+          .withColumn("bucket",
+            expr(s"(${hexpos(1)} * 16 + ${hexpos(2)}) % 64").cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_distinct_tokens"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("bucket")
+      },
+      oracle = Some(s"""
+        WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        b AS (SELECT doc_id, tok,
+                     ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1)
+                      * 16
+                      + strpos('0123456789abcdef', substring(md5(tok), 2, 1))
+                      - 1) % 64 AS bucket
+              FROM tk)
+        SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // Rendezvous (highest-random-weight) sharding (round 12) — the
+    // coordination-free shard assignment of every distributed cache /
+    // shuffle-service / feature-store layer: shard(doc) = argmax over
+    // shards of md5(doc_id:shard). The census is computed under 10 AND
+    // 11 shards in one pass, which makes the consistent-hashing theorem
+    // VISIBLE in the output: a document moves on scale-out iff the NEW
+    // shard wins its rendezvous (every old shard's count can only
+    // shrink, and the moved set IS shard 10's n_under_11 — ~1/11 of
+    // documents, vs ~10/11 reshuffled under mod-N). Pure per-row
+    // array_max over 10/11 struct candidates — zero shuffles before the
+    // census agg; the oracle replays the argmax with a window over an
+    // unnested shard list ordered md5 DESC (an exact-tie would need an
+    // md5 collision between distinct doc:shard strings — unreachable,
+    // so the hash alone is a total order).
+    "q367_rendezvous_shards" -> QueryDef(
+      fn = (s, d) => {
+        def assign(n: Int): Column =
+          array_max(array((0 until n).map(sh => struct(
+            md5(concat(col("doc_id").cast("string"), lit(s":$sh"))).as("h"),
+            lit(sh.toLong).as("s"))): _*)).getField("s")
+        t(s, d, "documents")
+          .select(col("doc_id"), assign(10).as("s10"), assign(11).as("s11"))
+          .select(explode(array(
+            struct(col("s10").as("shard"), lit(1L).as("c10"), lit(0L).as("c11")),
+            struct(col("s11").as("shard"), lit(0L).as("c10"), lit(1L).as("c11"))))
+            .as("x"))
+          .groupBy(col("x.shard").as("shard"))
+          .agg(sum(col("x.c10")).as("n_under_10"), sum(col("x.c11")).as("n_under_11"))
+          .orderBy("shard")
+      },
+      oracle = Some("""
+        WITH sh AS (SELECT d.doc_id, s.s,
+                           md5(CAST(d.doc_id AS VARCHAR) || ':' || s.s) AS h
+                    FROM documents d,
+                         (SELECT unnest(generate_series(0, 10)) AS s) s),
+        r AS (SELECT doc_id, s, h,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, s ASC) AS rk11,
+                     CASE WHEN s < 10 THEN row_number() OVER (
+                       PARTITION BY doc_id, (s < 10)
+                       ORDER BY h DESC, s ASC) END AS rk10
+              FROM sh),
+        a AS (SELECT doc_id,
+                     max(CASE WHEN rk10 = 1 AND s < 10 THEN s END) AS s10,
+                     max(CASE WHEN rk11 = 1 THEN s END) AS s11
+              FROM r GROUP BY doc_id)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(sum(c10) AS BIGINT) AS n_under_10,
+               CAST(sum(c11) AS BIGINT) AS n_under_11
+        FROM (SELECT s10 AS shard, 1 AS c10, 0 AS c11 FROM a
+              UNION ALL
+              SELECT s11 AS shard, 0 AS c10, 1 AS c11 FROM a)
+        GROUP BY shard ORDER BY shard""")),
   )
 }
