@@ -3357,5 +3357,107 @@ private[queries] object CatalogInsight {
               UNION ALL
               SELECT s11 AS shard, 0 AS c10, 1 AS c11 FROM a)
         GROUP BY shard ORDER BY shard""")),
+
+    // Segmented (two-piece) trend regression / structural-break search
+    // (round 12) — the model-based changepoint verb beside q209's CUSUM
+    // (which detects mean shifts; this finds the best BROKEN-TREND fit):
+    // for every split day s, fit independent OLS lines to days <= s and
+    // > s and pick the s minimizing total SSE. Exactness discipline:
+    // all six regression moments are exact integers per (type, split,
+    // segment); SSE = A/n - B^2/(n*C) with A = n*Syy - Sy^2, B =
+    // n*Sxy - Sx*Sy, C = n*Sxx - Sx^2 — one fixed-order double formula
+    // of exact integers, the two segment SSEs added in a PIVOTED fixed
+    // order (left + right, never a groupBy-ordered sum), snapped to the
+    // e6 grid, argmin under the TOTAL (sse_e6, s) order. The split
+    // frame is |types| x |days| x |splits| — calendar-bounded, built
+    // off one corpus agg.
+    "q368_piecewise_trend" -> QueryDef(
+      fn = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("i", row_number().over(Window.partitionBy("event_type")
+            .orderBy("__day")).cast("long"))
+          .select(col("event_type"), col("i"), col("y"))
+          .localCheckpoint(eager = true) // split frame + single fit share it
+        def moments(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
+          .agg(count(lit(1)).as("n"), sum(col("i")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("i") * col("i")).as("sxx"),
+            sum(col("i") * col("y")).as("sxy"),
+            sum(col("y") * col("y")).as("syy"))
+        val sseExpr = expr("""
+          CAST(n * syy - sy * sy AS DOUBLE) / n
+          - (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE))""")
+        val splits = s.range(4, 27).select(col("id").as("s"))
+        val segSse = moments(daily.crossJoin(splits)
+            .withColumn("seg", when(col("i") <= col("s"), 0L).otherwise(1L))
+            .groupBy("event_type", "s", "seg"))
+          .select(col("event_type"), col("s"), col("seg"), sseExpr.as("__sse"))
+        val bySplit = segSse.groupBy("event_type", "s")
+          .agg(max(when(col("seg") === 0L, col("__sse"))).as("__sa"),
+            max(when(col("seg") === 1L, col("__sse"))).as("__sb"))
+          .select(col("event_type"), col("s"),
+            floor((col("__sa") + col("__sb")) * 1000000 + 0.5).cast("long")
+              .as("sse_split_e6"))
+        val best = bySplit
+          .withColumn("__rk", row_number().over(Window.partitionBy("event_type")
+            .orderBy(col("sse_split_e6"), col("s"))))
+          .filter(col("__rk") === 1).drop("__rk")
+        val single = moments(daily.groupBy("event_type"))
+          .select(col("event_type"),
+            floor(sseExpr * 1000000 + 0.5).cast("long").as("sse_single_e6"))
+        best.join(single, "event_type")
+          .select(col("event_type"), col("s").as("split_day"),
+            col("sse_split_e6"), col("sse_single_e6"),
+            (col("sse_single_e6") - col("sse_split_e6")).as("gain_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+                    FROM events GROUP BY 1, 2),
+        daily AS (SELECT event_type, y,
+                         CAST(row_number() OVER (PARTITION BY event_type
+                           ORDER BY day) AS BIGINT) AS i
+                  FROM d0),
+        sp AS (SELECT unnest(generate_series(4, 26)) AS s),
+        segm AS (SELECT d.event_type, sp.s,
+                        CASE WHEN d.i <= sp.s THEN 0 ELSE 1 END AS seg,
+                        count(*) AS n, sum(d.i) AS sx, sum(d.y) AS sy,
+                        sum(d.i * d.i) AS sxx, sum(d.i * d.y) AS sxy,
+                        sum(d.y * d.y) AS syy
+                 FROM daily d, sp GROUP BY 1, 2, 3),
+        segsse AS (SELECT event_type, s, seg,
+                          CAST(n * syy - sy * sy AS DOUBLE) / n
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             * CAST(n * sxy - sx * sy AS DOUBLE))
+                            / (CAST(n AS DOUBLE)
+                               * CAST(n * sxx - sx * sx AS DOUBLE)) AS sse
+                   FROM segm),
+        bysplit AS (SELECT event_type, s,
+                           CAST(floor((max(CASE WHEN seg = 0 THEN sse END)
+                                       + max(CASE WHEN seg = 1 THEN sse END))
+                                      * 1000000 + 0.5) AS BIGINT) AS sse_split_e6
+                    FROM segsse GROUP BY 1, 2),
+        best AS (SELECT event_type, s, sse_split_e6,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY sse_split_e6, s) AS rk
+                 FROM bysplit),
+        single AS (SELECT event_type,
+                          CAST(floor((CAST(n * syy - sy * sy AS DOUBLE) / n
+                            - (CAST(n * sxy - sx * sy AS DOUBLE)
+                               * CAST(n * sxy - sx * sy AS DOUBLE))
+                              / (CAST(n AS DOUBLE)
+                                 * CAST(n * sxx - sx * sx AS DOUBLE)))
+                            * 1000000 + 0.5) AS BIGINT) AS sse_single_e6
+                   FROM (SELECT event_type, count(*) AS n, sum(i) AS sx,
+                                sum(y) AS sy, sum(i * i) AS sxx,
+                                sum(i * y) AS sxy, sum(y * y) AS syy
+                         FROM daily GROUP BY 1))
+        SELECT b.event_type, CAST(b.s AS BIGINT) AS split_day,
+               b.sse_split_e6, g.sse_single_e6,
+               g.sse_single_e6 - b.sse_split_e6 AS gain_e6
+        FROM best b JOIN single g USING (event_type)
+        WHERE b.rk = 1 ORDER BY b.event_type""")),
   )
 }
