@@ -3459,5 +3459,124 @@ private[queries] object CatalogInsight {
                g.sse_single_e6 - b.sse_split_e6 AS gain_e6
         FROM best b JOIN single g USING (event_type)
         WHERE b.rk = 1 ORDER BY b.event_type""")),
+
+    // Precision-recall threshold sweep with exact best-F1 pick (round
+    // 12) — the DEPLOYMENT half of the evaluation family: q186 ranks
+    // (AUC), q187 calibrates, q188 scores a fixed classifier; this
+    // answers "which score cutoff do we ship?". Every candidate
+    // threshold is a distinct observed score (e4 grid); at each, TP/FP
+    // ride one cumulative window over the SCORE GRID (bounded domain,
+    // <= 10001 rows — the q186 convention, never a per-row global
+    // window), and F1 reduces to the all-integer form
+    // 2*TP / (TP + FP + P_total), so the argmax needs no FP snap at
+    // all: f1_e6 = 2*TP*1e6 div (TP + FP + Ptot), total (f1 desc,
+    // threshold asc) order.
+    "q369_pr_threshold" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        val grid = t(s, d, "documents").select(
+          (TF.qualityScore(col("text"), stops) * 10000 + 0.5).cast("long").as("__s"),
+          when(size(TF.tokens(col("text"))) >= 48, 1L).otherwise(0L).as("__y"))
+          .groupBy("__s")
+          .agg(sum(col("__y")).as("__pos"),
+            (count(lit(1)) - sum(col("__y"))).as("__neg"))
+        val wDesc = Window.orderBy(col("__s").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        val swept = grid
+          .withColumn("__tp", sum(col("__pos")).over(wDesc))
+          .withColumn("__fp", sum(col("__neg")).over(wDesc))
+          .withColumn("__ptot", sum(col("__pos")).over(wAll))
+          .withColumn("f1_e6", expr("2 * __tp * 1000000 div (__tp + __fp + __ptot)"))
+        swept
+          .withColumn("__rk", row_number().over(
+            Window.orderBy(col("f1_e6").desc, col("__s").asc)))
+          .filter(col("__rk") === 1)
+          .select(col("__s").as("threshold"), col("__tp").as("tp"),
+            col("__fp").as("fp"), (col("__ptot") - col("__tp")).as("fn"),
+            expr("__tp * 1000000 div (__tp + __fp)").as("precision_e6"),
+            expr("__tp * 1000000 div __ptot").as("recall_e6"),
+            col("f1_e6"))
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT CAST(round(($qualityExprSql) * 10000) AS BIGINT) AS s,
+                           CASE WHEN len(toks) >= 48 THEN 1 ELSE 0 END AS y
+                    FROM ($qualityInnerSql) q
+                    JOIN documents USING (doc_id)),
+        g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+                     CAST(count(*) - sum(y) AS BIGINT) AS neg
+              FROM sc GROUP BY s),
+        c AS (SELECT s,
+                     sum(pos) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                     sum(neg) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+                     sum(pos) OVER () AS ptot
+              FROM g),
+        f AS (SELECT s, tp, fp, ptot,
+                     2 * tp * 1000000 // (tp + fp + ptot) AS f1_e6,
+                     row_number() OVER (ORDER BY 2 * tp * 1000000
+                       // (tp + fp + ptot) DESC, s ASC) AS rk
+              FROM c)
+        SELECT s AS threshold, CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp, CAST(ptot - tp AS BIGINT) AS fn,
+               CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_e6,
+               CAST(tp * 1000000 // ptot AS BIGINT) AS recall_e6,
+               CAST(f1_e6 AS BIGINT) AS f1_e6
+        FROM f WHERE rk = 1""")),
+
+    // Decile lift / gains table (round 12) — the campaign-targeting
+    // readout of the same scored corpus: documents ranked by score
+    // descending, cut into 10 equal-population bins, per bin the
+    // positive rate vs the base rate (lift) and the cumulative share of
+    // all positives captured (gains). Ranking is the DISTRIBUTED
+    // two-phase prefix sum (q327's PrefixSum — range partition +
+    // O(buckets) driver offsets), never a single-reducer row_number
+    // over the corpus; decile = rank*10 div N; lift/gains via integer
+    // cross-multiplication on the e6 grid.
+    "q370_decile_lift" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        val scored = t(s, d, "documents").select(col("doc_id"),
+          (TF.qualityScore(col("text"), stops) * 10000 + 0.5).cast("long").as("__s"),
+          when(size(TF.tokens(col("text"))) >= 48, 1L).otherwise(0L).as("__y"))
+          .withColumn("__one", lit(1L))
+        val (ranked, n) = graft.ops.PrefixSum.exclusiveWithTotal(
+          scored, Seq(col("__s").desc, col("doc_id").asc), col("__one"), "__rank0")
+        val byDecile = ranked
+          .withColumn("decile", expr(s"__rank0 * 10 div ${n}L"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+        val tot = byDecile.agg(sum(col("n_pos")).as("__ptot"))
+        byDecile.crossJoin(broadcast(tot))
+          .withColumn("__cumpos", sum(col("n_pos")).over(
+            Window.orderBy("decile") // 10-row bounded spine
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("decile"), col("n"), col("n_pos"),
+            expr(s"n_pos * ${n}L * 1000000 div (n * __ptot)").as("lift_e6"),
+            expr("__cumpos * 1000000 div __ptot").as("cum_gain_e6"))
+          .orderBy("decile")
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT doc_id,
+                           CAST(round(($qualityExprSql) * 10000) AS BIGINT) AS s,
+                           CASE WHEN len(toks) >= 48 THEN 1 ELSE 0 END AS y
+                    FROM ($qualityInnerSql) q
+                    JOIN documents USING (doc_id)),
+        r AS (SELECT y, row_number() OVER (ORDER BY s DESC, doc_id ASC) - 1 AS rk
+              FROM sc),
+        n AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS ptot FROM r),
+        d AS (SELECT rk * 10 // n.n AS decile, count(*) AS nd,
+                     CAST(sum(y) AS BIGINT) AS n_pos
+              FROM r, n GROUP BY 1),
+        c AS (SELECT decile, nd, n_pos,
+                     sum(n_pos) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos
+              FROM d)
+        SELECT CAST(decile AS BIGINT) AS decile, CAST(nd AS BIGINT) AS n,
+               n_pos,
+               CAST(n_pos * n.n * 1000000 // (nd * n.ptot) AS BIGINT) AS lift_e6,
+               CAST(cumpos * 1000000 // n.ptot AS BIGINT) AS cum_gain_e6
+        FROM c, n ORDER BY decile""")),
   )
 }
