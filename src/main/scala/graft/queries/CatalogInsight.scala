@@ -3578,5 +3578,133 @@ private[queries] object CatalogInsight {
                CAST(n_pos * n.n * 1000000 // (nd * n.ptot) AS BIGINT) AS lift_e6,
                CAST(cumpos * 1000000 // n.ptot AS BIGINT) AS cum_gain_e6
         FROM c, n ORDER BY decile""")),
+
+    // Cochran-Mantel-Haenszel stratified 2x2 test (round 12) — the
+    // confounder-adjusted member of the A/B family (q181 pools, q261
+    // ranks, q262 tests independence UNstratified; CMH asks "does the
+    // exposure/outcome association survive WITHIN day-of-week strata" —
+    // the Simpson's-paradox guard). Per stratum k: d_k = a_k -
+    // n1*m1/n and the hypergeometric variance v_k; both are snapped to
+    // the e9 grid BEFORE the cross-stratum sum (the q270 rule: snap
+    // per-term, then order-free integer sums), so the statistic
+    // (sum d)^2 / sum v involves exactly one unsnapped double division.
+    // Variance products run in DOUBLE with a fixed factor order (the
+    // long form overflows at sf >= 1).
+    "q371_cmh_test" -> QueryDef(
+      fn = (s, d) => {
+        val base = t(s, d, "events")
+          .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+          .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("__e"),
+            when(cents(col("value")) >= 5000L, 1L).otherwise(0L).as("__o"))
+        val strata = base.groupBy("dow")
+          .agg(count(lit(1)).as("n"), sum(col("__e")).as("__n1"),
+            sum(col("__o")).as("__m1"),
+            sum(col("__e") * col("__o")).as("a"))
+          .select(col("dow"), col("n"), col("__n1"), col("__m1"), col("a"),
+            floor((col("a").cast("double")
+              - col("__n1").cast("double") * col("__m1") / col("n"))
+              * 1000000000L + 0.5).cast("long").as("d_e9"),
+            floor((col("__n1").cast("double") * (col("n") - col("__n1"))
+              * col("__m1") * (col("n") - col("__m1")))
+              / (col("n").cast("double") * col("n") * (col("n") - 1L))
+              * 1000000000L + 0.5).cast("long").as("v_e9"))
+        val stat = strata.agg(sum(col("d_e9")).as("__sd"), sum(col("v_e9")).as("__sv"))
+          .select(round(col("__sd").cast("double") * col("__sd")
+            / (lit(1000000000L).cast("double") * col("__sv")), 6).as("cmh"))
+        strata.crossJoin(broadcast(stat))
+          .select(col("dow"), col("n"), col("a"), col("d_e9"), col("v_e9"),
+            col("cmh"))
+          .orderBy("dow")
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS e,
+                          CASE WHEN ${centsSql("value")} >= 5000 THEN 1 ELSE 0 END AS o
+                   FROM events
+                   WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        st AS (SELECT dow, count(*) AS n, CAST(sum(e) AS BIGINT) AS n1,
+                      CAST(sum(o) AS BIGINT) AS m1,
+                      CAST(sum(e * o) AS BIGINT) AS a
+               FROM b GROUP BY dow),
+        sn AS (SELECT dow, n, n1, m1, a,
+                      CAST(floor((CAST(a AS DOUBLE)
+                        - CAST(n1 AS DOUBLE) * m1 / n) * 1000000000 + 0.5)
+                        AS BIGINT) AS d_e9,
+                      CAST(floor((CAST(n1 AS DOUBLE) * (n - n1) * m1 * (n - m1))
+                        / (CAST(n AS DOUBLE) * n * (n - 1))
+                        * 1000000000 + 0.5) AS BIGINT) AS v_e9
+               FROM st),
+        agg AS (SELECT round(CAST(sum(d_e9) AS DOUBLE) * sum(d_e9)
+                        / (CAST(1000000000 AS DOUBLE) * sum(v_e9)), 6) AS cmh
+                FROM sn)
+        SELECT sn.dow, CAST(sn.n AS BIGINT) AS n, sn.a, sn.d_e9, sn.v_e9,
+               agg.cmh
+        FROM sn, agg ORDER BY sn.dow""")),
+
+    // Empirical-Bayes (beta-binomial) rate shrinkage (round 12) — the
+    // "small-sample rates lie" verb of the curation family: per-source
+    // high-quality rates shrunk toward the corpus prior with
+    // method-of-moments (alpha, beta). Discipline: raw rates live on
+    // the exact e6 integer grid (x*1e6 div n), the prior's mean and
+    // variance are exact integer sums over the bounded source frame
+    // (K*sum(p^2) - (sum p)^2 — the q78 rule), and the only doubles are
+    // the fixed-order strength formula s = m(1-m)/v - 1 and the final
+    // per-source shrink, both snapped to e6.
+    "q372_eb_shrinkage" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        val bySrc = t(s, d, "documents")
+          .select(col("source"),
+            when((TF.qualityScore(col("text"), stops) * 10000 + 0.5)
+              .cast("long") >= 6000L, 1L).otherwise(0L).as("__hi"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("__hi")).as("x"))
+          .withColumn("raw_e6", expr("x * 1000000 div n"))
+        val prior = bySrc.agg(count(lit(1)).as("__k"),
+            sum(col("raw_e6")).as("__sp"),
+            sum(col("raw_e6") * col("raw_e6")).as("__spp"))
+          .select(col("__k"), col("__sp"), col("__spp"),
+            expr("__sp div __k").as("__m_e6"),
+            // var numerator on the e12 grid, exact: K*sum(p^2)-(sum p)^2
+            expr("(__k * __spp - __sp * __sp) div (__k * __k)").as("__v_e12"))
+          .select(col("__m_e6"), col("__v_e12"),
+            floor((col("__m_e6").cast("double") * (lit(1000000L) - col("__m_e6"))
+              / col("__v_e12") - 1.0) * 1000000 + 0.5).cast("long")
+              .as("__s_e6"))
+        bySrc.crossJoin(broadcast(prior))
+          .select(col("source"), col("n"), col("x"), col("raw_e6"),
+            col("__m_e6").as("prior_mean_e6"), col("__s_e6").as("strength_e6"),
+            floor((col("x").cast("double")
+              + col("__s_e6").cast("double") * col("__m_e6") / 1e12)
+              / (col("n").cast("double") + col("__s_e6") / lit(1000000.0))
+              * 1000000 + 0.5).cast("long").as("shrunk_e6"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT d.source,
+                           CASE WHEN CAST(round(($qualityExprSql) * 10000)
+                                AS BIGINT) >= 6000 THEN 1 ELSE 0 END AS hi
+                    FROM ($qualityInnerSql) q
+                    JOIN documents d USING (doc_id)),
+        b AS (SELECT source, count(*) AS n, CAST(sum(hi) AS BIGINT) AS x,
+                     CAST(sum(hi) AS BIGINT) * 1000000 // count(*) AS raw_e6
+              FROM sc GROUP BY source),
+        pr AS (SELECT count(*) AS k, sum(raw_e6) AS sp,
+                      sum(raw_e6 * raw_e6) AS spp FROM b),
+        pm AS (SELECT sp // k AS m_e6,
+                      (k * spp - sp * sp) // (k * k) AS v_e12 FROM pr),
+        st AS (SELECT m_e6, v_e12,
+                      CAST(floor((CAST(m_e6 AS DOUBLE) * (1000000 - m_e6)
+                        / v_e12 - 1.0) * 1000000 + 0.5) AS BIGINT) AS s_e6
+               FROM pm)
+        SELECT b.source, CAST(b.n AS BIGINT) AS n, b.x, CAST(b.raw_e6 AS BIGINT) AS raw_e6,
+               CAST(st.m_e6 AS BIGINT) AS prior_mean_e6,
+               st.s_e6 AS strength_e6,
+               CAST(floor((CAST(b.x AS DOUBLE)
+                      + CAST(st.s_e6 AS DOUBLE) * st.m_e6 / 1e12)
+                    / (CAST(b.n AS DOUBLE) + st.s_e6 / 1000000.0)
+                    * 1000000 + 0.5) AS BIGINT) AS shrunk_e6
+        FROM b, st ORDER BY b.source""")),
   )
 }
