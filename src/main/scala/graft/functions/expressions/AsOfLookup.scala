@@ -28,13 +28,18 @@ final class AsOfIndex(val groups: Map[Seq[Any], AsOfIndex.KeyGroup])
     * backward returns the LAST of the run, forward the FIRST — the
     * [[graft.plans.AsOfMergeJoin]] tie conventions.
     */
-  def lookup(key: Seq[Any], ts: Long, forward: Boolean): InternalRow =
+  def lookup(key: Seq[Any], ts: Long, forward: Boolean,
+      toleranceMicros: Long = Long.MaxValue): InternalRow =
     groups.get(key) match {
       case None => null
       case Some(g) =>
         val i = if (forward) AsOfIndex.firstAtLeast(g.ts, ts)
                 else AsOfIndex.lastAtMost(g.ts, ts)
-        if (i < 0) null else g.rows(i)
+        if (i < 0) null
+        else {
+          val age = if (forward) g.ts(i) - ts else ts - g.ts(i)
+          if (age > toleranceMicros) null else g.rows(i)
+        }
     }
 }
 
@@ -81,7 +86,8 @@ case class AsOfLookup(
     children: Seq[Expression],
     index: Broadcast[AsOfIndex],
     payloadSchema: StructType,
-    forward: Boolean) extends Expression {
+    forward: Boolean,
+    toleranceMicros: Option[Long] = None) extends Expression {
 
   require(children.length >= 2, "AsOfLookup needs at least (key, ts)")
 
@@ -114,7 +120,8 @@ case class AsOfLookup(
     val ts = args(args.length - 1).asInstanceOf[java.lang.Number].longValue()
     val key: Seq[Any] = ArraySeq.unsafeWrapArray(
       java.util.Arrays.copyOfRange(args, 0, args.length - 1))
-    index.value.lookup(key, ts, forward)
+    index.value.lookup(key, ts, forward,
+      toleranceMicros.getOrElse(Long.MaxValue))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

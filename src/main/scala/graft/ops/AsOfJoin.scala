@@ -187,10 +187,12 @@ object AsOfJoin {
       rightCols: Seq[String],
       rightTieBreak: Seq[Column] = Nil,
       direction: String = "backward",
-      maxRightRows: Long = 4000000L): DataFrame = {
+      maxRightRows: Long = 4000000L,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     require(on.nonEmpty, "at least one equality key required")
     require(Seq("backward", "forward").contains(direction),
       s"direction must be backward|forward, got '$direction'")
+    require(toleranceMicros.forall(_ >= 0L), "tolerance must be >= 0")
     require(!(rightCols :+ "asof_ts").exists(left.columns.contains),
       "carried right columns (and asof_ts) must not collide with left")
     require(!rightCols.contains(rightTs) && !rightCols.exists(on.contains) &&
@@ -283,7 +285,8 @@ object AsOfJoin {
     // route); one uniquely-named entry per call, bounded by call count
     val fname = s"asof_bcast_${bcastFnCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
-      exprs => AsOfLookup(exprs, bc, payloadSchema, direction == "forward"),
+      exprs => AsOfLookup(exprs, bc, payloadSchema, direction == "forward",
+        toleranceMicros),
       "built-in")
     val lookup = call_function(fname, on.map(col) :+ col(leftTs): _*)
     left.withColumn("__asof", lookup)

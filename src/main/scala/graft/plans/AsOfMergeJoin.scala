@@ -57,10 +57,12 @@ object AsOfMergeJoin {
   def asofMerge(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String],
       rightTieBreak: Seq[(String, Boolean)] = Nil,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      toleranceMicros: Option[Long] = None): DataFrame = {
     require(on.nonEmpty, "at least one equality key required")
     require(Seq("backward", "forward").contains(direction),
       s"direction must be backward|forward, got '$direction'")
+    require(toleranceMicros.forall(_ >= 0L), "tolerance must be >= 0")
     require(!rightCols.contains(rightTs), "rightCols must not repeat rightTs")
     require(!(rightCols :+ "asof_ts").exists(left.columns.contains),
       "carried right columns (and asof_ts) must not collide with left")
@@ -94,12 +96,21 @@ object AsOfMergeJoin {
     val rTs = attr(rightPlan, "asof_ts")
     require(lTs.dataType == rTs.dataType,
       s"timestamp type mismatch: ${lTs.dataType} vs ${rTs.dataType}")
+    // tolerance compares the raw long encodings (micros for timestamps),
+    // so it needs a long-backed timestamp type
+    if (toleranceMicros.isDefined) {
+      import org.apache.spark.sql.types._
+      require(Seq(TimestampType, TimestampNTZType, LongType)
+          .contains(lTs.dataType),
+        s"tolerance needs a long-backed timestamp, got ${lTs.dataType}")
+    }
     val tie = rightTieBreak.map { case (c, asc) =>
       SortOrder(attr(rightPlan, c), if (asc) Ascending
         else org.apache.spark.sql.catalyst.expressions.Descending)
     }
     val node = AsOfMergeJoinNode(leftKeys, rightKeys, lTs, rTs, tie,
-      leftPlan, rightPlan, forward = direction == "forward")
+      leftPlan, rightPlan, forward = direction == "forward",
+      toleranceMicros = toleranceMicros)
     GraftInternal.ofRows(spark, node).drop(keyAliases: _*)
   }
 }
@@ -112,7 +123,8 @@ case class AsOfMergeJoinNode(leftKeys: Seq[Expression],
     rightKeys: Seq[Expression], leftTs: Expression, rightTs: Expression,
     rightTieBreak: Seq[SortOrder],
     left: LogicalPlan, right: LogicalPlan,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override def maxRows: Option[Long] = left.maxRows
@@ -123,9 +135,9 @@ case class AsOfMergeJoinNode(leftKeys: Seq[Expression],
 
 object AsOfMergeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfMergeJoinNode(lk, rk, lts, rts, tie, l, r, fwd) =>
+    case AsOfMergeJoinNode(lk, rk, lts, rts, tie, l, r, fwd, tol) =>
       AsOfMergeJoinExec(lk, rk, lts, rts, tie,
-        planLater(l), planLater(r), fwd) :: Nil
+        planLater(l), planLater(r), fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -151,7 +163,8 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
     rightKeys: Seq[Expression], leftTs: Expression, rightTs: Expression,
     rightTieBreak: Seq[SortOrder],
     left: SparkPlan, right: SparkPlan,
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   // FORWARD mode ("earliest right row with rightTs >= leftTs"): the same
   // forward-only merge over MIRRORED time — both sides sort ts
@@ -186,6 +199,7 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
     val lk = leftKeys; val rk = rightKeys
     val lts = leftTs; val rts = rightTs
     val fwd = forward
+    val tol = toleranceMicros
     val leftOutput = left.output; val rightOutput = right.output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val leftKeyProj = UnsafeProjection.create(lk, leftOutput)
@@ -227,6 +241,7 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
       // the one retained candidate: latest right row (so far) of its key
       var curMatch: InternalRow = null
       var curMatchKey: InternalRow = null
+      var curMatchTs: Long = 0L
 
       lIter.map { l =>
         val k = leftKeyProj(l)
@@ -240,11 +255,22 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
             val tsOk = if (fwd) tsOrd.compare(nextRightTs, t) >= 0
                        else tsOrd.compare(nextRightTs, t) <= 0
             if (c < 0 || (c == 0 && tsOk)) {
-              if (c == 0) { curMatch = nextRight; curMatchKey = nextRightKey }
+              if (c == 0) {
+                curMatch = nextRight; curMatchKey = nextRightKey
+                curMatchTs = nextRightTs.getLong(0)
+              }
               advanceRight()
             } else advancing = false
           }
-          val hit = curMatch != null && keyOrd.compare(curMatchKey, k) == 0
+          // tolerance: the matched row's age (backward) / lead (forward)
+          // must stay within the bound — stale matches null out, the
+          // union+window form's `within` semantics
+          val hit = curMatch != null && keyOrd.compare(curMatchKey, k) == 0 &&
+            tol.forall { t0 =>
+              val age = if (fwd) curMatchTs - t.getLong(0)
+                        else t.getLong(0) - curMatchTs
+              age <= t0
+            }
           resultProj(joined(l, if (hit) curMatch else nullRight))
         }
       }

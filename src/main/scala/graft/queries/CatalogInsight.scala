@@ -3706,5 +3706,46 @@ private[queries] object CatalogInsight {
                     / (CAST(b.n AS DOUBLE) + st.s_e6 / 1000000.0)
                     * 1000000 + 0.5) AS BIGINT) AS shrunk_e6
         FROM b, st ORDER BY b.source""")),
+
+    // As-of merge exec with TOLERANCE (round 12) — surface parity: the
+    // union+window form has carried `tolerance` since q43, but a user
+    // switching to the merge exec (or the broadcast probe) lost it —
+    // exactly the switch-cost gap the three-surface design exists to
+    // avoid. The exec nulls matches older than the bound inside the
+    // same O(1)-state merge (age check at emit, no extra pass); both
+    // other surfaces take the same option (AsOfBroadcastSpec /
+    // AsOfMergeJoinSpec pin the three-way parity). The 30-minute bound
+    // on the q339 shape BITES: matched rows drop from 2006-row full
+    // coverage to the recent-purchase subset, which the oracle replays
+    // as ASOF LEFT JOIN + an epoch-micros age filter.
+    "q373_asof_merge_tolerance" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max(col("value")).as("p_value"))
+        graft.plans.AsOfMergeJoin.asofMerge(clicks, purchases,
+            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+            rightCols = Seq("p_value"),
+            toleranceMicros = Some(1800L * 1000000L))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                   WHERE event_type = 'purchase' GROUP BY 1, 2),
+        j AS (SELECT l.event_id, l.user_id, l.ts, p.ts AS m_ts, p.p_value
+              FROM (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click') l
+              ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts)
+        SELECT event_id, user_id, ts,
+               CASE WHEN m_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(m_ts) <= 1800000000
+                    THEN m_ts END AS asof_ts,
+               CASE WHEN m_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(m_ts) <= 1800000000
+                    THEN p_value END AS p_value
+        FROM j ORDER BY event_id""")),
   )
 }

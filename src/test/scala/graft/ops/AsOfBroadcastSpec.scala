@@ -205,6 +205,19 @@ class AsOfBroadcastSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("tolerance nulls stale matches — parity with the merge exec's bound") {
+    val tol = 1800L * 1000000L
+    val bc = AsOfJoin.asofBroadcast(clicks, purchases,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+        rightCols = Seq("p_value"), toleranceMicros = Some(tol))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    val mg = graft.plans.AsOfMergeJoin.asofMerge(clicks, purchases,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+        rightCols = Seq("p_value"), toleranceMicros = Some(tol))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(bc.nonEmpty && bc == mg)
+  }
+
   test("maxRightRows guard rejects an oversized right side") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asofBroadcast(clicks, purchases,

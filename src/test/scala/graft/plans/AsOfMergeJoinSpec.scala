@@ -158,6 +158,31 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("tolerance nulls stale matches — parity with the union+window within form") {
+    val viaM = AsOfMergeJoin.asofMerge(clicks, purchases,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+        rightCols = Seq("p_value"), toleranceMicros = Some(1800L * 1000000L))
+      .select("event_id", "p_value", "asof_ts")
+      .collect().map(_.toString).sorted.toSeq
+    val viaW = graft.ops.AsOfJoin.asof(clicks, purchases,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+        rightCols = Seq("p_value"),
+        tolerance = Some(expr("INTERVAL 30 MINUTES")))
+      .select("event_id", "p_value", "asof_ts")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaM.nonEmpty && viaM == viaW)
+    // and the bound actually bites: some matches survive, some null out
+    val all = AsOfMergeJoin.asofMerge(clicks, purchases,
+      on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+      rightCols = Seq("p_value"))
+    val tolerant = AsOfMergeJoin.asofMerge(clicks, purchases,
+      on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+      rightCols = Seq("p_value"), toleranceMicros = Some(1800L * 1000000L))
+    val nAll = all.filter(col("p_value").isNotNull).count()
+    val nTol = tolerant.filter(col("p_value").isNotNull).count()
+    assert(nTol > 0 && nTol < nAll, s"$nTol vs $nAll")
+  }
+
   test("multi-column keys merge correctly") {
     val l2 = clicks.withColumn("b", col("event_id") % 3)
     val r2 = purchases.withColumn("b", col("p_ts").cast("long") % 3)
