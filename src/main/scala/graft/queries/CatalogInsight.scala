@@ -3747,5 +3747,109 @@ private[queries] object CatalogInsight {
                      AND epoch_us(ts) - epoch_us(m_ts) <= 1800000000
                     THEN p_value END AS p_value
         FROM j ORDER BY event_id""")),
+
+    // Sketched join-size estimation (round 12) — the optimizer-grade
+    // cardinality question ("how big is clicks JOIN purchases on
+    // user_id?") answered from two 256-counter hashed histograms
+    // instead of executing the join: est = sum over buckets of
+    // cntA * cntB, which OVERESTIMATES the true size by exactly the
+    // cross-terms of colliding keys (est >= exact always — the AMS/CM
+    // join-size bound). The bucket hash is the md5-positional parse
+    // (q366's cross-engine discipline), so the estimate itself is
+    // bit-identical in both engines and the oracle checks the exact
+    // size, the estimate, the one-sided guarantee, and the relative
+    // error on the e6 grid. At 100 TB this is the shape statistics
+    // collectors ship: one linear pass per side, 256 longs exchanged.
+    "q374_join_size_sketch" -> QueryDef(
+      fn = (s, d) => {
+        val hexpos = (i: Int) =>
+          s"(instr('0123456789abcdef', substring(md5(CAST(user_id AS STRING)), $i, 1)) - 1)"
+        val ev = t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "click", col("__c"))
+            .otherwise(0L)).as("__ca"),
+            sum(when(col("event_type") === "purchase", col("__c"))
+              .otherwise(0L)).as("__cb"))
+          .withColumn("__bucket", expr(s"${hexpos(1)} * 16 + ${hexpos(2)}"))
+          .localCheckpoint(eager = true) // exact + sketch share it
+        val exact = ev.agg(sum(col("__ca") * col("__cb")).as("exact_pairs"))
+        val est = ev.groupBy("__bucket")
+          .agg(sum(col("__ca")).as("__ba"), sum(col("__cb")).as("__bb"))
+          .agg(sum(col("__ba") * col("__bb")).as("est_pairs"))
+        exact.crossJoin(est)
+          .select(col("exact_pairs"), col("est_pairs"),
+            (col("est_pairs") >= col("exact_pairs")).as("overestimates"),
+            expr("(est_pairs - exact_pairs) * 1000000 div exact_pairs")
+              .as("rel_err_e6"))
+      },
+      oracle = Some("""
+        WITH c AS (SELECT user_id,
+                          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb,
+                          (strpos('0123456789abcdef',
+                             substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+                          + strpos('0123456789abcdef',
+                             substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+                   FROM events WHERE event_type IN ('click', 'purchase')
+                   GROUP BY user_id),
+        ex AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_pairs FROM c),
+        b AS (SELECT bucket, sum(ca) AS ba, sum(cb) AS bb FROM c GROUP BY 1),
+        es AS (SELECT CAST(sum(ba * bb) AS BIGINT) AS est_pairs FROM b)
+        SELECT ex.exact_pairs, es.est_pairs,
+               es.est_pairs >= ex.exact_pairs AS overestimates,
+               CAST((es.est_pairs - ex.exact_pairs) * 1000000
+                    // ex.exact_pairs AS BIGINT) AS rel_err_e6
+        FROM ex, es""")),
+
+    // One-way ANOVA F (round 12) — the k-group mean-difference classic
+    // closing the test family (q181 two-group t, q261 two-group ranks,
+    // q371 stratified 2x2; this is "do the five event types differ in
+    // mean value"). Between/within sums of squares from exact
+    // integer-cent moments; each group's term is ONE fixed-order double
+    // formula snapped to e6 BEFORE the cross-group sum (the q270 rule),
+    // F is the last division, rounded to 6dp.
+    "q375_anova_f" -> QueryDef(
+      fn = (s, d) => {
+        val g = eventValueMoments(t(s, d, "events")) // (type, __n, __s1, __s2)
+        val tot = g.agg(sum(col("__n")).as("__tn"), sum(col("__s1")).as("__ts1"))
+        val terms = g.crossJoin(broadcast(tot))
+          .select(col("__n"), col("__s1"), col("__s2"), col("__tn"), col("__ts1"),
+            floor((col("__s2").cast("double")
+              - col("__s1").cast("double") * col("__s1") / col("__n"))
+              / 10000.0 * 1000000 + 0.5).cast("long").as("ssw_e6"),
+            floor(col("__n").cast("double")
+              * (col("__s1").cast("double") / col("__n")
+                 - col("__ts1").cast("double") / col("__tn"))
+              * (col("__s1").cast("double") / col("__n")
+                 - col("__ts1").cast("double") / col("__tn"))
+              / 10000.0 * 1000000 + 0.5).cast("long").as("ssb_e6"))
+        terms.groupBy("__tn")
+          .agg(count(lit(1)).as("k"), sum(col("ssb_e6")).as("ssb_e6"),
+            sum(col("ssw_e6")).as("ssw_e6"))
+          .select(col("k"), col("__tn").as("n"), col("ssb_e6"), col("ssw_e6"),
+            round((col("ssb_e6").cast("double") / (col("k") - 1L))
+              / (col("ssw_e6").cast("double") / (col("__tn") - col("k"))), 6)
+              .as("f_stat"))
+      },
+      oracle = Some(s"""
+        WITH m AS ($momentsSqlCte),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s1) AS ts1 FROM m),
+        x AS (SELECT m.n, t.tn,
+                     CAST(floor((m.s2 - m.s1 * m.s1 / m.n) / 10000.0
+                       * 1000000 + 0.5) AS BIGINT) AS ssw_e6,
+                     CAST(floor(m.n * (m.s1 / m.n - t.ts1 / t.tn)
+                       * (m.s1 / m.n - t.ts1 / t.tn) / 10000.0
+                       * 1000000 + 0.5) AS BIGINT) AS ssb_e6
+              FROM m, t)
+        SELECT CAST(count(*) AS BIGINT) AS k, max(tn) AS n,
+               CAST(sum(ssb_e6) AS BIGINT) AS ssb_e6,
+               CAST(sum(ssw_e6) AS BIGINT) AS ssw_e6,
+               round((CAST(sum(ssb_e6) AS DOUBLE) / (count(*) - 1))
+                     / (CAST(sum(ssw_e6) AS DOUBLE) / (max(tn) - count(*))), 6)
+                 AS f_stat
+        FROM x""")),
   )
 }
