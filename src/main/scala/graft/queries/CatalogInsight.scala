@@ -3851,5 +3851,128 @@ private[queries] object CatalogInsight {
                      / (CAST(sum(ssw_e6) AS DOUBLE) / (max(tn) - count(*))), 6)
                  AS f_stat
         FROM x""")),
+
+    // Kruskal-Wallis H (round 12) — the rank-based k-group test pairing
+    // q375's ANOVA (means) with the q261 rank machinery (two groups):
+    // "do the five types differ in value DISTRIBUTION location,
+    // outlier-robustly". Exactness: DOUBLED midranks are integers
+    // (mr2(v) = 2*cum_before + cnt + 1 on the whole-DOLLAR grid —
+    // the cent grid left sum(t^3-t) ~ 0 and the tie adjustment
+    // indistinguishable from H at 6dp: a dead twin column), per-group
+    // doubled-rank sums are exact integer dot products, each group's
+    // R^2/n term lifts through DECIMAL(38,0) (R2^2 overflows a long)
+    // and snaps to e6 before the cross-group sum; the tie correction
+    // sum(t^3 - t) is an exact long. H and the tie-adjusted H are two
+    // fixed-order double formulas, rounded 6dp.
+    "q376_kruskal_wallis" -> QueryDef(
+      fn = (s, d) => {
+        val byVal = t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy((cents(col("value")) / 100L).cast("long").as("__v"), col("event_type"))
+          .agg(count(lit(1)).as("__c"))
+        val grid = byVal.groupBy("__v").agg(sum(col("__c")).as("__t"))
+          .withColumn("__cumb",
+            coalesce(sum(col("__t")).over(Window.orderBy("__v")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("__mr2", lit(2L) * col("__cumb") + col("__t") + 1L)
+        val groups = byVal.join(grid.select("__v", "__mr2"), "__v")
+          .groupBy("event_type")
+          .agg(sum(col("__c")).as("n"), sum(col("__c") * col("__mr2")).as("r2_sum"))
+        val ties = grid.agg(
+          sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie"))
+        val terms = groups.select(col("event_type"), col("n"), col("r2_sum"),
+          expr("""CAST(CAST(r2_sum AS DECIMAL(38,0)) * r2_sum * 1000000
+                  div (4 * n) AS DECIMAL(38,0))""").as("__term_e6"))
+        val agg = terms.agg(count(lit(1)).as("k"), sum(col("n")).as("__n"),
+          sum(col("__term_e6")).as("__s_e6"))
+        agg.crossJoin(broadcast(ties))
+          .select(col("k"), col("__n").as("n"),
+            round(lit(12.0) * (col("__s_e6").cast("double") / 1e6)
+              / (col("__n").cast("double") * (col("__n") + 1L))
+              - lit(3.0) * (col("__n").cast("double") + 1.0), 6).as("h"),
+            round((lit(12.0) * (col("__s_e6").cast("double") / 1e6)
+              / (col("__n").cast("double") * (col("__n") + 1L))
+              - lit(3.0) * (col("__n").cast("double") + 1.0))
+              / (lit(1.0) - col("__tie").cast("double")
+                / (col("__n").cast("double") * col("__n") * col("__n")
+                   - col("__n"))), 6).as("h_tie_adj"))
+      },
+      oracle = Some(s"""
+        WITH bv AS (SELECT ${centsSql("value")} // 100 AS v, event_type,
+                           count(*) AS c
+                    FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        grid AS (SELECT v, sum(c) AS t,
+                        coalesce(sum(sum(c)) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cumb
+                 FROM bv GROUP BY v),
+        mr AS (SELECT v, t, 2 * cumb + t + 1 AS mr2 FROM grid),
+        g AS (SELECT bv.event_type, CAST(sum(bv.c) AS BIGINT) AS n,
+                     CAST(sum(bv.c * mr.mr2) AS BIGINT) AS r2_sum
+              FROM bv JOIN mr ON mr.v = bv.v GROUP BY 1),
+        tie AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tn FROM mr),
+        terms AS (SELECT n, r2_sum,
+                         CAST(r2_sum AS HUGEINT) * r2_sum * 1000000
+                           // (4 * n) AS term_e6
+                  FROM g),
+        a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+                     sum(term_e6) AS s_e6 FROM terms)
+        SELECT CAST(a.k AS BIGINT) AS k, a.n,
+               round(12.0 * (CAST(a.s_e6 AS DOUBLE) / 1e6)
+                 / (CAST(a.n AS DOUBLE) * (a.n + 1))
+                 - 3.0 * (CAST(a.n AS DOUBLE) + 1.0), 6) AS h,
+               round((12.0 * (CAST(a.s_e6 AS DOUBLE) / 1e6)
+                 / (CAST(a.n AS DOUBLE) * (a.n + 1))
+                 - 3.0 * (CAST(a.n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tie.tn AS DOUBLE)
+                   / (CAST(a.n AS DOUBLE) * a.n * a.n - a.n)), 6)
+                 AS h_tie_adj
+        FROM a, tie""")),
+
+    // Approximate query processing by deterministic sampling (round 12)
+    // — the "answer from 10% of the data, know your error" verb: a
+    // 10% md5-prefix sample (Sampling.inSplit's cross-engine
+    // discipline), Horvitz-Thompson scale-up (x10) for counts and exact
+    // cent sums, and the AUDIT alongside: per type the exact answer,
+    // the estimate, and the realized relative error on the e6 grid —
+    // the measurement an AQP layer must ship to be trustable. One pass
+    // computes both (conditional aggregates), so the audit costs no
+    // second scan.
+    "q377_aqp_sample" -> QueryDef(
+      fn = (s, d) => {
+        val inS = substring(md5(col("event_id").cast("string")), 1, 8) <
+          lit(graft.ops.Sampling.thresholdHex(0.1))
+        t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("value"))).as("sum_cents"),
+            sum(when(inS, 1L).otherwise(0L)).as("__ns"),
+            sum(when(inS, cents(col("value"))).otherwise(0L)).as("__ss"))
+          .select(col("event_type"), col("n"),
+            (col("__ns") * 10L).as("est_n"),
+            expr("abs(__ns * 10 - n) * 1000000 div n").as("n_err_e6"),
+            col("sum_cents"), (col("__ss") * 10L).as("est_sum_cents"),
+            expr("abs(__ss * 10 - sum_cents) * 1000000 div sum_cents")
+              .as("sum_err_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT event_type, ${centsSql("value")} AS c,
+                          substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                            < '${graft.ops.Sampling.thresholdHex(0.1)}' AS ins
+                   FROM events WHERE value IS NOT NULL),
+        g AS (SELECT event_type, count(*) AS n, sum(c) AS sum_cents,
+                     sum(CASE WHEN ins THEN 1 ELSE 0 END) AS ns,
+                     sum(CASE WHEN ins THEN c ELSE 0 END) AS ss
+              FROM e GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(ns * 10 AS BIGINT) AS est_n,
+               CAST(abs(ns * 10 - n) * 1000000 // n AS BIGINT) AS n_err_e6,
+               CAST(sum_cents AS BIGINT) AS sum_cents,
+               CAST(ss * 10 AS BIGINT) AS est_sum_cents,
+               CAST(abs(ss * 10 - sum_cents) * 1000000 // sum_cents AS BIGINT)
+                 AS sum_err_e6
+        FROM g ORDER BY event_type""")),
   )
 }
