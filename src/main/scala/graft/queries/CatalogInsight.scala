@@ -3974,5 +3974,118 @@ private[queries] object CatalogInsight {
                CAST(abs(ss * 10 - sum_cents) * 1000000 // sum_cents AS BIGINT)
                  AS sum_err_e6
         FROM g ORDER BY event_type""")),
+
+    // ASYMMETRIC per-side watermark delays on the stream-stream
+    // left-outer join (round 12) — the production reality q360's
+    // equal-delay pin doesn't cover: the two inputs usually tolerate
+    // DIFFERENT lateness (clicks near-real-time at 1h, purchases
+    // settle for 3h). The global watermark is the MIN over the
+    // per-side (max event time - own delay); outer eviction then
+    // subtracts the interval bound as before:
+    //   emit iff ts < min(max_click - 1h, max_purchase - 3h) - 1h.
+    // Pinned by experiment at sf0.01: this rule fits the live result
+    // 1934/1934 while q360's symmetric-2h threshold emits 1937 —
+    // the per-side delays demonstrably flow into ONE global watermark
+    // (Spark's multipleWatermarkPolicy=min default), they are not
+    // applied per side.
+    "q378_stream_asym_watermark" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        try {
+          def src = stagedEventsStream(s, dir)
+          val clicks = src.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts")
+          val purchases = src.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "value")
+          val joined = graft.streaming.StreamingIngest.streamStreamJoin(
+            clicks, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
+            within = "1 hour", watermark = "1 hour", joinType = "left_outer",
+            rightWatermark = Some("3 hours"))
+          val q = graft.streaming.StreamingIngest.runToMemory(
+            joined, "q378_mem", outputMode = "append")
+          q.stop()
+        } finally dropStaged(dir)
+        s.table("q378_mem")
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(sum(when(col("r_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+            sum(when(col("r_ts").isNull, 1L).otherwise(0L)).as("n_outer"))
+          .orderBy("bucket")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+              WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(us) FROM c) - 3600000000,
+                            (SELECT max(us) FROM p) - 10800000000)
+                      - 3600000000 AS evict),
+        m AS (SELECT c.user_id FROM c JOIN p ON c.user_id = p.user_id
+              AND p.us BETWEEN c.us - 3600000000 AND c.us + 3600000000),
+        o AS (SELECT c.user_id FROM c, wm
+              WHERE c.us < wm.evict AND NOT EXISTS (
+                SELECT 1 FROM p WHERE p.user_id = c.user_id
+                  AND p.us BETWEEN c.us - 3600000000 AND c.us + 3600000000))
+        SELECT bucket, CAST(sum(nm) AS BIGINT) AS n_matched,
+               CAST(sum(no) AS BIGINT) AS n_outer
+        FROM (SELECT user_id % 10 AS bucket, 1 AS nm, 0 AS no FROM m
+              UNION ALL
+              SELECT user_id % 10 AS bucket, 0 AS nm, 1 AS no FROM o)
+        GROUP BY bucket ORDER BY bucket"""),
+      streaming = true),
+
+    // KMV (k-minimum-values / bottom-k) distinct-count sketch (round
+    // 12) — the mergeable alternative to HLL (q55/q179) with clean
+    // order-statistics math: keep the k smallest hash values of the key
+    // set; est = (k-1) * 2^32 / h_(k). Estimating DISTINCT VALUE levels
+    // of events.value (thousands at every sf — the non-trivial distinct
+    // count; user_id is only 15 at sf0.001). Hash = first 8 md5 hex
+    // chars parsed positionally (the q366 instr/strpos polynomial, so
+    // both engines compute the identical 32-bit value); hash ties
+    // collapse (standard KMV bias, deterministic in both engines); the
+    // k-th smallest rides TakeOrdered over the distinct-hash frame —
+    // bounded, never a global sort materialization. Estimate and
+    // realized e6 error are exact integers.
+    "q379_kmv_distinct" -> QueryDef(
+      fn = (s, d) => {
+        val poly = (1 to 8).map(i =>
+          s"(instr('0123456789abcdef', substring(md5(CAST(__v AS STRING)), $i, 1)) - 1)"
+            + s" * ${1L << (4 * (8 - i))}L").mkString(" + ")
+        val hashes = t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(cents(col("value")).as("__v"))
+          .distinct()
+          .select(expr(poly).as("__h"))
+          .distinct()
+          .localCheckpoint(eager = true) // exact count + bottom-k share it
+        val exact = t(s, d, "events").filter(col("value").isNotNull)
+          .agg(countDistinct(cents(col("value"))).as("n_exact"))
+        val kth = hashes.orderBy("__h").limit(64)
+          .agg(max(col("__h")).as("__hk"), count(lit(1)).as("k"))
+        exact.crossJoin(kth)
+          .select(col("n_exact"), col("k"),
+            col("__hk").as("kth_hash"),
+            expr("(k - 1) * 4294967296L div __hk").as("est_distinct"),
+            expr("""((k - 1) * 4294967296L div __hk - n_exact) * 1000000
+                    div n_exact""").as("rel_err_e6"))
+      },
+      oracle = Some {
+        val poly = (1 to 8).map(i =>
+          s"(strpos('0123456789abcdef', substring(md5(CAST(v AS VARCHAR)), $i, 1)) - 1)"
+            + s" * ${1L << (4 * (8 - i))}").mkString(" + ")
+        s"""
+        WITH vals AS (SELECT DISTINCT ${centsSql("value")} AS v FROM events
+                      WHERE value IS NOT NULL),
+        h AS (SELECT DISTINCT $poly AS hh FROM vals),
+        ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM vals),
+        kth AS (SELECT max(hh) AS hk, count(*) AS k
+                FROM (SELECT hh FROM h ORDER BY hh LIMIT 64))
+        SELECT ex.n_exact, CAST(kth.k AS BIGINT) AS k,
+               CAST(kth.hk AS BIGINT) AS kth_hash,
+               CAST((kth.k - 1) * 4294967296 // kth.hk AS BIGINT)
+                 AS est_distinct,
+               CAST(((kth.k - 1) * 4294967296 // kth.hk - ex.n_exact)
+                    * 1000000 // ex.n_exact AS BIGINT) AS rel_err_e6
+        FROM ex, kth"""
+      }),
   )
 }

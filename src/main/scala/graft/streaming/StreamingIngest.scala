@@ -104,10 +104,11 @@ object StreamingIngest {
       leftTs: String, rightTs: String,
       within: String = "1 hour",
       watermark: String = "2 hours",
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      rightWatermark: Option[String] = None): DataFrame = {
     val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
     left.withWatermark(leftTs, watermark)
-      .join(r.withWatermark(s"r_$rightTs", watermark),
+      .join(r.withWatermark(s"r_$rightTs", rightWatermark.getOrElse(watermark)),
         col(key) === col(s"r_$key") &&
           col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $within") &&
           col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $within"),
