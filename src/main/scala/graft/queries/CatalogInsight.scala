@@ -4087,5 +4087,127 @@ private[queries] object CatalogInsight {
                     * 1000000 // ex.n_exact AS BIGINT) AS rel_err_e6
         FROM ex, kth"""
       }),
+
+    // Lead-lag cross-correlation (round 12) — the CROSS-series sibling
+    // of q266's autocorrelation: which daily series LEADS which?
+    // For every other type vs the 'view' driver and every lag in
+    // -7..7, exact-integer Pearson moments over the calendar-aligned
+    // pair frame (join on day index + lag — a gap excludes identically
+    // in both engines, the q350 rule), r as ONE fixed-order double
+    // formula snapped to e6, best lag by the TOTAL (|r| desc, lag asc)
+    // order. Frame = types x 15 lags x days, calendar-bounded off one
+    // corpus agg.
+    "q380_lead_lag_xcorr" -> QueryDef(
+      fn = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01")).as("__i"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = true)
+        val driver = daily.filter(col("event_type") === "view")
+          .select(col("__i"), col("n").as("__x"))
+        val others = daily.filter(col("event_type") =!= "view")
+          .select(col("event_type"), col("__i"), col("n").as("__y"))
+        val lags = s.range(-7, 8).select(col("id").as("lag"))
+        val paired = others.crossJoin(lags)
+          .join(driver.select((col("__i")).as("__ix"), col("__x")),
+            col("__ix") === col("__i") + col("lag"))
+        val mom = paired.groupBy("event_type", "lag")
+          .agg(count(lit(1)).as("n_days"), sum(col("__x")).as("__sx"),
+            sum(col("__y")).as("__sy"), sum(col("__x") * col("__x")).as("__sxx"),
+            sum(col("__y") * col("__y")).as("__syy"),
+            sum(col("__x") * col("__y")).as("__sxy"))
+        val r = mom.select(col("event_type"), col("lag"), col("n_days"),
+          floor((col("n_days").cast("double") * col("__sxy") - col("__sx") * col("__sy"))
+            / sqrt((col("n_days").cast("double") * col("__sxx") - col("__sx") * col("__sx"))
+              * (col("n_days").cast("double") * col("__syy") - col("__sy") * col("__sy")))
+            * 1000000 + 0.5).cast("long").as("r_e6"))
+        r.withColumn("__rk", row_number().over(Window.partitionBy("event_type")
+            .orderBy(abs(col("r_e6")).desc, col("lag").asc)))
+          .filter(col("__rk") === 1)
+          .select(col("event_type"), col("lag").as("best_lag"),
+            col("r_e6"), col("n_days"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH daily AS (SELECT event_type,
+                              date_diff('day', DATE '2024-01-01',
+                                        CAST(ts AS DATE)) AS i,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+        dv AS (SELECT i, n AS x FROM daily WHERE event_type = 'view'),
+        ot AS (SELECT event_type, i, n AS y FROM daily
+               WHERE event_type <> 'view'),
+        lg AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+        mom AS (SELECT ot.event_type, lg.lag, count(*) AS n_days,
+                       sum(dv.x) AS sx, sum(ot.y) AS sy,
+                       sum(dv.x * dv.x) AS sxx, sum(ot.y * ot.y) AS syy,
+                       sum(dv.x * ot.y) AS sxy
+                FROM ot, lg
+                JOIN dv ON dv.i = ot.i + lg.lag
+                GROUP BY 1, 2),
+        r AS (SELECT event_type, lag, n_days,
+                     CAST(floor((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n_days AS DOUBLE) * syy - sy * sy))
+                       * 1000000 + 0.5) AS BIGINT) AS r_e6
+              FROM mom),
+        b AS (SELECT event_type, lag, r_e6, n_days,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(r_e6) DESC, lag ASC) AS rk
+              FROM r)
+        SELECT event_type, CAST(lag AS BIGINT) AS best_lag, r_e6,
+               CAST(n_days AS BIGINT) AS n_days
+        FROM b WHERE rk = 1 ORDER BY event_type""")),
+
+    // Directed dyad census + reciprocity (round 12) — the one
+    // directed-graph statistic the graph family lacked (census/peel/
+    // paths/centralities are orientation-agnostic or canonical-ordered;
+    // HITS directs low->high so reciprocity is trivially 0 there): over
+    // a deterministic directed projection of orders, count mutual /
+    // asymmetric / null dyads and Garlaschelli-Loffredo-style
+    // reciprocity 2M/(2M+A) — the social-network "do links get
+    // returned" readout, one canonical-pair groupBy on the edge set.
+    "q381_dyad_census" -> QueryDef(
+      fn = (s, d) => {
+        val edges = t(s, d, "orders")
+          .select(pmod(col("o_custkey"), lit(97L)).as("u"),
+            pmod(col("o_orderkey"), lit(97L)).as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+          .localCheckpoint(eager = true) // census + node count share it
+        val nodes = edges.select(explode(array(col("u"), col("v"))).as("x"))
+          .agg(countDistinct(col("x")).as("__nn"))
+        val dyads = edges
+          .groupBy(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b"))
+          .agg(count(lit(1)).as("__dirs"))
+        val census = dyads.agg(
+          sum(when(col("__dirs") === 2L, 1L).otherwise(0L)).as("mutual"),
+          sum(when(col("__dirs") === 1L, 1L).otherwise(0L)).as("asymmetric"))
+        census.crossJoin(nodes)
+          .select(col("__nn").as("n_nodes"), col("mutual"), col("asymmetric"),
+            (col("__nn") * (col("__nn") - 1L) / 2L - col("mutual")
+              - col("asymmetric")).cast("long").as("null_dyads"),
+            expr("2 * mutual * 1000000 div (2 * mutual + asymmetric)")
+              .as("reciprocity_e6"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT DISTINCT o_custkey % 97 AS u, o_orderkey % 97 AS v
+                   FROM orders WHERE o_custkey % 97 <> o_orderkey % 97),
+        n AS (SELECT count(DISTINCT x) AS nn FROM (
+                SELECT u AS x FROM e UNION ALL SELECT v FROM e)),
+        dy AS (SELECT least(u, v) AS a, greatest(u, v) AS b,
+                      count(*) AS dirs
+               FROM e GROUP BY 1, 2),
+        c AS (SELECT CAST(sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mutual,
+                     CAST(sum(CASE WHEN dirs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS asymmetric
+              FROM dy)
+        SELECT CAST(n.nn AS BIGINT) AS n_nodes, c.mutual, c.asymmetric,
+               CAST(n.nn * (n.nn - 1) // 2 - c.mutual - c.asymmetric
+                    AS BIGINT) AS null_dyads,
+               CAST(2 * c.mutual * 1000000 // (2 * c.mutual + c.asymmetric)
+                    AS BIGINT) AS reciprocity_e6
+        FROM c, n""")),
   )
 }
