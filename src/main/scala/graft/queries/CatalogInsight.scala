@@ -4209,5 +4209,78 @@ private[queries] object CatalogInsight {
                CAST(2 * c.mutual * 1000000 // (2 * c.mutual + c.asymmetric)
                     AS BIGINT) AS reciprocity_e6
         FROM c, n""")),
+
+    // Per-slice fairness audit of a deployed threshold (round 12) — the
+    // governance verb the eval family lacked: q369 picks the operating
+    // point, this asks "does the classifier treat every SOURCE slice
+    // alike there" — flag rate (demographic parity), TPR and FPR
+    // (equalized odds) per source, each with its signed gap vs the
+    // corpus rate. All rates are exact e6 integers (x*1e6 div n); the
+    // corpus row rides one broadcast (the q187 convention). Threshold
+    // fixed at 6000 (the q372 constant) so the audit is decoupled from
+    // q369's argmax. Sources with no positives/negatives would null
+    // the affected rate (CASE in both engines) — at the tested scales
+    // every source has both.
+    "q382_fairness_audit" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        val scored = t(s, d, "documents").select(col("source"),
+          when((TF.qualityScore(col("text"), stops) * 10000 + 0.5)
+            .cast("long") >= 6000L, 1L).otherwise(0L).as("__f"),
+          when(size(TF.tokens(col("text"))) >= 48, 1L).otherwise(0L).as("__y"))
+        val bySrc = scored.groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("__y")).as("__pos"),
+            sum(col("__f")).as("__flag"),
+            sum(col("__f") * col("__y")).as("__tp"))
+          .withColumn("flag_rate_e6", expr("__flag * 1000000 div n"))
+          .withColumn("tpr_e6", expr(
+            "CASE WHEN __pos > 0 THEN __tp * 1000000 div __pos END"))
+          .withColumn("fpr_e6", expr(
+            """CASE WHEN n - __pos > 0
+               THEN (__flag - __tp) * 1000000 div (n - __pos) END"""))
+        val global = scored.agg(count(lit(1)).as("__gn"),
+            sum(col("__y")).as("__gpos"), sum(col("__f")).as("__gflag"),
+            sum(col("__f") * col("__y")).as("__gtp"))
+          .select(expr("__gflag * 1000000 div __gn").as("__gfr"),
+            expr("__gtp * 1000000 div __gpos").as("__gtpr"),
+            expr("(__gflag - __gtp) * 1000000 div (__gn - __gpos)").as("__gfpr"))
+        bySrc.crossJoin(broadcast(global))
+          .select(col("source"), col("n"), col("flag_rate_e6"),
+            (col("flag_rate_e6") - col("__gfr")).as("parity_gap_e6"),
+            col("tpr_e6"), (col("tpr_e6") - col("__gtpr")).as("tpr_gap_e6"),
+            col("fpr_e6"), (col("fpr_e6") - col("__gfpr")).as("fpr_gap_e6"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT d.source,
+                           CASE WHEN CAST(round(($qualityExprSql) * 10000)
+                                AS BIGINT) >= 6000 THEN 1 ELSE 0 END AS f,
+                           CASE WHEN len(toks) >= 48 THEN 1 ELSE 0 END AS y
+                    FROM ($qualityInnerSql) q
+                    JOIN documents d USING (doc_id)),
+        b AS (SELECT source, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+                     CAST(sum(f) AS BIGINT) AS flag,
+                     CAST(sum(f * y) AS BIGINT) AS tp
+              FROM sc GROUP BY source),
+        g AS (SELECT CAST(sum(flag) * 1000000 // sum(n) AS BIGINT) AS gfr,
+                     CAST(sum(tp) * 1000000 // sum(pos) AS BIGINT) AS gtpr,
+                     CAST((sum(flag) - sum(tp)) * 1000000
+                          // (sum(n) - sum(pos)) AS BIGINT) AS gfpr
+              FROM b)
+        SELECT b.source, CAST(b.n AS BIGINT) AS n,
+               CAST(b.flag * 1000000 // b.n AS BIGINT) AS flag_rate_e6,
+               CAST(b.flag * 1000000 // b.n - g.gfr AS BIGINT) AS parity_gap_e6,
+               CAST(CASE WHEN b.pos > 0
+                    THEN b.tp * 1000000 // b.pos END AS BIGINT) AS tpr_e6,
+               CAST(CASE WHEN b.pos > 0
+                    THEN b.tp * 1000000 // b.pos END - g.gtpr AS BIGINT)
+                 AS tpr_gap_e6,
+               CAST(CASE WHEN b.n - b.pos > 0
+                    THEN (b.flag - b.tp) * 1000000 // (b.n - b.pos) END
+                    AS BIGINT) AS fpr_e6,
+               CAST(CASE WHEN b.n - b.pos > 0
+                    THEN (b.flag - b.tp) * 1000000 // (b.n - b.pos) END
+                    - g.gfpr AS BIGINT) AS fpr_gap_e6
+        FROM b, g ORDER BY b.source""")),
   )
 }
