@@ -219,10 +219,8 @@ object MinHashExpressions {
   private def register(spark: org.apache.spark.sql.SparkSession,
       numHashes: Int, seed: Long): Unit = {
     val params = hashParams(numHashes, seed)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName(numHashes, seed),
-      exprs => MinHashSig(exprs.head, params.map(_._1), params.map(_._2), HashPrime),
-      "built-in")
+    SessionFunctions.registerIfAbsent(spark, fnName(numHashes, seed),
+      exprs => MinHashSig(exprs.head, params.map(_._1), params.map(_._2), HashPrime))
   }
 
   /** Column form: full signature from a masked-hash array column. */
@@ -233,11 +231,7 @@ object MinHashExpressions {
   }
 
   /** Column form of [[SimHash64]] over a token-hash array column. */
-  def simhash64(tokenHashes: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "simhash64", exprs => SimHash64(exprs.head), "built-in")
-    }
-    org.apache.spark.sql.functions.call_function("simhash64", tokenHashes)
-  }
+  def simhash64(tokenHashes: Column): Column =
+    SessionFunctions.callRegistered("simhash64",
+      exprs => SimHash64(exprs.head), None, tokenHashes)
 }

@@ -217,22 +217,16 @@ object MultiPattern {
     * constructor is sql-private in Spark 4, the MinHashSig precedent).
     * One registry entry per call site, bounded by call count.
     */
-  def counts(text: Column, patterns: Seq[String]): Column = {
-    val name = s"multi_pattern_count_${fnCounter.incrementAndGet()}"
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, exprs => MultiPatternCount(exprs.head, patterns), "built-in")
-    }
-    org.apache.spark.sql.functions.call_function(name, text)
-  }
+  def counts(text: Column, patterns: Seq[String],
+      session: Option[org.apache.spark.sql.SparkSession] = None): Column =
+    SessionFunctions.callRegistered(
+      s"multi_pattern_count_${fnCounter.incrementAndGet()}",
+      exprs => MultiPatternCount(exprs.head, patterns), session, text)
 
   /** Column form of [[MultiPatternRedact]]. */
-  def redact(text: Column, patterns: Seq[String]): Column = {
-    val name = s"multi_pattern_redact_${fnCounter.incrementAndGet()}"
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, exprs => MultiPatternRedact(exprs.head, patterns), "built-in")
-    }
-    org.apache.spark.sql.functions.call_function(name, text)
-  }
+  def redact(text: Column, patterns: Seq[String],
+      session: Option[org.apache.spark.sql.SparkSession] = None): Column =
+    SessionFunctions.callRegistered(
+      s"multi_pattern_redact_${fnCounter.incrementAndGet()}",
+      exprs => MultiPatternRedact(exprs.head, patterns), session, text)
 }

@@ -140,24 +140,14 @@ object ShingleExpressions {
   /** Column form: distinct masked 32-bit shingle hashes of a token array
     * (registry route — Column's Expression constructor is sql-private).
     */
-  def shingleHashes32(tokens: Column, k: Int): Column = {
-    val name = s"shingle_hashes32_$k"
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, exprs => ShingleHashes32(exprs.head, k), "built-in")
-    }
-    org.apache.spark.sql.functions.call_function(name, tokens)
-  }
+  def shingleHashes32(tokens: Column, k: Int): Column =
+    SessionFunctions.callRegistered(s"shingle_hashes32_$k",
+      exprs => ShingleHashes32(exprs.head, k), None, tokens)
 
   /** Column form: positional 64-bit window hashes (one per k-window,
     * position order, no dedup) — see [[WindowHashes64]].
     */
-  def windowHashes64(tokens: Column, k: Int): Column = {
-    val name = s"window_hashes64_$k"
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, exprs => WindowHashes64(exprs.head, k), "built-in")
-    }
-    org.apache.spark.sql.functions.call_function(name, tokens)
-  }
+  def windowHashes64(tokens: Column, k: Int): Column =
+    SessionFunctions.callRegistered(s"window_hashes64_$k",
+      exprs => WindowHashes64(exprs.head, k), None, tokens)
 }

@@ -58,8 +58,8 @@ object NfcNormalize {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    SessionFunctions.registerIfAbsent(spark,
+      "nfc_normalize", exprs => NfcNormalize(exprs.head))
 
   /** Column-level entry point. Pass the session when you have one —
     * relying on the active-session thread-local fails on worker threads.

@@ -97,8 +97,8 @@ object VectorExpressions {
     * expression available to both SQL text and `call_function`.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    SessionFunctions.registerIfAbsent(spark,
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)))
 
   /** Column-level entry point for the codegen'd dot product (shared
     * registry route — see [[SessionFunctions]]).

@@ -150,6 +150,35 @@ object AsOfJoin {
 
   private val bcastFnCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Live (fname, broadcast) handles from [[asofBroadcast]] calls, per
+    * JVM. Each call pins its AsOfIndex broadcast (up to `maxRightRows`
+    * driver-materialized rows) via the registered temp function's
+    * closure; [[releaseBroadcastIndexes]] is the cleanup path.
+    */
+  private val liveBroadcasts =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.broadcast.Broadcast[AsOfIndex]]()
+
+  /** Release every broadcast AsOfIndex built by [[asofBroadcast]] in this
+    * JVM: drop the temp functions (unpinning the closures) and destroy
+    * the broadcasts (freeing driver + executor copies). Call when the
+    * DataFrames returned by prior asofBroadcast calls are fully consumed
+    * — any of them re-executed afterwards will fail (destroyed
+    * broadcast). Returns the number of indexes released.
+    */
+  def releaseBroadcastIndexes(spark: org.apache.spark.sql.SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    val entries = liveBroadcasts.asScala.toSeq
+    entries.foreach { case (fname, bc) =>
+      liveBroadcasts.remove(fname)
+      try spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
+      catch { case _: Throwable => () }
+      try bc.destroy() catch { case _: Throwable => () }
+    }
+    entries.size
+  }
+
   /** Broadcast as-of join — the ZERO-SHUFFLE rung of the as-of ladder for
     * the dominant production shape: a huge fact side enriched against a
     * SMALL reference history (price list, sensor calibration, config
@@ -175,8 +204,16 @@ object AsOfJoin {
     * `maxRightRows`, checked after the collect like Spark's own
     * BroadcastExchangeExec (a pre-count would cost an extra job per
     * build); timestamps must be long-backed (timestamp/date/int/long)
-    * and same-typed on both sides; carried columns must be atomic types
-    * (the index serializes driver-built rows).
+    * and same-typed on both sides (tolerance additionally requires a
+    * micros/long axis, matching asofMerge); key and carried columns must
+    * be atomic types (the index serializes driver-built rows, and
+    * complex-typed keys would hash differently across container classes).
+    *
+    * RETENTION: each call registers a temp function whose closure pins
+    * the broadcast index (up to `maxRightRows` driver rows) for the
+    * session's lifetime. Long-lived sessions issuing many calls should
+    * invoke [[releaseBroadcastIndexes]] once the returned DataFrames are
+    * consumed.
     */
   def asofBroadcast(
       left: DataFrame,
@@ -217,6 +254,14 @@ object AsOfJoin {
     require(Seq(TimestampType, TimestampNTZType, DateType, IntegerType, LongType)
         .contains(tsType),
       s"asofBroadcast needs a long-backed timestamp, got $tsType")
+    // tolerance compares the raw long encodings (micros for timestamps),
+    // so a date/int axis would make a micros-denominated tolerance
+    // silently nonsensical (30 min = 1.8e9 "days" never bites) — reject
+    // it like asofMerge does, keeping the three surfaces interchangeable
+    if (toleranceMicros.isDefined) {
+      require(Seq(TimestampType, TimestampNTZType, LongType).contains(tsType),
+        s"tolerance needs a long-backed timestamp, got $tsType")
+    }
     val leftSchema = left.schema
     on.foreach { c =>
       val lt = leftSchema(c).dataType
@@ -226,6 +271,20 @@ object AsOfJoin {
     require(leftSchema(leftTs).dataType == tsType,
       s"timestamp type mismatch: ${leftSchema(leftTs).dataType} vs $tsType")
     val payloadWidth = 1 + rightCols.length
+    // join KEYS must be atomic too: the index map stores key values from
+    // executeCollect (Unsafe* containers) while probes supply values from
+    // expression eval (Generic* containers) — equals/hashCode differ
+    // across container classes for arrays/structs, so a complex-typed key
+    // would silently miss on every lookup instead of failing
+    (0 until kN).foreach { j =>
+      val f = schema(j)
+      val nested = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _                                         => false
+      }
+      require(!nested,
+        s"join key ${f.name} must be an atomic type, got ${f.dataType}")
+    }
     val payloadSchema = StructType((kN until kN + payloadWidth).map { j =>
       val f = schema(j)
       val nested = f.dataType match {
@@ -284,6 +343,7 @@ object AsOfJoin {
     // Expression constructor is sql-private in Spark 4 — the MinHashSig
     // route); one uniquely-named entry per call, bounded by call count
     val fname = s"asof_bcast_${bcastFnCounter.incrementAndGet()}"
+    liveBroadcasts.put(fname, bc)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
       exprs => AsOfLookup(exprs, bc, payloadSchema, direction == "forward",
         toleranceMicros),
