@@ -407,6 +407,30 @@ object Catalog {
     Tables.normalizeTs(s.readStream.schema(footer).parquet(dir.toString))
   }
 
+  /** Cloned session for a streaming harness query, with
+    * `spark.sql.shuffle.partitions` scoped DOWN (default 8, overridable
+    * via `graft.streaming.shufflePartitions` on the parent). Streaming
+    * state-store cost is per-partition PER MICRO-BATCH — every batch
+    * opens, updates, snapshots, and commits one store per shuffle
+    * partition, so a 4-batch replay at the batch engine's 32 partitions
+    * pays 128 store commits for ~100k rows of state (r12 bench: ~2.2 s
+    * of fixed cost per batch, the whole q160 floor). A real deployment
+    * sizes this to state volume / executor count, not to the batch
+    * engine's scan parallelism; 8 gives ~12k state rows per store at
+    * bench scale. Isolated in a clone so batch queries in the same
+    * session keep their width. `newSession` shares the SparkContext
+    * (and its SparkConf, so `Tables.requiredConfs` carry over — re-set
+    * here as a belt for contexts built without them).
+    */
+  private[queries] def streamingSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    Tables.requiredConfs.foreach { case (k, v) => ss.conf.set(k, v) }
+    val parts = try s.conf.get("graft.streaming.shufflePartitions")
+      catch { case _: Throwable => "8" }
+    ss.conf.set("spark.sql.shuffle.partitions", parts)
+    ss
+  }
+
   /** Per-batch StreamingQueryProgress capture (r11 verdict #5): every
     * streaming runner records each micro-batch's (query, batchId,
     * triggerExecution ms, input rows) here before stopping its query;
@@ -444,13 +468,17 @@ object Catalog {
     * entry is re-runnable). Per-batch progress lands in [[ProgressLog]].
     */
   private[queries] def runToMemoryTable(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    // the memory sink registers its table in the STREAM's session (which
+    // may be a streamingSession clone of `s`) — resolve both the
+    // prior-query guard and the table there
+    val ss = agg.sparkSession
+    ss.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     q.processAllAvailable()
     ProgressLog.record(q)
     q.stop()
-    s.table(name)
+    ss.table(name)
   }
 
   /** J3's static lookup table (the reference hardcodes location→city; we

@@ -400,7 +400,7 @@ private[queries] object CatalogAnalytics {
     "q48_stream_hour_agg" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
-        val stream = stagedEventsStream(s, dir)
+        val stream = stagedEventsStream(streamingSession(s), dir)
         val agg = stream
           .groupBy(window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value"))
@@ -823,7 +823,7 @@ private[queries] object CatalogAnalytics {
     "q60_stream_dedup_count" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
-        val stream = stagedEventsStream(s, dir)
+        val stream = stagedEventsStream(streamingSession(s), dir)
         val agg = stream
           .select("user_id", "event_type")
           .dropDuplicates("user_id", "event_type")

@@ -503,15 +503,16 @@ private[queries] object CatalogCorpusOps {
     "q104_stream_funnel" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
-        val stream = stagedEventsStream(s, dir)
+        val ss = streamingSession(s)
+        val stream = stagedEventsStream(ss, dir)
           .select("user_id", "ts", "event_type")
-        val frontiers = graft.ops.Funnel.streamingFunnel(s, stream,
+        val frontiers = graft.ops.Funnel.streamingFunnel(ss, stream,
           funnelStepSeq, maxSpanMicros = Some(7L * 24 * 3600 * 1000000L))
         val q = graft.streaming.StreamingIngest.runToMemory(
           frontiers.toDF(), "q104_mem", outputMode = "update")
         q.stop()
         dropStaged(dir)
-        val folded = s.table("q104_mem").groupBy("user_id")
+        val folded = ss.table("q104_mem").groupBy("user_id")
           .agg(min(col("reached").getItem(0)).as("__t0"),
             funnelStepSeq.indices.tail.map(i =>
               min(col("reached").getItem(i)).as(s"__t$i")): _*)

@@ -931,7 +931,7 @@ private[queries] object CatalogCuration {
     "q237_stream_dedup_ttl" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
-        val stream = stagedEventsStream(s, dir)
+        val stream = stagedEventsStream(streamingSession(s), dir)
           .withWatermark("ts", "30 days")
           .select(col("user_id"), col("event_type"), col("ts"))
           .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -1047,7 +1047,7 @@ private[queries] object CatalogCuration {
           .agg(count(lit(1)).as("__n"))
           .select(col("user_id"), expr("__n div 10").as("bucket"))
           .localCheckpoint(eager = true) // build dim ONCE, not per batch
-        val stream = stagedEventsStream(s, dir)
+        val stream = stagedEventsStream(streamingSession(s), dir)
           .select(col("user_id"))
           .join(profile, Seq("user_id")) // static side: micro-batch hash join
         val agg = stream.groupBy("bucket")

@@ -609,7 +609,7 @@ private[queries] object CatalogGraphMining {
     "q184_stream_hll" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
-        val stream = stagedEventsStream(s, dir)
+        val stream = stagedEventsStream(streamingSession(s), dir)
         val agg = stream.groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             hll_sketch_agg(col("user_id")).as("__sk"))

@@ -634,7 +634,7 @@ private[queries] object CatalogInfra {
         // stream run must not leak the staged copy of events
         val table =
           try {
-            val stream = stagedEventsStream(s, dir)
+            val stream = stagedEventsStream(streamingSession(s), dir)
             val agg = stream.groupBy(window(col("ts"), "2 hours", "1 hour"))
               .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
             runToMemoryTable(s, agg, "q125_mem")
@@ -939,8 +939,9 @@ private[queries] object CatalogInfra {
     "q136_stream_stream_join" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
+        val ss = streamingSession(s)
         try {
-          def src = stagedEventsStream(s, dir)
+          def src = stagedEventsStream(ss, dir)
           val clicks = src.filter(col("event_type") === "click")
             .select("event_id", "user_id", "ts")
           val purchases = src.filter(col("event_type") === "purchase")
@@ -952,7 +953,7 @@ private[queries] object CatalogInfra {
             joined, "q136_mem", outputMode = "append")
           q.stop()
         } finally dropStaged(dir)
-        s.table("q136_mem")
+        ss.table("q136_mem")
           .groupBy((col("user_id") % 10).as("bucket"))
           .agg(count(lit(1)).as("n"), exactSum(col("r_value")).as("sum_value"))
           .orderBy("bucket")

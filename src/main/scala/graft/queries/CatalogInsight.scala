@@ -1254,14 +1254,15 @@ private[queries] object CatalogInsight {
             java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
           dropStagedTree(tmp)
         }
-        val footer = s.read.parquet(dir.toString).schema
+        val ss = streamingSession(s)
+        val footer = ss.read.parquet(dir.toString).schema
         val stream = graft.Tables.normalizeTs(
-          s.readStream.schema(footer).option("maxFilesPerTrigger", 1)
+          ss.readStream.schema(footer).option("maxFilesPerTrigger", 1)
             .parquet(dir.toString))
         val agg = stream.withWatermark("ts", "30 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"))
-        s.streams.active.filter(q => Option(q.name).contains("q324_mem"))
+        ss.streams.active.filter(q => Option(q.name).contains("q324_mem"))
           .foreach(_.stop())
         val q = agg.writeStream.format("memory").queryName("q324_mem")
           .outputMode("append").start()
@@ -1269,7 +1270,7 @@ private[queries] object CatalogInsight {
         Catalog.ProgressLog.record(q)
         q.stop()
         dropStagedTree(dir)
-        s.table("q324_mem")
+        ss.table("q324_mem")
           .select(col("window.start").as("hour"), col("event_type"), col("n"))
           .orderBy("hour", "event_type")
       },
@@ -2117,12 +2118,13 @@ private[queries] object CatalogInsight {
             java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
           dropStagedTree(tmp)
         }
-        val footer = s.read.parquet(dir.toString).schema
+        val ss = streamingSession(s)
+        val footer = ss.read.parquet(dir.toString).schema
         val stream = graft.Tables.normalizeTs(
-          s.readStream.schema(footer).option("maxFilesPerTrigger", 1)
+          ss.readStream.schema(footer).option("maxFilesPerTrigger", 1)
             .parquet(dir.toString))
         val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("cum_count"))
-        s.streams.active.filter(q => Option(q.name).contains("q337_mem"))
+        ss.streams.active.filter(q => Option(q.name).contains("q337_mem"))
           .foreach(_.stop())
         val q = agg.writeStream.format("memory").queryName("q337_mem")
           .outputMode("update").start()
@@ -2130,7 +2132,7 @@ private[queries] object CatalogInsight {
         Catalog.ProgressLog.record(q)
         q.stop()
         dropStagedTree(dir)
-        s.table("q337_mem")
+        ss.table("q337_mem")
           .withColumn("emission_rank", row_number().over(
             Window.partitionBy("event_type").orderBy(col("cum_count").asc)).cast("long"))
           .select(col("event_type"), col("emission_rank"), col("cum_count"))
@@ -2946,8 +2948,9 @@ private[queries] object CatalogInsight {
     "q360_stream_outer_join" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
+        val ss = streamingSession(s)
         try {
-          def src = stagedEventsStream(s, dir)
+          def src = stagedEventsStream(ss, dir)
           val clicks = src.filter(col("event_type") === "click")
             .select("event_id", "user_id", "ts")
           val purchases = src.filter(col("event_type") === "purchase")
@@ -2959,7 +2962,7 @@ private[queries] object CatalogInsight {
             joined, "q360_mem", outputMode = "append")
           q.stop()
         } finally dropStaged(dir)
-        s.table("q360_mem")
+        ss.table("q360_mem")
           .groupBy((col("user_id") % 10).as("bucket"))
           .agg(sum(when(col("r_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
             sum(when(col("r_ts").isNull, 1L).otherwise(0L)).as("n_outer"),
@@ -3108,8 +3111,9 @@ private[queries] object CatalogInsight {
     "q364_stream_full_outer" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
+        val ss = streamingSession(s)
         try {
-          def src = stagedEventsStream(s, dir)
+          def src = stagedEventsStream(ss, dir)
           val clicks = src.filter(col("event_type") === "click")
             .select("event_id", "user_id", "ts")
           val purchases = src.filter(col("event_type") === "purchase")
@@ -3121,7 +3125,7 @@ private[queries] object CatalogInsight {
             joined, "q364_mem", outputMode = "append")
           q.stop()
         } finally dropStaged(dir)
-        s.table("q364_mem")
+        ss.table("q364_mem")
           .groupBy((coalesce(col("user_id"), col("r_user_id")) % 10).as("bucket"))
           .agg(
             sum(when(col("ts").isNotNull && col("r_ts").isNotNull, 1L)
@@ -3991,8 +3995,9 @@ private[queries] object CatalogInsight {
     "q378_stream_asym_watermark" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
+        val ss = streamingSession(s)
         try {
-          def src = stagedEventsStream(s, dir)
+          def src = stagedEventsStream(ss, dir)
           val clicks = src.filter(col("event_type") === "click")
             .select("event_id", "user_id", "ts")
           val purchases = src.filter(col("event_type") === "purchase")
@@ -4005,7 +4010,7 @@ private[queries] object CatalogInsight {
             joined, "q378_mem", outputMode = "append")
           q.stop()
         } finally dropStaged(dir)
-        s.table("q378_mem")
+        ss.table("q378_mem")
           .groupBy((col("user_id") % 10).as("bucket"))
           .agg(sum(when(col("r_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
             sum(when(col("r_ts").isNull, 1L).otherwise(0L)).as("n_outer"))

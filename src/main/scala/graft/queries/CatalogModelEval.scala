@@ -1352,7 +1352,7 @@ private[queries] object CatalogModelEval {
           .select(col("user_id"), cents(col("value")).as("cents"))
           .repartition(2)
           .write.mode("overwrite").parquet(dir.toString)
-        val sess = s.newSession()
+        val sess = streamingSession(s)
         sess.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         import sess.implicits._

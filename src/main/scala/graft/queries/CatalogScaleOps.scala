@@ -412,15 +412,16 @@ private[queries] object CatalogScaleOps {
     "q160_stream_session_window" -> QueryDef(
       fn = (s, d) => {
         val dir = stageEventsDir(d)
+        val ss = streamingSession(s)
         val table = try {
-          val stream = stagedEventsStream(s, dir)
+          val stream = stagedEventsStream(ss, dir)
             .select("user_id", "ts", "value")
           val agg = stream
             .withWatermark("ts", "0 seconds")
             .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
             .agg(count(lit(1)).as("n_events"),
               exactSum(col("value")).as("sum_value"))
-          s.streams.active.filter(q => Option(q.name).contains("q160_mem"))
+          ss.streams.active.filter(q => Option(q.name).contains("q160_mem"))
             .foreach(_.stop())
           val q = agg.writeStream.format("memory").queryName("q160_mem")
             .outputMode("append").start()
@@ -442,7 +443,7 @@ private[queries] object CatalogScaleOps {
             q.processAllAvailable()
             Catalog.ProgressLog.record(q)
           } finally q.stop() // a leaked query would hold the staged dir
-          s.table("q160_mem")
+          ss.table("q160_mem")
         } finally dropStagedTree(dir)
         table.filter(col("user_id") >= 0)
           .select(col("user_id"),

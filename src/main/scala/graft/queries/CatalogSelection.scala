@@ -484,9 +484,10 @@ private[queries] object CatalogSelection {
             java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
           dropStagedTree(tmp)
         }
-        val footer = s.read.parquet(dir.toString).schema
+        val ss = streamingSession(s)
+        val footer = ss.read.parquet(dir.toString).schema
         val stream = graft.Tables.normalizeTs(
-          s.readStream.schema(footer).option("maxFilesPerTrigger", 1)
+          ss.readStream.schema(footer).option("maxFilesPerTrigger", 1)
             .parquet(dir.toString))
           .select(col("user_id"), col("event_type"),
             unix_millis(col("ts")).as("__ms"), col("event_id"))
