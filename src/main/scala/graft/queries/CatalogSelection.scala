@@ -400,10 +400,13 @@ private[queries] object CatalogSelection {
               .as("sim_e6"))
         val sym = sims.select(col("item_a").as("src"), col("item_b").as("dst"), col("sim_e6"))
           .unionAll(sims.select(col("item_b").as("src"), col("item_a").as("dst"), col("sim_e6")))
-        val champions = sym
-          .withColumn("__rk", row_number().over(Window.partitionBy("src")
-            .orderBy(col("sim_e6").desc, col("dst").asc)))
-          .filter(col("__rk") <= 20)
+        // champion cap via the engine's own bounded-heap operator (r12
+        // verdict #3): the window form sorts every key group; TopKPerKey
+        // keeps O(keys x 20) rows with partial/final heaps and never
+        // materializes a per-key sort — the exact row_number<=k idiom
+        // the operator was built for. Total order (sim desc, dst asc).
+        val champions = graft.plans.TopKPerKey.topKPerKey(sym,
+          Seq(col("src")), Seq((col("sim_e6"), false), (col("dst"), true)), 20)
         val scored = po.join(champions, po("i") === champions("src"))
           .join(po.select(col("u").as("__u2"), col("i").as("__i2")),
             col("u") === col("__u2") && col("dst") === col("__i2"), "left_anti")

@@ -979,6 +979,9 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf("q306_item_cf_recs")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the champion cap runs on the engine's bounded-heap operator, not a
+    // full per-key window sort (r12 verdict #3)
+    assert(plan.contains("TopKPerKey"), plan)
   }
 
   test("q308: sequential-pair join is user-keyed equi, never a cartesian") {
