@@ -148,6 +148,100 @@ object AsOfJoin {
         when(ok, matchTs).otherwise(lit(null)).as("asof_ts")): _*)
   }
 
+  /** Auto-dispatching as-of join (r12 verdict #5 — the TopKRewrite idea
+    * applied to the as-of ladder): picks the best of the three surfaces
+    * by shape and size, so callers get merge-exec economics or a
+    * zero-shuffle broadcast probe without choosing by hand.
+    *
+    * Dispatch rules, in order (micros tolerance requires a micros/long
+    * axis up front — the rule every surface now shares):
+    *  1. `direction = "nearest"` → the union+window form ([[asof]]) —
+    *     the only surface implementing it.
+    *  2. Broadcast-eligible shape (atomic keys and carried columns,
+    *     long-backed timestamp) AND right side's optimizer-estimated
+    *     bytes <= `graft.asof.broadcastThreshold` (default: the
+    *     session's `spark.sql.autoBroadcastJoinThreshold`; <= 0
+    *     disables) → [[asofBroadcast]] — a map-only probe that
+    *     preserves the left scan's pushed filters, pruned columns, and
+    *     partitioning.
+    *  3. Otherwise → the merge exec
+    *     ([[graft.plans.AsOfMergeJoin.asofMerge]]), which ships each
+    *     side at its own width with O(1) per-task state.
+    *
+    * All surfaces emit identical columns (left ++ asof_ts ++ rightCols)
+    * and identical rows (AsOfAutoSpec pins three-way parity), so the
+    * dispatch is purely a physical choice — like Spark's own join
+    * strategy selection.
+    *
+    * Sizing note: the broadcast rung still `executeCollect`s the right
+    * side on the driver, so the threshold guards DRIVER memory too; the
+    * stats estimate can overshoot reality (post-filter estimates are
+    * conservative), in which case the merge exec is the safe default.
+    */
+  def asofAuto(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      rightTieBreak: Seq[(String, Boolean)] = Nil,
+      direction: String = "backward",
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
+    // micros tolerance needs a micros/long axis on EVERY surface (the
+    // r12 ADVICE rule): rejecting here keeps the dispatch's choice
+    // invisible to semantics
+    if (toleranceMicros.isDefined) {
+      require(Seq(TimestampType, TimestampNTZType, LongType)
+          .contains(right.schema(rightTs).dataType),
+        s"tolerance needs a long-backed timestamp, got ${right.schema(rightTs).dataType}")
+    }
+    val spark = left.sparkSession
+    def tieCols: Seq[Column] = rightTieBreak.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc
+    }
+    def windowForm: DataFrame = {
+      // convert the micros tolerance to the window form's Column
+      // convention: timestamp subtraction yields a day-time interval,
+      // long/int/date axes subtract to their own numeric unit
+      val tolCol = toleranceMicros.map { m =>
+        left.schema(leftTs).dataType match {
+          case TimestampType | TimestampNTZType =>
+            expr(s"INTERVAL '$m' MICROSECOND")
+          case _ => lit(m)
+        }
+      }
+      asof(left, right, on, leftTs, rightTs, rightCols, tolCol,
+        rightTieBreak.map { case (c, asc) => if (asc) col(c) else col(c).desc },
+        direction)
+    }
+    if (direction == "nearest") return windowForm
+
+    def atomicType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _                                         => true
+    }
+    val tsType = right.schema(rightTs).dataType
+    val longBacked = Seq(TimestampType, TimestampNTZType, DateType,
+      IntegerType, LongType).contains(tsType)
+    val bcastEligible = longBacked &&
+      on.forall(c => atomicType(right.schema(c).dataType)) &&
+      rightCols.forall(c => atomicType(right.schema(c).dataType))
+    val threshold =
+      try spark.conf.get("graft.asof.broadcastThreshold").toLong
+      catch { case _: Throwable =>
+        spark.sessionState.conf.autoBroadcastJoinThreshold }
+    lazy val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bcastEligible && threshold > 0 && rightBytes <= threshold)
+      asofBroadcast(left, right, on, leftTs, rightTs, rightCols, tieCols,
+        direction, toleranceMicros = toleranceMicros)
+    else
+      graft.plans.AsOfMergeJoin.asofMerge(left, right, on, leftTs, rightTs,
+        rightCols, rightTieBreak, direction, toleranceMicros)
+  }
+
   private val bcastFnCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Live (fname, broadcast) handles from [[asofBroadcast]] calls, per

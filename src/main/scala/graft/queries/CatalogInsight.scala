@@ -4287,5 +4287,43 @@ private[queries] object CatalogInsight {
                     THEN (b.flag - b.tp) * 1000000 // (b.n - b.pos) END
                     - g.gfpr AS BIGINT) AS fpr_gap_e6
         FROM b, g ORDER BY b.source""")),
+
+    // AUTO-DISPATCHED as-of join (round 13 — r12 verdict #5): q354's
+    // exact semantics through ops.AsOfJoin.asofAuto, which sizes the
+    // right side from optimizer stats and picks broadcast-probe vs
+    // merge-exec vs window form without the caller choosing. Here the
+    // calendar-bounded dim (~|types| x |days| rows) sits far under the
+    // threshold, so the dispatch lands on the zero-shuffle broadcast
+    // rung — the SAME DuckDB ASOF oracle as q354/q355 pins the choice
+    // as purely physical. AsOfAutoSpec pins three-way parity and each
+    // dispatch rule; BenchAB q383 vs q355 is the measured win of
+    // letting the engine choose.
+    "q383_asof_auto_dispatch" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val facts = ev.select("event_id", "event_type", "ts")
+        val dim = ev
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("__d"))
+          .agg(max(cents(col("value"))).as("day_max_cents"))
+          .select(col("event_type"),
+            (col("__d") + expr("INTERVAL 1 DAY")).as("d_ts"),
+            col("day_max_cents"))
+        graft.ops.AsOfJoin.asofAuto(facts, dim,
+            on = Seq("event_type"), leftTs = "ts", rightTs = "d_ts",
+            rightCols = Seq("day_max_cents"))
+          .orderBy("event_id")
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH dim AS (SELECT event_type,
+                            date_trunc('day', ts) + INTERVAL 1 DAY AS d_ts,
+                            max(${centsSql("value")}) AS day_max_cents
+                     FROM events GROUP BY 1, 2)
+        SELECT l.event_id, l.event_type, l.ts, dim.d_ts AS asof_ts,
+               dim.day_max_cents
+        FROM (SELECT event_id, event_type, ts FROM events) l
+        ASOF LEFT JOIN dim
+          ON l.event_type = dim.event_type AND l.ts >= dim.d_ts
+        ORDER BY l.event_id""")),
   )
 }
