@@ -814,5 +814,122 @@ private[queries] object CatalogGeoWave {
                c.cum_pairs * 10 >= 9 * tot.t AS reaches_d90
         FROM cum c, tot ORDER BY dist"""
       }),
+
+    // Grid-DBSCAN density clustering (round 13) — the density-based
+    // clustering verb the catalog's centroid (SemDeDup/silhouette) and
+    // connectivity (CC/k-core) families don't cover: a cell is CORE
+    // when its 3x3 neighborhood holds >= minPts points (minPts derived
+    // from the global density so the roles stay non-vacuous at every
+    // sf), clusters are connected components of ADJACENT core cells
+    // (the engine's own ConnectedComponents operator over a bounded
+    // <=100-cell graph), border cells attach to their min-id adjacent
+    // core cluster, the rest is noise. The coordinate fixture SQUARES
+    // the uniform key-hash axis (u*u div span) so density falls off
+    // ~1/sqrt from the low corner — a uniform cloud has no
+    // density-based structure and read all-core/all-noise depending on
+    // sf (the hollow-output trap, caught by the role audit). All grid
+    // math is exact integer micro-degrees; the oracle replays the
+    // component step as a WITH RECURSIVE transitive closure — exact on
+    // the bounded cell graph. Scale shape: one point->cell groupBy
+    // (uniform shuffle), a x9 bounded offset explode, and CC over
+    // O(occupied cells) — never over points.
+    "q384_grid_dbscan" -> QueryDef(
+      fn = (s, d) => {
+        val pts = t(s, d, "supplier")
+          .withColumn("__u", (col("s_suppkey") * LatPrime) % SpanE6)
+          .withColumn("lat", lit(LatBase) + expr(s"(__u * __u) div $SpanE6"))
+          .withColumn("__u", (col("s_suppkey") * LonPrime) % SpanE6)
+          .withColumn("lon", lit(LonBase) + expr(s"(__u * __u) div $SpanE6"))
+          .select("lat", "lon")
+        val (cy, cx) = Geo.cellOf(col("lat"), col("lon"), CellE6)
+        val cells = pts.select(cy.as("cy"), cx.as("cx"))
+          .groupBy("cy", "cx").agg(count(lit(1)).as("n_pts"))
+          .localCheckpoint(eager = true) // neighbor + core + border share it
+        // density-derived core threshold: 2x the uniform-expectation 3x3
+        // mass (9 cells / 100-cell grid), floor 3 — one bounded scalar
+        val total = cells.agg(sum(col("n_pts"))).head.getLong(0)
+        val minPts = math.max(3L, total * 18L / 100L)
+        val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
+          struct(lit(dy.toLong).as("dy"), lit(dx.toLong).as("dx")))): _*)
+        val neigh = cells.withColumn("__o", explode(offsets))
+          .groupBy((col("cy") + col("__o.dy")).as("cy"),
+            (col("cx") + col("__o.dx")).as("cx"))
+          .agg(sum(col("n_pts")).as("neigh_n"))
+        val graded = cells.join(neigh, Seq("cy", "cx"))
+          .withColumn("cell_id", col("cy") * 10000L + col("cx"))
+          .withColumn("is_core", col("neigh_n") >= minPts)
+          .localCheckpoint(eager = true) // core edges + border share it
+        val core = graded.filter(col("is_core")).select("cell_id", "cy", "cx")
+        // adjacency among core cells incl. the (0,0) self-edge, so
+        // isolated core cells still surface as their own cluster
+        val coreEdges = core.withColumn("__o", explode(offsets))
+          .select(col("cell_id").as("id_a"),
+            (col("cy") + col("__o.dy")).as("ny"),
+            (col("cx") + col("__o.dx")).as("nx"))
+          .join(core.select(col("cell_id").as("id_b"), col("cy").as("ny"),
+            col("cx").as("nx")), Seq("ny", "nx"))
+          .select("id_a", "id_b")
+        val comp = graft.ops.ConnectedComponents.components(coreEdges)
+          .select(col("id").as("cell_id"), col("component").as("__ccl"))
+        val border = graded.filter(!col("is_core"))
+          .withColumn("__o", explode(offsets))
+          .select(col("cell_id"),
+            (col("cy") + col("__o.dy")).as("ny"),
+            (col("cx") + col("__o.dx")).as("nx"))
+          .join(core.select(col("cy").as("ny"), col("cx").as("nx"),
+            col("cell_id").as("__core_id")), Seq("ny", "nx"))
+          .join(comp.select(col("cell_id").as("__core_id"),
+            col("__ccl")), Seq("__core_id"))
+          .groupBy("cell_id").agg(min(col("__ccl")).as("__bcl"))
+        graded.join(comp, Seq("cell_id"), "left")
+          .join(border, Seq("cell_id"), "left")
+          .select(col("cy"), col("cx"), col("n_pts"),
+            when(col("is_core"), lit("core"))
+              .when(col("__bcl").isNotNull, lit("border"))
+              .otherwise(lit("noise")).as("role"),
+            coalesce(col("__ccl"), col("__bcl")).as("cluster"))
+          .orderBy("cy", "cx")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE st AS (
+          SELECT ($LatBase + (((s_suppkey * $LatPrime) % $SpanE6)
+                   * ((s_suppkey * $LatPrime) % $SpanE6)) // $SpanE6)
+                 // $CellE6 AS cy,
+                 ($LonBase + (((s_suppkey * $LonPrime) % $SpanE6)
+                   * ((s_suppkey * $LonPrime) % $SpanE6)) // $SpanE6)
+                 // $CellE6 AS cx
+          FROM supplier),
+        cells AS (SELECT cy, cx, count(*) AS n_pts FROM st GROUP BY 1, 2),
+        mp AS (SELECT greatest(3, (SELECT count(*) FROM supplier)
+                                  * 18 // 100) AS minpts),
+        nb AS (SELECT c.cy, c.cx, sum(o.n_pts) AS neigh_n
+               FROM cells c JOIN cells o
+                 ON abs(c.cy - o.cy) <= 1 AND abs(c.cx - o.cx) <= 1
+               GROUP BY 1, 2),
+        g AS (SELECT c.cy, c.cx, c.n_pts, c.cy * 10000 + c.cx AS cell_id,
+                     nb.neigh_n >= mp.minpts AS is_core
+              FROM cells c JOIN nb USING (cy, cx), mp),
+        core AS (SELECT cell_id, cy, cx FROM g WHERE is_core),
+        e AS (SELECT a.cell_id AS s, b.cell_id AS dd FROM core a JOIN core b
+              ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1),
+        r(s, dd) AS (SELECT s, dd FROM e
+                     UNION
+                     SELECT r.s, e.dd FROM r JOIN e ON r.dd = e.s),
+        comp AS (SELECT s AS cell_id, min(dd) AS ccl FROM r GROUP BY s),
+        bord AS (SELECT g.cell_id, min(comp.ccl) AS bcl
+                 FROM g JOIN core
+                   ON NOT g.is_core AND abs(g.cy - core.cy) <= 1
+                      AND abs(g.cx - core.cx) <= 1
+                 JOIN comp ON comp.cell_id = core.cell_id
+                 GROUP BY g.cell_id)
+        SELECT g.cy, g.cx, CAST(g.n_pts AS BIGINT) AS n_pts,
+               CASE WHEN g.is_core THEN 'core'
+                    WHEN bord.bcl IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               CASE WHEN g.is_core THEN comp.ccl ELSE bord.bcl END AS cluster
+        FROM g
+        LEFT JOIN comp ON g.cell_id = comp.cell_id AND g.is_core
+        LEFT JOIN bord ON g.cell_id = bord.cell_id
+        ORDER BY g.cy, g.cx""")),
   )
 }

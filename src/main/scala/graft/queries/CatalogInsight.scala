@@ -4325,5 +4325,112 @@ private[queries] object CatalogInsight {
         ASOF LEFT JOIN dim
           ON l.event_type = dim.event_type AND l.ts >= dim.d_ts
         ORDER BY l.event_id""")),
+
+    // Fano factor + burstiness per event type over hourly arrival counts
+    // (round 13) — the overdispersion readout of traffic shape:
+    // fano = var/mean of hourly counts (=1 for Poisson arrivals, >1
+    // bursty), burstiness B = (sigma-mu)/(sigma+mu) (Goh & Barabasi),
+    // which algebraically reduces to (R-S)/(R+S) with R =
+    // sqrt(H*SS - S^2) — ONE sqrt over an exact integer, so the FP
+    // sequence is shape-identical cross-engine and e6-snapped at emit.
+    // fano_e6 is pure integer floor division (nonnegative operands).
+    // One hourly groupBy + a per-type fold — uniform shuffles, scales.
+    "q385_fano_burstiness" -> QueryDef(
+      fn = (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__h"))
+          .agg(count(lit(1)).as("__c"))
+        hourly.groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"), sum(col("__c")).as("n_events"),
+            sum(col("__c") * col("__c")).as("__ss"))
+          .select(col("event_type"), col("n_hours"), col("n_events"),
+            expr("""(n_hours * __ss - n_events * n_events) * 1000000
+                    div (n_hours * n_events)""").as("fano_e6"),
+            floor((sqrt((col("n_hours") * col("__ss")
+                - col("n_events") * col("n_events")).cast("double"))
+                - col("n_events").cast("double"))
+              / (sqrt((col("n_hours") * col("__ss")
+                - col("n_events") * col("n_events")).cast("double"))
+                + col("n_events").cast("double")) * 1000000 + 0.5)
+              .cast("long").as("burstiness_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+                          count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, count(*) AS n_hours, sum(c) AS s,
+                     sum(c * c) AS ss
+              FROM h GROUP BY event_type)
+        SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+               CAST(s AS BIGINT) AS n_events,
+               CAST((n_hours * ss - s * s) * 1000000
+                    // (n_hours * s) AS BIGINT) AS fano_e6,
+               CAST(floor((sqrt(CAST(n_hours * ss - s * s AS DOUBLE))
+                           - CAST(s AS DOUBLE))
+                          / (sqrt(CAST(n_hours * ss - s * s AS DOUBLE))
+                             + CAST(s AS DOUBLE)) * 1000000 + 0.5)
+                 AS BIGINT) AS burstiness_e6
+        FROM m ORDER BY event_type""")),
+
+    // Theil-Sen robust trend slope per event type (round 13) — the
+    // median-of-pairwise-slopes estimator beside q368's least-squares
+    // break fit and q331's Mann-Kendall direction test: immune to the
+    // outlier days OLS chases. Daily exact-cents totals (calendar-
+    // bounded frame), all C(days,2) slopes as sign-handled FLOOR
+    // divisions on the e6 grid (Spark `div` truncates, DuckDB `//`
+    // floors — they agree only on nonnegatives, so the negative branch
+    // is spelled out), and the LOWER median picked by rank so no
+    // cross-engine averaging semantics enter. The pair join is bounded
+    // per type (~days^2), never corpus-proportional.
+    "q386_theil_sen" -> QueryDef(
+      fn = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+          .agg(sum(cents(col("value"))).as("__y"))
+          .select(col("event_type"),
+            datediff(col("__day"), lit("1970-01-01").cast("date")).cast("long")
+              .as("__d"), col("__y"))
+          .localCheckpoint(eager = true) // both pair sides share it
+        val a = daily.select(col("event_type"), col("__d").as("__d1"),
+          col("__y").as("__y1"))
+        val b = daily.select(col("event_type").as("__et2"),
+          col("__d").as("__d2"), col("__y").as("__y2"))
+        val slopes = a.join(b, col("event_type") === col("__et2")
+            && col("__d2") > col("__d1"))
+          .select(col("event_type"),
+            // Spark `div` and DuckDB `//` BOTH truncate toward zero
+            // (measured: (-7)//2 = -3 in DuckDB), so the raw integer
+            // division is cross-engine exact even on negative slopes
+            expr("((__y2 - __y1) * 1000000) div (__d2 - __d1)").as("__s"))
+        val w = Window.partitionBy("event_type").orderBy(col("__s"))
+        val cw = Window.partitionBy("event_type")
+        slopes
+          .withColumn("__rn", row_number().over(w).cast("long"))
+          .withColumn("__n", count(lit(1)).over(cw))
+          .filter(col("__rn") === expr("(__n + 1) div 2"))
+          .select(col("event_type"), col("__n").as("n_pairs"),
+            col("__s").as("slope_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                              sum(${centsSql("value")}) AS y
+                       FROM events GROUP BY 1, 2),
+        dd AS (SELECT event_type,
+                      date_diff('day', DATE '1970-01-01', day) AS d, y
+               FROM daily),
+        sl AS (SELECT a.event_type,
+                      ((b.y - a.y) * 1000000) // (b.d - a.d) AS s
+               FROM dd a JOIN dd b
+                 ON a.event_type = b.event_type AND b.d > a.d),
+        r AS (SELECT event_type, s,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY s) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM sl)
+        SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+               CAST(s AS BIGINT) AS slope_e6
+        FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type""")),
   )
 }

@@ -92,7 +92,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // contains; user ids shift per replica so per-user density is
     // constant), and the Aho-Corasick corpus sweep (one pass per byte —
     // the exponent pins that the automaton probe really is linear)
-    "q353_asof_broadcast", "q359_seq_triples", "q361_blocklist_scan")
+    "q353_asof_broadcast", "q359_seq_triples", "q361_blocklist_scan",
+    // round-12 graph additions (r12 verdict #8): Boruvka's hazard is
+    // the per-round min-edge agg + component relabel growing with the
+    // component count (pointer jumps are fixed); HITS is 2 degree-keyed
+    // aggs per iteration (hub fanout is the hazard); DAG levels peels
+    // one frontier per round (frontier size is the hazard); the dyad
+    // census is one canonical-pair groupBy over the directed projection.
+    // Replica-shifted keys keep components/blocks disjoint per replica,
+    // so healthy growth is linear in every case.
+    "q343_boruvka_mst", "q346_hits", "q348_dag_levels", "q381_dyad_census")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
