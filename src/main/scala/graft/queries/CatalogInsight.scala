@@ -4432,5 +4432,166 @@ private[queries] object CatalogInsight {
         SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
                CAST(s AS BIGINT) AS slope_e6
         FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type""")),
+
+    // Edit-distance-1 join via FastSS deletion-neighborhood blocking
+    // (round 13) — the typo-tolerant lookup of fuzzy dedup/linkage at
+    // its scale shape: two terms are within ED 1 iff they share a key
+    // in {term} union {term minus one char} (equality, insertion,
+    // deletion, and substitution all collapse onto a shared deletion
+    // key), so candidates come from an EQUI-JOIN on O(len) keys per
+    // term — never a vocab x vocab cross join — and only candidates
+    // pay the exact levenshtein verify (Spark's codegen'd builtin).
+    // Query terms = deterministic one-char-deletion typos of each
+    // doc's first token (position doc_id % len) UNION the dictionary
+    // words themselves, so best_ed spans 0 and 1 (non-vacuous). The
+    // oracle cross-joins the BOUNDED lexicon with DuckDB's own
+    // levenshtein — exact at test scale, which is the point of the
+    // blocking claim. Output: per term, match count and the best match
+    // under the total (ed, df desc, word) order.
+    "q387_edit_distance_join" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val dict = docs.select(explode(TF.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("df"))
+          .localCheckpoint(eager = true) // keys + oracle-side df share it
+        val typos = docs
+          .select(col("doc_id"), element_at(TF.tokens(col("text")), 1).as("__t"))
+          .filter(length(col("__t")) >= 2)
+          .select(concat(
+            expr("substring(__t, 1, CAST(doc_id % length(__t) AS INT))"),
+            expr("substring(__t, CAST(doc_id % length(__t) AS INT) + 2, length(__t))"))
+            .as("term"))
+        val queries = typos.unionAll(dict.select(col("word").as("term"))).distinct()
+        def delKeys(c: String) = expr(
+          s"""array_distinct(concat(array($c), transform(
+              sequence(1, length($c)),
+              i -> concat(substring($c, 1, i - 1),
+                          substring($c, i + 1, length($c))))))""")
+        val qk = queries.select(col("term"), explode(delKeys("term")).as("__k"))
+        val dk = dict.select(col("word"), col("df"), explode(delKeys("word")).as("__k"))
+        val verified = qk.join(dk, Seq("__k"))
+          .select("term", "word", "df").distinct()
+          .withColumn("ed", levenshtein(col("term"), col("word")).cast("long"))
+          .filter(col("ed") <= 1L)
+        val w = Window.partitionBy("term")
+          .orderBy(col("ed").asc, col("df").desc, col("word").asc)
+        verified
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("n_matches",
+            count(lit(1)).over(Window.partitionBy("term")))
+          .filter(col("__rn") === 1)
+          .select(col("term"), col("n_matches"), col("word").as("best_match"),
+            col("ed").as("best_ed"), col("df").as("best_df"))
+          .orderBy("term")
+      },
+      oracle = Some(s"""
+        WITH dict AS (SELECT word, count(*) AS df
+                      FROM (SELECT unnest($toksSql) AS word FROM documents)
+                      GROUP BY 1),
+        q0 AS (SELECT doc_id, list_extract($toksSql, 1) AS t FROM documents),
+        qq AS (SELECT concat(
+                        substring(t, 1, CAST(doc_id % length(t) AS INT)),
+                        substring(t, CAST(doc_id % length(t) AS INT) + 2))
+                      AS term
+               FROM q0 WHERE length(t) >= 2
+               UNION SELECT word FROM dict),
+        v AS (SELECT qq.term, d.word, d.df,
+                     levenshtein(qq.term, d.word) AS ed
+              FROM qq CROSS JOIN dict d
+              WHERE levenshtein(qq.term, d.word) <= 1),
+        r AS (SELECT term, word, df, ed,
+                     row_number() OVER (PARTITION BY term
+                       ORDER BY ed, df DESC, word) AS rn,
+                     count(*) OVER (PARTITION BY term) AS nm
+              FROM v)
+        SELECT term, CAST(nm AS BIGINT) AS n_matches, word AS best_match,
+               CAST(ed AS BIGINT) AS best_ed, CAST(df AS BIGINT) AS best_df
+        FROM r WHERE rn = 1 ORDER BY term""")),
+
+    // Product quantization (round 13) — the third standard ANN scale
+    // path beside the catalog's LSH (q30) and IVF-Flat (q44): split
+    // the 64-dim embedding into 4 x 16-dim subspaces, train a 4-entry
+    // codebook per subspace (seeds = the 4 smallest vec_ids'
+    // sub-vectors, then ONE exact-integer Lloyd iteration with
+    // truncating floor-mean — Spark `div` and DuckDB `//` both
+    // truncate toward zero, measured in q386), encode every vector
+    // against the updated codebook, and report per-(subspace, code)
+    // occupancy and total squared quantization error — the distortion
+    // readout a PQ deployment tunes m and k against. Components ride
+    // the q238 1e-3 integer grid so every distance is an exact long.
+    // Scale shape: one posexplode pass, codebooks broadcast (m x k x
+    // 16 rows), argmin via min(struct) — no per-vector sort, no
+    // cartesian; the 4-id seed collect is bounded.
+    "q388_product_quantization" -> QueryDef(
+      fn = (s, d) => {
+        val subDim = 16
+        val kCodes = 4
+        val sx = transform(col("embedding"), x =>
+          (x.cast("double") * 1000.0 + signum(x.cast("double")) * 0.5)
+            .cast("long"))
+        val px = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(sx).as(Seq("__i", "__v")))
+          .select(col("vec_id"), expr(s"__i div $subDim").as("sub"),
+            expr(s"__i % $subDim").as("pos"), col("__v"))
+          .localCheckpoint(eager = true) // seeds + 2 assigns + means share it
+        // bounded collect: the 4 seed ids (deterministic smallest)
+        val seedIds = px.select("vec_id").distinct().orderBy("vec_id")
+          .limit(kCodes).collect().map(_.getLong(0)).sorted
+        val codeOf = seedIds.zipWithIndex.tail.foldLeft(
+          when(col("vec_id") === seedIds.head, 0L)) {
+          case (acc, (id, i)) => acc.when(col("vec_id") === id, i.toLong)
+        }
+        val c0 = px.filter(col("vec_id").isin(seedIds: _*))
+          .select(codeOf.as("code"), col("sub"), col("pos"), col("__v").as("c"))
+        def assign(cb: DataFrame) = px
+          .join(broadcast(cb), Seq("sub", "pos"))
+          .groupBy("vec_id", "sub", "code")
+          .agg(sum((col("__v") - col("c")) * (col("__v") - col("c"))).as("d2"))
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("d2"), col("code"))).as("__m"))
+          .select(col("vec_id"), col("sub"), col("__m.code").as("code"),
+            col("__m.d2").as("d2"))
+        val a1 = assign(c0)
+        val c1 = a1.join(px, Seq("vec_id", "sub"))
+          .groupBy("sub", "code", "pos")
+          .agg(expr("sum(__v) div count(1)").as("c"))
+        assign(c1)
+          .groupBy("sub", "code")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("total_sqerr"))
+          .orderBy("sub", "code")
+      },
+      oracle = Some("""
+        WITH px AS (SELECT vec_id, i // 16 AS sub, i % 16 AS pos, x FROM (
+               SELECT vec_id,
+                      unnest(generate_series(0, len(embedding) - 1)) AS i,
+                      CAST(round(unnest(embedding) * 1000.0) AS BIGINT) AS x
+               FROM embeddings)),
+        sc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+               FROM (SELECT DISTINCT vec_id FROM embeddings
+                     ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT sc.code, px.sub, px.pos, px.x AS c
+               FROM px JOIN sc USING (vec_id)),
+        d0 AS (SELECT px.vec_id, px.sub, c0.code,
+                      sum((px.x - c0.c) * (px.x - c0.c)) AS d2
+               FROM px JOIN c0 ON px.sub = c0.sub AND px.pos = c0.pos
+               GROUP BY 1, 2, 3),
+        a1 AS (SELECT vec_id, sub, code, d2,
+                      row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, code) AS rn
+               FROM d0),
+        m1 AS (SELECT a1.sub, a1.code, px.pos, sum(px.x) // count(*) AS c
+               FROM a1 JOIN px ON a1.vec_id = px.vec_id AND a1.sub = px.sub
+               WHERE a1.rn = 1 GROUP BY 1, 2, 3),
+        d1 AS (SELECT px.vec_id, px.sub, m1.code,
+                      sum((px.x - m1.c) * (px.x - m1.c)) AS d2
+               FROM px JOIN m1 ON px.sub = m1.sub AND px.pos = m1.pos
+               GROUP BY 1, 2, 3),
+        a2 AS (SELECT vec_id, sub, code, d2,
+                      row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, code) AS rn
+               FROM d1)
+        SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+               count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS total_sqerr
+        FROM a2 WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""")),
   )
 }
