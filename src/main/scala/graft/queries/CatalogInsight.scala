@@ -386,6 +386,87 @@ private[queries] object CatalogInsight {
     FROM sc ORDER BY rnk"""
   }
 
+  /** q388/q389 shared PQ geometry: 4 subspaces x 16 dims, 4 codes each. */
+  private val PqSubDim = 16
+  private val PqCodes = 4
+
+  /** PQ training shared by q388 (distortion readout) and q389 (ADC
+    * search): returns (px, codebook) where px = the 1e-3 integer-grid
+    * component frame (vec_id, sub, pos, __v), checkpointed once, and
+    * the codebook (sub, code, pos, c) is the one-Lloyd-iteration
+    * refinement of the 4 smallest vec_ids' sub-vectors. The seed
+    * collect is 4 ids — bounded.
+    */
+  private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sx = transform(col("embedding"), x =>
+      (x.cast("double") * 1000.0 + signum(x.cast("double")) * 0.5)
+        .cast("long"))
+    val px = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(sx).as(Seq("__i", "__v")))
+      .select(col("vec_id"), expr(s"__i div $PqSubDim").as("sub"),
+        expr(s"__i % $PqSubDim").as("pos"), col("__v"))
+      .localCheckpoint(eager = true) // seeds + assigns + means share it
+    // bounded collect: the 4 seed ids (deterministic smallest)
+    val seedIds = px.select("vec_id").distinct().orderBy("vec_id")
+      .limit(PqCodes).collect().map(_.getLong(0)).sorted
+    val codeOf = seedIds.zipWithIndex.tail.foldLeft(
+      when(col("vec_id") === seedIds.head, 0L)) {
+      case (acc, (id, i)) => acc.when(col("vec_id") === id, i.toLong)
+    }
+    val c0 = px.filter(col("vec_id").isin(seedIds: _*))
+      .select(codeOf.as("code"), col("sub"), col("pos"), col("__v").as("c"))
+    val c1 = pqAssign(px, c0).join(px, Seq("vec_id", "sub"))
+      .groupBy("sub", "code", "pos")
+      .agg(expr("sum(__v) div count(1)").as("c"))
+    (px, c1)
+  }
+
+  /** Nearest-code assignment of every (vec, sub) against a broadcast
+    * codebook — argmin via min(struct(d2, code)), no per-vector sort.
+    */
+  private def pqAssign(px: DataFrame, cb: DataFrame): DataFrame = px
+    .join(broadcast(cb), Seq("sub", "pos"))
+    .groupBy("vec_id", "sub", "code")
+    .agg(sum((col("__v") - col("c")) * (col("__v") - col("c"))).as("d2"))
+    .groupBy("vec_id", "sub")
+    .agg(min(struct(col("d2"), col("code"))).as("__m"))
+    .select(col("vec_id"), col("sub"), col("__m.code").as("code"),
+      col("__m.d2").as("d2"))
+
+  /** The q388/q389 oracle's shared CTE chain: integer-grid components,
+    * seeded codebook, one Lloyd iteration, final assignment `a2`.
+    */
+  private def pqOracleCtes: String = s"""
+        px AS (SELECT vec_id, i // $PqSubDim AS sub, i % $PqSubDim AS pos, x FROM (
+               SELECT vec_id,
+                      unnest(generate_series(0, len(embedding) - 1)) AS i,
+                      CAST(round(unnest(embedding) * 1000.0) AS BIGINT) AS x
+               FROM embeddings)),
+        sc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+               FROM (SELECT DISTINCT vec_id FROM embeddings
+                     ORDER BY vec_id LIMIT $PqCodes)),
+        c0 AS (SELECT sc.code, px.sub, px.pos, px.x AS c
+               FROM px JOIN sc USING (vec_id)),
+        d0 AS (SELECT px.vec_id, px.sub, c0.code,
+                      sum((px.x - c0.c) * (px.x - c0.c)) AS d2
+               FROM px JOIN c0 ON px.sub = c0.sub AND px.pos = c0.pos
+               GROUP BY 1, 2, 3),
+        a1 AS (SELECT vec_id, sub, code, d2,
+                      row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, code) AS rn
+               FROM d0),
+        m1 AS (SELECT a1.sub, a1.code, px.pos, sum(px.x) // count(*) AS c
+               FROM a1 JOIN px ON a1.vec_id = px.vec_id AND a1.sub = px.sub
+               WHERE a1.rn = 1 GROUP BY 1, 2, 3),
+        d1 AS (SELECT px.vec_id, px.sub, m1.code,
+                      sum((px.x - m1.c) * (px.x - m1.c)) AS d2
+               FROM px JOIN m1 ON px.sub = m1.sub AND px.pos = m1.pos
+               GROUP BY 1, 2, 3),
+        a2 AS (SELECT vec_id, sub, code, d2,
+                      row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, code) AS rn
+               FROM d1)"""
+
   def entries: Seq[(String, QueryDef)] = Seq(
 
     // Directional association rules over part-family baskets: for every
@@ -4524,74 +4605,163 @@ private[queries] object CatalogInsight {
     // cartesian; the 4-id seed collect is bounded.
     "q388_product_quantization" -> QueryDef(
       fn = (s, d) => {
-        val subDim = 16
-        val kCodes = 4
-        val sx = transform(col("embedding"), x =>
-          (x.cast("double") * 1000.0 + signum(x.cast("double")) * 0.5)
-            .cast("long"))
-        val px = t(s, d, "embeddings")
-          .select(col("vec_id"), posexplode(sx).as(Seq("__i", "__v")))
-          .select(col("vec_id"), expr(s"__i div $subDim").as("sub"),
-            expr(s"__i % $subDim").as("pos"), col("__v"))
-          .localCheckpoint(eager = true) // seeds + 2 assigns + means share it
-        // bounded collect: the 4 seed ids (deterministic smallest)
-        val seedIds = px.select("vec_id").distinct().orderBy("vec_id")
-          .limit(kCodes).collect().map(_.getLong(0)).sorted
-        val codeOf = seedIds.zipWithIndex.tail.foldLeft(
-          when(col("vec_id") === seedIds.head, 0L)) {
-          case (acc, (id, i)) => acc.when(col("vec_id") === id, i.toLong)
-        }
-        val c0 = px.filter(col("vec_id").isin(seedIds: _*))
-          .select(codeOf.as("code"), col("sub"), col("pos"), col("__v").as("c"))
-        def assign(cb: DataFrame) = px
-          .join(broadcast(cb), Seq("sub", "pos"))
-          .groupBy("vec_id", "sub", "code")
-          .agg(sum((col("__v") - col("c")) * (col("__v") - col("c"))).as("d2"))
-          .groupBy("vec_id", "sub")
-          .agg(min(struct(col("d2"), col("code"))).as("__m"))
-          .select(col("vec_id"), col("sub"), col("__m.code").as("code"),
-            col("__m.d2").as("d2"))
-        val a1 = assign(c0)
-        val c1 = a1.join(px, Seq("vec_id", "sub"))
-          .groupBy("sub", "code", "pos")
-          .agg(expr("sum(__v) div count(1)").as("c"))
-        assign(c1)
+        val (px, c1) = pqTrain(s, d)
+        pqAssign(px, c1)
           .groupBy("sub", "code")
           .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("total_sqerr"))
           .orderBy("sub", "code")
       },
-      oracle = Some("""
-        WITH px AS (SELECT vec_id, i // 16 AS sub, i % 16 AS pos, x FROM (
-               SELECT vec_id,
-                      unnest(generate_series(0, len(embedding) - 1)) AS i,
-                      CAST(round(unnest(embedding) * 1000.0) AS BIGINT) AS x
-               FROM embeddings)),
-        sc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
-               FROM (SELECT DISTINCT vec_id FROM embeddings
-                     ORDER BY vec_id LIMIT 4)),
-        c0 AS (SELECT sc.code, px.sub, px.pos, px.x AS c
-               FROM px JOIN sc USING (vec_id)),
-        d0 AS (SELECT px.vec_id, px.sub, c0.code,
-                      sum((px.x - c0.c) * (px.x - c0.c)) AS d2
-               FROM px JOIN c0 ON px.sub = c0.sub AND px.pos = c0.pos
-               GROUP BY 1, 2, 3),
-        a1 AS (SELECT vec_id, sub, code, d2,
-                      row_number() OVER (PARTITION BY vec_id, sub
-                                         ORDER BY d2, code) AS rn
-               FROM d0),
-        m1 AS (SELECT a1.sub, a1.code, px.pos, sum(px.x) // count(*) AS c
-               FROM a1 JOIN px ON a1.vec_id = px.vec_id AND a1.sub = px.sub
-               WHERE a1.rn = 1 GROUP BY 1, 2, 3),
-        d1 AS (SELECT px.vec_id, px.sub, m1.code,
-                      sum((px.x - m1.c) * (px.x - m1.c)) AS d2
-               FROM px JOIN m1 ON px.sub = m1.sub AND px.pos = m1.pos
-               GROUP BY 1, 2, 3),
-        a2 AS (SELECT vec_id, sub, code, d2,
-                      row_number() OVER (PARTITION BY vec_id, sub
-                                         ORDER BY d2, code) AS rn
-               FROM d1)
+      oracle = Some(s"""
+        WITH $pqOracleCtes
         SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
                count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS total_sqerr
         FROM a2 WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // PQ asymmetric-distance search (ADC, round 13) — the SEARCH half
+    // of q388's trained quantizer and the way PQ actually runs at
+    // 100 TB: per query, a tiny (subspaces x codes) lookup table of
+    // exact squared distances to every centroid is built ONCE and
+    // broadcast; every encoded corpus vector is then scored by FOUR
+    // integer LUT adds (sum over subspaces of lut[sub, code]) instead
+    // of a 64-dim distance — the corpus pass reads only the 4-int code
+    // words. Top-5 per query by (adc, vec_id) via the TopKPerKey
+    // bounded-heap operator; each hit also carries its exact distance
+    // and whether it sits in the exact brute-force top-5 (the q44-style
+    // in-output recall gate, here per hit). Queries = the 4 smallest
+    // non-seed vec_ids (ranks 5-8), disjoint from the codebook seeds.
+    "q389_pq_adc_search" -> QueryDef(
+      fn = (s, d) => {
+        val (px, c1) = pqTrain(s, d)
+        val enc = pqAssign(px, c1).select("vec_id", "sub", "code")
+        // bounded collect: 4 query ids (ranks 5-8 of the sorted ids)
+        val qIds = px.select("vec_id").distinct().orderBy("vec_id")
+          .limit(2 * PqCodes).collect().map(_.getLong(0)).sorted.drop(PqCodes)
+        val qpx = px.filter(col("vec_id").isin(qIds: _*))
+          .select(col("vec_id").as("query_id"), col("sub"), col("pos"),
+            col("__v").as("__q"))
+        val lut = qpx.join(c1, Seq("sub", "pos"))
+          .groupBy("query_id", "sub", "code")
+          .agg(sum((col("__q") - col("c")) * (col("__q") - col("c"))).as("__l"))
+        val adc = enc.join(broadcast(lut), Seq("sub", "code"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum(col("__l")).as("adc_d2"))
+        val top = graft.plans.TopKPerKey.topKPerKey(adc,
+          Seq(col("query_id")), Seq((col("adc_d2"), true), (col("vec_id"), true)), 5)
+        // exact distances: full 64-dim integer squared distance, for the
+        // picked pairs AND the exact top-5 set (both bounded frames)
+        val exact = qpx.join(px, Seq("sub", "pos"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum((col("__q") - col("__v")) * (col("__q") - col("__v")))
+            .as("exact_d2"))
+          .localCheckpoint(eager = true) // picked-pair lookup + exact top-5
+        val exactTop = graft.plans.TopKPerKey.topKPerKey(exact,
+          Seq(col("query_id")), Seq((col("exact_d2"), true), (col("vec_id"), true)), 5)
+          .select(col("query_id"), col("vec_id"), lit(true).as("in_exact_top5"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("adc_d2").asc, col("vec_id").asc)
+        top.join(exact, Seq("query_id", "vec_id"))
+          .join(exactTop, Seq("query_id", "vec_id"), "left")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("query_id"), col("rank"), col("vec_id"),
+            col("adc_d2"), col("exact_d2"),
+            coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH $pqOracleCtes,
+        enc AS (SELECT vec_id, sub, code FROM a2 WHERE rn = 1),
+        qids AS (SELECT vec_id AS query_id FROM (
+                   SELECT DISTINCT vec_id FROM embeddings
+                   ORDER BY vec_id LIMIT ${2 * PqCodes})
+                 ORDER BY query_id DESC LIMIT $PqCodes),
+        qpx AS (SELECT q.query_id, px.sub, px.pos, px.x AS qv
+                FROM px JOIN qids q ON px.vec_id = q.query_id),
+        lut AS (SELECT qpx.query_id, qpx.sub, m1.code,
+                       sum((qpx.qv - m1.c) * (qpx.qv - m1.c)) AS l
+                FROM qpx JOIN m1 ON qpx.sub = m1.sub AND qpx.pos = m1.pos
+                GROUP BY 1, 2, 3),
+        adc AS (SELECT lut.query_id, enc.vec_id, sum(lut.l) AS adc_d2
+                FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+                GROUP BY 1, 2),
+        ex AS (SELECT qpx.query_id, px.vec_id,
+                      sum((qpx.qv - px.x) * (qpx.qv - px.x)) AS exact_d2
+               FROM qpx JOIN px ON qpx.sub = px.sub AND qpx.pos = px.pos
+               GROUP BY 1, 2),
+        extop AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY exact_d2, vec_id) AS rn
+                    FROM ex) WHERE rn <= 5),
+        top AS (SELECT query_id, vec_id, adc_d2,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_d2, vec_id) AS rank
+                FROM adc)
+        SELECT t.query_id, CAST(t.rank AS BIGINT) AS rank, t.vec_id,
+               CAST(t.adc_d2 AS BIGINT) AS adc_d2,
+               CAST(ex.exact_d2 AS BIGINT) AS exact_d2,
+               (extop.vec_id IS NOT NULL) AS in_exact_top5
+        FROM top t
+        JOIN ex ON t.query_id = ex.query_id AND t.vec_id = ex.vec_id
+        LEFT JOIN extop ON t.query_id = extop.query_id
+                       AND t.vec_id = extop.vec_id
+        WHERE t.rank <= 5 ORDER BY t.query_id, t.rank""")),
+
+    // Reciprocal-rank fusion (round 13) — the standard zero-tuning way
+    // a retrieval pipeline merges heterogeneous rankings (RRF, Cormack
+    // et al.): score = sum over systems of 1/(60 + rank). Two total
+    // rankings over the corpus — query-term overlap (the q178/q71 IR
+    // axis) and distinct-token diversity — fused on an EXACT integer
+    // grid: 1e12 div (60 + r) per system, so the cross-engine sum is
+    // order-free and tie-handling is the total (score desc, doc_id)
+    // order. Ranks are corpus-wide row_numbers (one sort each at test
+    // scale; the 100 TB swap-in is per-system top-k TopKPerKey
+    // prefilter, fusing only union-of-top-k candidates).
+    "q390_rrf_fusion" -> QueryDef(
+      fn = (s, d) => {
+        val qTerms = Seq("spark", "join", "fast")
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("__t"))
+          .select(col("doc_id"),
+            size(array_intersect(array_distinct(col("__t")),
+              array(qTerms.map(lit): _*))).cast("long").as("__overlap"),
+            size(array_distinct(col("__t"))).cast("long").as("__distinct"))
+        val ra = row_number().over(
+          Window.orderBy(col("__overlap").desc, col("doc_id").asc)).cast("long")
+        val rb = row_number().over(
+          Window.orderBy(col("__distinct").desc, col("doc_id").asc)).cast("long")
+        docs
+          .withColumn("rank_overlap", ra)
+          .withColumn("rank_diversity", rb)
+          .withColumn("rrf_e12",
+            expr("1000000000000 div (60 + rank_overlap)")
+              + expr("1000000000000 div (60 + rank_diversity)"))
+          .withColumn("fused_rank", row_number().over(
+            Window.orderBy(col("rrf_e12").desc, col("doc_id").asc)).cast("long"))
+          .filter(col("fused_rank") <= 10)
+          .select("fused_rank", "doc_id", "rank_overlap", "rank_diversity",
+            "rrf_e12")
+          .orderBy("fused_rank")
+      },
+      oracle = Some(s"""
+        WITH dx AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        f AS (SELECT doc_id,
+                     len(list_intersect(list_distinct(toks),
+                         ['spark', 'join', 'fast'])) AS ov,
+                     len(list_distinct(toks)) AS dv
+              FROM dx),
+        r AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY ov DESC, doc_id) AS ra,
+                     row_number() OVER (ORDER BY dv DESC, doc_id) AS rb
+              FROM f),
+        sc AS (SELECT doc_id, ra, rb,
+                      1000000000000 // (60 + ra)
+                      + 1000000000000 // (60 + rb) AS rrf
+               FROM r)
+        SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                 AS BIGINT) AS fused_rank,
+               doc_id, CAST(ra AS BIGINT) AS rank_overlap,
+               CAST(rb AS BIGINT) AS rank_diversity,
+               CAST(rrf AS BIGINT) AS rrf_e12
+        FROM sc QUALIFY fused_rank <= 10 ORDER BY fused_rank""")),
   )
 }
