@@ -434,6 +434,94 @@ class CatalogInsightSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_converted") == r.getAs[Long]("n_viewers"))
   }
 
+  test("q384: DBSCAN roles are consistent — cluster iff not noise, all roles fire") {
+    val rows = SparkEntry.queries("q384_grid_dbscan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val role = r.getAs[String]("role")
+      val clusterNull = r.isNullAt(r.fieldIndex("cluster"))
+      assert((role == "noise") == clusterNull, r.toString)
+      assert(r.getAs[Long]("n_pts") > 0L, r.toString)
+    }
+    // non-vacuity at the smallest sf: every role fires (the uniform
+    // fixture read all-core here before the density skew — r13 NOTES)
+    val roles = rows.map(_.getAs[String]("role")).toSet
+    assert(roles == Set("core", "border", "noise"), roles.toString)
+  }
+
+  test("q385: Fano and burstiness are sign-consistent (overdispersed <=> bursty)") {
+    val rows = SparkEntry.queries("q385_fano_burstiness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fano = r.getAs[Long]("fano_e6")
+      val b = r.getAs[Long]("burstiness_e6")
+      assert(fano >= 0L, r.toString)
+      assert(b >= -1000000L && b <= 1000000L, r.toString)
+      // var > mean  <=>  sigma > mu  <=>  B > 0 (up to the e6 snap)
+      if (fano > 1001000L) assert(b > -1000L, r.toString)
+      if (fano < 999000L) assert(b < 1000L, r.toString)
+    }
+  }
+
+  test("q387: blocking finds exactly the brute-force ED<=1 matches") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q387_edit_distance_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // dictionary terms self-match at ED 0; typo terms sit at ED 1
+    assert(rows.exists(_.getAs[Long]("best_ed") == 0L))
+    assert(rows.exists(_.getAs[Long]("best_ed") == 1L))
+    // completeness: per-term match COUNT equals the brute-force count
+    // over the bounded lexicon (the FastSS key-cover claim)
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val dict = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    rows.foreach { r =>
+      val term = r.getAs[String]("term")
+      val brute = dict.count(w => lev(term, w) <= 1)
+      assert(r.getAs[Long]("n_matches") == brute.toLong, s"$term: $r vs $brute")
+    }
+  }
+
+  test("q389: ADC rank 1 is the query itself with exact distance zero") {
+    val rows = SparkEntry.queries("q389_pq_adc_search")(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 4)
+    byQuery.foreach { case (qid, rs) =>
+      assert(rs.length == 5, s"$qid: ${rs.length}")
+      val r1 = rs.minBy(_.getAs[Long]("rank"))
+      // the query vector is in the corpus: its own cell ties at the top
+      // and the (adc, vec_id) order puts the self-match first
+      assert(r1.getAs[Long]("vec_id") == qid, r1.toString)
+      assert(r1.getAs[Long]("exact_d2") == 0L, r1.toString)
+      assert(r1.getAs[Boolean]("in_exact_top5"), r1.toString)
+    }
+  }
+
+  test("q390: fused ranks are 1..10 and every hit carries both system ranks") {
+    val rows = SparkEntry.queries("q390_rrf_fusion")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("fused_rank")).sorted.toSeq == (1L to 10L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rank_overlap") >= 1L)
+      assert(r.getAs[Long]("rank_diversity") >= 1L)
+      val expect = 1000000000000L / (60L + r.getAs[Long]("rank_overlap")) +
+        1000000000000L / (60L + r.getAs[Long]("rank_diversity"))
+      assert(r.getAs[Long]("rrf_e12") == expect, r.toString)
+    }
+  }
+
   test("q316: spectrum sanity — hapaxes exist and Chao1 dominates observed richness") {
     val rows = SparkEntry.queries("q316_good_turing")(spark, sf).collect()
     assert(rows.length == 20)
