@@ -150,6 +150,54 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), roundDp).as("pagerank"))
   }
 
+  /** Personalized PageRank: [[pageRank]]'s recurrence with BOTH the
+    * start vector and the teleport concentrated on a seed set S —
+    * random walks restart at the seeds instead of uniformly, so scores
+    * measure proximity TO the seeds (the recsys / "related items" /
+    * local-community verb):
+    *
+    *   r_0(v)     = 1[v in S] / |S|
+    *   r_{k+1}(v) = (1-d) * 1[v in S] / |S| + d * sum_{u ~ v} r_k(u)/deg(u)
+    *
+    * Undirected expansion means no dangling mass, so the scores still
+    * sum to 1 exactly (up to FP). Same scale discipline as
+    * [[pageRank]]: adjacency checkpointed once, each iteration's frame
+    * localCheckpointed (constant-size plan, lineage cut); the seed set
+    * rides the plan as a literal IN-list — bounded by construction.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iterations: Int = 3, damping: Double = 0.85,
+      roundDp: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(seeds.nonEmpty, "personalizedPageRank: empty seed set")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val out = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+
+    val deg = out.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = out.join(deg, Seq("src")).localCheckpoint(eager = true)
+    val nodes = deg.select(col("src").as("node")).localCheckpoint(eager = true)
+
+    val isSeed = col("node").isin(seeds: _*)
+    val seedMass = 1.0 / seeds.length
+    var ranks = nodes
+      .select(col("node"),
+        when(isSeed, lit(seedMass)).otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val contribs = adj
+        .join(ranks, adj("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit((1.0 - damping) * seedMass)).otherwise(lit(0.0))
+            + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks.select(col("node"), round(col("rank"), roundDp).as("ppr"))
+  }
+
   /** Bounded-hop BFS over the undirected graph: the minimum hop distance
     * from any seed node, for every node within `maxHops` (unreachable
     * nodes are absent). Output: (node, dist) with dist in [0, maxHops].

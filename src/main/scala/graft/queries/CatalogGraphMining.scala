@@ -39,6 +39,9 @@ private[queries] object CatalogGraphMining {
   private val PrDamping = 0.85
   private val PrIters = 3
 
+  /** q391's seed-set size (the 5 smallest node ids, deterministic). */
+  private val PprSeeds = 5
+
   /** q177's hour base: epoch hours of 2024-01-01T00:00Z (all events sit
     * in Jan 2024, so x ∈ [0, 744] — with cents-y, every OLS sum fits a
     * long with >100x headroom at sf0.1).
@@ -294,6 +297,65 @@ private[queries] object CatalogGraphMining {
         $iters
         SELECT node, round(rank, 6) AS pagerank FROM r$PrIters
         ORDER BY pagerank DESC, node LIMIT 50"""
+      }),
+
+    // Personalized PageRank (round 13) — q176's recurrence with start
+    // vector AND teleport concentrated on a 5-node seed set (the
+    // smallest node ids, deterministic): random walks restart at the
+    // seeds, so scores measure proximity TO the seeds — the recsys
+    // "related items" / local-community verb the global rank can't
+    // express. Same undirected no-dangling-mass argument; the oracle
+    // unrolls the identical recurrence with the Scala-rendered seeded
+    // teleport constant (the q176 FP-parity convention). Top-50 by
+    // score, id tie-break; the seed collect is 5 ids — bounded.
+    "q391_personalized_pagerank" -> QueryDef(
+      fn = (s, d) => {
+        val edges = Baskets.frequentItemPairs(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", PairMinSupport)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+          .localCheckpoint(eager = true) // seed pick + PPR loop share it
+        val seeds = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node")))
+          .distinct().orderBy("node").limit(PprSeeds)
+          .collect().map(_.getLong(0)).toSeq
+        Graph.personalizedPageRank(edges, "src", "dst", seeds,
+            PrIters, PrDamping)
+          .orderBy(col("ppr").desc, col("node"))
+          .limit(50)
+      },
+      oracle = Some {
+        val seedMass = 1.0 / PprSeeds // Scala-rendered (q176 convention)
+        val teleport = (1.0 - PrDamping) * seedMass
+        val iters = (1 to PrIters).map { k =>
+          s"""r$k AS (SELECT n.node,
+                   (CASE WHEN sd.node IS NOT NULL THEN $teleport
+                         ELSE 0.0 END
+                    + $PrDamping * coalesce(c.contrib, 0.0)) AS rank
+               FROM nodes n
+               LEFT JOIN seeds sd ON n.node = sd.node
+               LEFT JOIN (
+                 SELECT bi.dst AS node,
+                        sum(r${k - 1}.rank / CAST(deg.dg AS DOUBLE)) AS contrib
+                 FROM bi JOIN r${k - 1} ON bi.src = r${k - 1}.node
+                 JOIN deg ON bi.src = deg.src
+                 GROUP BY bi.dst) c ON n.node = c.node)"""
+        }.mkString(",\n")
+        s"""
+        WITH ${edgesSqlCte("l_partkey", PairMinSupport)},
+        bi AS (SELECT s AS src, d AS dst FROM e
+               UNION ALL SELECT d, s FROM e),
+        deg AS (SELECT src, count(*) AS dg FROM bi GROUP BY src),
+        nodes AS (SELECT src AS node FROM deg),
+        seeds AS (SELECT node FROM nodes ORDER BY node LIMIT $PprSeeds),
+        r0 AS (SELECT n.node,
+                      CASE WHEN sd.node IS NOT NULL
+                           THEN CAST($seedMass AS DOUBLE)
+                           ELSE 0.0 END AS rank
+               FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node),
+        $iters
+        SELECT node, round(rank, 6) AS ppr FROM r$PrIters
+        ORDER BY ppr DESC, node LIMIT 50"""
       }),
 
     // Per-group simple OLS (y = value over x = event hour): slope,

@@ -141,6 +141,37 @@ class BasketsGraphSpec extends AnyFunSuite {
     assert(math.abs(out.values.sum - 1.0) < 1e-4)
   }
 
+  test("personalizedPageRank concentrates mass near the seed, conserves total") {
+    // square cycle, seed {1}: total mass stays 1 (no dangling in the
+    // undirected expansion), the seed's symmetric neighbors tie, and
+    // the ANTIPODE (node 3) ranks strictly last. NOTE: at finite odd
+    // iteration counts the walk mass RINGS on this bipartite-ish cycle
+    // (after 3 hops most mass sits at odd distance, so the neighbors
+    // out-rank the seed itself) — so the pinned order is
+    // seed > antipode, not seed > neighbors.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val out = Graph.personalizedPageRank(sq.toDF("src", "dst"), "src", "dst",
+        seeds = Seq(1L), iterations = 3, damping = 0.85)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(math.abs(out.values.sum - 1.0) < 1e-4)
+    assert(out(1L) > out(3L), out.toString) // seed beats the antipode
+    assert(out(2L) == out(4L)) // symmetric neighbors of the seed
+    assert(out.values.forall(_ > out(3L) - 1e-12), out.toString) // antipode last
+  }
+
+  test("personalizedPageRank matches the hand-unrolled seeded recurrence") {
+    import spark.implicits._
+    // path 1-2-3, seed {1}, d=0.5, 1 iteration from r0 = (1, 0, 0):
+    // r(1) = 0.5*1 + 0.5*(r2/2) = 0.5;  r(2) = 0.5*(r1/1 + r3/1) = 0.5
+    // r(3) = 0.5*(r2/2) = 0.0
+    val out = Graph.personalizedPageRank(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst",
+        seeds = Seq(1L), iterations = 1, damping = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.0), out.toString)
+  }
+
   test("pageRank matches the hand-unrolled recurrence on a tiny graph") {
     // path 1-2-3: degrees 1,2,1; d=0.5, 1 iteration from uniform 1/3:
     // r(1) = r(3) = 0.5/3 + 0.5*(r(2)/2)      = 1/6 + 1/12 = 0.25
