@@ -1437,6 +1437,173 @@ private[queries] object CatalogStatTests {
                CAST(n * 1000000 // tot AS BIGINT) AS share_e6,
                rk = 1 AS is_peak
         FROM r ORDER BY event_type, dow""")),
+
+    // Spearman rank correlation (round 13) — the monotone-association
+    // verb beside q201's Pearson(?): per event type, rho between each
+    // user's activity (event count) and spend (exact cents), computed
+    // as Pearson over DOUBLED MIDRANKS (the q376 integer-midrank trick:
+    // midrank2 = 2*count_below + ties + 1 — tie-exact, no fractional
+    // ranks). Ranks come from a value-grouped cumulative (the q261
+    // shape: group by value, window over the bounded distinct-value
+    // frame), so no per-user global sort; all moments are exact
+    // integers and the two sqrts are taken SEPARATELY (their product
+    // would overflow a long) in the same order on both engines, e6
+    // snap at emit. 100 TB note: the n*sxy moment clears int64 up to
+    // ~2e6 users per type; past that the moments swap to decimal(38,0)
+    // (the cents convention).
+    "q392_spearman" -> QueryDef(
+      fn = (s, d) => {
+        val ux = t(s, d, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("__x"),
+            sum(expr(centsCol("value"))).as("__y"))
+          .localCheckpoint(eager = true) // both rank passes share it
+        def midrank2(vcol: String, out: String): DataFrame = {
+          val g = ux.groupBy(col("event_type"), col(vcol))
+            .agg(count(lit(1)).as("__cnt"))
+          val w = Window.partitionBy("event_type").orderBy(col(vcol))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          g.withColumn("__below", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+            .select(col("event_type"), col(vcol),
+              (lit(2L) * col("__below") + col("__cnt") + 1L).as(out))
+        }
+        val ranked = ux
+          .join(midrank2("__x", "__rx"), Seq("event_type", "__x"))
+          .join(midrank2("__y", "__ry"), Seq("event_type", "__y"))
+        val m = ranked.groupBy("event_type").agg(
+          count(lit(1)).as("n_users"),
+          sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+          sum(col("__rx") * col("__rx")).as("__sxx"),
+          sum(col("__ry") * col("__ry")).as("__syy"),
+          sum(col("__rx") * col("__ry")).as("__sxy"))
+        m.select(col("event_type"), col("n_users"),
+          when(col("n_users") > 1L
+              && col("n_users") * col("__sxx") > col("__sx") * col("__sx")
+              && col("n_users") * col("__syy") > col("__sy") * col("__sy"),
+            floor((col("n_users") * col("__sxy") - col("__sx") * col("__sy"))
+              .cast("double")
+              / (sqrt((col("n_users") * col("__sxx")
+                  - col("__sx") * col("__sx")).cast("double"))
+                * sqrt((col("n_users") * col("__syy")
+                  - col("__sy") * col("__sy")).cast("double")))
+              * 1000000 + 0.5).cast("long"))
+            .as("rho_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH ux AS (SELECT event_type, user_id, count(*) AS x,
+                           sum(${centsSql("value")}) AS y
+                    FROM events GROUP BY 1, 2),
+        gx AS (SELECT event_type, x, count(*) AS cnt FROM ux GROUP BY 1, 2),
+        rx AS (SELECT event_type, x,
+                      2 * coalesce(sum(cnt) OVER (PARTITION BY event_type
+                        ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + cnt + 1 AS rx
+               FROM gx),
+        gy AS (SELECT event_type, y, count(*) AS cnt FROM ux GROUP BY 1, 2),
+        ry AS (SELECT event_type, y,
+                      2 * coalesce(sum(cnt) OVER (PARTITION BY event_type
+                        ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + cnt + 1 AS ry
+               FROM gy),
+        j AS (SELECT ux.event_type, rx.rx, ry.ry
+              FROM ux JOIN rx ON ux.event_type = rx.event_type
+                              AND ux.x = rx.x
+                      JOIN ry ON ux.event_type = ry.event_type
+                              AND ux.y = ry.y),
+        m AS (SELECT event_type, count(*) AS n,
+                     sum(rx) AS sx, sum(ry) AS sy,
+                     sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+                     sum(rx * ry) AS sxy
+              FROM j GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n_users,
+               CAST(CASE WHEN n > 1 AND n * sxx > sx * sx
+                          AND n * syy > sy * sy
+                    THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                           * 1000000 + 0.5) END AS BIGINT) AS rho_e6
+        FROM m ORDER BY event_type""")),
+
+    // Kendall tau-b (round 13) — Spearman's pair-order sibling with
+    // EXACT tie corrections: per event type over the calendar-bounded
+    // daily (count, spend) series, concordant/discordant pairs from a
+    // bounded self-join (<= days^2 per type, never corpus-scale), tie
+    // terms n1/n2 from per-value choose-2 sums, tau_b =
+    // (C - D) / (sqrt(n0 - n1) * sqrt(n0 - n2)) with the sqrts taken
+    // separately (fixed FP order) and an e6 snap. Zero-variance series
+    // CASE-null in both engines.
+    "q393_kendall_tau" -> QueryDef(
+      fn = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+          .agg(count(lit(1)).as("__x"),
+            sum(expr(centsCol("value"))).as("__y"))
+          .localCheckpoint(eager = true) // pair join + tie counts share it
+        val b = daily.select(col("event_type").as("__et2"),
+          col("__day").as("__d2"), col("__x").as("__x2"), col("__y").as("__y2"))
+        val pairs = daily.join(b, col("event_type") === col("__et2")
+            && col("__d2") > col("__day"))
+          .select(col("event_type"),
+            (signum((col("__x2") - col("__x")).cast("double"))
+              * signum((col("__y2") - col("__y")).cast("double")))
+              .cast("long").as("__s"))
+        val cd = pairs.groupBy("event_type").agg(
+          sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("concordant"),
+          sum(when(col("__s") === -1L, 1L).otherwise(0L)).as("discordant"))
+        def tieTerm(vcol: String, out: String) = daily
+          .groupBy(col("event_type"), col(vcol))
+          .agg(count(lit(1)).as("__t"))
+          .groupBy("event_type")
+          .agg(sum(expr("__t * (__t - 1) div 2")).as(out))
+        val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+        val joined = nd.join(cd, Seq("event_type"))
+          .join(tieTerm("__x", "__n1"), Seq("event_type"))
+          .join(tieTerm("__y", "__n2"), Seq("event_type"))
+          .withColumn("__n0", expr("n_days * (n_days - 1) div 2"))
+        joined.select(col("event_type"), col("n_days"),
+          col("concordant"), col("discordant"),
+          when(col("__n0") > col("__n1") && col("__n0") > col("__n2"),
+            floor((col("concordant") - col("discordant")).cast("double")
+              / (sqrt((col("__n0") - col("__n1")).cast("double"))
+                * sqrt((col("__n0") - col("__n2")).cast("double")))
+              * 1000000 + 0.5).cast("long"))
+            .as("tau_b_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                              count(*) AS x, sum(${centsSql("value")}) AS y
+                       FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type,
+                     CAST(sign(b.x - a.x) * sign(b.y - a.y) AS BIGINT) AS s
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND b.day > a.day),
+        cd AS (SELECT event_type,
+                      CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS c,
+                      CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS dd
+               FROM p GROUP BY event_type),
+        t1 AS (SELECT event_type, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+               FROM (SELECT event_type, x, count(*) AS t FROM daily
+                     GROUP BY 1, 2) GROUP BY event_type),
+        t2 AS (SELECT event_type, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+               FROM (SELECT event_type, y, count(*) AS t FROM daily
+                     GROUP BY 1, 2) GROUP BY event_type),
+        nd AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+        j AS (SELECT nd.event_type, nd.n, cd.c, cd.dd, t1.n1, t2.n2,
+                     nd.n * (nd.n - 1) // 2 AS n0
+              FROM nd JOIN cd USING (event_type)
+                      JOIN t1 USING (event_type) JOIN t2 USING (event_type))
+        SELECT event_type, CAST(n AS BIGINT) AS n_days, c AS concordant,
+               dd AS discordant,
+               CAST(CASE WHEN n0 > n1 AND n0 > n2
+                    THEN floor(CAST(c - dd AS DOUBLE)
+                           / (sqrt(CAST(n0 - n1 AS DOUBLE))
+                              * sqrt(CAST(n0 - n2 AS DOUBLE)))
+                           * 1000000 + 0.5) END AS BIGINT) AS tau_b_e6
+        FROM j ORDER BY event_type""")),
   )
 
   /** q297's suffix rules, FIRST applicable wins: (suffix, min token
