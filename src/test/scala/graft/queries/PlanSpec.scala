@@ -1186,6 +1186,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q383: the auto dispatch lands on the zero-shuffle broadcast rung") {
+    // the calendar dim sits far under the threshold — asofAuto must pick
+    // the broadcast probe (no merge exec, no window), and the fact side
+    // must not shuffle (one presentation-sort exchange only)
+    val plan = planOf("q383_asof_auto_dispatch")
+    assert(plan.contains("asof_lookup"), plan)
+    assert(!plan.contains("AsOfMergeJoin") && !plan.contains("Window"), plan)
+    val exchanges = plan.linesIterator
+      .count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 1, s"expected only the ORDER BY exchange:\n$plan")
+  }
+
+  test("q387: FastSS blocking is equi-join only — no cartesian, no BNLJ") {
+    val plan = planOf("q387_edit_distance_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q384/q389: bounded-frame clustering/search — no cartesian joins") {
+    // q384's CC runs on the <=100-cell core graph; q389's LUT is a
+    // broadcast — neither may plan a cartesian or nested-loop join
+    for (q <- Seq("q384_grid_dbscan", "q389_pq_adc_search")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
+  test("q391: PPR iterations are checkpointed — no parquet rescans") {
+    val plan = planOf("q391_personalized_pagerank")
+    val scans = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 0, s"expected 0 scans post-checkpoint, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q392/q393: rank-correlation moments ride equi-joins, no cartesian") {
+    for (q <- Seq("q392_spearman", "q393_kendall_tau")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      assert(plan.contains("partial_sum"), s"$q:\n$plan")
+    }
+  }
+
   test("q361: ONE documents scan, automaton probe in-line, partial aggs") {
     val plan = planOf("q361_blocklist_scan")
     assert(plan.contains("multi_pattern_count"), plan)
