@@ -412,6 +412,11 @@ private[queries] object CatalogSelection {
             col("u") === col("__u2") && col("dst") === col("__i2"), "left_anti")
           .groupBy(col("u"), col("dst").as("item"))
           .agg(sum(col("sim_e6")).as("score_e6"), count(lit(1)).as("n_contrib"))
+        // final per-user top-3 stays on the window form: the per-user
+        // candidate lists are short (champion cap bounds them), and an
+        // interleaved A/B vs a TopKPerKey twin read a wash (r13 NOTES) —
+        // the heap operator earns its exchange on the big sym frame
+        // above, not here
         scored
           .withColumn("rnk", row_number().over(Window.partitionBy("u")
             .orderBy(col("score_e6").desc, col("item").asc)).cast("long"))
