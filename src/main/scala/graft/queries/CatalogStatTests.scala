@@ -1604,7 +1604,169 @@ private[queries] object CatalogStatTests {
                               * sqrt(CAST(n0 - n2 AS DOUBLE)))
                            * 1000000 + 0.5) END AS BIGINT) AS tau_b_e6
         FROM j ORDER BY event_type""")),
+
+    // Wilson score interval (round 13) — the small-sample-honest
+    // confidence bound for a rate (what a normal approximation gets
+    // wrong near 0/1): per source, the long-doc rate with its 95%
+    // Wilson bounds. z is Scala-rendered once into both engines; the
+    // formula is spelled in the identical operand order and e6-snapped
+    // at emit. One groupBy — trivially scales; the verb matters because
+    // every curation dashboard thresholding "rate >= X" needs the LOWER
+    // bound, not the point estimate, for thin slices.
+    "q394_wilson_interval" -> QueryDef(
+      fn = (s, d) => {
+        val agg = t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_chars") >= 200L, 1L).otherwise(0L)).as("k"))
+        val nD = col("n").cast("double")
+        val p = col("k").cast("double") / nD
+        val centre = p + lit(WilsonZ2) / (lit(2.0) * nD)
+        val margin = lit(WilsonZ) * sqrt(
+          p * (lit(1.0) - p) / nD + lit(WilsonZ2) / (lit(4.0) * nD * nD))
+        val denom = lit(1.0) + lit(WilsonZ2) / nD
+        def e6(c: org.apache.spark.sql.Column) =
+          floor(c * 1000000 + 0.5).cast("long")
+        agg.select(col("source"), col("n"), col("k"),
+          e6(p).as("rate_e6"),
+          e6((centre - margin) / denom).as("lo_e6"),
+          e6((centre + margin) / denom).as("hi_e6"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH a AS (SELECT source, count(*) AS n,
+                          sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS k
+                   FROM documents GROUP BY source),
+        f AS (SELECT source, n, k,
+                     CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                     CAST(n AS DOUBLE) AS nd
+              FROM a)
+        SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS rate_e6,
+               CAST(floor((p + $WilsonZ2 / (2.0 * nd)
+                           - $WilsonZ * sqrt(p * (1.0 - p) / nd
+                                             + $WilsonZ2 / (4.0 * nd * nd)))
+                          / (1.0 + $WilsonZ2 / nd) * 1000000 + 0.5)
+                 AS BIGINT) AS lo_e6,
+               CAST(floor((p + $WilsonZ2 / (2.0 * nd)
+                           + $WilsonZ * sqrt(p * (1.0 - p) / nd
+                                             + $WilsonZ2 / (4.0 * nd * nd)))
+                          / (1.0 + $WilsonZ2 / nd) * 1000000 + 0.5)
+                 AS BIGINT) AS hi_e6
+        FROM f ORDER BY source""")),
+
+    // Partial autocorrelation (Durbin-Levinson, round 13) — q266's ACF
+    // answers "is there correlation at lag k"; PACF answers "is it NEW
+    // correlation or just lag-1 echo" (the AR-order picker). ACF ratios
+    // come from q266's exact-integer centering trick, are e6-snapped
+    // BEFORE the recursion (the q224 per-level rule), and the DL
+    // recursion itself is unrolled SYMBOLICALLY by one Scala generator
+    // whose SQL text feeds Spark's expr() and the DuckDB oracle
+    // verbatim — the two engines evaluate the identical arithmetic
+    // tree, so the doubles cannot drift. Everything after the one
+    // corpus agg rides a bounded types x lags frame.
+    "q395_pacf" -> QueryDef(
+      fn = (s, d) => {
+        val g = t(s, d, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).cast("long").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        val tot = g.groupBy("event_type")
+          .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"))
+        val y = g.join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("day"),
+            (col("nd") * col("n") - col("s")).as("y"))
+          .localCheckpoint(eager = true) // bounded: types x 31 rows
+        val den = y.groupBy("event_type").agg(sum(col("y") * col("y")).as("den"))
+        val a = y.select(col("event_type"), col("day"), col("y").as("ya"))
+          .withColumn("lag", explode(sequence(lit(1L), lit(PacfMaxLag.toLong))))
+          .withColumn("bday", col("day") + col("lag"))
+        val b = y.select(col("event_type"), col("day").as("bday"),
+          col("y").as("yb"))
+        val racf = a.join(b, Seq("event_type", "bday"))
+          .groupBy("event_type", "lag")
+          .agg(sum(col("ya") * col("yb")).as("num"))
+          .join(den, Seq("event_type"))
+          .filter(col("den") > 0L)
+          .select(col("event_type"), col("lag"),
+            floor(col("num").cast("double") / col("den").cast("double")
+              * 1000000 + 0.5).cast("long").as("r_e6"))
+        val rAggs = (1 to PacfMaxLag).map(k =>
+          (max(when(col("lag") === k.toLong, col("r_e6")))
+            .cast("double") / 1000000.0).as(s"r$k"))
+        val wide = racf.groupBy("event_type").agg(rAggs.head, rAggs.tail: _*)
+        val phis = pacfPhiSql
+        (1 to PacfMaxLag).map { k =>
+          wide.select(col("event_type"), lit(k.toLong).as("lag"),
+            expr(s"CAST(floor((${phis(k - 1)}) * 1000000 + 0.5) AS LONG)")
+              .as("pacf_e6"))
+        }.reduce(_.unionAll(_)).orderBy("event_type", "lag")
+      },
+      oracle = Some {
+        val phiSelects = (1 to PacfMaxLag).map { k =>
+          s"""SELECT event_type, CAST($k AS BIGINT) AS lag,
+                 CAST(floor((${pacfPhiSql(k - 1)}) * 1000000 + 0.5)
+                   AS BIGINT) AS pacf_e6
+              FROM wide"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH g AS (SELECT event_type, CAST(strftime(ts, '%d') AS BIGINT) AS day,
+                          count(*) AS n
+                   FROM events GROUP BY event_type, day),
+        tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(n) AS BIGINT) AS s
+                FROM g GROUP BY event_type),
+        y AS (SELECT g.event_type, g.day, nd * n - s AS y
+              FROM g JOIN tot ON g.event_type = tot.event_type),
+        den AS (SELECT event_type, CAST(sum(y * y) AS BIGINT) AS den
+                FROM y GROUP BY event_type),
+        lags AS (SELECT unnest(range(1, ${PacfMaxLag + 1})) AS lag),
+        racf AS (SELECT a.event_type, l.lag,
+                        CAST(floor(CAST(sum(a.y * b.y) AS DOUBLE)
+                          / CAST(max(d.den) AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS r_e6
+                 FROM y a CROSS JOIN lags l
+                 JOIN y b ON b.event_type = a.event_type
+                         AND b.day = a.day + l.lag
+                 JOIN den d ON d.event_type = a.event_type
+                 WHERE d.den > 0
+                 GROUP BY a.event_type, l.lag),
+        wide AS (SELECT event_type,
+                        ${(1 to PacfMaxLag).map(k =>
+                          s"CAST(max(CASE WHEN lag = $k THEN r_e6 END) AS DOUBLE) / 1000000.0 AS r$k")
+                          .mkString(", ")}
+                 FROM racf GROUP BY event_type)
+        SELECT * FROM ($phiSelects) ORDER BY event_type, lag"""
+      }),
   )
+
+  /** q394's z for the 95% Wilson interval — Scala-rendered once so both
+    * engines embed the identical double literal.
+    */
+  private val WilsonZ = 1.96
+  private val WilsonZ2 = WilsonZ * WilsonZ
+
+  /** q395: Durbin-Levinson unrolled SYMBOLICALLY — one generator emits
+    * the identical arithmetic tree as SQL text for BOTH engines (Spark
+    * `expr` and the DuckDB oracle), so the FP sequences cannot drift.
+    * Inputs are the e6-snapped ACF columns r1..r$PacfMaxLag (snapped
+    * BEFORE the recursion, the q224 per-level rule); output is one
+    * expression string per lag k for phi_kk.
+    */
+  private val PacfMaxLag = 4
+  private def pacfPhiSql: Seq[String] = {
+    val phi = Array.ofDim[String](PacfMaxLag + 1, PacfMaxLag + 1)
+    phi(1)(1) = "r1"
+    for (k <- 2 to PacfMaxLag) {
+      val num = s"(r$k - (${(1 until k)
+        .map(j => s"(${phi(k - 1)(j)}) * r${k - j}").mkString(" + ")}))"
+      val den = s"(1.0 - (${(1 until k)
+        .map(j => s"(${phi(k - 1)(j)}) * r$j").mkString(" + ")}))"
+      phi(k)(k) = s"($num / $den)"
+      for (j <- 1 until k)
+        phi(k)(j) = s"((${phi(k - 1)(j)}) - (${phi(k)(k)}) * (${phi(k - 1)(k - j)}))"
+    }
+    (1 to PacfMaxLag).map(k => phi(k)(k))
+  }
 
   /** q297's suffix rules, FIRST applicable wins: (suffix, min token
     * length to strip). One constant feeding the Column chain and the
