@@ -1737,6 +1737,115 @@ private[queries] object CatalogStatTests {
                  FROM racf GROUP BY event_type)
         SELECT * FROM ($phiSelects) ORDER BY event_type, lag"""
       }),
+
+    // CUPED variance reduction (round 13) — the experimentation
+    // workhorse beside q246's diff-in-diff: adjust each unit's metric
+    // by its PRE-period covariate, y' = y - theta (x - xbar) with
+    // theta = cov(x, y)/var(x) pooled across arms, and report the
+    // per-arm means plus the realized variance reduction. Units are
+    // users, arms a deterministic parity split, pre/post the calendar
+    // halves; x and y are exact cents, every moment an exact integer,
+    // and theta/variances are fixed-order doubles e6-snapped at emit.
+    // Shape: two grouped aggs + one 1-row broadcast — scales anywhere.
+    "q396_cuped" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), dayofmonth(col("ts")).cast("long").as("__day"),
+            expr(centsCol("value")).as("__c"))
+        val perUser = ev.groupBy("user_id").agg(
+          sum(when(col("__day") <= 15L, col("__c")).otherwise(0L)).as("x"),
+          sum(when(col("__day") > 15L, col("__c")).otherwise(0L)).as("y"))
+          .withColumn("arm", (col("user_id") % 2L).as("arm"))
+          .localCheckpoint(eager = true) // pooled moments + per-arm share it
+        val pooled = perUser.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        // theta = (n sxy - sx sy) / (n sxx - sx^2); xbar = sx / n — both
+        // fixed-order doubles shared by every row via a 1-row broadcast
+        // yadj is a per-row double — snap it onto the centi-cent integer
+        // grid IMMEDIATELY (the q224 rule) so the per-arm sums are
+        // order-free exact integers; the grid loss is 1e-2 cents
+        val withTheta = perUser.crossJoin(broadcast(pooled))
+          .withColumn("__theta",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .withColumn("__yg",
+            floor((col("y").cast("double")
+              - col("__theta") * (col("x").cast("double")
+                - col("sx").cast("double") / col("n").cast("double")))
+              * 100 + 0.5).cast("long"))
+        val byArm = withTheta.groupBy("arm").agg(
+          count(lit(1)).as("n_users"),
+          sum(col("y")).as("__sy"), sum(col("y") * col("y")).as("__syy"),
+          sum(col("__yg")).as("__sa"),
+          sum(col("__yg") * col("__yg")).as("__saa"))
+        def e6(c: org.apache.spark.sql.Column) =
+          floor(c * 1000000 + 0.5).cast("long")
+        val nD = col("n_users").cast("double")
+        val varY = (col("__syy").cast("double")
+          - col("__sy").cast("double") * col("__sy").cast("double") / nD) / nD
+        val varA = (col("__saa").cast("double") / 10000.0
+          - (col("__sa").cast("double") / 100.0)
+            * (col("__sa").cast("double") / 100.0) / nD) / nD
+        byArm.select(col("arm"), col("n_users"),
+          e6(col("__sy").cast("double") / nD).as("mean_y_e6"),
+          e6(col("__sa").cast("double") / 100.0 / nD).as("mean_yadj_e6"),
+          e6(varY).as("var_y_e6"), e6(varA).as("var_yadj_e6"),
+          e6((varY - varA) / varY).as("var_reduction_e6"))
+          .orderBy("arm")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id,
+                           CAST(strftime(ts, '%d') AS BIGINT) AS day,
+                           ${centsSql("value")} AS c
+                    FROM events),
+        pu AS (SELECT user_id, user_id % 2 AS arm,
+                      sum(CASE WHEN day <= 15 THEN c ELSE 0 END) AS x,
+                      sum(CASE WHEN day > 15 THEN c ELSE 0 END) AS y
+               FROM ev GROUP BY user_id),
+        pooled AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                          sum(x * x) AS sxx, sum(x * y) AS sxy
+                   FROM pu),
+        adj AS (SELECT pu.arm, pu.y,
+                       CAST(floor((CAST(pu.y AS DOUBLE)
+                         - (CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE))
+                           * (CAST(pu.x AS DOUBLE)
+                              - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                         * 100 + 0.5) AS BIGINT) AS yg
+                FROM pu, pooled),
+        a AS (SELECT arm, count(*) AS n_users,
+                     sum(y) AS sy, sum(y * y) AS syy,
+                     sum(yg) AS sa, sum(yg * yg) AS saa
+              FROM adj GROUP BY arm)
+        SELECT CAST(arm AS BIGINT) AS arm, CAST(n_users AS BIGINT) AS n_users,
+               CAST(floor(CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS mean_y_e6,
+               CAST(floor(CAST(sa AS DOUBLE) / 100.0
+                   / CAST(n_users AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS mean_yadj_e6,
+               CAST(floor((CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                     / CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS var_y_e6,
+               CAST(floor((CAST(saa AS DOUBLE) / 10000.0
+                   - (CAST(sa AS DOUBLE) / 100.0)
+                     * (CAST(sa AS DOUBLE) / 100.0)
+                     / CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS var_yadj_e6,
+               CAST(floor(((CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE)
+                   - (CAST(saa AS DOUBLE) / 10000.0
+                     - (CAST(sa AS DOUBLE) / 100.0)
+                       * (CAST(sa AS DOUBLE) / 100.0)
+                       / CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE))
+                  / ((CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT) AS var_reduction_e6
+        FROM a ORDER BY arm""")),
   )
 
   /** q394's z for the 95% Wilson interval — Scala-rendered once so both
