@@ -492,46 +492,6 @@ private[queries] object CatalogGeoWave {
     // (bounded heaps), with row_number assigned after the cap over the
     // <= 3x5-row survivor frame. Counts are exact integers; ordering is
     // total (freq desc, then phrase / doc id).
-    // Phrase search via MAP-SIDE adjacent bigrams (r12 verdict #4): each
-    // doc's token array zips with its own 1-shifted tail inside the scan
-    // projection — zero shuffles before the pre-aggregated per-doc
-    // bigram count. The previous positional-postings form (posexplode →
-    // self-join on pos+1) shipped the whole posting list through TWO
-    // O(total-tokens) exchanges to emit the same bigrams; interleaved
-    // A/B at sf0.1: median 2.03s vs 2.66s, paired delta -0.82s median,
-    // min 1.66 vs 2.30 (NOTES r13).
-    // The bigram count frame is checkpointed and serves BOTH phrase
-    // discovery (global top-3) and the per-doc ranking probe — one
-    // corpus pass, zero rescans. The ranking probe runs on TopKPerKey
-    // (bounded heaps), with row_number assigned after the cap over the
-    // <= 3x5-row survivor frame. Counts are exact integers; ordering is
-    // total (freq desc, then phrase / doc id).
-    "q268_postings_twin_tmp" -> QueryDef(
-      fn = (s, d) => {
-        val postings = t(s, d, "documents")
-          .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "term")))
-        val nxt = postings.select(col("doc_id").as("doc2"),
-          col("pos").as("pos2"), col("term").as("w2"))
-        val adjCounts = postings
-          .join(nxt, col("doc2") === col("doc_id") &&
-            col("pos2") === col("pos") + 1)
-          .select(col("doc_id"), col("term").as("w1"), col("w2"))
-          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_occ"))
-          .withColumn("phrase", concat(col("w1"), lit(" "), col("w2")))
-          .localCheckpoint(eager = true)
-        val top3 = adjCounts.groupBy("phrase")
-          .agg(sum(col("n_occ")).as("total_occ"))
-          .orderBy(col("total_occ").desc, col("phrase"))
-          .limit(PhraseQueryCount)
-        val w = Window.partitionBy("phrase").orderBy(col("n_occ").desc, col("doc_id"))
-        adjCounts.join(broadcast(top3.select("phrase")), Seq("phrase"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= PhraseTopDocs)
-          .select("phrase", "rank", "doc_id", "n_occ")
-          .orderBy("phrase", "rank")
-      },
-      oracle = None),
-
     "q268_phrase_search" -> QueryDef(
       fn = (s, d) => {
         val toks = t(s, d, "documents")
