@@ -4763,5 +4763,60 @@ private[queries] object CatalogInsight {
                CAST(rb AS BIGINT) AS rank_diversity,
                CAST(rrf AS BIGINT) AS rrf_e12
         FROM sc QUALIFY fused_rank <= 10 ORDER BY fused_rank""")),
+
+    // STREAMING as-of enrichment (round 13) — the broadcast as-of rung
+    // applied where it matters most: INSIDE a stream. Micro-batch rows
+    // are enriched against the static daily-threshold timeline via the
+    // asof_lookup codegen expression over a broadcast index — a
+    // per-row scalar, so the stream side pays ZERO extra shuffle and
+    // no stream-static join state; Spark's stream-static equi-join
+    // (q239) cannot express the as-of (<=) semantics at all, and a
+    // stream-side window function is unsupported. The aggregate is
+    // checked against the batch ASOF oracle — stream/batch parity on
+    // as-of semantics, extending the q48/q104 parity family to the
+    // as-of operator. Yesterday's max prices today's stream — exactly
+    // the production enrichment shape.
+    "q397_stream_asof_enrich" -> QueryDef(
+      fn = (s, d) => {
+        val dir = stageEventsDir(d)
+        val ss = streamingSession(s)
+        val table = try {
+          val dim = t(ss, d, "events")
+            .groupBy(col("event_type"), date_trunc("day", col("ts")).as("__d"))
+            .agg(max(cents(col("value"))).as("day_max_cents"))
+            .select(col("event_type"),
+              (col("__d") + expr("INTERVAL 1 DAY")).as("d_ts"),
+              col("day_max_cents"))
+          val stream = stagedEventsStream(ss, dir)
+            .select("event_id", "event_type", "ts", "value")
+          val enriched = graft.ops.AsOfJoin.asofBroadcast(stream, dim,
+            on = Seq("event_type"), leftTs = "ts", rightTs = "d_ts",
+            rightCols = Seq("day_max_cents"))
+          val agg = enriched.groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(when(cents(col("value")) > col("day_max_cents"), 1L)
+                .otherwise(0L)).as("n_above"),
+              sum(when(col("day_max_cents").isNull, 1L).otherwise(0L))
+                .as("n_unmatched"))
+          runToMemoryTable(ss, agg, "q397_mem")
+        } finally dropStaged(dir)
+        table.orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH dim AS (SELECT event_type,
+                            date_trunc('day', ts) + INTERVAL 1 DAY AS d_ts,
+                            max(${centsSql("value")}) AS day_max_cents
+                     FROM events GROUP BY 1, 2),
+        j AS (SELECT e.event_type, e.value, dim.day_max_cents
+              FROM events e
+              ASOF LEFT JOIN dim ON e.event_type = dim.event_type
+                                AND e.ts >= dim.d_ts)
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN ${centsSql("value")} > day_max_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               CAST(sum(CASE WHEN day_max_cents IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        FROM j GROUP BY event_type ORDER BY event_type"""),
+      streaming = true),
   )
 }
