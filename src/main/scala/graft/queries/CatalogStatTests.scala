@@ -1738,6 +1738,96 @@ private[queries] object CatalogStatTests {
         SELECT * FROM ($phiSelects) ORDER BY event_type, lag"""
       }),
 
+    // AR(1) one-step forecast backtest (round 13) — the "is yesterday
+    // plus mean-reversion better than yesterday" readout that decides
+    // whether a series deserves a model at all (the eval sibling of
+    // q365's Holt-Winters, which fits but never scores). phi is the
+    // lag-1 ACF from q266's exact-integer centering trick, e6-snapped;
+    // forecasts xhat_t = xbar + phi (x_{t-1} - xbar) are per-row
+    // doubles snapped to the cents grid IMMEDIATELY (order-free error
+    // sums, the q396 rule); errors compare against the naive
+    // persistence forecast on consecutive-day pairs only (a calendar
+    // gap breaks the pair, never silently shifts it). Total abs errors
+    // as exact longs — no division, no FP drift.
+    "q398_ar1_backtest" -> QueryDef(
+      fn = (s, d) => {
+        val g = t(s, d, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).cast("long").as("day"),
+            expr(centsCol("value")).as("__c"))
+          .groupBy("event_type", "day").agg(sum(col("__c")).as("x"))
+        val tot = g.groupBy("event_type")
+          .agg(count(lit(1)).as("nd"), sum(col("x")).as("s"))
+        val y = g.join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("day"), col("x"),
+            (col("nd") * col("x") - col("s")).as("y"),
+            col("nd"), col("s"))
+          .localCheckpoint(eager = true) // phi pass + pair pass share it
+        val den = y.groupBy("event_type").agg(sum(col("y") * col("y")).as("den"))
+        val nxt = y.select(col("event_type"), (col("day") - 1L).as("day"),
+          col("y").as("y2"), col("x").as("x2"))
+        val phi = y.join(nxt, Seq("event_type", "day"))
+          .groupBy("event_type").agg(sum(col("y") * col("y2")).as("num"))
+          .join(den, Seq("event_type")).filter(col("den") > 0L)
+          .select(col("event_type"),
+            floor(col("num").cast("double") / col("den").cast("double")
+              * 1000000 + 0.5).cast("long").as("phi_e6"))
+        val pairs = y.join(nxt, Seq("event_type", "day"))
+          .join(broadcast(phi), Seq("event_type"))
+        val xbar = col("s").cast("double") / col("nd").cast("double")
+        val xhat = xbar + (col("phi_e6").cast("double") / 1000000.0) *
+          (col("x").cast("double") - xbar)
+        pairs
+          .select(col("event_type"), col("phi_e6"),
+            floor(abs(col("x2").cast("double") - xhat) + 0.5).cast("long")
+              .as("__ea"),
+            abs(col("x2") - col("x")).as("__en"))
+          .groupBy("event_type", "phi_e6")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("__ea")).as("abs_err_ar_cents"),
+            sum(col("__en")).as("abs_err_naive_cents"))
+          .withColumn("ar_wins",
+            col("abs_err_ar_cents") < col("abs_err_naive_cents"))
+          .select("event_type", "n_pairs", "phi_e6", "abs_err_ar_cents",
+            "abs_err_naive_cents", "ar_wins")
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH g AS (SELECT event_type, CAST(strftime(ts, '%d') AS BIGINT) AS day,
+                          sum(${centsSql("value")}) AS x
+                   FROM events GROUP BY event_type, day),
+        tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(x) AS BIGINT) AS s
+                FROM g GROUP BY event_type),
+        y AS (SELECT g.event_type, g.day, g.x, nd * x - s AS y, nd, s
+              FROM g JOIN tot ON g.event_type = tot.event_type),
+        den AS (SELECT event_type, CAST(sum(y * y) AS BIGINT) AS den
+                FROM y GROUP BY event_type),
+        ph AS (SELECT a.event_type,
+                      CAST(floor(CAST(sum(a.y * b.y) AS DOUBLE)
+                        / CAST(max(d.den) AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS phi_e6
+               FROM y a JOIN y b ON b.event_type = a.event_type
+                                AND b.day = a.day + 1
+               JOIN den d ON d.event_type = a.event_type
+               WHERE d.den > 0
+               GROUP BY a.event_type),
+        p AS (SELECT a.event_type, ph.phi_e6,
+                     CAST(floor(abs(CAST(b.x AS DOUBLE)
+                       - (CAST(a.s AS DOUBLE) / CAST(a.nd AS DOUBLE)
+                          + CAST(ph.phi_e6 AS DOUBLE) / 1000000.0
+                            * (CAST(a.x AS DOUBLE)
+                               - CAST(a.s AS DOUBLE) / CAST(a.nd AS DOUBLE))))
+                       + 0.5) AS BIGINT) AS ea,
+                     abs(b.x - a.x) AS en
+              FROM y a JOIN y b ON b.event_type = a.event_type
+                               AND b.day = a.day + 1
+              JOIN ph ON ph.event_type = a.event_type)
+        SELECT event_type, count(*) AS n_pairs, phi_e6,
+               CAST(sum(ea) AS BIGINT) AS abs_err_ar_cents,
+               CAST(sum(en) AS BIGINT) AS abs_err_naive_cents,
+               sum(ea) < sum(en) AS ar_wins
+        FROM p GROUP BY event_type, phi_e6 ORDER BY event_type""")),
+
     // CUPED variance reduction (round 13) — the experimentation
     // workhorse beside q246's diff-in-diff: adjust each unit's metric
     // by its PRE-period covariate, y' = y - theta (x - xbar) with
