@@ -1828,6 +1828,62 @@ private[queries] object CatalogStatTests {
                sum(ea) < sum(en) AS ar_wins
         FROM p GROUP BY event_type, phi_e6 ORDER BY event_type""")),
 
+    // Markov entropy rate (round 13) — "how predictable is the next
+    // event given the current one": per FROM-state, the conditional
+    // Shannon entropy of the transition row (nats), plus the state's
+    // stationary weight — the scalar q102's transition matrix never
+    // reduces to, and the information-theoretic ceiling for any
+    // next-event predictor (q347-class models can't beat
+    // exp(-H) accuracy). Transition counts per user via one lead
+    // window; each log-probability snaps to the 1e-6 grid IMMEDIATELY
+    // (the q229 rule), so the weighted sums are order-free integers
+    // and the per-state division is the last op. The count frame is
+    // |types|^2 — everything after the one corpus window is bounded.
+    "q399_markov_entropy_rate" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .withColumnRenamed("event_type", "prev")
+        val counts = trans.groupBy("prev", "nxt")
+          .agg(count(lit(1)).as("__nij"))
+          .localCheckpoint(eager = true) // marginals + terms share it
+        val ni = counts.groupBy("prev").agg(sum(col("__nij")).as("__ni"))
+        val total = ni.agg(sum(col("__ni")).as("__nn"))
+        val terms = counts.join(broadcast(ni), Seq("prev"))
+          .select(col("prev"), col("__ni"),
+            (col("__nij") * floor(log(col("__nij").cast("double")
+              / col("__ni").cast("double")) * 1000000.0 + 0.5).cast("long"))
+              .as("__t"))
+        terms.groupBy("prev", "__ni").agg(sum(col("__t")).as("__ts"))
+          .crossJoin(broadcast(total))
+          .select(col("prev").as("event_type"), col("__ni").as("n_out"),
+            expr("(-__ts) div __ni").as("h_nats_e6"),
+            expr("__ni * 1000000 div __nn").as("weight_e6"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH tr AS (SELECT event_type AS prev,
+                           lead(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS nxt
+                    FROM events),
+        c AS (SELECT prev, nxt, count(*) AS nij FROM tr
+              WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        m AS (SELECT prev, CAST(sum(nij) AS BIGINT) AS ni FROM c GROUP BY 1),
+        nn AS (SELECT CAST(sum(ni) AS BIGINT) AS n FROM m),
+        t AS (SELECT c.prev, m.ni,
+                     c.nij * CAST(floor(ln(CAST(c.nij AS DOUBLE)
+                       / CAST(m.ni AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                       AS term
+              FROM c JOIN m ON c.prev = m.prev)
+        SELECT t.prev AS event_type, max(t.ni) AS n_out,
+               CAST((-sum(t.term)) // max(t.ni) AS BIGINT) AS h_nats_e6,
+               CAST(max(t.ni) * 1000000 // max(nn.n) AS BIGINT) AS weight_e6
+        FROM t, nn GROUP BY t.prev ORDER BY event_type""")),
+
     // CUPED variance reduction (round 13) — the experimentation
     // workhorse beside q246's diff-in-diff: adjust each unit's metric
     // by its PRE-period covariate, y' = y - theta (x - xbar) with
