@@ -1884,6 +1884,44 @@ private[queries] object CatalogStatTests {
                CAST(max(t.ni) * 1000000 // max(nn.n) AS BIGINT) AS weight_e6
         FROM t, nn GROUP BY t.prev ORDER BY event_type""")),
 
+    // The auto dispatch's MERGE route on the oracle board (round 13) —
+    // q383 pins the broadcast route; here `graft.asof.broadcastThreshold`
+    // is forced to 1 byte in an ISOLATED cloned session, so asofAuto
+    // must take the merge exec — and the result is checked against the
+    // SAME DuckDB ASOF oracle as q354/q355/q383. Together the pair
+    // proves the dispatch is a purely physical choice: two routes, one
+    // oracle. (AsOfAutoSpec pins the plan shapes; this pins the
+    // conf-driven route end-to-end under the correctness gate.)
+    "q400_asof_auto_merge_route" -> QueryDef(
+      fn = (s, d) => {
+        val ss = s.newSession() // isolated conf scope for the forced route
+        graft.Tables.requiredConfs.foreach { case (k, v) => ss.conf.set(k, v) }
+        ss.conf.set("graft.asof.broadcastThreshold", "1")
+        val ev = t(ss, d, "events")
+        val facts = ev.select("event_id", "event_type", "ts")
+        val dim = ev
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("__d"))
+          .agg(max(cents(col("value"))).as("day_max_cents"))
+          .select(col("event_type"),
+            (col("__d") + expr("INTERVAL 1 DAY")).as("d_ts"),
+            col("day_max_cents"))
+        graft.ops.AsOfJoin.asofAuto(facts, dim,
+            on = Seq("event_type"), leftTs = "ts", rightTs = "d_ts",
+            rightCols = Seq("day_max_cents"))
+          .orderBy("event_id")
+      },
+      oracle = Some(s"""
+        WITH dim AS (SELECT event_type,
+                            date_trunc('day', ts) + INTERVAL 1 DAY AS d_ts,
+                            max(${centsSql("value")}) AS day_max_cents
+                     FROM events GROUP BY 1, 2)
+        SELECT l.event_id, l.event_type, l.ts, dim.d_ts AS asof_ts,
+               dim.day_max_cents
+        FROM (SELECT event_id, event_type, ts FROM events) l
+        ASOF LEFT JOIN dim
+          ON l.event_type = dim.event_type AND l.ts >= dim.d_ts
+        ORDER BY l.event_id""")),
+
     // CUPED variance reduction (round 13) — the experimentation
     // workhorse beside q246's diff-in-diff: adjust each unit's metric
     // by its PRE-period covariate, y' = y - theta (x - xbar) with
