@@ -2,6 +2,7 @@ package graft
 
 import graft.queries.Catalog
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max, xxhash64}
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line with total + per-query wall times. Each query is
@@ -19,6 +20,31 @@ import org.apache.spark.sql.SparkSession
   *  - `prev` carries the common-query subtotal vs the newest committed
   *    BENCH_r*.json, so the round-over-round delta is computed here,
   *    mechanically, instead of eyeballed across files.
+  *
+  * STEAL ROBUSTNESS (r13 verdict #1 — the bench of record was
+  * host-steal-contaminated two rounds running, +39.7% common-set drift
+  * on identical binaries with in-run sample swings of 66.6→9.2 s):
+  *  - a fixed pure-CPU ANCHOR (spark.range → xxhash64 → sum: no IO, no
+  *    shuffle, plans identically every run) executes after EVERY
+  *    sample; its wall time is a direct probe of how much CPU the host
+  *    is actually giving this JVM at that moment;
+  *  - a sample whose trailing anchor drifts >1.5× the session's anchor
+  *    minimum is CONTAMINATED: it is retried in place (bounded budget
+  *    per query) and, if the budget is spent, kept but FLAGGED —
+  *    per-sample validity rides the artifact, so a noisy run is
+  *    adjudicable without a rerun;
+  *  - each sample also records a CPU-efficiency proxy (process CPU
+  *    seconds / (wall seconds × cores)): near-1.0 means the JVM really
+  *    ran 32-wide; a low value on a slow sample is the steal signature
+  *    (the ProbeTiming r13 attribution, now in-artifact and per-sample).
+  *
+  * STDOUT-LINE BUDGET (the round-7 AND round-13 lesson — both rounds'
+  * driver artifacts arrived head-truncated at ~2000 chars, r13's with
+  * "parsed": null): the line is assembled in degrading tiers and the
+  * first rendering that fits `maxLineBytes` (1900) wins; the `queries`
+  * object rides LAST so even a truncated tail still carries the medians
+  * (the `fromTail` recovery route in [[previousBench]]). The side file
+  * target/bench.json always carries everything at full precision.
   */
 object Bench {
 
@@ -41,7 +67,8 @@ object Bench {
     * medians can't be recovered by any route are skipped, not fatal.
     * None when no round yields medians.
     */
-  private[graft] def previousBench(dir: java.io.File): Option[(String, Map[String, Double])] = {
+  private[graft] def previousBench(dir: java.io.File,
+      sfDir: String = ""): Option[(String, Map[String, Double])] = {
     val rx = "BENCH_r(\\d+)\\.json".r
     val candidates = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
       .flatMap(f => f.getName match {
@@ -71,15 +98,62 @@ object Bench {
         else toMap(mapper.readTree(t.substring(start + "\"queries\":".length, end + 1)))
       }
     }
+    // sf gate: a smoke run at sf0.001 must not "compare" against the
+    // driver's sf0.1 rounds (r14: the smoke's prev read -50% — pure sf
+    // mismatch). A file whose sf is unrecoverable is assumed comparable
+    // (the driver always runs sf0.1).
+    def sfOf(root: com.fasterxml.jackson.databind.JsonNode): Option[String] = {
+      val parsed = root.path("parsed").path("sf")
+      if (parsed.isTextual) Some(parsed.asText())
+      else {
+        val direct = root.path("sf")
+        if (direct.isTextual) Some(direct.asText())
+        else {
+          val tail = root.path("tail")
+          if (!tail.isTextual) None
+          else {
+            val rx2 = "\"sf\":\"([^\"]+)\"".r
+            rx2.findFirstMatchIn(tail.asText()).map(_.group(1))
+          }
+        }
+      }
+    }
+    def sameSf(a: String, b: String): Boolean =
+      a.stripSuffix("/") == b.stripSuffix("/")
     candidates.iterator.flatMap { case (_, f) =>
       try {
         val root = mapper.readTree(f)
-        val parsed = root.path("parsed").path("queries")
-        val qs = if (!parsed.isMissingNode && parsed.isObject) parsed
-                 else root.path("queries")
-        toMap(qs).orElse(fromTail(root)).map((f.getName, _))
+        if (sfDir.nonEmpty && sfOf(root).exists(s => !sameSf(s, sfDir))) None
+        else {
+          val parsed = root.path("parsed").path("queries")
+          val qs = if (!parsed.isMissingNode && parsed.isObject) parsed
+                   else root.path("queries")
+          toMap(qs).orElse(fromTail(root)).map((f.getName, _))
+        }
       } catch { case _: Throwable => None }
     }.nextOption()
+  }
+
+  /** Anchor drift gate: a trailing anchor slower than
+    * max(1.5 × sessionMin, sessionMin + 0.25 s) marks the preceding
+    * sample contaminated. The ratio catches the 2-20× excursions the
+    * r12/r13 steal episodes showed; the ABSOLUTE grace term keeps a
+    * fast anchor (sub-0.3 s on a 32-thread box) from flagging
+    * millisecond-scale scheduler jitter (the r14 smoke run flagged 44%
+    * of readings on a pure 1.5× gate over a 0.056 s min).
+    */
+  private val AnchorDrift = 1.5
+  private val AnchorGraceSec = 0.25
+  private def anchorBad(reading: Double, sessionMin: Double): Boolean =
+    reading > math.max(AnchorDrift * sessionMin, sessionMin + AnchorGraceSec)
+
+  /** Formatting: seconds at fixed decimals, no scientific notation. */
+  private def fmt(v: Double, dp: Int): String = {
+    val p = math.pow(10, dp)
+    val r = math.round(v * p) / p
+    if (r == r.toLong.toDouble && dp == 0) r.toLong.toString
+    else BigDecimal(r).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
   }
 
   def main(args: Array[String]): Unit = {
@@ -95,6 +169,36 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _                                           => None
+    }
+    val cores = Runtime.getRuntime.availableProcessors()
+
+    // ---- steal anchor: fixed pure-CPU probe, no IO, no shuffle ----
+    val anchorTrace = scala.collection.mutable.ArrayBuffer[Double]()
+    def anchorOnce(): Double = {
+      val t0 = System.nanoTime()
+      // max, not sum: summing 2^28 signed 64-bit hashes overflows long
+      // under ANSI; max still forces every hash to be computed
+      spark.range(1L << 28).select(xxhash64(col("id")).as("h"))
+        .agg(max(col("h"))).collect()
+      val s = (System.nanoTime() - t0) / 1e9
+      anchorTrace += s
+      s
+    }
+    // 3 warmups: codegen + JIT; the session minimum over ALL runs is the
+    // quiet-host floor every later reading is judged against
+    (1 to 3).foreach(_ => anchorOnce())
+    def anchorMin: Double = anchorTrace.min
+    // a slow FIRST reading gets one confirm-read before it can flag a
+    // sample: a GC pause inside the anchor itself must not contaminate
+    // a perfectly quiet sample — the min of the pair is the verdict
+    def anchorAfterSample(): Double = {
+      val a = anchorOnce()
+      if (!anchorBad(a, anchorMin)) a else math.min(a, anchorOnce())
+    }
+
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -106,116 +210,260 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val sampled = SparkEntry.benchQueries.map { name =>
+    /** One measured sample: wall seconds, the anchor reading taken right
+      * after it, and the CPU-efficiency proxy over the sample window.
+      */
+    case class Sample(sec: Double, anchorAfter: Double, cpuEff: Double)
+    def measure(run: () => Double): Sample = {
+      val cpu0 = osBean.map(_.getProcessCpuTime).getOrElse(0L)
+      val sec = run()
+      val cpu1 = osBean.map(_.getProcessCpuTime).getOrElse(0L)
+      val eff = if (sec > 0 && osBean.isDefined)
+        math.min(1.0, (cpu1 - cpu0) / 1e9 / (sec * cores)) else -1.0
+      Sample(sec, anchorAfterSample(), eff)
+    }
+
+    /** Sample with inline contamination retries: a sample whose trailing
+      * anchor drifted is re-taken while the per-query budget lasts; the
+      * LAST attempt is kept either way (final validity is re-judged
+      * against the end-of-run anchor minimum). Returns samples + retries
+      * spent.
+      */
+    def sampled(run: () => Double, budget: Int, n3to5: Boolean): (Seq[Sample], Int) = {
+      var retries = 0
+      def one(): Sample = {
+        var s = measure(run)
+        while (s.sec >= 0 && anchorBad(s.anchorAfter, anchorMin) && retries < budget) {
+          retries += 1
+          s = measure(run)
+        }
+        s
+      }
+      val first3 = Seq.fill(3)(one())
+      // sub-second tier: stage-overhead jitter dominates, widen to 5
+      val ss = if (n3to5 && first3.forall(s => s.sec >= 0 && s.sec < 1.0))
+        first3 ++ Seq.fill(2)(one())
+      else first3
+      (ss, retries)
+    }
+
+    val batch = SparkEntry.benchQueries.map { name =>
       val warm = timeOnce(name)
       // a query that cannot even warm up must not burn 3-5 slow failing
       // runs NOR mask the warmup failure behind samples that happen to
       // succeed on retry — short-circuit to an explicit failure
-      if (warm < 0) name -> Seq(-1.0)
-      else {
-        val first3 = Seq.fill(3)(timeOnce(name))
-        // sub-second tier: stage-overhead jitter dominates, widen to 5
-        val ss = if (first3.forall(s => s >= 0 && s < 1.0))
-          first3 ++ Seq.fill(2)(timeOnce(name))
-        else first3
-        name -> ss
-      }
+      val (ss, retries) =
+        if (warm < 0) (Seq(Sample(-1.0, 0.0, -1.0)), 0)
+        else sampled(() => timeOnce(name), budget = 2, n3to5 = true)
+      // unpin any asofBroadcast indexes this query's samples registered
+      // (each sample rebuilds its own; without this a bench run pins
+      // one index per sample for the whole run)
+      try graft.ops.AsOfJoin.releaseBroadcastIndexes(spark)
+      catch { case _: Throwable => () }
+      (name, ss, retries)
     }
-    val results = sampled.map { case (name, ss) =>
-      (name, median(ss), if (ss.exists(_ < 0)) -1.0 else ss.min, ss)
-    }
+
     // Streaming-harness queries (staged copy + processAllAvailable rounds)
     // run on their OWN line: their fixed micro-batch latency dominated the
     // r9 total (q160 = 18.6%) and masked drift in the batch queries.
-    // Round-10 lesson: the line carried ONE opaque median per query, so
-    // when the driver read q160 at 20.35 s (vs a 5.63 s r9 median) nothing
-    // in the artifact could say which phase owned the delta. Now each
-    // streaming query reports mins + raw samples (like the batch line) AND
-    // a staging split: `StagingClock` accumulates the harness-only file
-    // copy/delete time inside each sample, so `streaming_staging` medians
-    // separate "the temp-dir copy was slow" from "the stream ran slow".
-    // Warm + 3 samples (r10 ran warm + 2 — too thin for a median).
-    // r11 verdict #5: per-sample MICRO-BATCH durations ride the side file
-    // (batchId, triggerExecution ms, input rows per batch, drained from
-    // Catalog.ProgressLog after each sample) so a q239/q160-class anomaly
-    // can be attributed to batch 0 vs steady state without a rerun.
+    // Each streaming query reports mins + raw samples (like the batch
+    // line) AND a staging split (`StagingClock` separates harness-only
+    // file copy/delete time) AND per-sample micro-batch durations
+    // ([batchId, triggerExecution ms, input rows, state rows, state
+    // bytes] drained from Catalog.ProgressLog) so a q239/q160-class
+    // anomaly can be attributed to batch 0 vs steady state without a
+    // rerun. Anchor + retry treatment matches the batch line (budget 1 —
+    // streaming samples are expensive).
     def timeStreamingOnce(name: String): (Double, Double, String) = {
       Catalog.StagingClock.drainSeconds() // clear batch-phase residue
       Catalog.ProgressLog.drain() // clear prior-sample residue
       val total = timeOnce(name)
       val staging = Catalog.StagingClock.drainSeconds()
-      // [batchId, triggerExecution ms, input rows, state rows, state bytes]
       val batches = Catalog.ProgressLog.drain()
         .map(b => s"[${b.batchId},${b.triggerMs},${b.inputRows},${b.stateRows},${b.stateBytes}]")
         .mkString("[", ",", "]")
       (total, staging, batches)
     }
     val streaming = SparkEntry.benchStreamingQueries.map { name =>
+      val stagings = scala.collection.mutable.ArrayBuffer[Double]()
+      val batchLogs = scala.collection.mutable.ArrayBuffer[String]()
+      def run(): Double = {
+        val (total, staging, batches) = timeStreamingOnce(name)
+        stagings += staging
+        batchLogs += batches
+        total
+      }
       val (warm, _, _) = timeStreamingOnce(name)
-      val triples = if (warm < 0) Seq((-1.0, 0.0, "[]"))
-                    else Seq.fill(3)(timeStreamingOnce(name))
-      val ss = triples.map(_._1)
-      val staging = triples.map(_._2)
-      val batches = triples.map(_._3)
-      (name, median(ss), if (ss.exists(_ < 0)) -1.0 else ss.min, ss, staging, batches)
+      val (ss, retries) =
+        if (warm < 0) (Seq(Sample(-1.0, 0.0, -1.0)), 0)
+        else { stagings.clear(); batchLogs.clear();
+               sampled(() => run(), budget = 1, n3to5 = false) }
+      (name, ss, retries, stagings.toSeq, batchLogs.toSeq)
     }
-    def field(f: ((String, Double, Double, Seq[Double])) => String) =
-      results.map(f).mkString("{", ",", "}")
-    val qs = field { case (k, med, _, _) => "\"" + k + "\":" + med }
-    val mins = field { case (k, _, mn, _) => "\"" + k + "\":" + mn }
-    val samples = field { case (k, _, _, ss) => "\"" + k + "\":" + ss.mkString("[", ",", "]") }
-    // a failed query must not subtract from (i.e. improve) the headline
-    // total: sum successes only and report failures explicitly
-    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    val failedField =
-      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+
+    // ---- final validity: judge every kept sample against the
+    // END-OF-RUN anchor minimum (the running min available inline may
+    // have been inflated early in a noisy run) ----
+    val aMin = anchorMin
+    def badIdx(ss: Seq[Sample]): Seq[Int] =
+      ss.zipWithIndex.collect {
+        case (s, i) if s.sec >= 0 && anchorBad(s.anchorAfter, aMin) => i }
+
+    val results = batch.map { case (name, ss, retries) =>
+      val secs = ss.map(_.sec)
+      (name, median(secs), if (secs.exists(_ < 0)) -1.0 else secs.min, ss, retries)
+    }
+    val failed = results.collect { case (k, v, _, _, _) if v < 0 => k }
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val contamBatch = results.map { case (k, _, _, ss, _) => k -> badIdx(ss) }
+      .filter(_._2.nonEmpty)
+    val resampledTotal = results.map(_._5).sum + streaming.map(_._3).sum
+
+    val streamResults = streaming.map { case (name, ss, retries, stagings, batchLogs) =>
+      val secs = ss.map(_.sec)
+      (name, median(secs), if (secs.exists(_ < 0)) -1.0 else secs.min, ss,
+        retries, stagings, batchLogs)
+    }
+    val streamFailed = streamResults.collect { case (k, v, _, _, _, _, _) if v < 0 => k }
+    val streamTotal = streamResults.collect { case (_, v, _, _, _, _, _) if v >= 0 => v }.sum
+    val contamStream = streamResults.map { case (k, _, _, ss, _, _, _) => k -> badIdx(ss) }
+      .filter(_._2.nonEmpty)
+
     // round-over-round: subtotal of the queries BOTH rounds ran (medians,
     // the statistic earlier rounds recorded), so a bench-set change never
     // poisons the comparison
-    val prevField = previousBench(new java.io.File(".")).flatMap { case (fname, prev) =>
-      val common = results.collect { case (k, v, _, _) if v >= 0 && prev.get(k).exists(_ >= 0) => k -> v }
+    val prevField = previousBench(new java.io.File("."), sfDir).flatMap { case (fname, prev) =>
+      val common = results.collect {
+        case (k, v, _, _, _) if v >= 0 && prev.get(k).exists(_ >= 0) => k -> v }
       if (common.isEmpty) None else {
         val cur = common.map(_._2).sum
         val pv = common.map { case (k, _) => prev(k) }.sum
         val pct = if (pv > 0) (cur - pv) / pv * 100.0 else 0.0
-        Some(s""","prev":{"file":"$fname","n_common":${common.size},"common_prev":$pv,"common_cur":$cur,"delta_pct":${math.round(pct * 10) / 10.0}}""")
+        Some(s""""prev":{"file":"$fname","n_common":${common.size},"common_prev":${fmt(pv, 2)},"common_cur":${fmt(cur, 2)},"delta_pct":${fmt(pct, 1)}}""")
       }
-    }.getOrElse("")
-    def streamField5(f: ((String, Double, Double, Seq[Double], Seq[Double], Seq[String])) => String) =
-      streaming.map(f).mkString("{", ",", "}")
-    val streamQs = streamField5 { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
-    val streamMins = streamField5 { case (k, _, mn, _, _, _) => "\"" + k + "\":" + mn }
-    val streamSamples = streamField5 { case (k, _, _, ss, _, _) =>
-      "\"" + k + "\":" + ss.mkString("[", ",", "]") }
-    val streamStaging = streamField5 { case (k, _, _, _, st, _) =>
-      "\"" + k + "\":" + median(st) }
-    val streamStagingSamples = streamField5 { case (k, _, _, _, st, _) =>
-      "\"" + k + "\":" + st.mkString("[", ",", "]") }
-    // side-file only (size): per-sample [batchId, triggerMs, inputRows]
-    // arrays — the batch-0-vs-steady-state attribution data
-    val streamBatches = streamField5 { case (k, _, _, _, _, bs) =>
-      "\"" + k + "\":" + bs.mkString("[", ",", "]") }
-    // mirror the batch contract (r10 advice): a warmup failure must land
-    // in an explicit failed array, not hide as a -1.0 median that quietly
-    // improves streaming_total
-    val streamFailed = streaming.collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }
-    val streamFailedField =
-      if (streamFailed.isEmpty) "" else s""","streaming_failed":${streamFailed.mkString("[", ",", "]")}"""
-    val streamTotal = streaming.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
-    // samples stay off the stdout line (tail-capture budget, see below)
-    // but mins + staging medians ride it: they are the two statistics the
-    // r10 q160 flag needed and they cost ~40 bytes per streaming query
-    val streamField = if (streaming.isEmpty) ""
-      else s""","streaming":$streamQs,"streaming_mins":$streamMins,"streaming_staging":$streamStaging$streamFailedField,"streaming_total":$streamTotal"""
-    val streamFullField = if (streaming.isEmpty) ""
-      else s""","streaming":$streamQs,"streaming_mins":$streamMins,"streaming_samples":$streamSamples,"streaming_staging":$streamStaging,"streaming_staging_samples":$streamStagingSamples,"streaming_batches":$streamBatches$streamFailedField,"streaming_total":$streamTotal"""
-    // stdout line stays SLIM: round 7's line (with the raw sample arrays
-    // inline) outgrew the driver's tail-capture window and arrived
-    // truncated → "parsed": null for the whole round. Samples go only to
-    // the side file; the line keeps queries + mins + failed + prev.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins$failedField$prevField$streamField,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"samples":$samples$failedField$prevField$streamFullField,"sf":"$sfDir"}"""
+    }
+
+    // ---- JSON assembly ----
+    def obj(pairs: Seq[(String, String)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def arr(vs: Seq[String]): String = vs.mkString("[", ",", "]")
+    def numObj(kv: Seq[(String, Double)], dp: Int): String =
+      obj(kv.map { case (k, v) => k -> (if (v < 0) "-1" else fmt(v, dp)) })
+
+    val anchorBadN = anchorTrace.count(anchorBad(_, aMin))
+    def anchorField(full: Boolean): String = {
+      val base = Seq(
+        "name" -> "\"range_xxhash64_max\"",
+        "min" -> fmt(aMin, 3),
+        "max" -> fmt(anchorTrace.max, 3),
+        "n" -> anchorTrace.size.toString,
+        "bad" -> anchorBadN.toString,
+        "drift_factor" -> AnchorDrift.toString)
+      obj(if (full) base :+ ("trace" -> arr(anchorTrace.toSeq.map(fmt(_, 3))))
+          else base)
+    }
+    def contamField(all: Seq[(String, Seq[Int])]): String =
+      obj(all.map { case (k, is) => k -> arr(is.map(_.toString)) })
+
+    val qMed = results.map { case (k, v, _, _, _) => k -> v }
+    val qMin = results.map { case (k, _, v, _, _) => k -> v }
+    val sMed = streamResults.map { case (k, v, _, _, _, _, _) => k -> v }
+    val sMin = streamResults.map { case (k, _, v, _, _, _, _) => k -> v }
+    val sStag = streamResults.map { case (k, _, _, _, _, st, _) =>
+      k -> median(st) }
+
+    // STDOUT line, degrading tiers (see scaladoc). `queries` LAST.
+    val maxLineBytes = 1900
+    def renderLine(dp: Int, withMins: Boolean, withStreamDetail: Boolean,
+        withContam: Boolean): String = {
+      val fields = Seq.newBuilder[(String, String)]
+      fields += ("metric" -> "\"total\"")
+      fields += ("value" -> fmt(total, 2))
+      fields += ("unit" -> "\"sec\"")
+      if (failed.nonEmpty)
+        fields += ("failed" -> arr(failed.map("\"" + _ + "\"")))
+      prevField.foreach(p => fields += ("prev" -> p.split(":", 2)(1)))
+      fields += ("anchor" -> anchorField(full = false))
+      val contamAll = contamBatch ++ contamStream
+      if (contamAll.nonEmpty) {
+        if (withContam) fields += ("contam" -> contamField(contamAll))
+        else fields += ("contam_n" -> contamAll.map(_._2.size).sum.toString)
+      }
+      if (resampledTotal > 0)
+        fields += ("resampled" -> resampledTotal.toString)
+      if (streamResults.nonEmpty) {
+        fields += ("streaming_total" -> fmt(streamTotal, 2))
+        fields += ("streaming" -> numObj(sMed, dp))
+        if (withStreamDetail) {
+          fields += ("streaming_mins" -> numObj(sMin, dp))
+          fields += ("streaming_staging" -> numObj(sStag, dp))
+        }
+        if (streamFailed.nonEmpty)
+          fields += ("streaming_failed" -> arr(streamFailed.map("\"" + _ + "\"")))
+      }
+      fields += ("sf" -> ("\"" + sfDir + "\""))
+      if (withMins) fields += ("mins" -> numObj(qMin, dp))
+      fields += ("queries" -> numObj(qMed, dp))
+      obj(fields.result())
+    }
+    // degradation order: mins first (the one big optional field — the
+    // side file always carries it), then streaming detail, then contam
+    // detail, then precision. `queries` medians are the must-carry.
+    val line = Seq(
+      () => renderLine(3, withMins = true, withStreamDetail = true, withContam = true),
+      () => renderLine(3, withMins = false, withStreamDetail = true, withContam = true),
+      () => renderLine(3, withMins = false, withStreamDetail = false, withContam = true),
+      () => renderLine(3, withMins = false, withStreamDetail = false, withContam = false),
+      () => renderLine(2, withMins = false, withStreamDetail = false, withContam = false))
+      .iterator.map(_.apply())
+      .find(_.length <= maxLineBytes)
+      .getOrElse(
+        renderLine(2, withMins = false, withStreamDetail = false, withContam = false))
+
+    // SIDE FILE: everything, full precision
+    val fullFields = Seq.newBuilder[(String, String)]
+    fullFields += ("metric" -> "\"total\"")
+    fullFields += ("value" -> total.toString)
+    fullFields += ("unit" -> "\"sec\"")
+    fullFields += ("queries" -> obj(qMed.map { case (k, v) => k -> v.toString }))
+    fullFields += ("mins" -> obj(qMin.map { case (k, v) => k -> v.toString }))
+    fullFields += ("samples" -> obj(results.map { case (k, _, _, ss, _) =>
+      k -> arr(ss.map(_.sec.toString)) }))
+    fullFields += ("anchors_after" -> obj(results.map { case (k, _, _, ss, _) =>
+      k -> arr(ss.map(s => fmt(s.anchorAfter, 3))) }))
+    fullFields += ("cpu_eff" -> obj(results.map { case (k, _, _, ss, _) =>
+      k -> arr(ss.map(s => fmt(s.cpuEff, 3))) }))
+    if (contamBatch.nonEmpty || contamStream.nonEmpty)
+      fullFields += ("contam" -> contamField(contamBatch ++ contamStream))
+    fullFields += ("resampled" -> obj(
+      (results.map { case (k, _, _, _, r) => k -> r } ++
+        streamResults.map { case (k, _, _, _, r, _, _) => k -> r })
+        .filter(_._2 > 0).map { case (k, r) => k -> r.toString }))
+    fullFields += ("anchor" -> anchorField(full = true))
+    if (failed.nonEmpty)
+      fullFields += ("failed" -> arr(failed.map("\"" + _ + "\"")))
+    prevField.foreach(p => fullFields += ("prev" -> p.split(":", 2)(1)))
+    if (streamResults.nonEmpty) {
+      fullFields += ("streaming" -> obj(sMed.map { case (k, v) => k -> v.toString }))
+      fullFields += ("streaming_mins" -> obj(sMin.map { case (k, v) => k -> v.toString }))
+      fullFields += ("streaming_samples" -> obj(streamResults.map {
+        case (k, _, _, ss, _, _, _) => k -> arr(ss.map(_.sec.toString)) }))
+      fullFields += ("streaming_anchors_after" -> obj(streamResults.map {
+        case (k, _, _, ss, _, _, _) => k -> arr(ss.map(s => fmt(s.anchorAfter, 3))) }))
+      fullFields += ("streaming_cpu_eff" -> obj(streamResults.map {
+        case (k, _, _, ss, _, _, _) => k -> arr(ss.map(s => fmt(s.cpuEff, 3))) }))
+      fullFields += ("streaming_staging" -> obj(sStag.map { case (k, v) => k -> v.toString }))
+      fullFields += ("streaming_staging_samples" -> obj(streamResults.map {
+        case (k, _, _, _, _, st, _) => k -> arr(st.map(_.toString)) }))
+      fullFields += ("streaming_batches" -> obj(streamResults.map {
+        case (k, _, _, _, _, _, bs) => k -> arr(bs) }))
+      if (streamFailed.nonEmpty)
+        fullFields += ("streaming_failed" -> arr(streamFailed.map("\"" + _ + "\"")))
+      fullFields += ("streaming_total" -> streamTotal.toString)
+    }
+    fullFields += ("sf" -> ("\"" + sfDir + "\""))
+    val full = obj(fullFields.result())
+
     // belt: persist to a file for consumers that can't parse sbt stdout
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))

@@ -229,10 +229,14 @@ object AsOfJoin {
     val bcastEligible = longBacked &&
       on.forall(c => atomicType(right.schema(c).dataType)) &&
       rightCols.forall(c => atomicType(right.schema(c).dataType))
-    val threshold =
-      try spark.conf.get("graft.asof.broadcastThreshold").toLong
-      catch { case _: Throwable =>
-        spark.sessionState.conf.autoBroadcastJoinThreshold }
+    // unset → session autoBroadcastJoinThreshold; a SET-but-malformed
+    // value (e.g. "10MB") must FAIL, not silently fall back and change
+    // the dispatch route (r13 ADVICE) — so only the not-set case is
+    // caught and NumberFormatException propagates to the caller
+    val threshold = spark.conf.getOption("graft.asof.broadcastThreshold") match {
+      case Some(v) => v.trim.toLong
+      case None    => spark.sessionState.conf.autoBroadcastJoinThreshold
+    }
     lazy val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bcastEligible && threshold > 0 && rightBytes <= threshold)
       asofBroadcast(left, right, on, leftTs, rightTs, rightCols, tieCols,
@@ -244,18 +248,28 @@ object AsOfJoin {
 
   private val bcastFnCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Live (fname, broadcast) handles from [[asofBroadcast]] calls, per
-    * JVM. Each call pins its AsOfIndex broadcast (up to `maxRightRows`
-    * driver-materialized rows) via the registered temp function's
-    * closure; [[releaseBroadcastIndexes]] is the cleanup path.
+  /** Live (fname → (owning session, broadcast)) handles from
+    * [[asofBroadcast]] calls, per JVM. Each call pins its AsOfIndex
+    * broadcast (up to `maxRightRows` driver-materialized rows) via the
+    * temp function registered in the OWNING session's registry;
+    * [[releaseBroadcastIndexes]] is the cleanup path. The session is
+    * held WEAKLY (r13 ADVICE): a broadcast registered in a discarded
+    * clone (e.g. a streamingSession) must not pin that whole session,
+    * and release must still destroy its broadcast after the clone is
+    * collected — the registry entry dies with the session in that case.
     */
   private val liveBroadcasts =
     new java.util.concurrent.ConcurrentHashMap[
-      String, org.apache.spark.broadcast.Broadcast[AsOfIndex]]()
+      String, (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+               org.apache.spark.broadcast.Broadcast[AsOfIndex])]()
 
   /** Release every broadcast AsOfIndex built by [[asofBroadcast]] in this
-    * JVM: drop the temp functions (unpinning the closures) and destroy
-    * the broadcasts (freeing driver + executor copies). Call when the
+    * JVM: drop each temp function from the session that REGISTERED it
+    * (not the session passed here — a clone's registry entry would
+    * otherwise stay behind pinning a destroyed broadcast, r13 ADVICE)
+    * and destroy the broadcasts (freeing driver + executor copies). The
+    * parameter is kept only as a fallback registry for entries whose
+    * owning session was already garbage-collected. Call when the
     * DataFrames returned by prior asofBroadcast calls are fully consumed
     * — any of them re-executed afterwards will fail (destroyed
     * broadcast). Returns the number of indexes released.
@@ -263,9 +277,10 @@ object AsOfJoin {
   def releaseBroadcastIndexes(spark: org.apache.spark.sql.SparkSession): Int = {
     import scala.jdk.CollectionConverters._
     val entries = liveBroadcasts.asScala.toSeq
-    entries.foreach { case (fname, bc) =>
+    entries.foreach { case (fname, (ownerRef, bc)) =>
       liveBroadcasts.remove(fname)
-      try spark.sessionState.functionRegistry.dropFunction(
+      val owner = Option(ownerRef.get()).getOrElse(spark)
+      try owner.sessionState.functionRegistry.dropFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
       catch { case _: Throwable => () }
       try bc.destroy() catch { case _: Throwable => () }
@@ -332,15 +347,30 @@ object AsOfJoin {
     val spark = left.sparkSession
 
     // prune + sort the small side: (keys..., asof_ts, carried..., tie...)
-    // sorted by (keys, ts, tie asc) — the group arrays inherit this order,
+    // sorted by (keys, ts, tie) — the group arrays inherit this order,
     // so backward's last-of-run / forward's first-of-run tie conventions
-    // fall out of the binary search with no per-probe comparator
+    // fall out of the binary search with no per-probe comparator.
+    // Tie-break columns may arrive ORDERING-WRAPPED (col.asc / col.desc
+    // — asofAuto forwards the caller's (name, asc) pairs that way, and
+    // q218's dispatch first hit this): a SortOrder is not a value
+    // expression and dies in codegen if projected, so unwrap to the
+    // value child and re-apply the direction at the sort instead.
+    val tiePairs: Seq[(Column, Boolean)] = rightTieBreak.map { c =>
+      org.apache.spark.sql.GraftInternal.expr(c) match {
+        case so: org.apache.spark.sql.catalyst.expressions.SortOrder =>
+          (org.apache.spark.sql.GraftInternal.column(so.child),
+            so.direction == org.apache.spark.sql.catalyst.expressions.Ascending)
+        case _ => (c, true)
+      }
+    }
     val tieAliases = rightTieBreak.indices.map(i => s"__asof_tb_$i")
     val pruned = right
       .filter(on.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
       .select(on.map(col) ++ (col(rightTs).as("asof_ts") +: rightCols.map(col)) ++
-        rightTieBreak.zip(tieAliases).map { case (c, a) => c.as(a) }: _*)
-      .orderBy(on.map(col) ++ (col("asof_ts") +: tieAliases.map(col)): _*)
+        tiePairs.zip(tieAliases).map { case ((c, _), a) => c.as(a) }: _*)
+      .orderBy(on.map(col) ++ (col("asof_ts") +:
+        tiePairs.zip(tieAliases).map { case ((_, asc), a) =>
+          if (asc) col(a).asc else col(a).desc }): _*)
 
     val schema = pruned.schema
     val kN = on.length
@@ -437,7 +467,7 @@ object AsOfJoin {
     // Expression constructor is sql-private in Spark 4 — the MinHashSig
     // route); one uniquely-named entry per call, bounded by call count
     val fname = s"asof_bcast_${bcastFnCounter.incrementAndGet()}"
-    liveBroadcasts.put(fname, bc)
+    liveBroadcasts.put(fname, (new java.lang.ref.WeakReference(spark), bc))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
       exprs => AsOfLookup(exprs, bc, payloadSchema, direction == "forward",
         toleranceMicros),

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank-fusion building blocks at their 100 TB shape (r13
+  * verdict #3): fuse heterogeneous per-system rankings WITHOUT ever
+  * ranking the whole corpus through an unpartitioned window.
+  *
+  *  - [[candidates]]: the union of per-system global top-R rows via the
+  *    engine's [[graft.plans.TopKPerKey]] operator keyed on a constant —
+  *    a bounded-heap pass per partition (each emits <= R rows), one
+  *    tiny exchange of partitions x R rows, a final bounded merge. The
+  *    result is <= systems x R rows however large the corpus is.
+  *  - [[exactGlobalRank]]: each candidate's EXACT corpus-wide rank
+  *    reconstructed as
+  *      rank = (# docs with a strictly better value)
+  *           + (# equal-value docs with a smaller id) + 1
+  *    — the "strictly better" term from a per-distinct-value count
+  *    frame (the midrank trick: the only ORDER BY window runs on that
+  *    bounded frame), the tie term from a broadcast join of the
+  *    candidates against their value's tie group (row amplification
+  *    bounded by candidates-per-value <= |candidates|).
+  *
+  * Sufficiency of R for a top-N fusion over S systems with RRF
+  * constant k: a doc outside every per-system top-R scores below
+  * S/(k+R+1), while the N-th best candidate scores at least 1/(k+N)
+  * (it is in some system's top-N); R >= S*(k+N) - k - 1 therefore
+  * guarantees the candidate set contains the exact fused top-N. For
+  * S=2, k=60, N=10: R >= 79 — q390 uses 80.
+  *
+  * Reference framing: the reference exposes ranking merges only as
+  * full SQL re-sorts (OpenAQ-Data-Pipeline-Engineering
+  * `athena_queries.sql` ORDER BY shapes); this is the scale-safe form.
+  */
+object Rrf {
+
+  /** Global (corpus-wide) top-R of `df` under `orderCols` via
+    * TopKPerKey on a constant key. Equivalent to
+    * `df.orderBy(...).limit(r)` (TakeOrderedAndProject) but keeps the
+    * merge on an executor instead of the driver and composes with the
+    * operator's byte-aware flush valve.
+    */
+  def globalTopR(df: DataFrame, orderCols: Seq[(Column, Boolean)], r: Int): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(df.withColumn("__rrf_one", lit(1)),
+      Seq(col("__rrf_one")), orderCols, r).drop("__rrf_one")
+
+  /** Union of per-system global top-R candidate rows. Each system is a
+    * value column ranked (value DESC, id ASC) — higher value = better
+    * rank, id as the deterministic tie-break (the total order
+    * RowNumberMode requires). Output <= systems.size x r rows.
+    */
+  def candidates(docs: DataFrame, systems: Seq[String], r: Int,
+      id: String = "doc_id"): DataFrame =
+    systems.map(v => globalTopR(docs, Seq(col(v) -> false, col(id) -> true), r))
+      .reduce(_ unionByName _).distinct()
+
+  /** Exact global rank of every candidate under (`vcol` DESC, `id` ASC)
+    * — no corpus sort. `cands` should be SMALL (it is broadcast twice);
+    * pass the [[candidates]] output, ideally localCheckpointed when
+    * reused across systems.
+    */
+  def exactGlobalRank(docs: DataFrame, cands: DataFrame, vcol: String,
+      out: String, id: String = "doc_id"): DataFrame = {
+    // per-distinct-value counts, cumulated over the value order — the
+    // one ORDER BY window here runs on the bounded distinct-value frame
+    val g = docs.groupBy(col(vcol)).agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col(vcol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val above = g
+      .withColumn("__above", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .select(col(vcol).as("__v"), col("__above"))
+    // tie term: equal value, smaller id — candidates broadcast, so the
+    // corpus side stays a map-side probe + partial-aggregated count
+    val tie = docs.select(col(vcol).as("__tv"), col(id).as("__i"))
+      .join(broadcast(cands.select(col(vcol).as("__cv"),
+          col(id).as("__ci"))),
+        col("__tv") === col("__cv") && col("__i") < col("__ci"))
+      .groupBy(col("__ci")).agg(count(lit(1)).as("__tie"))
+    cands.select(col(id), col(vcol))
+      .join(broadcast(above), col(vcol) === col("__v"))
+      .join(broadcast(tie), col(id) === col("__ci"), "left")
+      .select(col(id),
+        (col("__above") + coalesce(col("__tie"), lit(0L)) + lit(1L)).as(out))
+  }
+}

@@ -467,10 +467,12 @@ object Catalog {
     * materialized table (stopping any prior query of the same name so the
     * entry is re-runnable). Per-batch progress lands in [[ProgressLog]].
     */
-  private[queries] def runToMemoryTable(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  private[queries] def runToMemoryTable(agg: DataFrame, name: String): DataFrame = {
     // the memory sink registers its table in the STREAM's session (which
-    // may be a streamingSession clone of `s`) — resolve both the
-    // prior-query guard and the table there
+    // may be a streamingSession clone) — resolve both the prior-query
+    // guard and the table there; everything derives from agg's session,
+    // so no session parameter (a dead one would invite callers to
+    // believe the passed session matters, r13 ADVICE)
     val ss = agg.sparkSession
     ss.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val q = agg.writeStream.format("memory").queryName(name)

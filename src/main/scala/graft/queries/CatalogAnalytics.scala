@@ -244,9 +244,14 @@ private[queries] object CatalogAnalytics {
         FROM events ORDER BY event_id""")),
 
     // As-of join: each click enriched with the user's most recent purchase
-    // at or before it. Spark lacks the operator; ops.AsOfJoin composes it
-    // as one hash shuffle + window (no range-join blowup). DuckDB's native
-    // ASOF LEFT JOIN is the oracle.
+    // at or before it. Spark lacks the operator; since round 14 the entry
+    // point is AsOfJoin.asofAuto — the stats-based dispatcher (r13
+    // verdict #5: auto is the DEFAULT as-of surface, fixed surfaces are
+    // for pinning specific routes). At every test sf the purchase side
+    // sits under the broadcast threshold, so this lands on the
+    // zero-shuffle broadcast-probe rung (PlanSpec pins it); an oversize
+    // right side would re-route to the merge exec with the same output.
+    // DuckDB's native ASOF LEFT JOIN is the oracle either way.
     "q43_asof_join" -> QueryDef(
       fn = (s, d) => {
         val ev = t(s, d, "events")
@@ -254,7 +259,7 @@ private[queries] object CatalogAnalytics {
           .select("event_id", "user_id", "ts")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
-        graft.ops.AsOfJoin.asof(clicks, purchases,
+        graft.ops.AsOfJoin.asofAuto(clicks, purchases,
             on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
             rightCols = Seq("p_value"))
           .orderBy("event_id")
@@ -404,7 +409,7 @@ private[queries] object CatalogAnalytics {
         val agg = stream
           .groupBy(window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value"))
-        val table = runToMemoryTable(s, agg, "q48_mem")
+        val table = runToMemoryTable(agg, "q48_mem")
         dropStaged(dir)
         table
           .select(col("window.start").as("hour"), col("cnt"), col("sum_value"))
@@ -829,7 +834,7 @@ private[queries] object CatalogAnalytics {
           .dropDuplicates("user_id", "event_type")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_users"))
-        val table = runToMemoryTable(s, agg, "q60_mem")
+        val table = runToMemoryTable(agg, "q60_mem")
         dropStaged(dir)
         table.orderBy("event_type")
       },

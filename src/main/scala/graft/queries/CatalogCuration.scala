@@ -937,7 +937,7 @@ private[queries] object CatalogCuration {
           .dropDuplicatesWithinWatermark("user_id", "event_type")
         val agg = stream.groupBy("event_type")
           .agg(count(lit(1)).as("n_users"))
-        val table = runToMemoryTable(s, agg, "q237_mem")
+        val table = runToMemoryTable(agg, "q237_mem")
         dropStaged(dir)
         table.orderBy("event_type")
       },
@@ -1052,7 +1052,7 @@ private[queries] object CatalogCuration {
           .join(profile, Seq("user_id")) // static side: micro-batch hash join
         val agg = stream.groupBy("bucket")
           .agg(count(lit(1)).as("n_events"))
-        val table = runToMemoryTable(s, agg, "q239_mem")
+        val table = runToMemoryTable(agg, "q239_mem")
         dropStaged(dir)
         table.orderBy("bucket")
       },

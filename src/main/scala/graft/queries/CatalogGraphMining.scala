@@ -675,7 +675,7 @@ private[queries] object CatalogGraphMining {
         val agg = stream.groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             hll_sketch_agg(col("user_id")).as("__sk"))
-        val table = runToMemoryTable(s, agg, "q184_mem")
+        val table = runToMemoryTable(agg, "q184_mem")
         dropStaged(dir)
         val exact = t(s, d, "events").groupBy("event_type")
           .agg(countDistinct(col("user_id")).as("n_distinct"))

@@ -637,7 +637,7 @@ private[queries] object CatalogInfra {
             val stream = stagedEventsStream(streamingSession(s), dir)
             val agg = stream.groupBy(window(col("ts"), "2 hours", "1 hour"))
               .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
-            runToMemoryTable(s, agg, "q125_mem")
+            runToMemoryTable(agg, "q125_mem")
           } finally dropStaged(dir)
         table.select(unix_millis(col("window.start")).as("win_start_ms"),
           col("n"), col("sum_value"))

@@ -4458,11 +4458,12 @@ private[queries] object CatalogInsight {
     // median-of-pairwise-slopes estimator beside q368's least-squares
     // break fit and q331's Mann-Kendall direction test: immune to the
     // outlier days OLS chases. Daily exact-cents totals (calendar-
-    // bounded frame), all C(days,2) slopes as sign-handled FLOOR
-    // divisions on the e6 grid (Spark `div` truncates, DuckDB `//`
-    // floors — they agree only on nonnegatives, so the negative branch
-    // is spelled out), and the LOWER median picked by rank so no
-    // cross-engine averaging semantics enter. The pair join is bounded
+    // bounded frame), all C(days,2) slopes as integer divisions on the
+    // e6 grid (Spark `div` and DuckDB `//` BOTH truncate toward zero —
+    // measured: (-7)//2 = -3 — so the raw division is cross-engine
+    // exact on negative slopes too, no branch needed), and the LOWER
+    // median picked by rank so no cross-engine averaging semantics
+    // enter. The pair join is bounded
     // per type (~days^2), never corpus-proportional.
     "q386_theil_sen" -> QueryDef(
       fn = (s, d) => {
@@ -4706,16 +4707,34 @@ private[queries] object CatalogInsight {
                        AND t.vec_id = extop.vec_id
         WHERE t.rank <= 5 ORDER BY t.query_id, t.rank""")),
 
-    // Reciprocal-rank fusion (round 13) — the standard zero-tuning way
-    // a retrieval pipeline merges heterogeneous rankings (RRF, Cormack
-    // et al.): score = sum over systems of 1/(60 + rank). Two total
-    // rankings over the corpus — query-term overlap (the q178/q71 IR
-    // axis) and distinct-token diversity — fused on an EXACT integer
-    // grid: 1e12 div (60 + r) per system, so the cross-engine sum is
-    // order-free and tie-handling is the total (score desc, doc_id)
-    // order. Ranks are corpus-wide row_numbers (one sort each at test
-    // scale; the 100 TB swap-in is per-system top-k TopKPerKey
-    // prefilter, fusing only union-of-top-k candidates).
+    // Reciprocal-rank fusion (round 13; r13 verdict #3 rewrite) — the
+    // standard zero-tuning way a retrieval pipeline merges
+    // heterogeneous rankings (RRF, Cormack et al.): score = sum over
+    // systems of 1/(60 + rank). Two total rankings over the corpus —
+    // query-term overlap (the q178/q71 IR axis) and distinct-token
+    // diversity — fused on an EXACT integer grid: 1e12 div (60 + r)
+    // per system, so the cross-engine sum is order-free and
+    // tie-handling is the total (score desc, doc_id) order.
+    //
+    // 100 TB shape (NO corpus-wide rank window anywhere): candidates
+    // are the union of per-system top-R via the engine's TopKPerKey
+    // (bounded-heap partial per partition -> one tiny exchange), and
+    // each candidate's GLOBAL rank is reconstructed exactly as
+    //   rank = (# docs with a strictly better value)
+    //        + (# equal-value docs with a smaller doc_id) + 1
+    // — the first term from a per-distinct-value count frame (the
+    // q392 midrank trick; the only ORDER BY window runs on that
+    // bounded frame), the second from a broadcast join of the <=2R
+    // candidates against their value's tie group (row amplification
+    // bounded by candidates-per-value <= 2R, corpus-linear).
+    //
+    // R = 80 is PROVABLY sufficient for top-10 fusion at rrf-k = 60:
+    // with corpus >= 10, each of system A's top-10 scores at least
+    // floor(1e12/70) = 14_285_714_285, so the 10th-best candidate is
+    // at least that; a doc OUTSIDE both top-80 lists has rank >= 81
+    // twice, scoring at most 2*floor(1e12/141) = 14_184_397_162 —
+    // strictly less, so no non-candidate can displace the fused
+    // top-10 even on ties (corpus < 10 makes everything a candidate).
     "q390_rrf_fusion" -> QueryDef(
       fn = (s, d) => {
         val qTerms = Seq("spark", "join", "fast")
@@ -4725,16 +4744,21 @@ private[queries] object CatalogInsight {
             size(array_intersect(array_distinct(col("__t")),
               array(qTerms.map(lit): _*))).cast("long").as("__overlap"),
             size(array_distinct(col("__t"))).cast("long").as("__distinct"))
-        val ra = row_number().over(
-          Window.orderBy(col("__overlap").desc, col("doc_id").asc)).cast("long")
-        val rb = row_number().over(
-          Window.orderBy(col("__distinct").desc, col("doc_id").asc)).cast("long")
-        docs
-          .withColumn("rank_overlap", ra)
-          .withColumn("rank_diversity", rb)
+          .localCheckpoint(eager = true) // candidate + rank passes share it
+        // <= 160-row frame, referenced by both rank passes and the fuse:
+        // checkpoint so the two TopKPerKey prefilter passes run ONCE
+        val cands = graft.ops.Rrf
+          .candidates(docs, Seq("__overlap", "__distinct"), r = 80)
+          .localCheckpoint(eager = true)
+        cands.select("doc_id")
+          .join(graft.ops.Rrf.exactGlobalRank(docs, cands, "__overlap",
+            "rank_overlap"), Seq("doc_id"))
+          .join(graft.ops.Rrf.exactGlobalRank(docs, cands, "__distinct",
+            "rank_diversity"), Seq("doc_id"))
           .withColumn("rrf_e12",
             expr("1000000000000 div (60 + rank_overlap)")
               + expr("1000000000000 div (60 + rank_diversity)"))
+          // bounded frame: <= 2R candidate rows, never the corpus
           .withColumn("fused_rank", row_number().over(
             Window.orderBy(col("rrf_e12").desc, col("doc_id").asc)).cast("long"))
           .filter(col("fused_rank") <= 10)
@@ -4798,7 +4822,7 @@ private[queries] object CatalogInsight {
                 .otherwise(0L)).as("n_above"),
               sum(when(col("day_max_cents").isNull, 1L).otherwise(0L))
                 .as("n_unmatched"))
-          runToMemoryTable(ss, agg, "q397_mem")
+          runToMemoryTable(agg, "q397_mem")
         } finally dropStaged(dir)
         table.orderBy("event_type")
       },

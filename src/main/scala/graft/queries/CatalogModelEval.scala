@@ -1625,12 +1625,15 @@ private[queries] object CatalogModelEval {
 
     // FORWARD as-of join — "time to next purchase after each click": the
     // attribution/conversion-lag shape backward as-of (q43) cannot
-    // express. AsOfJoin.direction="forward" finds the EARLIEST purchase
-    // at or after each click (3-day tolerance, deterministic min-cents
-    // tie-break at the matched instant), same single-shuffle union-tag-
-    // window plan as backward. Gap sums are exact integer micros; the
-    // oracle replays the semantics as a correlated min() — the two
-    // formulations must agree row-for-row.
+    // express. Routed through AsOfJoin.asofAuto since round 14 (r13
+    // verdict #5: the dispatcher is the default entry point) with
+    // direction="forward", a 3-day micros tolerance, and the
+    // deterministic min-cents tie-break at the matched instant — the
+    // small purchase side lands the dispatch on the zero-shuffle
+    // broadcast probe (PlanSpec pins the route; an oversize right side
+    // would take the merge exec with identical output). Gap sums are
+    // exact integer micros; the oracle replays the semantics as a
+    // correlated min() — the two formulations must agree row-for-row.
     "q218_asof_forward" -> QueryDef(
       fn = (s, d) => {
         val ev = t(s, d, "events")
@@ -1640,10 +1643,10 @@ private[queries] object CatalogModelEval {
             && col("value").isNotNull)
           .select(col("user_id"), col("ts").as("p_ts"),
             cents(col("value")).as("p_cents"))
-        val joined = graft.ops.AsOfJoin.asof(clicks, purch, Seq("user_id"),
+        val joined = graft.ops.AsOfJoin.asofAuto(clicks, purch, Seq("user_id"),
           "ts", "p_ts", Seq("p_cents"),
-          tolerance = Some(expr("INTERVAL 3 DAYS")),
-          rightTieBreak = Seq(col("p_cents")), direction = "forward")
+          toleranceMicros = Some(3L * 24L * 3600L * 1000000L),
+          rightTieBreak = Seq(("p_cents", true)), direction = "forward")
         joined.groupBy("user_id")
           .agg(count(lit(1)).as("n_clicks"),
             count(col("asof_ts")).as("n_converted"),

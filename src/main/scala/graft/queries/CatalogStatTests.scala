@@ -1448,9 +1448,12 @@ private[queries] object CatalogStatTests {
     // frame), so no per-user global sort; all moments are exact
     // integers and the two sqrts are taken SEPARATELY (their product
     // would overflow a long) in the same order on both engines, e6
-    // snap at emit. 100 TB note: the n*sxy moment clears int64 up to
-    // ~2e6 users per type; past that the moments swap to decimal(38,0)
-    // (the cents convention).
+    // snap at emit. 100 TB note: doubled midranks reach 2n, so
+    // n*sxx ~ 4n^4 — int64 would overflow at only ~4e4 users per
+    // type (r13 ADVICE), which is NOT headroom, so the rank moments
+    // are summed as decimal(38,0) from the start (exact to ~1e9 users
+    // per type; DuckDB promotes its BIGINT sums to HUGEINT, so both
+    // engines stay exact and the rho_e6 emit is unchanged).
     "q392_spearman" -> QueryDef(
       fn = (s, d) => {
         val ux = t(s, d, "events")
@@ -1472,10 +1475,11 @@ private[queries] object CatalogStatTests {
           .join(midrank2("__y", "__ry"), Seq("event_type", "__y"))
         val m = ranked.groupBy("event_type").agg(
           count(lit(1)).as("n_users"),
-          sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
-          sum(col("__rx") * col("__rx")).as("__sxx"),
-          sum(col("__ry") * col("__ry")).as("__syy"),
-          sum(col("__rx") * col("__ry")).as("__sxy"))
+          sum(col("__rx").cast("decimal(38,0)")).as("__sx"),
+          sum(col("__ry").cast("decimal(38,0)")).as("__sy"),
+          sum(col("__rx").cast("decimal(38,0)") * col("__rx")).as("__sxx"),
+          sum(col("__ry").cast("decimal(38,0)") * col("__ry")).as("__syy"),
+          sum(col("__rx").cast("decimal(38,0)") * col("__ry")).as("__sxy"))
         m.select(col("event_type"), col("n_users"),
           when(col("n_users") > 1L
               && col("n_users") * col("__sxx") > col("__sx") * col("__sx")

@@ -48,4 +48,15 @@ object GraftInternal {
     */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Catalyst expression -> Column (the reverse door; Spark 4 made the
+    * Column(expr) constructor sql-private). Used to unwrap an
+    * ordering-wrapped Column (col.asc/col.desc) back to its value child
+    * so the value can be projected while the direction is re-applied at
+    * the sort — a SortOrder is not a value expression and must never
+    * enter a Project (measured: whole-stage codegen throws
+    * "Cannot generate code for expression: ... ASC NULLS FIRST").
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

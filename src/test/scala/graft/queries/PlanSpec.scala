@@ -52,10 +52,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_topk"), plan)
   }
 
-  test("q43: as-of join plans a single hash shuffle, no nested-loop join") {
+  test("q43: asofAuto dispatches the small purchase side to the broadcast probe") {
+    // routed through the dispatcher since round 14 (r13 verdict #5); the
+    // purchase side sits under the threshold at every test sf, so the
+    // plan must be the zero-shuffle probe: asof_lookup in a project, no
+    // merge exec, no union+window, and the only exchange the ORDER BY's
     val plan = planOf("q43_asof_join")
+    assert(plan.contains("asof_lookup"), plan)
+    assert(!plan.contains("AsOfMergeJoin") && !plan.contains("Window"), plan)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan)
+    val exchanges = plan.linesIterator
+      .count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 1, s"expected only the ORDER BY exchange:\n$plan")
   }
 
   test("q45: range join resolves to an equi-join, not a nested loop") {
@@ -1226,6 +1235,41 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
       assert(plan.contains("partial_sum"), s"$q:\n$plan")
+    }
+  }
+
+  test("q218: forward as-of routes through the broadcast probe, join adds no shuffle") {
+    // asofAuto with tolerance + tie-break (round 14): the join itself
+    // must stay a map-side asof_lookup probe — the only exchanges are
+    // the downstream groupBy's hash and the ORDER BY's range
+    val plan = planOf("q218_asof_forward")
+    assert(plan.contains("asof_lookup"), plan)
+    assert(!plan.contains("AsOfMergeJoin") && !plan.contains("Window"), plan)
+    val exchanges = plan.linesIterator
+      .count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 2, s"expected agg + ORDER BY exchanges only:\n$plan")
+  }
+
+  test("q390: no corpus-wide rank window — every Window sits on an aggregated frame") {
+    // the r13 verdict-#3 rewrite: candidates come from the engine's own
+    // TopKPerKey prefilter (Rrf.candidates, plan pinned in RrfSpec; the
+    // <= 160-row result is checkpointed, so the final plan reads RDDs,
+    // never parquet) and every Window left in the plan must sit ABOVE an
+    // aggregate — i.e. over a bounded distinct-value/candidate frame,
+    // never a raw corpus scan (the shape the old form had)
+    val df = SparkEntry.queries("q390_rrf_fusion")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    val formatted = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!formatted.contains("Scan parquet"),
+      s"corpus must be read once at checkpoint build:\n$formatted")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"rank reconstruction windows missing:\n$formatted")
+    windows.foreach { w =>
+      val bounded = w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined
+      assert(bounded, s"Window over an unaggregated (corpus-sized) input:\n$w")
     }
   }
 

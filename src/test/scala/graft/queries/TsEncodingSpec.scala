@@ -95,7 +95,7 @@ class TsEncodingSpec extends AnyFunSuite {
         val agg = Catalog.stagedEventsStream(spark, staged)
           .groupBy(window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("n"))
-        val table = Catalog.runToMemoryTable(spark, agg, s"ts_enc_${name.replace('-', '_')}")
+        val table = Catalog.runToMemoryTable(agg, s"ts_enc_${name.replace('-', '_')}")
           .select(col("window.start").as("h"), col("n")).orderBy("h")
           .collect().toSeq
         assert(table.map(_.getLong(1)) == Seq(2L, 1L),
