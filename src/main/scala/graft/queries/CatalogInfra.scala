@@ -1053,5 +1053,84 @@ private[queries] object CatalogInfra {
           AND o_totalprice < (SELECT max(l_extendedprice) * 4
                               FROM lineitem WHERE l_orderkey = o_orderkey)
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Manifest-commit table sink (round 14 — r13 verdict #6): the
+    // jar-free ACID substitute for the blocked Delta/Iceberg item.
+    // Protocol under the ORACLE gate, not just the spec: commit a
+    // half-range snapshot, REPLACE it with the full daily aggregate,
+    // then replay the full commit with CORRUPTED data under the SAME
+    // commitId — the idempotency rule must no-op the retry (exactly the
+    // reference's append-duplicate gap,
+    // glue_jobs/process_openaq_raw.py:253-256, closed at the protocol
+    // level). The re-read of the latest snapshot must equal the plain
+    // aggregate; if the corrupt retry had won, every `n` is x999 and
+    // the hash goes red. ManifestTableSpec covers crash-between-stages,
+    // concurrent readers, time travel, and vacuum.
+    "q401_manifest_sink_roundtrip" -> QueryDef(
+      fn = (s, d) => {
+        val dir = manifestDir("q401", d)
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(sum(cents(col("value"))).as("sum_cents"),
+            count(lit(1)).as("n"))
+        graft.sources.ManifestTable.commit(
+          daily.filter(dayofmonth(to_date(col("day"))) <= 15), dir, "half")
+        graft.sources.ManifestTable.commit(daily, dir, "full")
+        graft.sources.ManifestTable.commit(
+          daily.withColumn("n", col("n") * 999L), dir, "full")
+        graft.sources.ManifestTable.read(s, dir)
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(s"""
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents,
+               count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY event_type, day""")),
+
+    // Append-mode composition of the manifest sink: three disjoint
+    // day-range slices land as three append commits (each snapshot =
+    // parent files + new files — O(1) metadata, no rewrite of prior
+    // data), with the middle slice REPLAYED under its commitId to pin
+    // idempotency in append mode too. The latest snapshot must read as
+    // the union — equal to the one-shot aggregate the oracle computes.
+    "q402_manifest_append" -> QueryDef(
+      fn = (s, d) => {
+        val dir = manifestDir("q402", d)
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(sum(cents(col("value"))).as("sum_cents"),
+            count(lit(1)).as("n"))
+        def slice(lo: Int, hi: Int) = daily
+          .filter(dayofmonth(to_date(col("day"))).between(lo, hi))
+        graft.sources.ManifestTable.commit(slice(1, 10), dir, "d01-10", mode = "append")
+        graft.sources.ManifestTable.commit(slice(11, 20), dir, "d11-20", mode = "append")
+        graft.sources.ManifestTable.commit(slice(21, 31), dir, "d21-31", mode = "append")
+        // scheduler retry of the middle slice: must not duplicate rows
+        graft.sources.ManifestTable.commit(slice(11, 20), dir, "d11-20", mode = "append")
+        graft.sources.ManifestTable.read(s, dir)
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(s"""
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents,
+               count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY event_type, day""")),
   )
+
+  /** Fresh manifest-table dir per (query, sf) run — reruns must exercise
+    * the commit protocol from empty, not append to a previous run's log.
+    */
+  private def manifestDir(q: String, sfDir: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${q}_" +
+      sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    dir
+  }
 }

@@ -101,7 +101,19 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // census is one canonical-pair groupBy over the directed projection.
     // Replica-shifted keys keep components/blocks disjoint per replica,
     // so healthy growth is linear in every case.
-    "q343_boruvka_mst", "q346_hits", "q348_dag_levels", "q381_dyad_census")
+    "q343_boruvka_mst", "q346_hits", "q348_dag_levels", "q381_dyad_census",
+    // round-13 heavies (r13 verdict #4): grid-DBSCAN's hazard is the
+    // 3x3 neighborhood-mass join densifying if the grid ever became
+    // row-proportional (replicas land on the same grid, so cell COUNT
+    // is fixed and per-cell mass grows — work stays grid-keyed linear);
+    // FastSS's hazard is the deletion-key equi-join fanout (per-replica
+    // token suffixes keep replica vocabularies disjoint); PQ-ADC's
+    // hazard is the codebook/seed stage growing with the corpus (both
+    // are bounded by construction — scoring is the linear part); PPR's
+    // hazard is frontier fanout per iteration (replica-shifted keys
+    // keep replica graphs disjoint)
+    "q384_grid_dbscan", "q387_edit_distance_join", "q389_pq_adc_search",
+    "q391_personalized_pagerank")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
@@ -181,6 +193,19 @@ class ScaleGrowthSpec extends AnyFunSuite {
         col("event_type"), col("value"), col("props")))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // supplier: suppkey shifts by the SAME stride as lineitem's
+    // l_suppkey so supplier><lineitem joins stay consistent per replica.
+    // q384 derives its synthetic grid points from s_suppkey mod a fixed
+    // span, so shifted replicas land NEW points on the SAME bounded
+    // grid — cell count fixed, per-cell mass grows, which is exactly
+    // the grid-keyed-linear claim under audit
+    val sup = Tables.load(spark, baseSf, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    (0 until factor).map(i => sup.select(
+        (col("s_suppkey") + lit(i * maxSk)).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
     // embeddings: ids shift per replica; vectors and labels ride along
     // unchanged (the audited ops — Gramian, silhouette — do no dedup,
     // so replica-identical vectors don't collapse any work)
