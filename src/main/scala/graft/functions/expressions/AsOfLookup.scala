@@ -22,23 +22,38 @@ import scala.collection.immutable.ArraySeq
 final class AsOfIndex(val groups: Map[Seq[Any], AsOfIndex.KeyGroup])
     extends Serializable {
 
-  /** Latest row with ts <= t (backward) or earliest with ts >= t
-    * (forward) for `key`; null when the key is absent or no row
-    * qualifies. Among equal timestamps the build-side sort order decides:
-    * backward returns the LAST of the run, forward the FIRST — the
-    * [[graft.plans.AsOfMergeJoin]] tie conventions.
+  /** Latest row with ts <= t (backward), earliest with ts >= t
+    * (forward), or the closer of the two (nearest; equidistant → the
+    * backward one) for `key`; null when the key is absent or no row
+    * qualifies within the tolerance. Among equal timestamps the
+    * build-side sort order decides: backward returns the LAST of the
+    * run, forward the FIRST — the [[graft.plans.AsOfMergeJoin]] tie
+    * conventions. `direction` is 'b' | 'f' | 'n'.
     */
-  def lookup(key: Seq[Any], ts: Long, forward: Boolean,
+  def lookup(key: Seq[Any], ts: Long, direction: Char,
       toleranceMicros: Long = Long.MaxValue): InternalRow =
     groups.get(key) match {
       case None => null
       case Some(g) =>
-        val i = if (forward) AsOfIndex.firstAtLeast(g.ts, ts)
-                else AsOfIndex.lastAtMost(g.ts, ts)
-        if (i < 0) null
-        else {
-          val age = if (forward) g.ts(i) - ts else ts - g.ts(i)
-          if (age > toleranceMicros) null else g.rows(i)
+        if (direction == 'n') {
+          val b = AsOfIndex.lastAtMost(g.ts, ts)
+          val f = AsOfIndex.firstAtLeast(g.ts, ts)
+          val db = if (b >= 0) ts - g.ts(b) else Long.MaxValue
+          val df = if (f >= 0) g.ts(f) - ts else Long.MaxValue
+          val bOk = b >= 0 && db <= toleranceMicros
+          val fOk = f >= 0 && df <= toleranceMicros
+          if (!bOk && !fOk) null
+          else if (!fOk || (bOk && db <= df)) g.rows(b) // tie → backward
+          else g.rows(f)
+        } else {
+          val fwd = direction == 'f'
+          val i = if (fwd) AsOfIndex.firstAtLeast(g.ts, ts)
+                  else AsOfIndex.lastAtMost(g.ts, ts)
+          if (i < 0) null
+          else {
+            val age = if (fwd) g.ts(i) - ts else ts - g.ts(i)
+            if (age > toleranceMicros) null else g.rows(i)
+          }
         }
     }
 }
@@ -86,10 +101,13 @@ case class AsOfLookup(
     children: Seq[Expression],
     index: Broadcast[AsOfIndex],
     payloadSchema: StructType,
-    forward: Boolean,
+    direction: String,
     toleranceMicros: Option[Long] = None) extends Expression {
 
   require(children.length >= 2, "AsOfLookup needs at least (key, ts)")
+  require(Seq("backward", "forward", "nearest").contains(direction),
+    s"direction must be backward|forward|nearest, got '$direction'")
+  private val dirChar: Char = direction.charAt(0) // 'b' | 'f' | 'n'
 
   override def dataType: DataType = payloadSchema
   override def nullable: Boolean = true
@@ -120,7 +138,7 @@ case class AsOfLookup(
     val ts = args(args.length - 1).asInstanceOf[java.lang.Number].longValue()
     val key: Seq[Any] = ArraySeq.unsafeWrapArray(
       java.util.Arrays.copyOfRange(args, 0, args.length - 1))
-    index.value.lookup(key, ts, forward,
+    index.value.lookup(key, ts, dirChar,
       toleranceMicros.getOrElse(Long.MaxValue))
   }
 

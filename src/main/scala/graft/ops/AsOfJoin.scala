@@ -155,8 +155,14 @@ object AsOfJoin {
     *
     * Dispatch rules, in order (micros tolerance requires a micros/long
     * axis up front — the rule every surface now shares):
-    *  1. `direction = "nearest"` → the union+window form ([[asof]]) —
-    *     the only surface implementing it.
+    *  1. `direction = "nearest"` on a NON-long-backed (but orderable)
+    *     timestamp axis → the union+window form ([[asof]]) — nearest
+    *     needs numeric time distances the other surfaces compute on the
+    *     long encoding. (Since round 14 this is the ONLY shape that
+    *     forces the window form: the broadcast probe binary-searches
+    *     both neighbors and the merge exec reads its forward peek for
+    *     free, so long-backed nearest rides the same physical ladder as
+    *     backward/forward.)
     *  2. Broadcast-eligible shape (atomic keys and carried columns,
     *     long-backed timestamp) AND right side's optimizer-estimated
     *     bytes <= `graft.asof.broadcastThreshold` (default: the
@@ -217,8 +223,6 @@ object AsOfJoin {
         rightTieBreak.map { case (c, asc) => if (asc) col(c) else col(c).desc },
         direction)
     }
-    if (direction == "nearest") return windowForm
-
     def atomicType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: ArrayType | _: MapType | _: StructType => false
       case _                                         => true
@@ -226,6 +230,11 @@ object AsOfJoin {
     val tsType = right.schema(rightTs).dataType
     val longBacked = Seq(TimestampType, TimestampNTZType, DateType,
       IntegerType, LongType).contains(tsType)
+    // nearest needs numeric time distances; on a non-long-backed (but
+    // still orderable) axis only the window form can express it —
+    // backward/forward on such an axis still take the merge exec below
+    // (it compares via InterpretedOrdering, no numeric math)
+    if (direction == "nearest" && !longBacked) return windowForm
     val bcastEligible = longBacked &&
       on.forall(c => atomicType(right.schema(c).dataType)) &&
       rightCols.forall(c => atomicType(right.schema(c).dataType))
@@ -304,8 +313,10 @@ object AsOfJoin {
     * Same semantics as [[asof]]/[[AsOfMergeJoin.asofMerge]]: backward =
     * latest right row with rightTs <= leftTs per key (among exact-ts
     * ties the LAST under `rightTieBreak` wins), forward = earliest with
-    * rightTs >= leftTs (FIRST under the tie order wins). Null keys or
-    * timestamps on either side never match. Output = left columns ++
+    * rightTs >= leftTs (FIRST under the tie order wins), nearest =
+    * whichever neighbor is closer on the long time encoding (equal
+    * distance → backward; two binary searches instead of one). Null
+    * keys or timestamps on either side never match. Output = left columns ++
     * asof_ts ++ rightCols (nulls when unmatched) — interchangeable with
     * the other two surfaces, which is what q353's shared oracle pins.
     *
@@ -336,8 +347,8 @@ object AsOfJoin {
       maxRightRows: Long = 4000000L,
       toleranceMicros: Option[Long] = None): DataFrame = {
     require(on.nonEmpty, "at least one equality key required")
-    require(Seq("backward", "forward").contains(direction),
-      s"direction must be backward|forward, got '$direction'")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     require(toleranceMicros.forall(_ >= 0L), "tolerance must be >= 0")
     require(!(rightCols :+ "asof_ts").exists(left.columns.contains),
       "carried right columns (and asof_ts) must not collide with left")
@@ -469,7 +480,7 @@ object AsOfJoin {
     val fname = s"asof_bcast_${bcastFnCounter.incrementAndGet()}"
     liveBroadcasts.put(fname, (new java.lang.ref.WeakReference(spark), bc))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
-      exprs => AsOfLookup(exprs, bc, payloadSchema, direction == "forward",
+      exprs => AsOfLookup(exprs, bc, payloadSchema, direction,
         toleranceMicros),
       "built-in")
     val lookup = call_function(fname, on.map(col) :+ col(leftTs): _*)

@@ -60,8 +60,8 @@ object AsOfMergeJoin {
       direction: String = "backward",
       toleranceMicros: Option[Long] = None): DataFrame = {
     require(on.nonEmpty, "at least one equality key required")
-    require(Seq("backward", "forward").contains(direction),
-      s"direction must be backward|forward, got '$direction'")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     require(toleranceMicros.forall(_ >= 0L), "tolerance must be >= 0")
     require(!rightCols.contains(rightTs), "rightCols must not repeat rightTs")
     require(!(rightCols :+ "asof_ts").exists(left.columns.contains),
@@ -108,8 +108,15 @@ object AsOfMergeJoin {
       SortOrder(attr(rightPlan, c), if (asc) Ascending
         else org.apache.spark.sql.catalyst.expressions.Descending)
     }
+    // nearest needs numeric time distances — a long/int-backed axis
+    if (direction == "nearest") {
+      import org.apache.spark.sql.types._
+      require(Seq(TimestampType, TimestampNTZType, DateType, IntegerType,
+          LongType).contains(lTs.dataType),
+        s"nearest needs a long-backed timestamp, got ${lTs.dataType}")
+    }
     val node = AsOfMergeJoinNode(leftKeys, rightKeys, lTs, rTs, tie,
-      leftPlan, rightPlan, forward = direction == "forward",
+      leftPlan, rightPlan, direction = direction,
       toleranceMicros = toleranceMicros)
     GraftInternal.ofRows(spark, node).drop(keyAliases: _*)
   }
@@ -123,7 +130,7 @@ case class AsOfMergeJoinNode(leftKeys: Seq[Expression],
     rightKeys: Seq[Expression], leftTs: Expression, rightTs: Expression,
     rightTieBreak: Seq[SortOrder],
     left: LogicalPlan, right: LogicalPlan,
-    forward: Boolean = false,
+    direction: String = "backward",
     toleranceMicros: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -135,9 +142,9 @@ case class AsOfMergeJoinNode(leftKeys: Seq[Expression],
 
 object AsOfMergeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfMergeJoinNode(lk, rk, lts, rts, tie, l, r, fwd, tol) =>
+    case AsOfMergeJoinNode(lk, rk, lts, rts, tie, l, r, dir, tol) =>
       AsOfMergeJoinExec(lk, rk, lts, rts, tie,
-        planLater(l), planLater(r), fwd, tol) :: Nil
+        planLater(l), planLater(r), dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -163,8 +170,11 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
     rightKeys: Seq[Expression], leftTs: Expression, rightTs: Expression,
     rightTieBreak: Seq[SortOrder],
     left: SparkPlan, right: SparkPlan,
-    forward: Boolean = false,
+    direction: String = "backward",
     toleranceMicros: Option[Long] = None) extends BinaryExecNode {
+
+  private def forward = direction == "forward"
+  private def nearest = direction == "nearest"
 
   // FORWARD mode ("earliest right row with rightTs >= leftTs"): the same
   // forward-only merge over MIRRORED time — both sides sort ts
@@ -199,7 +209,12 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
     val lk = leftKeys; val rk = rightKeys
     val lts = leftTs; val rts = rightTs
     val fwd = forward
+    val near = nearest
     val tol = toleranceMicros
+    // int-backed axes (date/int) must be read as getInt — getLong on an
+    // int slot only works for non-negative values by accident
+    val tsIsInt = leftTs.dataType == org.apache.spark.sql.types.DateType ||
+      leftTs.dataType == org.apache.spark.sql.types.IntegerType
     val leftOutput = left.output; val rightOutput = right.output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val leftKeyProj = UnsafeProjection.create(lk, leftOutput)
@@ -242,6 +257,8 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
       var curMatch: InternalRow = null
       var curMatchKey: InternalRow = null
       var curMatchTs: Long = 0L
+      def tsLong(r: InternalRow): Long =
+        if (tsIsInt) r.getInt(0).toLong else r.getLong(0)
 
       lIter.map { l =>
         val k = leftKeyProj(l)
@@ -257,21 +274,44 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
             if (c < 0 || (c == 0 && tsOk)) {
               if (c == 0) {
                 curMatch = nextRight; curMatchKey = nextRightKey
-                curMatchTs = nextRightTs.getLong(0)
+                curMatchTs = tsLong(nextRightTs)
               }
               advanceRight()
             } else advancing = false
           }
-          // tolerance: the matched row's age (backward) / lead (forward)
-          // must stay within the bound — stale matches null out, the
-          // union+window form's `within` semantics
-          val hit = curMatch != null && keyOrd.compare(curMatchKey, k) == 0 &&
-            tol.forall { t0 =>
-              val age = if (fwd) curMatchTs - t.getLong(0)
-                        else t.getLong(0) - curMatchTs
-              age <= t0
-            }
-          resultProj(joined(l, if (hit) curMatch else nullRight))
+          if (near) {
+            // NEAREST: the merge runs in backward orientation, so the
+            // retained candidate is the last row with ts <= t and the
+            // UN-consumed cursor head is exactly the first same-key row
+            // with ts > t — both candidates for free, no extra pass.
+            // Closer side wins; equal distance → backward (the window
+            // form's pandas merge_asof convention; exact-ts matches are
+            // consumed into the backward candidate at distance 0).
+            val tl = tsLong(t)
+            val bound = tol.getOrElse(Long.MaxValue)
+            val bPresent = curMatch != null && keyOrd.compare(curMatchKey, k) == 0
+            val fPresent = nextRight != null && keyOrd.compare(nextRightKey, k) == 0
+            val db = if (bPresent) tl - curMatchTs else 0L
+            val df = if (fPresent) tsLong(nextRightTs) - tl else 0L
+            val bOk = bPresent && db <= bound
+            val fOk = fPresent && df <= bound
+            val chosen =
+              if (!bOk && !fOk) nullRight
+              else if (!fOk || (bOk && db <= df)) curMatch
+              else nextRight
+            resultProj(joined(l, chosen))
+          } else {
+            // tolerance: the matched row's age (backward) / lead (forward)
+            // must stay within the bound — stale matches null out, the
+            // union+window form's `within` semantics
+            val hit = curMatch != null && keyOrd.compare(curMatchKey, k) == 0 &&
+              tol.forall { t0 =>
+                val age = if (fwd) curMatchTs - tsLong(t)
+                          else tsLong(t) - curMatchTs
+                age <= t0
+              }
+            resultProj(joined(l, if (hit) curMatch else nullRight))
+          }
         }
       }
     }

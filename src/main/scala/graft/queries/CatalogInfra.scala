@@ -1117,6 +1117,52 @@ private[queries] object CatalogInfra {
                CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents,
                count(*) AS n
         FROM events GROUP BY 1, 2 ORDER BY event_type, day""")),
+
+    // EXACTLY-ONCE streaming sink via the manifest table (round 14) —
+    // the composition the two pieces exist for: each micro-batch lands
+    // as ONE idempotent append commit keyed by its batchId, so a
+    // replayed batch (restart from checkpoint re-delivers the last
+    // uncommitted batch — Structured Streaming's at-least-once
+    // boundary) can never duplicate rows. The replay is SIMULATED
+    // inline (every batch commits twice) and the re-read aggregate
+    // must still equal the plain batch oracle — at-least-once
+    // delivery + idempotent commit = exactly-once table state, the
+    // same contract Delta's streaming sink implements with its
+    // txn-version column. Batching is partition-dependent, but any
+    // disjoint batching unions to the same multiset, so the aggregate
+    // is batching-invariant — which is what makes it oracle-checkable.
+    "q410_stream_manifest_sink" -> QueryDef(
+      fn = (s, d) => {
+        val dir = manifestDir("q410", d)
+        val staged = stageEventsDir(d)
+        val ss = streamingSession(s)
+        try {
+          val stream = stagedEventsStream(ss, staged)
+            .select(col("event_id"), col("event_type"),
+              Catalog.cents(col("value")).as("cents"))
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              graft.sources.ManifestTable.commit(
+                batch.toDF(), dir, s"batch-$batchId", mode = "append")
+              // the simulated checkpoint replay — must be a no-op
+              graft.sources.ManifestTable.commit(
+                batch.toDF(), dir, s"batch-$batchId", mode = "append")
+              ()
+            }
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        } finally dropStaged(staged)
+        graft.sources.ManifestTable.read(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      streaming = true),
   )
 
   /** Fresh manifest-table dir per (query, sf) run — reruns must exercise

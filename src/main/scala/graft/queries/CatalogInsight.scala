@@ -4842,5 +4842,121 @@ private[queries] object CatalogInsight {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
         FROM j GROUP BY event_type ORDER BY event_type"""),
       streaming = true),
+
+    // DSIR-style importance weights (round 14) — the data-selection
+    // verb of the LLM pipeline (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling"): score every doc by
+    // how much more likely its hashed-bigram profile is under the
+    // TARGET distribution (here: the 'en' slice) than under the raw
+    // corpus, weight(doc) = sum over its bigrams of
+    // ln(p_target(b) / p_source(b)) with add-one smoothing over 256
+    // md5-hashed buckets. Every count is exact, the per-bucket
+    // log-ratio is ONE e6-floored double (the q399 snapped-log
+    // discipline) so the per-doc sum is an order-free INTEGER sum, and
+    // the bucket hash is the md5-positional parse both engines share
+    // (q374's convention). 100 TB: one bigram explode -> 256-row
+    // stats broadcast -> map-side rejoin + per-doc integer agg; the
+    // top-10 emit is TakeOrderedAndProject. Scales.
+    "q405_dsir_weights" -> QueryDef(
+      fn = (s, d) => {
+        val hexpos = (i: Int) =>
+          s"(instr('0123456789abcdef', substring(md5(bigram), $i, 1)) - 1)"
+        val toks = TF.tokens(col("text"))
+        val bigrams = zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        val grams = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), explode(bigrams).as("bigram"))
+          .withColumn("__b", expr(s"${hexpos(1)} * 16 + ${hexpos(2)}"))
+          .localCheckpoint(eager = true) // bucket stats + doc scores share it
+        val buckets = grams.groupBy("__b").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__ct"),
+          count(lit(1)).as("__cs"))
+        val totals = grams.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__nt"),
+          count(lit(1)).as("__ns"))
+        val rated = buckets.crossJoin(broadcast(totals))
+          .select(col("__b"),
+            floor(log(((col("__ct") + 1L) * (col("__ns") + 256L))
+                .cast("double")
+              / ((col("__cs") + 1L) * (col("__nt") + 256L)).cast("double"))
+              * 1000000.0 + 0.5).cast("long").as("__lr"))
+        grams.join(broadcast(rated), Seq("__b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("__lr")).as("weight_e6"))
+          .orderBy(col("weight_e6").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      oracle = Some(s"""
+        WITH t0 AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        tk AS (SELECT doc_id, lang, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS pos
+               FROM t0),
+        bg AS (SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS bigram
+               FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+                                  AND b.pos = a.pos + 1),
+        gh AS (SELECT doc_id, lang,
+                      (instr('0123456789abcdef', substring(md5(bigram), 1, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substring(md5(bigram), 2, 1)) - 1) AS b
+               FROM bg),
+        bk AS (SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+                      count(*) AS cs
+               FROM gh GROUP BY 1),
+        tt AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+                      count(*) AS ns
+               FROM gh),
+        lr AS (SELECT b, CAST(floor(ln(CAST((ct + 1) * (ns + 256) AS DOUBLE)
+                        / CAST((cs + 1) * (nt + 256) AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lrv
+               FROM bk, tt)
+        SELECT gh.doc_id, count(*) AS n_bigrams,
+               CAST(sum(lr.lrv) AS BIGINT) AS weight_e6
+        FROM gh JOIN lr ON gh.b = lr.b
+        GROUP BY gh.doc_id
+        ORDER BY weight_e6 DESC, doc_id ASC LIMIT 10""")),
+
+    // Temperature-based source mixing (round 14) — the sampling-weight
+    // computation every multilingual/multi-source training run does
+    // (the unigram-LM alpha-sampling rule, alpha = 0.5): source weight
+    // proportional to tokens^alpha, flattening the head so small
+    // sources are not drowned. sqrt lands on the e6 integer grid per
+    // source FIRST (one FP op each), so the normalizing sum and the
+    // shares are exact integer arithmetic — no cross-engine
+    // accumulation-order hazard. Also emits the expected epochs each
+    // source runs at a fixed 1M-token budget (budget * share / tokens
+    // — the oversampling-repeats readout). Bounded |sources| frame.
+    "q406_temperature_mix" -> QueryDef(
+      fn = (s, d) => {
+        val perSource = t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TF.tokens(col("text"))).cast("long")).as("n_tokens"))
+          .withColumn("__sq",
+            floor(sqrt(col("n_tokens").cast("double")) * 1000000.0 + 0.5)
+              .cast("long"))
+        perSource
+          .crossJoin(broadcast(perSource.agg(sum(col("__sq")).as("__tot"))))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("__sq * 1000000 div __tot").as("share_e6"),
+            expr("(1000000 * (__sq * 1000000 div __tot)) div n_tokens")
+              .as("epochs_e6"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH t0 AS (SELECT source, count(*) AS n_docs,
+                           sum(len($toksSql)) AS n_tokens
+                    FROM documents GROUP BY 1),
+        sq AS (SELECT source, n_docs, n_tokens,
+                      CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS sqv
+               FROM t0),
+        tot AS (SELECT sum(sqv) AS t FROM sq)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sqv * 1000000 // t AS BIGINT) AS share_e6,
+               CAST((1000000 * (sqv * 1000000 // t)) // n_tokens AS BIGINT)
+                 AS epochs_e6
+        FROM sq, tot ORDER BY source""")),
   )
 }

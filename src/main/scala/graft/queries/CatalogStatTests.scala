@@ -1926,6 +1926,329 @@ private[queries] object CatalogStatTests {
           ON l.event_type = dim.event_type AND l.ts >= dim.d_ts
         ORDER BY l.event_id""")),
 
+    // NEAREST as-of under the oracle gate (round 14) — the third
+    // direction, newly lifted off the union+window-only path: asofAuto
+    // now dispatches long-backed nearest down the same physical ladder
+    // (broadcast probe here — two binary searches per row; merge exec
+    // when oversize — the forward peek is the cursor head, free).
+    // Semantics: closest purchase within ±30 min of each click, equal
+    // distance → backward (pandas merge_asof), instant ties removed by
+    // pre-aggregating the purchase side (the q373 shape). DuckDB has no
+    // nearest ASOF, so the oracle replays it as a correlated
+    // min-|Δt|-then-smaller-ts subquery — an independent formulation,
+    // which is the point.
+    "q403_asof_nearest" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max(cents(col("value"))).as("p_cents"))
+        graft.ops.AsOfJoin.asofAuto(clicks, purchases,
+            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+            rightCols = Seq("p_cents"), direction = "nearest",
+            toleranceMicros = Some(1800L * 1000000L))
+          .orderBy("event_id")
+      },
+      oracle = Some(s"""
+        WITH p AS (SELECT user_id, ts AS p_ts,
+                          max(${centsSql("value")}) AS p_cents
+                   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+        j AS (SELECT c.event_id, c.user_id, c.ts,
+                (SELECT p.p_ts FROM p WHERE p.user_id = c.user_id
+                   AND abs(epoch_us(p.p_ts) - epoch_us(c.ts)) <= 1800000000
+                 ORDER BY abs(epoch_us(p.p_ts) - epoch_us(c.ts)), p.p_ts
+                 LIMIT 1) AS asof_ts
+              FROM c)
+        SELECT j.event_id, j.user_id, j.ts, j.asof_ts, p.p_cents
+        FROM j LEFT JOIN p ON j.user_id = p.user_id AND j.asof_ts = p.p_ts
+        ORDER BY j.event_id""")),
+
+    // Kaplan-Meier survival curve (round 14) — the time-to-event verb
+    // beside q396's CUPED and q385's burstiness: per user, time from
+    // first event to FIRST LARGE PURCHASE (value > 75 — the "event");
+    // users who never convert are right-CENSORED at their last event
+    // (calendar censoring is vacuous in this fixture: every user is
+    // active to the final day). S(t) = prod over event times u <= t of
+    // (1 - d_u/n_u), computed as exp of a cumulative ln-sum over the
+    // BOUNDED distinct-duration frame in duration order (fixed-order
+    // FP, identical shape both engines, e6 snap).
+    // ln(0) guard: Spark log(0) is NULL while DuckDB returns -inf —
+    // sum-over-nulls SKIPS vs propagates, so the zero factor is
+    // CASE'd out and a cumulative min(n-d) flag forces S=0 from the
+    // first all-deaths time onward, identically on both engines.
+    // Shape: one user agg + windows over distinct durations. Scales.
+    "q404_kaplan_meier" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val users = ev.groupBy("user_id")
+          .agg(min(col("ts")).as("__f"), max(col("ts")).as("__l"),
+            min(when(col("event_type") === "purchase"
+              && cents(col("value")) > 7500L, col("ts"))).as("__b"))
+          .select(
+            datediff(to_date(coalesce(col("__b"), col("__l"))),
+              to_date(col("__f"))).cast("long").as("__dur"),
+            when(col("__b").isNotNull, 1L).otherwise(0L).as("__obs"))
+        val byDur = users.groupBy("__dur")
+          .agg(sum(col("__obs")).as("__d"), count(lit(1)).as("__m"))
+          .crossJoin(broadcast(users.agg(count(lit(1)).as("__n"))))
+        val wPrev = Window.orderBy(col("__dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val risk = byDur
+          .withColumn("__n_risk",
+            col("__n") - coalesce(sum(col("__m")).over(wPrev), lit(0L)))
+          .filter(col("__d") > 0L)
+        val wCum = Window.orderBy(col("__dur"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        risk
+          .withColumn("__mnd", min(col("__n_risk") - col("__d")).over(wCum))
+          .withColumn("__cl", sum(
+            when(col("__n_risk") > col("__d"),
+              log((col("__n_risk") - col("__d")).cast("double")
+                / col("__n_risk").cast("double"))).otherwise(lit(0.0)))
+            .over(wCum))
+          .select(col("__dur").as("dur_days"), col("__d").as("n_churned"),
+            col("__n_risk").as("n_risk"),
+            when(col("__mnd") === 0L, 0L)
+              .otherwise(floor(exp(col("__cl")) * 1000000.0 + 0.5)
+                .cast("long")).as("survival_e6"))
+          .orderBy("dur_days")
+      },
+      oracle = Some(s"""
+        WITH u AS (SELECT user_id, min(ts) AS f, max(ts) AS l,
+                          min(CASE WHEN event_type = 'purchase'
+                                AND ${centsSql("value")} > 7500
+                              THEN ts END) AS b
+              FROM events GROUP BY 1),
+        du AS (SELECT date_diff('day', CAST(f AS DATE),
+                        CAST(coalesce(b, l) AS DATE)) AS dur,
+                      CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END AS obs
+               FROM u),
+        bd AS (SELECT dur, sum(obs) AS d, count(*) AS m FROM du GROUP BY 1),
+        r AS (SELECT dur, d, m,
+                     (SELECT count(*) FROM du)
+                       - coalesce(sum(m) OVER (ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n_risk
+              FROM bd),
+        e AS (SELECT dur, d, n_risk FROM r WHERE d > 0),
+        s AS (SELECT dur, d, n_risk,
+                     min(n_risk - d) OVER (ORDER BY dur
+                       ROWS UNBOUNDED PRECEDING) AS mnd,
+                     sum(CASE WHEN n_risk > d THEN
+                           ln(CAST(n_risk - d AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE)) ELSE 0.0 END)
+                       OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cl
+              FROM e)
+        SELECT CAST(dur AS BIGINT) AS dur_days, CAST(d AS BIGINT) AS n_churned,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(CASE WHEN mnd = 0 THEN 0
+                    ELSE floor(exp(cl) * 1000000 + 0.5) END AS BIGINT)
+                 AS survival_e6
+        FROM s ORDER BY dur_days""")),
+
+    // Lead-lag cross-correlation (round 14) — "do purchases follow
+    // clicks, and by how many days?": Pearson r between the daily
+    // click series and the daily purchase series shifted by each lag
+    // in -3..+3, every moment an exact integer over the
+    // calendar-bounded day frame (the lag join is days x 7, never
+    // corpus-scale), the two sqrts taken SEPARATELY (the q392 rule),
+    // e6 snap at emit. Zero-variance overlaps CASE-null identically.
+    "q407_lead_lag_xcorr" -> QueryDef(
+      fn = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(datediff(to_date(col("ts")),
+            lit("1970-01-01").cast("date")).cast("long").as("__day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("__c"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("__p"))
+          .localCheckpoint(eager = true) // both lag-join sides share it
+        val lags = s.range(-3, 4).select(col("id").as("lag"))
+        val a = daily.select(col("__day"), col("__c"))
+        val b = daily.select(col("__day").as("__day2"), col("__p"))
+        val joined = a.crossJoin(broadcast(lags))
+          .join(b, col("__day") + col("lag") === col("__day2"))
+        val m = joined.groupBy("lag").agg(
+          count(lit(1)).as("n_days"),
+          sum(col("__c")).as("__sx"), sum(col("__p")).as("__sy"),
+          sum(col("__c") * col("__c")).as("__sxx"),
+          sum(col("__p") * col("__p")).as("__syy"),
+          sum(col("__c") * col("__p")).as("__sxy"))
+        m.select(col("lag"), col("n_days"),
+          when(col("n_days") > 1L
+              && col("n_days") * col("__sxx") > col("__sx") * col("__sx")
+              && col("n_days") * col("__syy") > col("__sy") * col("__sy"),
+            floor((col("n_days") * col("__sxy") - col("__sx") * col("__sy"))
+              .cast("double")
+              / (sqrt((col("n_days") * col("__sxx")
+                  - col("__sx") * col("__sx")).cast("double"))
+                * sqrt((col("n_days") * col("__syy")
+                  - col("__sy") * col("__sy")).cast("double")))
+              * 1000000 + 0.5).cast("long")).as("r_e6"))
+          .orderBy("lag")
+      },
+      oracle = Some("""
+        WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS day,
+                              sum(CASE WHEN event_type = 'click'
+                                  THEN 1 ELSE 0 END) AS c,
+                              sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) AS p
+                       FROM events GROUP BY 1),
+        lags AS (SELECT CAST(x AS BIGINT) AS lag
+                 FROM unnest([-3, -2, -1, 0, 1, 2, 3]) AS t(x)),
+        j AS (SELECT lags.lag, a.c, b.p
+              FROM daily a CROSS JOIN lags
+              JOIN daily b ON a.day + lags.lag = b.day),
+        m AS (SELECT lag, count(*) AS n, sum(c) AS sx, sum(p) AS sy,
+                     sum(c * c) AS sxx, sum(p * p) AS syy,
+                     sum(c * p) AS sxy
+              FROM j GROUP BY lag)
+        SELECT lag, CAST(n AS BIGINT) AS n_days,
+               CAST(CASE WHEN n > 1 AND n * sxx > sx * sx
+                          AND n * syy > sy * sy
+                    THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                           * 1000000 + 0.5) END AS BIGINT) AS r_e6
+        FROM m ORDER BY lag""")),
+
+    // Mutual information between event type and ISO weekday (round 14)
+    // — the dependence-strength verb beside q393's rank concordance:
+    // MI = sum over cells of p_xy * ln(p_xy / (p_x p_y)), carried as
+    // the EXACT integer partial sums n_xy * [ln(n_xy*N/(n_x*n_y))]_e6
+    // (the q399 snapped-log discipline: one FP division + ln + floor
+    // per cell, identical shape both engines; everything else integer,
+    // so the per-type sums are order-free). Emitted per event type as
+    // mi_contrib (sum over its weekday cells) — global MI in nats_e6 =
+    // sum(mi_contrib) div n_total, derivable exactly from the rows.
+    // 100 TB: cells are |types| x 7 — one grouped count, bounded frame.
+    "q408_mutual_information" -> QueryDef(
+      fn = (s, d) => {
+        val cells = t(s, d, "events")
+          .groupBy(col("event_type"), weekday(col("ts")).cast("long").as("__dow"))
+          .agg(count(lit(1)).as("__nxy"))
+          .localCheckpoint(eager = true) // marginals + cells share it
+        val nx = cells.groupBy("event_type").agg(sum(col("__nxy")).as("__nx"))
+        val ny = cells.groupBy("__dow").agg(sum(col("__nxy")).as("__ny"))
+        val nn = cells.agg(sum(col("__nxy")).as("__nn"))
+        cells
+          .join(broadcast(nx), Seq("event_type"))
+          .join(broadcast(ny), Seq("__dow"))
+          .crossJoin(broadcast(nn))
+          .select(col("event_type"), col("__nx"),
+            (col("__nxy") * floor(log((col("__nxy") * col("__nn"))
+                .cast("double") / (col("__nx") * col("__ny")).cast("double"))
+              * 1000000.0 + 0.5).cast("long")).as("__t"))
+          .groupBy(col("event_type"), col("__nx").as("n_type"))
+          .agg(sum(col("__t")).as("mi_contrib"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT event_type, isodow(ts) - 1 AS dow,
+                          count(*) AS nxy
+                   FROM events GROUP BY 1, 2),
+        mx AS (SELECT event_type, sum(nxy) AS nx FROM c GROUP BY 1),
+        my AS (SELECT dow, sum(nxy) AS ny FROM c GROUP BY 1),
+        nn AS (SELECT sum(nxy) AS n FROM c),
+        tm AS (SELECT c.event_type, mx.nx,
+                      c.nxy * CAST(floor(ln(CAST(c.nxy * nn.n AS DOUBLE)
+                        / CAST(mx.nx * my.ny AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS term
+               FROM c JOIN mx ON c.event_type = mx.event_type
+                      JOIN my ON c.dow = my.dow
+                      CROSS JOIN nn)
+        SELECT event_type, CAST(max(nx) AS BIGINT) AS n_type,
+               CAST(sum(term) AS BIGINT) AS mi_contrib
+        FROM tm GROUP BY event_type ORDER BY event_type""")),
+
+    // Benjamini-Hochberg FDR control (round 14) — the multiple-testing
+    // verb q181's single A/B test lacks: per event type, a Welch z-test
+    // between the parity arms on per-user spend; BH at alpha = 0.10
+    // rejects the k smallest p-values where k = max{i : p_(i) <=
+    // i*alpha/m}. Neither engine ships erf, so the normal tail is the
+    // SAME Abramowitz-Stegun 26.2.17 arithmetic STRING evaluated by
+    // both (identical IEEE op tree -> identical doubles; [[bhZSql]] /
+    // [[bhPSql]]), moments are exact integers (sxx in decimal(38,0),
+    // the q392 headroom rule), and the BH comparison itself is pure
+    // integers: p_e6 * m <= rank * 100000. The ranking windows run on
+    // the |event types|-sized frame — bounded, never corpus-wide.
+    // NON-HOLLOW by construction (the q94 planted-probe pattern): the
+    // parity arms are a TRUE null, so the real hypotheses must not
+    // reject — and each type also gets a `probe_` twin with a planted
+    // +500.00/user arm effect that MUST reject; both branches of the
+    // BH decision sit under the hash.
+    "q409_bh_fdr" -> QueryDef(
+      fn = (s, d) => {
+        val dec = "decimal(38,0)"
+        val base = t(s, d, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(cents(col("value"))).as("__uc"))
+          .withColumn("__arm", col("user_id") % 2L)
+        val perUser = base.unionByName(base.select(
+          concat(lit("probe_"), col("event_type")).as("event_type"),
+          col("user_id"),
+          (col("__uc") + col("__arm") * 50000L).as("__uc"),
+          col("__arm")))
+        val m = perUser.groupBy("event_type").agg(
+          sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("__arm") === 1L, col("__uc")).otherwise(0L)).as("sx1"),
+          sum(when(col("__arm") === 1L, col("__uc").cast(dec) * col("__uc"))
+            .otherwise(lit(0L).cast(dec))).as("sxx1"),
+          sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("__arm") === 0L, col("__uc")).otherwise(0L)).as("sx0"),
+          sum(when(col("__arm") === 0L, col("__uc").cast(dec) * col("__uc"))
+            .otherwise(lit(0L).cast(dec))).as("sxx0"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val wRank = Window.orderBy(col("p_e6"), col("event_type"))
+        m.withColumn("__z", expr(bhZSql))
+          .withColumn("p_e6", expr(bhPSql))
+          .withColumn("m_tests", count(lit(1)).over(wAll))
+          .withColumn("bh_rank", row_number().over(wRank).cast("long"))
+          .withColumn("__k", max(when(
+            col("p_e6") * col("m_tests") <= col("bh_rank") * 100000L,
+            col("bh_rank"))).over(wAll))
+          .select(col("event_type"), col("n1"), col("n0"), col("p_e6"),
+            col("bh_rank"),
+            (col("bh_rank") <= coalesce(col("__k"), lit(0L))).as("rejected"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH pu0 AS (SELECT event_type, user_id, user_id % 2 AS arm,
+                            sum(${centsSql("value")}) AS uc
+                     FROM events GROUP BY 1, 2, 3),
+        pu AS (SELECT event_type, user_id, arm, uc FROM pu0
+               UNION ALL
+               SELECT 'probe_' || event_type, user_id, arm,
+                      uc + arm * 50000
+               FROM pu0),
+        mo AS (SELECT event_type,
+                 sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                 sum(CASE WHEN arm = 1 THEN uc ELSE 0 END) AS sx1,
+                 sum(CASE WHEN arm = 1 THEN uc * uc ELSE 0 END) AS sxx1,
+                 sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                 sum(CASE WHEN arm = 0 THEN uc ELSE 0 END) AS sx0,
+                 sum(CASE WHEN arm = 0 THEN uc * uc ELSE 0 END) AS sxx0
+               FROM pu GROUP BY 1),
+        z AS (SELECT *, $bhZSql AS __z FROM mo),
+        p AS (SELECT *, $bhPSql AS p_e6 FROM z),
+        r AS (SELECT *, count(*) OVER () AS m_tests,
+                row_number() OVER (ORDER BY p_e6, event_type) AS bh_rank
+              FROM p),
+        k AS (SELECT *, max(CASE WHEN p_e6 * m_tests <= bh_rank * 100000
+                            THEN bh_rank END) OVER () AS kk
+              FROM r)
+        SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+               CAST(n0 AS BIGINT) AS n0, p_e6,
+               CAST(bh_rank AS BIGINT) AS bh_rank,
+               (bh_rank <= coalesce(kk, 0)) AS rejected
+        FROM k ORDER BY event_type""")),
+
     // CUPED variance reduction (round 13) — the experimentation
     // workhorse beside q246's diff-in-diff: adjust each unit's metric
     // by its PRE-period covariate, y' = y - theta (x - xbar) with
@@ -2107,4 +2430,30 @@ private[queries] object CatalogStatTests {
 
   /** q295's lookback window: touches within 7 days before a conversion. */
   private val AttributionWindowUs = 604800000000L
+
+  /** q409's Welch |z| over exact integer moments — ONE arithmetic string
+    * evaluated by BOTH engines (Spark `expr` and DuckDB), so every
+    * intermediate double is bit-identical. sxx rides decimal(38,0)
+    * (Spark) / HUGEINT (DuckDB); the CASTs make both exact before the
+    * single rounding into DOUBLE.
+    */
+  private def bhVarTerm(i: Int): String =
+    s"(CAST(n$i * CAST(sxx$i AS DECIMAL(38,0)) - CAST(sx$i AS DECIMAL(38,0)) * sx$i AS DOUBLE)" +
+      s" / (CAST(n$i AS DOUBLE) * (n$i - 1) * n$i))"
+  private val bhZSql: String =
+    s"(abs(CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)" +
+      s" / sqrt(${bhVarTerm(1)} + ${bhVarTerm(0)}))"
+
+  /** Two-sided normal p from |z| via Abramowitz-Stegun 26.2.17 (neither
+    * engine ships erf), e6-snapped — again ONE string for both engines.
+    * The t subterm repeats textually; both engines evaluate the same op
+    * tree, so recomputation cannot diverge.
+    */
+  private val bhPSql: String = {
+    val t = "(1.0 / (1.0 + 0.2316419 * __z))"
+    val poly = s"($t * (0.31938153 + $t * (-0.356563782 + $t * (1.781477937" +
+      s" + $t * (-1.821255978 + $t * 1.330274429)))))"
+    s"CAST(floor(2.0 * (exp(-(__z * __z) / 2.0) / 2.5066282746310002)" +
+      s" * $poly * 1000000.0 + 0.5) AS BIGINT)"
+  }
 }

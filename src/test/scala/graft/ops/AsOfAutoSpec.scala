@@ -38,8 +38,8 @@ class AsOfAutoSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.asof.broadcastThreshold")
   }
 
-  test("three-way parity: auto == broadcast == merge == window, both dirs") {
-    for (dir <- Seq("backward", "forward")) {
+  test("three-way parity: auto == broadcast == merge == window, all three dirs") {
+    for (dir <- Seq("backward", "forward", "nearest")) {
       val auto = rowsOf(autoAt(1L << 30, dir))
       val bc = rowsOf(AsOfJoin.asofBroadcast(clicks, purchases,
         on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
@@ -72,13 +72,58 @@ class AsOfAutoSpec extends AnyFunSuite {
     assert(plan.contains("AsOfMergeJoin"), plan)
   }
 
-  test("dispatch: nearest → union+window form, parity with manual asof") {
-    val auto = autoAt(1L << 30, "nearest")
-    val plan = auto.queryExecution.executedPlan.toString()
-    assert(plan.contains("Window"), plan)
-    assert(rowsOf(auto) == rowsOf(AsOfJoin.asof(clicks, purchases,
+  test("dispatch: nearest rides the physical ladder — broadcast small, merge large") {
+    // round 14: nearest no longer forces the union+window form on a
+    // long-backed axis — small right → zero-shuffle probe, oversize →
+    // merge exec, both cell-identical to the manual window form
+    val want = rowsOf(AsOfJoin.asof(clicks, purchases,
       on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
-      rightCols = Seq("p_value"), direction = "nearest")))
+      rightCols = Seq("p_value"), direction = "nearest"))
+    val small = autoAt(1L << 30, "nearest")
+    assert(small.queryExecution.executedPlan.toString().contains("asof_lookup"))
+    assert(!small.queryExecution.executedPlan.toString().contains("Window"))
+    assert(rowsOf(small) == want)
+    val large = autoAt(1L, "nearest")
+    assert(large.queryExecution.executedPlan.toString().contains("AsOfMergeJoin"))
+    assert(rowsOf(large) == want)
+  }
+
+  test("dispatch: nearest on a non-long-backed axis falls back to the window form") {
+    // a DOUBLE time axis subtracts (so the window form can rank
+    // distances) but is not long-backed (the index/merge distance math
+    // needs the long encoding) — the one remaining window-form dispatch
+    val sLeft = clicks.withColumn("dts",
+      col("ts").cast("double")).drop("ts")
+    val sRight = purchases.withColumn("p_dts",
+      col("p_ts").cast("double")).drop("p_ts")
+    val auto = AsOfJoin.asofAuto(sLeft, sRight, on = Seq("user_id"),
+      leftTs = "dts", rightTs = "p_dts", rightCols = Seq("p_value"),
+      direction = "nearest")
+    assert(auto.queryExecution.executedPlan.toString().contains("Window"))
+    assert(auto.count() == clicks.count())
+  }
+
+  test("nearest picks the closer side; exact-distance ties prefer backward") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (1L, 200L), (1L, 305L)).toDF("k", "t")
+    val r = Seq((1L, 90L, "b90"), (1L, 110L, "f110"), (1L, 300L, "b300"),
+      (1L, 310L, "f310")).toDF("k", "rt", "v")
+    // t=100: dist(90)=10 vs dist(110)=10 — exact tie → backward row 90
+    // t=200: backward candidate 110 (dist 90) beats forward 300 (dist 100)
+    // t=305: dist(300)=5 vs dist(310)=5 — tie → backward row 300
+    val want = Map(100L -> "b90", 200L -> "f110", 305L -> "b300")
+    for (route <- Seq("bcast", "merge", "window")) {
+      val got = (route match {
+        case "bcast" => AsOfJoin.asofBroadcast(l, r, Seq("k"), "t", "rt",
+          Seq("v"), direction = "nearest")
+        case "merge" => graft.plans.AsOfMergeJoin.asofMerge(l, r, Seq("k"),
+          "t", "rt", Seq("v"), direction = "nearest")
+        case _ => AsOfJoin.asof(l, r, Seq("k"), "t", "rt", Seq("v"),
+          direction = "nearest")
+      }).select(col("t"), col("v")).collect()
+        .map(x => x.getLong(0) -> x.getString(1)).toMap
+      assert(got == want, s"route=$route got=$got")
+    }
   }
 
   test("dispatch: complex-typed carried column → merge exec even when small") {
@@ -103,6 +148,15 @@ class AsOfAutoSpec extends AnyFunSuite {
     // tolerance must actually bite: some matched rows null out vs no-tol
     val noTol = rowsOf(autoAt(1L << 30))
     assert(small != noTol)
+    // nearest honors the same tolerance on every route, window form incl.
+    val nSmall = rowsOf(autoAt(1L << 30, "nearest", tol))
+    val nLarge = rowsOf(autoAt(1L, "nearest", tol))
+    val nWindow = rowsOf(AsOfJoin.asof(clicks, purchases,
+      on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+      rightCols = Seq("p_value"),
+      tolerance = Some(expr("INTERVAL 30 MINUTES")), direction = "nearest"))
+    assert(nSmall.nonEmpty && nSmall == nLarge && nSmall == nWindow)
+    assert(nSmall != rowsOf(autoAt(1L << 30, "nearest")))
   }
 
   test("micros tolerance on a date axis is rejected on every auto route") {

@@ -1273,6 +1273,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q403: nearest as-of dispatches to the broadcast probe, not the window form") {
+    // round 14: long-backed nearest rides the physical ladder — the plan
+    // must be the zero-shuffle probe (two binary searches per row), with
+    // no union+window and no merge exec at this dim size
+    val plan = planOf("q403_asof_nearest")
+    assert(plan.contains("asof_lookup"), plan)
+    assert(!plan.contains("Window") && !plan.contains("AsOfMergeJoin"), plan)
+    val exchanges = plan.linesIterator
+      .count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 1, s"expected only the ORDER BY exchange:\n$plan")
+  }
+
   test("q361: ONE documents scan, automaton probe in-line, partial aggs") {
     val plan = planOf("q361_blocklist_scan")
     assert(plan.contains("multi_pattern_count"), plan)
