@@ -4958,5 +4958,75 @@ private[queries] object CatalogInsight {
                CAST((1000000 * (sqv * 1000000 // t)) // n_tokens AS BIGINT)
                  AS epochs_e6
         FROM sq, tot ORDER BY source""")),
+
+    // Geometric median of the embedding corpus (round 14) — the ROBUST
+    // centroid (outlier-immune, unlike the mean every centroid op uses)
+    // via three smoothed-Weiszfeld iterations from the integer mean:
+    // m' = sum(w_i x_i) / sum(w_i), w_i = 1/sqrt(||x_i - m||^2 + 1)
+    // (the +1 removes the at-a-point singularity deterministically).
+    // Cross-engine exactness: coordinates live on the e3 integer grid
+    // (q388's transform), each iteration's ONLY FP op is the per-row
+    // 1/sqrt which snaps to the e12 grid immediately, the weighted
+    // sums are order-free decimal-exact integers, and m' lands back on
+    // the e3 grid via truncating integer division (measured identical
+    // both engines on negatives) — so all three iterations stay
+    // bit-identical. Shape per iteration: one broadcast of the 64-row
+    // m frame + one corpus agg; the weight join is vec_id-keyed. The
+    // oracle replays the full three-step recurrence as a CTE chain
+    // (the q365/q395 discipline). Scales.
+    "q413_geometric_median" -> QueryDef(
+      fn = (s, d) => {
+        val dec = "decimal(38,0)"
+        val sx = transform(col("embedding"), x =>
+          (x.cast("double") * 1000.0 + signum(x.cast("double")) * 0.5)
+            .cast("long"))
+        val px = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(sx).as(Seq("__i", "__x")))
+          .localCheckpoint(eager = true) // all three iterations share it
+        val m0 = px.groupBy("__i")
+          .agg(expr("sum(__x) div count(1)").as("__m"))
+          .localCheckpoint(eager = true)
+        def step(m: DataFrame): DataFrame = px
+          .join(broadcast(m), Seq("__i"))
+          .groupBy("vec_id")
+          .agg(sum((col("__x") - col("__m")) * (col("__x") - col("__m")))
+            .as("__d2"))
+          .select(col("vec_id"),
+            floor(lit(1e12) / sqrt((col("__d2") + 1L).cast("double")) + 0.5)
+              .cast("long").as("__w"))
+          .join(px, Seq("vec_id"))
+          .groupBy("__i")
+          .agg(expr(s"CAST(sum(CAST(__w AS $dec) * __x)" +
+            s" div sum(CAST(__w AS $dec)) AS BIGINT)").as("__m"))
+          .localCheckpoint(eager = true)
+        step(step(step(m0)))
+          .select(col("__i").cast("long").as("dim"), col("__m").as("m_e3"))
+          .orderBy("dim")
+      },
+      oracle = Some("""
+        WITH px AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                           CAST(round(unnest(embedding) * 1000.0) AS BIGINT) AS x
+                    FROM embeddings),
+        m0 AS (SELECT i, sum(x) // count(*) AS m FROM px GROUP BY 1),
+        d1 AS (SELECT vec_id, sum((x - m) * (x - m)) AS d2
+               FROM px JOIN m0 USING (i) GROUP BY 1),
+        w1 AS (SELECT vec_id, CAST(floor(1e12 / sqrt(CAST(d2 + 1 AS DOUBLE))
+                 + 0.5) AS BIGINT) AS w FROM d1),
+        m1 AS (SELECT i, sum(w * x) // sum(w) AS m
+               FROM px JOIN w1 USING (vec_id) GROUP BY 1),
+        d2t AS (SELECT vec_id, sum((x - m) * (x - m)) AS d2
+                FROM px JOIN m1 USING (i) GROUP BY 1),
+        w2 AS (SELECT vec_id, CAST(floor(1e12 / sqrt(CAST(d2 + 1 AS DOUBLE))
+                 + 0.5) AS BIGINT) AS w FROM d2t),
+        m2 AS (SELECT i, sum(w * x) // sum(w) AS m
+               FROM px JOIN w2 USING (vec_id) GROUP BY 1),
+        d3 AS (SELECT vec_id, sum((x - m) * (x - m)) AS d2
+               FROM px JOIN m2 USING (i) GROUP BY 1),
+        w3 AS (SELECT vec_id, CAST(floor(1e12 / sqrt(CAST(d2 + 1 AS DOUBLE))
+                 + 0.5) AS BIGINT) AS w FROM d3),
+        m3 AS (SELECT i, sum(w * x) // sum(w) AS m
+               FROM px JOIN w3 USING (vec_id) GROUP BY 1)
+        SELECT CAST(i AS BIGINT) AS dim, CAST(m AS BIGINT) AS m_e3
+        FROM m3 ORDER BY dim""")),
   )
 }

@@ -2249,6 +2249,231 @@ private[queries] object CatalogStatTests {
                (bh_rank <= coalesce(kk, 0)) AS rejected
         FROM k ORDER BY event_type""")),
 
+    // Trimmed + winsorized means (round 14) — the robust-location verbs
+    // production metric pipelines reach for before/instead of q386's
+    // Theil-Sen: per event type, the 10%-trimmed mean (drop each tail)
+    // and the winsorized mean (clamp each tail to the surviving
+    // boundary values) over exact cents. Ranks are a TOTAL order
+    // ((cents, event_id)), so the trim boundaries are cross-engine
+    // identical; every sum is an exact integer and the only divisions
+    // are final integer divs onto the centi-cent grid. The rank window
+    // is per-key (hash-partitioned per-group sort) — scales.
+    "q414_trimmed_winsorized" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            cents(col("value")).as("__c"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("__c"), col("event_id"))
+        val ranked = ev
+          .withColumn("__rk", row_number().over(w).cast("long"))
+          .withColumn("__n",
+            count(lit(1)).over(Window.partitionBy("event_type")))
+        val inTrim = col("__rk") > expr("__n div 10") &&
+          col("__rk") <= col("__n") - expr("__n div 10")
+        ranked.groupBy("event_type").agg(
+            max(col("__n")).as("n"),
+            max(expr("__n div 10")).as("__lo"),
+            sum(when(inTrim, col("__c"))).as("__ts"),
+            sum(when(inTrim, 1L).otherwise(0L)).as("__tc"),
+            max(when(col("__rk") === expr("__n div 10") + 1L, col("__c")))
+              .as("__vlo"),
+            max(when(col("__rk") === col("__n") - expr("__n div 10"),
+              col("__c"))).as("__vhi"))
+          .select(col("event_type"), col("n"),
+            expr("__ts * 100 div __tc").as("trimmed_mean_cc"),
+            expr("(__ts + __lo * __vlo + __lo * __vhi) * 100" +
+              " div (__tc + 2 * __lo)").as("winsorized_mean_cc"),
+            col("__vlo").as("p10_cents"), col("__vhi").as("p90_cents"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT event_type, event_id, ${centsSql("value")} AS c
+                   FROM events WHERE value IS NOT NULL),
+        r AS (SELECT event_type, c,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY c, event_id) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM e),
+        g AS (SELECT event_type, max(n) AS n, max(n // 10) AS lo,
+                     sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+                         THEN c END) AS ts,
+                     sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+                         THEN 1 ELSE 0 END) AS tc,
+                     max(CASE WHEN rk = n // 10 + 1 THEN c END) AS vlo,
+                     max(CASE WHEN rk = n - n // 10 THEN c END) AS vhi
+              FROM r GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(ts * 100 // tc AS BIGINT) AS trimmed_mean_cc,
+               CAST((ts + lo * vlo + lo * vhi) * 100 // (tc + 2 * lo)
+                 AS BIGINT) AS winsorized_mean_cc,
+               CAST(vlo AS BIGINT) AS p10_cents,
+               CAST(vhi AS BIGINT) AS p90_cents
+        FROM g ORDER BY event_type""")),
+
+    // Jackknife variance of a ratio metric (round 14) — the honest
+    // standard error for "purchase cents per click", where the naive
+    // per-day variance is wrong because both numerator and denominator
+    // are random: leave-one-DAY-out replicates r_(-i), each ONE
+    // e9-snapped FP division (so the replicate sums are order-free
+    // decimal-exact integers), then var_jack = (d-1)(d*Srr - Sr^2)/d^2
+    // in exact decimal with a single sqrt at emit. Shape: one daily
+    // agg + a 1-row totals broadcast; replicates are algebraic
+    // (totals - day), NOT d recomputations — the trick that makes
+    // jackknife O(days) instead of O(days * corpus). Scales.
+    "q415_jackknife_ratio" -> QueryDef(
+      fn = (s, d) => {
+        val dec = "decimal(38,0)"
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("__day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("__c"),
+            sum(when(col("event_type") === "purchase",
+              cents(col("value"))).otherwise(0L)).as("__p"))
+        val tot = daily.agg(sum(col("__c")).as("__tc"),
+          sum(col("__p")).as("__tp"), count(lit(1)).as("__d"))
+        val reps = daily.crossJoin(broadcast(tot))
+          .select(floor((col("__tp") - col("__p")).cast("double")
+            / (col("__tc") - col("__c")).cast("double") * 1e9 + 0.5)
+            .cast("long").as("__r"))
+        reps.agg(count(lit(1)).as("n_days"),
+            sum(col("__r").cast(dec)).as("__sr"),
+            sum(col("__r").cast(dec) * col("__r")).as("__srr"))
+          .crossJoin(broadcast(tot))
+          .select(col("n_days"),
+            floor(col("__tp").cast("double") / col("__tc").cast("double")
+              * 1e9 + 0.5).cast("long").as("r_full_e9"),
+            floor(sqrt(((col("n_days") - 1L) * (col("n_days") * col("__srr")
+                - col("__sr") * col("__sr"))).cast("double"))
+              / col("n_days").cast("double") + 0.5).cast("long")
+              .as("jk_se_e9"),
+            expr("CAST((n_days - 1) * (__sr - n_days * CAST(floor(" +
+              "CAST(__tp AS DOUBLE) / CAST(__tc AS DOUBLE) * 1e9 + 0.5)" +
+              " AS DECIMAL(38,0))) div n_days AS BIGINT)").as("jk_bias_e9"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                 sum(CASE WHEN event_type = 'purchase'
+                     THEN ${centsSql("value")} ELSE 0 END) AS p
+               FROM events GROUP BY 1),
+        tot AS (SELECT sum(c) AS tc, sum(p) AS tp, count(*) AS d FROM daily),
+        reps AS (SELECT CAST(floor(CAST(tp - p AS DOUBLE)
+                   / CAST(tc - c AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS r
+                 FROM daily, tot),
+        m AS (SELECT count(*) AS n, sum(r) AS sr,
+               sum(CAST(r AS HUGEINT) * r) AS srr FROM reps)
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(floor(CAST(tp AS DOUBLE) / CAST(tc AS DOUBLE) * 1e9
+                 + 0.5) AS BIGINT) AS r_full_e9,
+               CAST(floor(sqrt(CAST((n - 1) * (n * srr - sr * sr)
+                 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+                 AS jk_se_e9,
+               CAST((n - 1) * (sr - n * CAST(floor(CAST(tp AS DOUBLE)
+                 / CAST(tc AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) // n
+                 AS BIGINT) AS jk_bias_e9
+        FROM m, tot""")),
+
+    // Capture-recapture distinct-population estimate (round 14) — the
+    // ecology estimator applied where data pipelines actually use it:
+    // "how many users are there REALLY, given two overlapping
+    // observation channels?" Chapman's bias-corrected Lincoln-Petersen
+    // N = (n1+1)(n2+1)/(m+1) - 1 over the click channel, the purchase
+    // channel, and their overlap — pure integer arithmetic on the e6
+    // grid, with the TRUE union count beside it (the fixture sees all
+    // users in both channels eventually, so the estimator's realized
+    // error is an honest readout, not a tautology). One per-user
+    // flag agg + one 1-row reduce. Scales.
+    "q416_capture_recapture" -> QueryDef(
+      fn = (s, d) => {
+        val flags = t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("__k"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("__p"))
+        flags.agg(sum(col("__k")).as("__n1"), sum(col("__p")).as("__n2"),
+            sum(col("__k") * col("__p")).as("__m"),
+            count(lit(1)).as("n_true"))
+          .select(col("__n1").as("n_channel1"), col("__n2").as("n_channel2"),
+            col("__m").as("n_both"), col("n_true"),
+            expr("((__n1 + 1) * (__n2 + 1) * 1000000) div (__m + 1)" +
+              " - 1000000").as("chapman_e6"),
+            (expr("((__n1 + 1) * (__n2 + 1) * 1000000) div (__m + 1)" +
+              " - 1000000") - col("n_true") * 1000000L).as("err_e6"))
+      },
+      oracle = Some("""
+        WITH f AS (SELECT user_id,
+                 max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS k,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+               FROM events WHERE event_type IN ('click', 'purchase')
+               GROUP BY 1),
+        m AS (SELECT sum(k) AS n1, sum(p) AS n2, sum(k * p) AS mm,
+                     count(*) AS nt
+              FROM f)
+        SELECT CAST(n1 AS BIGINT) AS n_channel1,
+               CAST(n2 AS BIGINT) AS n_channel2,
+               CAST(mm AS BIGINT) AS n_both, CAST(nt AS BIGINT) AS n_true,
+               CAST(((n1 + 1) * (n2 + 1) * 1000000) // (mm + 1) - 1000000
+                 AS BIGINT) AS chapman_e6,
+               CAST(((n1 + 1) * (n2 + 1) * 1000000) // (mm + 1) - 1000000
+                 - nt * 1000000 AS BIGINT) AS err_e6
+        FROM m""")),
+
+    // MinHash-LSH parameter planner (round 14) — the tuning question
+    // every banded-LSH deployment (q26's shape) answers before it
+    // runs: for a 128-hash signature, which (bands b, rows r) pair
+    // minimizes expected error around the target similarity 0.70? The
+    // S-curve P(candidate | s) = 1 - (1 - s^r)^b is evaluated on the
+    // s = 0.01..0.99 grid with each transcendental snapped to the e9
+    // grid IMMEDIATELY (s^r and the outer power are the only FP ops;
+    // their snapped outputs feed the next step as exact rationals, so
+    // both engines walk identical inputs — the q399 discipline applied
+    // to exp/ln), and the false-positive mass (below-threshold
+    // candidates) + false-negative mass (above-threshold misses) are
+    // ORDER-FREE integer sums. chosen = the (total, b) argmin. Pure
+    // bounded compute — 8 configs x 99 grid points.
+    "q412_lsh_planner" -> QueryDef(
+      fn = (s, d) => {
+        val cfg = s.createDataFrame(Seq((128L, 1L), (64L, 2L), (32L, 4L),
+          (16L, 8L), (8L, 16L), (4L, 32L), (2L, 64L), (1L, 128L)))
+          .toDF("b", "r")
+        val grid = s.range(1, 100).select(col("id").as("i"))
+        val scored = cfg.crossJoin(grid)
+          .withColumn("__sr_e9", expr(lshSrE9Sql))
+          .withColumn("__p_e9", expr(lshPE9Sql))
+        scored.groupBy("b", "r").agg(
+            sum(when(col("i") < 70L, col("__p_e9")).otherwise(0L))
+              .as("fp_mass_e9"),
+            sum(when(col("i") >= 70L, lit(1000000000L) - col("__p_e9"))
+              .otherwise(0L)).as("fn_mass_e9"))
+          .withColumn("total_e9", col("fp_mass_e9") + col("fn_mass_e9"))
+          .withColumn("chosen", row_number().over(
+            // 8-row frame — bounded, never corpus-wide
+            Window.orderBy(col("total_e9"), col("b"))) === 1)
+          .orderBy("b")
+      },
+      oracle = Some(s"""
+        WITH cfg AS (SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r
+                     FROM (VALUES (128, 1), (64, 2), (32, 4), (16, 8),
+                                  (8, 16), (4, 32), (2, 64), (1, 128))
+                          AS t(b, r)),
+        grid AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 100)),
+        sc AS (SELECT b, r, i, $lshSrE9Sql AS __sr_e9 FROM cfg, grid),
+        p AS (SELECT b, r, i, $lshPE9Sql AS __p_e9 FROM sc),
+        agg AS (SELECT b, r,
+                  CAST(sum(CASE WHEN i < 70 THEN __p_e9 ELSE 0 END)
+                    AS BIGINT) AS fp_mass_e9,
+                  CAST(sum(CASE WHEN i >= 70 THEN 1000000000 - __p_e9
+                       ELSE 0 END) AS BIGINT) AS fn_mass_e9
+                FROM p GROUP BY 1, 2)
+        SELECT b, r, fp_mass_e9, fn_mass_e9,
+               fp_mass_e9 + fn_mass_e9 AS total_e9,
+               (row_number() OVER (ORDER BY fp_mass_e9 + fn_mass_e9, b)
+                 = 1) AS chosen
+        FROM agg ORDER BY b""")),
+
     // CUPED variance reduction (round 13) — the experimentation
     // workhorse beside q246's diff-in-diff: adjust each unit's metric
     // by its PRE-period covariate, y' = y - theta (x - xbar) with
@@ -2456,4 +2681,18 @@ private[queries] object CatalogStatTests {
     s"CAST(floor(2.0 * (exp(-(__z * __z) / 2.0) / 2.5066282746310002)" +
       s" * $poly * 1000000.0 + 0.5) AS BIGINT)"
   }
+
+  /** q412's S-curve pieces — again ONE arithmetic string per step for
+    * both engines, each transcendental e9-snapped before the next step
+    * so the engines walk identical exact inputs. s = i/100; s^r and
+    * (1 - s^r)^b go through exp/ln (integer exponents would need
+    * per-row unrolling); p = 1e9 - snapped outer power.
+    */
+  private val lshSrE9Sql: String =
+    "CAST(floor(exp(CAST(r AS DOUBLE) * ln(CAST(i AS DOUBLE) / 100.0))" +
+      " * 1000000000.0 + 0.5) AS BIGINT)"
+  private val lshPE9Sql: String =
+    "1000000000 - CAST(floor(exp(CAST(b AS DOUBLE)" +
+      " * ln(CAST(1000000000 - __sr_e9 AS DOUBLE) / 1000000000.0))" +
+      " * 1000000000.0 + 0.5) AS BIGINT)"
 }

@@ -340,5 +340,46 @@ private[queries] object CatalogTextVec {
               AND c.vec_id IN (SELECT doc_id FROM documents
                                WHERE lang = 'en')))
         WHERE rn <= 5 ORDER BY query_id, rank""")),
+
+    // Label-noise audit, confident-learning style (round 14) — the
+    // training-label QA verb: cross-tabulate the NOISY label (the lang
+    // column as shipped) against an independent predictor (q22's
+    // marker-word lang-id), and report each class's off-diagonal mass
+    // as its estimated noise rate — the joint-distribution core of
+    // confident learning (Northcutt et al.), with the marker argmax
+    // standing in for the model's predicted class. Every number is an
+    // exact integer; the oracle regenerates the predictor from the
+    // same marker table ([[Catalog.langIdSql]]), so a drifting
+    // tie-break order in EITHER engine's argmax goes hash-red.
+    // Shape: one map-side classify + a |langs|^2 cell agg. Scales.
+    "q411_label_noise_audit" -> QueryDef(
+      fn = (s, d) => {
+        val preds = t(s, d, "documents")
+          .select(col("lang"), TF.langId(col("text")).as("pred"))
+        val pairs = preds.groupBy("lang", "pred")
+          .agg(count(lit(1)).as("n_pair"))
+        val marg = pairs.groupBy("lang").agg(
+          sum(col("n_pair")).as("n_lang"),
+          sum(when(col("lang") === col("pred"), col("n_pair"))
+            .otherwise(0L)).as("__agree"))
+        pairs.join(broadcast(marg), Seq("lang"))
+          .select(col("lang"), col("pred"), col("n_pair"), col("n_lang"),
+            expr("(n_lang - __agree) * 1000000 div n_lang").as("noise_e6"))
+          .orderBy("lang", "pred")
+      },
+      oracle = Some(s"""
+        WITH g AS ($langIdSql),
+        j AS (SELECT lang, lang_guess AS pred, count(*) AS n_pair
+              FROM g GROUP BY 1, 2),
+        m AS (SELECT lang, sum(n_pair) AS n_lang,
+                     sum(CASE WHEN lang = pred THEN n_pair ELSE 0 END)
+                       AS agree
+              FROM j GROUP BY 1)
+        SELECT j.lang, j.pred, CAST(j.n_pair AS BIGINT) AS n_pair,
+               CAST(m.n_lang AS BIGINT) AS n_lang,
+               CAST((m.n_lang - m.agree) * 1000000 // m.n_lang AS BIGINT)
+                 AS noise_e6
+        FROM j JOIN m ON j.lang = m.lang
+        ORDER BY j.lang, j.pred""")),
   )
 }

@@ -113,7 +113,13 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // hazard is frontier fanout per iteration (replica-shifted keys
     // keep replica graphs disjoint)
     "q384_grid_dbscan", "q387_edit_distance_join", "q389_pq_adc_search",
-    "q391_personalized_pagerank")
+    "q391_personalized_pagerank",
+    // round-14 heavies: DSIR's hazard is the bigram explode + the
+    // 256-bucket rejoin (suffix-perturbed replicas keep gram work
+    // per-replica); the geometric median's hazard is the per-iteration
+    // corpus re-agg (3 fixed rounds, 64-row broadcast each — replicas
+    // add rows, never rounds)
+    "q405_dsir_weights", "q413_geometric_median")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
@@ -138,7 +144,10 @@ class ScaleGrowthSpec extends AnyFunSuite {
     */
   private def stage(factor: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-growth-x$factor").toString
-    val docs = Tables.documents(spark, baseSf).select("doc_id", "text", "source")
+    // lang rides along VERBATIM (q405's 'en' target slice must scale
+    // with the replicas — a suffixed lang would empty the target)
+    val docs = Tables.documents(spark, baseSf)
+      .select("doc_id", "text", "source", "lang")
     val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
     // sources suffix per replica too (q319's keyness cell frame is
     // sources x vocab — shared sources would grow its per-source token
@@ -146,7 +155,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
     (0 until factor).map(i => docs.select(
         (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
         perturbText(col("text"), i).as("text"),
-        concat(col("source"), lit(s"_r$i")).as("source")))
+        concat(col("source"), lit(s"_r$i")).as("source"),
+        col("lang")))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // part/supp keys shift per replica too: each replica is its own
