@@ -4888,6 +4888,7 @@ private[queries] object CatalogInsight {
           .orderBy(col("weight_e6").desc, col("doc_id").asc)
           .limit(10)
       },
+      bench = true,
       oracle = Some(s"""
         WITH t0 AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
         tk AS (SELECT doc_id, lang, unnest(toks) AS tok,
@@ -5003,6 +5004,7 @@ private[queries] object CatalogInsight {
           .select(col("__i").cast("long").as("dim"), col("__m").as("m_e3"))
           .orderBy("dim")
       },
+      bench = true,
       oracle = Some("""
         WITH px AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                            CAST(round(unnest(embedding) * 1000.0) AS BIGINT) AS x

@@ -1951,6 +1951,7 @@ private[queries] object CatalogStatTests {
             toleranceMicros = Some(1800L * 1000000L))
           .orderBy("event_id")
       },
+      bench = true,
       oracle = Some(s"""
         WITH p AS (SELECT user_id, ts AS p_ts,
                           max(${centsSql("value")}) AS p_cents
@@ -2473,6 +2474,70 @@ private[queries] object CatalogStatTests {
                (row_number() OVER (ORDER BY fp_mass_e9 + fn_mass_e9, b)
                  = 1) AS chosen
         FROM agg ORDER BY b""")),
+
+    // CUSUM drift detection (round 14) — the monitoring verb beside
+    // q263's PSI snapshot comparison: a one-sided CUSUM over the daily
+    // mean event value against a first-10-days reference, using the
+    // CLOSED FORM s_t = cumsum(y)_t - min(0, running-min of cumsum) —
+    // the max(0, s+y) recurrence expressed as two windows over the
+    // bounded calendar frame, no sequential loop. Each day's mean is
+    // ONE e6-snapped division (the q415 discipline) so every other
+    // number is an exact integer; the alarm threshold is
+    // self-calibrated to half the peak statistic (data-derived, so the
+    // alarm column provably varies). Scales: one daily agg + bounded
+    // windows.
+    "q419_cusum_drift" -> QueryDef(
+      fn = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(datediff(to_date(col("ts")),
+            lit("1970-01-01").cast("date")).cast("long").as("__day"))
+          .agg(count(lit(1)).as("__n"), sum(cents(col("value"))).as("__sc"))
+          .localCheckpoint(eager = true) // ref + series share it
+        val ref = daily
+          .crossJoin(broadcast(daily.agg(min(col("__day")).as("__d0"))))
+          .filter(col("__day") <= col("__d0") + 9L)
+          .agg(floor(sum(col("__sc")).cast("double")
+            / sum(col("__n")).cast("double") * 1e6 + 0.5).cast("long")
+            .as("__mu"))
+        val wCum = Window.orderBy(col("__day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val series = daily.crossJoin(broadcast(ref))
+          .withColumn("__x", floor(col("__sc").cast("double")
+            / col("__n").cast("double") * 1e6 + 0.5).cast("long"))
+          .withColumn("__y", col("__x") - col("__mu"))
+          .withColumn("__cum", sum(col("__y")).over(wCum))
+          .withColumn("__s", col("__cum")
+            - least(lit(0L), min(col("__cum")).over(wCum)))
+        series
+          .crossJoin(broadcast(series.agg(max(col("__s")).as("__peak"))))
+          .select(col("__day").as("day_idx"), col("__x").as("mean_e6"),
+            col("__s").as("cusum_e6"),
+            (col("__s") > expr("__peak div 2")).as("alarm"))
+          .orderBy("day_idx")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS day,
+                              count(*) AS n,
+                              sum(${centsSql("value")}) AS sc
+                       FROM events GROUP BY 1),
+        ref AS (SELECT CAST(floor(CAST(sum(sc) AS DOUBLE)
+                  / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS mu
+                FROM daily WHERE day <= (SELECT min(day) + 9 FROM daily)),
+        se AS (SELECT day, CAST(floor(CAST(sc AS DOUBLE)
+                 / CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) - mu AS y,
+                 CAST(floor(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) * 1e6
+                   + 0.5) AS BIGINT) AS x
+               FROM daily, ref),
+        cu AS (SELECT day, x, sum(y) OVER (ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM se),
+        st AS (SELECT day, x, cum - least(0, min(cum) OVER (ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)) AS st FROM cu),
+        pk AS (SELECT max(st) AS peak FROM st)
+        SELECT CAST(day AS BIGINT) AS day_idx, x AS mean_e6,
+               CAST(st AS BIGINT) AS cusum_e6,
+               (st > peak // 2) AS alarm
+        FROM st, pk ORDER BY day_idx""")),
 
     // CUPED variance reduction (round 13) — the experimentation
     // workhorse beside q246's diff-in-diff: adjust each unit's metric

@@ -381,5 +381,194 @@ private[queries] object CatalogTextVec {
                  AS noise_e6
         FROM j JOIN m ON j.lang = m.lang
         ORDER BY j.lang, j.pred""")),
+
+    // Intra-document repetition fraction (round 14) — the Gopher /
+    // MassiveText "fraction of duplicate n-grams" quality rule at the
+    // trigram grain: per doc, the share of trigram OCCURRENCES whose
+    // trigram appears more than once in that document — the
+    // template/boilerplate/looping-generation signal every LLM data
+    // pipeline filters on. Map-side trigrams (nested zip_with — no
+    // token self-join on the engine side), one (doc, trigram) count,
+    // exact integer occurrence sums, e6 division. Scales.
+    "q417_repetition_fraction" -> QueryDef(
+      fn = (s, d) => {
+        val toks = TF.tokens(col("text"))
+        val n = size(toks)
+        val trigrams = zip_with(
+          zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(toks, lit(3), n - 2),
+          (ab, c) => concat(ab, lit(" "), c))
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(trigrams).as("tri"))
+          .groupBy("doc_id", "tri").agg(count(lit(1)).as("__c"))
+          .groupBy("doc_id")
+          .agg(sum(col("__c")).as("n_trigrams"),
+            sum(when(col("__c") > 1L, col("__c")).otherwise(0L))
+              .as("n_dup_occ"))
+          .select(col("doc_id"), col("n_trigrams"), col("n_dup_occ"),
+            expr("n_dup_occ * 1000000 div n_trigrams").as("rep_e6"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        tk AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS pos
+               FROM t0),
+        tg AS (SELECT a.doc_id,
+                      a.tok || ' ' || b.tok || ' ' || c.tok AS tri
+               FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+                                  AND b.pos = a.pos + 1
+                         JOIN tk c ON a.doc_id = c.doc_id
+                                  AND c.pos = a.pos + 2),
+        tc AS (SELECT doc_id, tri, count(*) AS c FROM tg GROUP BY 1, 2),
+        g AS (SELECT doc_id, sum(c) AS nt,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS nd
+              FROM tc GROUP BY 1)
+        SELECT doc_id, CAST(nt AS BIGINT) AS n_trigrams,
+               CAST(nd AS BIGINT) AS n_dup_occ,
+               CAST(nd * 1000000 // nt AS BIGINT) AS rep_e6
+        FROM g ORDER BY doc_id""")),
+
+    // Gopher-style rule-based quality gate (round 14) — the classic
+    // hard-threshold document filter (Rae et al.'s MassiveText rules,
+    // adapted to this corpus's measured ranges so every rule BITES):
+    // word count >= 40, mean word length in [4.0, 4.8] (compared by
+    // integer cross-multiplication — no FP ratio), and >= 2 English
+    // stopword hits. Per-source census of keeps and per-rule failure
+    // counts — the exact readout a curation pipeline reports before
+    // committing to a filter config. One map-side classify + one
+    // grouped agg. Scales.
+    "q418_gopher_rules" -> QueryDef(
+      fn = (s, d) => {
+        val stops = TF.langMarkers("en")
+        val toks = TF.tokens(col("text"))
+        val chars = aggregate(toks, lit(0L),
+          (acc, tk) => acc + length(tk).cast("long"))
+        val flagged = t(s, d, "documents").select(col("source"),
+          size(toks).cast("long").as("__n"),
+          chars.as("__ch"),
+          size(filter(toks, tk => lower(tk).isin(stops: _*))).cast("long")
+            .as("__stop"))
+          .select(col("source"),
+            (col("__n") >= 40L).as("__r_wc"),
+            (col("__ch") * 10L >= col("__n") * 40L
+              && col("__ch") * 10L <= col("__n") * 48L).as("__r_mwl"),
+            (col("__stop") >= 2L).as("__r_stop"))
+        flagged.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("__r_wc") && col("__r_mwl") && col("__r_stop"), 1L)
+              .otherwise(0L)).as("n_keep"),
+            sum(when(!col("__r_wc"), 1L).otherwise(0L)).as("n_fail_wordcount"),
+            sum(when(!col("__r_mwl"), 1L).otherwise(0L)).as("n_fail_wordlen"),
+            sum(when(!col("__r_stop"), 1L).otherwise(0L)).as("n_fail_stopword"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH t0 AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+        f AS (SELECT source,
+                     (len(toks) >= 40) AS r_wc,
+                     (list_sum(list_transform(toks, t -> length(t))) * 10
+                        >= len(toks) * 40
+                      AND list_sum(list_transform(toks, t -> length(t))) * 10
+                        <= len(toks) * 48) AS r_mwl,
+                     (${hitCountSql(TF.langMarkers("en"))} >= 2) AS r_stop
+              FROM t0)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN r_wc AND r_mwl AND r_stop
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_wordcount,
+               CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_wordlen,
+               CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_stopword
+        FROM f GROUP BY source ORDER BY source""")),
+
+    // Heaps'-law vocabulary growth curve (round 14) — "how fast does
+    // the corpus stop teaching anything new?": distinct TRIGRAM
+    // vocabulary at 10 doc-id checkpoints (the word grain is degenerate
+    // in this fixture — exactly 31 distinct words, saturated by the
+    // first decile; trigrams grow 2.5k -> 16.5k across the corpus, a
+    // real curve), each trigram credited to its FIRST document (min
+    // doc_id — one grouped agg, no corpus-order window anywhere:
+    // checkpoints are doc-id VALUE deciles, so the curve needs only a
+    // 10-row broadcast), plus the LOCAL Heaps exponent between
+    // consecutive checkpoints (snapped-ln e6 integers, ratio by
+    // integer division — the q399 discipline). Scales.
+    "q420_heaps_law" -> QueryDef(
+      fn = (s, d) => {
+        val toks0 = TF.tokens(col("text"))
+        val n0 = size(toks0)
+        val trigrams = zip_with(
+          zip_with(slice(toks0, lit(1), n0 - 2), slice(toks0, lit(2), n0 - 2),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(toks0, lit(3), n0 - 2),
+          (ab, c) => concat(ab, lit(" "), c))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), trigrams.as("__t"))
+          .localCheckpoint(eager = true) // bounds + first-occ share it
+        val bounds = docs.agg(min(col("doc_id")).as("__lo"),
+            max(col("doc_id")).as("__hi"))
+          .select(explode(sequence(lit(1L), lit(10L))).as("k"),
+            col("__lo"), col("__hi"))
+          .select(col("k"),
+            expr("__lo + (__hi - __lo + 1) * k div 10 - 1").as("__b"))
+        val firstOcc = docs
+          .select(col("doc_id"), explode(array_distinct(col("__t"))).as("tok"))
+          .groupBy("tok").agg(min(col("doc_id")).as("__fd"))
+        val vocabAt = firstOcc.join(broadcast(bounds),
+            col("__fd") <= col("__b"))
+          .groupBy("k", "__b").agg(count(lit(1)).as("vocab"))
+        val docsAt = docs.join(broadcast(bounds), col("doc_id") <= col("__b"))
+          .groupBy("k").agg(count(lit(1)).as("n_docs"))
+        val w = Window.orderBy(col("k")) // 10-row frame — bounded
+        vocabAt.join(docsAt, Seq("k"))
+          .withColumn("__lnv", floor(log(col("vocab").cast("double"))
+            * 1000000.0 + 0.5).cast("long"))
+          .withColumn("__lnn", floor(log(col("n_docs").cast("double"))
+            * 1000000.0 + 0.5).cast("long"))
+          .withColumn("__dv", col("__lnv") - lag(col("__lnv"), 1).over(w))
+          .withColumn("__dn", col("__lnn") - lag(col("__lnn"), 1).over(w))
+          .select(col("k"), col("n_docs"), col("vocab"),
+            expr("CAST(CASE WHEN __dn > 0 THEN __dv * 1000000 div __dn END" +
+              " AS BIGINT)").as("beta_local_e6"))
+          .orderBy("k")
+      },
+      oracle = Some(s"""
+        WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        lim AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM t0),
+        bounds AS (SELECT CAST(k AS BIGINT) AS k,
+                          lo + (hi - lo + 1) * k // 10 - 1 AS b
+                   FROM (SELECT unnest(range(1, 11)) AS k), lim),
+        tk AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS pos
+               FROM t0),
+        tg AS (SELECT a.doc_id,
+                      a.tok || ' ' || b.tok || ' ' || c.tok AS tri
+               FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+                                  AND b.pos = a.pos + 1
+                         JOIN tk c ON a.doc_id = c.doc_id
+                                  AND c.pos = a.pos + 2),
+        fo AS (SELECT tri, min(doc_id) AS fd FROM tg GROUP BY 1),
+        curve AS (SELECT k, b,
+                         (SELECT count(*) FROM fo WHERE fo.fd <= bounds.b)
+                           AS vocab,
+                         (SELECT count(*) FROM t0 WHERE t0.doc_id <= bounds.b)
+                           AS n_docs
+                  FROM bounds),
+        sl AS (SELECT k, n_docs, vocab,
+                      CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS lnv,
+                      CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS lnn
+               FROM curve)
+        SELECT k, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(vocab AS BIGINT) AS vocab,
+               CAST(CASE WHEN lnn - lag(lnn) OVER (ORDER BY k) > 0
+                    THEN (lnv - lag(lnv) OVER (ORDER BY k)) * 1000000
+                         // (lnn - lag(lnn) OVER (ORDER BY k)) END AS BIGINT)
+                 AS beta_local_e6
+        FROM sl ORDER BY k""")),
   )
 }
