@@ -2539,6 +2539,168 @@ private[queries] object CatalogStatTests {
                (st > peak // 2) AS alarm
         FROM st, pk ORDER BY day_idx""")),
 
+    // STREAMING CUSUM drift (round 14) — q419's detector fed by a
+    // stream: the daily (n, sum) frame comes from a watermarked 1-day
+    // window aggregate over the staged event stream (complete mode to
+    // a memory table), and the SAME closed-form two-window CUSUM runs
+    // on the result — stream/batch parity on the monitoring verb, so
+    // this entry shares q419's exact oracle. The detector itself never
+    // changes; only the ingestion plane does — which is the claim.
+    "q421_stream_cusum" -> QueryDef(
+      fn = (s, d) => {
+        val staged = stageEventsDir(d)
+        val ss = streamingSession(s)
+        val table = try {
+          val agg = stagedEventsStream(ss, staged)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 day").as("__w"))
+            .agg(count(lit(1)).as("__n"), sum(cents(col("value"))).as("__sc"))
+            .select(datediff(to_date(col("__w.start")),
+              lit("1970-01-01").cast("date")).cast("long").as("__day"),
+              col("__n"), col("__sc"))
+          runToMemoryTable(agg, "q421_mem")
+        } finally dropStaged(staged)
+        val daily = table.localCheckpoint(eager = true)
+        val ref = daily
+          .crossJoin(broadcast(daily.agg(min(col("__day")).as("__d0"))))
+          .filter(col("__day") <= col("__d0") + 9L)
+          .agg(floor(sum(col("__sc")).cast("double")
+            / sum(col("__n")).cast("double") * 1e6 + 0.5).cast("long")
+            .as("__mu"))
+        val wCum = Window.orderBy(col("__day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val series = daily.crossJoin(broadcast(ref))
+          .withColumn("__x", floor(col("__sc").cast("double")
+            / col("__n").cast("double") * 1e6 + 0.5).cast("long"))
+          .withColumn("__y", col("__x") - col("__mu"))
+          .withColumn("__cum", sum(col("__y")).over(wCum))
+          .withColumn("__s", col("__cum")
+            - least(lit(0L), min(col("__cum")).over(wCum)))
+        series
+          .crossJoin(broadcast(series.agg(max(col("__s")).as("__peak"))))
+          .select(col("__day").as("day_idx"), col("__x").as("mean_e6"),
+            col("__s").as("cusum_e6"),
+            (col("__s") > expr("__peak div 2")).as("alarm"))
+          .orderBy("day_idx")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS day,
+                              count(*) AS n,
+                              sum(${centsSql("value")}) AS sc
+                       FROM events GROUP BY 1),
+        ref AS (SELECT CAST(floor(CAST(sum(sc) AS DOUBLE)
+                  / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS mu
+                FROM daily WHERE day <= (SELECT min(day) + 9 FROM daily)),
+        se AS (SELECT day, CAST(floor(CAST(sc AS DOUBLE)
+                 / CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) - mu AS y,
+                 CAST(floor(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) * 1e6
+                   + 0.5) AS BIGINT) AS x
+               FROM daily, ref),
+        cu AS (SELECT day, x, sum(y) OVER (ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM se),
+        st AS (SELECT day, x, cum - least(0, min(cum) OVER (ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)) AS st FROM cu),
+        pk AS (SELECT max(st) AS peak FROM st)
+        SELECT CAST(day AS BIGINT) AS day_idx, x AS mean_e6,
+               CAST(st AS BIGINT) AS cusum_e6,
+               (st > peak // 2) AS alarm
+        FROM st, pk ORDER BY day_idx"""),
+      streaming = true),
+
+    // Benford first-digit audit (round 14) — the fraud/data-entry
+    // anomaly verb: observed first-digit distribution of positive cent
+    // amounts vs Benford's log10(1 + 1/d) expectation, with the
+    // chi-square decomposition PER DIGIT so the deviating digit is the
+    // readout, not just one scalar. The first digit comes from the
+    // STRING form (exact — a log10-based extraction goes wrong at
+    // powers of ten), the expected shares are Scala-RENDERED e6
+    // constants (one literal table in both engines, zero FP), and
+    // each chi term is integer arithmetic. One conditional agg.
+    "q422_benford_audit" -> QueryDef(
+      fn = (s, d) => {
+        val sharesSql = benfordSharesE6.zipWithIndex
+          .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}L" }
+          .mkString("CASE first_digit ", " ", " END")
+        val obs = t(s, d, "events")
+          .filter(col("value").isNotNull && cents(col("value")) > 0L)
+          .select(substring(cents(col("value")).cast("string"), 1, 1)
+            .cast("long").as("first_digit"))
+          .groupBy("first_digit").agg(count(lit(1)).as("n_obs"))
+        obs
+          .crossJoin(broadcast(obs.agg(sum(col("n_obs")).as("__nn"))))
+          .withColumn("share_e6", expr(sharesSql))
+          .withColumn("n_exp", expr("__nn * share_e6 div 1000000"))
+          .select(col("first_digit"), col("n_obs"), col("share_e6"),
+            col("n_exp"),
+            expr("(n_obs - n_exp) * (n_obs - n_exp) * 1000000 div n_exp")
+              .as("chi2_term_e6"))
+          .orderBy("first_digit")
+      },
+      oracle = Some(s"""
+        WITH obs AS (SELECT CAST(substring(CAST(${centsSql("value")}
+                       AS VARCHAR), 1, 1) AS BIGINT) AS first_digit,
+                            count(*) AS n_obs
+                     FROM events
+                     WHERE value IS NOT NULL AND ${centsSql("value")} > 0
+                     GROUP BY 1),
+        nn AS (SELECT sum(n_obs) AS n FROM obs),
+        e AS (SELECT first_digit, n_obs,
+                     ${benfordSharesE6.zipWithIndex.map { case (v, i) =>
+                       s"WHEN ${i + 1} THEN $v" }
+                       .mkString("CASE first_digit ", " ", " END")}
+                       AS share_e6
+              FROM obs)
+        SELECT first_digit, CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(share_e6 AS BIGINT) AS share_e6,
+               CAST(n * share_e6 // 1000000 AS BIGINT) AS n_exp,
+               CAST((n_obs - n * share_e6 // 1000000)
+                    * (n_obs - n * share_e6 // 1000000) * 1000000
+                    // (n * share_e6 // 1000000) AS BIGINT) AS chi2_term_e6
+        FROM e, nn ORDER BY first_digit""")),
+
+    // Weekly cohort retention triangle (round 14) — the product-
+    // analytics verb beside q40's sessionization: users grouped by
+    // FIRST-event week, retention = share still active at each week
+    // offset. Exact integers end-to-end (distinct (user, week)
+    // activity -> cohort join -> e6 share); the per-user min is one
+    // grouped agg and the triangle is |weeks|^2 — bounded. Scales.
+    "q423_cohort_retention" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"),
+            expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)" +
+              " div 7").as("__wk"))
+          .distinct()
+          .localCheckpoint(eager = true) // cohorts + activity share it
+        val cohorts = ev.groupBy("user_id").agg(min(col("__wk")).as("__c0"))
+        val sizes = cohorts.groupBy("__c0").agg(count(lit(1)).as("cohort_n"))
+        ev.join(cohorts, Seq("user_id"))
+          .groupBy(col("__c0"), (col("__wk") - col("__c0")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), Seq("__c0"))
+          .select(col("__c0").as("cohort_week"), col("week_offset"),
+            col("n_active"), col("cohort_n"),
+            expr("n_active * 1000000 div cohort_n").as("retention_e6"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      oracle = Some("""
+        WITH a AS (SELECT DISTINCT user_id,
+                          date_diff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) // 7 AS wk
+                   FROM events),
+        c AS (SELECT user_id, min(wk) AS c0 FROM a GROUP BY 1),
+        sz AS (SELECT c0, count(*) AS cohort_n FROM c GROUP BY 1),
+        r AS (SELECT c.c0, a.wk - c.c0 AS off, count(*) AS n_active
+              FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2)
+        SELECT r.c0 AS cohort_week, CAST(r.off AS BIGINT) AS week_offset,
+               CAST(r.n_active AS BIGINT) AS n_active,
+               CAST(sz.cohort_n AS BIGINT) AS cohort_n,
+               CAST(r.n_active * 1000000 // sz.cohort_n AS BIGINT)
+                 AS retention_e6
+        FROM r JOIN sz ON r.c0 = sz.c0
+        ORDER BY cohort_week, week_offset""")),
+
     // CUPED variance reduction (round 13) — the experimentation
     // workhorse beside q246's diff-in-diff: adjust each unit's metric
     // by its PRE-period covariate, y' = y - theta (x - xbar) with
@@ -2746,6 +2908,13 @@ private[queries] object CatalogStatTests {
     s"CAST(floor(2.0 * (exp(-(__z * __z) / 2.0) / 2.5066282746310002)" +
       s" * $poly * 1000000.0 + 0.5) AS BIGINT)"
   }
+
+  /** q422's Benford expectations: floor(log10(1 + 1/d) * 1e6 + 0.5)
+    * RENDERED IN SCALA — one shared literal table, no cross-engine
+    * log10 in sight.
+    */
+  private val benfordSharesE6: Seq[Long] =
+    (1 to 9).map(dd => math.floor(math.log10(1.0 + 1.0 / dd) * 1e6 + 0.5).toLong)
 
   /** q412's S-curve pieces — again ONE arithmetic string per step for
     * both engines, each transcendental e9-snapped before the next step

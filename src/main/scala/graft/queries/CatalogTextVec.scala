@@ -485,6 +485,60 @@ private[queries] object CatalogTextVec {
                  AS n_fail_stopword
         FROM f GROUP BY source ORDER BY source""")),
 
+    // Training-mix diversity per source (round 14) — "how multilingual
+    // is each slice of the mix, really": per source, Shannon entropy
+    // (snapped-log nats_e6 integer form, q399 discipline) and the Gini
+    // coefficient (rank-weighted integer sum over the <= |langs|-row
+    // per-source frame) of its LANGUAGE token distribution — the two
+    // standard diversity readouts a data-mixing pipeline (q406's
+    // sibling) monitors per shard. All counts exact; ranks are a total
+    // (count, lang) order; per-source windows are bounded. Scales.
+    "q424_mix_diversity" -> QueryDef(
+      fn = (s, d) => {
+        val cells = t(s, d, "documents")
+          .select(col("source"), col("lang"),
+            TF.tokenCount(col("text")).as("__tk"))
+          .groupBy("source", "lang").agg(sum(col("__tk")).as("__c"))
+          .localCheckpoint(eager = true) // entropy + gini share it
+        val tot = cells.groupBy("source")
+          .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_langs"))
+        val wRank = Window.partitionBy("source")
+          .orderBy(col("__c"), col("lang"))
+        cells.join(broadcast(tot), Seq("source"))
+          .withColumn("__rk", row_number().over(wRank).cast("long"))
+          .groupBy(col("source"), col("__n").as("n_tokens"),
+            col("n_langs"))
+          .agg(
+            sum(col("__c") * floor(log(col("__n").cast("double")
+              / col("__c").cast("double")) * 1000000.0 + 0.5).cast("long"))
+              .as("__hsum"),
+            sum((lit(2L) * col("__rk") - col("n_langs") - 1L) * col("__c"))
+              .as("__gsum"))
+          .select(col("source"), col("n_tokens"), col("n_langs"),
+            expr("__hsum div n_tokens").as("entropy_nats_e6"),
+            expr("__gsum * 1000000 div (n_langs * n_tokens)").as("gini_e6"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT source, lang, sum(len($toksSql)) AS c
+                   FROM documents GROUP BY 1, 2),
+        t0 AS (SELECT source, sum(c) AS n, count(*) AS k FROM c GROUP BY 1),
+        r AS (SELECT c.source, c.c, t0.n, t0.k,
+                     row_number() OVER (PARTITION BY c.source
+                       ORDER BY c.c, c.lang) AS rk
+              FROM c JOIN t0 ON c.source = t0.source),
+        g AS (SELECT source, max(n) AS n, max(k) AS k,
+                     sum(c * CAST(floor(ln(CAST(n AS DOUBLE)
+                       / CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+                       AS hsum,
+                     sum((2 * rk - k - 1) * c) AS gsum
+              FROM r GROUP BY source)
+        SELECT source, CAST(n AS BIGINT) AS n_tokens,
+               CAST(k AS BIGINT) AS n_langs,
+               CAST(hsum // n AS BIGINT) AS entropy_nats_e6,
+               CAST(gsum * 1000000 // (k * n) AS BIGINT) AS gini_e6
+        FROM g ORDER BY source""")),
+
     // Heaps'-law vocabulary growth curve (round 14) — "how fast does
     // the corpus stop teaching anything new?": distinct TRIGRAM
     // vocabulary at 10 doc-id checkpoints (the word grain is degenerate
