@@ -1285,6 +1285,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the ORDER BY exchange:\n$plan")
   }
 
+  test("q405: DSIR scores via bucket-stat broadcasts over the checkpointed gram frame") {
+    // the corpus is exploded ONCE (localCheckpoint); the 256-row bucket
+    // log-ratio table and its totals must come back as BROADCAST joins
+    // (a shuffled rejoin of corpus-grams x 256 stats is the regression
+    // this pins against), and the top-10 emit must be
+    // TakeOrderedAndProject, never a global sort
+    val plan = planOf("q405_dsir_weights")
+    assert(!plan.contains("Scan parquet"),
+      s"grams must come from the checkpoint, not a re-scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q413: geometric median runs its iterations eagerly — tiny final plan") {
+    // all three Weiszfeld iterations execute at build time against the
+    // checkpointed coordinate frame; the returned plan reads the final
+    // 64-row checkpoint (the q176/q180 iterative-loop class) — a
+    // parquet scan or join here would mean the recurrence leaked into
+    // the lazy plan and re-executes per action
+    val plan = planOf("q413_geometric_median")
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("q361: ONE documents scan, automaton probe in-line, partial aggs") {
     val plan = planOf("q361_blocklist_scan")
     assert(plan.contains("multi_pattern_count"), plan)
