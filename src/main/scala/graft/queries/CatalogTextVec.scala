@@ -539,6 +539,73 @@ private[queries] object CatalogTextVec {
                CAST(gsum * 1000000 // (k * n) AS BIGINT) AS gini_e6
         FROM g ORDER BY source""")),
 
+    // Dedup impact census (round 14, post-boards) — the before/after
+    // accounting every dedup run ships to its consumers: per source,
+    // how many documents, tokens, and characters exact dedup removes
+    // (min-doc_id survivor, q20's canonical rule), and the share of
+    // the source that was duplicate mass. The raw corpus has ZERO
+    // exact duplicates (the census would be hollow — caught by the
+    // vacuousness discipline), so ~a third of docs are unioned back as
+    // id-shifted exact clones (the q26 fixture rule; the selector is
+    // doc_id %% 3 — COPRIME with the fixture's source stride of 20, so
+    // every source gets a partial slice and every column varies; %% 5
+    // aligned with the stride and made removal all-or-nothing per
+    // source): the expected removal is provable in SQL.
+    // Pure composition of the fingerprint groupBy with exact integer
+    // sums — the REPORT verb on top of the operator.
+    "q425_dedup_impact" -> QueryDef(
+      fn = (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val docs = base
+          .unionByName(base.filter(col("doc_id") % 3L === 0L)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("source"), col("text")))
+          .select(col("doc_id"), col("source"),
+            TF.fingerprint(col("text")).as("__fp"),
+            TF.tokenCount(col("text")).as("__tk"),
+            length(col("text")).cast("long").as("__ch"))
+          .localCheckpoint(eager = true) // canonical pick + census share it
+        val canon = docs.groupBy("__fp").agg(min(col("doc_id")).as("__keep"))
+        docs.join(broadcast(canon), Seq("__fp"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") =!= col("__keep"), 1L).otherwise(0L))
+              .as("n_removed"),
+            sum(when(col("doc_id") =!= col("__keep"), col("__tk"))
+              .otherwise(0L)).as("tokens_removed"),
+            sum(when(col("doc_id") =!= col("__keep"), col("__ch"))
+              .otherwise(0L)).as("chars_removed"),
+            sum(col("__tk")).as("tokens_total"))
+          .select(col("source"), col("n_docs"), col("n_removed"),
+            col("tokens_removed"), col("chars_removed"),
+            expr("tokens_removed * 1000000 div tokens_total")
+              .as("dup_mass_e6"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH d2 AS (SELECT doc_id, source, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, source, text FROM documents
+                    WHERE doc_id % 3 = 0),
+        f AS (SELECT doc_id, source,
+                     md5(array_to_string($toksSql, ' ')) AS fp,
+                     len($toksSql) AS tk, length(text) AS ch
+              FROM d2),
+        c AS (SELECT fp, min(doc_id) AS keep FROM f GROUP BY 1),
+        j AS (SELECT f.source, f.doc_id, c.keep, f.tk, f.ch
+              FROM f JOIN c ON f.fp = c.fp)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN doc_id <> keep THEN tk ELSE 0 END)
+                 AS BIGINT) AS tokens_removed,
+               CAST(sum(CASE WHEN doc_id <> keep THEN ch ELSE 0 END)
+                 AS BIGINT) AS chars_removed,
+               CAST(sum(CASE WHEN doc_id <> keep THEN tk ELSE 0 END)
+                 * 1000000 // sum(tk) AS BIGINT) AS dup_mass_e6
+        FROM j GROUP BY source ORDER BY source""")),
+
     // Heaps'-law vocabulary growth curve (round 14) — "how fast does
     // the corpus stop teaching anything new?": distinct TRIGRAM
     // vocabulary at 10 doc-id checkpoints (the word grain is degenerate
