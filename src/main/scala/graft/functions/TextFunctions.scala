@@ -91,6 +91,31 @@ object TextFunctions {
         i => array_join(slice(ts, i, lit(k)), " ")))
       .otherwise(array(array_join(ts, " ")))
 
+  /** Adjacent word bigrams ("a b") of a token array via one map-side
+    * zip_with — never a token self-join. The slice LENGTH operand is
+    * clamped to >= 0 (`greatest`): Spark's `slice` throws at runtime on
+    * a negative length, so the unclamped `size - 1` form failed on any
+    * sub-2-token document (ADVICE r14 — it only survived because the
+    * fixture had none). Empty array below 2 tokens, never an error.
+    */
+  def bigramsOfTokens(ts: Column): Column = {
+    val len = greatest(size(ts) - 1, lit(0))
+    zip_with(slice(ts, lit(1), len), slice(ts, lit(2), len),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Adjacent word trigrams ("a b c"), same clamped-slice discipline as
+    * [[bigramsOfTokens]]. Empty array below 3 tokens, never an error.
+    */
+  def trigramsOfTokens(ts: Column): Column = {
+    val len = greatest(size(ts) - 2, lit(0))
+    zip_with(
+      zip_with(slice(ts, lit(1), len), slice(ts, lit(2), len),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(ts, lit(3), len),
+      (ab, c) => concat(ab, lit(" "), c))
+  }
+
   /** [[stopwordRatio]] over an already-tokenized array column. */
   def stopwordRatioOfTokens(ts: Column, stopwords: Seq[String]): Column = {
     val stops = size(filter(ts, t => lower(t).isin(stopwords: _*)))

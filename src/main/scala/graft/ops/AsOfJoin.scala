@@ -267,7 +267,10 @@ object AsOfJoin {
     * and release must still destroy its broadcast after the clone is
     * collected — the registry entry dies with the session in that case.
     */
-  private val liveBroadcasts =
+  // private[ops] (not private): AsOfBroadcastSpec clears an entry's
+  // WeakReference to deterministically exercise the owner-GC'd release
+  // branch — real GC of a session clone is not forceable from a test
+  private[ops] val liveBroadcasts =
     new java.util.concurrent.ConcurrentHashMap[
       String, (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
                org.apache.spark.broadcast.Broadcast[AsOfIndex])]()

@@ -60,12 +60,34 @@ object Rrf {
     * — no corpus sort. `cands` should be SMALL (it is broadcast twice);
     * pass the [[candidates]] output, ideally localCheckpointed when
     * reused across systems.
+    *
+    * CARDINALITY CONTRACT (r14 verdict #3): the "bounded" frame that
+    * carries the one ORDER BY window — and is then broadcast — is sized
+    * by the number of DISTINCT `vcol` values, not by the corpus. That
+    * is tiny for integer-ish scores (token counts, grades, bucketed
+    * ranks) but DEGENERATES to a corpus-sized unpartitioned window plus
+    * a corpus-sized broadcast for a continuous score (cosine doubles —
+    * exactly what an RRF caller fuses next). So the distinct-value
+    * count is CHECKED (one grouped-count job, partial-aggregated, no
+    * sort) and the call FAILS FAST above `maxDistinctValues` instead of
+    * silently planning the degenerate window. For continuous scores,
+    * quantize first — e.g. `floor(col * 1e6)` onto an integer grid —
+    * which bounds the frame and changes ranks only within a grid cell.
     */
   def exactGlobalRank(docs: DataFrame, cands: DataFrame, vcol: String,
-      out: String, id: String = "doc_id"): DataFrame = {
+      out: String, id: String = "doc_id",
+      maxDistinctValues: Long = 1000000L): DataFrame = {
     // per-distinct-value counts, cumulated over the value order — the
     // one ORDER BY window here runs on the bounded distinct-value frame
     val g = docs.groupBy(col(vcol)).agg(count(lit(1)).as("__cnt"))
+    val nDistinct = g.count() // cheap guard job: grouped count, no sort
+    require(nDistinct <= maxDistinctValues,
+      s"exactGlobalRank: '$vcol' has $nDistinct distinct values > " +
+        s"$maxDistinctValues — the rank frame (one ORDER BY window + a " +
+        "broadcast) is distinct-value-sized and would degenerate to a " +
+        "corpus-sized unpartitioned window. Quantize the score onto an " +
+        "integer grid first (e.g. floor(col('" + vcol + "') * 1e6)) or " +
+        "raise maxDistinctValues deliberately.")
     val w = Window.orderBy(col(vcol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val above = g

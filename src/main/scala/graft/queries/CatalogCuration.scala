@@ -96,9 +96,12 @@ private[queries] object CatalogCuration {
     "q224_perplexity_filter" -> QueryDef(
       fn = (s, d) => {
         val ts = col("__ts")
+        // slice length clamped >= 0: unclamped size-1 throws on <2-token
+        // docs (ADVICE r14; same rule as TF.bigramsOfTokens)
+        val bgLen = greatest(size(ts) - 1, lit(0))
         val bgArr = zip_with(
-          slice(ts, lit(1), size(ts) - 1),
-          slice(ts, lit(2), size(ts) - 1),
+          slice(ts, lit(1), bgLen),
+          slice(ts, lit(2), bgLen),
           (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))
         val pairs = t(s, d, "documents")
           .select(col("doc_id"), TF.tokens(col("text")).as("__ts"))

@@ -847,10 +847,7 @@ private[queries] object CatalogInsight {
     "q316_good_turing" -> QueryDef(
       fn = (s, d) => {
         val toks = TF.tokens(col("text"))
-        val bigrams = zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => concat(a, lit(" "), b))
+        val bigrams = TF.bigramsOfTokens(toks) // clamped slice (ADVICE r14)
         val spec = t(s, d, "documents")
           .select(col("source"), explode(bigrams).as("bigram"))
           .groupBy("source", "bigram").agg(count(lit(1)).as("__c"))
@@ -1518,10 +1515,7 @@ private[queries] object CatalogInsight {
     "q326_zipf_slope" -> QueryDef(
       fn = (s, d) => {
         val toks = TF.tokens(col("text"))
-        val bigrams = zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => concat(a, lit(" "), b))
+        val bigrams = TF.bigramsOfTokens(toks) // clamped slice (ADVICE r14)
         val freq = t(s, d, "documents")
           .select(explode(bigrams).as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("__f"))
@@ -4862,10 +4856,7 @@ private[queries] object CatalogInsight {
         val hexpos = (i: Int) =>
           s"(instr('0123456789abcdef', substring(md5(bigram), $i, 1)) - 1)"
         val toks = TF.tokens(col("text"))
-        val bigrams = zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => concat(a, lit(" "), b))
+        val bigrams = TF.bigramsOfTokens(toks) // clamped slice (ADVICE r14)
         val grams = t(s, d, "documents")
           .select(col("doc_id"), col("lang"), explode(bigrams).as("bigram"))
           .withColumn("__b", expr(s"${hexpos(1)} * 16 + ${hexpos(2)}"))

@@ -393,12 +393,7 @@ private[queries] object CatalogTextVec {
     "q417_repetition_fraction" -> QueryDef(
       fn = (s, d) => {
         val toks = TF.tokens(col("text"))
-        val n = size(toks)
-        val trigrams = zip_with(
-          zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
-            (a, b) => concat(a, lit(" "), b)),
-          slice(toks, lit(3), n - 2),
-          (ab, c) => concat(ab, lit(" "), c))
+        val trigrams = TF.trigramsOfTokens(toks) // clamped slice (ADVICE r14)
         t(s, d, "documents")
           .select(col("doc_id"), explode(trigrams).as("tri"))
           .groupBy("doc_id", "tri").agg(count(lit(1)).as("__c"))
@@ -620,12 +615,7 @@ private[queries] object CatalogTextVec {
     "q420_heaps_law" -> QueryDef(
       fn = (s, d) => {
         val toks0 = TF.tokens(col("text"))
-        val n0 = size(toks0)
-        val trigrams = zip_with(
-          zip_with(slice(toks0, lit(1), n0 - 2), slice(toks0, lit(2), n0 - 2),
-            (a, b) => concat(a, lit(" "), b)),
-          slice(toks0, lit(3), n0 - 2),
-          (ab, c) => concat(ab, lit(" "), c))
+        val trigrams = TF.trigramsOfTokens(toks0) // clamped slice (ADVICE r14)
         val docs = t(s, d, "documents")
           .select(col("doc_id"), trigrams.as("__t"))
           .localCheckpoint(eager = true) // bounds + first-occ share it

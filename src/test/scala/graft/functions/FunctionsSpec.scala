@@ -21,6 +21,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one(TextFunctions.shingles(col("t"), 3), "a b") == Seq("a b"))
   }
 
+  test("bigrams/trigrams: adjacent n-grams; sub-n docs yield EMPTY, never an error") {
+    // ADVICE r14: the unclamped slice(toks, 1, size-2) form threw
+    // "length must be >= 0" on any document under n tokens — every
+    // n-gram consumer (q316/q326/q405/q417/q420) now routes through
+    // these clamped helpers, so short/empty docs must be a no-op
+    val toks = TextFunctions.tokens(col("t"))
+    assert(one(TextFunctions.bigramsOfTokens(toks), "a b c d") ==
+      Seq("a b", "b c", "c d"))
+    assert(one(TextFunctions.trigramsOfTokens(toks), "a b c d") ==
+      Seq("a b c", "b c d"))
+    for (short <- Seq("", " ", "solo")) {
+      assert(one(TextFunctions.bigramsOfTokens(toks), short) == Seq(),
+        s"bigrams of '$short'")
+      assert(one(TextFunctions.trigramsOfTokens(toks), short) == Seq(),
+        s"trigrams of '$short'")
+    }
+    assert(one(TextFunctions.bigramsOfTokens(toks), "a b") == Seq("a b"))
+    assert(one(TextFunctions.trigramsOfTokens(toks), "a b") == Seq())
+  }
+
   test("subwordCount fragments punctuation-heavy text like a BPE tokenizer") {
     assert(one(TextFunctions.subwordCount(col("t")), "hello world") == 2L)
     // "don't stop-me now!" → don / ' / t / stop / - / me / now / !

@@ -74,6 +74,39 @@ class RrfSpec extends AnyFunSuite {
       fromCorpus.collect().map(_.toString).toSeq)
   }
 
+  test("exactGlobalRank fails fast on a continuous score; quantized grid passes") {
+    // r14 verdict #3: the rank frame is DISTINCT-VALUE-sized — tiny for
+    // integer scores, corpus-sized for continuous doubles. The guard must
+    // refuse the degenerate case instead of silently planning a
+    // corpus-wide unpartitioned window + broadcast.
+    val cont = spark.range(500).select(col("id").as("doc_id"),
+      (col("id").cast("double") / 7.0).as("score")) // 500 distinct doubles
+    val cands = Rrf.candidates(cont, Seq("score"), r = 30, id = "doc_id")
+      .localCheckpoint(eager = true)
+    val e = intercept[IllegalArgumentException] {
+      Rrf.exactGlobalRank(cont, cands, "score", "rank_s",
+        maxDistinctValues = 100L)
+    }
+    assert(e.getMessage.contains("distinct values") &&
+      e.getMessage.contains("Quantize"))
+    // the documented escape hatch: floor onto an integer grid first —
+    // bounded frame, and on a collision-free grid the ranks are EXACT
+    val q = cont.withColumn("score_q",
+      floor(col("score") * lit(1000000.0)).cast("long"))
+    val qcands = Rrf.candidates(q, Seq("score_q"), r = 30, id = "doc_id")
+      .localCheckpoint(eager = true)
+    val got = Rrf.exactGlobalRank(q, qcands, "score_q", "rank_s",
+        maxDistinctValues = 1000L)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val want = q
+      .withColumn("rank_s", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id").asc)).cast("long"))
+      .join(qcands.select("doc_id"), Seq("doc_id"))
+      .select("doc_id", "rank_s")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("globalTopR matches orderBy.limit") {
     val got = Rrf.globalTopR(docs, Seq(col("va") -> false, col("doc_id") -> true), 25)
       .orderBy(col("va").desc, col("doc_id").asc).collect().map(_.toString).toSeq
