@@ -251,9 +251,22 @@ object Bench {
       * budget is gone; the LAST attempt is kept either way (final
       * validity is re-judged against the end-of-run anchor minimum, and
       * the clean-only statistic drops it if still dirty). Returns
-      * samples + retries spent.
+      * (samples, retries spent, warmup promotions).
+      *
+      * WARMUP PROMOTION (r14 verdict #2, resolved this round): q306's
+      * "AQE plan spread" was refuted by ProbePlan — 28 rounds of
+      * bit-identical normalized final plans, zero spill/fetch-wait/GC —
+      * and attributed to slow JIT SETTLING: HotSpot compile time decays
+      * 40->12->7->4->3->1.7 s over the first ~5 executions of its
+      * 61-exchange codegen surface, and wall tracks task CPU 1:1. One
+      * warm run samples exactly the still-settling region. So: while a
+      * fresh measurement keeps improving >= 15% on the previous known
+      * run, it was a warmup in disguise — promote it and re-measure
+      * (bounded at 3 promotions). Stable queries see sample1 ~= warm
+      * and pay nothing.
       */
-    def sampled(run: () => (Double, Double, String), n3to5: Boolean): (Seq[Sample], Int) = {
+    def sampled(run: () => (Double, Double, String), n3to5: Boolean,
+        warmSec: Double): (Seq[Sample], Int, Int) = {
       var retries = 0
       def one(): Sample = {
         var s = measure(run)
@@ -266,12 +279,24 @@ object Bench {
         }
         s
       }
-      val first3 = Seq.fill(3)(one())
+      // promote only on a >=15% AND >=0.5 s improvement: the ratio alone
+      // trips on sub-second queries whose absolute jitter dwarfs any JIT
+      // effect (the sf0.001 smoke promoted 40/42 entries on ratio-only)
+      var prevWarm = warmSec
+      var first = one()
+      var promoted = 0
+      while (first.sec >= 0 && prevWarm >= 0 && promoted < 3
+          && first.sec < prevWarm * 0.85 && prevWarm - first.sec > 0.5) {
+        prevWarm = first.sec
+        first = one()
+        promoted += 1
+      }
+      val first3 = first +: Seq.fill(2)(one())
       // sub-second tier: stage-overhead jitter dominates, widen to 5
       val ss = if (n3to5 && first3.forall(s => s.sec >= 0 && s.sec < 1.0))
         first3 ++ Seq.fill(2)(one())
       else first3
-      (ss, retries)
+      (ss, retries, promoted)
     }
 
     val batch = SparkEntry.benchQueries.map { name =>
@@ -279,15 +304,16 @@ object Bench {
       // a query that cannot even warm up must not burn 3-5 slow failing
       // runs NOR mask the warmup failure behind samples that happen to
       // succeed on retry — short-circuit to an explicit failure
-      val (ss, retries) =
-        if (warm < 0) (Seq(Sample(-1.0, 0.0, -1.0)), 0)
-        else sampled(() => (timeOnce(name), -1.0, "[]"), n3to5 = true)
+      val (ss, retries, warmExtra) =
+        if (warm < 0) (Seq(Sample(-1.0, 0.0, -1.0)), 0, 0)
+        else sampled(() => (timeOnce(name), -1.0, "[]"), n3to5 = true,
+          warmSec = warm)
       // unpin any asofBroadcast indexes this query's samples registered
       // (each sample rebuilds its own; without this a bench run pins
       // one index per sample for the whole run)
       try graft.ops.AsOfJoin.releaseBroadcastIndexes(spark)
       catch { case _: Throwable => () }
-      (name, ss, retries)
+      (name, ss, retries, warmExtra)
     }
 
     // Streaming-harness queries (staged copy + processAllAvailable rounds)
@@ -313,11 +339,12 @@ object Bench {
     }
     val streaming = SparkEntry.benchStreamingQueries.map { name =>
       val (warm, _, _) = timeStreamingOnce(name)
-      val (ss, retries) =
-        if (warm < 0) (Seq(Sample(-1.0, 0.0, -1.0)), 0)
-        else sampled(() => timeStreamingOnce(name), n3to5 = false)
+      val (ss, retries, warmExtra) =
+        if (warm < 0) (Seq(Sample(-1.0, 0.0, -1.0)), 0, 0)
+        else sampled(() => timeStreamingOnce(name), n3to5 = false,
+          warmSec = warm)
       // staging/batches ride each kept Sample — aligned by construction
-      (name, ss, retries, ss.map(_.staging), ss.map(_.batches))
+      (name, ss, retries, warmExtra, ss.map(_.staging), ss.map(_.batches))
     }
 
     // ---- final validity: judge every kept sample against the
@@ -345,38 +372,43 @@ object Bench {
     def allContam(ss: Seq[Sample]): Boolean =
       !ss.exists(_.sec < 0) && badIdx(ss).size == ss.size
 
-    val results = batch.map { case (name, ss, retries) =>
+    case class QStat(name: String, med: Double, mn: Double, ss: Seq[Sample],
+        retries: Int, warmExtra: Int,
+        stagings: Seq[Double] = Nil, batchLogs: Seq[String] = Nil)
+
+    val results = batch.map { case (name, ss, retries, warmExtra) =>
       val (med, mn) = cleanStats(ss)
-      (name, med, mn, ss, retries)
+      QStat(name, med, mn, ss, retries, warmExtra)
     }
-    val failed = results.collect { case (k, v, _, _, _) if v < 0 => k }
-    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val failed = results.collect { case q if q.med < 0 => q.name }
+    val total = results.collect { case q if q.med >= 0 => q.med }.sum
     // contam = "this MEDIAN is unavoidably dirty" (every sample drifted,
     // retry budget gone); contam_excluded = "these samples drifted and
     // were dropped from the statistic" — adjudication detail, clean median
     val contamBatch = results.collect {
-      case (k, _, _, ss, _) if allContam(ss) && badIdx(ss).nonEmpty => k -> badIdx(ss) }
+      case q if allContam(q.ss) && badIdx(q.ss).nonEmpty => q.name -> badIdx(q.ss) }
     val contamExclBatch = results.collect {
-      case (k, _, _, ss, _) if !allContam(ss) && badIdx(ss).nonEmpty => k -> badIdx(ss) }
-    val resampledTotal = results.map(_._5).sum + streaming.map(_._3).sum
+      case q if !allContam(q.ss) && badIdx(q.ss).nonEmpty => q.name -> badIdx(q.ss) }
+    val resampledTotal = results.map(_.retries).sum + streaming.map(_._3).sum
 
-    val streamResults = streaming.map { case (name, ss, retries, stagings, batchLogs) =>
-      val (med, mn) = cleanStats(ss)
-      (name, med, mn, ss, retries, stagings, batchLogs)
+    val streamResults = streaming.map {
+      case (name, ss, retries, warmExtra, stagings, batchLogs) =>
+        val (med, mn) = cleanStats(ss)
+        QStat(name, med, mn, ss, retries, warmExtra, stagings, batchLogs)
     }
-    val streamFailed = streamResults.collect { case (k, v, _, _, _, _, _) if v < 0 => k }
-    val streamTotal = streamResults.collect { case (_, v, _, _, _, _, _) if v >= 0 => v }.sum
+    val streamFailed = streamResults.collect { case q if q.med < 0 => q.name }
+    val streamTotal = streamResults.collect { case q if q.med >= 0 => q.med }.sum
     val contamStream = streamResults.collect {
-      case (k, _, _, ss, _, _, _) if allContam(ss) && badIdx(ss).nonEmpty => k -> badIdx(ss) }
+      case q if allContam(q.ss) && badIdx(q.ss).nonEmpty => q.name -> badIdx(q.ss) }
     val contamExclStream = streamResults.collect {
-      case (k, _, _, ss, _, _, _) if !allContam(ss) && badIdx(ss).nonEmpty => k -> badIdx(ss) }
+      case q if !allContam(q.ss) && badIdx(q.ss).nonEmpty => q.name -> badIdx(q.ss) }
 
     // round-over-round: subtotal of the queries BOTH rounds ran (medians,
     // the statistic earlier rounds recorded), so a bench-set change never
     // poisons the comparison
     val prevField = previousBench(new java.io.File("."), sfDir).flatMap { case (fname, prev) =>
       val common = results.collect {
-        case (k, v, _, _, _) if v >= 0 && prev.get(k).exists(_ >= 0) => k -> v }
+        case q if q.med >= 0 && prev.get(q.name).exists(_ >= 0) => q.name -> q.med }
       if (common.isEmpty) None else {
         val cur = common.map(_._2).sum
         val pv = common.map { case (k, _) => prev(k) }.sum
@@ -407,16 +439,16 @@ object Bench {
     def contamField(all: Seq[(String, Seq[Int])]): String =
       obj(all.map { case (k, is) => k -> arr(is.map(_.toString)) })
 
-    val qMed = results.map { case (k, v, _, _, _) => k -> v }
-    val qMin = results.map { case (k, _, v, _, _) => k -> v }
-    val sMed = streamResults.map { case (k, v, _, _, _, _, _) => k -> v }
-    val sMin = streamResults.map { case (k, _, v, _, _, _, _) => k -> v }
-    val sStag = streamResults.map { case (k, _, _, ss, _, st, _) =>
+    val qMed = results.map(q => q.name -> q.med)
+    val qMin = results.map(q => q.name -> q.mn)
+    val sMed = streamResults.map(q => q.name -> q.med)
+    val sMin = streamResults.map(q => q.name -> q.mn)
+    val sStag = streamResults.map { q =>
       // same clean-only discipline as the timing median, same indices
-      val bad = badIdx(ss).toSet
-      val clean = st.zipWithIndex.collect {
+      val bad = badIdx(q.ss).toSet
+      val clean = q.stagings.zipWithIndex.collect {
         case (v, i) if !bad.contains(i) => v }
-      k -> (if (clean.nonEmpty) median(clean) else median(st)) }
+      q.name -> (if (clean.nonEmpty) median(clean) else median(q.stagings)) }
 
     // STDOUT line, degrading tiers (see scaladoc). `queries` LAST.
     val maxLineBytes = 1900
@@ -478,12 +510,12 @@ object Bench {
     fullFields += ("unit" -> "\"sec\"")
     fullFields += ("queries" -> obj(qMed.map { case (k, v) => k -> v.toString }))
     fullFields += ("mins" -> obj(qMin.map { case (k, v) => k -> v.toString }))
-    fullFields += ("samples" -> obj(results.map { case (k, _, _, ss, _) =>
-      k -> arr(ss.map(_.sec.toString)) }))
-    fullFields += ("anchors_after" -> obj(results.map { case (k, _, _, ss, _) =>
-      k -> arr(ss.map(s => fmt(s.anchorAfter, 3))) }))
-    fullFields += ("cpu_eff" -> obj(results.map { case (k, _, _, ss, _) =>
-      k -> arr(ss.map(s => fmt(s.cpuEff, 3))) }))
+    fullFields += ("samples" -> obj(results.map(q =>
+      q.name -> arr(q.ss.map(_.sec.toString)))))
+    fullFields += ("anchors_after" -> obj(results.map(q =>
+      q.name -> arr(q.ss.map(s => fmt(s.anchorAfter, 3))))))
+    fullFields += ("cpu_eff" -> obj(results.map(q =>
+      q.name -> arr(q.ss.map(s => fmt(s.cpuEff, 3))))))
     if (contamBatch.nonEmpty || contamStream.nonEmpty)
       fullFields += ("contam" -> contamField(contamBatch ++ contamStream))
     if (contamExclBatch.nonEmpty || contamExclStream.nonEmpty)
@@ -492,9 +524,11 @@ object Bench {
     fullFields += ("retry_budget_sec" -> fmt(retryWallBudgetSec, 0))
     fullFields += ("retry_spent_sec" -> fmt(retryWallSpentSec, 1))
     fullFields += ("resampled" -> obj(
-      (results.map { case (k, _, _, _, r) => k -> r } ++
-        streamResults.map { case (k, _, _, _, r, _, _) => k -> r })
-        .filter(_._2 > 0).map { case (k, r) => k -> r.toString }))
+      (results ++ streamResults).filter(_.retries > 0)
+        .map(q => q.name -> q.retries.toString)))
+    fullFields += ("warm_extra" -> obj(
+      (results ++ streamResults).filter(_.warmExtra > 0)
+        .map(q => q.name -> q.warmExtra.toString)))
     fullFields += ("anchor" -> anchorField(full = true))
     if (failed.nonEmpty)
       fullFields += ("failed" -> arr(failed.map("\"" + _ + "\"")))
@@ -502,17 +536,17 @@ object Bench {
     if (streamResults.nonEmpty) {
       fullFields += ("streaming" -> obj(sMed.map { case (k, v) => k -> v.toString }))
       fullFields += ("streaming_mins" -> obj(sMin.map { case (k, v) => k -> v.toString }))
-      fullFields += ("streaming_samples" -> obj(streamResults.map {
-        case (k, _, _, ss, _, _, _) => k -> arr(ss.map(_.sec.toString)) }))
-      fullFields += ("streaming_anchors_after" -> obj(streamResults.map {
-        case (k, _, _, ss, _, _, _) => k -> arr(ss.map(s => fmt(s.anchorAfter, 3))) }))
-      fullFields += ("streaming_cpu_eff" -> obj(streamResults.map {
-        case (k, _, _, ss, _, _, _) => k -> arr(ss.map(s => fmt(s.cpuEff, 3))) }))
+      fullFields += ("streaming_samples" -> obj(streamResults.map(q =>
+        q.name -> arr(q.ss.map(_.sec.toString)))))
+      fullFields += ("streaming_anchors_after" -> obj(streamResults.map(q =>
+        q.name -> arr(q.ss.map(s => fmt(s.anchorAfter, 3))))))
+      fullFields += ("streaming_cpu_eff" -> obj(streamResults.map(q =>
+        q.name -> arr(q.ss.map(s => fmt(s.cpuEff, 3))))))
       fullFields += ("streaming_staging" -> obj(sStag.map { case (k, v) => k -> v.toString }))
-      fullFields += ("streaming_staging_samples" -> obj(streamResults.map {
-        case (k, _, _, _, _, st, _) => k -> arr(st.map(_.toString)) }))
-      fullFields += ("streaming_batches" -> obj(streamResults.map {
-        case (k, _, _, _, _, _, bs) => k -> arr(bs) }))
+      fullFields += ("streaming_staging_samples" -> obj(streamResults.map(q =>
+        q.name -> arr(q.stagings.map(_.toString)))))
+      fullFields += ("streaming_batches" -> obj(streamResults.map(q =>
+        q.name -> arr(q.batchLogs))))
       if (streamFailed.nonEmpty)
         fullFields += ("streaming_failed" -> arr(streamFailed.map("\"" + _ + "\"")))
       fullFields += ("streaming_total" -> streamTotal.toString)
