@@ -1968,6 +1968,48 @@ private[queries] object CatalogStatTests {
         FROM j LEFT JOIN p ON j.user_id = p.user_id AND j.asof_ts = p.p_ts
         ORDER BY j.event_id""")),
 
+    // NEAREST on the MERGE route under the oracle gate (round 15, r14
+    // verdict #7) — q403 pins broadcast-nearest; here the broadcast
+    // threshold is forced to 1 byte in an isolated cloned session (the
+    // q400 trick), so asofAuto must take the merge exec's nearest path:
+    // the forward candidate is the UN-CONSUMED CURSOR HEAD
+    // (AsOfMergeJoin.scala cursor-head peek — O(1) state, no second
+    // pass), the backward one the last emitted run. Same fixture, same
+    // tolerance, same independent correlated-subquery DuckDB oracle as
+    // q403 — two physical routes, one answer, both under the gate.
+    "q426_asof_nearest_merge_route" -> QueryDef(
+      fn = (s, d) => {
+        val ss = s.newSession() // isolated conf scope for the forced route
+        graft.Tables.requiredConfs.foreach { case (k, v) => ss.conf.set(k, v) }
+        ss.conf.set("graft.asof.broadcastThreshold", "1")
+        val ev = t(ss, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max(cents(col("value"))).as("p_cents"))
+        graft.ops.AsOfJoin.asofAuto(clicks, purchases,
+            on = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+            rightCols = Seq("p_cents"), direction = "nearest",
+            toleranceMicros = Some(1800L * 1000000L))
+          .orderBy("event_id")
+      },
+      oracle = Some(s"""
+        WITH p AS (SELECT user_id, ts AS p_ts,
+                          max(${centsSql("value")}) AS p_cents
+                   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+        j AS (SELECT c.event_id, c.user_id, c.ts,
+                (SELECT p.p_ts FROM p WHERE p.user_id = c.user_id
+                   AND abs(epoch_us(p.p_ts) - epoch_us(c.ts)) <= 1800000000
+                 ORDER BY abs(epoch_us(p.p_ts) - epoch_us(c.ts)), p.p_ts
+                 LIMIT 1) AS asof_ts
+              FROM c)
+        SELECT j.event_id, j.user_id, j.ts, j.asof_ts, p.p_cents
+        FROM j LEFT JOIN p ON j.user_id = p.user_id AND j.asof_ts = p.p_ts
+        ORDER BY j.event_id""")),
+
     // Kaplan-Meier survival curve (round 14) — the time-to-event verb
     // beside q396's CUPED and q385's burstiness: per user, time from
     // first event to FIRST LARGE PURCHASE (value > 75 — the "event");

@@ -1285,6 +1285,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the ORDER BY exchange:\n$plan")
   }
 
+  test("q426: forced-merge nearest takes the merge exec's cursor-head path") {
+    // round 15 (r14 verdict #7): the conf-forced twin of q403 — same
+    // nearest semantics, opposite physical route. The plan must carry
+    // the merge exec and NEITHER the union+window form nor the
+    // broadcast probe's lookup expression, with no range-join blowup.
+    val plan = planOf("q426_asof_nearest_merge_route")
+    assert(plan.contains("AsOfMergeJoin"), plan)
+    assert(!plan.contains("Window") && !plan.contains("asof_lookup"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q405: DSIR scores via bucket-stat broadcasts over the checkpointed gram frame") {
     // the corpus is exploded ONCE (localCheckpoint); the 256-row bucket
     // log-ratio table and its totals must come back as BROADCAST joins
