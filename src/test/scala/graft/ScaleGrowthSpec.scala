@@ -119,7 +119,17 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // per-replica); the geometric median's hazard is the per-iteration
     // corpus re-agg (3 fixed rounds, 64-row broadcast each — replicas
     // add rows, never rounds)
-    "q405_dsir_weights", "q413_geometric_median")
+    "q405_dsir_weights", "q413_geometric_median",
+    // round-14 wave heavies (r14 verdict #5): the repetition fraction's
+    // hazard is the (doc, trigram) count frame (suffix-perturbed
+    // replicas keep it per-replica); Heaps' is the trigram first-occ
+    // agg over the exploded corpus (vocab grows with replicas by
+    // construction); Benford's is the per-(source, digit) frame fed by
+    // a full event scan (bounded 9-digit frame, linear feed); the dedup
+    // census's hazard is the canonical-pick broadcast growing with the
+    // clone-group count
+    "q417_repetition_fraction", "q420_heaps_law", "q422_benford_audit",
+    "q425_dedup_impact")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
@@ -235,6 +245,48 @@ class ScaleGrowthSpec extends AnyFunSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // --- contention guard (r14 verdict #6): q238's exponent read 1.71
+  // under an accidental 2x CPU load (two sbt JVMs) and 0.27 clean — a
+  // wall-time growth ASSERTION must not fire on a loaded host. Bench's
+  // anchor trick, in-suite: a fixed pure-CPU probe (no IO, no shuffle)
+  // runs after every measurement; a trailing anchor drifting past
+  // max(1.5 x sessionMin, sessionMin + 0.25 s) invalidates the
+  // measurement, which is retried; a point still dirty after retries
+  // makes that query UNVERIFIABLE this run — reported and excluded from
+  // the assert instead of false-failing (or false-passing) on stolen CPU.
+  private val anchorTrace = scala.collection.mutable.ArrayBuffer[Double]()
+  private def anchorOnce(): Double = {
+    val t0 = System.nanoTime()
+    spark.range(1L << 26).select(xxhash64(col("id")).as("h"))
+      .agg(max(col("h"))).collect()
+    val s = (System.nanoTime() - t0) / 1e9
+    anchorTrace += s
+    s
+  }
+  private def anchorMin: Double = anchorTrace.min
+  private def anchorBad(r: Double): Boolean =
+    r > math.max(1.5 * anchorMin, anchorMin + 0.25)
+
+  /** One guarded measurement: (seconds, clean). Retries while the
+    * trailing anchor drifts; `before` runs ahead of every attempt (the
+    * streaming probe passes a ProgressLog drain so a retry never mixes
+    * two runs' batches).
+    */
+  private def timedClean(name: String, dir: String, retries: Int = 2,
+      before: () => Unit = () => ()): (Double, Boolean) = {
+    var left = retries
+    before()
+    var t = timeOnce(name, dir)
+    var a = anchorOnce()
+    while (anchorBad(a) && left > 0) {
+      left -= 1
+      before()
+      t = timeOnce(name, dir)
+      a = anchorOnce()
+    }
+    (t, !anchorBad(a))
+  }
+
   /** Growth exponent from the LAST segment (largest two scales):
     * ln(t_hi/t_lo) / ln(f_hi/f_lo). The small-scale points are
     * constant-overhead-dominated and flatten a least-squares fit in both
@@ -250,17 +302,37 @@ class ScaleGrowthSpec extends AnyFunSuite {
 
   test("heavy-family wall time grows near-linearly at 4x and 16x data") {
     val dirs = factors.map(f => f -> stage(f)).toMap
+    (1 to 3).foreach(_ => anchorOnce()) // quiet-host floor: codegen + JIT
     try {
-      val exponents = queries.map { q =>
+      val skipped = scala.collection.mutable.ArrayBuffer[String]()
+      val exponents = queries.flatMap { q =>
         timeOnce(q, dirs(1)) // warm: codegen, JIT, listings
         val times = factors.map { f =>
-          f -> Seq.fill(2)(timeOnce(q, dirs(f))).min // min-of-2: drop GC/JIT spikes
+          // min-of-2 clean measurements: drop GC/JIT spikes; contention
+          // retried away by the anchor guard
+          val reads = Seq.fill(2)(timedClean(q, dirs(f)))
+          val clean = reads.collect { case (t, true) => t }
+          f -> (if (clean.nonEmpty) Some(clean.min) else None)
         }
-        val e = fitExponent(times)
-        info(f"$q: exponent $e%.2f  " +
-          times.map { case (f, t) => f"x$f=$t%.2fs" }.mkString("  "))
-        q -> e
+        if (times.exists(_._2.isEmpty)) {
+          info(s"$q: UNVERIFIABLE this run — a scale point stayed " +
+            "anchor-contaminated after retries (loaded host)")
+          skipped += q
+          None
+        } else {
+          val pts = times.map { case (f, t) => f -> t.get }
+          val e = fitExponent(pts)
+          info(f"$q: exponent $e%.2f  " +
+            pts.map { case (f, t) => f"x$f=$t%.2fs" }.mkString("  "))
+          Some(q -> e)
+        }
       }
+      // a host too noisy to verify most of the family yields no verdict
+      // at all rather than a vacuous pass on a handful of lucky queries
+      assert(skipped.size <= queries.size / 2,
+        s"host too loaded to audit growth: ${skipped.size}/${queries.size} " +
+          s"queries unverifiable (anchor min=$anchorMin, " +
+          s"max=${anchorTrace.max})")
       exponents.foreach { case (q, e) =>
         assert(e < 1.6,
           f"$q wall-time growth exponent $e%.2f looks superlinear — a cap/" +
@@ -333,22 +405,26 @@ class ScaleGrowthSpec extends AnyFunSuite {
       info(f"spill self-test: single-key 200k-row window spilled ${selfSpill / 1024 / 1024}MB")
       assert(selfSpill > 0, "spill tripwire is dead: the synthetic " +
         "single-key window reported zero spill — threshold or listener broken")
+      (1 to 3).foreach(_ => anchorOnce()) // contention-guard floor
       heavies.foreach { q =>
         timeOnce(q, dirs(4)) // warm
         val rows = probeFactors.map { f =>
-          spilled.set(0L)
-          val t = timeOnce(q, dirs(f))
+          val (t, clean) = timedClean(q, dirs(f),
+            before = () => spilled.set(0L))
           // listener events drain asynchronously after the job returns
           // (the bus API is private[spark]; a beat is enough in local mode
           // and this is a measurement probe, not a correctness gate)
           Thread.sleep(1000)
-          (f, t, spilled.get())
+          (f, t, spilled.get(), clean)
         }
-        val e = fitExponent(rows.map { case (f, t, _) => (f, t) })
-        info(f"$q: exponent(4->64) $e%.2f  " + rows.map { case (f, t, s) =>
-          f"x$f=$t%.2fs spill=${s / 1024 / 1024}MB" }.mkString("  "))
-        assert(e < 1.6,
-          f"$q grows superlinearly under forced spill: $e%.2f")
+        val e = fitExponent(rows.map { case (f, t, _, _) => (f, t) })
+        info(f"$q: exponent(4->64) $e%.2f  " + rows.map { case (f, t, s, c) =>
+          f"x$f=$t%.2fs spill=${s / 1024 / 1024}MB" +
+            (if (c) "" else " CONTAMINATED") }.mkString("  "))
+        if (rows.forall(_._4))
+          assert(e < 1.6,
+            f"$q grows superlinearly under forced spill: $e%.2f")
+        else info(s"$q: exponent not asserted — contaminated point (loaded host)")
       }
     } finally {
       spark.sparkContext.removeSparkListener(listener)
@@ -384,20 +460,26 @@ class ScaleGrowthSpec extends AnyFunSuite {
     val dirs = probeFactors.map(f => f -> stage(f)).toMap
     val log = graft.queries.Catalog.ProgressLog
     try {
+      (1 to 3).foreach(_ => anchorOnce()) // contention-guard floor
       heavies.foreach { q =>
         timeOnce(q, dirs(4)); log.drain() // warm
         val rows = probeFactors.map { f =>
-          log.drain()
-          val t = timeOnce(q, dirs(f))
+          // the drain rides the retry hook so a retried run never mixes
+          // two runs' batches
+          val (t, clean) = timedClean(q, dirs(f), before = () => { log.drain(); () })
           val batches = log.drain()
           assert(batches.nonEmpty, s"$q recorded no streaming progress")
-          (f, t, batches.map(_.stateRows).max, batches.map(_.stateBytes).max)
+          (f, t, batches.map(_.stateRows).max, batches.map(_.stateBytes).max,
+            clean)
         }
-        val e = fitExponent(rows.map { case (f, t, _, _) => (f, t) })
-        info(f"$q: exponent(4->64) $e%.2f  " + rows.map { case (f, t, r, b) =>
-          f"x$f=$t%.2fs stateRows=$r stateBytes=${b / 1024}KB" }.mkString("  "))
-        assert(e < 1.6, f"$q wall time grows superlinearly at 64x keys: $e%.2f")
-        val Seq((_, _, r4, _), (_, _, r64, _)) = rows
+        val e = fitExponent(rows.map { case (f, t, _, _, _) => (f, t) })
+        info(f"$q: exponent(4->64) $e%.2f  " + rows.map { case (f, t, r, b, c) =>
+          f"x$f=$t%.2fs stateRows=$r stateBytes=${b / 1024}KB" +
+            (if (c) "" else " CONTAMINATED") }.mkString("  "))
+        if (rows.forall(_._5))
+          assert(e < 1.6, f"$q wall time grows superlinearly at 64x keys: $e%.2f")
+        else info(s"$q: exponent not asserted — contaminated point (loaded host)")
+        val Seq((_, _, r4, _, _), (_, _, r64, _, _)) = rows
         // 64x/4x = 16x keys; allow 2x slack for batch-boundary effects.
         // A state store scaling with HISTORY instead of live keys would
         // read far above this (and keep growing with more batches).
@@ -411,6 +493,58 @@ class ScaleGrowthSpec extends AnyFunSuite {
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  // --- ManifestTable many-commits probe (opt-in, same switch) ------------
+  //
+  // r14 verdict #5: a commit carries an idempotency scan over existing
+  // manifests and (in append mode) one previous-file-list read — O(commits)
+  // in listing terms, so a long-lived table could degrade per-commit. The
+  // r15 first-line commitId cache makes the scan amortized O(1) per commit
+  // in a single-writer history. This probe drives 1000 one-row append
+  // commits, compares the LAST-100 window's wall time to the FIRST-100's,
+  // and times the 1k-manifest metadata ops (snapshots / latest read /
+  // vacuum). Numbers land in NOTES.md per round.
+  test("1k-commit manifest probe: per-commit cost stays flat") {
+    assume(sys.env.contains("SPARK_GRAFT_GROWTH64"),
+      "opt-in probe: set SPARK_GRAFT_GROWTH64=1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-1k").toString
+    val one = spark.range(1).toDF("id").coalesce(1)
+    def window(lo: Int, hi: Int): Double = {
+      val t0 = System.nanoTime()
+      (lo until hi).foreach { i =>
+        graft.sources.ManifestTable.commit(one, dir, f"c$i%04d", mode = "append")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val w1 = window(0, 100)
+    window(100, 900)
+    val w10 = window(900, 1000)
+    val t0 = System.nanoTime()
+    val snaps = graft.sources.ManifestTable.snapshots(spark, dir)
+    val tSnap = (System.nanoTime() - t0) / 1e9
+    assert(snaps.size == 1000 && snaps.last.files.size == 1000)
+    val t1 = System.nanoTime()
+    val n = graft.sources.ManifestTable.read(spark, dir).count()
+    val tRead = (System.nanoTime() - t1) / 1e9
+    assert(n == 1000L) // 1000 one-row appends
+    val t2 = System.nanoTime()
+    val vacuumed = graft.sources.ManifestTable.vacuum(spark, dir, retentionMs = 0L)
+    val tVac = (System.nanoTime() - t2) / 1e9
+    assert(vacuumed == 0) // every data dir is referenced by some snapshot
+    info(f"1k commits: first-100=$w1%.1fs last-100=$w10%.1fs " +
+      f"ratio=${w10 / w1}%.2f; snapshots()=$tSnap%.2fs " +
+      f"read(1k files)=$tRead%.2fs vacuum()=$tVac%.2fs")
+    // flat-ish amortized commit cost: the parquet write dominates both
+    // windows; an O(commits) re-read per commit would push the last
+    // window far past this bound (un-cached it reads ~900 first lines
+    // per commit by then)
+    assert(w10 / w1 < 4.0,
+      f"per-commit cost grew ${w10 / w1}%.1fx from first-100 to last-100")
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   test("the tripwire actually fires on a quadratic workload (self-test)") {
