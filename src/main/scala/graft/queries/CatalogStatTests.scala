@@ -2010,6 +2010,140 @@ private[queries] object CatalogStatTests {
         FROM j LEFT JOIN p ON j.user_id = p.user_id AND j.asof_ts = p.p_ts
         ORDER BY j.event_id""")),
 
+    // STREAMING heavy hitters (round 15) — q86's Misra-Gries summary on
+    // an unbounded token stream: the corpus is staged as two files fed
+    // one per trigger (state genuinely crosses batch boundaries), each
+    // token routed by hash to one of 8 buckets whose transformWithState
+    // ValueState folds the SAME MG step function the batch Aggregator
+    // uses (graft.ops.HeavyHitters.MisraGries.reduce — shared code, the
+    // q421 parity discipline). State is O(buckets x k) regardless of
+    // stream length or vocabulary; the union of emitted candidates is a
+    // guaranteed superset of every >= minCount token (a token's bucket
+    // count IS its stream count), and the exact verify re-count makes
+    // the order-dependent MG internals unobservable — so this shares
+    // q86's exact HAVING oracle. k is sized N/minCount + 1 like the
+    // batch op.
+    "q427_stream_heavy_hitters" -> QueryDef(
+      fn = (s, d) => {
+        val TFx = graft.functions.TextFunctions
+        val dir = java.nio.file.Files.createTempDirectory("graft-mg-src")
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .repartition(2).write.mode("overwrite").parquet(dir.toString)
+        val minCount = 500L
+        val n = t(s, d, "documents")
+          .select(explode(TFx.tokens(col("text"))).as("token")).count()
+        val k = (n / minCount + 1L).toInt
+        val sess = streamingSession(s)
+        sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import sess.implicits._
+        val footer = sess.read.parquet(dir.toString).schema
+        val stream = sess.readStream.schema(footer)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+          .select(explode(TFx.tokens(col("text"))).as("token"))
+          .select(pmod(xxhash64(col("token")), lit(8)).cast("int").as("bucket"),
+            col("token"))
+          .as[graft.streaming.BucketToken]
+        val out = stream.groupByKey(_.bucket)
+          .transformWithState(new graft.streaming.MisraGriesProcessor(k),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        sess.streams.active.filter(q => Option(q.name).contains("q427_mem"))
+          .foreach(_.stop())
+        val q = out.toDF().writeStream.format("memory").queryName("q427_mem")
+          .outputMode("update").start()
+        q.processAllAvailable()
+        Catalog.ProgressLog.record(q)
+        q.stop()
+        dropStagedTree(dir)
+        // candidate superset = union of every batch's surviving counters
+        // (a true heavy is in the FINAL state, hence in the last batch's
+        // emission); exact verify fixes precision — the q86 discipline
+        val cands = sess.table("q427_mem").select(col("item")).distinct()
+        t(sess, d, "documents")
+          .select(explode(TFx.tokens(col("text"))).as("item"))
+          .join(broadcast(cands), Seq("item"), "left_semi")
+          .groupBy("item").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= minCount)
+          .select(col("item").as("token"), col("n"))
+          .orderBy("token")
+      },
+      oracle = Some(s"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest($toksSql) AS token FROM documents)
+        GROUP BY token HAVING count(*) >= 500 ORDER BY token"""),
+      streaming = true),
+
+    // Rank-biased overlap (round 15) — the top-weighted ranking-
+    // similarity verb (Webber et al.): how much do two corpus rankings
+    // (by token count vs by distinct-token vocabulary) agree, weighted
+    // toward the top? RBO@D = (1-p) * sum_{d<=D} p^(d-1) * |A_d ∩ B_d|/d
+    // at p = 0.9, D = 50. 100 TB shape: each ranking's top-D comes from
+    // the engine's TopKPerKey (never a corpus sort); everything after is
+    // a <=100-row frame x a 50-row depth table. Cross-engine FP: the
+    // p^(d-1) weights are SCALA-RENDERED e12 integers (one literal
+    // table, q422's discipline), the per-depth term is an exact integer
+    // floor-div, the cumulative RBO an integer sum.
+    "q428_rank_biased_overlap" -> QueryDef(
+      fn = (s, d) => {
+        val D = 50
+        val TFx = graft.functions.TextFunctions
+        val toks = TFx.tokens(col("text"))
+        val m = t(s, d, "documents").select(col("doc_id"),
+            size(toks).cast("long").as("__nt"),
+            size(array_distinct(toks)).cast("long").as("__nv"))
+          .localCheckpoint(eager = true) // both rankings share it
+        def ranked(vcol: String, out: String): DataFrame =
+          graft.ops.Rrf.globalTopR(m,
+              Seq(col(vcol) -> false, col("doc_id") -> true), D)
+            .withColumn(out, row_number().over(
+              Window.orderBy(col(vcol).desc, col("doc_id").asc)).cast("long"))
+            .select(col("doc_id"), col(out))
+        val j = ranked("__nt", "__ra")
+          .join(ranked("__nv", "__rb"), Seq("doc_id"), "full_outer")
+        import s.implicits._
+        val depths = rboWeightsE12.zipWithIndex
+          .map { case (w, i) => ((i + 1).toLong, w) }.toDF("__d", "__w")
+        val overlap = depths.crossJoin(j)
+          .groupBy("__d", "__w")
+          .agg(sum(when(col("__ra") <= col("__d")
+            && col("__rb") <= col("__d"), 1L).otherwise(0L)).as("overlap"))
+        val wCum = Window.orderBy(col("__d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        overlap
+          .withColumn("term_e12", expr("__w * overlap div __d"))
+          .withColumn("rbo_e12", expr("sum(term_e12) OVER (ORDER BY __d" +
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) div 10"))
+          .select(col("__d").as("depth"), col("overlap"),
+            col("term_e12"), col("rbo_e12"))
+          .orderBy("depth")
+      },
+      oracle = Some(s"""
+        WITH m AS (SELECT doc_id, len($toksSql) AS nt,
+                          len(list_distinct($toksSql)) AS nv
+                   FROM documents),
+        ra AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY nt DESC, doc_id) AS rank_a
+               FROM m QUALIFY rank_a <= 50),
+        rb AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY nv DESC, doc_id) AS rank_b
+               FROM m QUALIFY rank_b <= 50),
+        j AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+                     rank_a, rank_b
+              FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+        w(d, w_e12) AS (VALUES ${rboWeightsE12.zipWithIndex
+          .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")}),
+        ov AS (SELECT w.d, w.w_e12,
+                      sum(CASE WHEN j.rank_a <= w.d AND j.rank_b <= w.d
+                          THEN 1 ELSE 0 END) AS overlap
+               FROM w CROSS JOIN j GROUP BY 1, 2)
+        SELECT CAST(d AS BIGINT) AS depth, CAST(overlap AS BIGINT) AS overlap,
+               CAST(w_e12 * overlap // d AS BIGINT) AS term_e12,
+               CAST(sum(w_e12 * overlap // d) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) // 10
+                 AS BIGINT) AS rbo_e12
+        FROM ov ORDER BY depth""")),
+
     // Kaplan-Meier survival curve (round 14) — the time-to-event verb
     // beside q396's CUPED and q385's burstiness: per user, time from
     // first event to FIRST LARGE PURCHASE (value > 75 — the "event");
@@ -2957,6 +3091,14 @@ private[queries] object CatalogStatTests {
     */
   private val benfordSharesE6: Seq[Long] =
     (1 to 9).map(dd => math.floor(math.log10(1.0 + 1.0 / dd) * 1e6 + 0.5).toLong)
+
+  /** q428's RBO depth weights: floor(0.9^(d-1) * 1e12 + 0.5) for
+    * d = 1..50, rendered in Scala for the same reason as
+    * [[benfordSharesE6]] — pow() need not be bit-identical across
+    * engines, one literal table is.
+    */
+  private val rboWeightsE12: Seq[Long] =
+    (1 to 50).map(dd => math.floor(math.pow(0.9, dd - 1) * 1e12 + 0.5).toLong)
 
   /** q412's S-curve pieces — again ONE arithmetic string per step for
     * both engines, each transcendental e9-snapped before the next step
