@@ -2032,7 +2032,14 @@ private[queries] object CatalogStatTests {
         val minCount = 500L
         val n = t(s, d, "documents")
           .select(explode(TFx.tokens(col("text"))).as("token")).count()
+        // q86's fail-fast cap, same reason: an ABSOLUTE threshold makes
+        // k corpus-proportional (at 100 TB a φN relative threshold is
+        // the right call — k = 1/φ, constant); a summary too large for
+        // its guarantee must be an error, not a silent giant state
         val k = (n / minCount + 1L).toInt
+        require(k <= (1 << 17),
+          s"minCount=$minCount over $n tokens needs a $k-counter summary " +
+            "per bucket — use a relative threshold at this scale")
         val sess = streamingSession(s)
         sess.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
