@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.{TextFunctions => TF}
 import graft.ops.{Baskets, Graph, Lines}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Catalog._
@@ -1176,5 +1177,129 @@ private[queries] object CatalogGraphMining {
                CAST(count(*) AS BIGINT) AS n_nodes
         FROM dl$DagLevelRounds GROUP BY lvl ORDER BY level"""
       }),
+
+    // KMV (theta-sketch) set-operation estimates (round 15): q379 ships
+    // the KMV DISTINCT estimator; this is the step the DataSketches
+    // theta family exists for — INTERSECTION cardinality between
+    // per-group sketches without re-touching rows. Per DAILY ACTIVE
+    // COHORT (users seen on each of the corpus's first six days -- the
+    // fixture's event_type user sets are IDENTICAL, so day cohorts are
+    // the grain with real overlap variation), keep the k = 32 smallest
+    // md5-derived 60-bit hashes of user_id (fixed k-row state per
+    // group, mergeable); for each day pair, theta = the
+    // k-th smallest of the two sketches' union and
+    // est = |{h in both, h < theta}| / (theta / 2^60). Fewer than k
+    // union values means BOTH sets are fully enumerated below any
+    // threshold -- the sketch IS the set, so the estimate is the exact
+    // match count (the exact-mode branch; sf0.001 exercises it, sf0.01+
+    // exercise estimation mode). The estimator is hash-deterministic,
+    // so the oracle REPLAYS it exactly besides the exact truth -- a
+    // stronger gate than q179's error-bound claim. At 100 TB: sketches
+    // are one keyed pass + O(groups x k) state; the pair stage touches
+    // only sketches (P^2 x k), never rows -- the whole point of the
+    // theta family at warehouse scale.
+    "q432_kmv_intersection" -> QueryDef(
+      fn = (s, d) => {
+        val kk = 32
+        val two60 = 1152921504606846976.0 // 2^60, exact as a double
+        val du0 = t(s, d, "events")
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("grp"),
+            col("user_id")).distinct()
+        // first six distinct days: a <=31-row frame, bounded window
+        val days = du0.select(col("grp")).distinct()
+          .withColumn("__dr", row_number().over(Window.orderBy(col("grp"))))
+          .where(col("__dr") <= 6).select(col("grp"))
+        val du = du0.join(broadcast(days), Seq("grp"))
+        val h = du.withColumn("hv",
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"))
+        val sk = h.withColumn("__rk", row_number().over(
+            Window.partitionBy(col("grp"))
+              .orderBy(col("hv").asc, col("user_id").asc)))
+          .where(col("__rk") <= kk)
+          .select(col("grp"), col("hv"))
+          .localCheckpoint(eager = true) // pair stage reuses it twice
+        val types = sk.select(col("grp")).distinct()
+        val pairs = types.toDF("ta").crossJoin(types.toDF("tb"))
+          .where(col("ta") < col("tb"))
+        val uni = pairs.join(sk,
+            sk("grp") === col("ta") || sk("grp") === col("tb"))
+          .groupBy(col("ta"), col("tb"), col("hv"))
+          .agg(max(when(col("grp") === col("ta"), 1).otherwise(0)).as("ina"),
+               max(when(col("grp") === col("tb"), 1).otherwise(0)).as("inb"))
+        val w = Window.partitionBy(col("ta"), col("tb"))
+        val ranked = uni
+          .withColumn("__urk", row_number().over(w.orderBy(col("hv").asc)))
+          .withColumn("__u", count(lit(1)).over(w))
+          .withColumn("__th", max(when(col("__urk") === kk, col("hv"))).over(w))
+        val agg = ranked.groupBy(col("ta"), col("tb"))
+          .agg(max(col("__u")).as("u"), max(col("__th")).as("th"),
+            sum(when(col("ina") === 1 && col("inb") === 1
+              && (col("__u") < kk || col("hv") < col("__th")), 1L)
+              .otherwise(0L)).as("matching"))
+        val est = agg.withColumn("est_inter_e3",
+          when(col("u") < kk, col("matching") * 1000L)
+            .otherwise(floor(col("matching").cast("double") * two60
+              / col("th").cast("double") * 1000.0 + 0.5).cast("long")))
+        val exact = du.toDF("ta", "ua").join(du.toDF("tb", "ub"),
+            col("ua") === col("ub") && col("ta") < col("tb"))
+          .groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("n_exact"))
+        est.join(exact, Seq("ta", "tb"), "left")
+          .select(col("ta").as("day_a"), col("tb").as("day_b"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            col("matching"), col("est_inter_e3"))
+          .orderBy(col("day_a"), col("day_b"))
+      },
+      oracle = Some("""
+        WITH du0 AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS grp, user_id
+                     FROM events),
+        days AS (SELECT grp FROM (SELECT DISTINCT grp FROM du0)
+                 ORDER BY grp LIMIT 6),
+        du AS (SELECT du0.grp, du0.user_id FROM du0
+               WHERE du0.grp IN (SELECT grp FROM days)),
+        h AS (SELECT grp, user_id,
+                     ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+              FROM du),
+        r0 AS (SELECT grp, hv,
+                      row_number() OVER (PARTITION BY grp
+                                         ORDER BY hv, user_id) AS rk
+               FROM h),
+        sk AS (SELECT grp, hv FROM r0 WHERE rk <= 32),
+        ty AS (SELECT DISTINCT grp FROM du),
+        pairs AS (SELECT a.grp AS ta, b.grp AS tb
+                  FROM ty a JOIN ty b ON a.grp < b.grp),
+        uni AS (SELECT p.ta, p.tb, s.hv,
+                       max(CASE WHEN s.grp = p.ta THEN 1 ELSE 0 END) AS ina,
+                       max(CASE WHEN s.grp = p.tb THEN 1 ELSE 0 END) AS inb
+                FROM pairs p JOIN sk s ON s.grp IN (p.ta, p.tb)
+                GROUP BY 1, 2, 3),
+        rk2 AS (SELECT ta, tb, hv, ina, inb,
+                       row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS urk,
+                       count(*) OVER (PARTITION BY ta, tb) AS u
+                FROM uni),
+        th AS (SELECT ta, tb, max(u) AS u,
+                      max(CASE WHEN urk = 32 THEN hv END) AS th
+               FROM rk2 GROUP BY 1, 2),
+        m AS (SELECT r.ta, r.tb, max(t.u) AS u, max(t.th) AS th,
+                     sum(CASE WHEN r.ina = 1 AND r.inb = 1
+                              AND (t.u < 32 OR r.hv < t.th)
+                         THEN 1 ELSE 0 END) AS matching
+              FROM rk2 r JOIN th t ON r.ta = t.ta AND r.tb = t.tb
+              GROUP BY 1, 2),
+        ex AS (SELECT x.grp AS ta, y.grp AS tb,
+                      count(*) AS n_exact
+               FROM du x JOIN du y
+                 ON x.user_id = y.user_id AND x.grp < y.grp
+               GROUP BY 1, 2)
+        SELECT m.ta AS day_a, m.tb AS day_b,
+               CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+               CAST(m.matching AS BIGINT) AS matching,
+               CAST(CASE WHEN m.u < 32 THEN m.matching * 1000
+                    ELSE CAST(floor(CAST(m.matching AS DOUBLE) * 1152921504606846976.0
+                              / CAST(m.th AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+                    END AS BIGINT) AS est_inter_e3
+        FROM m LEFT JOIN ex ON m.ta = ex.ta AND m.tb = ex.tb
+        ORDER BY day_a, day_b""")),
   )
 }

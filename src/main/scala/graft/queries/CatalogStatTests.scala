@@ -2992,6 +2992,122 @@ private[queries] object CatalogStatTests {
                        / CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE))
                  * 1000000 + 0.5) AS BIGINT) AS var_reduction_e6
         FROM a ORDER BY arm""")),
+
+    // Burrows' Delta (round 15) — the stylometry classic (Burrows 2002):
+    // distance between corpora = mean absolute difference of z-scored
+    // FUNCTION-WORD relative frequencies. The catalog has per-doc style
+    // metrics (q240) and distribution drift (q150 JS, q263 PSI); this
+    // is the attribution verb between SOURCES. Cross-engine FP
+    // discipline (q424's exact-moment pattern): per-source frequencies
+    // are snapped to an e9 integer grid (one deterministic double op
+    // each), then mean/stddev come from EXACT integer moments S1/S2 —
+    // the 20-source aggregation is order-free bigint addition, so the
+    // z pipeline is bit-identical in both engines. Plan shape: one
+    // explode + keyed agg over tokens (uniform shuffle), a 1-row
+    // moment frame broadcast back, and a P x P pair join over the
+    // P-row z frame — at 100 TB the quadratic stage touches P sources,
+    // never rows.
+    "q433_burrows_delta" -> QueryDef(
+      fn = (s, d) => {
+        val words = Seq("the", "a", "value", "table", "row", "key")
+        val TFx = graft.functions.TextFunctions
+        val toks = t(s, d, "documents")
+          .select(col("source"), explode(TFx.tokens(col("text"))).as("tok"))
+        val perSrc = toks.groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          words.map(w => sum(when(col("tok") === w, 1L).otherwise(0L))
+            .as(s"c_$w")): _*)
+        val gridded = perSrc.select(col("source") +: words.map(w =>
+          floor(col(s"c_$w").cast("double") * 1000000000.0
+            / col("n").cast("double") + 0.5).cast("long").as(s"f_$w")): _*)
+          .localCheckpoint(eager = true) // moments + z + both pair sides
+        val stats = gridded.agg(
+          count(lit(1)).as("p"),
+          words.flatMap(w => Seq(
+            sum(col(s"f_$w")).as(s"s1_$w"),
+            sum(col(s"f_$w") * col(s"f_$w")).as(s"s2_$w"))): _*)
+        def z(w: String): Column = {
+          val pd = col("p").cast("double")
+          val s1 = col(s"s1_$w").cast("double")
+          val s2 = col(s"s2_$w").cast("double")
+          val varS = (s2 - s1 * s1 / pd) / (pd - 1.0)
+          when(varS > 0.0,
+            (col(s"f_$w").cast("double") - s1 / pd) / sqrt(varS))
+            .otherwise(lit(0.0))
+        }
+        val zf = gridded.crossJoin(broadcast(stats))
+          .select(col("source") +: words.map(w => z(w).as(s"z_$w")): _*)
+        val a = zf.select(col("source").as("source_a") +:
+          words.map(w => col(s"z_$w").as(s"za_$w")): _*)
+        val b = zf.select(col("source").as("source_b") +:
+          words.map(w => col(s"z_$w").as(s"zb_$w")): _*)
+        val deltaSum = words.map(w =>
+          abs(col(s"za_$w") - col(s"zb_$w"))).reduce(_ + _)
+        a.join(b, col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            floor(deltaSum / lit(words.size.toDouble) * 1000000.0 + 0.5)
+              .cast("long").as("delta_e6"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      oracle = Some(s"""
+        WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+        ps AS (SELECT source, count(*) AS n,
+                      sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS c_the,
+                      sum(CASE WHEN tok = 'a' THEN 1 ELSE 0 END) AS c_a,
+                      sum(CASE WHEN tok = 'value' THEN 1 ELSE 0 END) AS c_value,
+                      sum(CASE WHEN tok = 'table' THEN 1 ELSE 0 END) AS c_table,
+                      sum(CASE WHEN tok = 'row' THEN 1 ELSE 0 END) AS c_row,
+                      sum(CASE WHEN tok = 'key' THEN 1 ELSE 0 END) AS c_key
+               FROM tk GROUP BY 1),
+        g AS (SELECT source,
+                     CAST(floor(CAST(c_the AS DOUBLE) * 1000000000.0 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS f_the,
+                     CAST(floor(CAST(c_a AS DOUBLE) * 1000000000.0 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS f_a,
+                     CAST(floor(CAST(c_value AS DOUBLE) * 1000000000.0 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS f_value,
+                     CAST(floor(CAST(c_table AS DOUBLE) * 1000000000.0 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS f_table,
+                     CAST(floor(CAST(c_row AS DOUBLE) * 1000000000.0 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS f_row,
+                     CAST(floor(CAST(c_key AS DOUBLE) * 1000000000.0 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS f_key
+              FROM ps),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS p,
+                      sum(f_the) AS s1_the, sum(f_the * f_the) AS s2_the,
+                      sum(f_a) AS s1_a, sum(f_a * f_a) AS s2_a,
+                      sum(f_value) AS s1_value, sum(f_value * f_value) AS s2_value,
+                      sum(f_table) AS s1_table, sum(f_table * f_table) AS s2_table,
+                      sum(f_row) AS s1_row, sum(f_row * f_row) AS s2_row,
+                      sum(f_key) AS s1_key, sum(f_key * f_key) AS s2_key
+               FROM g),
+        zf AS (SELECT source,
+                      CASE WHEN (CAST(s2_the AS DOUBLE) - CAST(s1_the AS DOUBLE) * CAST(s1_the AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0) > 0.0
+                           THEN (CAST(f_the AS DOUBLE) - CAST(s1_the AS DOUBLE) / CAST(p AS DOUBLE))
+                                / sqrt((CAST(s2_the AS DOUBLE) - CAST(s1_the AS DOUBLE) * CAST(s1_the AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0))
+                           ELSE 0.0 END AS z_the,
+                      CASE WHEN (CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0) > 0.0
+                           THEN (CAST(f_a AS DOUBLE) - CAST(s1_a AS DOUBLE) / CAST(p AS DOUBLE))
+                                / sqrt((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0))
+                           ELSE 0.0 END AS z_a,
+                      CASE WHEN (CAST(s2_value AS DOUBLE) - CAST(s1_value AS DOUBLE) * CAST(s1_value AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0) > 0.0
+                           THEN (CAST(f_value AS DOUBLE) - CAST(s1_value AS DOUBLE) / CAST(p AS DOUBLE))
+                                / sqrt((CAST(s2_value AS DOUBLE) - CAST(s1_value AS DOUBLE) * CAST(s1_value AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0))
+                           ELSE 0.0 END AS z_value,
+                      CASE WHEN (CAST(s2_table AS DOUBLE) - CAST(s1_table AS DOUBLE) * CAST(s1_table AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0) > 0.0
+                           THEN (CAST(f_table AS DOUBLE) - CAST(s1_table AS DOUBLE) / CAST(p AS DOUBLE))
+                                / sqrt((CAST(s2_table AS DOUBLE) - CAST(s1_table AS DOUBLE) * CAST(s1_table AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0))
+                           ELSE 0.0 END AS z_table,
+                      CASE WHEN (CAST(s2_row AS DOUBLE) - CAST(s1_row AS DOUBLE) * CAST(s1_row AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0) > 0.0
+                           THEN (CAST(f_row AS DOUBLE) - CAST(s1_row AS DOUBLE) / CAST(p AS DOUBLE))
+                                / sqrt((CAST(s2_row AS DOUBLE) - CAST(s1_row AS DOUBLE) * CAST(s1_row AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0))
+                           ELSE 0.0 END AS z_row,
+                      CASE WHEN (CAST(s2_key AS DOUBLE) - CAST(s1_key AS DOUBLE) * CAST(s1_key AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0) > 0.0
+                           THEN (CAST(f_key AS DOUBLE) - CAST(s1_key AS DOUBLE) / CAST(p AS DOUBLE))
+                                / sqrt((CAST(s2_key AS DOUBLE) - CAST(s1_key AS DOUBLE) * CAST(s1_key AS DOUBLE) / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0))
+                           ELSE 0.0 END AS z_key
+               FROM g CROSS JOIN st)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(floor((abs(a.z_the - b.z_the) + abs(a.z_a - b.z_a)
+                           + abs(a.z_value - b.z_value) + abs(a.z_table - b.z_table)
+                           + abs(a.z_row - b.z_row) + abs(a.z_key - b.z_key))
+                          / 6.0 * 1000000.0 + 0.5) AS BIGINT) AS delta_e6
+        FROM zf a JOIN zf b ON a.source < b.source
+        ORDER BY source_a, source_b""")),
   )
 
   /** q394's z for the 95% Wilson interval — Scala-rendered once so both

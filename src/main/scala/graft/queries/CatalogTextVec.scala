@@ -681,5 +681,231 @@ private[queries] object CatalogTextVec {
                          // (lnn - lag(lnn) OVER (ORDER BY k)) END AS BIGINT)
                  AS beta_local_e6
         FROM sl ORDER BY k""")),
+
+    // Fuzzy entity resolution via blocked Jaro-Winkler (round 15): the
+    // record-linkage verb the catalog's equality-grain dedups (q20
+    // exact, q26 MinHash, q122/q387 edit-distance) stop short of —
+    // typo-tolerant NAME matching with the similarity measure the
+    // record-linkage literature standardized on (Winkler's strcmp95).
+    // JW is computed by the native codegen Expression
+    // [[graft.functions.expressions.JaroWinklerSim]] (bit-parity with
+    // the DuckDB oracle proven exhaustively — floored
+    // half-transpositions, boost iff jaro > 0.7, prefix cap 4).
+    //
+    // 100 TB shape: the quadratic step runs on the DISTINCT-NAME frame,
+    // not the row frame — dedup first (hash-agg, uniform shuffle), then
+    // a first-char-blocked self-join over distinct names (|V| ×
+    // avg-block, broadcastable when |V| fits, else an equi-join on the
+    // block key), and report at name-pair grain with pair
+    // MULTIPLICITIES (cnt_a * cnt_b) instead of materializing row
+    // pairs. Row-grain expansion is a later equi-join on name if a
+    // consumer needs it. Giant blocks are a salting candidate, but the
+    // first-char key is only a demo: production blocking keys
+    // (soundex, sorted-token prefix) bound block size by construction.
+    "q429_jaro_winkler_join" -> QueryDef(
+      fn = (s, d) => {
+        val JW = graft.functions.expressions.JaroWinklerSim
+        val names = t(s, d, "part")
+          .groupBy(col("p_name"))
+          .agg(count(lit(1)).as("cnt"), min(col("p_partkey")).as("ex"))
+          .withColumn("__blk", substring(col("p_name"), 1, 1))
+          .localCheckpoint(eager = true) // both sides of the self-join
+        val a = names.select(col("__blk"), col("p_name").as("name_a"),
+          col("cnt").as("cnt_a"), col("ex").as("exemplar_a"))
+        val b = names.select(col("__blk"), col("p_name").as("name_b"),
+          col("cnt").as("cnt_b"), col("ex").as("exemplar_b"))
+        a.join(broadcast(b), Seq("__blk"))
+          .where(col("name_a") < col("name_b"))
+          .withColumn("sim_e6",
+            floor(JW.column(col("name_a"), col("name_b"), Some(s))
+              * 1000000.0 + 0.5).cast("long"))
+          .where(col("sim_e6") >= 900000L)
+          .select(col("name_a"), col("name_b"), col("sim_e6"),
+            (col("cnt_a") * col("cnt_b")).as("n_row_pairs"),
+            col("exemplar_a"), col("exemplar_b"))
+          .orderBy(col("sim_e6").desc, col("name_a"), col("name_b"))
+      },
+      oracle = Some("""
+        WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt,
+                          min(p_partkey) AS ex,
+                          substring(p_name, 1, 1) AS blk
+                   FROM part GROUP BY 1)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+                 * 1000000.0 + 0.5) AS BIGINT) AS sim_e6,
+               a.cnt * b.cnt AS n_row_pairs,
+               a.ex AS exemplar_a, b.ex AS exemplar_b
+        FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+                 * 1000000.0 + 0.5) AS BIGINT) >= 900000
+        ORDER BY sim_e6 DESC, name_a, name_b""")),
+
+    // Max-score / champion-list pruned top-k retrieval (round 15) — the
+    // WAND idea (Broder et al., CIKM'03) re-expressed for a shuffle
+    // engine, and the ADDITIVE-score sibling of q390's rank-based RRF
+    // bound: score docs by sum over query terms of tf * idf, but only
+    // EXACT-SCORE the union of each term's top-R champion docs. A doc
+    // outside every champion list has per-term contribution <= that
+    // term's R-th champion contribution, so its total score is bounded
+    // by B = sum of R-th champion contributions; once B is STRICTLY
+    // below the k-th best fully-scored candidate (compared on the same
+    // e6 grid the output is ranked by, so the proof covers grid-level
+    // ties), skipping it is provably lossless. R escalates 16 -> 32 ->
+    // ... until the bound closes or champions cover every posting;
+    // each round is per-term-keyed (window partitioned by term — never
+    // corpus-wide). At 100 TB the candidate frame is O(terms x R),
+    // not O(docs): the full corpus is touched once to build tf, never
+    // again. The DuckDB oracle scores every doc exhaustively — the
+    // gate passing IS the losslessness proof on this corpus.
+    "q430_wand_topk" -> QueryDef(
+      fn = (s, d) => {
+        val terms = Seq("dup", "vector", "spark", "batch")
+        val k = 10
+        val toks = TF.tokens(col("text"))
+        val base = t(s, d, "documents")
+          .select(col("doc_id") +: terms.map(tm =>
+            size(filter(toks, x => x === lit(tm))).cast("long")
+              .as(s"tf_$tm")): _*)
+          .localCheckpoint(eager = true) // stats + champions + scoring share it
+        val stats = base.agg(
+          count(lit(1)).cast("double").as("nd"),
+          terms.map(tm => sum(when(col(s"tf_$tm") > 0L, 1.0).otherwise(0.0))
+            .as(s"df_$tm")): _*)
+        // idf guarded for df = 0 (a term absent from the corpus slice):
+        // its tf is 0 everywhere, but 0 * ln(nd/0) is NaN, not 0.
+        def idf(tm: String): Column =
+          when(col(s"df_$tm") > 0.0, log(col("nd") / col(s"df_$tm")))
+            .otherwise(lit(0.0))
+        def contrib(tm: String): Column =
+          col(s"tf_$tm").cast("double") * idf(tm)
+        val withStats = base.crossJoin(broadcast(stats))
+        // long form (doc, term, tf, contrib) for champion selection
+        val long = terms.map { tm =>
+          withStats.where(col(s"tf_$tm") > 0L)
+            .select(col("doc_id"), lit(tm).as("term"),
+              col(s"tf_$tm").as("tf"), contrib(tm).as("contrib"))
+        }.reduce(_ unionAll _).localCheckpoint(eager = true)
+        val scoreCol = terms.map(contrib).reduce(_ + _)
+        val scoredAll = withStats
+          .withColumn("score_e6",
+            floor(scoreCol * 1000000.0 + 0.5).cast("long"))
+          .where(col("score_e6") > 0L)
+        val maxDf = long.groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect()(0).getLong(0) // T rows -> 1, bounded
+        var r = 16L
+        var done = false
+        var top: DataFrame = null
+        while (!done) {
+          // contrib is monotone in tf within a term (idf constant), so
+          // champions by (tf desc, doc_id) == champions by contrib desc
+          val champs = long.withColumn("__rk", row_number().over(
+              Window.partitionBy(col("term"))
+                .orderBy(col("tf").desc, col("doc_id").asc)))
+            .where(col("__rk") <= r)
+          val cands = champs.select(col("doc_id")).distinct()
+          val scored = scoredAll.join(cands, Seq("doc_id"), "left_semi")
+            .localCheckpoint(eager = true) // theta probe + output share it
+          // theta: k-th best candidate on the output grid (<= k rows
+          // collected — the audited bounded-collect class)
+          val kth = scored.orderBy(col("score_e6").desc, col("doc_id"))
+            .limit(k).collect()
+          val thetaE6 = if (kth.length < k) -1L
+            else kth.last.getAs[Long]("score_e6")
+          // B: sum of R-th champion contributions (terms with < R
+          // postings are exhausted and contribute 0) — 1 row collected
+          val bRaw = champs.where(col("__rk") === r)
+            .agg(coalesce(sum(col("contrib")), lit(0.0))).collect()(0)
+            .getDouble(0)
+          val bE6 = math.floor(bRaw * 1000000.0 + 0.5).toLong
+          if ((thetaE6 >= 0L && bE6 < thetaE6) || r >= maxDf) {
+            done = true
+            top = scored.orderBy(col("score_e6").desc, col("doc_id"))
+              .limit(k)
+              .withColumn("rank", row_number().over(Window.orderBy(
+                col("score_e6").desc, col("doc_id"))).cast("long"))
+              .select(col("rank"), col("doc_id"), col("score_e6"))
+              .orderBy(col("rank"))
+          } else r *= 2L
+        }
+        top
+      },
+      oracle = Some(s"""
+        WITH wt AS (SELECT doc_id,
+                      CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf_dup,
+                      CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+                      CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+                      CAST(len(list_filter(toks, x -> x = 'batch')) AS BIGINT) AS tf_batch
+                    FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                      CAST(sum(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_dup,
+                      CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+                      CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+                      CAST(sum(CASE WHEN tf_batch > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_batch
+               FROM wt),
+        sc AS (SELECT doc_id,
+                      (CAST(tf_dup AS DOUBLE) * (CASE WHEN df_dup > 0 THEN ln(nd / df_dup) ELSE 0 END)
+                       + CAST(tf_vector AS DOUBLE) * (CASE WHEN df_vector > 0 THEN ln(nd / df_vector) ELSE 0 END)
+                       + CAST(tf_spark AS DOUBLE) * (CASE WHEN df_spark > 0 THEN ln(nd / df_spark) ELSE 0 END)
+                       + CAST(tf_batch AS DOUBLE) * (CASE WHEN df_batch > 0 THEN ln(nd / df_batch) ELSE 0 END)) AS score
+               FROM wt CROSS JOIN st),
+        g AS (SELECT doc_id, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+              FROM sc)
+        SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
+               doc_id, score_e6
+        FROM g WHERE score_e6 > 0
+        ORDER BY rank LIMIT 10""")),
+
+    // Mutual (reciprocal) k-NN pairs (round 15): a is in b's top-k AND
+    // b is in a's top-k — the symmetric-evidence grain used for
+    // alignment mining and conservative near-dup candidates, strictly
+    // stronger than q25's one-directional top-k. Ranks come from ONE
+    // pair-sim frame window-ranked per query (keyed shuffle), consumed
+    // twice via self-join on the flipped key — the rank frame is
+    // O(n*k) after the filter, so the mutual join is cheap. Brute-force
+    // pair sims here (the oracle's grain); at 100 TB the same
+    // rank+flip-join composes unchanged over q44's IVF or q30's LSH
+    // candidate pairs instead of the cartesian frame.
+    "q431_mutual_knn" -> QueryDef(
+      fn = (s, d) => {
+        val kk = 5
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val a = emb.toDF("qid", "qv")
+        val b = emb.toDF("nid", "nv")
+        val sims = a.join(b, col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            VF.cosine(col("qv"), col("nv")).as("sim"))
+        val ranked = sims.withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
+          .where(col("rk") <= kk)
+          .localCheckpoint(eager = true) // both sides of the mutual join
+        val fwd = ranked.select(col("qid").as("vec_a"), col("nid").as("vec_b"),
+          col("sim"), col("rk").as("rank_ab"))
+        val rev = ranked.select(col("nid").as("vec_a"), col("qid").as("vec_b"),
+          col("rk").as("rank_ba"))
+        fwd.join(rev, Seq("vec_a", "vec_b"))
+          .where(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(col("sim"), 6).as("cosine"),
+            col("rank_ab"), col("rank_ba"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      oracle = Some(s"""
+        WITH s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                          ${cosineSql("a.embedding", "b.embedding")} AS sim
+                   FROM embeddings a JOIN embeddings b
+                     ON a.vec_id <> b.vec_id),
+        r AS (SELECT qid, nid, sim,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, nid) AS rk
+              FROM s)
+        SELECT x.qid AS vec_a, x.nid AS vec_b,
+               round(x.sim, 6) AS cosine,
+               CAST(x.rk AS BIGINT) AS rank_ab,
+               CAST(y.rk AS BIGINT) AS rank_ba
+        FROM r x JOIN r y ON x.qid = y.nid AND x.nid = y.qid
+        WHERE x.rk <= 5 AND y.rk <= 5 AND x.qid < x.nid
+        ORDER BY vec_a, vec_b""")),
   )
 }
