@@ -1322,6 +1322,62 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("q429: JW runs INSIDE the broadcast block-join, names deduped first") {
+    // the quadratic step must be (a) over the distinct-name frame, fed
+    // by the shared checkpoint, (b) a BROADCAST hash join on the block
+    // key — never a shuffled or nested-loop pair build — and (c) with
+    // the jaro_winkler similarity evaluated in the join condition, so
+    // sub-threshold pairs die inside the join instead of materializing
+    val plan = planOf("q429_jaro_winkler_join")
+    assert(!plan.contains("Scan parquet"),
+      s"name frame must come from the checkpoint, not a re-scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    val joinCond = plan.linesIterator.find(_.contains("Join condition")).getOrElse("")
+    assert(joinCond.contains("jaro_winkler"),
+      s"JW must be in the join condition, got: $joinCond\n$plan")
+  }
+
+  test("q430: WAND escalation ran eagerly — final plan is the candidate frame only") {
+    // champion selection, theta probes and the bound comparison all
+    // execute at build time (the q413 eager-loop class); the returned
+    // plan must read the scored-candidate checkpoint — a parquet scan
+    // or a per-term window here would mean the escalation loop leaked
+    // into the lazy plan
+    val plan = planOf("q430_wand_topk")
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q431: mutual join is an equi-join over the O(n*k) rank checkpoint") {
+    // the cartesian sim frame and its per-query rank window execute
+    // eagerly into the localCheckpoint (they never appear in the lazy
+    // plan); what remains must be an EQUI-join of the two k-bounded
+    // rank frames on the flipped key — a nested-loop or cartesian here
+    // would mean the mutual pairing degenerated to all-pairs again
+    val plan = planOf("q431_mutual_knn")
+    assert(!plan.contains("Scan parquet"),
+      s"rank frame must come from the checkpoint:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
+  test("q432: sketches are keyed windows; the day filter is a broadcast semi-join") {
+    val plan = planOf("q432_kmv_intersection")
+    assert(plan.contains("windowspecdefinition(grp") ||
+      plan.contains("windowspecdefinition(ta"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q433: z-moments ride ONE broadcast stats row over the gridded checkpoint") {
+    val plan = planOf("q433_burrows_delta")
+    assert(!plan.contains("Scan parquet"),
+      s"gridded freqs must come from the checkpoint:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q361: ONE documents scan, automaton probe in-line, partial aggs") {
     val plan = planOf("q361_blocklist_scan")
     assert(plan.contains("multi_pattern_count"), plan)
