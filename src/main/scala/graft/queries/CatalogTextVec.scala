@@ -790,8 +790,11 @@ private[queries] object CatalogTextVec {
           .withColumn("score_e6",
             floor(scoreCol * 1000000.0 + 0.5).cast("long"))
           .where(col("score_e6") > 0L)
-        val maxDf = long.groupBy(col("term")).agg(count(lit(1)).as("n"))
-          .agg(max(col("n"))).collect()(0).getLong(0) // T rows -> 1, bounded
+        val maxDfRow = long.groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect()(0) // T rows -> 1, bounded
+        // null when NO query term occurs at all: r >= 0 terminates the
+        // loop immediately and the (empty) candidate frame is exact
+        val maxDf = if (maxDfRow.isNullAt(0)) 0L else maxDfRow.getLong(0)
         var r = 16L
         var done = false
         var top: DataFrame = null

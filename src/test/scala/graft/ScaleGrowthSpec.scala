@@ -129,7 +129,19 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // census's hazard is the canonical-pick broadcast growing with the
     // clone-group count
     "q417_repetition_fraction", "q420_heaps_law", "q422_benford_audit",
-    "q425_dedup_impact")
+    "q425_dedup_impact",
+    // round-15 wave: the KMV pair stage touches only O(days x k)
+    // sketch rows (the hazard is the distinct+window feed, linear in
+    // users); Burrows' hazard is the token-count agg (linear), its
+    // P^2 pair join runs on the P-row z frame. NOT audited from the
+    // wave: q429 (the demo first-char block key is quadratic in
+    // per-block distinct names BY DESIGN — production blocking keys
+    // bound block size, see its scaladoc; and replicas suffix p_name
+    // vocab linearly), q430 (replica token suffixes empty its fixed
+    // query-term list — vacuous measurement), q431 (brute-force
+    // O(n^2) exact baseline, the documented q25 class; IVF/LSH are
+    // its scale paths)
+    "q432_kmv_intersection", "q433_burrows_delta")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica
