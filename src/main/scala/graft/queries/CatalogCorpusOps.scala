@@ -754,5 +754,83 @@ private[queries] object CatalogCorpusOps {
                count(DISTINCT (l_orderkey, l_linenumber, l_quantity))
                  = count(*) AS triple_is_unique
         FROM lineitem"""))
+  ,
+
+    // CMS heavy-CHANGE detection (round 15, wave 2): Cormode's "what's
+    // new" question — which watchlist tokens shifted frequency between
+    // two corpus halves (even- vs odd-indexed sources) — answered from
+    // TWO fixed-size sketches instead of two vocabulary GROUP BYs.
+    // Unlike q94's point queries, a frequency DIFFERENCE has no
+    // one-sided guarantee (each side's overshoot is independent), so
+    // the claims are split honestly: `no_undercount_ok` (deterministic
+    // CMS property, per side) and `within_eps_bound`
+    // (|est_delta - exact_delta| <= (e/width) * max-side mass — holds
+    // w.p. >= 1 - e^-depth per side; with the fixed seed it is a
+    // reproducible fact of this corpus the gate pins). Sketch bytes are
+    // murmur3-based and not SQL-replayable, so (q94/q179 discipline)
+    // the value columns are the EXACT per-half counts and deltas, the
+    // sketch's performance rides the claim booleans. At 100 TB the two
+    // sketches are one grouped pass (mergeable partials, O(depth x
+    // width) per exchange), the exact verify touches only
+    // `token IN (watchlist)`.
+    "q436_cms_heavy_change" -> QueryDef(
+      fn = (s, d) => {
+        val depth = 4
+        val width = 512
+        val halfCol = pmod(substring(col("source"), 4, 10).cast("int"), lit(2))
+        val toks = t(s, d, "documents")
+          .select(halfCol.as("half"), explode(TF.tokens(col("text"))).as("token"))
+          .localCheckpoint(eager = true) // two sketch passes + exact verify
+        val skE = graft.ops.CountMin.sketch(
+          toks.where(col("half") === 0), col("token"), depth, width)
+        val skO = graft.ops.CountMin.sketch(
+          toks.where(col("half") === 1), col("token"), depth, width)
+        val nE = toks.where(col("half") === 0).count()
+        val nO = toks.where(col("half") === 1).count()
+        val epsBound = math.E / width * math.max(nE, nO)
+        import s.implicits._
+        val probes = cmsProbes.map { p =>
+          val eE = graft.ops.CountMin.estimate(skE, p, depth, width, 42)
+          val eO = graft.ops.CountMin.estimate(skO, p, depth, width, 42)
+          (p, eE, eO)
+        }.toDF("token", "__est_e", "__est_o")
+        val exact = toks.filter(col("token").isin(cmsProbes: _*))
+          .groupBy(col("token"))
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_even"),
+               sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_odd"))
+        probes.join(exact, Seq("token"), "left")
+          .select(col("token"),
+            coalesce(col("n_even"), lit(0L)).as("n_even"),
+            coalesce(col("n_odd"), lit(0L)).as("n_odd"),
+            abs(coalesce(col("n_even"), lit(0L))
+              - coalesce(col("n_odd"), lit(0L))).as("d_exact"),
+            (col("__est_e") >= coalesce(col("n_even"), lit(0L))
+              && col("__est_o") >= coalesce(col("n_odd"), lit(0L)))
+              .as("no_undercount_ok"),
+            (abs(abs(col("__est_e") - col("__est_o")).cast("double")
+              - abs(coalesce(col("n_even"), lit(0L))
+                - coalesce(col("n_odd"), lit(0L))).cast("double"))
+              <= lit(epsBound)).as("within_eps_bound"))
+          .orderBy(col("token"))
+      },
+      oracle = Some(s"""
+        WITH tk AS (SELECT CAST(substring(source, 4) AS INT) % 2 AS half,
+                           unnest($toksSql) AS token
+                    FROM documents),
+        w(token) AS (VALUES ${cmsProbes.sorted.map(p => s"('$p')").mkString(", ")}),
+        ex AS (SELECT token,
+                      sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_even,
+                      sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_odd
+               FROM tk WHERE token IN (SELECT token FROM w)
+               GROUP BY 1)
+        SELECT w.token,
+               CAST(coalesce(ex.n_even, 0) AS BIGINT) AS n_even,
+               CAST(coalesce(ex.n_odd, 0) AS BIGINT) AS n_odd,
+               CAST(abs(coalesce(ex.n_even, 0) - coalesce(ex.n_odd, 0))
+                 AS BIGINT) AS d_exact,
+               true AS no_undercount_ok,
+               true AS within_eps_bound
+        FROM w LEFT JOIN ex ON w.token = ex.token
+        ORDER BY 1""")),
   )
 }

@@ -3108,6 +3108,125 @@ private[queries] object CatalogStatTests {
                           / 6.0 * 1000000.0 + 0.5) AS BIGINT) AS delta_e6
         FROM zf a JOIN zf b ON a.source < b.source
         ORDER BY source_a, source_b""")),
+
+    // Allen's interval-algebra census (round 15, wave 2): classify
+    // activity-span pairs into Allen's 13 temporal relations and census
+    // them — the temporal-logic verb underneath overlap joins (q87),
+    // bitemporal replay (q279) and session containment, made
+    // exhaustive: the 13 relations PARTITION all span configurations.
+    // Three pair families make every relation reachable on this
+    // fixture's geometry (every (user, type) span covers most of the
+    // month, so micro-timestamp pairs only ever hit the 4 strict
+    // overlap/containment buckets — the first cut's hollow-census
+    // lesson): (a) 'types' — DAY-grain (user, type-pair) spans, firing
+    // the equality families (starts/finishes/equals) beside
+    // overlap/containment; (b) 'fwd_halves' — per (user, type), the
+    // days-1-15 span vs the days-15-30 span (the shared day-15
+    // boundary makes meets vs precedes a real data-driven split); (c)
+    // 'rev_halves' — (b) reversed, firing preceded_by/met_by. The
+    // WHEN chain's decision order is the parity contract: both engines
+    // evaluate the IDENTICAL chain, so degenerate point spans classify
+    // identically without special-casing. Plan shape: keyed aggs
+    // (user x type), per-user bounded pair joins, tiny census aggs.
+    "q434_allen_census" -> QueryDef(
+      fn = (s, d) => {
+        def rel(s1: Column, e1: Column, s2: Column, e2: Column): Column =
+          when(e1 < s2, "precedes")
+            .when(e1 === s2, "meets")
+            .when(e2 < s1, "preceded_by")
+            .when(e2 === s1, "met_by")
+            .when(s1 === s2 && e1 === e2, "equals")
+            .when(s1 === s2 && e1 < e2, "starts")
+            .when(s1 === s2, "started_by")
+            .when(e1 === e2 && s1 < s2, "finished_by")
+            .when(e1 === e2, "finishes")
+            .when(s1 < s2 && e2 < e1, "contains")
+            .when(s2 < s1 && e1 < e2, "during")
+            .when(s1 < s2, "overlaps")
+            .otherwise("overlapped_by")
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            to_date(col("ts")).as("day"),
+            dayofmonth(col("ts")).as("dom"))
+          .localCheckpoint(eager = true) // all three span frames share it
+        val iv = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("day")).as("ss"), max(col("day")).as("ee"))
+        val a = iv.select(col("user_id"), col("event_type").as("type_a"),
+          col("ss").as("s1"), col("ee").as("e1"))
+        val b = iv.select(col("user_id"), col("event_type").as("type_b"),
+          col("ss").as("s2"), col("ee").as("e2"))
+        val census1 = a.join(b, Seq("user_id"))
+          .where(col("type_a") < col("type_b"))
+          .select(lit("types").as("family"), col("type_a"), col("type_b"),
+            rel(col("s1"), col("e1"), col("s2"), col("e2")).as("relation"))
+        def halfSpan(lo: Int, hi: Int) = ev
+          .where(col("dom") >= lo && col("dom") <= hi)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("day")).as("hs"), max(col("day")).as("he"))
+        val hj = halfSpan(1, 15).select(col("user_id"), col("event_type"),
+            col("hs").as("s1"), col("he").as("e1"))
+          .join(halfSpan(15, 31).select(col("user_id"), col("event_type"),
+            col("hs").as("s2"), col("he").as("e2")),
+            Seq("user_id", "event_type"))
+          .localCheckpoint(eager = true) // fwd + rev censuses share it
+        val census2 = hj.select(lit("fwd_halves").as("family"),
+          col("event_type").as("type_a"), col("event_type").as("type_b"),
+          rel(col("s1"), col("e1"), col("s2"), col("e2")).as("relation"))
+        val census3 = hj.select(lit("rev_halves").as("family"),
+          col("event_type").as("type_a"), col("event_type").as("type_b"),
+          rel(col("s2"), col("e2"), col("s1"), col("e1")).as("relation"))
+        census1.unionAll(census2).unionAll(census3)
+          .groupBy(col("family"), col("type_a"), col("type_b"),
+            col("relation"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("family"), col("type_a"), col("type_b"),
+            col("relation"))
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+                           extract(day FROM ts) AS dom
+                    FROM events),
+        iv AS (SELECT user_id, event_type, min(day) AS ss, max(day) AS ee
+               FROM ev GROUP BY 1, 2),
+        pr1 AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       a.ss AS s1, a.ee AS e1, b.ss AS s2, b.ee AS e2
+                FROM iv a JOIN iv b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type),
+        h1 AS (SELECT user_id, event_type, min(day) AS hs, max(day) AS he
+               FROM ev WHERE dom BETWEEN 1 AND 15 GROUP BY 1, 2),
+        h2 AS (SELECT user_id, event_type, min(day) AS hs, max(day) AS he
+               FROM ev WHERE dom BETWEEN 15 AND 31 GROUP BY 1, 2),
+        hj AS (SELECT h1.event_type,
+                      h1.hs AS s1, h1.he AS e1, h2.hs AS s2, h2.he AS e2
+               FROM h1 JOIN h2 ON h1.user_id = h2.user_id
+                 AND h1.event_type = h2.event_type),
+        allp AS (SELECT 'types' AS family, type_a, type_b,
+                        s1, e1, s2, e2 FROM pr1
+                 UNION ALL
+                 SELECT 'fwd_halves', event_type, event_type,
+                        s1, e1, s2, e2 FROM hj
+                 UNION ALL
+                 SELECT 'rev_halves', event_type, event_type,
+                        s2, e2, s1, e1 FROM hj),
+        cl AS (SELECT family, type_a, type_b,
+                      CASE WHEN e1 < s2 THEN 'precedes'
+                           WHEN e1 = s2 THEN 'meets'
+                           WHEN e2 < s1 THEN 'preceded_by'
+                           WHEN e2 = s1 THEN 'met_by'
+                           WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+                           WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+                           WHEN s1 = s2 THEN 'started_by'
+                           WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+                           WHEN e1 = e2 THEN 'finishes'
+                           WHEN s1 < s2 AND e2 < e1 THEN 'contains'
+                           WHEN s2 < s1 AND e1 < e2 THEN 'during'
+                           WHEN s1 < s2 THEN 'overlaps'
+                           ELSE 'overlapped_by' END AS relation
+               FROM allp)
+        SELECT family, type_a, type_b, relation,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cl GROUP BY 1, 2, 3, 4
+        ORDER BY family, type_a, type_b, relation""")),
   )
 
   /** q394's z for the 95% Wilson interval — Scala-rendered once so both

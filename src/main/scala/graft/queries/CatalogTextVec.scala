@@ -910,5 +910,83 @@ private[queries] object CatalogTextVec {
         FROM r x JOIN r y ON x.qid = y.nid AND x.nid = y.qid
         WHERE x.rk <= 5 AND y.rk <= 5 AND x.qid < x.nid
         ORDER BY vec_a, vec_b""")),
+
+    // Interpolated Kneser-Ney bigram language model (round 15, wave 2):
+    // THE n-gram smoothing standard (Kneser & Ney 1995; Chen-Goodman's
+    // winner) — beside q316's Good-Turing mass accounting and q224's
+    // add-k perplexity filter, this is the production smoother:
+    // absolute discount D = 0.75 plus a CONTINUATION-probability
+    // back-off (how many contexts a word follows, not how often), the
+    // insight that makes "San Francisco"-style collocations not leak
+    // probability to "Francisco" in fresh contexts. Per-doc score =
+    // order-free integer sum of per-bigram e6-snapped log probs (q405
+    // discipline). Plan shape: one explode into the (w1, w2) pair
+    // frame; all four count frames (c12, c1, right/left continuation
+    // fan-outs) are keyed aggs off it; the model table joins back on
+    // (w1, w2) — a uniform keyed shuffle, NOT forced broadcast (a real
+    // LM vocab's bigram table outgrows any broadcast; AQE may still
+    // pick one at fixture scale).
+    "q435_kneser_ney" -> QueryDef(
+      fn = (s, d) => {
+        val bg = TF.bigramsOfTokens(TF.tokens(col("text")))
+        val pairs = t(s, d, "documents")
+          .select(col("doc_id"), explode(bg).as("b"))
+          .withColumn("w1", substring_index(col("b"), " ", 1))
+          .withColumn("w2", substring_index(col("b"), " ", -1))
+          .select(col("doc_id"), col("w1"), col("w2"))
+          .localCheckpoint(eager = true) // 4 count frames + rejoin share it
+        val c12 = pairs.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+          .localCheckpoint(eager = true) // c1/n1r/n1l/B derive from it
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+          count(lit(1)).as("n1r"))
+        val n1l = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1l"))
+        val bTot = c12.agg(count(lit(1)).as("btot"))
+        val model = c12.join(c1, Seq("w1")).join(n1l, Seq("w2"))
+          .crossJoin(broadcast(bTot))
+          .withColumn("__p",
+            greatest(col("c12").cast("double") - lit(0.75), lit(0.0))
+              / col("c1").cast("double")
+              + lit(0.75) * col("n1r").cast("double")
+                / col("c1").cast("double")
+                * (col("n1l").cast("double") / col("btot").cast("double")))
+          .select(col("w1"), col("w2"),
+            floor(log(col("__p")) * 1000000.0 + 0.5).cast("long")
+              .as("__term_e6"))
+        pairs.join(model, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("__term_e6")).as("ll_e6"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        tk AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS pos
+               FROM t0),
+        pairs AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                  FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+                                     AND b.pos = a.pos + 1),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1r
+               FROM c12 GROUP BY 1),
+        n1l AS (SELECT w2, count(*) AS n1l FROM c12 GROUP BY 1),
+        bt AS (SELECT count(*) AS btot FROM c12),
+        model AS (SELECT c12.w1, c12.w2,
+                         CAST(floor(ln(
+                           greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
+                             / CAST(c1.c1 AS DOUBLE)
+                           + 0.75 * CAST(c1.n1r AS DOUBLE)
+                             / CAST(c1.c1 AS DOUBLE)
+                             * (CAST(n1l.n1l AS DOUBLE)
+                                / CAST(bt.btot AS DOUBLE)))
+                           * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+                  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+                           JOIN n1l ON c12.w2 = n1l.w2
+                           CROSS JOIN bt)
+        SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(m.term_e6) AS BIGINT) AS ll_e6
+        FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+        GROUP BY 1 ORDER BY doc_id""")),
   )
 }
