@@ -777,7 +777,11 @@ private[queries] object CatalogCorpusOps {
       fn = (s, d) => {
         val depth = 4
         val width = 512
-        val halfCol = pmod(substring(col("source"), 4, 10).cast("int"), lit(2))
+        // regexp-extract the numeric index (suffix-tolerant: the growth
+        // fixture's replicated sources read "src7_r2" — a bare
+        // substring cast would throw under ANSI there)
+        val halfCol = pmod(
+          regexp_extract(col("source"), "^src([0-9]+)", 1).cast("int"), lit(2))
         val toks = t(s, d, "documents")
           .select(halfCol.as("half"), explode(TF.tokens(col("text"))).as("token"))
           .localCheckpoint(eager = true) // two sketch passes + exact verify
@@ -814,7 +818,7 @@ private[queries] object CatalogCorpusOps {
           .orderBy(col("token"))
       },
       oracle = Some(s"""
-        WITH tk AS (SELECT CAST(substring(source, 4) AS INT) % 2 AS half,
+        WITH tk AS (SELECT CAST(regexp_extract(source, '^src([0-9]+)', 1) AS INT) % 2 AS half,
                            unnest($toksSql) AS token
                     FROM documents),
         w(token) AS (VALUES ${cmsProbes.sorted.map(p => s"('$p')").mkString(", ")}),

@@ -141,7 +141,15 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // query-term list — vacuous measurement), q431 (brute-force
     // O(n^2) exact baseline, the documented q25 class; IVF/LSH are
     // its scale paths)
-    "q432_kmv_intersection", "q433_burrows_delta")
+    "q432_kmv_intersection", "q433_burrows_delta",
+    // wave 2: Allen census (users x fixed type-pair frame — linear
+    // span aggs feed bounded per-user joins); Kneser-Ney (suffixed
+    // replica tokens pair only within their replica, so the c12 model
+    // frame grows linearly and the rejoin stays vocab-keyed); CMS
+    // heavy-change (fixed-size sketches; the exact verify is an
+    // IN-filtered agg — replica suffixes shrink probe hits, the
+    // sketch/scan cost is the linear claim under audit)
+    "q434_allen_census", "q435_kneser_ney", "q436_cms_heavy_change")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica

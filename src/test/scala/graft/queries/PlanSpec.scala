@@ -1378,6 +1378,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q434: span frames come from the shared checkpoint, pair joins are equi") {
+    val plan = planOf("q434_allen_census")
+    assert(!plan.contains("Scan parquet"),
+      s"event projection must come from the checkpoint:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q435: the KN model rejoin is keyed, never cartesian") {
+    // four count frames + the model rejoin all derive from the two
+    // checkpoints; every join must be an equi-join on w1/w2 (a real
+    // LM's bigram table outgrows broadcast, so the SMJ/shuffle shape
+    // is the one that survives scale — AQE may still pick broadcast
+    // at fixture size, both are keyed)
+    val plan = planOf("q435_kneser_ney")
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop allowed is the 1-row btot scalar broadcast
+    // (formatted explain names each operator twice: tree + detail)
+    val nlj = plan.linesIterator
+      .count(_.trim.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    assert(nlj <= 1, s"expected at most the scalar-btot NLJ, got $nlj:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
+  test("q436: exact verify is an IN-filtered agg over the checkpoint") {
+    val plan = planOf("q436_cms_heavy_change")
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(plan.contains("token#") && plan.contains(" IN "), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q361: ONE documents scan, automaton probe in-line, partial aggs") {
     val plan = planOf("q361_blocklist_scan")
     assert(plan.contains("multi_pattern_count"), plan)
