@@ -3227,6 +3227,91 @@ private[queries] object CatalogStatTests {
                CAST(count(*) AS BIGINT) AS n
         FROM cl GROUP BY 1, 2, 3, 4
         ORDER BY family, type_a, type_b, relation""")),
+
+    // Exhaustive consensus line fit (round 15, wave 3) — RANSAC's
+    // inlier-consensus objective made deterministic: over the 30-point
+    // daily purchase-revenue series, EVERY day pair proposes the line
+    // through its two points and is scored by how many days fall
+    // within the tolerance band (0.2 x mean daily revenue); the
+    // winner maximizes inliers — robust to the days an L2 fit (q177
+    // OLS, q386 Theil-Sen's median slope) gets dragged by. Top-5
+    // candidates emitted. Exhaustive enumeration replaces RANSAC's
+    // random sampling, so the oracle replays the whole tournament;
+    // at a larger series the pair frame is the documented O(n^2)
+    // exact baseline and hash-sampled pair subsets (q58 discipline)
+    // are the scale path. All inputs are exact cent integers (one
+    // decimal-exact sum per day), the band test a fixed-order double
+    // expression.
+    "q438_consensus_line_fit" -> QueryDef(
+      fn = (s, d) => {
+        val pts = t(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .groupBy(dayofmonth(col("ts")).as("x"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("__ysum"))
+          .select(col("x").cast("long").as("x"),
+            (col("__ysum") * 100).cast("long").as("y_c"))
+          .localCheckpoint(eager = true) // pair frame + band test share it
+        val meanC = pts.agg((sum(col("y_c")).cast("double")
+          / count(lit(1)).cast("double")).as("__mean_c"))
+        val a = pts.toDF("xi", "yi")
+        val b = pts.toDF("xj", "yj")
+        val cands = a.join(b, col("xi") < col("xj"))
+          .withColumn("__slope", (col("yj") - col("yi")).cast("double")
+            / (col("xj") - col("xi")).cast("double"))
+        val scored = cands.crossJoin(broadcast(meanC))
+          .crossJoin(pts.toDF("x", "y")) // band-test every point (30 rows)
+          .withColumn("__resid", abs(col("y").cast("double")
+            - (col("yi").cast("double")
+               + col("__slope") * (col("x") - col("xi")).cast("double"))))
+          .groupBy(col("xi"), col("yi"), col("xj"), col("__slope"))
+          .agg(sum(when(col("__resid") <= lit(0.2) * col("__mean_c"), 1L)
+            .otherwise(0L)).as("n_inliers"))
+        scored
+          .select(col("xi"), col("xj"), col("n_inliers"),
+            floor(col("__slope") * 1000000.0 + 0.5).cast("long")
+              .as("slope_e6c"),
+            floor((col("yi").cast("double")
+              - col("__slope") * col("xi").cast("double")) * 100.0 + 0.5)
+              .cast("long").as("intercept_e2c"))
+          .orderBy(col("n_inliers").desc, col("xi"), col("xj"))
+          .limit(5)
+          .withColumn("rank", row_number().over(Window.orderBy(
+            col("n_inliers").desc, col("xi"), col("xj"))).cast("long"))
+          .select(col("rank"), col("xi"), col("xj"), col("n_inliers"),
+            col("slope_e6c"), col("intercept_e2c"))
+          .orderBy(col("rank"))
+      },
+      oracle = Some("""
+        WITH pts AS (SELECT CAST(extract(day FROM ts) AS BIGINT) AS x,
+                            CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+                              AS BIGINT) AS y_c
+                     FROM events WHERE event_type = 'purchase'
+                     GROUP BY 1),
+        m AS (SELECT CAST(sum(y_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS mean_c FROM pts),
+        cands AS (SELECT a.x AS xi, a.y_c AS yi, b.x AS xj, b.y_c AS yj,
+                         CAST(b.y_c - a.y_c AS DOUBLE)
+                           / CAST(b.x - a.x AS DOUBLE) AS slope
+                  FROM pts a JOIN pts b ON a.x < b.x),
+        scored AS (SELECT c.xi, c.yi, c.xj, c.slope,
+                          sum(CASE WHEN abs(CAST(p.y_c AS DOUBLE)
+                                - (CAST(c.yi AS DOUBLE)
+                                   + c.slope * CAST(p.x - c.xi AS DOUBLE)))
+                              <= 0.2 * m.mean_c THEN 1 ELSE 0 END)
+                            AS n_inliers
+                   FROM cands c CROSS JOIN m CROSS JOIN pts p
+                   GROUP BY 1, 2, 3, 4),
+        top AS (SELECT xi, xj, n_inliers, slope, yi
+                FROM scored
+                ORDER BY n_inliers DESC, xi, xj LIMIT 5)
+        SELECT CAST(row_number() OVER (ORDER BY n_inliers DESC, xi, xj)
+                 AS BIGINT) AS rank,
+               xi, xj, CAST(n_inliers AS BIGINT) AS n_inliers,
+               CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT) AS slope_e6c,
+               CAST(floor((CAST(yi AS DOUBLE)
+                 - slope * CAST(xi AS DOUBLE)) * 100.0 + 0.5) AS BIGINT)
+                 AS intercept_e2c
+        FROM top ORDER BY rank""")),
   )
 
   /** q394's z for the 95% Wilson interval — Scala-rendered once so both

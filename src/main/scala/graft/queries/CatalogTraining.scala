@@ -375,5 +375,99 @@ private[queries] object CatalogTraining {
               FROM t)
         SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         WHERE cum_tokens < 50000 ORDER BY doc_id""")),
+
+    // Winnowing document fingerprints (round 15, wave 3) — the MOSS
+    // algorithm (Schleimer-Wilkerson-Aiken, SIGMOD'03): per doc, hash
+    // every token trigram, slide a w = 4 window over the hash sequence
+    // and keep each window's minimum (RIGHTMOST on ties — the rule
+    // that makes selections position-stable), dedupe to the
+    // fingerprint set. Guarantees: any shared run of >= w + k - 1
+    // tokens shares a fingerprint — unlike q19's whole-doc hash or
+    // q70's exact-span index, winnowing detects PARTIAL overlap at a
+    // tunable density (~2/(w+1) of grams kept). Pairs sharing >= 2
+    // fingerprints (after dropping ubiquitous fingerprints seen in
+    // > 20 docs — the posting-fanout guard, q101's common-gram
+    // discipline) are the plagiarism/near-dup candidates. Plan shape:
+    // gram hashing is map-side; window selection is a doc-keyed
+    // band join (fanout exactly w); the pair stage joins the
+    // FINGERPRINT posting lists (bounded by the df cap), never docs.
+    // Docs under w + k - 1 = 6 tokens yield no fingerprints (both
+    // engines, by construction).
+    "q437_winnowing" -> QueryDef(
+      fn = (s, d) => {
+        val TFx = graft.functions.TextFunctions
+        val tri = TFx.trigramsOfTokens(TFx.tokens(col("text")))
+        val g = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(tri).as(Seq("__p0", "__tri")))
+          .select(col("doc_id"), (col("__p0") + 1).as("pos"),
+            conv(substring(md5(col("__tri")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .localCheckpoint(eager = true) // window starts + band join share it
+        val n = g.groupBy(col("doc_id")).agg(max(col("pos")).as("__ng"))
+        val ws = g.join(n, Seq("doc_id"))
+          .where(col("pos") <= col("__ng") - 3)
+          .select(col("doc_id"), col("pos").as("wstart"))
+        val g2 = g.select(col("doc_id").as("__d"), col("pos").as("__gp"),
+          col("h").as("__gh"))
+        val fp = ws.join(g2, col("doc_id") === col("__d")
+            && col("__gp") >= col("wstart") && col("__gp") <= col("wstart") + 3)
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("doc_id"), col("wstart"))
+              .orderBy(col("__gh").asc, col("__gp").desc)))
+          .where(col("__rk") === 1)
+          .select(col("doc_id"), col("__gh").as("h")).distinct()
+          .localCheckpoint(eager = true) // df cap + counts + pair join share it
+        val kept = fp.join(broadcast(fp.groupBy(col("h"))
+            .agg(count(lit(1)).as("__df")).where(col("__df") <= 20)
+            .select(col("h"))), Seq("h"))
+          .localCheckpoint(eager = true)
+        val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+        val pairs = kept.toDF("h", "da").join(kept.toDF("h", "db"), Seq("h"))
+          .where(col("da") < col("db"))
+          .groupBy(col("da"), col("db"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 2L)
+        pairs.join(cnt.toDF("da", "n_fp_a"), Seq("da"))
+          .join(cnt.toDF("db", "n_fp_b"), Seq("db"))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            col("n_shared"), col("n_fp_a"), col("n_fp_b"),
+            expr("n_shared * 1000000 div least(n_fp_a, n_fp_b)")
+              .as("overlap_e6"))
+          .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      },
+      oracle = Some(s"""
+        WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        tk AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS pos
+               FROM t0),
+        g AS (SELECT a.doc_id, a.pos,
+                     ('0x' || substring(md5(a.tok || ' ' || b.tok || ' ' || c.tok), 1, 15))::BIGINT AS h
+              FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                        JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        n AS (SELECT doc_id, max(pos) AS ng FROM g GROUP BY 1),
+        ws AS (SELECT g.doc_id, g.pos AS wstart
+               FROM g JOIN n ON g.doc_id = n.doc_id WHERE g.pos <= n.ng - 3),
+        cand AS (SELECT w.doc_id, w.wstart, g.pos, g.h,
+                        row_number() OVER (PARTITION BY w.doc_id, w.wstart
+                                           ORDER BY g.h ASC, g.pos DESC) AS rk
+                 FROM ws w JOIN g ON g.doc_id = w.doc_id
+                   AND g.pos BETWEEN w.wstart AND w.wstart + 3),
+        fp AS (SELECT DISTINCT doc_id, h FROM cand WHERE rk = 1),
+        kept AS (SELECT fp.doc_id, fp.h FROM fp
+                 JOIN (SELECT h FROM fp GROUP BY h HAVING count(*) <= 20) ok
+                   ON fp.h = ok.h),
+        cnt AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY 1),
+        sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+               FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT sh.da AS doc_a, sh.db AS doc_b,
+               CAST(sh.n_shared AS BIGINT) AS n_shared,
+               CAST(ca.n_fp AS BIGINT) AS n_fp_a,
+               CAST(cb.n_fp AS BIGINT) AS n_fp_b,
+               CAST(sh.n_shared * 1000000 // least(ca.n_fp, cb.n_fp)
+                 AS BIGINT) AS overlap_e6
+        FROM sh JOIN cnt ca ON sh.da = ca.doc_id
+                JOIN cnt cb ON sh.db = cb.doc_id
+        ORDER BY n_shared DESC, doc_a, doc_b""")),
   )
 }

@@ -149,7 +149,14 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // heavy-change (fixed-size sketches; the exact verify is an
     // IN-filtered agg — replica suffixes shrink probe hits, the
     // sketch/scan cost is the linear claim under audit)
-    "q434_allen_census", "q435_kneser_ney", "q436_cms_heavy_change")
+    "q434_allen_census", "q435_kneser_ney", "q436_cms_heavy_change",
+    // wave 3: winnowing's hazards are the w-fanout band join (fixed
+    // fanout 4) and the fingerprint posting join (suffixed replica
+    // grams never collide across replicas, so postings stay
+    // per-replica — linear); the consensus fit's day frame is FIXED
+    // at <=31 points regardless of volume, only the daily sums feed
+    // grows (linear scan, constant tournament)
+    "q437_winnowing", "q438_consensus_line_fit")
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica

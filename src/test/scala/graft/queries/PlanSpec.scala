@@ -1411,6 +1411,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q437: fingerprint pair stage joins posting lists, never docs") {
+    // gram hashing, window selection and the df cap all feed from
+    // checkpoints; the final plan must be equi-joins on h / doc ids
+    // with partial aggs — a cartesian or nested-loop here would mean
+    // the pair stage degenerated to doc x doc
+    val plan = planOf("q437_winnowing")
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q438: the tournament runs on the 30-row frame, emit is TakeOrdered") {
+    // the pair enumeration is a DESIGNED cross product of two 30-row
+    // day frames (documented exact baseline); what must hold is that
+    // it feeds from the checkpointed point frame (no event rescans)
+    // and the top-5 emit never globally sorts
+    val plan = planOf("q438_consensus_line_fit")
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q361: ONE documents scan, automaton probe in-line, partial aggs") {
     val plan = planOf("q361_blocklist_scan")
     assert(plan.contains("multi_pattern_count"), plan)
