@@ -2237,6 +2237,34 @@ private[queries] object CatalogCuration {
         $steps
         SELECT * FROM ($out) ORDER BY step"""
       }),
+
+    // l-diversity audit (round 15, wave 4) — the re-identification
+    // dimension k-anonymity (q243/q288) cannot see: a QI class can be
+    // k-large yet carry ONE sensitive value, so membership alone leaks
+    // the attribute (Machanavajjhala et al. 2007). Per
+    // (nation, segment) quasi-identifier class: size, count of
+    // DISTINCT sensitive values (account-balance thousands-bucket),
+    // and the distinct-l >= 6 gate. At sf0.01 both branches fire
+    // (n_sv spans 4-10); at sf0.001 every class fails (1-4 distinct
+    // over ~1-per-class rows) — the small-slice-honest direction.
+    // One keyed two-level agg; at 100 TB this is the same uniform
+    // shuffle shape as the k-anonymity census it extends.
+    "q439_l_diversity" -> QueryDef(
+      fn = (s, d) => t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(floor(col("c_acctbal") / 1000.0)).as("n_sv"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("n"), col("n_sv"), (col("n_sv") >= 6L).as("l_ok"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      oracle = Some("""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT floor(c_acctbal / 1000.0)) AS BIGINT)
+                 AS n_sv,
+               count(DISTINCT floor(c_acctbal / 1000.0)) >= 6 AS l_ok
+        FROM customer GROUP BY 1, 2
+        ORDER BY c_nationkey, c_mktsegment""")),
   )
 
   /** q293's epsilon on the 1e-6 grid (eps = 0.5 -> Laplace scale 2). */

@@ -988,5 +988,101 @@ private[queries] object CatalogTextVec {
                CAST(sum(m.term_e6) AS BIGINT) AS ll_e6
         FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
         GROUP BY 1 ORDER BY doc_id""")),
+
+    // Embedding-space two-sample drift test: MMD^2 (round 15, wave 4) —
+    // Gretton et al.'s maximum mean discrepancy with an RBF kernel
+    // between two label cohorts, the distribution-shift verb for
+    // EMBEDDINGS that the scalar drift family (q150 JS, q263 PSI,
+    // q265 KS) cannot express: it compares the cohorts' full mean
+    // kernel embeddings, not a binned marginal. Unbiased blocks
+    // (i < j within each cohort, full cross block):
+    // MMD^2 = mean k(x,x') + mean k(y,y') - 2 mean k(x,y). FP
+    // discipline: each kernel value is e12-snapped IMMEDIATELY after
+    // the one exp (q412's transcendental rule), block sums are
+    // order-free bigint adds, the three means snap once, and the
+    // final statistic is pure integer arithmetic on the snapped
+    // means. The pair frames are the documented O(n^2) exact
+    // baseline (cohort slices here); at 100 TB the same blocks run
+    // over kernel random features or a cohort SAMPLE — the statistic
+    // and this gate stay identical in shape.
+    "q440_embedding_mmd" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .where(col("label").isin(0, 1))
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .localCheckpoint(eager = true) // three pair blocks + sizes share it
+        def sideDf(lbl: Int) = emb.where(col("label") === lbl)
+          .select(col("vec_id").as("ia"), col("embedding").as("va"))
+        def sideDfB(lbl: Int) = emb.where(col("label") === lbl)
+          .select(col("vec_id").as("ib"), col("embedding").as("vb"))
+        val xx = sideDf(0).join(sideDfB(0), col("ia") < col("ib"))
+          .select(lit("xx").as("__blk"), col("va"), col("vb"))
+        val yy = sideDf(1).join(sideDfB(1), col("ia") < col("ib"))
+          .select(lit("yy").as("__blk"), col("va"), col("vb"))
+        val xy = sideDf(0).crossJoin(sideDfB(1))
+          .select(lit("xy").as("__blk"), col("va"), col("vb"))
+        val terms = xx.unionAll(yy).unionAll(xy)
+          .withColumn("__d2", VF.sqDist(col("va"), col("vb")))
+          .withColumn("__k_e12",
+            floor(exp((col("__d2") * lit(-1.0)) / lit(128.0))
+              * 1000000000000.0 + 0.5).cast("long"))
+        val blocks = terms.groupBy(col("__blk"))
+          .agg(sum(col("__k_e12")).as("s"), count(lit(1)).as("c"))
+        def m(b: String, n: String) = max(when(col("__blk") === b,
+          floor(col("s").cast("double") / col("c").cast("double") + 0.5)
+            .cast("long"))).as(n)
+        val means = blocks.agg(m("xx", "mean_xx_e12"),
+          m("yy", "mean_yy_e12"), m("xy", "mean_xy_e12"))
+        val sizes = emb.agg(
+          sum(when(col("label") === 0, 1L).otherwise(0L)).as("n_x"),
+          sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_y"))
+        sizes.crossJoin(broadcast(means))
+          .select(col("n_x"), col("n_y"),
+            col("mean_xx_e12"), col("mean_yy_e12"), col("mean_xy_e12"),
+            (col("mean_xx_e12") + col("mean_yy_e12")
+              - lit(2L) * col("mean_xy_e12")).as("mmd2_e12"))
+      },
+      oracle = Some {
+        def sq(a: String, b: String) =
+          s"list_sum(list_transform(list_zip($a, $b), " +
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) " +
+            "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        s"""
+        WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+                   WHERE label IN (0, 1)),
+        p AS (SELECT 'xx' AS blk, a.embedding AS va, b.embedding AS vb
+              FROM e a JOIN e b ON a.label = 0 AND b.label = 0
+                AND a.vec_id < b.vec_id
+              UNION ALL
+              SELECT 'yy', a.embedding, b.embedding
+              FROM e a JOIN e b ON a.label = 1 AND b.label = 1
+                AND a.vec_id < b.vec_id
+              UNION ALL
+              SELECT 'xy', a.embedding, b.embedding
+              FROM e a JOIN e b ON a.label = 0 AND b.label = 1),
+        k AS (SELECT blk,
+                     CAST(floor(exp((d2 * -1.0) / 128.0)
+                       * 1000000000000.0 + 0.5) AS BIGINT) AS k_e12
+              FROM (SELECT blk, ${sq("va", "vb")} AS d2 FROM p)),
+        b AS (SELECT blk, sum(k_e12) AS s, count(*) AS c
+              FROM k GROUP BY 1),
+        m AS (SELECT
+                max(CASE WHEN blk = 'xx' THEN CAST(floor(CAST(s AS DOUBLE)
+                  / CAST(c AS DOUBLE) + 0.5) AS BIGINT) END) AS mxx,
+                max(CASE WHEN blk = 'yy' THEN CAST(floor(CAST(s AS DOUBLE)
+                  / CAST(c AS DOUBLE) + 0.5) AS BIGINT) END) AS myy,
+                max(CASE WHEN blk = 'xy' THEN CAST(floor(CAST(s AS DOUBLE)
+                  / CAST(c AS DOUBLE) + 0.5) AS BIGINT) END) AS mxy
+              FROM b),
+        sz AS (SELECT sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n_x,
+                      sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_y
+               FROM e)
+        SELECT CAST(sz.n_x AS BIGINT) AS n_x,
+               CAST(sz.n_y AS BIGINT) AS n_y,
+               m.mxx AS mean_xx_e12, m.myy AS mean_yy_e12,
+               m.mxy AS mean_xy_e12,
+               CAST(m.mxx + m.myy - 2 * m.mxy AS BIGINT) AS mmd2_e12
+        FROM sz CROSS JOIN m"""
+      }),
   )
 }

@@ -157,6 +157,12 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // at <=31 points regardless of volume, only the daily sums feed
     // grows (linear scan, constant tournament)
     "q437_winnowing", "q438_consensus_line_fit")
+  // NOT audited from wave 4: q439 (customer is not a staged table —
+  // and the op is one two-level keyed agg, the already-audited A5/A10
+  // shape), q440 (replicated embeddings share identical vectors, so
+  // the cohort pair blocks grow quadratically BY DESIGN — the q25/q431
+  // documented exact-baseline class; random features / cohort samples
+  // are the scale path per its scaladoc)
 
   /** Per-replica token suffix: replicas share (almost) no grams/tokens,
     * so similarity/dedup work grows linearly in the factor (each replica

@@ -1432,6 +1432,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q439: one keyed agg, scan reads only the three audit columns") {
+    val plan = planOf("q439_l_diversity")
+    assert(plan.contains("partial_count"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_nationkey") && readSchema.contains("c_acctbal")
+      && !readSchema.contains("c_name"), readSchema)
+  }
+
+  test("q440: kernel blocks feed from the cohort checkpoint, no rescans") {
+    // the three pair blocks are the documented O(n^2) exact baseline
+    // over cohort slices; what must hold is one checkpoint feed (no
+    // embeddings rescans per block) and partial aggregation of the
+    // snapped kernel sums before any exchange
+    val plan = planOf("q440_embedding_mmd")
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("q361: ONE documents scan, automaton probe in-line, partial aggs") {
     val plan = planOf("q361_blocklist_scan")
     assert(plan.contains("multi_pattern_count"), plan)
