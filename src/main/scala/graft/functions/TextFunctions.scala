@@ -84,6 +84,22 @@ object TextFunctions {
   def shingles(text: Column, k: Int): Column =
     shinglesOfTokens(tokens(text), k)
 
+  /** 64-bit hashes of the word k-shingles, computed DIRECTLY from the
+    * token windows (`xxhash64(tok_i, ..., tok_{i+k-1})`) — the at-scale
+    * sibling of [[shinglesOfTokens]] for callers that only ever JOIN on
+    * the gram (Decontaminate's `hashGrams` mode): no per-gram string is
+    * ever concatenated or allocated, the join key is 8 bytes, and the
+    * multi-arg hash is collision-equivalent to hashing the joined string
+    * (whitespace-free tokens make the space-join injective). Empty array
+    * below k tokens — the contamination-family convention (sub-k docs
+    * assert no grams), NOT the whole-text fallback of the string form.
+    */
+  def shingleHashesOfTokens(ts: Column, k: Int): Column =
+    when(size(ts) >= k,
+      transform(sequence(lit(0), size(ts) - k),
+        i => xxhash64((0 until k).map(j => element_at(ts, i + j + 1)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** [[shingles]] over an already-tokenized array column. */
   def shinglesOfTokens(ts: Column, k: Int): Column =
     when(size(ts) >= k,

@@ -32,15 +32,22 @@ object Baskets {
     *
     * @param maxBasketSize baskets with more distinct items than this are
     *        dropped entirely (quadratic-fanout fence). `0` disables.
+    * @param inputDistinct caller guarantees `df` already holds DISTINCT
+    *        (basket, item) rows — skips the internal distinct, which is a
+    *        full extra exchange of the input when the caller has just
+    *        deduplicated (and often checkpointed) the same frame (guide
+    *        §2.4 "a distinct on data that is already unique").
     */
   def frequentItemPairs(
       df: DataFrame,
       basketCol: String,
       itemCol: String,
       minSupport: Long,
-      maxBasketSize: Int = 0): DataFrame = {
+      maxBasketSize: Int = 0,
+      inputDistinct: Boolean = false): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
-    val pairs0 = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val base = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+    val pairs0 = if (inputDistinct) base else base.distinct()
 
     // Apriori prune: an item in fewer than minSupport baskets cannot be
     // in a frequent pair. The frequent-item set is usually small (it is

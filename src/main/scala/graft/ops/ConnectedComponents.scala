@@ -39,29 +39,35 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // propagate: each node takes min(own label, neighbors' labels)
+      // propagate: each node takes min(own label, neighbors' labels).
+      // The round-start label rides along as __old so the convergence
+      // check below needs NO extra join back to `labels` (guide §2.4) —
+      // one count over the round's own output decides it.
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
       val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer jumping: label ← label(label). Labels only decrease, so the
       // shortcut is safe, and chains halve every round (O(log diameter)).
       // localCheckpoint truncates the lineage: the self-join references
       // `propagated` twice, so without truncation the logical plan doubles
-      // every round (exponential planning cost). On a cluster with
-      // unreliable executors, swap for checkpoint() on reliable storage.
+      // every round (exponential planning cost). LAZY checkpoint: the
+      // convergence count below is the round's one materializing job, and
+      // it caches the frame as it runs — an eager checkpoint would spend
+      // a second job per round computing the same thing (guide §1.2). On
+      // a cluster with unreliable executors, swap for checkpoint() on
+      // reliable storage.
       val next = propagated
         .join(propagated.select(col("id").as("label"), col("label").as("jump")),
           Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__old"),
           least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+        .localCheckpoint(eager = false)
+      val changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }

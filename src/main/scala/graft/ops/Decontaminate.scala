@@ -33,14 +33,23 @@ object Decontaminate {
     // whole-text fallback is a dedup convenience, not a contamination
     // claim — and the SQL oracles generate grams only for len ≥ k, so the
     // fallback would silently diverge the two engines on short docs).
-    // explode must be a top-level select expression; hash in a second
-    // projection.
-    val base = df.select(col(idCol).as("doc_id"),
-      explode(when(TF.tokenCount(col(textCol)) >= shingleSize,
-          array_distinct(TF.shingles(col(textCol), shingleSize)))
-        .otherwise(array().cast("array<string>"))).as("g"))
-    base.select(col("doc_id"),
-      (if (hashGrams) xxhash64(col("g")) else col("g")).as("gram"))
+    if (hashGrams) {
+      // at-scale form: hash the token WINDOWS directly
+      // (TF.shingleHashesOfTokens) — no gram string is ever concatenated,
+      // so the explode emits 8-byte longs straight from the tokenizer
+      // (guide §2.3 "shuffle keys instead of payloads"; the string form
+      // below builds and then discards every gram's text)
+      df.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("__t"))
+        .select(col("doc_id"),
+          explode(array_distinct(
+            TF.shingleHashesOfTokens(col("__t"), shingleSize))).as("gram"))
+    } else {
+      // explode must be a top-level select expression
+      df.select(col(idCol).as("doc_id"),
+        explode(when(TF.tokenCount(col(textCol)) >= shingleSize,
+            array_distinct(TF.shingles(col(textCol), shingleSize)))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    }
   }
 
   def contaminated(train: DataFrame, eval: DataFrame,
@@ -164,14 +173,21 @@ object Decontaminate {
     // gram OCCURRENCES with 0-based start positions (no distinct — every
     // occurrence masks its own span; same short-doc guard as [[grams]]:
     // sub-shingle docs assert no leakage and pass through untouched).
-    // As in [[grams]], the optional hash is a second projection so the
-    // explode stays a top-level select expression.
-    val occurrences = train.select(col(idCol).as("doc_id"),
-      posexplode(when(TF.tokenCount(col(textCol)) >= shingleSize,
-          TF.shingles(col(textCol), shingleSize))
-        .otherwise(array().cast("array<string>"))).as(Seq("__p", "__g")))
-      .select(col("doc_id"), col("__p"),
-        (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("gram"))
+    // hashGrams: hash the token windows directly (same trade as [[grams]]
+    // — the position array is identical because the hash array has
+    // exactly the string form's n-k+1 elements in the same order).
+    val occurrences =
+      if (hashGrams)
+        train.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("__t"))
+          .select(col("doc_id"),
+            posexplode(TF.shingleHashesOfTokens(col("__t"), shingleSize))
+              .as(Seq("__p", "gram")))
+      else
+        train.select(col(idCol).as("doc_id"),
+          posexplode(when(TF.tokenCount(col(textCol)) >= shingleSize,
+              TF.shingles(col(textCol), shingleSize))
+            .otherwise(array().cast("array<string>"))).as(Seq("__p", "__g")))
+          .select(col("doc_id"), col("__p"), col("__g").as("gram"))
     val prefiltered =
       if (!bloomPrefilter) occurrences
       else BloomPrune.sketch(evalGrams, xxhash64(col("gram")), expectedItems) match {

@@ -48,11 +48,14 @@ object IvfIndex {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 5): Model = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     var model = Model(
       corpus.orderBy(col(idCol)).limit(k)
         .select(col(vecCol)).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq)
+    // dim comes from the seed rows just collected — a separate
+    // corpus.select(size(...)).head() was one more driver job per train
+    // call for a fact the seeds already carry (guide §1.2)
+    val dim = model.centroids.head.length
     require(model.centroids.forall(_.length == dim),
       s"ragged seed vectors: expected dim $dim, got " +
         model.centroids.map(_.length).distinct.mkString("/"))

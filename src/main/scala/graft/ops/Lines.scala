@@ -97,8 +97,10 @@ object Lines {
     * array is exploded as an inline expression — never projected into a
     * named column first, or Catalyst clones the tokenizer tree into the
     * scan filter; round-9 SetSimJoin lesson); first-occurrence selection
-    * is ONE window keyed by the segment text (min-row per key; group sizes
-    * = duplicate multiplicity, bounded in practice); reassembly is one
+    * is ONE hash aggregate keyed by the segment text (min (id, pos)
+    * struct per key — partial aggregation collapses duplicates map-side
+    * before the exchange, and no per-group sort runs; the row_number
+    * window it replaced shuffled every occurrence); reassembly is one
     * doc-keyed shuffle. Keying by the full segment text keeps the op exact
     * (two distinct segments can never conflate); a 100 TB deployment
     * trading that for a narrower exchange would key on a 128-bit hash, the
@@ -124,11 +126,20 @@ object Lines {
         i => array_join(slice(ts, i * k + 1, lit(k)), " ")))
     val segs = docs.select(id, posexplode(segArr).as(Seq("__pos", "__seg")))
 
-    val first = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__seg")).orderBy(id, col("__pos"))
+    // First occurrence per distinct segment = the MINIMUM (id, pos) under
+    // the same total order the row_number window would use — but as a
+    // hash aggregate, not a window: partial min collapses duplicate
+    // segments map-side BEFORE the exchange (the window form shuffles
+    // every occurrence and then sorts each segment group), so the
+    // segment-keyed exchange carries at most one row per distinct segment
+    // per map partition and no per-group sort runs at all (guide
+    // §2.3 "aggregate before you shuffle"; struct min is lexicographic,
+    // ids are non-null, so the winner is identical).
     val kept = segs
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(first))
-      .filter(col("__rn") === 1)
+      .groupBy(col("__seg"))
+      .agg(min(struct(id.as("__id"), col("__pos"))).as("__w"))
+      .select(col("__w.__id").as(idCol), col("__w.__pos").as("__pos"),
+        col("__seg"))
 
     val reassembled = kept
       .groupBy(id)
@@ -140,11 +151,16 @@ object Lines {
           " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
 
-    // totals keyed off the segment stream; the docs base restores rows
-    // whose every segment was a duplicate (or whose text had no tokens)
-    val totals = segs.groupBy(id).agg(count(lit(1)).as("__n_total"))
-    docs.select(id)
-      .join(totals, Seq(idCol), "left")
+    // totals computed MAP-SIDE from the token count — the segment count
+    // is ((n_tokens - 1) div k) + 1 by construction (exactly the length
+    // of segArr), so no exploded-stream groupBy and no second doc-keyed
+    // exchange + join are needed (guide §2.4): the docs base carries its
+    // own total and restores rows whose every segment was a duplicate
+    // (or whose text had no tokens, __n_total = 0).
+    docs.select(id,
+        when(size(ts) >= 1,
+            (floor((size(ts) - 1) / k) + 1).cast("long"))
+          .otherwise(0L).as("__n_total"))
       .join(reassembled, Seq(idCol), "left")
       .select(
         id,

@@ -400,8 +400,15 @@ private[queries] object CatalogCorpusOps {
       fn = (s, d) => {
         val docs = t(s, d, "documents")
         val isTrain = graft.ops.Sampling.inSplit(col("doc_id"), 0.8)
+        // hashGrams = the operator's documented at-scale mode (8-byte
+        // token-window hashes as join keys, no gram strings built):
+        // identical spans/output — DecontaminateSpec pins hash-vs-exact
+        // parity and the oracle gate re-proves it at every sf (r15 opt
+        // round; the exact-string mode stays the default for callers
+        // that need engine-portable gram identity)
         graft.ops.Decontaminate.maskContaminated(
-            docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text")
+            docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text",
+            hashGrams = true)
           .orderBy("doc_id")
       },
       oracle = Some(s"""

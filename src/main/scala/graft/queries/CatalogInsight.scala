@@ -4860,6 +4860,12 @@ private[queries] object CatalogInsight {
         val grams = t(s, d, "documents")
           .select(col("doc_id"), col("lang"), explode(bigrams).as("bigram"))
           .withColumn("__b", expr(s"${hexpos(1)} * 16 + ${hexpos(2)}"))
+          // project the bigram STRING away before pinning: every
+          // downstream consumer keys on the 256-ary bucket only, so the
+          // checkpoint and both aggregations carry 3 narrow columns
+          // instead of the full gram text (guide §2.3 "project before
+          // the exchange")
+          .select(col("doc_id"), col("lang"), col("__b"))
           .localCheckpoint(eager = true) // bucket stats + doc scores share it
         val buckets = grams.groupBy("__b").agg(
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__ct"),

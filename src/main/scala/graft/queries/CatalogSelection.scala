@@ -391,7 +391,10 @@ private[queries] object CatalogSelection {
           .select(col("o_custkey").as("u"), col("l_partkey").as("i")).distinct()
           .localCheckpoint(eager = true) // pairs, sizes, scoring share it
         val sizes = po.groupBy("i").agg(count(lit(1)).as("__n"))
-        val sims = Baskets.frequentItemPairs(po, "u", "i", 2L)
+        // po is already DISTINCT (u, i) and checkpointed — skip the
+        // operator's internal re-distinct (one full exchange, guide §2.4)
+        val sims = Baskets.frequentItemPairs(po, "u", "i", 2L,
+            inputDistinct = true)
           .join(sizes.select(col("i").as("item_a"), col("__n").as("n_a")), "item_a")
           .join(sizes.select(col("i").as("item_b"), col("__n").as("n_b")), "item_b")
           .select(col("item_a"), col("item_b"),
@@ -407,11 +410,18 @@ private[queries] object CatalogSelection {
         // the operator was built for. Total order (sim desc, dst asc).
         val champions = graft.plans.TopKPerKey.topKPerKey(sym,
           Seq(col("src")), Seq((col("sim_e6"), false), (col("dst"), true)), 20)
+        // aggregate BEFORE the seen-items anti-join: summing per (u, dst)
+        // first shrinks the expanded champion stream to its distinct
+        // (user, item) pairs, so the anti-join probes far fewer rows —
+        // and its (u, item) key matches the aggregation's output
+        // partitioning, so no extra exchange appears (guide §2.3/§2.4).
+        // Filtering before vs after the sum is equivalent: the anti-join
+        // drops whole (u, dst) groups, never individual contributors.
         val scored = po.join(champions, po("i") === champions("src"))
-          .join(po.select(col("u").as("__u2"), col("i").as("__i2")),
-            col("u") === col("__u2") && col("dst") === col("__i2"), "left_anti")
           .groupBy(col("u"), col("dst").as("item"))
           .agg(sum(col("sim_e6")).as("score_e6"), count(lit(1)).as("n_contrib"))
+          .join(po.select(col("u").as("__u2"), col("i").as("__i2")),
+            col("u") === col("__u2") && col("item") === col("__i2"), "left_anti")
         // final per-user top-3 stays on the window form: the per-user
         // candidate lists are short (champion cap bounds them), and an
         // interleaved A/B vs a TopKPerKey twin read a wash (r13 NOTES) —
