@@ -692,7 +692,13 @@ private[queries] object CatalogScaleOps {
         val sub = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
         val dbl = sub.select(col("doc_id"), col("text"))
           .unionAll(sub.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-        graft.ops.SetSimJoin.jaccardSelfJoin(dbl, "doc_id", "text", 3, 5)
+        // hashShingles = the operator's documented at-scale mode: df
+        // counting, prefix join keys and the verify arrays all carry
+        // 8-byte longs instead of multi-word shingle strings (guide
+        // §2.3). SetSimJoinSpec pins hash-vs-exact pair parity; the
+        // oracle gate re-proves the output at every sf (r15 opt round).
+        graft.ops.SetSimJoin.jaccardSelfJoin(dbl, "doc_id", "text", 3, 5,
+            hashShingles = true)
           .orderBy("id_a", "id_b")
       },
       oracle = Some(s"""

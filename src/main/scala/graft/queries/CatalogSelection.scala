@@ -401,6 +401,15 @@ private[queries] object CatalogSelection {
             floor(col("support").cast("double")
               / sqrt((col("n_a") * col("n_b")).cast("double")) * 1000000 + 0.5)
               .as("sim_e6"))
+          // the symmetrization union below references this frame TWICE:
+          // without a pin each union branch replays the whole pair-mine +
+          // sizes-join tree (static plan carried 28 reads of the po
+          // checkpoint and 72 exchanges; exchange reuse is not guaranteed
+          // across the differently-projected branches). Pinning the
+          // similarity edge list — the item-item graph, support-filtered,
+          // far smaller than the interaction frame — runs that tree once
+          // (the repo's standing lineage-pin rule; guide §3.3).
+          .localCheckpoint(eager = true)
         val sym = sims.select(col("item_a").as("src"), col("item_b").as("dst"), col("sim_e6"))
           .unionAll(sims.select(col("item_b").as("src"), col("item_a").as("dst"), col("sim_e6")))
         // champion cap via the engine's own bounded-heap operator (r12
