@@ -121,6 +121,14 @@ object ProbeOpt {
         case "q173" =>
           t("full_query") {
             noop(SparkEntry.queries("q173_paragraph_dedup")(spark, sfDir)) }
+        case "q253" =>
+          val edges = graft.ops.Baskets.frequentItemPairs(
+              tbl("lineitem").select(col("l_orderkey"), col("l_partkey")),
+              "l_orderkey", "l_partkey", 2L)
+            .select(col("item_a").as("src"), col("item_b").as("dst"))
+          t("a_pair_edges") { noop(edges) }
+          t("b_full_query") {
+            noop(SparkEntry.queries("q253_kcore")(spark, sfDir)) }
         case other =>
           // any catalog query: full-query timing under the bench confs
           t(other) { noop(SparkEntry.queries(other)(spark, sfDir)) }
