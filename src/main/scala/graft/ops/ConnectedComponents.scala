@@ -27,8 +27,16 @@ object ConnectedComponents {
     */
   def components(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // bidirectional expansion via ONE map-side explode, not a self-union:
+    // the union form referenced the caller's `pairs` tree twice, so a
+    // non-trivial candidate pass (e.g. SemDeDup's cluster pair join)
+    // executed twice before the distinct (measured as the bulk of
+    // q286's keepCanonical phase, r15 opt round; guide §2.4)
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .cache()
 

@@ -586,6 +586,11 @@ private[queries] object CatalogInfra {
         val tfp = tf.join(keep, Seq("token")) // token-keyed, reused below
         val a = tfp.select(col("token"), col("doc_id").as("a"), col("tf").as("tfa"))
         val b = tfp.select(col("token"), col("doc_id").as("b"), col("tf").as("tfb"))
+        // NOT checkpointed before the symmetrization union (unlike q306):
+        // PlanSpec pins prove the tokenize/posting exchanges are already
+        // REUSED across the union branches at runtime here, so a pin
+        // would only hide the reuse claim without removing work
+        // (r15 opt round A/B of the two shapes)
         val pairs = a.join(b, Seq("token")).filter(col("a") < col("b"))
           .groupBy("a", "b").agg(sum(col("tfa") * col("tfb")).as("dot"))
         val sym = pairs.unionAll(

@@ -487,6 +487,8 @@ private[queries] object CatalogInsight {
         val nB = po.select(col("b")).distinct().count() // bounded scalar
         val sup = po.groupBy("i").agg(count(lit(1)).as("__si")) // <= RuleItemMod rows
         val pairs = Baskets.frequentItemPairs(po, "b", "i", RuleMinSupport)
+          // pinned: the direction union below reads it twice (q306 lesson)
+          .localCheckpoint(eager = true)
         val dir = pairs
           .select(col("item_a").as("antecedent"), col("item_b").as("consequent"), col("support"))
           .unionAll(pairs
