@@ -27,6 +27,14 @@ object ProbeOpt {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    // optional extra confs, "k=v,k=v" (mirrors ProbePlan) — for A/B-ing
+    // planner settings like spark.sql.join.preferSortMergeJoin
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach { kvs =>
+      kvs.split(",").filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

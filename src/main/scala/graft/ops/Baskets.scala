@@ -83,7 +83,13 @@ object Baskets {
     // exchange — identical in both forms — is the real floor.
     val a = fenced.select(col("__b").as("__ba"), col("__i").as("item_a"))
     val b = fenced.select(col("__b").as("__bb"), col("__i").as("item_b"))
-    a.join(b, col("__ba") === col("__bb") && col("item_a") < col("item_b"))
+    // shuffle-hash, not sort-merge, chosen DELIBERATELY (guide §3.1,
+    // measured r15 opt round: the per-partition basket build is small by
+    // construction — AQE sizes the post-shuffle partitions — and
+    // skipping the two per-side sorts of the full interaction stream
+    // read ~15-20% off q306's settled wall time in the session A/B)
+    a.join(b.hint("shuffle_hash"),
+        col("__ba") === col("__bb") && col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)

@@ -426,10 +426,19 @@ private[queries] object CatalogSelection {
         // partitioning, so no extra exchange appears (guide §2.3/§2.4).
         // Filtering before vs after the sum is equivalent: the anti-join
         // drops whole (u, dst) groups, never individual contributors.
-        val scored = po.join(champions, po("i") === champions("src"))
+        // both heavy joins run SHUFFLED-HASH by deliberate choice (guide
+        // §3.1): the build sides (champion lists; the interaction frame)
+        // are far smaller per post-shuffle partition than the probe
+        // streams, and dropping the sort-merge sorts of the 12M-row
+        // expansion measured ~15-20% off settled wall time (r15 opt A/B,
+        // preferSortMergeJoin=false session probe; pinned here per-join
+        // so the rest of the catalog keeps its planner defaults)
+        val scored = po.join(champions.hint("shuffle_hash"),
+            po("i") === champions("src"))
           .groupBy(col("u"), col("dst").as("item"))
           .agg(sum(col("sim_e6")).as("score_e6"), count(lit(1)).as("n_contrib"))
-          .join(po.select(col("u").as("__u2"), col("i").as("__i2")),
+          .join(po.select(col("u").as("__u2"), col("i").as("__i2"))
+              .hint("shuffle_hash"),
             col("u") === col("__u2") && col("item") === col("__i2"), "left_anti")
         // final per-user top-3 stays on the window form: the per-user
         // candidate lists are short (champion cap bounds them), and an
