@@ -54,6 +54,20 @@ class BasketsGraphSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 3L), (2L, 3L, 2L)))
   }
 
+  test("frequentItemPairs inputDistinct=true equals the default on deduped input") {
+    // r15 opt round: the flag skips the internal re-distinct when the
+    // caller has already deduplicated — same answer, one less exchange.
+    // Raw input carries duplicate (basket, item) rows on purpose.
+    val rows = Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L),
+      (2L, 2L), (2L, 2L), (3L, 2L), (3L, 3L)).toDF("b", "i")
+    val viaDefault = Baskets.frequentItemPairs(rows, "b", "i", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaFlag = Baskets.frequentItemPairs(rows.distinct(), "b", "i", 2L,
+        inputDistinct = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaFlag == viaDefault && viaFlag.nonEmpty)
+  }
+
   test("frequentItemPairs minSupport=1 keeps singleton pairs") {
     val df = Seq((1L, 5L), (1L, 7L)).toDF("b", "i")
     val out = Baskets.frequentItemPairs(df, "b", "i", minSupport = 1L).collect()

@@ -993,6 +993,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("q306: scoring joins run SHUFFLED-HASH by choice; sims tree is pinned") {
+    // r15 opt round: the champion-scoring join and the seen-items
+    // anti-join carry shuffle_hash hints (measured 15-20% over
+    // sort-merge — no per-side sorts of the 12M-row expansion), and the
+    // similarity edge list is checkpointed before symmetrization so the
+    // pair-mine tree appears ONCE (static plan 72 -> 12 exchanges). A
+    // SortMergeJoin or a parquet scan reappearing here means a hint or
+    // the pin was dropped.
+    val plan = planOf("q306_item_cf_recs")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Scan parquet"),
+      s"po/sims must come from their checkpoints, not a re-scan:\n$plan")
+  }
+
+  test("q173: first-occurrence dedup is a hash aggregate, not a window sort") {
+    // r15 opt round: min(struct(id, pos)) per distinct segment — partial
+    // aggregation collapses duplicate segments map-side BEFORE the
+    // exchange and no per-group sort runs; a Window here means the
+    // row_number form crept back (it shuffles every occurrence)
+    val plan = planOf("q173_paragraph_dedup")
+    assert(!plan.contains(") Window"), plan)
+    assert(plan.contains("partial_min") || plan.contains("min(struct"), plan)
+  }
+
   test("q308: sequential-pair join is user-keyed equi, never a cartesian") {
     val plan = planOf("q308_seq_pairs")
     assert(!plan.contains("CartesianProduct") &&
