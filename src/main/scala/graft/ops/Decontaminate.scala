@@ -63,12 +63,12 @@ object Decontaminate {
       // plain count IS countDistinct here: [[grams]] array_distincts per
       // doc and the train side is distinct, so the join emits at most one
       // row per (doc, gram) — no two-phase distinct aggregate needed.
-      // Caveat when hashGrams=true: array_distinct runs on the gram
-      // STRINGS, so two distinct grams in one doc colliding under
-      // xxhash64 would emit two rows for one hash key and double-count —
-      // the same negligible-probability collision the hashGrams scaladoc
-      // already accepts for the join itself (~n^2/2^64), traded for not
-      // paying a two-phase distinct aggregate on the at-scale path.
+      // Caveat when hashGrams=true: array_distinct runs on the HASHES
+      // themselves (shingleHashesOfTokens emits longs; no gram string
+      // exists), so two distinct grams in one doc colliding under
+      // xxhash64 merge into one hash key and UNDER-count by one — the
+      // same negligible-probability collision tolerance (~n^2/2^64) the
+      // hashGrams scaladoc already accepts for the join itself.
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 

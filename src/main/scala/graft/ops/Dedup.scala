@@ -401,9 +401,34 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(VF.cosine(col("v_a"), col("v_b")) >= minCosine)
       .select("id_a", "id_b")
-    keepCanonical(corpus.select(col(idCol), lit(0L).as("__q")),
-        edges, idCol, "__q")
-      .select(col("kept_id"), col("n_members"))
+    // Survivor selection SPECIALIZED for the min-id policy (r16 opt
+    // round, guide §1.2/§2.4): with no quality axis, the kept member of
+    // every duplicate component is exactly the component id itself —
+    // [[ConnectedComponents.components]] labels every member with the
+    // MIN reachable id, and the min member is always present in the
+    // label frame (the bidirectional explode emits every endpoint). So
+    // instead of [[keepCanonical]]'s corpus-wide window (which shuffles
+    // and SORTS the whole corpus by component even though only duplicate
+    // members need resolving), the manifest is: one count over the label
+    // frame (only nodes that appear in a duplicate pair — tiny next to
+    // the corpus at any realistic dup rate) plus an anti-join that
+    // passes untouched singletons straight through (AQE broadcasts the
+    // label side when small; at 100 TB the corpus never shuffles here).
+    // keepCanonical remains the operator for callers with a REAL
+    // quality axis, where the argmax genuinely needs per-member data.
+    // pairsDistinct: the cluster-keyed pair join emits each unordered
+    // pair exactly once (one cluster per id; id_a < id_b, so no twins,
+    // repeats or self-loops) — CC's internal distinct would be a
+    // redundant full exchange of the edge list (guide §2.4)
+    val labels = ConnectedComponents.components(edges, // (id, component)
+      pairsDistinct = true)
+    val groups = labels
+      .groupBy(col("component").as("kept_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val singletons = corpus.select(col(idCol).as("kept_id"))
+      .join(labels.select(col("id").as("kept_id")), Seq("kept_id"), "left_anti")
+      .select(col("kept_id"), lit(1L).as("n_members"))
+    groups.unionAll(singletons)
   }
 
   // ----------------------------------------------- canonical doc per cluster

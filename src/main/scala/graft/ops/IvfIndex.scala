@@ -35,11 +35,18 @@ object IvfIndex {
     array(m.centroids.map(c =>
       VF.dot(v, litVec(c)) - lit(c.map(x => x * x).sum / 2.0)): _*)
 
-  /** 0-based nearest-centroid id. */
-  def assignCluster(v: Column, m: Model): Column = {
-    val s = scores(v, m)
-    (array_position(s, array_max(s)) - 1).cast("int")
-  }
+  /** 0-based nearest-centroid id — the native [[graft.functions.expressions.NearestCentroid]]
+    * expression: the centroid matrix rides the codegen references array,
+    * so every Lloyd's iteration (and the index pass) compiles to the SAME
+    * whole-stage-codegen class instead of recompiling per-iteration
+    * literal centroids (r16 opt round; measured — see the expression's
+    * scaladoc). Scores, ties and NaN resolve exactly like the literal
+    * `array_position(s, array_max(s)) - 1` form it replaced; a non-null
+    * vector with the wrong dimension now FAILS FAST at any call site
+    * (train included — r15 ADVICE #4) instead of silently nulling out.
+    */
+  def assignCluster(v: Column, m: Model): Column =
+    graft.functions.expressions.VectorExpressions.nearestCentroid(v, m.centroids)
 
   /** Train a k-means quantizer. Deterministic: initial centroids are the
     * `k` rows with the lowest ids (stable across runs/partitionings);

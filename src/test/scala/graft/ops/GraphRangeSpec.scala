@@ -34,6 +34,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(m == Map(2L -> 1L, 3L -> 1L))
   }
 
+  test("pairsDistinct=true equals the default on distinct canonical pairs") {
+    // r16 opt round: the flag skips CC's internal distinct when the
+    // candidate pass emits each unordered pair exactly once (the
+    // semanticDedup shape) — same labels, one less exchange
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val dflt = ConnectedComponents.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val skip = ConnectedComponents.components(pairs, pairsDistinct = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dflt == skip)
+  }
+
   test("closes chains that single-hop minhash mapping misses") {
     // doc 1 ~ doc 2, doc 2 ~ doc 3 (chain via shared middle)
     val base = (1 to 40).map(i => s"word$i").mkString(" ")

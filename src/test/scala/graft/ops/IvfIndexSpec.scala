@@ -40,6 +40,39 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ranks.sameElements(ranks.sorted.reverse))
   }
 
+  test("nearest_centroid equals the literal argmax formulation it replaced") {
+    // r16 opt round: assignCluster now rides the native NearestCentroid
+    // expression (centroid matrix in the codegen references array, not
+    // inlined literals — identical generated code across Lloyd's
+    // iterations). Scores, ties and NaN must resolve exactly like
+    // array_position(s, array_max(s)) - 1 over array(dot(v, lit(c)) -
+    // lit(|c|^2/2)) — pinned here value-for-value on real embeddings.
+    val emb = Tables.embeddings(spark, sf)
+    val m = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iterations = 2)
+    def litVec(c: Array[Double]) = array(c.map(lit): _*)
+    val literalScores = array(m.centroids.map(c =>
+      graft.functions.VectorFunctions.dot(col("embedding"), litVec(c))
+        - lit(c.map(x => x * x).sum / 2.0)): _*)
+    val literalAssign = (array_position(literalScores,
+      array_max(literalScores)) - 1).cast("int")
+    val mismatches = emb.select(
+        IvfIndex.assignCluster(col("embedding"), m).as("native"),
+        literalAssign.as("literal"))
+      .filter(col("native") =!= col("literal")).count()
+    assert(mismatches == 0L)
+  }
+
+  test("nearest_centroid fails fast on a wrong-dimension vector (r15 ADVICE)") {
+    val m = IvfIndex.Model(Seq(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val ragged = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      ragged.select(IvfIndex.assignCluster(col("embedding"), m)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("expected 2-dim vector")), e.toString)
+  }
+
   test("deterministic: two trainings from the same data agree") {
     val emb = Tables.embeddings(spark, sf)
     val m1 = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iterations = 2)
