@@ -39,6 +39,28 @@ object Baskets {
     *        full extra exchange of the input when the caller has just
     *        deduplicated (and often checkpointed) the same frame (guide
     *        §2.4 "a distinct on data that is already unique").
+    * @param packedItemPairs caller guarantees every item id is an integer
+    *        in `[0, 2^31)` (a runtime fact — prove it with one cheap agg
+    *        over the input, the q306 pattern) — the pair-support
+    *        aggregation then keys on ONE packed long (`a << 32 | b`,
+    *        lossless and order-preserving under the guarantee) instead of
+    *        two id columns. In UnsafeRow terms that is one 8-byte slot
+    *        instead of two on every row of the pair-support exchange —
+    *        the operator's largest shuffle — plus single-column hashing
+    *        and key comparison (guide §2.3 "narrower types"; note a plain
+    *        long→int CAST saves nothing here, UnsafeRow pads every field
+    *        to 8 bytes — packing is the form of narrowing that actually
+    *        moves bytes). Output ids are decoded back to the input item
+    *        type; results are bit-identical.
+    * @param pairJoinHint join-strategy hint for the basket self-join
+    *        ("" = leave it to the planner). The default keeps the r15
+    *        measured choice — shuffled-hash, ~15-20% over sort-merge on
+    *        the bench baskets because no per-side sort of the interaction
+    *        stream runs — but a hinted SHJ build CANNOT spill: callers
+    *        whose per-partition basket volume is not bounded (no
+    *        `maxBasketSize` fence, unknown interaction count) should pass
+    *        "" and keep the planner's spillable sort-merge fallback
+    *        (r15 ADVICE; guide §3.1/§5).
     */
   def frequentItemPairs(
       df: DataFrame,
@@ -46,7 +68,9 @@ object Baskets {
       itemCol: String,
       minSupport: Long,
       maxBasketSize: Int = 0,
-      inputDistinct: Boolean = false): DataFrame = {
+      inputDistinct: Boolean = false,
+      packedItemPairs: Boolean = false,
+      pairJoinHint: String = "shuffle_hash"): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
     val base = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
     val pairs0 = if (inputDistinct) base else base.distinct()
@@ -82,17 +106,30 @@ object Baskets {
     // join streams each pair without materialization; the pair-support
     // exchange — identical in both forms — is the real floor.
     val a = fenced.select(col("__b").as("__ba"), col("__i").as("item_a"))
-    val b = fenced.select(col("__b").as("__bb"), col("__i").as("item_b"))
-    // shuffle-hash, not sort-merge, chosen DELIBERATELY (guide §3.1,
-    // measured r15 opt round: the per-partition basket build is small by
-    // construction — AQE sizes the post-shuffle partitions — and
-    // skipping the two per-side sorts of the full interaction stream
-    // read ~15-20% off q306's settled wall time in the session A/B)
-    a.join(b.hint("shuffle_hash"),
-        col("__ba") === col("__bb") && col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b")
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
+    val b0 = fenced.select(col("__b").as("__bb"), col("__i").as("item_b"))
+    // join strategy is the caller's call (see pairJoinHint scaladoc);
+    // the default keeps the r15-measured shuffled-hash choice
+    val b = if (pairJoinHint.isEmpty) b0 else b0.hint(pairJoinHint)
+    val joined = a.join(b,
+      col("__ba") === col("__bb") && col("item_a") < col("item_b"))
+    if (packedItemPairs) {
+      val itemType = df.schema(itemCol).dataType
+      joined
+        .select(shiftleft(col("item_a").cast("long"), 32)
+          .bitwiseOR(col("item_b").cast("long")).as("__pair"))
+        .groupBy("__pair")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+        .select(
+          shiftright(col("__pair"), 32).cast(itemType).as("item_a"),
+          col("__pair").bitwiseAND(lit(0xFFFFFFFFL)).cast(itemType).as("item_b"),
+          col("support"))
+    } else {
+      joined
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+    }
   }
 
   /** Frequent item TRIPLES — the next rung of the Apriori ladder:

@@ -390,11 +390,40 @@ private[queries] object CatalogSelection {
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("u"), col("l_partkey").as("i")).distinct()
           .localCheckpoint(eager = true) // pairs, sizes, scoring share it
+        // ONE tiny agg job over the checkpointed interactions proves the
+        // two at-scale guards at runtime instead of assuming them (r15
+        // verdict #1/#3):
+        //  - packable: every id in [0, 2^31) -> the pair-support and
+        //    (u, item) scoring exchanges key on ONE packed long instead
+        //    of two id columns (guide §2.3; a plain long->int cast saves
+        //    nothing — UnsafeRow pads every field to 8 bytes — packing is
+        //    the narrowing that actually moves bytes). Falls back to the
+        //    two-column form when ids exceed the bound.
+        //  - shjSafe: the shuffle_hash hints whose BUILD side is the
+        //    interaction frame itself (the basket self-join, the
+        //    seen-items anti-join) are only safe while a post-shuffle
+        //    partition's build fits executor memory — a hinted SHJ cannot
+        //    fall back to sort-merge and cannot spill (guide §3.1/§5).
+        //    Bound: ~4M rows/partition (~256 MB of hash-table at ~64 B a
+        //    row) x the session's shuffle partitions; past it the hints
+        //    drop and the planner keeps its spillable sort-merge. The
+        //    champion-side hint stays unconditional — its build is
+        //    bounded by construction (<= 20 rows per item).
+        val poStats = po.agg(count(lit(1)).as("n"),
+          min("u").as("ul"), max("u").as("uh"),
+          min("i").as("il"), max("i").as("ih")).head()
+        val nInteractions = poStats.getLong(0)
+        val packable = nInteractions > 0 &&
+          poStats.getLong(1) >= 0L && poStats.getLong(2) < (1L << 31) &&
+          poStats.getLong(3) >= 0L && poStats.getLong(4) < (1L << 31)
+        val shjSafe = nInteractions <=
+          4L * 1024 * 1024 * s.conf.get("spark.sql.shuffle.partitions").toLong
         val sizes = po.groupBy("i").agg(count(lit(1)).as("__n"))
         // po is already DISTINCT (u, i) and checkpointed — skip the
         // operator's internal re-distinct (one full exchange, guide §2.4)
         val sims = Baskets.frequentItemPairs(po, "u", "i", 2L,
-            inputDistinct = true)
+            inputDistinct = true, packedItemPairs = packable,
+            pairJoinHint = if (shjSafe) "shuffle_hash" else "")
           .join(sizes.select(col("i").as("item_a"), col("__n").as("n_a")), "item_a")
           .join(sizes.select(col("i").as("item_b"), col("__n").as("n_b")), "item_b")
           .select(col("item_a"), col("item_b"),
@@ -432,14 +461,39 @@ private[queries] object CatalogSelection {
         // streams, and dropping the sort-merge sorts of the 12M-row
         // expansion measured ~15-20% off settled wall time (r15 opt A/B,
         // preferSortMergeJoin=false session probe; pinned here per-join
-        // so the rest of the catalog keeps its planner defaults)
-        val scored = po.join(champions.hint("shuffle_hash"),
-            po("i") === champions("src"))
-          .groupBy(col("u"), col("dst").as("item"))
-          .agg(sum(col("sim_e6")).as("score_e6"), count(lit(1)).as("n_contrib"))
-          .join(po.select(col("u").as("__u2"), col("i").as("__i2"))
-              .hint("shuffle_hash"),
-            col("u") === col("__u2") && col("item") === col("__i2"), "left_anti")
+        // so the rest of the catalog keeps its planner defaults). The
+        // champion-side hint is unconditional (build bounded by the
+        // 20-per-item cap); the seen-items hint rides the shjSafe guard
+        // because its build is the interaction frame itself (r15 verdict
+        // #3 — a hinted SHJ cannot spill).
+        val expanded = po.join(champions.hint("shuffle_hash"),
+          po("i") === champions("src"))
+        val scored = if (packable) {
+          // packed (u, item) key: the 12M-row expansion's aggregation
+          // exchange and the seen-items anti-join both key on one long
+          // (u << 32 | item — lossless under the proven id bound), so
+          // every row carries one key slot instead of two and the hash /
+          // equality work is single-column (guide §2.3)
+          val seen = po.select(
+            shiftleft(col("u"), 32).bitwiseOR(col("i")).as("__ud"))
+          expanded
+            .select(shiftleft(col("u"), 32).bitwiseOR(col("dst")).as("__ud"),
+              col("sim_e6"))
+            .groupBy("__ud")
+            .agg(sum(col("sim_e6")).as("score_e6"), count(lit(1)).as("n_contrib"))
+            .join(if (shjSafe) seen.hint("shuffle_hash") else seen,
+              Seq("__ud"), "left_anti")
+            .select(shiftright(col("__ud"), 32).as("u"),
+              col("__ud").bitwiseAND(lit(0xFFFFFFFFL)).as("item"),
+              col("score_e6"), col("n_contrib"))
+        } else {
+          val seen = po.select(col("u").as("__u2"), col("i").as("__i2"))
+          expanded
+            .groupBy(col("u"), col("dst").as("item"))
+            .agg(sum(col("sim_e6")).as("score_e6"), count(lit(1)).as("n_contrib"))
+            .join(if (shjSafe) seen.hint("shuffle_hash") else seen,
+              col("u") === col("__u2") && col("item") === col("__i2"), "left_anti")
+        }
         // final per-user top-3 stays on the window form: the per-user
         // candidate lists are short (champion cap bounds them), and an
         // interleaved A/B vs a TopKPerKey twin read a wash (r13 NOTES) —

@@ -54,6 +54,31 @@ class BasketsGraphSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 3L), (2L, 3L, 2L)))
   }
 
+  test("frequentItemPairs packedItemPairs=true is bit-identical to the default") {
+    // r16 opt round: with ids proven < 2^31, the pair-support exchange
+    // keys on one packed long (a << 32 | b) instead of two id columns;
+    // decode must restore the exact (item_a, item_b, support) rows
+    val rows = (0L until 60L).flatMap { b =>
+      Seq(b % 7, (b * 5 + 1) % 7, (b * 3 + 2) % 7, (b * 11 + 4) % 7).map(b -> _)
+    }
+    val df = rows.toDF("b", "i")
+    def collectPairs(packed: Boolean) =
+      Baskets.frequentItemPairs(df, "b", "i", 2L, packedItemPairs = packed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = collectPairs(false)
+    assert(plain.nonEmpty)
+    assert(collectPairs(true) == plain)
+  }
+
+  test("frequentItemPairs pairJoinHint='' (planner default) equals the hinted plan") {
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L)).toDF("b", "i")
+    def pairs(hint: String) =
+      Baskets.frequentItemPairs(df, "b", "i", 2L, pairJoinHint = hint)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs("") == pairs("shuffle_hash"))
+  }
+
   test("frequentItemPairs inputDistinct=true equals the default on deduped input") {
     // r15 opt round: the flag skips the internal re-distinct when the
     // caller has already deduplicated — same answer, one less exchange.
