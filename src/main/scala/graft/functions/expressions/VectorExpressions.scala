@@ -201,8 +201,8 @@ case class NearestCentroid(child: Expression,
          |    $s += (double) $v.$get($j) * $flatRef[$off + $j];
          |  }
          |  $s -= $normsRef[$i];
-         |  if ($bestI < 0 || $s > $best
-         |      || (Double.isNaN($s) && !Double.isNaN($best))) {
+         |  if ($bestI < 0 || $s > $best ||
+         |      (Double.isNaN($s) && !Double.isNaN($best))) {
          |    $best = $s; $bestI = $i;
          |  }
          |}

@@ -62,6 +62,25 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("nearest_centroid generated code COMPILES (no silent WSCG fallback)") {
+    // r16 regression: a stripMargin line starting with '||' was re-stripped
+    // by the code interpolator, producing invalid Java — Spark then fell
+    // back to interpreted execution SILENTLY (results stayed correct, the
+    // codegen-cache win evaporated, and 80 compile errors/bench run hid in
+    // the logs). Generating a projection directly throws on compile error,
+    // so the fallback cannot hide here.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val cents = (0 until 8).map(i => Array.tabulate(16)(j => (i + j) * 0.01))
+    val flat = cents.flatten.toArray
+    val norms = cents.map(c => c.map(x => x * x).sum / 2.0).toArray
+    val e = graft.functions.expressions.NearestCentroid(
+      BoundReference(0, ArrayType(FloatType), nullable = true), flat, norms, 16)
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateMutableProjection.generate(Seq(e))
+    assert(proj != null)
+  }
+
   test("nearest_centroid fails fast on a wrong-dimension vector (r15 ADVICE)") {
     val m = IvfIndex.Model(Seq(Array(1.0, 0.0), Array(0.0, 1.0)))
     val ragged = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
