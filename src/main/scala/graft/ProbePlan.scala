@@ -36,13 +36,21 @@ object ProbePlan {
     spark.sparkContext.setLogLevel("WARN")
 
     @volatile var lastPlan: String = ""
+    // EVERY execution of the round, in order — the noop write is the
+    // outermost, but checkpoint-heavy queries run their interesting joins
+    // inside nested executions (eager localCheckpoints) whose lineage the
+    // outer plan then truncates to an RDD scan. Dumping each phase's
+    // final adaptive plan makes the executing join strategies committed
+    // evidence instead of prose (r15 verdict #2/#6).
+    val phasePlans = new java.util.concurrent.CopyOnWriteArrayList[String]()
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        // the noop write is the OUTERMOST execution; nested executions
-        // (localCheckpoint) also fire — keep the largest plan text, the
-        // outer query dominates
-        if (qe.executedPlan.toString.length > lastPlan.length)
-          lastPlan = qe.executedPlan.toString
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        val p = qe.executedPlan.toString
+        phasePlans.add(p)
+        // keep the largest plan text for the one-line digest — the outer
+        // query dominates
+        if (p.length > lastPlan.length) lastPlan = p
+      }
       override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
     })
 
@@ -81,6 +89,7 @@ object ProbePlan {
     val forceGc = sys.env.get("SPARK_GRAFT_PROBE_GC").contains("1")
     for (i <- 1 to rounds) {
       lastPlan = ""
+      phasePlans.clear()
       if (forceGc) { System.gc(); Thread.sleep(300) }
       val sp0 = spilled.get; val fw0 = shuffleFetchWaitMs.get
       val tr0 = taskRunMs.get; val tc0 = taskCpuMs.get
@@ -97,6 +106,18 @@ object ProbePlan {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(f"target/probe_plan_round$i%02d.txt"), lastPlan)
+      // per-phase dumps of the LAST round (the settled one): one file per
+      // nested execution, in execution order, each headed by its digest
+      if (i == rounds) {
+        import scala.jdk.CollectionConverters._
+        phasePlans.asScala.zipWithIndex.foreach { case (p, k) =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f"target/probe_plan_phase$k%02d.txt"),
+            s"-- $name phase $k (round $i): ${digest(p)}\n$p")
+        }
+        println(s"[plan] $name: ${phasePlans.size} phase plans dumped " +
+          "(target/probe_plan_phase*.txt)")
+      }
       val spMb = (spilled.get - sp0) / 1e6
       val fwSec = (shuffleFetchWaitMs.get - fw0) / 1e3
       val trS = (taskRunMs.get - tr0) / 1e3

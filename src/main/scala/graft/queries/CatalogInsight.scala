@@ -2255,6 +2255,9 @@ private[queries] object CatalogInsight {
           .localCheckpoint(eager = true) // histogram + counts share it
         val nConv = conv.count()
         val hist = conv.groupBy("__lat").agg(count(lit(1)).as("__n"))
+        // single-partition window is GRAIN-bounded: hist holds one row per
+        // distinct second-grain latency, <= the fixture's time span in
+        // seconds — never one row per user/event (r16 window sweep)
         val ranked = hist
           .withColumn("__cum", sum(col("__n")).over(
             Window.orderBy("__lat").rowsBetween(Window.unboundedPreceding, 0)))
@@ -3952,6 +3955,9 @@ private[queries] object CatalogInsight {
           .groupBy((cents(col("value")) / 100L).cast("long").as("__v"), col("event_type"))
           .agg(count(lit(1)).as("__c"))
         val grid = byVal.groupBy("__v").agg(sum(col("__c")).as("__t"))
+          // single-partition window is GRAIN-bounded: one row per distinct
+          // whole-currency value — the VALUE DOMAIN, not the event count
+          // (r16 window sweep)
           .withColumn("__cumb",
             coalesce(sum(col("__t")).over(Window.orderBy("__v")
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

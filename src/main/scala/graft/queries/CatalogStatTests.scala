@@ -2179,6 +2179,9 @@ private[queries] object CatalogStatTests {
         val byDur = users.groupBy("__dur")
           .agg(sum(col("__obs")).as("__d"), count(lit(1)).as("__m"))
           .crossJoin(broadcast(users.agg(count(lit(1)).as("__n"))))
+        // single-partition windows are GRAIN-bounded: byDur holds one row
+        // per distinct lifetime-in-days, <= the fixture's calendar span —
+        // never one row per user (r16 window sweep)
         val wPrev = Window.orderBy(col("__dur"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val risk = byDur
